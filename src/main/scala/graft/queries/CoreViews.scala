@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+
+/** Operational "current state" views of the reference, §2.11 of SURVEY.md.
+  *
+  * Spark-first rewrites: the reference's `LEFT JOIN LATERAL ... ORDER BY
+  * event_id DESC LIMIT 1` (dao.ts:392-405) and correlated scalar subqueries
+  * (dao.ts:407-417) are decorrelated into `max_by` grouped aggregates +
+  * broadcast joins — per-pool aggregates are tiny (one row per pool), so every
+  * post-aggregation join is a broadcast, and the only shuffles are the
+  * map-side-combined groupBys over the fact tables.
+  */
+object CoreViews {
+
+  private val dec38 = DecimalType(38, 0)
+  private val dec30 = DecimalType(30, 0)
+
+  /** pool_states_view (dao.ts:384-433): latest swap ∨ initialization per pool
+    * plus liquidity deltas applied since the last swap, counted only when the
+    * position straddles the current tick.
+    */
+  def poolStates(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val swaps = spark.table("swaps")
+    val inits = spark.table("pool_initializations")
+    val updates = spark.table("position_updates")
+    val pools = spark.table("pool_keys")
+
+    // top-1-per-key via max_by (decorrelated lateral, dao.ts:392-405)
+    val lastSwap = swaps
+      .groupBy($"pool_key_hash".as("key_hash"))
+      .agg(max_by(
+        struct($"event_id", $"sqrt_ratio_after", $"tick_after", $"liquidity_after"),
+        $"event_id").as("s"))
+      .select($"key_hash", $"s.event_id".as("swap_event_id"),
+        $"s.sqrt_ratio_after", $"s.tick_after", $"s.liquidity_after")
+
+    val lastInit = inits
+      .groupBy($"pool_key_hash".as("key_hash"))
+      .agg(max_by(struct($"event_id", $"sqrt_ratio", $"tick"), $"event_id").as("i"))
+      .select($"key_hash", $"i.event_id".as("init_event_id"),
+        $"i.sqrt_ratio".as("init_sqrt_ratio"), $"i.tick".as("init_tick"))
+
+    val lss = pools.select($"key_hash")
+      .join(broadcast(lastSwap), Seq("key_hash"), "left")
+      .join(broadcast(lastInit), Seq("key_hash"), "left")
+      .select(
+        $"key_hash",
+        coalesce($"swap_event_id", $"init_event_id").as("last_swap_event_id"),
+        coalesce($"sqrt_ratio_after", $"init_sqrt_ratio").as("sqrt_ratio"),
+        coalesce($"tick_after", $"init_tick").as("tick"),
+        coalesce($"liquidity_after", lit(0)).as("liquidity_last"))
+
+    val lastUpdate = updates
+      .groupBy($"pool_key_hash".as("key_hash"))
+      .agg(max($"event_id").as("last_update_event_id"))
+
+    // decorrelated scalar subquery (dao.ts:407-417): liquidity deltas after
+    // the last swap, only for positions straddling the current tick.
+    val liqSince = updates.as("pu")
+      .join(broadcast(lss.as("lss")),
+        $"pu.pool_key_hash" === $"lss.key_hash" &&
+          $"pu.event_id" > $"lss.last_swap_event_id" &&
+          $"lss.tick".between($"pu.lower_bound", $"pu.upper_bound" - 1))
+      .groupBy($"lss.key_hash".as("key_hash"))
+      .agg(sum($"pu.liquidity_delta").as("liq_delta_since"))
+
+    lss
+      .join(broadcast(lastUpdate), Seq("key_hash"), "left")
+      .join(broadcast(liqSince), Seq("key_hash"), "left")
+      .select(
+        $"key_hash".as("pool_key_hash"),
+        $"sqrt_ratio",
+        $"tick".cast(LongType).as("tick"),
+        (coalesce($"liquidity_last", lit(0)).cast(dec30) +
+          coalesce($"liq_delta_since", lit(0)).cast(dec30))
+          .cast(dec38).as("liquidity"),
+        greatest($"last_swap_event_id", $"last_update_event_id").as("last_event_id"),
+        $"last_update_event_id".as("last_liquidity_update_event_id"))
+  }
+
+  val poolStatesOracle: String = Fixtures.oracle(
+    """, last_swap AS (
+         SELECT pool_key_hash, event_id, sqrt_ratio_after, tick_after, liquidity_after
+         FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY pool_key_hash ORDER BY event_id DESC) AS rn
+               FROM swaps s) t WHERE rn = 1),
+       last_init AS (
+         SELECT pool_key_hash, event_id, sqrt_ratio, tick
+         FROM (SELECT i.*, ROW_NUMBER() OVER (PARTITION BY pool_key_hash ORDER BY event_id DESC) AS rn
+               FROM pool_initializations i) t WHERE rn = 1),
+       lss AS (
+         SELECT p.key_hash,
+                COALESCE(ls.event_id, li.event_id) AS last_swap_event_id,
+                COALESCE(ls.sqrt_ratio_after, li.sqrt_ratio) AS sqrt_ratio,
+                COALESCE(ls.tick_after, li.tick) AS tick,
+                COALESCE(ls.liquidity_after, 0) AS liquidity_last
+         FROM pool_keys p
+         LEFT JOIN last_swap ls ON p.key_hash = ls.pool_key_hash
+         LEFT JOIN last_init li ON p.key_hash = li.pool_key_hash),
+       last_upd AS (
+         SELECT pool_key_hash, MAX(event_id) AS last_update_event_id
+         FROM position_updates GROUP BY pool_key_hash),
+       liq_since AS (
+         SELECT l.key_hash, SUM(pu.liquidity_delta) AS s
+         FROM lss l JOIN position_updates pu
+           ON pu.pool_key_hash = l.key_hash
+          AND pu.event_id > l.last_swap_event_id
+          AND l.tick BETWEEN pu.lower_bound AND pu.upper_bound - 1
+         GROUP BY l.key_hash)
+       SELECT l.key_hash AS pool_key_hash,
+              l.sqrt_ratio,
+              CAST(l.tick AS BIGINT) AS tick,
+              CAST(CAST(l.liquidity_last AS DECIMAL(30,0)) + CAST(COALESCE(q.s, 0) AS DECIMAL(30,0)) AS DECIMAL(38,0)) AS liquidity,
+              GREATEST(l.last_swap_event_id, u.last_update_event_id) AS last_event_id,
+              u.last_update_event_id AS last_liquidity_update_event_id
+       FROM lss l
+       LEFT JOIN last_upd u ON l.key_hash = u.pool_key_hash
+       LEFT JOIN liq_since q ON l.key_hash = q.key_hash""")
+
+  /** per_pool_per_tick_liquidity_view (dao.ts:475-499): net + total liquidity
+    * per (pool, tick bound); two-level re-aggregation after UNION ALL with a
+    * HAVING-style post-filter. The reference's trigger-maintained incremental
+    * twin (dao.ts:501-647) is replaced by this declarative recompute — at
+    * scale it is a map-side-combined shuffle on (pool, tick), no trigger state.
+    */
+  def tickLiquidity(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val pu = spark.table("position_updates")
+    val lower = pu.groupBy($"pool_key_hash", $"lower_bound".as("tick"))
+      .agg(sum($"liquidity_delta").as("net"), sum($"liquidity_delta").as("tot"))
+    val upper = pu.groupBy($"pool_key_hash", $"upper_bound".as("tick"))
+      .agg(sum(negate($"liquidity_delta")).as("net"), sum($"liquidity_delta").as("tot"))
+
+    lower.unionByName(upper)
+      .groupBy($"pool_key_hash", $"tick")
+      .agg(sum($"net").as("net"), sum($"tot").as("tot"))
+      .filter($"net" =!= 0)
+      .select(
+        $"pool_key_hash",
+        $"tick".cast(LongType).as("tick"),
+        $"net".cast(dec38).as("net_liquidity_delta_diff"),
+        $"tot".cast(dec38).as("total_liquidity_on_tick"))
+  }
+
+  val tickLiquidityOracle: String = Fixtures.oracle(
+    """, all_tick_deltas AS (
+         SELECT pool_key_hash, lower_bound AS tick,
+                SUM(liquidity_delta) AS net, SUM(liquidity_delta) AS tot
+         FROM position_updates GROUP BY pool_key_hash, lower_bound
+         UNION ALL
+         SELECT pool_key_hash, upper_bound AS tick,
+                SUM(-liquidity_delta) AS net, SUM(liquidity_delta) AS tot
+         FROM position_updates GROUP BY pool_key_hash, upper_bound),
+       summed AS (
+         SELECT pool_key_hash, tick, SUM(net) AS net, SUM(tot) AS tot
+         FROM all_tick_deltas GROUP BY pool_key_hash, tick)
+       SELECT pool_key_hash,
+              CAST(tick AS BIGINT) AS tick,
+              CAST(net AS DECIMAL(38,0)) AS net_liquidity_delta_diff,
+              CAST(tot AS DECIMAL(38,0)) AS total_liquidity_on_tick
+       FROM summed WHERE net != 0""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pool_states" -> (poolStates _),
+    "per_pool_per_tick_liquidity" -> (tickLiquidity _))
+
+  val oracles: Map[String, String] = Map(
+    "pool_states" -> poolStatesOracle,
+    "per_pool_per_tick_liquidity" -> tickLiquidityOracle)
+}
