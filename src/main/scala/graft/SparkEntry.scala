@@ -21,7 +21,9 @@ object SparkEntry {
     Seq(
       (Tpch.queries, Tpch.oracles),
       (CoreViews.queries, CoreViews.oracles),
-      (Rollups.queries, Rollups.oracles))
+      (Rollups.queries, Rollups.oracles),
+      (Twamm.queries, Twamm.oracles),
+      (Tokens.queries, Tokens.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,7 +86,9 @@ object CoreViews {
         $"last_update_event_id".as("last_liquidity_update_event_id"))
   }
 
-  val poolStatesOracle: String = Fixtures.oracle(
+  /** pool_states as a reusable oracle CTE chain (twamm/limit views read the
+    * materialized pool states, dao.ts:803,865). */
+  val poolStatesCtes: String =
     """, last_swap AS (
          SELECT pool_key_hash, event_id, sqrt_ratio_after, tick_after, liquidity_after
          FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY pool_key_hash ORDER BY event_id DESC) AS rn
@@ -113,16 +115,20 @@ object CoreViews {
            ON pu.pool_key_hash = l.key_hash
           AND pu.event_id > l.last_swap_event_id
           AND l.tick BETWEEN pu.lower_bound AND pu.upper_bound - 1
-         GROUP BY l.key_hash)
-       SELECT l.key_hash AS pool_key_hash,
-              l.sqrt_ratio,
-              CAST(l.tick AS BIGINT) AS tick,
-              CAST(CAST(l.liquidity_last AS DECIMAL(30,0)) + CAST(COALESCE(q.s, 0) AS DECIMAL(30,0)) AS DECIMAL(38,0)) AS liquidity,
-              GREATEST(l.last_swap_event_id, u.last_update_event_id) AS last_event_id,
-              u.last_update_event_id AS last_liquidity_update_event_id
-       FROM lss l
-       LEFT JOIN last_upd u ON l.key_hash = u.pool_key_hash
-       LEFT JOIN liq_since q ON l.key_hash = q.key_hash""")
+         GROUP BY l.key_hash),
+       pool_states_cte AS (
+         SELECT l.key_hash AS pool_key_hash,
+                l.sqrt_ratio,
+                CAST(l.tick AS BIGINT) AS tick,
+                CAST(CAST(l.liquidity_last AS DECIMAL(30,0)) + CAST(COALESCE(q.s, 0) AS DECIMAL(30,0)) AS DECIMAL(38,0)) AS liquidity,
+                GREATEST(l.last_swap_event_id, u.last_update_event_id) AS last_event_id,
+                u.last_update_event_id AS last_liquidity_update_event_id
+         FROM lss l
+         LEFT JOIN last_upd u ON l.key_hash = u.pool_key_hash
+         LEFT JOIN liq_since q ON l.key_hash = q.key_hash)"""
+
+  val poolStatesOracle: String =
+    Fixtures.oracle(poolStatesCtes + "\nSELECT * FROM pool_states_cte")
 
   /** per_pool_per_tick_liquidity_view (dao.ts:475-499): net + total liquidity
     * per (pool, tick bound); two-level re-aggregation after UNION ALL with a

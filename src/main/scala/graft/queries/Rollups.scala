@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.fixtures.Fixtures
 
-/** Hourly analytical rollups (dao.ts:1544-1796).
+/** Hourly analytical rollups (dao.ts:1544-1796) + the 24h stats view that
+  * consumes them (dao.ts:882-936).
   *
   * The reference maintains these incrementally (`INSERT ... ON CONFLICT DO
   * UPDATE` for hours ≥ watermark). Here each is a pure recompute pipeline —
@@ -17,35 +18,43 @@ import graft.fixtures.Fixtures
   * Scale notes: `pool_keys` and `blocks` are broadcast (dimension-sized);
   * the only shuffle per rollup is the final (key, hour, token) aggregate,
   * which gets a map-side partial. Hours are BIGINT epoch-second buckets
-  * (`time - time % 3600` ≡ DATE_TRUNC('hour'), dao.ts:1549).
+  * (`time - time % 3600` ≡ DATE_TRUNC('hour'), dao.ts:1549). The reference's
+  * `NOW()` is replaced by the deterministic dataset clock MAX(blocks.time).
   */
 object Rollups {
 
   private val dec38 = DecimalType(38, 0)
   private val dec30 = DecimalType(30, 0)
+  private val dec18 = DecimalType(18, 0)
+  private val dec36 = DecimalType(36, 0)
 
   /** 2^128 (Q128 fixed-point divisor of the fee math, dao.ts:1552-1554). */
   private val two128 = lit(3.402823669209385e38)
 
-  /** Facts joined to (pool_keys ⋈ event_keys ⋈ blocks) with an hour column. */
-  private def withHour(spark: SparkSession, fact: DataFrame, keyCol: String): DataFrame = {
-    val pools = spark.table("pool_keys")
+  /** Fact joined to event_keys ⋈ blocks (broadcast) with an hour column. */
+  private def withHour(spark: SparkSession, fact: DataFrame): DataFrame = {
     val ek = spark.table("event_keys").select(col("id"), col("block_number"))
     val blocks = spark.table("blocks").select(col("number"), col("time"))
     fact
-      .join(broadcast(pools), fact(keyCol) === pools("key_hash"))
       .join(ek, fact("event_id") === ek("id"))
       .join(broadcast(blocks), ek("block_number") === blocks("number"))
       .withColumn("hour", col("time") - col("time") % 3600)
   }
 
-  /** hourly_volume_by_token (dao.ts:1545-1615): swap volume + swap fees +
-    * accumulated fees per (pool, hour, token side). */
+  private def withPools(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame = {
+    val pools = spark.table("pool_keys")
+    df.join(broadcast(pools), df(keyCol) === pools("key_hash"))
+  }
+
+  // =====================================================================
+  // hourly_volume_by_token (dao.ts:1545-1615)
+  // =====================================================================
+
   def hourlyVolumeByToken(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val swapData = withHour(spark, spark.table("swaps"), "pool_key_hash")
+    val swapData = withPools(spark, withHour(spark, spark.table("swaps")), "pool_key_hash")
       .select(
         $"pool_key_hash".as("key_hash"),
         $"hour",
@@ -61,7 +70,7 @@ object Rollups {
         sum($"fee_amt").cast(dec30).as("fees"),
         count(lit(1)).as("swap_count"))
 
-    val fa = withHour(spark, spark.table("fees_accumulated"), "pool_key_hash")
+    val fa = withPools(spark, withHour(spark, spark.table("fees_accumulated")), "pool_key_hash")
     val fees0 = fa.filter($"amount0" > 0)
       .groupBy($"pool_key_hash".as("key_hash"), $"hour", $"token0".as("token"))
       .agg(lit(0).cast(dec30).as("volume"), sum($"amount0").cast(dec30).as("fees"),
@@ -79,7 +88,9 @@ object Rollups {
         sum($"swap_count").cast(LongType).as("swap_count"))
   }
 
-  val hourlyVolumeByTokenOracle: String = Fixtures.oracle(
+  /** Oracle CTE chain producing hourly_volume_cte (casts match the Spark
+    * output schema exactly). */
+  val hourlyVolumeCtes: String =
     """, swap_data AS (
          SELECT s.pool_key_hash AS key_hash,
                 b.time - b.time % 3600 AS hour,
@@ -122,17 +133,298 @@ object Rollups {
        combined_data AS (
          SELECT * FROM swap_data
          UNION ALL SELECT * FROM fees_token0
-         UNION ALL SELECT * FROM fees_token1)
-       SELECT key_hash, hour, token,
-              CAST(SUM(volume) AS DECIMAL(38,0)) AS volume,
-              CAST(SUM(fees) AS DECIMAL(38,0)) AS fees,
-              CAST(SUM(swap_count) AS BIGINT) AS swap_count
-       FROM combined_data
-       GROUP BY key_hash, hour, token""")
+         UNION ALL SELECT * FROM fees_token1),
+       hourly_volume_cte AS (
+         SELECT key_hash, hour, token,
+                CAST(SUM(volume) AS DECIMAL(38,0)) AS volume,
+                CAST(SUM(fees) AS DECIMAL(38,0)) AS fees,
+                CAST(SUM(swap_count) AS BIGINT) AS swap_count
+         FROM combined_data
+         GROUP BY key_hash, hour, token)"""
+
+  val hourlyVolumeByTokenOracle: String =
+    Fixtures.oracle(hourlyVolumeCtes + "\nSELECT * FROM hourly_volume_cte")
+
+  // =====================================================================
+  // hourly_revenue_by_token (dao.ts:1617-1654)
+  // =====================================================================
+
+  def hourlyRevenueByToken(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val pfp = withPools(spark, withHour(spark, spark.table("protocol_fees_paid")), "pool_key_hash")
+    val rev0 = pfp.filter($"delta0" =!= 0)
+      .groupBy($"pool_key_hash".as("key_hash"), $"hour", $"token0".as("token"))
+      .agg(negate(sum($"delta0")).cast(dec30).as("revenue"))
+    val rev1 = pfp.filter($"delta1" =!= 0)
+      .groupBy($"pool_key_hash".as("key_hash"), $"hour", $"token1".as("token"))
+      .agg(negate(sum($"delta1")).cast(dec30).as("revenue"))
+
+    rev0.unionByName(rev1)
+      .groupBy($"key_hash", $"hour", $"token")
+      .agg(sum($"revenue").cast(dec38).as("revenue"))
+  }
+
+  val hourlyRevenueCtes: String =
+    """, rev0 AS (
+         SELECT pfp.pool_key_hash AS key_hash,
+                b.time - b.time % 3600 AS hour,
+                pk.token0 AS token,
+                CAST(-SUM(pfp.delta0) AS DECIMAL(30,0)) AS revenue
+         FROM protocol_fees_paid pfp
+         JOIN pool_keys pk ON pfp.pool_key_hash = pk.key_hash
+         JOIN event_keys ek ON pfp.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         WHERE pfp.delta0 != 0
+         GROUP BY 1, 2, 3),
+       rev1 AS (
+         SELECT pfp.pool_key_hash AS key_hash,
+                b.time - b.time % 3600 AS hour,
+                pk.token1 AS token,
+                CAST(-SUM(pfp.delta1) AS DECIMAL(30,0)) AS revenue
+         FROM protocol_fees_paid pfp
+         JOIN pool_keys pk ON pfp.pool_key_hash = pk.key_hash
+         JOIN event_keys ek ON pfp.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         WHERE pfp.delta1 != 0
+         GROUP BY 1, 2, 3),
+       hourly_revenue_cte AS (
+         SELECT key_hash, hour, token,
+                CAST(SUM(revenue) AS DECIMAL(38,0)) AS revenue
+         FROM (SELECT * FROM rev0 UNION ALL SELECT * FROM rev1) t
+         GROUP BY key_hash, hour, token)"""
+
+  val hourlyRevenueByTokenOracle: String =
+    Fixtures.oracle(hourlyRevenueCtes + "\nSELECT * FROM hourly_revenue_cte")
+
+  // =====================================================================
+  // hourly_price_data (dao.ts:1656-1688)
+  // =====================================================================
+
+  def hourlyPriceData(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    // per-block, per-token-pair swap deltas first (dao.ts:1658-1667)
+    val perBlock = withPools(spark, spark.table("swaps")
+      .join(spark.table("event_keys").select($"id", $"block_number"), $"event_id" === $"id"),
+      "pool_key_hash")
+      .groupBy($"block_number", $"token0", $"token1")
+      .agg(
+        sum($"delta0").cast(dec18).as("total_delta0"),
+        sum($"delta1").cast(dec18).as("total_delta1"),
+        count(lit(1)).as("swap_count"))
+
+    val blocks = spark.table("blocks").select($"number", $"time")
+    perBlock
+      .filter($"total_delta0" =!= 0 && $"total_delta1" =!= 0)
+      .join(broadcast(blocks), $"block_number" === $"number")
+      .withColumn("hour", $"time" - $"time" % 3600)
+      .groupBy($"token0", $"token1", $"hour")
+      .agg(
+        sum(abs(($"total_delta0" * $"total_delta1").cast(dec36))).cast(dec38).as("k_volume"),
+        sum(($"total_delta1" * $"total_delta1").cast(dec36)).cast(dec38).as("total"),
+        sum($"swap_count").cast(LongType).as("swap_count"))
+  }
+
+  val hourlyPriceCtes: String =
+    """, per_block_pair AS (
+         SELECT ek.block_number,
+                pk.token0, pk.token1,
+                CAST(SUM(s.delta0) AS DECIMAL(18,0)) AS total_delta0,
+                CAST(SUM(s.delta1) AS DECIMAL(18,0)) AS total_delta1,
+                COUNT(1) AS swap_count
+         FROM swaps s
+         JOIN event_keys ek ON s.event_id = ek.id
+         JOIN pool_keys pk ON s.pool_key_hash = pk.key_hash
+         GROUP BY 1, 2, 3),
+       hourly_price_cte AS (
+         SELECT token0, token1,
+                b.time - b.time % 3600 AS hour,
+                CAST(SUM(ABS(CAST(total_delta0 * total_delta1 AS DECIMAL(36,0)))) AS DECIMAL(38,0)) AS k_volume,
+                CAST(SUM(CAST(total_delta1 * total_delta1 AS DECIMAL(36,0))) AS DECIMAL(38,0)) AS total,
+                CAST(SUM(swap_count) AS BIGINT) AS swap_count
+         FROM per_block_pair p
+         JOIN blocks b ON p.block_number = b.number
+         WHERE total_delta0 != 0 AND total_delta1 != 0
+         GROUP BY 1, 2, 3)"""
+
+  val hourlyPriceDataOracle: String =
+    Fixtures.oracle(hourlyPriceCtes + "\nSELECT * FROM hourly_price_cte")
+
+  // =====================================================================
+  // hourly_tvl_delta_by_token (dao.ts:1690-1787)
+  // =====================================================================
+
+  def hourlyTvlDeltaByToken(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    // 5-way UNION ALL of per-(pool, hour) delta sums (dao.ts:1704-1755)
+    def deltas(table: String, c0: String, c1: String): DataFrame =
+      withHour(spark, spark.table(table))
+        .groupBy($"pool_key_hash", $"hour")
+        .agg(sum(col(c0)).cast(dec30).as("delta0"), sum(col(c1)).cast(dec30).as("delta1"))
+
+    val grouped = deltas("swaps", "delta0", "delta1")
+      .unionByName(deltas("position_updates", "delta0", "delta1"))
+      .unionByName(deltas("position_fees_collected", "delta0", "delta1"))
+      .unionByName(deltas("protocol_fees_paid", "delta0", "delta1"))
+      .unionByName(deltas("fees_accumulated", "amount0", "amount1"))
+      .groupBy($"pool_key_hash", $"hour")
+      .agg(sum($"delta0").as("delta0"), sum($"delta1").as("delta1"))
+
+    val pools = spark.table("pool_keys")
+    val tokenDeltas = grouped
+      .join(broadcast(pools), grouped("pool_key_hash") === pools("key_hash"))
+      .select($"pool_key_hash", $"hour", $"token0".as("token"), $"delta0".as("delta"))
+      .unionByName(grouped
+        .join(broadcast(pools), grouped("pool_key_hash") === pools("key_hash"))
+        .select($"pool_key_hash", $"hour", $"token1".as("token"), $"delta1".as("delta")))
+
+    tokenDeltas
+      .groupBy($"pool_key_hash".as("key_hash"), $"hour", $"token")
+      .agg(sum($"delta").cast(dec38).as("delta"))
+  }
+
+  val hourlyTvlCtes: String =
+    """, tvl_sub AS (
+         SELECT pool_key_hash, event_id, delta0, delta1 FROM swaps
+         UNION ALL SELECT pool_key_hash, event_id, delta0, delta1 FROM position_updates
+         UNION ALL SELECT pool_key_hash, event_id, delta0, delta1 FROM position_fees_collected
+         UNION ALL SELECT pool_key_hash, event_id, delta0, delta1 FROM protocol_fees_paid
+         UNION ALL SELECT pool_key_hash, event_id, amount0 AS delta0, amount1 AS delta1 FROM fees_accumulated),
+       tvl_grouped AS (
+         SELECT t.pool_key_hash,
+                b.time - b.time % 3600 AS hour,
+                CAST(SUM(t.delta0) AS DECIMAL(30,0)) AS delta0,
+                CAST(SUM(t.delta1) AS DECIMAL(30,0)) AS delta1
+         FROM tvl_sub t
+         JOIN event_keys ek ON t.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         GROUP BY 1, 2),
+       token_deltas AS (
+         SELECT g.pool_key_hash, g.hour, pk.token0 AS token, g.delta0 AS delta
+         FROM tvl_grouped g JOIN pool_keys pk ON g.pool_key_hash = pk.key_hash
+         UNION ALL
+         SELECT g.pool_key_hash, g.hour, pk.token1 AS token, g.delta1 AS delta
+         FROM tvl_grouped g JOIN pool_keys pk ON g.pool_key_hash = pk.key_hash),
+       hourly_tvl_cte AS (
+         SELECT pool_key_hash AS key_hash, hour, token,
+                CAST(SUM(delta) AS DECIMAL(38,0)) AS delta
+         FROM token_deltas
+         GROUP BY 1, 2, 3)"""
+
+  val hourlyTvlDeltaByTokenOracle: String =
+    Fixtures.oracle(hourlyTvlCtes + "\nSELECT * FROM hourly_tvl_cte")
+
+  // =====================================================================
+  // last_24h_pool_stats (dao.ts:882-936)
+  // =====================================================================
+
+  /** NOW() is replaced by the dataset clock MAX(blocks.time) so results are
+    * deterministic; the 24 h window is `hour >= now - 86400`. */
+  def last24hPoolStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val now = spark.table("blocks").agg(max($"time").as("now"))
+    val pools = spark.table("pool_keys")
+
+    val hv = hourlyVolumeByToken(spark, sfDir)
+      .join(broadcast(pools), Seq("key_hash"))
+      .crossJoin(broadcast(now))
+    val volume = hv.filter($"hour" >= $"now" - 86400)
+      .groupBy($"key_hash")
+      .agg(
+        sum(when($"token" === $"token0", $"volume").otherwise(0)).as("volume0"),
+        sum(when($"token" === $"token1", $"volume").otherwise(0)).as("volume1"),
+        sum(when($"token" === $"token0", $"fees").otherwise(0)).as("fees0"),
+        sum(when($"token" === $"token1", $"fees").otherwise(0)).as("fees1"))
+
+    val tvl = hourlyTvlDeltaByToken(spark, sfDir)
+      .join(broadcast(pools), Seq("key_hash"))
+      .crossJoin(broadcast(now))
+    val tvlTotal = tvl.groupBy($"key_hash")
+      .agg(
+        sum(when($"token" === $"token0", $"delta").otherwise(0)).as("t0"),
+        sum(when($"token" === $"token1", $"delta").otherwise(0)).as("t1"))
+    val tvl24 = tvl.filter($"hour" >= $"now" - 86400)
+      .groupBy($"key_hash")
+      .agg(
+        sum(when($"token" === $"token0", $"delta").otherwise(0)).as("d0"),
+        sum(when($"token" === $"token1", $"delta").otherwise(0)).as("d1"))
+
+    pools.select($"key_hash")
+      .join(broadcast(volume), Seq("key_hash"), "left")
+      .join(broadcast(tvlTotal), Seq("key_hash"), "left")
+      .join(broadcast(tvl24), Seq("key_hash"), "left")
+      .select(
+        $"key_hash",
+        coalesce($"volume0", lit(0)).cast(dec38).as("volume0_24h"),
+        coalesce($"volume1", lit(0)).cast(dec38).as("volume1_24h"),
+        coalesce($"fees0", lit(0)).cast(dec38).as("fees0_24h"),
+        coalesce($"fees1", lit(0)).cast(dec38).as("fees1_24h"),
+        coalesce($"t0", lit(0)).cast(dec38).as("tvl0_total"),
+        coalesce($"t1", lit(0)).cast(dec38).as("tvl1_total"),
+        coalesce($"d0", lit(0)).cast(dec38).as("tvl0_delta_24h"),
+        coalesce($"d1", lit(0)).cast(dec38).as("tvl1_delta_24h"))
+  }
+
+  val last24hPoolStatsOracle: String = Fixtures.oracle(
+    hourlyVolumeCtes + hourlyTvlCtes +
+      """, now_t AS (SELECT MAX(time) AS now FROM blocks),
+       volume AS (
+         SELECT v.key_hash,
+                SUM(CASE WHEN v.token = pk.token0 THEN v.volume ELSE 0 END) AS volume0,
+                SUM(CASE WHEN v.token = pk.token1 THEN v.volume ELSE 0 END) AS volume1,
+                SUM(CASE WHEN v.token = pk.token0 THEN v.fees ELSE 0 END) AS fees0,
+                SUM(CASE WHEN v.token = pk.token1 THEN v.fees ELSE 0 END) AS fees1
+         FROM hourly_volume_cte v
+         JOIN pool_keys pk ON v.key_hash = pk.key_hash
+         WHERE v.hour >= (SELECT now FROM now_t) - 86400
+         GROUP BY v.key_hash),
+       tvl_total AS (
+         SELECT t.key_hash,
+                SUM(CASE WHEN t.token = pk.token0 THEN t.delta ELSE 0 END) AS t0,
+                SUM(CASE WHEN t.token = pk.token1 THEN t.delta ELSE 0 END) AS t1
+         FROM hourly_tvl_cte t
+         JOIN pool_keys pk ON t.key_hash = pk.key_hash
+         GROUP BY t.key_hash),
+       tvl_24h AS (
+         SELECT t.key_hash,
+                SUM(CASE WHEN t.token = pk.token0 THEN t.delta ELSE 0 END) AS d0,
+                SUM(CASE WHEN t.token = pk.token1 THEN t.delta ELSE 0 END) AS d1
+         FROM hourly_tvl_cte t
+         JOIN pool_keys pk ON t.key_hash = pk.key_hash
+         WHERE t.hour >= (SELECT now FROM now_t) - 86400
+         GROUP BY t.key_hash)
+       SELECT pk.key_hash,
+              CAST(COALESCE(v.volume0, 0) AS DECIMAL(38,0)) AS volume0_24h,
+              CAST(COALESCE(v.volume1, 0) AS DECIMAL(38,0)) AS volume1_24h,
+              CAST(COALESCE(v.fees0, 0) AS DECIMAL(38,0)) AS fees0_24h,
+              CAST(COALESCE(v.fees1, 0) AS DECIMAL(38,0)) AS fees1_24h,
+              CAST(COALESCE(tt.t0, 0) AS DECIMAL(38,0)) AS tvl0_total,
+              CAST(COALESCE(tt.t1, 0) AS DECIMAL(38,0)) AS tvl1_total,
+              CAST(COALESCE(td.d0, 0) AS DECIMAL(38,0)) AS tvl0_delta_24h,
+              CAST(COALESCE(td.d1, 0) AS DECIMAL(38,0)) AS tvl1_delta_24h
+       FROM pool_keys pk
+       LEFT JOIN volume v ON v.key_hash = pk.key_hash
+       LEFT JOIN tvl_total tt ON tt.key_hash = pk.key_hash
+       LEFT JOIN tvl_24h td ON td.key_hash = pk.key_hash""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hourly_volume_by_token" -> (hourlyVolumeByToken _))
+    "hourly_volume_by_token" -> (hourlyVolumeByToken _),
+    "hourly_revenue_by_token" -> (hourlyRevenueByToken _),
+    "hourly_price_data" -> (hourlyPriceData _),
+    "hourly_tvl_delta_by_token" -> (hourlyTvlDeltaByToken _),
+    "last_24h_pool_stats" -> (last24hPoolStats _))
 
   val oracles: Map[String, String] = Map(
-    "hourly_volume_by_token" -> hourlyVolumeByTokenOracle)
+    "hourly_volume_by_token" -> hourlyVolumeByTokenOracle,
+    "hourly_revenue_by_token" -> hourlyRevenueByTokenOracle,
+    "hourly_price_data" -> hourlyPriceDataOracle,
+    "hourly_tvl_delta_by_token" -> hourlyTvlDeltaByTokenOracle,
+    "last_24h_pool_stats" -> last24hPoolStatsOracle)
 }
