@@ -23,7 +23,9 @@ object SparkEntry {
       (CoreViews.queries, CoreViews.oracles),
       (Rollups.queries, Rollups.oracles),
       (Twamm.queries, Twamm.oracles),
-      (Tokens.queries, Tokens.oracles))
+      (Tokens.queries, Tokens.oracles),
+      (Analytics.queries, Analytics.oracles),
+      (Governance.queries, Governance.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

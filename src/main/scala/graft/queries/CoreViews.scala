@@ -157,7 +157,7 @@ object CoreViews {
         $"tot".cast(dec38).as("total_liquidity_on_tick"))
   }
 
-  val tickLiquidityOracle: String = Fixtures.oracle(
+  val tickLiquidityCtes: String =
     """, all_tick_deltas AS (
          SELECT pool_key_hash, lower_bound AS tick,
                 SUM(liquidity_delta) AS net, SUM(liquidity_delta) AS tot
@@ -166,14 +166,16 @@ object CoreViews {
          SELECT pool_key_hash, upper_bound AS tick,
                 SUM(-liquidity_delta) AS net, SUM(liquidity_delta) AS tot
          FROM position_updates GROUP BY pool_key_hash, upper_bound),
-       summed AS (
-         SELECT pool_key_hash, tick, SUM(net) AS net, SUM(tot) AS tot
-         FROM all_tick_deltas GROUP BY pool_key_hash, tick)
-       SELECT pool_key_hash,
-              CAST(tick AS BIGINT) AS tick,
-              CAST(net AS DECIMAL(38,0)) AS net_liquidity_delta_diff,
-              CAST(tot AS DECIMAL(38,0)) AS total_liquidity_on_tick
-       FROM summed WHERE net != 0""")
+       tick_liquidity_cte AS (
+         SELECT pool_key_hash,
+                CAST(tick AS BIGINT) AS tick,
+                CAST(SUM(net) AS DECIMAL(38,0)) AS net_liquidity_delta_diff,
+                CAST(SUM(tot) AS DECIMAL(38,0)) AS total_liquidity_on_tick
+         FROM all_tick_deltas GROUP BY pool_key_hash, tick
+         HAVING SUM(net) != 0)"""
+
+  val tickLiquidityOracle: String =
+    Fixtures.oracle(tickLiquidityCtes + "\nSELECT * FROM tick_liquidity_cte")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pool_states" -> (poolStates _),

@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+
+/** Governance analytics: proposal_delegate_voting_weights (dao.ts:1231-1352)
+  * and calculate_staker_rewards (dao.ts:1354-1540).
+  *
+  * Both are time-weighted integrals over stake event streams. The reference
+  * implements them as 90+-line correlated LATERAL pipelines; here they are
+  * decorrelated into plain window/aggregate pipelines (SURVEY.md J7/J8): the
+  * correlation key (proposal, or the single reward window) becomes a join
+  * key, running sums become `sum(...).over(Window...rowsBetween)`, and the
+  * as-of lookup becomes "last event ≤ interval start" via the same running
+  * sum. At scale the stake stream shuffles once on (key, delegate/staker).
+  *
+  * Determinism deviations (applied identically on both engines):
+  *  - stake changes are pre-aggregated per (staker, time) so running sums are
+  *    well-defined under intra-block ties (the reference's tie order is
+  *    Postgres-arbitrary; tie rows carry dt=0 so integrals are unaffected);
+  *  - per-interval reward terms are rounded into DECIMAL(38,10) before
+  *    summation (order-independent, cross-engine-stable);
+  *  - the rewards ranking breaks total_reward ties by claimee.
+  */
+object Governance {
+
+  private val dec38 = DecimalType(38, 0)
+  private val dec3810 = DecimalType(38, 10)
+
+  /** Stake deltas (staked +, withdrawn −) with block times. */
+  private def stakeFacts(spark: SparkSession, who: String): DataFrame = {
+    import spark.implicits._
+    val ek = spark.table("event_keys").select($"id", $"block_number")
+    val blocks = spark.table("blocks").select($"number", $"time")
+    val staked = spark.table("staker_staked")
+      .select(col(who).as("party"), $"event_id", $"amount".cast(DecimalType(19, 0)).as("delta"))
+    val withdrawn = spark.table("staker_withdrawn")
+      .select(col(who).as("party"), $"event_id", negate($"amount").cast(DecimalType(19, 0)).as("delta"))
+    staked.unionByName(withdrawn)
+      .join(ek, $"event_id" === $"id")
+      .join(broadcast(blocks), $"block_number" === $"number")
+      .select($"party", $"time", $"delta")
+  }
+
+  // =====================================================================
+  // proposal_delegate_voting_weights (dao.ts:1231-1352)
+  // =====================================================================
+
+  def votingWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val ek = spark.table("event_keys").select($"id", $"block_number")
+    val blocks = spark.table("blocks").select($"number", $"time")
+
+    // proposal windows [proposal_time, vote_start] (dao.ts:1233-1245)
+    val props = spark.table("governor_proposed").as("gp")
+      .join(ek.withColumnRenamed("id", "ekid"), $"gp.event_id" === $"ekid")
+      .join(broadcast(blocks), $"block_number" === $"number")
+      .join(broadcast(spark.table("governor_reconfigured").as("gr")),
+        $"gp.config_version" === $"gr.version")
+      .select($"gp.id".as("proposal_id"), $"time".as("proposal_time"),
+        ($"time" + $"voting_start_delay").as("vote_start"),
+        $"voting_start_delay".as("window_secs"))
+
+    val facts = stakeFacts(spark, "delegate")
+    val delegates = facts.select($"party").distinct()
+
+    // decorrelated LATERAL: every component keyed by proposal_id
+    val winEvents = facts.as("f")
+      .join(broadcast(props.as("p")),
+        $"f.time".between($"p.proposal_time", $"p.vote_start"))
+      .select($"p.proposal_id", $"f.party", $"f.time", $"f.delta")
+
+    val bootstrap = facts.as("f")
+      .join(broadcast(props.as("p")), $"f.time" < $"p.proposal_time")
+      .groupBy($"p.proposal_id", $"f.party", $"p.proposal_time")
+      .agg(sum($"f.delta").as("delta"))
+      .select($"proposal_id", $"party", $"proposal_time".as("time"), $"delta")
+
+    val sentinels = broadcast(props).crossJoin(broadcast(delegates))
+      .select($"proposal_id", $"party", $"vote_start".as("time"),
+        lit(0).cast(DecimalType(19, 0)).as("delta"))
+
+    // pre-aggregate ties, then running stake + interval integration
+    val events = winEvents.unionByName(bootstrap).unionByName(sentinels)
+      .groupBy($"proposal_id", $"party", $"time")
+      .agg(sum($"delta").as("delta"))
+
+    val w = Window.partitionBy($"proposal_id", $"party").orderBy($"time")
+    val intervals = events
+      .withColumn("stake", sum($"delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("end_time", lead($"time", 1).over(w))
+      .filter($"end_time".isNotNull)
+
+    intervals
+      .groupBy($"proposal_id", $"party".as("delegate"))
+      .agg(sum(($"stake".cast(DecimalType(26, 0)) * ($"end_time" - $"time").cast(DecimalType(12, 0)))
+        .cast(dec38)).as("wts"))
+      .join(broadcast(props.select($"proposal_id", $"window_secs")), Seq("proposal_id"))
+      .select($"proposal_id", $"delegate",
+        floor($"wts".cast(DoubleType) / $"window_secs".cast(DoubleType))
+          .cast(LongType).as("voting_weight"))
+  }
+
+  val votingWeightsOracle: String = Fixtures.oracle(
+    """, props AS (
+         SELECT gp.id AS proposal_id, b.time AS proposal_time,
+                b.time + gr.voting_start_delay AS vote_start,
+                gr.voting_start_delay AS window_secs
+         FROM governor_proposed gp
+         JOIN event_keys ek ON gp.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         JOIN governor_reconfigured gr ON gp.config_version = gr.version),
+       facts AS (
+         SELECT s.delegate AS party, b.time, CAST(s.amount AS DECIMAL(19,0)) AS delta
+         FROM staker_staked s
+         JOIN event_keys ek ON s.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         UNION ALL
+         SELECT w.delegate AS party, b.time, CAST(-w.amount AS DECIMAL(19,0)) AS delta
+         FROM staker_withdrawn w
+         JOIN event_keys ek ON w.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number),
+       win_events AS (
+         SELECT p.proposal_id, f.party, f.time, f.delta
+         FROM facts f JOIN props p ON f.time BETWEEN p.proposal_time AND p.vote_start),
+       bootstrap AS (
+         SELECT p.proposal_id, f.party, p.proposal_time AS time, SUM(f.delta) AS delta
+         FROM facts f JOIN props p ON f.time < p.proposal_time
+         GROUP BY 1, 2, 3),
+       sentinels AS (
+         SELECT p.proposal_id, d.party, p.vote_start AS time, CAST(0 AS DECIMAL(19,0)) AS delta
+         FROM props p CROSS JOIN (SELECT DISTINCT party FROM facts) d),
+       gov_events AS (
+         SELECT proposal_id, party, time, SUM(delta) AS delta
+         FROM (SELECT * FROM win_events UNION ALL SELECT * FROM bootstrap
+               UNION ALL SELECT * FROM sentinels) e
+         GROUP BY 1, 2, 3),
+       gov_intervals AS (
+         SELECT proposal_id, party, time,
+                SUM(delta) OVER (PARTITION BY proposal_id, party ORDER BY time
+                  ROWS UNBOUNDED PRECEDING) AS stake,
+                LEAD(time) OVER (PARTITION BY proposal_id, party ORDER BY time) AS end_time
+         FROM gov_events),
+       weighted AS (
+         SELECT proposal_id, party AS delegate,
+                CAST(SUM(CAST(CAST(stake AS DECIMAL(26,0)) * CAST(end_time - time AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS wts
+         FROM gov_intervals WHERE end_time IS NOT NULL
+         GROUP BY 1, 2)
+       SELECT w.proposal_id, w.delegate,
+              CAST(FLOOR(CAST(w.wts AS DOUBLE) / CAST(p.window_secs AS DOUBLE)) AS BIGINT) AS voting_weight
+       FROM weighted w JOIN props p ON w.proposal_id = p.proposal_id""")
+
+  // =====================================================================
+  // calculate_staker_rewards (dao.ts:1354-1540)
+  // =====================================================================
+
+  /** Parameterized table-function equivalent (dao.ts:1354): a plain Scala
+    * function producing a DataFrame plan — no Catalyst Generator needed.
+    *
+    * Two reference quirks are deliberately NOT reproduced (both look like
+    * bugs; the sane semantics is used identically on both engines):
+    *  - dao.ts:1410-1440 adds every pre-window stake change twice (once
+    *    individually via `time <= end_time`, once in the bootstrap sum) —
+    *    here pre-window history enters only through the bootstrap row;
+    *  - dao.ts:1402-1404's `WHERE time < end_time` drops the final
+    *    [last_change, end] interval from the grid — here it is kept. */
+  def stakerRewards(spark: SparkSession, sfDir: String,
+      startOff: Long, endOff: Long, totalRewards: Double,
+      stakingShare: Double, delegateShare: Double): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    // deterministic window derived from the dataset clock
+    val win = broadcast(spark.table("blocks").agg(
+      (min($"time") + startOff).as("w_start"),
+      (max($"time") - endOff).as("w_end"))
+      .withColumn("total_duration", $"w_end" - $"w_start"))
+
+    val facts = stakeFacts(spark, "from_address")
+
+    // time grid: stake-change times in window + both endpoints (Step 1-2)
+    val timePoints = facts.crossJoin(win)
+      .filter($"time".between($"w_start", $"w_end"))
+      .select($"time")
+      .unionByName(win.select($"w_start".as("time")))
+      .unionByName(win.select($"w_end".as("time")))
+      .distinct()
+    val wT = Window.orderBy($"time")
+    val intervals = timePoints
+      .withColumn("i_end", lead($"time", 1).over(wT))
+      .filter($"i_end".isNotNull)
+      .select($"time".as("i_start"), $"i_end")
+
+    // running stake per staker over changes ≤ end, bootstrapped before start
+    // (Step 3-4; ties pre-aggregated per (staker, time))
+    val inWin = facts.crossJoin(win)
+      .filter($"time" <= $"w_end" && $"time" >= $"w_start")
+      .select($"party", $"time", $"delta")
+    val boot = facts.crossJoin(win)
+      .filter($"time" < $"w_start")
+      .groupBy($"party", $"w_start")
+      .agg(sum($"delta").as("delta"))
+      .select($"party", $"w_start".as("time"), $"delta")
+    val wS = Window.partitionBy($"party").orderBy($"time")
+    val stakeEvents = inWin.unionByName(boot)
+      .groupBy($"party", $"time").agg(sum($"delta").as("delta"))
+      .withColumn("stake", sum($"delta")
+        .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_time", lead($"time", 1).over(wS))
+
+    // as-of join (J8): the stake event governing interval start is the one
+    // with time ≤ i_start < next_time — an equi-free range join kept small by
+    // the broadcast interval grid.
+    val stakerIntervals = stakeEvents.as("se")
+      .join(broadcast(intervals.as("i")),
+        $"se.time" <= $"i.i_start" &&
+          ($"se.next_time".isNull || $"se.next_time" > $"i.i_start"))
+      .select($"i.i_start", $"i.i_end", $"se.party".as("staker"), $"se.stake")
+
+    val totalPerInterval = stakerIntervals
+      .groupBy($"i_start", $"i_end")
+      .agg(sum($"stake").as("total_stake"))
+
+    val stakerShareFrac = stakingShare / (stakingShare + delegateShare)
+    val stakerRewardsDf = stakerIntervals
+      .join(broadcast(totalPerInterval), Seq("i_start", "i_end"))
+      .crossJoin(win.select($"total_duration"))
+      .filter($"total_stake" > 0 && $"stake" > 0 && ($"i_end" - $"i_start") > 0)
+      .withColumn("reward",
+        (lit(totalRewards) * lit(stakerShareFrac)
+          * (($"i_end" - $"i_start").cast(DoubleType) / $"total_duration".cast(DoubleType))
+          * ($"stake".cast(DoubleType) / $"total_stake".cast(DoubleType)))
+          .cast(dec3810))
+      .groupBy($"staker".as("claimee"))
+      .agg(sum($"reward").as("staker_reward"))
+
+    // delegate vote-weight rewards over proposals in the window (Step 8-10)
+    val ek = spark.table("event_keys").select($"id", $"block_number")
+    val blocks = spark.table("blocks").select($"number", $"time")
+    val proposalsInPeriod = spark.table("governor_proposed").as("gp")
+      .join(ek.withColumnRenamed("id", "ekid"), $"gp.event_id" === $"ekid")
+      .join(broadcast(blocks), $"block_number" === $"number")
+      .crossJoin(win)
+      .filter($"time".between($"w_start", $"w_end"))
+      .select($"gp.id".as("pid"))
+    val delegateWeights = spark.table("governor_voted").as("gv")
+      .join(broadcast(proposalsInPeriod), $"gv.id" === $"pid", "left_semi")
+      .groupBy($"gv.voter".as("delegate"))
+      .agg(sum($"weight").as("total_weight"))
+    val totalVotes = delegateWeights.agg(sum($"total_weight").as("total"))
+
+    val delegateShareFrac = delegateShare / (stakingShare + delegateShare)
+    val delegateRewards = delegateWeights.crossJoin(broadcast(totalVotes))
+      .select($"delegate".as("claimee"),
+        ($"total_weight".cast(DoubleType) * lit(totalRewards) * lit(delegateShareFrac)
+          / $"total".cast(DoubleType)).cast(dec3810).as("delegate_reward"))
+
+    // union, rank, floor (Step 11-12; reference swaps the portion aliases at
+    // dao.ts:1533-1534 — reproduced faithfully; ranking ties broken by claimee)
+    val all = stakerRewardsDf
+      .select($"claimee", lit(0).cast(dec3810).as("delegate_reward"),
+        $"staker_reward")
+      .unionByName(delegateRewards
+        .select($"claimee", $"delegate_reward", lit(0).cast(dec3810).as("staker_reward")))
+      .groupBy($"claimee")
+      .agg(sum($"staker_reward").cast(DecimalType(28, 10)).as("tsr"),
+        sum($"delegate_reward").cast(DecimalType(28, 10)).as("tdr"))
+      .withColumn("total_reward", $"tsr" + $"tdr")
+      .filter($"total_reward" > 0)
+
+    all.select(
+      (row_number().over(Window.orderBy($"total_reward".desc, $"claimee")) - 1)
+        .cast(LongType).as("id"),
+      $"claimee",
+      floor($"total_reward").cast(dec38).as("amount"),
+      floor($"tdr").cast(dec38).as("staker_portion"),
+      floor($"tsr").cast(dec38).as("delegate_portion"))
+  }
+
+  /** Fixed parameterization used by the verify/bench harness. */
+  def stakerRewardsDefault(spark: SparkSession, sfDir: String): DataFrame =
+    stakerRewards(spark, sfDir, 3600L, 3600L, 1.0e12, 70.0, 30.0)
+
+  val stakerRewardsOracle: String = Fixtures.oracle(
+    """, win AS (
+         SELECT MIN(time) + 3600 AS w_start, MAX(time) - 3600 AS w_end,
+                (MAX(time) - 3600) - (MIN(time) + 3600) AS total_duration
+         FROM blocks),
+       facts AS (
+         SELECT s.from_address AS party, b.time, CAST(s.amount AS DECIMAL(19,0)) AS delta
+         FROM staker_staked s
+         JOIN event_keys ek ON s.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number
+         UNION ALL
+         SELECT w.from_address AS party, b.time, CAST(-w.amount AS DECIMAL(19,0)) AS delta
+         FROM staker_withdrawn w
+         JOIN event_keys ek ON w.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number),
+       time_points AS (
+         SELECT DISTINCT time FROM (
+           SELECT f.time FROM facts f, win WHERE f.time BETWEEN win.w_start AND win.w_end
+           UNION ALL SELECT w_start AS time FROM win
+           UNION ALL SELECT w_end AS time FROM win) t),
+       intervals AS (
+         SELECT time AS i_start, LEAD(time) OVER (ORDER BY time) AS i_end
+         FROM time_points),
+       bounded_intervals AS (
+         SELECT i_start, i_end FROM intervals WHERE i_end IS NOT NULL),
+       stake_events AS (
+         SELECT party, time,
+                SUM(delta) OVER (PARTITION BY party ORDER BY time ROWS UNBOUNDED PRECEDING) AS stake,
+                LEAD(time) OVER (PARTITION BY party ORDER BY time) AS next_time
+         FROM (SELECT party, time, SUM(delta) AS delta
+               FROM (SELECT f.party, f.time, f.delta FROM facts f, win
+                     WHERE f.time >= win.w_start AND f.time <= win.w_end
+                     UNION ALL
+                     SELECT f.party, win.w_start AS time, SUM(f.delta) AS delta
+                     FROM facts f, win WHERE f.time < win.w_start
+                     GROUP BY f.party, win.w_start) u
+               GROUP BY party, time) g),
+       staker_intervals AS (
+         SELECT i.i_start, i.i_end, se.party AS staker, se.stake
+         FROM stake_events se
+         JOIN bounded_intervals i
+           ON se.time <= i.i_start AND (se.next_time IS NULL OR se.next_time > i.i_start)),
+       total_per_interval AS (
+         SELECT i_start, i_end, SUM(stake) AS total_stake
+         FROM staker_intervals GROUP BY 1, 2),
+       staker_rewards AS (
+         SELECT si.staker AS claimee,
+                SUM(CAST(1.0e12 * 0.7
+                    * (CAST(si.i_end - si.i_start AS DOUBLE) / CAST(win.total_duration AS DOUBLE))
+                    * (CAST(si.stake AS DOUBLE) / CAST(t.total_stake AS DOUBLE)) AS DECIMAL(38,10))) AS staker_reward
+         FROM staker_intervals si
+         JOIN total_per_interval t ON si.i_start = t.i_start AND si.i_end = t.i_end, win
+         WHERE t.total_stake > 0 AND si.stake > 0 AND si.i_end - si.i_start > 0
+         GROUP BY 1),
+       proposals_in_period AS (
+         SELECT gp.id FROM governor_proposed gp
+         JOIN event_keys ek ON gp.event_id = ek.id
+         JOIN blocks b ON ek.block_number = b.number, win
+         WHERE b.time BETWEEN win.w_start AND win.w_end),
+       delegate_weights AS (
+         SELECT gv.voter AS delegate, SUM(gv.weight) AS total_weight
+         FROM governor_voted gv
+         WHERE gv.id IN (SELECT id FROM proposals_in_period)
+         GROUP BY 1),
+       total_votes AS (SELECT SUM(total_weight) AS total FROM delegate_weights),
+       delegate_rewards AS (
+         SELECT dw.delegate AS claimee,
+                CAST(CAST(dw.total_weight AS DOUBLE) * 1.0e12 * 0.3
+                     / CAST(tv.total AS DOUBLE) AS DECIMAL(38,10)) AS delegate_reward
+         FROM delegate_weights dw, total_votes tv),
+       all_rewards AS (
+         SELECT claimee, CAST(0 AS DECIMAL(38,10)) AS delegate_reward, staker_reward FROM staker_rewards
+         UNION ALL
+         SELECT claimee, delegate_reward, CAST(0 AS DECIMAL(38,10)) AS staker_reward FROM delegate_rewards),
+       final_rewards AS (
+         SELECT claimee,
+                CAST(SUM(staker_reward) AS DECIMAL(28,10)) AS tsr,
+                CAST(SUM(delegate_reward) AS DECIMAL(28,10)) AS tdr,
+                CAST(SUM(staker_reward) AS DECIMAL(28,10)) + CAST(SUM(delegate_reward) AS DECIMAL(28,10)) AS total_reward
+         FROM all_rewards GROUP BY claimee)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY total_reward DESC, claimee) - 1 AS BIGINT) AS id,
+              claimee,
+              CAST(FLOOR(total_reward) AS DECIMAL(38,0)) AS amount,
+              CAST(FLOOR(tdr) AS DECIMAL(38,0)) AS staker_portion,
+              CAST(FLOOR(tsr) AS DECIMAL(38,0)) AS delegate_portion
+       FROM final_rewards WHERE total_reward > 0""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "proposal_delegate_voting_weights" -> (votingWeights _),
+    "staker_rewards" -> (stakerRewardsDefault _))
+
+  val oracles: Map[String, String] = Map(
+    "proposal_delegate_voting_weights" -> votingWeightsOracle,
+    "staker_rewards" -> stakerRewardsOracle)
+}
