@@ -25,7 +25,11 @@ object SparkEntry {
       (Twamm.queries, Twamm.oracles),
       (Tokens.queries, Tokens.oracles),
       (Analytics.queries, Analytics.oracles),
-      (Governance.queries, Governance.oracles))
+      (Governance.queries, Governance.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -26,12 +26,14 @@ object CoreViews {
     */
   def poolStates(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    import spark.implicits._
+    poolStatesFrom(spark, spark.table("pool_keys"), spark.table("swaps"),
+      spark.table("pool_initializations"), spark.table("position_updates"))
+  }
 
-    val swaps = spark.table("swaps")
-    val inits = spark.table("pool_initializations")
-    val updates = spark.table("position_updates")
-    val pools = spark.table("pool_keys")
+  /** Pipeline over explicit inputs (unit-testable with hand-built frames). */
+  def poolStatesFrom(spark: SparkSession, pools: DataFrame, swaps: DataFrame,
+      inits: DataFrame, updates: DataFrame): DataFrame = {
+    import spark.implicits._
 
     // top-1-per-key via max_by (decorrelated lateral, dao.ts:392-405)
     val lastSwap = swaps
@@ -138,9 +140,12 @@ object CoreViews {
     */
   def tickLiquidity(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    import spark.implicits._
+    tickLiquidityFrom(spark, spark.table("position_updates"))
+  }
 
-    val pu = spark.table("position_updates")
+  /** Pipeline over an explicit input (unit-testable). */
+  def tickLiquidityFrom(spark: SparkSession, pu: DataFrame): DataFrame = {
+    import spark.implicits._
     val lower = pu.groupBy($"pool_key_hash", $"lower_bound".as("tick"))
       .agg(sum($"liquidity_delta").as("net"), sum($"liquidity_delta").as("tot"))
     val upper = pu.groupBy($"pool_key_hash", $"upper_bound".as("tick"))

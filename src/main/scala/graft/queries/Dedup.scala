@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+import graft.functions.TextHash
+
+/** Deduplication operators over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash — the standard large-corpus near-dup ladder.
+  *
+  * Scale design: every pipeline is blocking-based — candidates are generated
+  * by equi-joins on content-derived keys (text hash, shared n-gram, LSH band
+  * signature, SimHash band byte), never by an O(n²) cross join, so each is a
+  * shuffle on a key that shrinks with selectivity. All hashes are the shared
+  * integer polynomial (graft.functions.TextHash), making every operator
+  * oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  private val P = TextHash.P
+
+  /** Exact dedup: group by full-text hash + text, keep min doc_id as the
+    * canonical representative; emit every group (dup_count ≥ 1). */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+      .select($"canonical_doc_id", $"dup_count",
+        substring($"text", 1, 40).as("text_prefix"))
+  }
+
+  val dedupExactOracle: String = Fixtures.oracle(
+    """SELECT MIN(doc_id) AS canonical_doc_id,
+              COUNT(1) AS dup_count,
+              substr(text, 1, 40) AS text_prefix
+       FROM documents GROUP BY text""")
+
+  /** Word-3-gram Jaccard near-dup pairs (threshold 0.5), via an inverted
+    * index on grams: the join key is the gram, so the shuffle is
+    * gram-partitioned and hot grams can be salted at scale. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val grams = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+      .distinct()
+
+    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+
+    val inter = grams.as("a").join(grams.as("b"),
+        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"inter".cast(DoubleType) / ($"na" + $"nb" - $"inter").cast(DoubleType))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"inter", round($"jaccard", 6).as("jaccard"))
+  }
+
+  val ngramJaccardOracle: String = Fixtures.oracle(
+    """, doc_words AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM doc_words, UNNEST(range(len(words) - 2)) AS t(i)
+         WHERE len(words) >= 3),
+       counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM grams GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
+         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b, i.inter,
+              ROUND(CAST(i.inter AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - i.inter AS DOUBLE), 6) AS jaccard
+       FROM inter i
+       JOIN counts ca ON i.doc_a = ca.doc_id
+       JOIN counts cb ON i.doc_b = cb.doc_id
+       WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - i.inter AS DOUBLE) >= 0.5""")
+
+  /** MinHash + LSH over word-3-gram shingles: 16 permutation hashes over the
+    * shingle-hash set, banded 8×2; candidate pairs share ≥1 band signature.
+    * Shingles (not single words) keep signatures selective on low-vocabulary
+    * corpora. Signatures are integer arithmetic end-to-end, so this is
+    * oracle-checkable — rare for LSH. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val shingleHash = TextHash.sparkWordHash("concat(words[i], ' ', words[i+1], ' ', words[i+2])")
+    val wordHashes = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+      .select($"doc_id", explode(expr(
+        s"array_distinct(transform(sequence(0, size(words) - 3), i -> $shingleHash))")).as("wh"))
+
+    val hashIdx = spark.range(16).select($"id".cast(IntegerType).as("i"))
+    val minhashes = wordHashes
+      .join(broadcast(hashIdx))
+      .groupBy($"doc_id", $"i")
+      .agg(min((($"wh" * (lit(97) + $"i" * 31) + (lit(13) + $"i" * 17)) % P)).as("mh"))
+
+    // band signature: pack the band's two minhashes into one BIGINT key
+    // (i DIV 2: explicit integer division — CAST(double) truncates in Spark
+    // but rounds in DuckDB, so neither side may divide through double)
+    val bands = minhashes
+      .withColumn("band", expr("CAST(i DIV 2 AS INT)"))
+      .groupBy($"doc_id", $"band")
+      .agg((max(when($"i" % 2 === 0, $"mh")) * P +
+        max(when($"i" % 2 === 1, $"mh"))).as("band_key"))
+
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  val minhashLshOracle: String = Fixtures.oracle(
+    s""", word_hashes AS (
+         SELECT DISTINCT doc_id, ${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} AS wh
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)
+         WHERE len(d.words) >= 3),
+       minhashes AS (
+         SELECT doc_id, CAST(t.i AS INT) AS i,
+                MIN((wh * (97 + t.i * 31) + (13 + t.i * 17)) % $P) AS mh
+         FROM word_hashes, UNNEST(range(16)) AS t(i)
+         GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, CAST(i // 2 AS INT) AS band,
+                MAX(CASE WHEN i % 2 = 0 THEN mh END) * $P
+                  + MAX(CASE WHEN i % 2 = 1 THEN mh END) AS band_key
+         FROM minhashes GROUP BY 1, 2)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_bands
+       FROM bands a
+       JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       GROUP BY 1, 2""")
+
+  /** SimHash (32-bit) + banded blocking: per-bit weighted votes over word
+    * hashes, fingerprint from vote signs, candidates share a band byte and
+    * pass Hamming ≤ 6. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val wordHashes = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        s"transform(words, w -> ${TextHash.sparkWordHash("w")})")).as("wh"))
+      .withColumn("wh2", ($"wh" * 2654435761L) % 4294967296L)
+
+    val bitIdx = spark.range(32).select($"id".cast(LongType).as("j"),
+      pow(lit(2.0), $"id".cast(DoubleType)).cast(LongType).as("bit"))
+    val sums = wordHashes
+      .join(broadcast(bitIdx))
+      .groupBy($"doc_id", $"j", $"bit")
+      .agg(sum(when(expr("wh2 DIV bit") % 2 === 1, 1L).otherwise(-1L)).as("vote"))
+
+    val fingerprints = sums
+      .groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, $"bit").otherwise(0L)).as("simhash"))
+
+    val bandedFp = (0 to 3).map { b =>
+      fingerprints.select($"doc_id", $"simhash", lit(b.toLong).as("b"),
+        (shiftright($"simhash", 8 * b) % 256).as("band_key"))
+    }.reduce(_ unionByName _)
+
+    bandedFp.as("x").join(bandedFp.as("y"),
+        $"x.b" === $"y.b" && $"x.band_key" === $"y.band_key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 6)
+  }
+
+  val simhashOracle: String = Fixtures.oracle(
+    s""", word_hashes AS (
+         SELECT doc_id, (${TextHash.duckWordHash("w.word")} * 2654435761) % 4294967296 AS wh2
+         FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) w),
+       bit_votes AS (
+         SELECT doc_id, t.j,
+                CAST(POWER(2.0, CAST(t.j AS DOUBLE)) AS BIGINT) AS bit,
+                SUM(CASE WHEN (wh2 // CAST(POWER(2.0, CAST(t.j AS DOUBLE)) AS BIGINT)) % 2 = 1
+                         THEN 1 ELSE -1 END) AS vote
+         FROM word_hashes, UNNEST(range(32)) AS t(j)
+         GROUP BY 1, 2, 3),
+       fingerprints AS (
+         SELECT doc_id, SUM(CASE WHEN vote > 0 THEN bit ELSE 0 END) AS simhash
+         FROM bit_votes GROUP BY doc_id),
+       banded AS (
+         SELECT doc_id, simhash, t.b,
+                (simhash // CAST(POWER(2.0, CAST(t.b * 8 AS DOUBLE)) AS BIGINT)) % 256 AS band_key
+         FROM fingerprints, UNNEST(range(4)) AS t(b))
+       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       FROM banded x
+       JOIN banded y ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle)
+}

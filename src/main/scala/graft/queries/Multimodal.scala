@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * processed by a batched per-partition decode stage.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * DETERMINISTIC FAKE (clearly marked below) — what is real and tested is
+  * the Spark-side shape a 100 TB media pipeline needs:
+  *   - blobs as `BinaryType` columns co-partitioned with their metadata;
+  *   - decode/feature-extract as `mapPartitions` over a typed Dataset
+  *     (one JVM-side batch per partition — the Scala analogue of an arrow
+  *     batch UDF: amortized setup, no per-row closure dispatch);
+  *   - narrow output schema so column pruning drops the blob when only
+  *     metadata is read downstream.
+  *
+  * The blob here is the UTF-8 encoding of `documents.text` (the corpus has
+  * no real media), which also makes the metadata oracle-checkable: the fake
+  * decode is pure arithmetic on byte length and first/last byte.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata row (what a real image decode would yield). */
+  case class MediaMeta(doc_id: Long, byte_len: Long, format: String,
+      width: Long, height: Long, n_frames: Long, mean_byte: Long)
+
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val blobs = spark.table("documents")
+      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
+      .as[(Long, Array[Byte])]
+
+    blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // --- STUB DECODE (no codecs in this container) ---------------
+        // A real implementation would decode `bytes` with a codec here;
+        // the replacement is deterministic arithmetic so the pipeline
+        // stays differentially testable end-to-end.
+        val len = bytes.length.toLong
+        val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
+        val last = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xffL else 0L
+        MediaMeta(
+          doc_id = id,
+          byte_len = len,
+          format = if (len % 2 == 0) "png" else "jpeg",
+          width = 64 + (len * 7 + first) % 512,
+          height = 64 + (len * 13 + last) % 512,
+          n_frames = 1 + len % 30,
+          mean_byte = (first + last) / 2)
+        // ----------------------------------------------------------------
+      }
+    }.toDF()
+  }
+
+  /** The fake decode is arithmetic on byte length / boundary bytes, so the
+    * oracle replays it in SQL (corpus is ASCII: strlen = bytes). */
+  val mediaMetaOracle: String = Fixtures.oracle(
+    """SELECT doc_id,
+              CAST(strlen(text) AS BIGINT) AS byte_len,
+              CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+              CAST(64 + (strlen(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS BIGINT) AS width,
+              CAST(64 + (strlen(text) * 13 + ascii(substr(text, strlen(text), 1))) % 512 AS BIGINT) AS height,
+              CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames,
+              CAST((ascii(substr(text, 1, 1)) + ascii(substr(text, strlen(text), 1))) // 2 AS BIGINT) AS mean_byte
+       FROM documents""")
+
+  /** Frame sampling plan: one row per sampled frame index (every k-th frame
+    * of the fake stream) — the explode pattern a video pipeline uses to fan
+    * a blob out to per-frame work items, with the blob itself pruned. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    mediaMeta(spark, sfDir)
+      .filter($"n_frames" > 1)
+      .select($"doc_id", $"n_frames",
+        explode(expr("sequence(0, CAST(n_frames - 1 AS INT), 5)")).as("frame_idx"))
+      .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
+        ($"doc_id" * 1000 + $"frame_idx").as("frame_key"))
+  }
+
+  val frameSampleOracle: String = Fixtures.oracle(
+    """, meta AS (
+         SELECT doc_id, CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+         FROM documents)
+       SELECT doc_id,
+              CAST(t.f AS BIGINT) AS frame_idx,
+              doc_id * 1000 + CAST(t.f AS BIGINT) AS frame_key
+       FROM meta, UNNEST(range(0, n_frames, 5)) AS t(f)
+       WHERE n_frames > 1""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_media_meta" -> (mediaMeta _),
+    "multimodal_frame_sample" -> (frameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_media_meta" -> mediaMetaOracle,
+    "multimodal_frame_sample" -> frameSampleOracle)
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline; at scale this is the
+  *    per-partition score+local-top-k / global-top-k pattern;
+  *  - random-hyperplane LSH buckets → candidate generation → exact re-rank —
+  *    the scale path: the expensive pairing is replaced by an equi-join on
+  *    the bucket id, shrinking candidates by ~2^planes.
+  *
+  * Determinism: dot products / norms are per-element double products cast to
+  * DECIMAL(38,12) and summed exactly (order-independent — a raw double SUM
+  * differs across engines/partitionings). The LSH planes are integer-valued
+  * (pseudo-random from plane/dim index arithmetic), so bucket ids are exact
+  * integers and the whole ANN path is oracle-checkable.
+  */
+object Similarity {
+
+  private val dec3812 = DecimalType(38, 12)
+
+  /** Queries = every 50th vector. */
+  private val queryFilter = "vec_id % 50 = 0"
+
+  /** (vec_id, idx, val) exploded vector elements + per-vector norms. */
+  private def elements(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("idx", "v")))
+      .select($"vec_id", $"idx", $"v".cast(DoubleType).as("v"))
+  }
+
+  private def norms(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    elements(spark)
+      .groupBy($"vec_id")
+      .agg(sum(($"v" * $"v").cast(dec3812)).as("norm_sq"))
+  }
+
+  /** Exact cosine top-5 neighbors for each query vector. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val el = elements(spark)
+    val qel = el.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
+
+    val dots = qel.join(el, Seq("idx"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
+
+    val n = norms(spark)
+    val scored = dots
+      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .withColumn("cosine", $"dot".cast(DoubleType) /
+        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
+
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
+  }
+
+  /** Shared oracle CTEs: exploded elements, norms. */
+  private val elementCtes: String =
+    """, el AS (
+         SELECT e.vec_id, CAST(t.i AS INT) AS idx,
+                CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
+         FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(i)),
+       nrm AS (
+         SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS norm_sq
+         FROM el GROUP BY vec_id)"""
+
+  val cosineTopKOracle: String = Fixtures.oracle(
+    elementCtes +
+      s""", dots AS (
+         SELECT q.vec_id AS qid, d.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
+         FROM el q JOIN el d ON q.idx = d.idx AND d.vec_id != q.vec_id
+         WHERE q.$queryFilter
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT dots.qid, dots.vec_id,
+                CAST(dots.dot AS DOUBLE)
+                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
+         FROM dots
+         JOIN nrm qn ON dots.qid = qn.vec_id
+         JOIN nrm vn ON dots.vec_id = vn.vec_id),
+       ranked AS (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM scored)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM ranked WHERE rank <= 5""")
+
+  /** LSH-bucketed ANN: 12 integer hyperplanes → sign-bit bucket id, then
+    * exact cosine re-rank within the bucket, top-3 per query. Plane weight
+    * for (plane p, dim j) = ((p*37 + j*13) % 19) - 9. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val el = elements(spark)
+    val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
+
+    // exact integer-weighted projections → sign bits → bucket id
+    val buckets = el
+      .join(broadcast(planes))
+      .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
+      .groupBy($"vec_id", $"p")
+      .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"proj" >= 0,
+        pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
+
+    val qb = buckets.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"bucket")
+    val candidates = qb.join(buckets, Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+
+    // exact re-rank of in-bucket candidates only
+    val qel = el.select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
+    val dots = candidates
+      .join(qel, Seq("qid"))
+      .join(el, Seq("vec_id", "idx"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
+
+    val n = norms(spark)
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    dots
+      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .withColumn("cosine", $"dot".cast(DoubleType) /
+        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
+  }
+
+  val annLshOracle: String = Fixtures.oracle(
+    elementCtes +
+      s""", buckets AS (
+         SELECT vec_id,
+                SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
+         FROM (
+           SELECT el.vec_id, CAST(t.p AS INT) AS p,
+                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
+           FROM el, UNNEST(range(12)) AS t(p)
+           GROUP BY 1, 2) pr
+         GROUP BY vec_id),
+       candidates AS (
+         SELECT q.vec_id AS qid, b.vec_id
+         FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+         WHERE q.$queryFilter),
+       dots AS (
+         SELECT c.qid, c.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
+         FROM candidates c
+         JOIN el q ON q.vec_id = c.qid
+         JOIN el d ON d.vec_id = c.vec_id AND d.idx = q.idx
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT dots.qid, dots.vec_id,
+                CAST(dots.dot AS DOUBLE)
+                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
+         FROM dots
+         JOIN nrm qn ON dots.qid = qn.vec_id
+         JOIN nrm vn ON dots.vec_id = vn.vec_id),
+       ranked AS (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM scored)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM ranked WHERE rank <= 3""")
+
+  /** Embedding-cosine near-duplicate pairs: same LSH bucketing as [[annLsh]]
+    * but symmetric (a < b) with a 0.99 cosine threshold — the embedding
+    * counterpart of MinHash near-dup detection. */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val el = elements(spark)
+    val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
+    val buckets = el
+      .join(broadcast(planes))
+      .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
+      .groupBy($"vec_id", $"p")
+      .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"proj" >= 0,
+        pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
+
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
+
+    val dots = pairs
+      .join(el.select($"vec_id".as("va"), $"idx", $"v".as("av")), Seq("va"))
+      .join(el.select($"vec_id".as("vb"), $"idx", $"v".as("bv")), Seq("vb", "idx"))
+      .groupBy($"va", $"vb")
+      .agg(sum(($"av" * $"bv").cast(dec3812)).as("dot"))
+
+    val n = norms(spark)
+    dots
+      .join(n.withColumnRenamed("vec_id", "va").withColumnRenamed("norm_sq", "na"), Seq("va"))
+      .join(n.withColumnRenamed("vec_id", "vb").withColumnRenamed("norm_sq", "nb"), Seq("vb"))
+      .withColumn("cosine", $"dot".cast(DoubleType) /
+        (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType))))
+      .filter($"cosine" >= 0.99)
+      .select($"va".as("vec_a"), $"vb".as("vec_b"), round($"cosine", 6).as("cosine"))
+  }
+
+  val embeddingNearDupOracle: String = Fixtures.oracle(
+    elementCtes +
+      """, buckets AS (
+         SELECT vec_id,
+                SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
+         FROM (
+           SELECT el.vec_id, CAST(t.p AS INT) AS p,
+                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
+           FROM el, UNNEST(range(12)) AS t(p)
+           GROUP BY 1, 2) pr
+         GROUP BY vec_id),
+       pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       dots AS (
+         SELECT p.va, p.vb, SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS dot
+         FROM pairs p
+         JOIN el x ON x.vec_id = p.va
+         JOIN el y ON y.vec_id = p.vb AND y.idx = x.idx
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT dots.va, dots.vb,
+                CAST(dots.dot AS DOUBLE)
+                  / (SQRT(CAST(na.norm_sq AS DOUBLE)) * SQRT(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+         FROM dots
+         JOIN nrm na ON dots.va = na.vec_id
+         JOIN nrm nb ON dots.vb = nb.vec_id)
+       SELECT va AS vec_a, vb AS vec_b, ROUND(cosine, 6) AS cosine
+       FROM scored WHERE cosine >= 0.99""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_embedding_near_dup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKOracle,
+    "sim_ann_lsh" -> annLshOracle,
+    "sim_embedding_near_dup" -> embeddingNearDupOracle)
+}

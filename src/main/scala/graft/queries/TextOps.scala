@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+import graft.functions.TextHash
+
+/** Text-analysis operators for large-scale training-data pipelines, over the
+  * `documents` table: token counting, quality scoring, language-ID heuristic,
+  * and document fingerprinting.
+  *
+  * All are narrow per-row transforms (no shuffle except optional final
+  * aggregation) built from codegen'd functions/higher-order expressions — at
+  * 100 TB these run at scan speed with full column pruning. Results are
+  * integer/rounded-double so the DuckDB differential oracle applies.
+  */
+object TextOps {
+
+  /** Tiny stopword lexicon (words present in the synthetic corpus). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  private def stopCountSpark(col: String): String =
+    stopwords.map(w => s"size(filter(split($col, ' '), x -> x = '$w'))").mkString(" + ")
+
+  private def stopCountDuck(col: String): String =
+    stopwords.map(w => s"len(list_filter(string_split($col, ' '), x -> x = '$w'))").mkString(" + ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * ([a-z]+ | digits | punctuation runs). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents").select(
+      $"doc_id",
+      size(split($"text", " ")).cast(LongType).as("ws_tokens"),
+      expr("regexp_count(text, '[a-z]+')").cast(LongType).as("word_tokens"),
+      expr("regexp_count(text, '[0-9]+')").cast(LongType).as("num_tokens"),
+      length($"text").cast(LongType).as("n_chars"))
+  }
+
+  val tokenCountOracle: String = Fixtures.oracle(
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS num_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars
+       FROM documents""")
+
+  /** Quality scoring: length/stopword/punctuation/repetition signals → one
+    * [0,1] score. The formula is arbitrary but fixed; what is being tested
+    * is the operator plumbing, identical on both engines. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast(DoubleType))
+      .withColumn("n_uniq", size(array_distinct($"words")).cast(DoubleType))
+      .withColumn("stop_ratio", expr(stopCountSpark("text")).cast(DoubleType) / $"n_words")
+      .withColumn("mean_word_len",
+        (length($"text") - ($"n_words" - 1)).cast(DoubleType) / $"n_words")
+
+    docs.select(
+      $"doc_id",
+      round($"stop_ratio", 6).as("stop_ratio"),
+      round($"n_uniq" / $"n_words", 6).as("uniq_ratio"),
+      round($"mean_word_len", 6).as("mean_word_len"),
+      round(
+        least(lit(1.0), $"n_words" / 200.0) * 0.4 +
+          least(lit(1.0), $"stop_ratio" * 10.0) * 0.3 +
+          ($"n_uniq" / $"n_words") * 0.3, 6).as("quality_score"))
+  }
+
+  val qualityScoreOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id,
+              ROUND(stop_ratio, 6) AS stop_ratio,
+              ROUND(n_uniq / n_words, 6) AS uniq_ratio,
+              ROUND(mean_word_len, 6) AS mean_word_len,
+              ROUND(LEAST(1.0, n_words / 200.0) * 0.4
+                    + LEAST(1.0, stop_ratio * 10.0) * 0.3
+                    + (n_uniq / n_words) * 0.3, 6) AS quality_score
+       FROM (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+                CAST(${stopCountDuck("text")} AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+         FROM documents) t""")
+
+  /** Language-ID heuristic: n-gram/stopword evidence → label. (The corpus is
+    * synthetic, so this classifies by English-stopword density; the operator
+    * shape — explode-free per-row scoring — is what matters at scale.) */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("stop_ratio",
+        expr(stopCountSpark("text")).cast(DoubleType) /
+          size(split($"text", " ")).cast(DoubleType))
+      .select(
+        $"doc_id",
+        round($"stop_ratio", 6).as("en_score"),
+        when($"stop_ratio" >= 0.08, "en")
+          .when($"stop_ratio" >= 0.04, "en_like")
+          .otherwise("other").as("lang_pred"))
+  }
+
+  val langIdOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id,
+              ROUND(stop_ratio, 6) AS en_score,
+              CASE WHEN stop_ratio >= 0.08 THEN 'en'
+                   WHEN stop_ratio >= 0.04 THEN 'en_like'
+                   ELSE 'other' END AS lang_pred
+       FROM (
+         SELECT doc_id,
+                CAST(${stopCountDuck("text")} AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         FROM documents) t""")
+
+  /** Document fingerprint: rolling polynomial hash over word hashes —
+    * a content-defined 60-bit id (mod 1e9+7 folded), plus the per-doc word
+    * count it covers. Pure integer arithmetic on both engines. */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .select(
+        $"doc_id",
+        expr(TextHash.sparkDocFingerprint("words")).as("fingerprint"),
+        size($"words").cast(LongType).as("n_words"))
+  }
+
+  val docFingerprintOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id,
+              ${TextHash.duckDocFingerprint("string_split(text, ' ')")} AS fingerprint,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       FROM documents""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_quality_score" -> (qualityScore _),
+    "text_lang_id" -> (langId _),
+    "text_doc_fingerprint" -> (docFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" -> tokenCountOracle,
+    "text_quality_score" -> qualityScoreOracle,
+    "text_lang_id" -> langIdOracle,
+    "text_doc_fingerprint" -> docFingerprintOracle)
+}

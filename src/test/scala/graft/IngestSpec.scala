@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ingest.Ingest
+
+/** Event-id packing laws, pool-key hashing, dimension upsert, reorg. */
+class IngestSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+
+  test("event_id packing preserves (block, tx, idx) order (dao.ts:124)") {
+    val key = Gen.zip(Gen.chooseNum(0L, 10000000L), Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L))
+    check(Prop.forAll(key, key) { (a, b) =>
+      val pack = (k: (Long, Long, Long)) => k._1 * 4294967296L + k._2 * 65536L + k._3
+      (pack(a) < pack(b)) == (Ordering[(Long, Long, Long)].lt(a, b))
+    })
+  }
+
+  test("eventId column expression matches scalar packing") {
+    import spark.implicits._
+    val df = Seq((5L, 3L, 2L), (0L, 0L, 0L), (1000L, 65535L, 65535L))
+      .toDF("b", "t", "e")
+      .select(Ingest.eventId($"b", $"t", $"e").as("id"),
+        Ingest.blockOf(Ingest.eventId($"b", $"t", $"e")).as("blk"), $"b")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      Seq(5L * 4294967296L + 3L * 65536L + 2L, 0L, 1000L * 4294967296L + 65535L * 65536L + 65535L))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("poolKeyHash column matches the exact byte-layout digest (poolKeyHash.ts:4-14)") {
+    import spark.implicits._
+    val t0 = BigInt("1234abcd", 16); val t1 = BigInt("ff00ff00ff", 16)
+    val fee = BigInt("34028236692093846346337460743176821")
+    val ts = BigInt(200); val ext = BigInt(0)
+
+    val expected = Ingest.poolKeyHash(t0, t1, fee, ts, ext)
+    val got = Seq((s"0x${t0.toString(16)}", s"0x${t1.toString(16)}",
+        s"0x${fee.toString(16)}", s"0x${ts.toString(16)}", s"0x${ext.toString(16)}"))
+      .toDF("t0", "t1", "fee", "ts", "ext")
+      .select(Ingest.poolKeyHashCol($"t0", $"t1", $"fee", $"ts", $"ext").as("h"))
+      .collect().head.getString(0)
+    assert(BigInt(got, 16) == expected)
+  }
+
+  test("dimension upsert keeps first row per key (dao.ts:1869-1893)") {
+    import spark.implicits._
+    val existing = Seq(("k1", "a"), ("k2", "b")).toDF("key_hash", "v")
+    val incoming = Seq(("k2", "CHANGED"), ("k3", "c")).toDF("key_hash", "v")
+    val merged = Ingest.upsertDim(existing, incoming, "key_hash")
+      .orderBy("key_hash").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(merged.toSeq == Seq(("k1", "a"), ("k2", "b"), ("k3", "c")))
+  }
+
+  test("reorg invariant: ingest(a++b) then retract(b) == ingest(a) (index.ts:162-184)") {
+    import spark.implicits._
+    val mk = (b: Long, t: Long, e: Long) =>
+      b * 4294967296L + t * 65536L + e
+    val a = (1L to 50L).flatMap(b => Seq(mk(b, 0, 0), mk(b, 1, 0)))
+    val bSuffix = (51L to 60L).map(mk(_, 0, 0))
+
+    val all = (a ++ bSuffix).toDF("event_id")
+    val retracted = Ingest.retractFacts(all, 51L)
+    assert(retracted.orderBy("event_id").collect().map(_.getLong(0)).toSeq == a.sorted)
+  }
+
+  test("streaming retract rewrites only affected buckets (T3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+
+    val batch = (1L to 9000L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(batch, 0L)
+
+    driver.retract(5000L)
+    val remaining = spark.read.parquet(s"$dir/raw_events")
+    assert(remaining.count() == 4999L)
+    assert(remaining.agg(max("block_number")).collect().head.getLong(0) == 4999L)
+    // bucket 0 untouched, bucket 1 rewritten, bucket 2 gone
+    val buckets = remaining.select(col("block_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(buckets == Seq(0L, 1L))
+  }
+}
