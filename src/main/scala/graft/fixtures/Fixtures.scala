@@ -350,18 +350,33 @@ object Fixtures {
   /** Names of the derived fixture views (excludes driver base tables). */
   val factTables: Seq[String] = defs.map(_._1)
 
-  /** Register base tables + fixture views as Spark temp views. Idempotent. */
+  /** Derived tables worth keeping hot: every fact view reads `ek`, and the
+    * dimension joins read blocks/pool_keys. (Lazy cache: first use pays.) */
+  private val cachedViews = Seq("ek", "blocks", "pool_keys")
+
+  private val registeredFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register base tables + fixture views as Spark temp views. Idempotent
+    * and memoized per (session, sfDir): every `queries` entry calls this, so
+    * re-registration (10 parquet schema reads + uncaching) must be free. */
   def register(spark: SparkSession, sfDir: String): Unit = {
+    if (sfDir == registeredFor.get(spark)) return
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
     // default; we never consume `ts` (fixtures derive time from event_id),
     // so reading nanos as plain longs is safe.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (registeredFor.containsKey(spark)) {
+      cachedViews.foreach(v => spark.sql(s"UNCACHE TABLE IF EXISTS $v"))
+    }
     baseTables.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
     defs.foreach { case (name, sql) =>
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $sql")
     }
+    cachedViews.foreach(v => spark.sql(s"CACHE LAZY TABLE $v"))
+    registeredFor.put(spark, sfDir)
   }
 
   /** DuckDB oracle prelude: all fixture defs as a WITH chain. Unused CTEs are

@@ -24,11 +24,12 @@ object CoreViews {
     * plus liquidity deltas applied since the last swap, counted only when the
     * position straddles the current tick.
     */
-  def poolStates(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
-    poolStatesFrom(spark, spark.table("pool_keys"), spark.table("swaps"),
-      spark.table("pool_initializations"), spark.table("position_updates"))
-  }
+  def poolStates(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "pool_states") {
+      Fixtures.register(spark, sfDir)
+      poolStatesFrom(spark, spark.table("pool_keys"), spark.table("swaps"),
+        spark.table("pool_initializations"), spark.table("position_updates"))
+    }
 
   /** Pipeline over explicit inputs (unit-testable with hand-built frames). */
   def poolStatesFrom(spark: SparkSession, pools: DataFrame, swaps: DataFrame,
@@ -138,10 +139,11 @@ object CoreViews {
     * twin (dao.ts:501-647) is replaced by this declarative recompute — at
     * scale it is a map-side-combined shuffle on (pool, tick), no trigger state.
     */
-  def tickLiquidity(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
-    tickLiquidityFrom(spark, spark.table("position_updates"))
-  }
+  def tickLiquidity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "tick_liquidity") {
+      Fixtures.register(spark, sfDir)
+      tickLiquidityFrom(spark, spark.table("position_updates"))
+    }
 
   /** Pipeline over an explicit input (unit-testable). */
   def tickLiquidityFrom(spark: SparkSession, pu: DataFrame): DataFrame = {

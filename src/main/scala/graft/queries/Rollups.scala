@@ -50,7 +50,12 @@ object Rollups {
   // hourly_volume_by_token (dao.ts:1545-1615)
   // =====================================================================
 
-  def hourlyVolumeByToken(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyVolumeByToken(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "hourly_volume_by_token") {
+      hourlyVolumeByTokenImpl(spark, sfDir)
+    }
+
+  private def hourlyVolumeByTokenImpl(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
@@ -257,7 +262,12 @@ object Rollups {
   // hourly_tvl_delta_by_token (dao.ts:1690-1787)
   // =====================================================================
 
-  def hourlyTvlDeltaByToken(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyTvlDeltaByToken(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "hourly_tvl_delta_by_token") {
+      hourlyTvlDeltaByTokenImpl(spark, sfDir)
+    }
+
+  private def hourlyTvlDeltaByTokenImpl(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 

@@ -29,36 +29,56 @@ object Similarity {
   /** Queries = every 50th vector. */
   private val queryFilter = "vec_id % 50 = 0"
 
-  /** (vec_id, idx, val) exploded vector elements + per-vector norms. */
-  private def elements(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.table("embeddings")
-      .select($"vec_id", posexplode($"embedding").as(Seq("idx", "v")))
-      .select($"vec_id", $"idx", $"v".cast(DoubleType).as("v"))
-  }
+  /** (vec_id, idx, val) exploded vector elements + per-vector norms —
+    * memoized: all three similarity queries share them. */
+  private def elements(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "sim_elements") {
+      import spark.implicits._
+      spark.table("embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("idx", "v")))
+        .select($"vec_id", $"idx", $"v".cast(DoubleType).as("v"))
+    }
 
-  private def norms(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    elements(spark)
-      .groupBy($"vec_id")
-      .agg(sum(($"v" * $"v").cast(dec3812)).as("norm_sq"))
-  }
+  private def norms(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "sim_norms") {
+      import spark.implicits._
+      elements(spark, sfDir)
+        .groupBy($"vec_id")
+        .agg(sum(($"v" * $"v").cast(dec3812)).as("norm_sq"))
+    }
+
+  /** Random-hyperplane LSH bucket per vector — shared by ANN + near-dup. */
+  private def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "sim_buckets") {
+      import spark.implicits._
+      val el = elements(spark, sfDir)
+      val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
+      el.join(broadcast(planes))
+        .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
+        .groupBy($"vec_id", $"p")
+        .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
+        .groupBy($"vec_id")
+        .agg(sum(when($"proj" >= 0,
+          pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
+    }
 
   /** Exact cosine top-5 neighbors for each query vector. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark)
+    val el = elements(spark, sfDir)
     val qel = el.filter(expr(queryFilter))
       .select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
 
-    val dots = qel.join(el, Seq("idx"))
+    // broadcast the (tiny) query side: the big element table is probed in
+    // place — no shuffle on the 64-key idx column (which would skew badly)
+    val dots = el.join(broadcast(qel), Seq("idx"))
       .filter($"vec_id" =!= $"qid")
       .groupBy($"qid", $"vec_id")
       .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
 
-    val n = norms(spark)
+    val n = norms(spark, sfDir)
     val scored = dots
       .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
       .join(n, Seq("vec_id"))
@@ -112,18 +132,8 @@ object Similarity {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark)
-    val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
-
-    // exact integer-weighted projections → sign bits → bucket id
-    val buckets = el
-      .join(broadcast(planes))
-      .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
-      .groupBy($"vec_id", $"p")
-      .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
-      .groupBy($"vec_id")
-      .agg(sum(when($"proj" >= 0,
-        pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
+    val el = elements(spark, sfDir)
+    val buckets = lshBuckets(spark, sfDir)
 
     val qb = buckets.filter(expr(queryFilter))
       .select($"vec_id".as("qid"), $"bucket")
@@ -131,15 +141,15 @@ object Similarity {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
 
-    // exact re-rank of in-bucket candidates only
+    // exact re-rank of in-bucket candidates only; the candidate×query-element
+    // side is tiny, so it broadcasts and el is probed without a shuffle
     val qel = el.select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
-    val dots = candidates
-      .join(qel, Seq("qid"))
-      .join(el, Seq("vec_id", "idx"))
+    val dots = el
+      .join(broadcast(candidates.join(qel, Seq("qid"))), Seq("vec_id", "idx"))
       .groupBy($"qid", $"vec_id")
       .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
 
-    val n = norms(spark)
+    val n = norms(spark, sfDir)
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
     dots
       .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
@@ -195,28 +205,21 @@ object Similarity {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark)
-    val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
-    val buckets = el
-      .join(broadcast(planes))
-      .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
-      .groupBy($"vec_id", $"p")
-      .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
-      .groupBy($"vec_id")
-      .agg(sum(when($"proj" >= 0,
-        pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
+    val el = elements(spark, sfDir)
+    val buckets = lshBuckets(spark, sfDir)
 
     val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
 
-    val dots = pairs
-      .join(el.select($"vec_id".as("va"), $"idx", $"v".as("av")), Seq("va"))
-      .join(el.select($"vec_id".as("vb"), $"idx", $"v".as("bv")), Seq("vb", "idx"))
+    val dots = el.select($"vec_id".as("vb"), $"idx", $"v".as("bv"))
+      .join(broadcast(pairs
+        .join(el.select($"vec_id".as("va"), $"idx", $"v".as("av")), Seq("va"))),
+        Seq("vb", "idx"))
       .groupBy($"va", $"vb")
       .agg(sum(($"av" * $"bv").cast(dec3812)).as("dot"))
 
-    val n = norms(spark)
+    val n = norms(spark, sfDir)
     dots
       .join(n.withColumnRenamed("vec_id", "va").withColumnRenamed("norm_sq", "na"), Seq("va"))
       .join(n.withColumnRenamed("vec_id", "vb").withColumnRenamed("norm_sq", "nb"), Seq("vb"))

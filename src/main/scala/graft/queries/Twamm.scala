@@ -29,7 +29,12 @@ object Twamm {
     * order execution plus deltas of orders placed after it that straddle the
     * execution time (theta-join J5, kept hash-joinable by the key_hash
     * equi-part with the range conditions as residual filters). */
-  def twammPoolStates(spark: SparkSession, sfDir: String): DataFrame = {
+  def twammPoolStates(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "twamm_pool_states") {
+      twammPoolStatesImpl(spark, sfDir)
+    }
+
+  private def twammPoolStatesImpl(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
