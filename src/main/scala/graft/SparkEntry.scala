@@ -26,6 +26,7 @@ object SparkEntry {
       (Tokens.queries, Tokens.oracles),
       (Analytics.queries, Analytics.oracles),
       (Governance.queries, Governance.oracles),
+      (Positions.queries, Positions.oracles),
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -200,7 +200,19 @@ object Fixtures {
              CAST(sgn * cents * 7 AS DECIMAL(18,0)) AS sale_rate_delta1,
              btime - (btime % 1024) AS start_time,
              btime - (btime % 1024) + 1024 * (1 + user_id % 8) AS end_time
-      FROM ek WHERE bucket BETWEEN 76 AND 79""",
+      FROM ek WHERE bucket BETWEEN 76 AND 78""",
+
+    // twamm_proceeds_withdrawals (dao.ts:669-686)
+    "twamm_proceeds_withdrawals" -> s"""
+      SELECT id AS event_id,
+             '0xp' || CAST(pool_id AS STRING) AS key_hash,
+             '0xo' || CAST(user_id % 25 AS STRING) AS owner,
+             '0x' || CAST(user_id % 20 AS STRING) AS salt,
+             CAST(cents * 3 AS DECIMAL(18,0)) AS amount0,
+             CAST(cents * 2 AS DECIMAL(18,0)) AS amount1,
+             btime - (btime % 1024) AS start_time,
+             btime - (btime % 1024) + 1024 * (1 + user_id % 8) AS end_time
+      FROM ek WHERE bucket = 79""",
 
     // twamm_virtual_order_executions (dao.ts:688-699)
     "twamm_virtual_order_executions" -> s"""
@@ -266,6 +278,27 @@ object Fixtures {
 
     "governor_executed" -> s"""
       SELECT id AS event_id, '0xprop' || CAST(user_id % 15 AS STRING) AS id
+      FROM ek WHERE bucket = 92 AND user_id % 2 = 1""",
+
+    // governor_proposed_calls (dao.ts:331-340): flattened child rows, one
+    // calldata word per row (the NUMERIC[] column rebuilt/exploded by the
+    // S9 query); every bucket-88 event beyond the proposal's first becomes
+    // a call of its proposal.
+    "governor_proposed_calls" -> s"""
+      SELECT id AS event_id,
+             '0xprop' || CAST(user_id % 15 AS STRING) AS proposal_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 15 ORDER BY id) - 1 AS index,
+             '0xtarget' || CAST(user_id % 5 AS STRING) AS to_address,
+             '0xsel' || CAST(cents % 7 AS STRING) AS selector,
+             CAST(cents AS DECIMAL(18,0)) AS calldata_word
+      FROM ek WHERE bucket = 88""",
+
+    // governor_executed_results (dao.ts:361-371): flattened results words.
+    "governor_executed_results" -> s"""
+      SELECT id AS event_id,
+             '0xprop' || CAST(user_id % 15 AS STRING) AS proposal_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 15 ORDER BY id) - 1 AS index,
+             CAST(cents * 5 AS DECIMAL(18,0)) AS result_word
       FROM ek WHERE bucket = 92 AND user_id % 2 = 1""",
 
     "governor_proposal_described" -> s"""

@@ -93,6 +93,16 @@ object Rollups {
         sum($"swap_count").cast(LongType).as("swap_count"))
   }
 
+  /** Incremental variant (T6, dao.ts:1560 + index.ts:73-75): recompute only
+    * hours ≥ the watermark. The filter sits directly on the block-time join
+    * input, so with block-range-partitioned facts the scan prunes to the
+    * look-back window; the caller overwrites those hour partitions
+    * (`replaceWhere`-style) and leaves older hours untouched — see
+    * RollupIncrementalSpec for the upsert-equals-full-recompute law. */
+  def hourlyVolumeByTokenSince(spark: SparkSession, sfDir: String, sinceHour: Long): DataFrame = {
+    hourlyVolumeByToken(spark, sfDir).filter(col("hour") >= sinceHour)
+  }
+
   /** Oracle CTE chain producing hourly_volume_cte (casts match the Spark
     * output schema exactly). */
   val hourlyVolumeCtes: String =

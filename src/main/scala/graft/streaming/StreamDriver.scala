@@ -42,11 +42,15 @@ final class StreamDriver(
 
   /** Start the ingestion query over a parquet-backed raw-event stream whose
     * rows carry (block_number, transaction_index, event_index, payload...).
-    */
-  def start(rawEventsPath: String, schema: org.apache.spark.sql.types.StructType): StreamingQuery = {
+    * `Trigger.AvailableNow()` drains the backlog and stops (used by tests and
+    * catch-up runs); the default processes continuously. The checkpoint is
+    * the cursor (S11): restarting with the same checkpointRoot resumes after
+    * the last committed batch. */
+  def start(rawEventsPath: String, schema: org.apache.spark.sql.types.StructType,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
     val raw = spark.readStream.schema(schema).parquet(rawEventsPath)
     raw.writeStream
-      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/ingest")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId)
@@ -55,17 +59,22 @@ final class StreamDriver(
   }
 
   /** One per-block-batch transaction (index.ts:195-257): derive event ids,
-    * append facts idempotently, then run the refresh tiers. */
+    * append facts idempotently, then run the refresh tiers.
+    *
+    * Idempotency is scoped to the batch: partitions are
+    * `batch_id=N/block_bucket=M`, so a checkpoint replay of batch N
+    * dynamically overwrites ONLY its own partitions (exactly-once, T1)
+    * while other batches sharing a block bucket stay untouched. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val keyed = batch.withColumn("event_id",
       Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
 
-    // idempotent append: dynamic partition overwrite of only the buckets
-    // present in this batch (exactly-once under checkpoint replay, T1)
-    withBlockBucket(keyed).write
+    withBlockBucket(keyed)
+      .withColumn("batch_id", lit(batchId))
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("block_bucket")
+      .partitionBy("batch_id", "block_bucket")
       .parquet(s"$factRoot/raw_events")
 
     onOperationalRefresh(keyed)
@@ -92,13 +101,17 @@ final class StreamDriver(
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(hadoopPath)
-      .filter(_.getPath.getName.startsWith("block_bucket="))
-      .filter(_.getPath.getName.stripPrefix("block_bucket=").toLong >= boundary)
-      .foreach(st => fs.delete(st.getPath, true))
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .foreach { batchDir =>
+        fs.listStatus(batchDir.getPath)
+          .filter(_.getPath.getName.startsWith("block_bucket="))
+          .filter(_.getPath.getName.stripPrefix("block_bucket=").toLong >= boundary)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
 
     keptDf.write
       .mode("append")
-      .partitionBy("block_bucket")
+      .partitionBy("batch_id", "block_bucket")
       .parquet(path)
   }
 }

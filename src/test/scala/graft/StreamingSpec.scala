@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamDriver
+
+/** End-to-end streaming lifecycle (SURVEY §2.10 T1/T2/T5): file-backed block
+  * stream → foreachBatch ingestion → checkpoint resume → two-tier refresh. */
+class StreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("block_number", LongType),
+    StructField("transaction_index", LongType),
+    StructField("event_index", LongType)))
+
+  test("ingest, checkpoint-resume, and two-tier refresh cadence (T1/T2/T5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+    val rawDir = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+
+    var operationalRefreshes = 0
+    var analyticalRefreshes = 0
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt",
+      analyticalEvery = 2L,
+      onOperationalRefresh = _ => operationalRefreshes += 1,
+      onAnalyticalRefresh = _ => analyticalRefreshes += 1)
+
+    // chunk 1: blocks 1..100
+    (1L to 100L).map(b => (b, 0L, 0L)).toDF("block_number", "transaction_index", "event_index")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
+    // the file stream watches rawDir recursively via glob
+    val q1 = driver.start(s"$rawDir/*", schema, Trigger.AvailableNow())
+    q1.awaitTermination()
+
+    val afterFirst = spark.read.parquet(s"$root/facts/raw_events")
+    assert(afterFirst.count() == 100L)
+    assert(operationalRefreshes == 1)    // one batch → one operational refresh
+    assert(analyticalRefreshes == 1)     // batchId 0 % 2 == 0
+
+    // chunk 2 arrives; a RESTARTED query on the same checkpoint must process
+    // only the new file (cursor semantics, T2)
+    (101L to 150L).map(b => (b, 0L, 0L)).toDF("block_number", "transaction_index", "event_index")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=2")
+    val q2 = driver.start(s"$rawDir/*", schema, Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val afterSecond = spark.read.parquet(s"$root/facts/raw_events")
+    assert(afterSecond.count() == 150L)
+    assert(afterSecond.agg(max($"block_number")).collect().head.getLong(0) == 150L)
+    assert(operationalRefreshes == 2)
+    assert(analyticalRefreshes == 1)     // batchId 1 % 2 != 0 → throttled
+
+    // event ids were derived during ingestion and are the global order
+    val ids = afterSecond.select($"event_id").orderBy($"event_id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == (1L to 150L).map(_ * 4294967296L))
+  }
+
+  test("hourly rollup watermark upsert equals full recompute (T6)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val full = graft.queries.Rollups.hourlyVolumeByToken(spark, sfDir)
+
+    val hours = full.select("hour").distinct().orderBy("hour")
+      .collect().map(_.getLong(0))
+    assert(hours.length > 2)
+    val watermark = hours(hours.length / 2)
+
+    val upserted = full.filter(col("hour") < watermark)
+      .unionByName(graft.queries.Rollups.hourlyVolumeByTokenSince(spark, sfDir, watermark))
+
+    assert(upserted.count() == full.count())
+    assert(upserted.exceptAll(full).isEmpty && full.exceptAll(upserted).isEmpty)
+  }
+}
