@@ -259,13 +259,115 @@ object Similarity {
        SELECT va AS vec_a, vb AS vec_b, ROUND(cosine, 6) AS cosine
        FROM scored WHERE cosine >= 0.99""")
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = every 97th
+    * vector, the seeded-sample stand-in for k-means) assigns each vector to
+    * its max-cosine centroid; queries probe their own cell (nprobe=1) and
+    * exact-re-rank within it. At scale the assignment is one broadcast join
+    * against the centroid set and the probe is an equi-join on cluster id —
+    * the partition-pruning counterpart of the LSH path. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val el = elements(spark, sfDir)
+    val n = norms(spark, sfDir)
+
+    val assignments = graft.util.Memo.cached(spark, sfDir, "sim_ivf_assign") {
+      val cel = el.filter($"vec_id" % 97 === 3)
+        .select($"vec_id".as("cid"), $"idx", $"v".as("cv"))
+      val cn = n.filter($"vec_id" % 97 === 3)
+        .select($"vec_id".as("cid"), $"norm_sq".as("cnorm"))
+
+      val dots = el.join(broadcast(cel), Seq("idx"))
+        .groupBy($"vec_id", $"cid")
+        .agg(sum(($"v" * $"cv").cast(dec3812)).as("dot"))
+      val scored = dots
+        .join(n, Seq("vec_id")).join(broadcast(cn), Seq("cid"))
+        .withColumn("cos", $"dot".cast(DoubleType) /
+          (sqrt($"norm_sq".cast(DoubleType)) * sqrt($"cnorm".cast(DoubleType))))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+      scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid".as("cluster"))
+    }
+
+    val qa = assignments.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"cluster")
+    val candidates = qa.join(assignments, Seq("cluster"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+
+    val qel = el.select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
+    val dots = el
+      .join(broadcast(candidates.join(qel, Seq("qid"))), Seq("vec_id", "idx"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
+
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+    dots
+      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .withColumn("cosine", $"dot".cast(DoubleType) /
+        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
+  }
+
+  val annIvfOracle: String = Fixtures.oracle(
+    elementCtes +
+      s""", cel AS (SELECT vec_id AS cid, idx, v AS cv FROM el WHERE vec_id % 97 = 3),
+       cn AS (SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
+       cdots AS (
+         SELECT el.vec_id, cel.cid, SUM(CAST(el.v * cel.cv AS DECIMAL(38,12))) AS dot
+         FROM el JOIN cel ON el.idx = cel.idx
+         GROUP BY 1, 2),
+       assignments AS (
+         SELECT vec_id, cid AS cluster
+         FROM (SELECT d.vec_id, d.cid,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                        CAST(d.dot AS DOUBLE) / (SQRT(CAST(n.norm_sq AS DOUBLE)) * SQRT(CAST(c.cnorm AS DOUBLE))) DESC,
+                        d.cid) AS rn
+               FROM cdots d
+               JOIN nrm n ON d.vec_id = n.vec_id
+               JOIN cn c ON d.cid = c.cid) t
+         WHERE rn = 1),
+       candidates AS (
+         SELECT q.vec_id AS qid, a.vec_id
+         FROM assignments q JOIN assignments a
+           ON q.cluster = a.cluster AND a.vec_id != q.vec_id
+         WHERE q.$queryFilter),
+       dots AS (
+         SELECT c.qid, c.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
+         FROM candidates c
+         JOIN el q ON q.vec_id = c.qid
+         JOIN el d ON d.vec_id = c.vec_id AND d.idx = q.idx
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT dots.qid, dots.vec_id,
+                CAST(dots.dot AS DOUBLE)
+                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
+         FROM dots
+         JOIN nrm qn ON dots.qid = qn.vec_id
+         JOIN nrm vn ON dots.vec_id = vn.vec_id),
+       ranked AS (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM scored)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM ranked WHERE rank <= 3""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_embedding_near_dup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
+    "sim_ann_ivf" -> annIvfOracle,
     "sim_embedding_near_dup" -> embeddingNearDupOracle)
 }

@@ -17,12 +17,15 @@ object Tokens {
 
   def latestTokenRegistrations(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    graft.plans.ParseShortString.register(spark)
     import spark.implicits._
 
+    // codegen'd native expression (graft.plans.ParseShortString); the
+    // equivalent Scala UDF lives in Felts for non-hot paths and tests.
     val v1 = spark.table("token_registrations")
       .select($"address", $"event_id",
-        Felts.parseShortString($"name").as("name"),
-        Felts.parseShortString($"symbol").as("symbol"),
+        expr("parse_short_string_native(name)").as("name"),
+        expr("parse_short_string_native(symbol)").as("symbol"),
         $"decimals", $"total_supply")
     val v3 = spark.table("token_registrations_v3")
       .select($"address", $"event_id", $"name", $"symbol", $"decimals", $"total_supply")
