@@ -142,7 +142,35 @@ object Positions {
               MIN(event_id) AS first_event_id
        FROM governor_executed_results GROUP BY proposal_id""")
 
+  /** Proposal descriptions with the reference's NUL sanitization (P6,
+    * dao.ts:2703-2704 replaces the null char before insert) and the latest
+    * description per proposal winning. */
+  def proposalDescriptions(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("governor_proposal_described")
+      .withColumn("clean", regexp_replace($"description", "\u0001", "?"))
+      .groupBy($"id".as("proposal_id"))
+      .agg(max_by($"clean", $"event_id").as("description"),
+        count(lit(1)).as("revision_count"))
+  }
+
+  val proposalDescriptionsOracle: String = Fixtures.oracle(
+    """, cleaned AS (
+         SELECT id, event_id, regexp_replace(description, chr(1), '?', 'g') AS clean
+         FROM governor_proposal_described),
+       latest AS (
+         SELECT id, clean,
+                ROW_NUMBER() OVER (PARTITION BY id ORDER BY event_id DESC) AS rn
+         FROM cleaned)
+       SELECT l.id AS proposal_id, l.clean AS description, c.revision_count
+       FROM latest l
+       JOIN (SELECT id, COUNT(1) AS revision_count FROM cleaned GROUP BY id) c
+         ON l.id = c.id
+       WHERE l.rn = 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "governor_proposal_descriptions" -> (proposalDescriptions _),
     "position_owners" -> (positionOwners _),
     "protocol_withdrawals_by_token" -> (protocolWithdrawals _),
     "twamm_proceeds_by_owner" -> (twammProceeds _),
@@ -150,6 +178,7 @@ object Positions {
     "governor_execution_results" -> (executionResults _))
 
   val oracles: Map[String, String] = Map(
+    "governor_proposal_descriptions" -> proposalDescriptionsOracle,
     "position_owners" -> positionOwnersOracle,
     "protocol_withdrawals_by_token" -> protocolWithdrawalsOracle,
     "twamm_proceeds_by_owner" -> twammProceedsOracle,

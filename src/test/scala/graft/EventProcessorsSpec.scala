@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ingest.EventProcessors
+
+/** Ingest fan-out (S1-S3): raw felt-array events → per-processor filter →
+  * typed fact rows, end-to-end through decodeAll. */
+class EventProcessorsSpec extends SparkSpec {
+
+  private val core = "0xcore"
+
+  private def hx(v: BigInt): String = "0x" + v.toString(16)
+
+  private val rawSchema = StructType(Seq(
+    StructField("block_number", LongType),
+    StructField("transaction_index", LongType),
+    StructField("event_index", LongType),
+    StructField("emitter", StringType),
+    StructField("key0", StringType),
+    StructField("data", ArrayType(StringType))))
+
+  test("decodeAll routes and decodes core events (eventProcessors.ts registry)") {
+    // Swapped payload: locker, pool_key(5), swap params (i129 amount,
+    // bool is_token1, u256 limit, u128 skip), delta(i129 x2),
+    // sqrt_ratio_after u256, tick_after i129, liquidity_after u128
+    val swapData = Seq(
+      "0xabc",                      // locker
+      "0x5", "0x6", "0x3", "0xa", "0x0",  // pool key
+      "0x64", "0x0",                // amount +100
+      "0x1",                        // is_token1
+      "0x0", "0x1",                 // sqrt_ratio_limit = 2^128
+      "0x0",                        // skip_ahead
+      "0x1f4", "0x0",               // delta0 +500
+      "0xc8", "0x1",                // delta1 -200
+      "0x10", "0x2",                // sqrt_ratio_after = 0x10 + 2*2^128
+      "0x32", "0x1",                // tick_after -50
+      "0x3e8")                      // liquidity_after 1000
+
+    val initData = Seq(
+      "0x5", "0x6", "0x3", "0xa", "0x0",  // pool key
+      "0x14", "0x0",                // tick +20
+      "0x1", "0x0")                 // sqrt_ratio = 1
+
+    val pfwData = Seq("0xfee1", "0x7", "0x2710") // recipient, token, 10000
+
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, 1L, 0L, core, EventProcessors.swapped.keySelector, swapData),
+        Row(10L, 1L, 1L, core, EventProcessors.poolInitialized.keySelector, initData),
+        Row(11L, 0L, 0L, core, EventProcessors.protocolFeesWithdrawn.keySelector, pfwData),
+        Row(11L, 0L, 1L, "0xother", EventProcessors.swapped.keySelector, swapData))),
+      rawSchema)
+
+    val out = EventProcessors.decodeAll(spark, raw, core)
+
+    val swaps = out("swaps").collect()
+    assert(swaps.length == 1) // the 0xother emitter row is filtered out (S2)
+    val s = swaps.head
+    assert(s.getAs[Long]("event_id") == 10L * 4294967296L + 1L * 65536L)
+    assert(s.getAs[String]("locker") == "0xabc")
+    assert(s.getAs[String]("token0") == "0x5" && s.getAs[String]("token1") == "0x6")
+    assert(s.getAs[java.math.BigDecimal]("delta0").longValueExact() == 500L)
+    assert(s.getAs[java.math.BigDecimal]("delta1").longValueExact() == -200L)
+    assert(s.getAs[String]("sqrt_ratio_after") == hx(BigInt(16) + BigInt(2) * (BigInt(1) << 128)))
+    assert(s.getAs[Int]("tick_after") == -50)
+    assert(s.getAs[java.math.BigDecimal]("liquidity_after").longValueExact() == 1000L)
+
+    val inits = out("pool_initializations").collect()
+    assert(inits.length == 1)
+    assert(inits.head.getAs[Int]("tick") == 20)
+    assert(inits.head.getAs[Int]("tick_spacing") == 10)
+
+    val pfw = out("protocol_fees_withdrawn").collect()
+    assert(pfw.length == 1)
+    assert(pfw.head.getAs[String]("token") == "0x7")
+    assert(pfw.head.getAs[java.math.BigDecimal]("amount").longValueExact() == 10000L)
+
+    assert(out("position_updates").isEmpty)
+    assert(out("fees_accumulated").isEmpty)
+  }
+}
