@@ -27,6 +27,7 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracles),
       (Governance.queries, Governance.oracles),
       (Positions.queries, Positions.oracles),
+      (Sessions.queries, Sessions.oracles),
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
