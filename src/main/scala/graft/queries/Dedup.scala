@@ -46,7 +46,7 @@ object Dedup {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val grams = spark.table("documents")
+    val allGrams = spark.table("documents")
       .withColumn("words", split($"text", " "))
       .filter(size($"words") >= 3)
       .select($"doc_id", explode(expr(
@@ -54,7 +54,14 @@ object Dedup {
           "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
       .distinct()
 
-    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    // document-frequency cap: a gram shared by >500 docs generates >125k
+    // candidate pairs on its own and carries no near-dup signal (stop-gram);
+    // dropping it bounds the inverted-index blow-up at scale. Counts are
+    // computed BEFORE the cap so Jaccard denominators stay exact.
+    val counts = allGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val hotGrams = allGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" > 500).select($"gram")
+    val grams = allGrams.join(broadcast(hotGrams), Seq("gram"), "left_anti")
 
     val inter = grams.as("a").join(grams.as("b"),
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
@@ -73,11 +80,15 @@ object Dedup {
   val ngramJaccardOracle: String = Fixtures.oracle(
     """, doc_words AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       grams AS (
+       all_grams AS (
          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
          FROM doc_words, UNNEST(range(len(words) - 2)) AS t(i)
          WHERE len(words) >= 3),
-       counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM grams GROUP BY doc_id),
+       counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM all_grams GROUP BY doc_id),
+       grams AS (
+         SELECT g.* FROM all_grams g
+         WHERE g.gram NOT IN (
+           SELECT gram FROM all_grams GROUP BY gram HAVING COUNT(1) > 500)),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
