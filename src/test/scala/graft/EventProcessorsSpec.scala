@@ -53,7 +53,7 @@ class EventProcessorsSpec extends SparkSpec {
         Row(11L, 0L, 1L, "0xother", EventProcessors.swapped.keySelector, swapData))),
       rawSchema)
 
-    val out = EventProcessors.decodeAll(spark, raw, core)
+    val out = EventProcessors.decodeAll(spark, raw, Map("core" -> core))
 
     val swaps = out("swaps").collect()
     assert(swaps.length == 1) // the 0xother emitter row is filtered out (S2)
@@ -79,5 +79,30 @@ class EventProcessorsSpec extends SparkSpec {
 
     assert(out("position_updates").isEmpty)
     assert(out("fees_accumulated").isEmpty)
+  }
+
+  test("decodeAll routes per-contract (twamm family, S2 emitter filters)") {
+    // OrderUpdated: owner, salt, order_key(sell,buy,fee,start,end), i129 delta
+    val orderData = Seq("0xa1", "0x7", "0x5", "0x6", "0x3", "0x100", "0x200",
+      "0x2328", "0x1") // sale_rate_delta = -9000
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(7L, 0L, 0L, "0xtwamm", EventProcessors.orderUpdated.keySelector, orderData),
+        Row(7L, 0L, 1L, "0xcore", EventProcessors.orderUpdated.keySelector, orderData))),
+      rawSchema)
+
+    val out = EventProcessors.decodeAll(spark, raw,
+      Map("core" -> "0xcore", "twamm" -> "0xtwamm"))
+    val orders = out("twamm_order_updates").collect()
+    assert(orders.length == 1) // the core-emitted row has a twamm selector → dropped
+    val o = orders.head
+    assert(o.getAs[String]("owner") == "0xa1")
+    assert(o.getAs[Long]("start_time") == 256L && o.getAs[Long]("end_time") == 512L)
+    assert(o.getAs[java.math.BigDecimal]("sale_rate_delta").longValueExact() == -9000L)
+    // contracts not present in the map are simply not decoded
+    assert(!out.contains("staker_staked"))
+
+    val mapped = EventProcessors.decodeAll(spark, raw, Map("staker" -> "0xs"))
+    assert(mapped.keySet == Set("staker_staked", "staker_withdrawn"))
   }
 }
