@@ -277,10 +277,239 @@ object EventProcessors {
         ref.value.map(hex).orNull)
     })
 
+  /** Governor Proposed (events/governor.ts:21-32, 0x02a98c...ba3f): nested
+    * span-of-calls with span calldata (S4/S5), trailing optional config
+    * version (S7); flattened to per-proposal stats. */
+  val governorProposed: Processor = Processor(
+    "governor_proposed", "governor",
+    "0x02a98c37f5b13fe14803e72b284c81be9ebbedc6cf74ed8d1489ed74951cba3f",
+    StructType(Seq(
+      StructField("id", StringType), StructField("proposer", StringType),
+      StructField("config_version", LongType),
+      StructField("n_calls", IntegerType), StructField("n_calldata_words", IntegerType))),
+    data => {
+      val id = FeltDecode.parseFelt252(data, 0)
+      val proposer = FeltDecode.parseAddress(data, id.next)
+      val call = FeltDecode.combineParsers[(BigInt, BigInt, Seq[BigInt])](Seq(
+        "to" -> FeltDecode.parseAddress.asInstanceOf[FeltDecode.Parser[Any]],
+        "selector" -> FeltDecode.parseFelt252.asInstanceOf[FeltDecode.Parser[Any]],
+        "calldata" -> FeltDecode.parseSpanOf(FeltDecode.parseFelt252).asInstanceOf[FeltDecode.Parser[Any]]))(
+        m => (m("to").asInstanceOf[BigInt], m("selector").asInstanceOf[BigInt],
+          m("calldata").asInstanceOf[Seq[BigInt]]))
+      val calls = FeltDecode.parseSpanOf(call)(data, proposer.next)
+      val cfg = FeltDecode.backwardsCompatible(FeltDecode.parseU64)(data, calls.next)
+      Row(hex(id.value), hex(proposer.value),
+        cfg.value.map(_.toLong).map(Long.box).orNull,
+        calls.value.length, calls.value.map(_._3.length).sum)
+    })
+
+  /** Governor Voted (events/governor.ts:35-41, 0x5c9afa...162). */
+  val governorVoted: Processor = Processor(
+    "governor_voted", "governor",
+    "0x5c9afac1c510b50d3e0004024ba7b8e190864f1543dd8025d08f88410fb162",
+    StructType(Seq(
+      StructField("id", StringType), StructField("voter", StringType),
+      StructField("weight", DecimalType(38, 0)), StructField("yea", BooleanType))),
+    data => {
+      val id = FeltDecode.parseFelt252(data, 0)
+      val voter = FeltDecode.parseAddress(data, id.next)
+      val w = FeltDecode.parseU128(data, voter.next)
+      val yea = FeltDecode.parseBoolean(data, w.next)
+      Row(hex(id.value), hex(voter.value), dec(w.value), yea.value)
+    })
+
+  /** Governor Canceled (events/governor.ts:43-46, 0xad1f80...192). */
+  val governorCanceled: Processor = Processor(
+    "governor_canceled", "governor",
+    "0xad1f80a0e6ac2d42f6ce99670de84817aef2368cd22a19f85fcb721f689192",
+    StructType(Seq(StructField("id", StringType))),
+    data => Row(hex(FeltDecode.parseFelt252(data, 0).value)))
+
+  /** Governor Executed (events/governor.ts:57-62, 0x01f431...ab78):
+    * span-of-span results flattened to word counts. */
+  val governorExecuted: Processor = Processor(
+    "governor_executed", "governor",
+    "0x01f4317aae43f6c24b2b85c6d8b21d5fa0a28cee0476cd52ca5d60d4787aab78",
+    StructType(Seq(
+      StructField("id", StringType), StructField("n_results", IntegerType),
+      StructField("n_result_words", IntegerType))),
+    data => {
+      val id = FeltDecode.parseFelt252(data, 0)
+      val results = FeltDecode.parseSpanOf(FeltDecode.parseSpanOf(FeltDecode.parseFelt252))(data, id.next)
+      Row(hex(id.value), results.value.length, results.value.map(_.length).sum)
+    })
+
+  /** Governor Described (events/governor.ts:65-69, 0x8643a1...7a9):
+    * ByteArray description (S6). */
+  val governorDescribed: Processor = Processor(
+    "governor_proposal_described", "governor",
+    "0x8643a1c8a461189d5b77de7576b06aa9148c9127101228f02816d13768e7a9",
+    StructType(Seq(
+      StructField("id", StringType), StructField("description", StringType))),
+    data => {
+      val id = FeltDecode.parseFelt252(data, 0)
+      val desc = FeltDecode.parseByteArray(data, id.next)
+      Row(hex(id.value), desc.value)
+    })
+
+  /** Governor Reconfigured (events/governor.ts:72-88, 0x02b997...9fb). */
+  val governorReconfigured: Processor = Processor(
+    "governor_reconfigured", "governor",
+    "0x02b9973fd701ab68169e139e241db74576eca4e885bad73d016982a59f1ac9fb",
+    StructType(Seq(
+      StructField("voting_start_delay", LongType), StructField("voting_period", LongType),
+      StructField("voting_weight_smoothing_duration", LongType),
+      StructField("quorum", DecimalType(38, 0)),
+      StructField("proposal_creation_threshold", DecimalType(38, 0)),
+      StructField("execution_delay", LongType), StructField("execution_window", LongType),
+      StructField("version", LongType))),
+    data => {
+      val vsd = FeltDecode.parseU64(data, 0)
+      val vp = FeltDecode.parseU64(data, vsd.next)
+      val vwsd = FeltDecode.parseU64(data, vp.next)
+      val q = FeltDecode.parseU128(data, vwsd.next)
+      val pct = FeltDecode.parseU128(data, q.next)
+      val ed = FeltDecode.parseU64(data, pct.next)
+      val ew = FeltDecode.parseU64(data, ed.next)
+      val ver = FeltDecode.parseU64(data, ew.next)
+      Row(vsd.value.toLong, vp.value.toLong, vwsd.value.toLong, dec(q.value),
+        dec(pct.value), ed.value.toLong, ew.value.toLong, ver.value.toLong)
+    })
+
+  private val registrationSchema = StructType(Seq(
+    StructField("address", StringType), StructField("name", StringType),
+    StructField("symbol", StringType), StructField("decimals", IntegerType),
+    StructField("total_supply", DecimalType(38, 0))))
+
+  /** Token registration v1/v2 (events/tokenRegistry.ts:11-18, 0x3ea44d...d74):
+    * felt-packed short-string name/symbol, decoded at the boundary. */
+  val tokenRegistered: Processor = Processor(
+    "token_registrations", "token_registry",
+    "0x3ea44da5af08f985c5ac763fa2573381d77aeee47d9a845f0c6764cb805d74",
+    registrationSchema,
+    data => {
+      val addr = FeltDecode.parseAddress(data, 0)
+      val name = FeltDecode.parseFelt252(data, addr.next)
+      val sym = FeltDecode.parseFelt252(data, name.next)
+      val decs = FeltDecode.parseU8(data, sym.next)
+      val supply = FeltDecode.parseU128(data, decs.next)
+      Row(hex(addr.value),
+        graft.functions.Felts.parseShortStringImpl(new java.math.BigDecimal(name.value.bigInteger)),
+        graft.functions.Felts.parseShortStringImpl(new java.math.BigDecimal(sym.value.bigInteger)),
+        decs.value, dec(supply.value))
+    })
+
+  /** Token registration v3 (events/tokenRegistry.ts:23-30): ByteArray
+    * name/symbol (same selector, different contract). */
+  val tokenRegisteredV3: Processor = Processor(
+    "token_registrations_v3", "token_registry_v3",
+    "0x3ea44da5af08f985c5ac763fa2573381d77aeee47d9a845f0c6764cb805d74",
+    registrationSchema,
+    data => {
+      val addr = FeltDecode.parseAddress(data, 0)
+      val name = FeltDecode.parseByteArray(data, addr.next)
+      val sym = FeltDecode.parseByteArray(data, name.next)
+      val decs = FeltDecode.parseU8(data, sym.next)
+      val supply = FeltDecode.parseU128(data, decs.next)
+      Row(hex(addr.value), name.value, sym.value, decs.value, dec(supply.value))
+    })
+
+  /** Oracle SnapshotEvent (events/oracle.ts:9-15, 0x0385e1...38b). */
+  val oracleSnapshot: Processor = Processor(
+    "oracle_snapshots", "oracle",
+    "0x0385e1b60fdfb8aeee9212a69cdb72415cef7b24ec07a60cdd65b65d0582238b",
+    StructType(Seq(
+      StructField("token0", StringType), StructField("token1", StringType),
+      StructField("index", LongType),
+      StructField("snapshot_block_timestamp", LongType),
+      StructField("snapshot_tick_cumulative", DecimalType(38, 0)))),
+    data => {
+      val t0 = FeltDecode.parseAddress(data, 0)
+      val t1 = FeltDecode.parseAddress(data, t0.next)
+      val idx = FeltDecode.parseU64(data, t1.next)
+      val ts = FeltDecode.parseU64(data, idx.next)
+      val tc = FeltDecode.parseI129(data, ts.next)
+      Row(hex(t0.value), hex(t1.value), idx.value.toLong, ts.value.toLong, dec(tc.value))
+    })
+
+  /** Limit OrderPlaced (events/limitOrders.ts:17-24, 0x03b935...7cb). */
+  val limitOrderPlaced: Processor = Processor(
+    "limit_order_placed", "limit_orders",
+    "0x03b935dbbdb7f463a394fc8729e7e26e30edebbc3bd5617bf1d7cf9e1ce6f7cb",
+    StructType(Seq(
+      StructField("owner", StringType), StructField("salt", StringType),
+      StructField("token0", StringType), StructField("token1", StringType),
+      StructField("tick", IntegerType),
+      StructField("liquidity", DecimalType(38, 0)), StructField("amount", DecimalType(38, 0)))),
+    data => {
+      val owner = FeltDecode.parseAddress(data, 0)
+      val salt = FeltDecode.parseFelt252(data, owner.next)
+      val t0 = FeltDecode.parseAddress(data, salt.next)
+      val t1 = FeltDecode.parseAddress(data, t0.next)
+      val tick = FeltDecode.parseI129(data, t1.next)
+      val liq = FeltDecode.parseU128(data, tick.next)
+      val amt = FeltDecode.parseU128(data, liq.next)
+      Row(hex(owner.value), hex(salt.value), hex(t0.value), hex(t1.value),
+        tick.value.toInt, dec(liq.value), dec(amt.value))
+    })
+
+  /** Limit OrderClosed (events/limitOrders.ts:26-33, 0x0196e7...4ae). */
+  val limitOrderClosed: Processor = Processor(
+    "limit_order_closed", "limit_orders",
+    "0x0196e77c6eab92283e3fc303198bb0a523c0c7d93b4de1d8bf636eab7517c4ae",
+    StructType(Seq(
+      StructField("owner", StringType), StructField("salt", StringType),
+      StructField("token0", StringType), StructField("token1", StringType),
+      StructField("tick", IntegerType),
+      StructField("amount0", DecimalType(38, 0)), StructField("amount1", DecimalType(38, 0)))),
+    data => {
+      val owner = FeltDecode.parseAddress(data, 0)
+      val salt = FeltDecode.parseFelt252(data, owner.next)
+      val t0 = FeltDecode.parseAddress(data, salt.next)
+      val t1 = FeltDecode.parseAddress(data, t0.next)
+      val tick = FeltDecode.parseI129(data, t1.next)
+      val a0 = FeltDecode.parseU128(data, tick.next)
+      val a1 = FeltDecode.parseU128(data, a0.next)
+      Row(hex(owner.value), hex(salt.value), hex(t0.value), hex(t1.value),
+        tick.value.toInt, dec(a0.value), dec(a1.value))
+    })
+
+  /** Spline LiquidityUpdated (events/spline.ts:11-21, 0x0203c0...b5d);
+    * zero-liquidity-factor events are dropped by the handler
+    * (eventProcessors.ts:88-93) — the caller filters post-decode. */
+  val liquidityUpdated: Processor = Processor(
+    "liquidity_updated", "spline",
+    "0x0203c047cc01ab425e271dd20fc0651f0e3ed06fb6545850508001db3c822b5d",
+    StructType(poolKeyFields ++ Seq(
+      StructField("sender", StringType),
+      StructField("liquidity_factor", DecimalType(38, 0)),
+      StructField("shares", StringType),
+      StructField("amount0", DecimalType(38, 0)), StructField("amount1", DecimalType(38, 0)),
+      StructField("protocol_fees0", DecimalType(38, 0)),
+      StructField("protocol_fees1", DecimalType(38, 0)))),
+    data => {
+      val pk = FeltDecode.parsePoolKey(data, 0)
+      val sender = FeltDecode.parseAddress(data, pk.next)
+      val lf = FeltDecode.parseI129(data, sender.next)
+      val shares = FeltDecode.parseU256(data, lf.next)
+      val a0 = FeltDecode.parseI129(data, shares.next)
+      val a1 = FeltDecode.parseI129(data, a0.next)
+      val pf0 = FeltDecode.parseU128(data, a1.next)
+      val pf1 = FeltDecode.parseU128(data, pf0.next)
+      val k = pk.value
+      Row(hex(k.token0), hex(k.token1), dec(k.fee), k.tickSpacing.toInt,
+        hex(k.extension), hex(sender.value), dec(lf.value), hex(shares.value),
+        dec(a0.value), dec(a1.value), dec(pf0.value), dec(pf1.value))
+    })
+
   val registry: Seq[Processor] = Seq(
     swapped, positionUpdated, poolInitialized, feesAccumulated, protocolFeesWithdrawn,
     orderUpdated, orderProceedsWithdrawn, virtualOrdersExecuted,
-    staked, withdrawn, nftTransfer, mintedWithReferrer, legacyPositionMinted)
+    staked, withdrawn, nftTransfer, mintedWithReferrer, legacyPositionMinted,
+    governorProposed, governorVoted, governorCanceled, governorExecuted,
+    governorDescribed, governorReconfigured,
+    tokenRegistered, tokenRegisteredV3, oracleSnapshot,
+    limitOrderPlaced, limitOrderClosed, liquidityUpdated)
 
   /** Fan a raw event batch out to typed fact frames. Raw schema:
     * (block_number, transaction_index, event_index, emitter, key0,

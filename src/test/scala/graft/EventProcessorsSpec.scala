@@ -105,4 +105,29 @@ class EventProcessorsSpec extends SparkSpec {
     val mapped = EventProcessors.decodeAll(spark, raw, Map("staker" -> "0xs"))
     assert(mapped.keySet == Set("staker_staked", "staker_withdrawn"))
   }
+
+  test("governor decoders: nested call spans + ByteArray description (S4/S6/S7)") {
+    // Proposed: id, proposer, calls span [2 calls: (to, sel, calldata[3]),
+    // (to, sel, calldata[0])], optional config_version = 5
+    val proposed = Seq("0x11", "0x22", "0x2",
+      "0x31", "0x41", "0x3", "0x1", "0x2", "0x3",
+      "0x32", "0x42", "0x0",
+      "0x5")
+    // Described: id, ByteArray("hello") = span[0 words] + pending + len
+    val described = Seq("0x12", "0x0", "0x68656c6c6f", "0x5")
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(3L, 0L, 0L, "0xgov", EventProcessors.governorProposed.keySelector, proposed),
+        Row(3L, 0L, 1L, "0xgov", EventProcessors.governorDescribed.keySelector, described))),
+      rawSchema)
+
+    val out = EventProcessors.decodeAll(spark, raw, Map("governor" -> "0xgov"))
+    val p = out("governor_proposed").collect().head
+    assert(p.getAs[String]("id") == "0x11" && p.getAs[String]("proposer") == "0x22")
+    assert(p.getAs[Int]("n_calls") == 2 && p.getAs[Int]("n_calldata_words") == 3)
+    assert(p.getAs[Long]("config_version") == 5L)
+
+    val d = out("governor_proposal_described").collect().head
+    assert(d.getAs[String]("description") == "hello")
+  }
 }
