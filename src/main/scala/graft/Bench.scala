@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // neutral JVM/scheduler warmup (no query or fixture work) so the first
+    // timed query doesn't absorb session start-up cost
+    spark.range(1000).count()
+
     // stable (sorted) execution order so per-query timings are comparable
     // across runs; shared-plan cache fills land on the same first consumer
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
