@@ -14,7 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear stale outputs: a failed query must yield a MISSING result (a
+    // hard failure in the driver's compare), never a leftover from a
+    // previous run silently passing the check
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val out = new java.io.File(outDir)
+    if (out.exists()) out.listFiles().foreach(rm)
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -80,9 +80,11 @@ object Similarity {
     val dots = vecs.crossJoin(broadcast(qvecs))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id", expr(
+        // the merge result must be cast back: Spark types (38,12)+(38,12)
+        // as (38,11), which would not match the accumulator type
         "aggregate(zip_with(embedding, qemb, " +
           "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), " +
-          "CAST(0 AS DECIMAL(38,12)), (acc, v) -> acc + v)").as("dot"))
+          "CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))").as("dot"))
 
     val n = norms(spark, sfDir)
     val scored = dots

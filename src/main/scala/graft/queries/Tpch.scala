@@ -55,9 +55,82 @@ object Tpch {
        WHERE l_quantity < 48
        GROUP BY l_returnflag, l_linestatus"""
 
+  /** Top unshipped-revenue orders (TPC-H Q3 shape): 3-way join over the two
+    * largest tables + broadcast-sized customer dim, decimal-exact revenue,
+    * deterministic top-k. */
+  def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    orders
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"rev").cast(dec(38, 4)).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val q3Oracle: String =
+    """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, o.o_orderkey
+       LIMIT 20"""
+
+  /** Regional supplier volume (TPC-H Q5 shape): the full dimension chain
+    * region→nation→supplier broadcast against lineitem. */
+  def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val supplier = spark.read.parquet(s"$sfDir/supplier.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_suppkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    val dims = supplier.join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select($"s_suppkey", $"n_name", $"r_name")
+
+    li.join(broadcast(dims), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum($"rev").cast(dec(38, 4)).as("revenue"),
+        count(lit(1)).as("lineitem_count"))
+  }
+
+  val q5Oracle: String =
+    """SELECT r.r_name, n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+              COUNT(1) AS lineitem_count
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1 _))
+    "q1_pricing_summary" -> (q1 _),
+    "q3_top_orders" -> (q3 _),
+    "q5_regional_volume" -> (q5 _))
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Oracle)
+    "q1_pricing_summary" -> q1Oracle,
+    "q3_top_orders" -> q3Oracle,
+    "q5_regional_volume" -> q5Oracle)
 }
