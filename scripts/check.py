@@ -1,70 +1,107 @@
 #!/usr/bin/env python3
 """Local differential check mimicking the driver's t2 gate.
 
-Usage: python3 scripts/check.py <sfDir> <outDir>
+Usage: python3 scripts/check.py <sfDir> <outDir> [name ...]
 
 Reads <outDir>/<name>/ parquet (Spark results written by graft.Verify) and
 <outDir>/oracle_sql.json, registers the base parquet tables under their bare
-names in DuckDB, runs each oracle, and compares: columns sorted by name, rows
-sorted by all columns, exact value equality (incl. dtype-level sanity).
+names in DuckDB, runs each oracle, and compares three ways per query:
+
+  1. rows   — row counts equal.
+  2. exact  — (spark EXCEPT ALL oracle) UNION ALL (oracle EXCEPT ALL spark)
+              is empty, computed INSIDE DuckDB at full decimal fidelity.
+              This is the true value-equality check; pandas never sees it.
+  3. dtype  — the Spark side read via pyarrow (how the driver hashes it:
+              parquet DECIMAL -> python Decimal objects) must land on the
+              SAME pandas dtype as the oracle side read via duckdb .df()
+              (DECIMAL -> float64). Any decimal column in the Spark output
+              fails here (object vs float64) — exactly the round-1 driver
+              hash_match failure class that the old pandas-only comparison
+              was blind to.
+
+A query passes only if all three pass.
 """
-import duckdb
 import glob
 import json
 import sys
 
-import pandas as pd
+import duckdb
+import pyarrow.parquet as pq
 
 BASE_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
                "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
-    return df.reset_index(drop=True)
-
-
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in BASE_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        spark_df = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+        spark_rel = f"read_parquet('{outdir}/{name}/*.parquet')"
         try:
-            duck_df = con.sql(oracle[name]).df()
+            con.sql(f"CREATE OR REPLACE VIEW _oracle AS {oracle[name]}")
+            ocols = [d[0] for d in con.sql("SELECT * FROM _oracle LIMIT 0").description]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
-        a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
-            print(f"FAIL {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
+        scols = [d[0] for d in con.sql(f"SELECT * FROM {spark_rel} LIMIT 0").description]
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
             failures += 1
             continue
-        if len(a) != len(b):
-            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+        cols = ", ".join(f'"{c}"' for c in sorted(scols))
+        n_spark = con.sql(f"SELECT count(*) FROM {spark_rel}").fetchone()[0]
+        n_oracle = con.sql("SELECT count(*) FROM _oracle").fetchone()[0]
+        if n_spark != n_oracle:
+            print(f"FAIL {name}: rows spark={n_spark} duck={n_oracle}")
             failures += 1
             continue
-        if not a.equals(b):
-            neq = (a != b) & ~(a.isna() & b.isna())
-            bad_cols = [c for c in a.columns if neq[c].any()]
-            print(f"FAIL {name}: value mismatch in {bad_cols}")
-            for c in bad_cols[:3]:
-                idx = neq[c].idxmax()
-                print(f"  e.g. row {idx} col {c}: spark={a[c][idx]!r} duck={b[c][idx]!r}")
+        # 2. exact diff at full fidelity, inside DuckDB
+        diff = con.sql(
+            f"SELECT count(*) FROM ("
+            f"  (SELECT {cols} FROM {spark_rel} EXCEPT ALL SELECT {cols} FROM _oracle)"
+            f"  UNION ALL"
+            f"  (SELECT {cols} FROM _oracle EXCEPT ALL SELECT {cols} FROM {spark_rel})"
+            f")").fetchone()[0]
+        if diff != 0:
+            ex = con.sql(
+                f"SELECT {cols} FROM {spark_rel} EXCEPT ALL SELECT {cols} FROM _oracle"
+            ).fetchmany(2)
+            print(f"FAIL {name}: {diff} differing rows (exact diff); spark-only e.g. {ex}")
             failures += 1
             continue
-        print(f"OK   {name}: {len(a)} rows")
+        # 3. dtype fidelity: pyarrow read (driver's spark-side view) vs duckdb .df()
+        #    (driver's oracle-side view) must agree per column.
+        sdf = pq.read_table(files).to_pandas()
+        odf = con.sql("SELECT * FROM _oracle").df()
+        bad = []
+        for c in sorted(scols):
+            st, ot = str(sdf[c].dtype), str(odf[c].dtype)
+            if st != ot:
+                bad.append(f"{c}: spark={st} duck={ot}")
+            elif st == "object" and len(sdf):
+                ss, os_ = sdf[c].dropna(), odf[c].dropna()
+                if len(ss) and len(os_):
+                    sv, ov = ss.iloc[0], os_.iloc[0]
+                    if type(sv).__name__ != type(ov).__name__:
+                        bad.append(f"{c}: spark obj {type(sv).__name__} duck obj {type(ov).__name__}")
+        if bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash would differ): {bad}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {n_spark} rows")
     sys.exit(1 if failures else 0)
 
 
