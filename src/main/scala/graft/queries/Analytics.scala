@@ -184,8 +184,8 @@ object Analytics {
     amounts.select(
       $"pool_key_hash",
       $"depth_percent",
-      coalesce($"amount0", lit(0)).cast(dec38).as("depth0"),
-      coalesce($"amount1", lit(0)).cast(dec38).as("depth1"))
+      coalesce($"amount0", lit(0)).cast(LongType).as("depth0"),
+      coalesce($"amount1", lit(0)).cast(LongType).as("depth1"))
   }
 
   val poolMarketDepthOracle: String = {
@@ -254,8 +254,8 @@ object Analytics {
            WHERE lo_b < hi_b OR lo_a < hi_a
            GROUP BY pool_key_hash, depth_percent)
          SELECT pool_key_hash, depth_percent,
-                CAST(COALESCE(amount0, 0) AS DECIMAL(38,0)) AS depth0,
-                CAST(COALESCE(amount1, 0) AS DECIMAL(38,0)) AS depth1
+                CAST(COALESCE(amount0, 0) AS BIGINT) AS depth0,
+                CAST(COALESCE(amount1, 0) AS BIGINT) AS depth1
          FROM amounts""")
   }
 

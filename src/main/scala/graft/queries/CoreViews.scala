@@ -184,11 +184,27 @@ object CoreViews {
   val tickLiquidityOracle: String =
     Fixtures.oracle(tickLiquidityCtes + "\nSELECT * FROM tick_liquidity_cte")
 
+  // Registered query outputs canonicalize DECIMAL columns to BIGINT (values
+  // fit int64; internal arithmetic stays decimal-exact, and downstream
+  // consumers — Twamm, Analytics — keep the decimal-typed views above).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pool_states" -> (poolStates _),
-    "per_pool_per_tick_liquidity" -> (tickLiquidity _))
+    "pool_states" -> ((s: SparkSession, d: String) =>
+      poolStates(s, d).withColumn("liquidity", col("liquidity").cast(LongType))),
+    "per_pool_per_tick_liquidity" -> ((s: SparkSession, d: String) =>
+      tickLiquidity(s, d)
+        .withColumn("net_liquidity_delta_diff", col("net_liquidity_delta_diff").cast(LongType))
+        .withColumn("total_liquidity_on_tick", col("total_liquidity_on_tick").cast(LongType))))
 
   val oracles: Map[String, String] = Map(
-    "pool_states" -> poolStatesOracle,
-    "per_pool_per_tick_liquidity" -> tickLiquidityOracle)
+    "pool_states" -> Fixtures.oracle(poolStatesCtes +
+      """
+      SELECT pool_key_hash, sqrt_ratio, tick, CAST(liquidity AS BIGINT) AS liquidity,
+             last_event_id, last_liquidity_update_event_id
+      FROM pool_states_cte"""),
+    "per_pool_per_tick_liquidity" -> Fixtures.oracle(tickLiquidityCtes +
+      """
+      SELECT pool_key_hash, tick,
+             CAST(net_liquidity_delta_diff AS BIGINT) AS net_liquidity_delta_diff,
+             CAST(total_liquidity_on_tick AS BIGINT) AS total_liquidity_on_tick
+      FROM tick_liquidity_cte"""))
 }

@@ -192,9 +192,23 @@ object Governance {
       .unionByName(win.select($"w_start".as("time")))
       .unionByName(win.select($"w_end".as("time")))
       .distinct()
-    val wT = Window.orderBy($"time")
-    val intervals = timePoints
-      .withColumn("i_end", lead($"time", 1).over(wT))
+    // Prefix-sum decomposition of the global time grid: `lead` runs inside
+    // day-sized buckets (parallel), and only the bucket-boundary handoff —
+    // next non-empty bucket's first point — uses a bucket-count-sized window
+    // (≤ days-in-range rows, constant-partitioned by design). Replaces the
+    // reference's single global sort (dao.ts:1379-1404), which funnels every
+    // stake-change timestamp of a busy chain into one task.
+    val bucketed = timePoints.withColumn("bucket", floor($"time" / 86400L))
+    val wB = Window.partitionBy($"bucket").orderBy($"time")
+    val bucketFirst = bucketed.groupBy($"bucket").agg(min($"time").as("first_time"))
+    val wBg = Window.partitionBy(lit(0)).orderBy($"bucket")
+    val bucketNext = bucketFirst
+      .withColumn("next_first", lead($"first_time", 1).over(wBg))
+      .select($"bucket", $"next_first")
+    val intervals = bucketed
+      .withColumn("i_end_in", lead($"time", 1).over(wB))
+      .join(broadcast(bucketNext), Seq("bucket"), "left")
+      .withColumn("i_end", coalesce($"i_end_in", $"next_first"))
       .filter($"i_end".isNotNull)
       .select($"time".as("i_start"), $"i_end")
 
@@ -279,9 +293,9 @@ object Governance {
       (row_number().over(Window.orderBy($"total_reward".desc, $"claimee")) - 1)
         .cast(LongType).as("id"),
       $"claimee",
-      floor($"total_reward").cast(dec38).as("amount"),
-      floor($"tdr").cast(dec38).as("staker_portion"),
-      floor($"tsr").cast(dec38).as("delegate_portion"))
+      floor($"total_reward").cast(LongType).as("amount"),
+      floor($"tdr").cast(LongType).as("staker_portion"),
+      floor($"tsr").cast(LongType).as("delegate_portion"))
   }
 
   /** Fixed parameterization used by the verify/bench harness. */
@@ -370,9 +384,9 @@ object Governance {
          FROM all_rewards GROUP BY claimee)
        SELECT CAST(ROW_NUMBER() OVER (ORDER BY total_reward DESC, claimee) - 1 AS BIGINT) AS id,
               claimee,
-              CAST(FLOOR(total_reward) AS DECIMAL(38,0)) AS amount,
-              CAST(FLOOR(tdr) AS DECIMAL(38,0)) AS staker_portion,
-              CAST(FLOOR(tsr) AS DECIMAL(38,0)) AS delegate_portion
+              CAST(FLOOR(total_reward) AS BIGINT) AS amount,
+              CAST(FLOOR(tdr) AS BIGINT) AS staker_portion,
+              CAST(FLOOR(tsr) AS BIGINT) AS delegate_portion
        FROM final_rewards WHERE total_reward > 0""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

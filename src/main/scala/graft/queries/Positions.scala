@@ -63,14 +63,14 @@ object Positions {
     import spark.implicits._
     spark.table("protocol_fees_withdrawn")
       .groupBy($"token")
-      .agg(sum($"amount").cast(dec38).as("total_withdrawn"),
+      .agg(sum($"amount").cast(LongType).as("total_withdrawn"),
         count(lit(1)).as("withdrawal_count"),
         max($"event_id").as("last_event_id"))
   }
 
   val protocolWithdrawalsOracle: String = Fixtures.oracle(
     """SELECT token,
-              CAST(SUM(amount) AS DECIMAL(38,0)) AS total_withdrawn,
+              CAST(SUM(amount) AS BIGINT) AS total_withdrawn,
               COUNT(1) AS withdrawal_count,
               MAX(event_id) AS last_event_id
        FROM protocol_fees_withdrawn GROUP BY token""")
@@ -81,15 +81,15 @@ object Positions {
     import spark.implicits._
     spark.table("twamm_proceeds_withdrawals")
       .groupBy($"key_hash".as("pool_key_hash"), $"owner")
-      .agg(sum($"amount0").cast(dec38).as("amount0"),
-        sum($"amount1").cast(dec38).as("amount1"),
+      .agg(sum($"amount0").cast(LongType).as("amount0"),
+        sum($"amount1").cast(LongType).as("amount1"),
         count(lit(1)).as("withdrawal_count"))
   }
 
   val twammProceedsOracle: String = Fixtures.oracle(
     """SELECT key_hash AS pool_key_hash, owner,
-              CAST(SUM(amount0) AS DECIMAL(38,0)) AS amount0,
-              CAST(SUM(amount1) AS DECIMAL(38,0)) AS amount1,
+              CAST(SUM(amount0) AS BIGINT) AS amount0,
+              CAST(SUM(amount1) AS BIGINT) AS amount1,
               COUNT(1) AS withdrawal_count
        FROM twamm_proceeds_withdrawals GROUP BY 1, 2""")
 
@@ -114,14 +114,14 @@ object Positions {
         $"call.index".cast(LongType).as("index"),
         $"call.to_address",
         $"call.selector",
-        $"call.calldata_word".cast(dec38).as("calldata_word"))
+        $"call.calldata_word".cast(LongType).as("calldata_word"))
   }
 
   val proposalCallsOracle: String = Fixtures.oracle(
     """SELECT proposal_id,
               CAST(index AS BIGINT) AS index,
               to_address, selector,
-              CAST(calldata_word AS DECIMAL(38,0)) AS calldata_word
+              CAST(calldata_word AS BIGINT) AS calldata_word
        FROM governor_proposed_calls""")
 
   /** Governor execution results, flattened words (dao.ts:2580-2614). */
@@ -130,14 +130,14 @@ object Positions {
     import spark.implicits._
     spark.table("governor_executed_results")
       .groupBy($"proposal_id")
-      .agg(sum($"result_word").cast(dec38).as("result_sum"),
+      .agg(sum($"result_word").cast(LongType).as("result_sum"),
         count(lit(1)).as("n_words"),
         min($"event_id").as("first_event_id"))
   }
 
   val executionResultsOracle: String = Fixtures.oracle(
     """SELECT proposal_id,
-              CAST(SUM(result_word) AS DECIMAL(38,0)) AS result_sum,
+              CAST(SUM(result_word) AS BIGINT) AS result_sum,
               COUNT(1) AS n_words,
               MIN(event_id) AS first_event_id
        FROM governor_executed_results GROUP BY proposal_id""")

@@ -421,30 +421,55 @@ object Rollups {
          WHERE t.hour >= (SELECT now FROM now_t) - 86400
          GROUP BY t.key_hash)
        SELECT pk.key_hash,
-              CAST(COALESCE(v.volume0, 0) AS DECIMAL(38,0)) AS volume0_24h,
-              CAST(COALESCE(v.volume1, 0) AS DECIMAL(38,0)) AS volume1_24h,
-              CAST(COALESCE(v.fees0, 0) AS DECIMAL(38,0)) AS fees0_24h,
-              CAST(COALESCE(v.fees1, 0) AS DECIMAL(38,0)) AS fees1_24h,
-              CAST(COALESCE(tt.t0, 0) AS DECIMAL(38,0)) AS tvl0_total,
-              CAST(COALESCE(tt.t1, 0) AS DECIMAL(38,0)) AS tvl1_total,
-              CAST(COALESCE(td.d0, 0) AS DECIMAL(38,0)) AS tvl0_delta_24h,
-              CAST(COALESCE(td.d1, 0) AS DECIMAL(38,0)) AS tvl1_delta_24h
+              CAST(COALESCE(v.volume0, 0) AS BIGINT) AS volume0_24h,
+              CAST(COALESCE(v.volume1, 0) AS BIGINT) AS volume1_24h,
+              CAST(COALESCE(v.fees0, 0) AS BIGINT) AS fees0_24h,
+              CAST(COALESCE(v.fees1, 0) AS BIGINT) AS fees1_24h,
+              CAST(COALESCE(tt.t0, 0) AS BIGINT) AS tvl0_total,
+              CAST(COALESCE(tt.t1, 0) AS BIGINT) AS tvl1_total,
+              CAST(COALESCE(td.d0, 0) AS BIGINT) AS tvl0_delta_24h,
+              CAST(COALESCE(td.d1, 0) AS BIGINT) AS tvl1_delta_24h
        FROM pool_keys pk
        LEFT JOIN volume v ON v.key_hash = pk.key_hash
        LEFT JOIN tvl_total tt ON tt.key_hash = pk.key_hash
        LEFT JOIN tvl_24h td ON td.key_hash = pk.key_hash""")
 
+  /** Cast the named columns to BIGINT — output canonicalization only; the
+    * builder views above keep decimal types for downstream reuse. */
+  private def asLong(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hourly_volume_by_token" -> (hourlyVolumeByToken _),
-    "hourly_revenue_by_token" -> (hourlyRevenueByToken _),
-    "hourly_price_data" -> (hourlyPriceData _),
-    "hourly_tvl_delta_by_token" -> (hourlyTvlDeltaByToken _),
-    "last_24h_pool_stats" -> (last24hPoolStats _))
+    "hourly_volume_by_token" -> ((s: SparkSession, d: String) =>
+      asLong(hourlyVolumeByToken(s, d), "volume", "fees")),
+    "hourly_revenue_by_token" -> ((s: SparkSession, d: String) =>
+      asLong(hourlyRevenueByToken(s, d), "revenue")),
+    "hourly_price_data" -> ((s: SparkSession, d: String) =>
+      asLong(hourlyPriceData(s, d), "k_volume", "total")),
+    "hourly_tvl_delta_by_token" -> ((s: SparkSession, d: String) =>
+      asLong(hourlyTvlDeltaByToken(s, d), "delta")),
+    "last_24h_pool_stats" -> ((s: SparkSession, d: String) =>
+      asLong(last24hPoolStats(s, d), "volume0_24h", "volume1_24h", "fees0_24h",
+        "fees1_24h", "tvl0_total", "tvl1_total", "tvl0_delta_24h", "tvl1_delta_24h")))
 
   val oracles: Map[String, String] = Map(
-    "hourly_volume_by_token" -> hourlyVolumeByTokenOracle,
-    "hourly_revenue_by_token" -> hourlyRevenueByTokenOracle,
-    "hourly_price_data" -> hourlyPriceDataOracle,
-    "hourly_tvl_delta_by_token" -> hourlyTvlDeltaByTokenOracle,
+    "hourly_volume_by_token" -> Fixtures.oracle(hourlyVolumeCtes +
+      """
+      SELECT key_hash, hour, token, CAST(volume AS BIGINT) AS volume,
+             CAST(fees AS BIGINT) AS fees, swap_count
+      FROM hourly_volume_cte"""),
+    "hourly_revenue_by_token" -> Fixtures.oracle(hourlyRevenueCtes +
+      """
+      SELECT key_hash, hour, token, CAST(revenue AS BIGINT) AS revenue
+      FROM hourly_revenue_cte"""),
+    "hourly_price_data" -> Fixtures.oracle(hourlyPriceCtes +
+      """
+      SELECT token0, token1, hour, CAST(k_volume AS BIGINT) AS k_volume,
+             CAST(total AS BIGINT) AS total, swap_count
+      FROM hourly_price_cte"""),
+    "hourly_tvl_delta_by_token" -> Fixtures.oracle(hourlyTvlCtes +
+      """
+      SELECT key_hash, hour, token, CAST(delta AS BIGINT) AS delta
+      FROM hourly_tvl_cte"""),
     "last_24h_pool_stats" -> last24hPoolStatsOracle)
 }

@@ -43,7 +43,9 @@ object Sessions {
         max($"t").as("session_end"),
         (max($"t") - min($"t")).as("duration_secs"),
         count(lit(1)).as("n_events"),
-        sum($"cents").cast(DecimalType(38, 0)).as("total_cents"))
+        // internal sum stays decimal-exact; final output canonicalized to
+        // BIGINT (integer cents fit int64) so both engines hash identically
+        sum($"cents").cast(LongType).as("total_cents"))
   }
 
   val sessionizeOracle: String = Fixtures.oracle(
@@ -63,7 +65,7 @@ object Sessions {
               MAX(t) AS session_end,
               MAX(t) - MIN(t) AS duration_secs,
               COUNT(1) AS n_events,
-              CAST(SUM(cents) AS DECIMAL(38,0)) AS total_cents
+              CAST(SUM(cents) AS BIGINT) AS total_cents
        FROM numbered
        GROUP BY user_id, session_no""")
 
@@ -78,7 +80,7 @@ object Sessions {
         count(lit(1)).as("n_events"),
         sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
         sum(when($"event_type" === "error", 1L).otherwise(0L)).as("errors"),
-        sum($"cents".cast(DecimalType(18, 0))).cast(DecimalType(38, 0)).as("total_cents"))
+        sum($"cents".cast(DecimalType(18, 0))).cast(LongType).as("total_cents"))
   }
 
   val userDailyOracle: String = Fixtures.oracle(
@@ -87,7 +89,7 @@ object Sessions {
               COUNT(1) AS n_events,
               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-              CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS total_cents
+              CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS BIGINT) AS total_cents
        FROM ek
        GROUP BY 1, 2""")
 

@@ -30,11 +30,16 @@ object Tokens {
     val v3 = spark.table("token_registrations_v3")
       .select($"address", $"event_id", $"name", $"symbol", $"decimals", $"total_supply")
 
-    val validated = v1.unionByName(v3)
-      .filter(
-        length($"symbol") > 1 && length($"symbol") < 10 &&
-          $"symbol".rlike(asciiRe) &&
-          length($"name") < 128 && $"name".rlike(asciiRe))
+    // memoized: the union + decode + double-rlike validation feeds three
+    // consumers (perAddress, firstOfSymbol, and the join probe) — without the
+    // persist the whole decode tree executes three times
+    val validated = graft.util.Memo.cached(spark, sfDir, "token_regs_validated") {
+      v1.unionByName(v3)
+        .filter(
+          length($"symbol") > 1 && length($"symbol") < 10 &&
+            $"symbol".rlike(asciiRe) &&
+            length($"name") < 128 && $"name".rlike(asciiRe))
+    }
 
     val perAddress = validated.groupBy($"address")
       .agg(min($"event_id").as("first_registration_id"),
@@ -43,14 +48,17 @@ object Tokens {
     val firstOfSymbol = validated.groupBy(lower($"symbol").as("lower_symbol"))
       .agg(min($"event_id").as("first_id"))
 
-    perAddress.as("iba")
+    // both aggregates are token-registry-sized → broadcast them so the fact
+    // side never shuffles
+    broadcast(perAddress).as("iba")
       .join(validated.as("vr"),
         $"iba.address" === $"vr.address" &&
           $"iba.last_registration_id" === $"vr.event_id")
-      .join(firstOfSymbol.as("fr"),
+      .join(broadcast(firstOfSymbol).as("fr"),
         $"fr.lower_symbol" === lower($"vr.symbol") &&
           $"iba.first_registration_id" === $"fr.first_id")
-      .select($"iba.address", $"vr.name", $"vr.symbol", $"vr.decimals", $"vr.total_supply")
+      .select($"iba.address", $"vr.name", $"vr.symbol", $"vr.decimals",
+        $"vr.total_supply".cast("long").as("total_supply"))
   }
 
   /** Oracle: short-string unpack inlined as byte arithmetic (fixture names are
@@ -81,7 +89,8 @@ object Tokens {
          first_of_symbol AS (
            SELECT LOWER(symbol) AS lower_symbol, MIN(event_id) AS first_id
            FROM validated GROUP BY 1)
-         SELECT iba.address, vr.name, vr.symbol, vr.decimals, vr.total_supply
+         SELECT iba.address, vr.name, vr.symbol, vr.decimals,
+                CAST(vr.total_supply AS BIGINT) AS total_supply
          FROM per_address iba
          JOIN validated vr
            ON iba.address = vr.address AND iba.last_registration_id = vr.event_id

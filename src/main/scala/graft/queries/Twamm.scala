@@ -110,7 +110,13 @@ object Twamm {
          LEFT JOIN active_after_lvoe a ON l.key_hash = a.key_hash)"""
 
   val twammPoolStatesOracle: String = Fixtures.oracle(
-    CoreViews.poolStatesCtes + twammPoolStatesCtes + "\nSELECT * FROM twamm_pool_states_cte")
+    CoreViews.poolStatesCtes + twammPoolStatesCtes +
+      """
+      SELECT pool_key_hash,
+             CAST(token0_sale_rate AS BIGINT) AS token0_sale_rate,
+             CAST(token1_sale_rate AS BIGINT) AS token1_sale_rate,
+             last_virtual_execution_time, last_event_id
+      FROM twamm_pool_states_cte""")
 
   /** twamm_sale_rate_deltas (materialized semantics, dao.ts:817-851): future
     * sale-rate change schedule — only times strictly after the pool's last
@@ -138,8 +144,8 @@ object Twamm {
       .select(
         $"key_hash".as("pool_key_hash"),
         $"time",
-        $"d0".cast(dec38).as("net_sale_rate_delta0"),
-        $"d1".cast(dec38).as("net_sale_rate_delta1"))
+        $"d0".cast(LongType).as("net_sale_rate_delta0"),
+        $"d1".cast(LongType).as("net_sale_rate_delta1"))
   }
 
   val twammSaleRateDeltasOracle: String = Fixtures.oracle(
@@ -157,8 +163,8 @@ object Twamm {
          FROM all_order_deltas GROUP BY key_hash, time)
        SELECT s.key_hash AS pool_key_hash,
               s.time,
-              CAST(s.d0 AS DECIMAL(38,0)) AS net_sale_rate_delta0,
-              CAST(s.d1 AS DECIMAL(38,0)) AS net_sale_rate_delta1
+              CAST(s.d0 AS BIGINT) AS net_sale_rate_delta0,
+              CAST(s.d1 AS BIGINT) AS net_sale_rate_delta1
        FROM summed s
        JOIN twamm_pool_states_cte t
          ON t.pool_key_hash = s.key_hash AND t.last_virtual_execution_time < s.time
@@ -216,8 +222,13 @@ object Twamm {
   val splinePoolsOracle: String = Fixtures.oracle(
     "SELECT DISTINCT pool_key_hash FROM liquidity_updated")
 
+  // twamm_pool_states output canonicalizes sale rates to BIGINT; the memoized
+  // decimal-typed view above stays unchanged for downstream consumers.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "twamm_pool_states" -> (twammPoolStates _),
+    "twamm_pool_states" -> ((s: SparkSession, d: String) =>
+      twammPoolStates(s, d)
+        .withColumn("token0_sale_rate", col("token0_sale_rate").cast(LongType))
+        .withColumn("token1_sale_rate", col("token1_sale_rate").cast(LongType))),
     "twamm_sale_rate_deltas" -> (twammSaleRateDeltas _),
     "limit_order_pool_states" -> (limitOrderPoolStates _),
     "oracle_pool_states" -> (oraclePoolStates _),
