@@ -16,15 +16,25 @@ object Bench {
 
     // stable (sorted) execution order so per-query timings are comparable
     // across runs; shared-plan cache fills land on the same first consumer
+    var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must surface as a FAILURE, never as a fast timing
+      // (pre-round-1 commit bfe8d10 was exactly this bug): the elapsed time
+      // is still recorded honestly, the name lands in "failures", and the
+      // process exits nonzero so the driver can't mistake the run for clean
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failures ::= name
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -378,7 +378,18 @@ object Fixtures {
              CAST(cents * 4 AS DECIMAL(18,0)) AS amount1,
              CAST(CAST(FLOOR(CAST(cents AS DOUBLE) / 100) AS BIGINT) AS DECIMAL(18,0)) AS protocol_fees0,
              CAST(CAST(FLOOR(CAST(cents AS DOUBLE) / 100) AS BIGINT) AS DECIMAL(18,0)) AS protocol_fees1
-      FROM ek WHERE bucket = 99 AND user_id % 2 = 1 AND user_id % 6 != 0""")
+      FROM ek WHERE bucket = 99 AND user_id % 2 = 1 AND user_id % 6 != 0""",
+
+    // embeddings_aug: near-dup input = the corpus plus two copies of vector 0
+    // under fresh ids. The driver corpus has no cosine ≥ 0.99 pair at any sf,
+    // so sim_embedding_near_dup's threshold branch never fired (rounds 1-3);
+    // the duplicates make it return a deterministic positive answer — pairs
+    // (0, 1000000), (0, 1000001), (1000000, 1000001) at cosine 1.0 — on both
+    // engines (dialect-common SQL, same rows everywhere).
+    "embeddings_aug" -> s"""
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0
+      UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 0""")
 
   /** Names of the derived fixture views (excludes driver base tables). */
   val factTables: Seq[String] = defs.map(_._1)

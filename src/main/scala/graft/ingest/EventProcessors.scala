@@ -65,6 +65,41 @@ object EventProcessors {
         hex(sra.value), tick.value.toInt, dec(liq.value))
     })
 
+  /** Shared layout of PositionFeesCollected / ProtocolFeesPaid
+    * (events/core.ts:51-58 and :91-97, both `pool_key, position_key
+    * (salt u128, owner, bounds), delta`): the dao writes both to
+    * identically-shaped tables (dao.ts:2003-2027 / :2114-2138). */
+  private def poolPositionDeltaProcessor(name: String, selector: String): Processor =
+    Processor(
+      name, "core", selector,
+      StructType(poolKeyFields ++ Seq(
+        StructField("owner", StringType), StructField("salt", StringType),
+        StructField("lower_bound", IntegerType), StructField("upper_bound", IntegerType),
+        StructField("delta0", DecimalType(38, 0)), StructField("delta1", DecimalType(38, 0)))),
+      data => {
+        val pk = FeltDecode.parsePoolKey(data, 0)
+        val salt = FeltDecode.parseU128(data, pk.next)
+        val owner = FeltDecode.parseAddress(data, salt.next)
+        val lower = FeltDecode.parseI129(data, owner.next)
+        val upper = FeltDecode.parseI129(data, lower.next)
+        val d0 = FeltDecode.parseI129(data, upper.next)
+        val d1 = FeltDecode.parseI129(data, d0.next)
+        val k = pk.value
+        Row(hex(k.token0), hex(k.token1), dec(k.fee), k.tickSpacing.toInt,
+          hex(k.extension), hex(owner.value), hex(salt.value),
+          lower.value.toInt, upper.value.toInt, dec(d0.value), dec(d1.value))
+      })
+
+  /** PositionFeesCollected (eventProcessors.ts:138-151, 0x96982a...1100). */
+  val positionFeesCollected: Processor = poolPositionDeltaProcessor(
+    "position_fees_collected",
+    "0x96982abd597114bdaa4a60612f87fabfcc7206aa12d61c50e7ba1e6c291100")
+
+  /** ProtocolFeesPaid (eventProcessors.ts:194-207, 0x5dacf5...c4e5). */
+  val protocolFeesPaid: Processor = poolPositionDeltaProcessor(
+    "protocol_fees_paid",
+    "0x5dacf59794364ad1555bb3c9b2346afa81e57e5c19bb6bae0d22721c96c4e5")
+
   /** PositionUpdated (events/core.ts:24-45, selector 0x03a7ad...946e). */
   val positionUpdated: Processor = Processor(
     "position_updates", "core",
@@ -277,16 +312,25 @@ object EventProcessors {
         ref.value.map(hex).orNull)
     })
 
+  /** One proposal call: target, entry-point selector, calldata span — the
+    * reference's per-call child row (dao.ts:2525-2560). */
+  val callType: StructType = StructType(Seq(
+    StructField("to_address", StringType), StructField("selector", StringType),
+    StructField("calldata", ArrayType(StringType))))
+
   /** Governor Proposed (events/governor.ts:21-32, 0x02a98c...ba3f): nested
     * span-of-calls with span calldata (S4/S5), trailing optional config
-    * version (S7); flattened to per-proposal stats. */
+    * version (S7). Calls are emitted as a typed ARRAY column — the decode
+    * keeps the full structure the reference persists as child rows
+    * (dao.ts:2525-2560); [[governorProposalCalls]] posexplodes it into the
+    * `governor_proposed_calls` child-table shape. */
   val governorProposed: Processor = Processor(
     "governor_proposed", "governor",
     "0x02a98c37f5b13fe14803e72b284c81be9ebbedc6cf74ed8d1489ed74951cba3f",
     StructType(Seq(
       StructField("id", StringType), StructField("proposer", StringType),
       StructField("config_version", LongType),
-      StructField("n_calls", IntegerType), StructField("n_calldata_words", IntegerType))),
+      StructField("calls", ArrayType(callType)))),
     data => {
       val id = FeltDecode.parseFelt252(data, 0)
       val proposer = FeltDecode.parseAddress(data, id.next)
@@ -300,7 +344,7 @@ object EventProcessors {
       val cfg = FeltDecode.backwardsCompatible(FeltDecode.parseU64)(data, calls.next)
       Row(hex(id.value), hex(proposer.value),
         cfg.value.map(_.toLong).map(Long.box).orNull,
-        calls.value.length, calls.value.map(_._3.length).sum)
+        calls.value.map { case (to, sel, cd) => Row(hex(to), hex(sel), cd.map(hex)) })
     })
 
   /** Governor Voted (events/governor.ts:35-41, 0x5c9afa...162). */
@@ -326,17 +370,34 @@ object EventProcessors {
     data => Row(hex(FeltDecode.parseFelt252(data, 0).value)))
 
   /** Governor Executed (events/governor.ts:57-62, 0x01f431...ab78):
-    * span-of-span results flattened to word counts. */
+    * span-of-span results kept as a nested ARRAY column — the per-result
+    * word rows the reference persists (dao.ts:2580-2614) are derived by
+    * [[governorExecutionResults]]. */
   val governorExecuted: Processor = Processor(
     "governor_executed", "governor",
     "0x01f4317aae43f6c24b2b85c6d8b21d5fa0a28cee0476cd52ca5d60d4787aab78",
     StructType(Seq(
-      StructField("id", StringType), StructField("n_results", IntegerType),
-      StructField("n_result_words", IntegerType))),
+      StructField("id", StringType),
+      StructField("results", ArrayType(ArrayType(StringType))))),
     data => {
       val id = FeltDecode.parseFelt252(data, 0)
       val results = FeltDecode.parseSpanOf(FeltDecode.parseSpanOf(FeltDecode.parseFelt252))(data, id.next)
-      Row(hex(id.value), results.value.length, results.value.map(_.length).sum)
+      Row(hex(id.value), results.value.map(_.map(hex)))
+    })
+
+  /** Governor CreationThresholdBreached (events/governor.ts:49-55,
+    * 0xda0eb1...9baf): the reference routes it to the canceled table
+    * (eventProcessors.ts:365-379 "just use the canceled table") — union
+    * this frame's `id` with `governor_canceled` to mirror that. */
+  val governorCreationThresholdBreached: Processor = Processor(
+    "governor_creation_threshold_breached", "governor",
+    "0xda0eb1cb71bdbfac21648d8b87024714f7eb6207978c7eb359a20144a99baf",
+    StructType(Seq(
+      StructField("id", StringType), StructField("breach_timestamp", LongType))),
+    data => {
+      val id = FeltDecode.parseFelt252(data, 0)
+      val ts = FeltDecode.parseU64(data, id.next)
+      Row(hex(id.value), ts.value.toLong)
     })
 
   /** Governor Described (events/governor.ts:65-69, 0x8643a1...7a9):
@@ -398,6 +459,12 @@ object EventProcessors {
         graft.functions.Felts.parseShortStringImpl(new java.math.BigDecimal(sym.value.bigInteger)),
         decs.value, dec(supply.value))
     })
+
+  /** Token registration from the v2 registry (eventProcessors.ts:238-252):
+    * identical payload/parser to v1, separate deployed contract. Shares the
+    * v1 output name — [[decodeAll]] unions same-name frames, mirroring the
+    * reference's shared `insertRegistration` target table. */
+  val tokenRegisteredV2: Processor = tokenRegistered.copy(contract = "token_registry_v2")
 
   /** Token registration v3 (events/tokenRegistry.ts:23-30): ByteArray
     * name/symbol (same selector, different contract). */
@@ -502,13 +569,17 @@ object EventProcessors {
         dec(a0.value), dec(a1.value), dec(pf0.value), dec(pf1.value))
     })
 
+  /** The full 29-processor registry — one entry per `fromAddress` filter in
+    * the reference's eventProcessors.ts. */
   val registry: Seq[Processor] = Seq(
-    swapped, positionUpdated, poolInitialized, feesAccumulated, protocolFeesWithdrawn,
+    swapped, positionUpdated, positionFeesCollected, poolInitialized,
+    feesAccumulated, protocolFeesWithdrawn, protocolFeesPaid,
     orderUpdated, orderProceedsWithdrawn, virtualOrdersExecuted,
     staked, withdrawn, nftTransfer, mintedWithReferrer, legacyPositionMinted,
-    governorProposed, governorVoted, governorCanceled, governorExecuted,
+    governorProposed, governorVoted, governorCanceled,
+    governorCreationThresholdBreached, governorExecuted,
     governorDescribed, governorReconfigured,
-    tokenRegistered, tokenRegisteredV3, oracleSnapshot,
+    tokenRegistered, tokenRegisteredV2, tokenRegisteredV3, oracleSnapshot,
     limitOrderPlaced, limitOrderClosed, liquidityUpdated)
 
   /** Fan a raw event batch out to typed fact frames. Raw schema:
@@ -533,5 +604,30 @@ object EventProcessors {
           Row.fromSeq(r.getLong(0) +: decoded.toSeq)
         }(Encoders.row(metaSchema))
       p.name -> out.toDF()
-    }.toMap
+    }
+      // same-name processors (the v1/v2 registry routes) share one output
+      // table, exactly like the reference's shared insertRegistration
+      .groupBy(_._1)
+      .map { case (name, frames) => name -> frames.map(_._2).reduce(_ unionByName _) }
+
+  /** S9 child rows: one row per proposal call (dao.ts:2525-2560), derived
+    * from the decoded `governor_proposed` frame by posexplode — the Spark
+    * analogue of the reference's per-call INSERT loop. */
+  def governorProposalCalls(proposed: DataFrame): DataFrame =
+    proposed
+      .select(col("event_id"), col("id").as("proposal_id"),
+        posexplode(col("calls")).as(Seq("index", "call")))
+      .select(col("event_id"), col("proposal_id"), col("index"),
+        col("call.to_address").as("to_address"), col("call.selector").as("selector"),
+        col("call.calldata").as("calldata"))
+
+  /** S9 child rows: one row per execution-result word (dao.ts:2580-2614);
+    * empty result spans keep a row with a NULL word (posexplode_outer) so
+    * no executed call disappears from the child table. */
+  def governorExecutionResults(executed: DataFrame): DataFrame =
+    executed
+      .select(col("event_id"), col("id").as("proposal_id"),
+        posexplode(col("results")).as(Seq("index", "span")))
+      .select(col("event_id"), col("proposal_id"), col("index"),
+        posexplode_outer(col("span")).as(Seq("word_index", "result_word")))
 }

@@ -19,10 +19,13 @@ object Ingest {
   def eventId(block: Column, txIndex: Column, eventIndex: Column): Column =
     block.cast(LongType) * 4294967296L + txIndex.cast(LongType) * 65536L + eventIndex.cast(LongType)
 
-  /** Inverse of [[eventId]]: the block number a fact belongs to. (Exact:
-    * ids stay below 2^52, so the double division is lossless.) */
-  def blockOf(eventId: Column): Column =
-    floor(eventId / 4294967296L).cast(LongType)
+  /** Inverse of [[eventId]]: the block number a fact belongs to — a pure
+    * bit-shift projection (the packing multiplier is 2^32), exact for the
+    * full non-negative long range. Because every fact carries event_id,
+    * queries never need a fact-sized join to `event_keys` just to recover
+    * the block number: `withColumn("block_number", blockOf($"event_id"))`
+    * followed by a broadcast join to `blocks` replaces it shuffle-free. */
+  def blockOf(eventId: Column): Column = shiftright(eventId, 32)
 
   /** SHA-256 pool-key hash over the fixed-width big-endian field encoding
     * (poolKeyHash.ts:4-14): token0/token1/extension as 32-byte words, fee and

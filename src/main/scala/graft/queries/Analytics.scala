@@ -111,9 +111,10 @@ object Analytics {
 
     val swaps = spark.table("swaps")
     val pools = spark.table("pool_keys")
-    val ek = spark.table("event_keys").select($"id", $"block_number")
     val blocks = spark.table("blocks").select($"number", $"time")
 
+    // block_number = blockOf(event_id) is a pure projection (dao.ts:124
+    // packing) — only the broadcast block-dimension join remains
     val swapsPk = swaps.filter($"liquidity_after" =!= 0)
       .join(broadcast(pools.select($"key_hash", $"token0", $"token1")),
         $"pool_key_hash" === $"key_hash")
@@ -121,13 +122,13 @@ object Analytics {
     // last swap time per token pair (dao.ts:1096-1122)
     val lastSwapTime = swapsPk
       .groupBy($"token0", $"token1").agg(max($"event_id").as("last_id"))
-      .join(ek, $"last_id" === $"id")
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"last_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .select($"token0", $"token1", $"time".as("last_time"))
 
     // exact median tick over the trailing hour (dao.ts:1113-1130)
     val medianTicks = swapsPk
-      .join(ek, swapsPk("event_id") === ek("id"))
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .join(broadcast(lastSwapTime), Seq("token0", "token1"))
       .filter($"time" >= $"last_time" - 3600)

@@ -31,17 +31,18 @@ object Governance {
   private val dec38 = DecimalType(38, 0)
   private val dec3810 = DecimalType(38, 10)
 
-  /** Stake deltas (staked +, withdrawn −) with block times. */
+  /** Stake deltas (staked +, withdrawn −) with block times. block_number is
+    * a projection off event_id (Ingest.blockOf) — the only join is the
+    * broadcast block dimension, never a fact-sized event_keys shuffle. */
   private def stakeFacts(spark: SparkSession, who: String): DataFrame = {
     import spark.implicits._
-    val ek = spark.table("event_keys").select($"id", $"block_number")
     val blocks = spark.table("blocks").select($"number", $"time")
     val staked = spark.table("staker_staked")
       .select(col(who).as("party"), $"event_id", $"amount".cast(DecimalType(19, 0)).as("delta"))
     val withdrawn = spark.table("staker_withdrawn")
       .select(col(who).as("party"), $"event_id", negate($"amount").cast(DecimalType(19, 0)).as("delta"))
     staked.unionByName(withdrawn)
-      .join(ek, $"event_id" === $"id")
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .select($"party", $"time", $"delta")
   }
@@ -54,12 +55,11 @@ object Governance {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val ek = spark.table("event_keys").select($"id", $"block_number")
     val blocks = spark.table("blocks").select($"number", $"time")
 
     // proposal windows [proposal_time, vote_start] (dao.ts:1233-1245)
     val props = spark.table("governor_proposed").as("gp")
-      .join(ek.withColumnRenamed("id", "ekid"), $"gp.event_id" === $"ekid")
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"gp.event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .join(broadcast(spark.table("governor_reconfigured").as("gr")),
         $"gp.config_version" === $"gr.version")
@@ -256,10 +256,9 @@ object Governance {
       .agg(sum($"reward").as("staker_reward"))
 
     // delegate vote-weight rewards over proposals in the window (Step 8-10)
-    val ek = spark.table("event_keys").select($"id", $"block_number")
     val blocks = spark.table("blocks").select($"number", $"time")
     val proposalsInPeriod = spark.table("governor_proposed").as("gp")
-      .join(ek.withColumnRenamed("id", "ekid"), $"gp.event_id" === $"ekid")
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"gp.event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .crossJoin(win)
       .filter($"time".between($"w_start", $"w_end"))

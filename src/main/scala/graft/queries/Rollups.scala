@@ -31,13 +31,16 @@ object Rollups {
   /** 2^128 (Q128 fixed-point divisor of the fee math, dao.ts:1552-1554). */
   private val two128 = lit(3.402823669209385e38)
 
-  /** Fact joined to event_keys ⋈ blocks (broadcast) with an hour column. */
+  /** Fact with block time + hour columns. The block number is a pure
+    * projection off the packed event_id (`blockOf` = shift; dao.ts:124
+    * invariant), so the only join is the broadcast to the block-dimension —
+    * a fact-sized shuffle join to `event_keys` here was the costliest
+    * avoidable exchange in the rollup family (VERDICT r2/r3). */
   private def withHour(spark: SparkSession, fact: DataFrame): DataFrame = {
-    val ek = spark.table("event_keys").select(col("id"), col("block_number"))
     val blocks = spark.table("blocks").select(col("number"), col("time"))
     fact
-      .join(ek, fact("event_id") === ek("id"))
-      .join(broadcast(blocks), ek("block_number") === blocks("number"))
+      .withColumn("block_number", graft.ingest.Ingest.blockOf(col("event_id")))
+      .join(broadcast(blocks), col("block_number") === blocks("number"))
       .withColumn("hour", col("time") - col("time") % 3600)
   }
 
@@ -221,9 +224,10 @@ object Rollups {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    // per-block, per-token-pair swap deltas first (dao.ts:1658-1667)
+    // per-block, per-token-pair swap deltas first (dao.ts:1658-1667);
+    // block_number is a projection off event_id — no event_keys join
     val perBlock = withPools(spark, spark.table("swaps")
-      .join(spark.table("event_keys").select($"id", $"block_number"), $"event_id" === $"id"),
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"event_id")),
       "pool_key_hash")
       .groupBy($"block_number", $"token0", $"token1")
       .agg(

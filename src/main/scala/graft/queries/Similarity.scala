@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,18 +9,23 @@ import graft.fixtures.Fixtures
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Two paths:
+  * Three paths:
   *  - brute-force cosine top-k — the exact baseline; at scale this is the
   *    per-partition score+local-top-k / global-top-k pattern;
   *  - random-hyperplane LSH buckets → candidate generation → exact re-rank —
   *    the scale path: the expensive pairing is replaced by an equi-join on
-  *    the bucket id, shrinking candidates by ~2^planes.
+  *    the bucket id, shrinking candidates by ~2^planes;
+  *  - IVF-style coarse quantization → probe own cell → exact re-rank.
   *
-  * Determinism: dot products / norms are per-element double products cast to
-  * DECIMAL(38,12) and summed exactly (order-independent — a raw double SUM
-  * differs across engines/partitionings). The LSH planes are integer-valued
-  * (pseudo-random from plane/dim index arithmetic), so bucket ids are exact
-  * integers and the whole ANN path is oracle-checkable.
+  * Every dot product / norm / hyperplane projection is ONE codegen'd
+  * `aggregate(...)` fold over the vector arrays — never a posexplode into
+  * 64 element rows joined on (vec_id, idx) (that paid a 64× row blow-up plus
+  * a shuffle per dot; flagged in rounds 1-3). Folds accumulate per-element
+  * double products cast to DECIMAL(38,12) and sum exactly, so an index-order
+  * fold equals the oracle's order-independent decimal SUM bit-for-bit. The
+  * LSH planes are integer-valued (pseudo-random from plane/dim index
+  * arithmetic), so bucket ids are exact integers and the whole ANN path is
+  * oracle-checkable.
   */
 object Similarity {
 
@@ -29,69 +34,82 @@ object Similarity {
   /** Queries = every 50th vector. */
   private val queryFilter = "vec_id % 50 = 0"
 
-  /** (vec_id, idx, val) exploded vector elements + per-vector norms —
-    * memoized: all three similarity queries share them. */
-  private def elements(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "sim_elements") {
-      import spark.implicits._
-      spark.table("embeddings")
-        .select($"vec_id", posexplode($"embedding").as(Seq("idx", "v")))
-        .select($"vec_id", $"idx", $"v".cast(DoubleType).as("v"))
+  /** Exact decimal dot product of two array columns: one codegen'd
+    * `aggregate(zip_with(...))` fold per pair — no element explosion, no
+    * pre-aggregation shuffle. The merge result must be cast back: Spark
+    * types (38,12)+(38,12) as (38,11), which would not match the
+    * accumulator type. */
+  private def dotExpr(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), " +
+      "CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))")
+
+  /** Exact decimal squared norm of an array column (same fold). */
+  private def normSqExpr(a: String): Column = expr(
+    s"aggregate($a, CAST(0 AS DECIMAL(38,12)), (acc, x) -> " +
+      "CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12)))")
+
+  /** 12-plane random-hyperplane LSH bucket id as ONE nested fold per vector:
+    * the outer fold walks planes p=0..11, the inner fold computes the exact
+    * decimal projection against plane weights w(p,j) = ((p*37 + j*13) % 19)
+    * - 9; sign bits pack into a 12-bit bucket. Zero joins, zero shuffles —
+    * a pure projection over the scan. */
+  private def bucketExpr(emb: String): Column = expr(
+    s"""aggregate(sequence(0, 11), CAST(0 AS BIGINT), (acc, p) -> acc +
+          IF(aggregate(sequence(0, size($emb) - 1), CAST(0 AS DECIMAL(38,12)), (a, j) ->
+               CAST(a + CAST(CAST((p * 37 + j * 13) % 19 - 9 AS DOUBLE)
+                             * CAST($emb[j] AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12)))
+             >= 0, SHIFTLEFT(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
+
+  /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
+    * because every similarity query consumes it. */
+  private def vecs(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, s"sim_vecs_$table") {
+      spark.table(table).select(col("vec_id"), col("embedding"),
+        normSqExpr("embedding").as("norm_sq"))
     }
 
-  private def norms(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "sim_norms") {
-      import spark.implicits._
-      elements(spark, sfDir)
-        .groupBy($"vec_id")
-        .agg(sum(($"v" * $"v").cast(dec3812)).as("norm_sq"))
+  /** LSH bucket per vector — shared by ANN + near-dup. */
+  private def lshBuckets(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, s"sim_buckets_$table") {
+      spark.table(table).select(col("vec_id"), bucketExpr("embedding").as("bucket"))
     }
 
-  /** Random-hyperplane LSH bucket per vector — shared by ANN + near-dup. */
-  private def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "sim_buckets") {
-      import spark.implicits._
-      val el = elements(spark, sfDir)
-      val planes = spark.range(12).select($"id".cast(IntegerType).as("p"))
-      el.join(broadcast(planes))
-        .withColumn("w", (($"p" * 37 + $"idx" * 13) % 19 - 9).cast(DoubleType))
-        .groupBy($"vec_id", $"p")
-        .agg(sum(($"w" * $"v").cast(dec3812)).as("proj"))
-        .groupBy($"vec_id")
-        .agg(sum(when($"proj" >= 0,
-          pow(lit(2.0), $"p".cast(DoubleType)).cast(LongType)).otherwise(0L)).as("bucket"))
-    }
+  private def cosineCol: Column =
+    col("dot").cast(DoubleType) /
+      (sqrt(col("qn").cast(DoubleType)) * sqrt(col("norm_sq").cast(DoubleType)))
 
-  /** Exact cosine top-5 neighbors for each query vector.
-    *
-    * Dots are one codegen'd fold per (query, vector) pair —
-    * `aggregate(zip_with(...))` over the arrays — instead of exploding
-    * 64 element rows per pair into a join+groupBy: ~64× less intermediate
-    * data, no shuffle before the top-k window. The decimal fold is exact,
-    * so it equals the oracle's order-independent decimal SUM. */
+  /** Exact re-rank of (qid, vec_id) candidate pairs: broadcast the
+    * (candidates ⋈ query vectors) side — query vectors are 1/50th of the
+    * corpus and candidates are bucket-bounded — and probe the full vector
+    * set without a shuffle; one fold per pair, then top-k per query. */
+  private def rerank(v: DataFrame, qv: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val scored = v
+      .join(broadcast(candidates.join(qv, Seq("qid"))), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        dotExpr("embedding", "qemb").as("dot"), col("qn"), col("norm_sq"))
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast(LongType).as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact cosine top-5 neighbors for each query vector. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val vecs = spark.table("embeddings").select($"vec_id", $"embedding")
-    val qvecs = vecs.filter(expr(queryFilter))
-      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    val v = vecs(spark, sfDir)
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
 
-    val dots = vecs.crossJoin(broadcast(qvecs))
+    val scored = v.crossJoin(broadcast(qv))
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id", expr(
-        // the merge result must be cast back: Spark types (38,12)+(38,12)
-        // as (38,11), which would not match the accumulator type
-        "aggregate(zip_with(embedding, qemb, " +
-          "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), " +
-          "CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))").as("dot"))
-
-    val n = norms(spark, sfDir)
-    val scored = dots
-      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
-      .join(n, Seq("vec_id"))
-      .withColumn("cosine", $"dot".cast(DoubleType) /
-        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
+      .select($"qid", $"vec_id", dotExpr("embedding", "qemb").as("dot"), $"qn", $"norm_sq")
+      .withColumn("cosine", cosineCol)
 
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
     scored
@@ -101,18 +119,31 @@ object Similarity {
         $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
   }
 
-  /** Shared oracle CTEs: exploded elements, norms. */
-  private val elementCtes: String =
-    """, el AS (
+  /** Shared oracle CTEs over `table`: exploded elements, norms. (The oracle
+    * side stays exploded — DuckDB has no zip_with fold; decimal SUM over
+    * elements is order-independent and equals the Spark-side fold.) */
+  private def elementCtes(table: String): String =
+    s""", el AS (
          SELECT e.vec_id, CAST(t.i AS INT) AS idx,
                 CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
-         FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(i)),
+         FROM $table e, UNNEST(range(len(e.embedding))) AS t(i)),
        nrm AS (
          SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS norm_sq
          FROM el GROUP BY vec_id)"""
 
+  private val bucketCte: String =
+    """, buckets AS (
+         SELECT vec_id,
+                SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
+         FROM (
+           SELECT el.vec_id, CAST(t.p AS INT) AS p,
+                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
+           FROM el, UNNEST(range(12)) AS t(p)
+           GROUP BY 1, 2) pr
+         GROUP BY vec_id)"""
+
   val cosineTopKOracle: String = Fixtures.oracle(
-    elementCtes +
+    elementCtes("embeddings") +
       s""", dots AS (
          SELECT q.vec_id AS qid, d.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
          FROM el q JOIN el d ON q.idx = d.idx AND d.vec_id != q.vec_id
@@ -134,13 +165,12 @@ object Similarity {
        FROM ranked WHERE rank <= 5""")
 
   /** LSH-bucketed ANN: 12 integer hyperplanes → sign-bit bucket id, then
-    * exact cosine re-rank within the bucket, top-3 per query. Plane weight
-    * for (plane p, dim j) = ((p*37 + j*13) % 19) - 9. */
+    * exact cosine re-rank within the bucket, top-3 per query. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark, sfDir)
+    val v = vecs(spark, sfDir)
     val buckets = lshBuckets(spark, sfDir)
 
     val qb = buckets.filter(expr(queryFilter))
@@ -149,39 +179,14 @@ object Similarity {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
 
-    // exact re-rank of in-bucket candidates only; the candidate×query-element
-    // side is tiny, so it broadcasts and el is probed without a shuffle
-    val qel = el.select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
-    val dots = el
-      .join(broadcast(candidates.join(qel, Seq("qid"))), Seq("vec_id", "idx"))
-      .groupBy($"qid", $"vec_id")
-      .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
-
-    val n = norms(spark, sfDir)
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-    dots
-      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
-      .join(n, Seq("vec_id"))
-      .withColumn("cosine", $"dot".cast(DoubleType) /
-        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
-        $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    rerank(v, qv, candidates, 3)
   }
 
   val annLshOracle: String = Fixtures.oracle(
-    elementCtes +
-      s""", buckets AS (
-         SELECT vec_id,
-                SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
-         FROM (
-           SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
-           FROM el, UNNEST(range(12)) AS t(p)
-           GROUP BY 1, 2) pr
-         GROUP BY vec_id),
-       candidates AS (
+    elementCtes("embeddings") + bucketCte +
+      s""", candidates AS (
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
          WHERE q.$queryFilter),
@@ -208,29 +213,26 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: same LSH bucketing as [[annLsh]]
     * but symmetric (a < b) with a 0.99 cosine threshold — the embedding
-    * counterpart of MinHash near-dup detection. */
+    * counterpart of MinHash near-dup detection. Reads `embeddings_aug` (the
+    * corpus plus a deterministic duplicated vector, Fixtures) because the
+    * raw corpus contains no ≥0.99 pair at any sf — the threshold branch was
+    * never exercised in rounds 1-3. Both sides stay candidate-pair-sized:
+    * two equi-joins pulling each pair's arrays, then one fold per pair. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark, sfDir)
-    val buckets = lshBuckets(spark, sfDir)
+    val v = vecs(spark, sfDir, "embeddings_aug")
+    val buckets = lshBuckets(spark, sfDir, "embeddings_aug")
 
     val pairs = buckets.as("a").join(buckets.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"))
 
-    val dots = el.select($"vec_id".as("vb"), $"idx", $"v".as("bv"))
-      .join(broadcast(pairs
-        .join(el.select($"vec_id".as("va"), $"idx", $"v".as("av")), Seq("va"))),
-        Seq("vb", "idx"))
-      .groupBy($"va", $"vb")
-      .agg(sum(($"av" * $"bv").cast(dec3812)).as("dot"))
-
-    val n = norms(spark, sfDir)
-    dots
-      .join(n.withColumnRenamed("vec_id", "va").withColumnRenamed("norm_sq", "na"), Seq("va"))
-      .join(n.withColumnRenamed("vec_id", "vb").withColumnRenamed("norm_sq", "nb"), Seq("vb"))
+    v.select($"vec_id".as("va"), $"embedding".as("aemb"), $"norm_sq".as("na"))
+      .join(pairs, Seq("va"))
+      .join(v.select($"vec_id".as("vb"), $"embedding".as("bemb"), $"norm_sq".as("nb")), Seq("vb"))
+      .select($"va", $"vb", dotExpr("aemb", "bemb").as("dot"), $"na", $"nb")
       .withColumn("cosine", $"dot".cast(DoubleType) /
         (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType))))
       .filter($"cosine" >= 0.99)
@@ -238,17 +240,8 @@ object Similarity {
   }
 
   val embeddingNearDupOracle: String = Fixtures.oracle(
-    elementCtes +
-      """, buckets AS (
-         SELECT vec_id,
-                SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
-         FROM (
-           SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
-           FROM el, UNNEST(range(12)) AS t(p)
-           GROUP BY 1, 2) pr
-         GROUP BY vec_id),
-       pairs AS (
+    elementCtes("embeddings_aug") + bucketCte +
+      """, pairs AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        dots AS (
@@ -270,33 +263,27 @@ object Similarity {
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = every 97th
     * vector, the seeded-sample stand-in for k-means) assigns each vector to
     * its max-cosine centroid; queries probe their own cell (nprobe=1) and
-    * exact-re-rank within it. At scale the assignment is one broadcast join
-    * against the centroid set and the probe is an equi-join on cluster id —
-    * the partition-pruning counterpart of the LSH path. */
+    * exact-re-rank within it. Assignment is one broadcast of the centroid
+    * ARRAYS (not exploded elements) against the vector scan — a fold per
+    * (vector, centroid) — followed by a map-side-combined min_by, so the
+    * only shuffle is centroid-count-deep. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val el = elements(spark, sfDir)
-    val n = norms(spark, sfDir)
+    val v = vecs(spark, sfDir)
 
     val assignments = graft.util.Memo.cached(spark, sfDir, "sim_ivf_assign") {
-      val cel = el.filter($"vec_id" % 97 === 3)
-        .select($"vec_id".as("cid"), $"idx", $"v".as("cv"))
-      val cn = n.filter($"vec_id" % 97 === 3)
-        .select($"vec_id".as("cid"), $"norm_sq".as("cnorm"))
-
-      val dots = el.join(broadcast(cel), Seq("idx"))
-        .groupBy($"vec_id", $"cid")
-        .agg(sum(($"v" * $"cv").cast(dec3812)).as("dot"))
-      val scored = dots
-        .join(n, Seq("vec_id")).join(broadcast(cn), Seq("cid"))
+      val cents = v.filter($"vec_id" % 97 === 3)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
+      // min_by over (-cos, cid) ≡ ROW_NUMBER(ORDER BY cos DESC, cid) = 1,
+      // but aggregates with a map-side partial instead of a window sort
+      v.crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
         .withColumn("cos", $"dot".cast(DoubleType) /
           (sqrt($"norm_sq".cast(DoubleType)) * sqrt($"cnorm".cast(DoubleType))))
-      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
-      scored.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cid".as("cluster"))
+        .groupBy($"vec_id")
+        .agg(min_by($"cid", struct(negate($"cos"), $"cid")).as("cluster"))
     }
 
     val qa = assignments.filter(expr(queryFilter))
@@ -305,26 +292,13 @@ object Similarity {
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
 
-    val qel = el.select($"vec_id".as("qid"), $"idx", $"v".as("qv"))
-    val dots = el
-      .join(broadcast(candidates.join(qel, Seq("qid"))), Seq("vec_id", "idx"))
-      .groupBy($"qid", $"vec_id")
-      .agg(sum(($"qv" * $"v").cast(dec3812)).as("dot"))
-
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-    dots
-      .join(n.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm_sq", "qn"), Seq("qid"))
-      .join(n, Seq("vec_id"))
-      .withColumn("cosine", $"dot".cast(DoubleType) /
-        (sqrt($"qn".cast(DoubleType)) * sqrt($"norm_sq".cast(DoubleType))))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
-        $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    rerank(v, qv, candidates, 3)
   }
 
   val annIvfOracle: String = Fixtures.oracle(
-    elementCtes +
+    elementCtes("embeddings") +
       s""", cel AS (SELECT vec_id AS cid, idx, v AS cv FROM el WHERE vec_id % 97 = 3),
        cn AS (SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
        cdots AS (

@@ -29,14 +29,18 @@ object Tpch {
     li.filter($"l_quantity" < 48)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        // sums accumulate in decimal (order-independent); the FINAL cast to
-        // double canonicalizes the output type across engines — unscaled
-        // values stay < 2^53 so the conversion is a single exact rounding
+        // sums accumulate in decimal (order-independent); the FINAL cast
+        // canonicalizes across engines. A scale-6 sum cast straight to double
+        // is only exact while unscaled < 2^53 (≈1.8× headroom at sf0.1) —
+        // so the sum is first rounded to scale 2 (decimal→decimal cast,
+        // HALF_UP in both engines, all values positive), which makes the
+        // double conversion exact up to ~9e13 in value: any plausible sf
         sum(qty).cast(DoubleType).as("sum_qty"),
         sum(price).cast(DoubleType).as("sum_base_price"),
-        sum(price * (lit(1).cast(dec(4, 2)) - disc)).cast(DoubleType).as("sum_disc_price"),
+        sum(price * (lit(1).cast(dec(4, 2)) - disc))
+          .cast(dec(38, 2)).cast(DoubleType).as("sum_disc_price"),
         sum(price * (lit(1).cast(dec(4, 2)) - disc) * (lit(1).cast(dec(4, 2)) + tax))
-          .cast(DoubleType).as("sum_charge"),
+          .cast(dec(38, 2)).cast(DoubleType).as("sum_charge"),
         round(sum(qty).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("avg_qty"),
         round(sum(price).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("avg_price"),
         round(sum(disc).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("avg_disc"),
@@ -48,8 +52,8 @@ object Tpch {
               l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_qty,
               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_price,
               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_disc,
@@ -78,7 +82,7 @@ object Tpch {
     // (o_orderdate, o_orderpriority) are functionally dependent on
     // o_orderkey, so joining the pre-agg is semantically identical.
     val revByOrder = li.groupBy($"l_orderkey")
-      .agg(sum($"rev").cast(DoubleType).as("revenue"))
+      .agg(sum($"rev").cast(dec(38, 2)).cast(DoubleType).as("revenue"))
 
     orders
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
@@ -90,8 +94,8 @@ object Tpch {
 
   val q3Oracle: String =
     """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
        FROM orders o
        JOIN customer c ON o.o_custkey = c.c_custkey
        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -118,14 +122,14 @@ object Tpch {
 
     li.join(broadcast(dims), $"l_suppkey" === $"s_suppkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum($"rev").cast(DoubleType).as("revenue"),
+      .agg(sum($"rev").cast(dec(38, 2)).cast(DoubleType).as("revenue"),
         count(lit(1)).as("lineitem_count"))
   }
 
   val q5Oracle: String =
     """SELECT r.r_name, n.n_name,
-              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
               COUNT(1) AS lineitem_count
        FROM lineitem l
        JOIN supplier s ON l.l_suppkey = s.s_suppkey

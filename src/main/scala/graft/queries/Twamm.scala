@@ -39,14 +39,13 @@ object Twamm {
     import spark.implicits._
 
     val voe = spark.table("twamm_virtual_order_executions")
-    val ek = spark.table("event_keys").select($"id", $"block_number")
     val blocks = spark.table("blocks").select($"number", $"time")
 
     val lvoe = voe.groupBy($"key_hash")
       .agg(max_by(struct($"event_id", $"token0_sale_rate", $"token1_sale_rate"), $"event_id").as("v"))
       .select($"key_hash", $"v.event_id".as("lvoe_event_id"),
         $"v.token0_sale_rate", $"v.token1_sale_rate")
-      .join(ek, $"lvoe_event_id" === $"id")
+      .withColumn("block_number", graft.ingest.Ingest.blockOf($"lvoe_event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
       .select($"key_hash", $"lvoe_event_id", $"token0_sale_rate", $"token1_sale_rate",
         $"time".as("last_virtual_execution_time"))
