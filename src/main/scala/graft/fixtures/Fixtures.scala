@@ -384,12 +384,13 @@ object Fixtures {
     // under fresh ids. The driver corpus has no cosine ≥ 0.99 pair at any sf,
     // so sim_embedding_near_dup's threshold branch never fired (rounds 1-3);
     // the duplicates make it return a deterministic positive answer — pairs
-    // (0, 1000000), (0, 1000001), (1000000, 1000001) at cosine 1.0 — on both
-    // engines (dialect-common SQL, same rows everywhere).
+    // (0, max+1), (0, max+2), (max+1, max+2) at cosine 1.0 — on both engines
+    // (dialect-common SQL, same rows everywhere). Synthetic ids derive from
+    // MAX(vec_id) so they can never collide with real ids at any sf.
     "embeddings_aug" -> s"""
       SELECT vec_id, embedding FROM embeddings
-      UNION ALL SELECT 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0
-      UNION ALL SELECT 1000001 AS vec_id, embedding FROM embeddings WHERE vec_id = 0""")
+      UNION ALL SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0
+      UNION ALL SELECT (SELECT MAX(vec_id) + 2 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0""")
 
   /** Names of the derived fixture views (excludes driver base tables). */
   val factTables: Seq[String] = defs.map(_._1)
@@ -422,6 +423,25 @@ object Fixtures {
     cachedViews.foreach(v => spark.sql(s"CACHE LAZY TABLE $v"))
     registeredFor.put(spark, sfDir)
   }
+
+  private val metricLoggerFor =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Log `observe()`-attached metrics (names prefixed `graft_`) to stderr
+    * when the observed query actually executes. Passive: no extra Spark job,
+    * nothing cached. Registered once per session. */
+  def ensureMetricLogger(spark: SparkSession): Unit =
+    if (metricLoggerFor.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_")) System.err.println(s"[graft] $name: $row")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
 
   /** DuckDB oracle prelude: all fixture defs as a WITH chain. Unused CTEs are
     * pruned by the optimizer, so every oracle can just prepend this. */

@@ -63,15 +63,14 @@ object Dedup {
     // dropping it bounds the inverted-index blow-up at scale. Counts are
     // computed BEFORE the cap so Jaccard denominators stay exact.
     val counts = allGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    // surface the silent cap (VERDICT r2/r3): a truncated candidate space
+    // must be visible, not implied. observe() attaches a passive metric to
+    // the executed plan — no extra job at plan-construction time, no cached
+    // frame to leak — and Fixtures' listener logs it when the query RUNS.
+    Fixtures.ensureMetricLogger(spark)
     val hotGrams = allGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" > 500).select($"gram")
-      .persist()
-    // surface the silent cap (VERDICT r2/r3): a truncated candidate space
-    // must be visible, not implied. stderr, not stdout — Bench/Verify stdout
-    // is machine-parsed. The count also materializes the persisted frame the
-    // anti-join broadcast reuses.
-    System.err.println(s"[graft] dedup_ngram_jaccard: dropping ${hotGrams.count()} " +
-      "stop-grams (df > 500) from candidate generation; Jaccard denominators stay exact")
+      .observe("graft_ngram_stopgrams_dropped", count(lit(1)).as("n_stop_grams"))
     val grams = allGrams.join(broadcast(hotGrams), Seq("gram"), "left_anti")
 
     val inter = grams.as("a").join(grams.as("b"),

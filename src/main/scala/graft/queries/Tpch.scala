@@ -32,9 +32,11 @@ object Tpch {
         // sums accumulate in decimal (order-independent); the FINAL cast
         // canonicalizes across engines. A scale-6 sum cast straight to double
         // is only exact while unscaled < 2^53 (≈1.8× headroom at sf0.1) —
-        // so the sum is first rounded to scale 2 (decimal→decimal cast,
-        // HALF_UP in both engines, all values positive), which makes the
-        // double conversion exact up to ~9e13 in value: any plausible sf
+        // so the sum is first rounded to scale 2, which makes the double
+        // conversion exact up to ~9e13 in value: any plausible sf. Spark's
+        // decimal downscale cast rounds HALF_UP; the DuckDB oracle must use
+        // ROUND(x, 2) (half-away-from-zero == HALF_UP for positives), NOT
+        // CAST(x AS DECIMAL(38,2)), whose rounding differs.
         sum(qty).cast(DoubleType).as("sum_qty"),
         sum(price).cast(DoubleType).as("sum_base_price"),
         sum(price * (lit(1).cast(dec(4, 2)) - disc))
@@ -52,8 +54,8 @@ object Tpch {
               l_linestatus,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
-              CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_charge,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_qty,
               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_price,
               ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS avg_disc,
@@ -94,8 +96,8 @@ object Tpch {
 
   val q3Oracle: String =
     """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
        FROM orders o
        JOIN customer c ON o.o_custkey = c.c_custkey
        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -128,8 +130,8 @@ object Tpch {
 
   val q5Oracle: String =
     """SELECT r.r_name, n.n_name,
-              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
               COUNT(1) AS lineitem_count
        FROM lineitem l
        JOIN supplier s ON l.l_suppkey = s.s_suppkey

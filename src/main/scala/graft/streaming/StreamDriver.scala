@@ -85,26 +85,90 @@ final class StreamDriver(
     * fromBlock are touched — the boundary bucket is rewritten with its
     * surviving rows, strictly-higher buckets are dropped outright, earlier
     * buckets are never read. (With a table format this is `DELETE WHERE`;
-    * on plain parquet it is an explicit partition-level delete+rewrite.) */
+    * on plain parquet it is an explicit partition-level delete+rewrite.)
+    *
+    * Crash-recoverable: survivors are fully materialized under
+    * `.retract_tmp` and stamped with a commit marker recording the boundary
+    * BEFORE any source file is deleted. If the process dies between the
+    * deletes and the swap, the next retract()/recoverRetract() first
+    * completes the pending swap from the marker — it never recomputes
+    * survivors from a half-deleted source, and overwrite can never clobber
+    * committed-but-unswapped survivors. */
   def retract(fromBlock: Long): Unit = {
     val path = s"$factRoot/raw_events"
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 0. finish any half-done retract first (see recoverRetract)
+    recoverRetract()
+
     val boundary = fromBlock / 4096
 
     // 1. surviving rows of the boundary bucket are written EXECUTOR-SIDE to
     //    a temp prefix — never materialized on the driver (a production
     //    bucket would OOM a driver-side collect; VERDICT r1-r3). The write
     //    fully materializes the survivors before any source file is deleted.
-    val tmp = s"$factRoot/.retract_tmp"
     Ingest.retractFacts(
         spark.read.parquet(path).filter(col("block_bucket") === boundary), fromBlock)
       .write
       .mode("overwrite")
       .partitionBy("batch_id", "block_bucket")
-      .parquet(tmp)
+      .parquet(tmpDir)
 
-    // 2. partition-level delete of every bucket at or above the boundary
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 1b. commit point: once this marker exists, the retract WILL complete
+    //     (here or on recovery) using only the materialized survivors.
+    writeMarker(fs, "DELETE", boundary)
+
+    deletePhase(fs, boundary)
+    // flip the marker AFTER all stale deletes: recovery from "SWAP" must
+    // never re-delete, because a partially-swapped survivor bucket in dest
+    // is indistinguishable from a stale one by path alone.
+    writeMarker(fs, "SWAP", boundary)
+    swapPhase(fs)
+  }
+
+  /** Complete a retract that died between its commit point and its swap.
+    * Safe to call any time (e.g. on driver startup before resuming the
+    * stream): a marker-less temp dir means the survivors write itself never
+    * committed — the source is still intact, so the temp is just discarded.
+    * Marker phase DELETE = no survivor has been renamed into place yet, so
+    * the stale deletes are redone idempotently; phase SWAP = every stale
+    * bucket is already gone, only the remaining renames are replayed. */
+  def recoverRetract(): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    val marker = new org.apache.hadoop.fs.Path(tmpDir, MarkerName)
+    if (fs.exists(marker)) {
+      val Array(phase, b) = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in).mkString.trim.split(' ') finally in.close()
+      }
+      val boundary = b.toLong
+      if (phase == "DELETE") {
+        deletePhase(fs, boundary)
+        writeMarker(fs, "SWAP", boundary)
+      }
+      swapPhase(fs)
+    } else if (fs.exists(tmpPath)) {
+      fs.delete(tmpPath, true)
+    }
+  }
+
+  private val tmpDir = s"$factRoot/.retract_tmp"
+  private val MarkerName = "_RETRACT_COMMITTED"
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      phase: String, boundary: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, MarkerName), true)
+    try out.write(s"$phase $boundary".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Step 2, idempotent: partition-level delete of every bucket ≥ boundary.
+    * Runs only while the marker is in phase DELETE — i.e. before any
+    * survivor has been renamed into the fact root. */
+  private def deletePhase(fs: org.apache.hadoop.fs.FileSystem, boundary: Long): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
     fs.listStatus(hadoopPath)
       .filter(_.getPath.getName.startsWith("batch_id="))
       .foreach { batchDir =>
@@ -113,10 +177,16 @@ final class StreamDriver(
           .filter(_.getPath.getName.stripPrefix("block_bucket=").toLong >= boundary)
           .foreach(st => fs.delete(st.getPath, true))
       }
+  }
 
-    // 3. swap: move the surviving partition directories into place — pure
-    //    filesystem renames (metadata ops), no row ever crosses the driver
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+  /** Step 3, idempotent: move the surviving partition directories into
+    * place — pure filesystem renames (metadata ops), no row ever crosses
+    * the driver. Each rename removes its source from the temp prefix, so a
+    * replay only touches not-yet-swapped buckets. Removing the temp dir
+    * (marker included) is what marks the retract complete. */
+  private def swapPhase(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
     if (fs.exists(tmpPath)) {
       fs.listStatus(tmpPath)
         .filter(_.getPath.getName.startsWith("batch_id="))
@@ -125,7 +195,7 @@ final class StreamDriver(
             .filter(_.getPath.getName.startsWith("block_bucket="))
             .foreach { bucketDir =>
               val dest = new org.apache.hadoop.fs.Path(
-                s"$path/${batchDir.getPath.getName}/${bucketDir.getPath.getName}")
+                s"${hadoopPath.toString}/${batchDir.getPath.getName}/${bucketDir.getPath.getName}")
               fs.mkdirs(dest.getParent)
               fs.rename(bucketDir.getPath, dest)
             }

@@ -124,10 +124,49 @@ class EventProcessorsSpec extends SparkSpec {
     val out = EventProcessors.decodeAll(spark, raw, Map("governor" -> "0xgov"))
     val p = out("governor_proposed").collect().head
     assert(p.getAs[String]("id") == "0x11" && p.getAs[String]("proposer") == "0x22")
-    assert(p.getAs[Int]("n_calls") == 2 && p.getAs[Int]("n_calldata_words") == 3)
+    val calls = p.getAs[scala.collection.Seq[Row]]("calls")
+    assert(calls.size == 2)
+    assert(calls.head.getAs[String]("to_address") == "0x31")
+    assert(calls.head.getAs[String]("selector") == "0x41")
+    assert(calls.head.getAs[scala.collection.Seq[String]]("calldata") == Seq("0x1", "0x2", "0x3"))
+    assert(calls(1).getAs[String]("to_address") == "0x32")
+    assert(calls(1).getAs[scala.collection.Seq[String]]("calldata").isEmpty)
     assert(p.getAs[Long]("config_version") == 5L)
 
     val d = out("governor_proposal_described").collect().head
     assert(d.getAs[String]("description") == "hello")
+
+    // S9 child derivation: one row per call, preserving order + calldata
+    val children = EventProcessors.governorProposalCalls(out("governor_proposed"))
+      .orderBy("index").collect()
+    assert(children.length == 2)
+    assert(children(0).getAs[String]("proposal_id") == "0x11")
+    assert(children(0).getAs[Int]("index") == 0 &&
+      children(0).getAs[String]("to_address") == "0x31" &&
+      children(0).getAs[scala.collection.Seq[String]]("calldata") == Seq("0x1", "0x2", "0x3"))
+    assert(children(1).getAs[Int]("index") == 1 &&
+      children(1).getAs[scala.collection.Seq[String]]("calldata").isEmpty)
+  }
+
+  test("governor executed: span-of-span results → per-word child rows (S9)") {
+    // Executed: id, results span [2 spans: ["0xa","0xb"], []]
+    val executed = Seq("0x77", "0x2", "0x2", "0xa", "0xb", "0x0")
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(4L, 0L, 0L, "0xgov", EventProcessors.governorExecuted.keySelector, executed))),
+      rawSchema)
+    val out = EventProcessors.decodeAll(spark, raw, Map("governor" -> "0xgov"))
+    val e = out("governor_executed").collect().head
+    assert(e.getAs[String]("id") == "0x77")
+    val results = e.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("results")
+    assert(results == Seq(Seq("0xa", "0xb"), Seq()))
+
+    val words = EventProcessors.governorExecutionResults(out("governor_executed"))
+      .orderBy("index", "word_index").collect()
+    // span 0 contributes two word rows; the empty span keeps one NULL-word row
+    assert(words.length == 3)
+    assert(words(0).getAs[String]("result_word") == "0xa" &&
+      words(1).getAs[String]("result_word") == "0xb")
+    assert(words(2).getAs[Int]("index") == 1 && words(2).isNullAt(words(2).fieldIndex("result_word")))
   }
 }

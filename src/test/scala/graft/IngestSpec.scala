@@ -87,4 +87,43 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(buckets == Seq(0L, 1L))
   }
+
+  test("retract crash recovery: committed-but-unswapped survivors are not lost (T3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+
+    val batch = (1L to 9000L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(batch, 0L)
+
+    // Simulate a retract(5000) that crashed right AFTER its commit point
+    // (survivors fully materialized + marker written) but BEFORE any delete
+    // or swap: replay step 1 of retract() by hand, then "crash".
+    val boundary = 5000L / 4096
+    graft.ingest.Ingest.retractFacts(
+        spark.read.parquet(s"$dir/raw_events")
+          .filter(col("block_bucket") === boundary), 5000L)
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "block_bucket")
+      .parquet(s"$dir/.retract_tmp")
+    val markerPath = java.nio.file.Paths.get(s"$dir/.retract_tmp/_RETRACT_COMMITTED")
+    java.nio.file.Files.write(markerPath, s"DELETE $boundary".getBytes("UTF-8"))
+
+    // Recovery must complete the pending retract from the materialized
+    // survivors — final state identical to an uninterrupted retract(5000).
+    driver.recoverRetract()
+    val remaining = spark.read.parquet(s"$dir/raw_events")
+    assert(remaining.count() == 4999L)
+    assert(remaining.agg(max("block_number")).collect().head.getLong(0) == 4999L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/.retract_tmp")))
+
+    // A marker-less temp dir (crash BEFORE commit) is discarded untouched:
+    // the source is still intact, so nothing may be deleted from it.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/.retract_tmp/batch_id=0"))
+    driver.recoverRetract()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/.retract_tmp")))
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 4999L)
+  }
 }
