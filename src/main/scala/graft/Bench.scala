@@ -17,18 +17,30 @@ object Bench {
     // stable (sorted) execution order so per-query timings are comparable
     // across runs; shared-plan cache fills land on the same first consumer
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must surface as a FAILURE, never as a fast timing
-      // (pre-round-1 commit bfe8d10 was exactly this bug): the elapsed time
-      // is still recorded honestly, the name lands in "failures", and the
-      // process exits nonzero so the driver can't mistake the run for clean
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failures ::= name
-        System.err.println(s"[bench] $name FAILED: $e")
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query must surface as a FAILURE, never as a fast timing
+        // (pre-round-1 commit bfe8d10 was exactly this bug): the elapsed time
+        // is still recorded honestly, the name lands in "failures", and the
+        // process exits nonzero so the driver can't mistake the run for clean
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failures ::= name
+          System.err.println(s"[bench] $name FAILED: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // SPARK_GRAFT_REPEAT=N runs the catalog N times and reports the LAST
+    // pass: earlier passes absorb one-time costs (janino codegen compile,
+    // parquet footer reads, memo fills), isolating steady-state plan cost
+    // from session warmup when profiling. Default 1 = the driver's protocol.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = (1 to repeat).map { i =>
+      val r = runAll()
+      if (i < repeat) System.err.println(
+        s"[bench] pass $i/$repeat total ${r.map(_._2).sum}")
+      r
+    }.last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

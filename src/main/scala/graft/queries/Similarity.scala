@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.fixtures.Fixtures
+import graft.plans.DotProduct
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -17,48 +18,48 @@ import graft.fixtures.Fixtures
   *    the bucket id, shrinking candidates by ~2^planes;
   *  - IVF-style coarse quantization → probe own cell → exact re-rank.
   *
-  * Every dot product / norm / hyperplane projection is ONE codegen'd
-  * `aggregate(...)` fold over the vector arrays — never a posexplode into
-  * 64 element rows joined on (vec_id, idx) (that paid a 64× row blow-up plus
-  * a shuffle per dot; flagged in rounds 1-3). Folds accumulate per-element
-  * double products cast to DECIMAL(38,12) and sum exactly, so an index-order
-  * fold equals the oracle's order-independent decimal SUM bit-for-bit. The
-  * LSH planes are integer-valued (pseudo-random from plane/dim index
-  * arithmetic), so bucket ids are exact integers and the whole ANN path is
-  * oracle-checkable.
+  * Every dot product / squared norm is ONE call of the native codegen'd
+  * [[graft.plans.DotProduct]] expression — never a posexplode into 64
+  * element rows joined on (vec_id, idx) (that paid a 64× row blow-up plus a
+  * shuffle per dot; flagged in rounds 1-3), and no interpreted
+  * `aggregate(zip_with(...))` lambda in the per-pair hot loop either. The
+  * fold is a strict left-to-right IEEE-double sum, so the DuckDB oracle
+  * reproduces it bit-for-bit with the same left fold (`list_reduce`); see
+  * DotProduct's determinism contract.
   */
 object Similarity {
-
-  private val dec3812 = DecimalType(38, 12)
 
   /** Queries = every 50th vector. */
   private val queryFilter = "vec_id % 50 = 0"
 
-  /** Exact decimal dot product of two array columns: one codegen'd
-    * `aggregate(zip_with(...))` fold per pair — no element explosion, no
-    * pre-aggregation shuffle. The merge result must be cast back: Spark
-    * types (38,12)+(38,12) as (38,11), which would not match the
-    * accumulator type. */
-  private def dotExpr(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))), " +
-      "CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))")
+  /** Native codegen'd pair scorer (see [[graft.plans.DotProduct]]). */
+  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Exact decimal squared norm of an array column (same fold). */
-  private def normSqExpr(a: String): Column = expr(
-    s"aggregate($a, CAST(0 AS DECIMAL(38,12)), (acc, x) -> " +
-      "CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12)))")
+  /** Squared norm = dot of a vector with itself. */
+  private def normSqExpr(a: String): Column = expr(s"graft_dot($a, $a)")
+
+  /** DECIMAL(18,12) accumulator for the LSH projection fold: precision ≤ 18
+    * keeps Spark's Decimal on the Long-backed fast path (precision > 18
+    * boxes every add into BigDecimal). Safe by construction: plane weights
+    * are |w| ≤ 9, embedding components |x| < 1, dim = 64, so |projection| <
+    * 1e3 — far inside (18,12)'s 6 integer digits, at any corpus size. */
+  private val decAcc = "DECIMAL(18,12)"
 
   /** 12-plane random-hyperplane LSH bucket id as ONE nested fold per vector:
     * the outer fold walks planes p=0..11, the inner fold computes the exact
     * decimal projection against plane weights w(p,j) = ((p*37 + j*13) % 19)
     * - 9; sign bits pack into a 12-bit bucket. Zero joins, zero shuffles —
-    * a pure projection over the scan. */
+    * a pure projection over the scan. The bucket stays a DECIMAL fold (not
+    * the double fold used for pair scoring): its output is a sign decision
+    * (>= 0) per plane, and decimal exactness keeps both engines on the same
+    * side of the boundary even though the oracle's exploded-element SUM adds
+    * in arbitrary order. Buckets are computed once per vector, not per pair,
+    * so the interpreted fold is off the hot path. */
   private def bucketExpr(emb: String): Column = expr(
     s"""aggregate(sequence(0, 11), CAST(0 AS BIGINT), (acc, p) -> acc +
-          IF(aggregate(sequence(0, size($emb) - 1), CAST(0 AS DECIMAL(38,12)), (a, j) ->
+          IF(aggregate(sequence(0, size($emb) - 1), CAST(0 AS $decAcc), (a, j) ->
                CAST(a + CAST(CAST((p * 37 + j * 13) % 19 - 9 AS DOUBLE)
-                             * CAST($emb[j] AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12)))
+                             * CAST($emb[j] AS DOUBLE) AS $decAcc) AS $decAcc))
              >= 0, SHIFTLEFT(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
 
   /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
@@ -76,8 +77,7 @@ object Similarity {
     }
 
   private def cosineCol: Column =
-    col("dot").cast(DoubleType) /
-      (sqrt(col("qn").cast(DoubleType)) * sqrt(col("norm_sq").cast(DoubleType)))
+    col("dot") / (sqrt(col("qn")) * sqrt(col("norm_sq")))
 
   /** Exact re-rank of (qid, vec_id) candidate pairs: broadcast the
     * (candidates ⋈ query vectors) side — query vectors are 1/50th of the
@@ -100,6 +100,7 @@ object Similarity {
   /** Exact cosine top-5 neighbors for each query vector. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
     import spark.implicits._
 
     val v = vecs(spark, sfDir)
@@ -119,17 +120,20 @@ object Similarity {
         $"rank".cast(LongType).as("rank"), round($"cosine", 6).as("cosine"))
   }
 
-  /** Shared oracle CTEs over `table`: exploded elements, norms. (The oracle
-    * side stays exploded — DuckDB has no zip_with fold; decimal SUM over
-    * elements is order-independent and equals the Spark-side fold.) */
+  /** Exploded-element CTE (oracle side): only the LSH bucket computation
+    * still consumes per-element rows — pair scoring folds arrays directly
+    * via [[DotProduct.duckDot]]. */
   private def elementCtes(table: String): String =
     s""", el AS (
          SELECT e.vec_id, CAST(t.i AS INT) AS idx,
                 CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
-         FROM $table e, UNNEST(range(len(e.embedding))) AS t(i)),
-       nrm AS (
-         SELECT vec_id, SUM(CAST(v * v AS DECIMAL(38,12))) AS norm_sq
-         FROM el GROUP BY vec_id)"""
+         FROM $table e, UNNEST(range(len(e.embedding))) AS t(i))"""
+
+  /** Squared norms via the same left fold as the Spark side. */
+  private def normCte(table: String): String =
+    s""", nrm AS (
+         SELECT vec_id, ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+         FROM $table)"""
 
   private val bucketCte: String =
     """, buckets AS (
@@ -137,22 +141,18 @@ object Similarity {
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
            SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(38,12))) AS proj
+                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(18,12))) AS proj
            FROM el, UNNEST(range(12)) AS t(p)
            GROUP BY 1, 2) pr
          GROUP BY vec_id)"""
 
-  val cosineTopKOracle: String = Fixtures.oracle(
-    elementCtes("embeddings") +
-      s""", dots AS (
-         SELECT q.vec_id AS qid, d.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
-         FROM el q JOIN el d ON q.idx = d.idx AND d.vec_id != q.vec_id
-         WHERE q.$queryFilter
-         GROUP BY 1, 2),
+  /** Shared oracle tail: score candidate pairs by the array fold, rank,
+    * cut at k. */
+  private def rankedTail(k: Int): String =
+    s""",
        scored AS (
          SELECT dots.qid, dots.vec_id,
-                CAST(dots.dot AS DOUBLE)
-                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
+                dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
          FROM dots
          JOIN nrm qn ON dots.qid = qn.vec_id
          JOIN nrm vn ON dots.vec_id = vn.vec_id),
@@ -162,12 +162,23 @@ object Similarity {
          FROM scored)
        SELECT qid AS query_id, vec_id AS neighbor_id,
               CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-       FROM ranked WHERE rank <= 5""")
+       FROM ranked WHERE rank <= $k"""
+
+  val cosineTopKOracle: String = Fixtures.oracle(
+    normCte("embeddings") +
+      s""", dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE q.$queryFilter)""" +
+      rankedTail(5))
 
   /** LSH-bucketed ANN: 12 integer hyperplanes → sign-bit bucket id, then
     * exact cosine re-rank within the bucket, top-3 per query. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
     import spark.implicits._
 
     val v = vecs(spark, sfDir)
@@ -185,31 +196,18 @@ object Similarity {
   }
 
   val annLshOracle: String = Fixtures.oracle(
-    elementCtes("embeddings") + bucketCte +
+    elementCtes("embeddings") + bucketCte + normCte("embeddings") +
       s""", candidates AS (
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
          WHERE q.$queryFilter),
        dots AS (
-         SELECT c.qid, c.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
+         SELECT c.qid, c.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
-         JOIN el q ON q.vec_id = c.qid
-         JOIN el d ON d.vec_id = c.vec_id AND d.idx = q.idx
-         GROUP BY 1, 2),
-       scored AS (
-         SELECT dots.qid, dots.vec_id,
-                CAST(dots.dot AS DOUBLE)
-                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
-         FROM dots
-         JOIN nrm qn ON dots.qid = qn.vec_id
-         JOIN nrm vn ON dots.vec_id = vn.vec_id),
-       ranked AS (
-         SELECT qid, vec_id, cosine,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         FROM scored)
-       SELECT qid AS query_id, vec_id AS neighbor_id,
-              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-       FROM ranked WHERE rank <= 3""")
+         JOIN embeddings q ON q.vec_id = c.qid
+         JOIN embeddings d ON d.vec_id = c.vec_id)""" +
+      rankedTail(3))
 
   /** Embedding-cosine near-duplicate pairs: same LSH bucketing as [[annLsh]]
     * but symmetric (a < b) with a 0.99 cosine threshold — the embedding
@@ -220,6 +218,7 @@ object Similarity {
     * two equi-joins pulling each pair's arrays, then one fold per pair. */
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
     import spark.implicits._
 
     val v = vecs(spark, sfDir, "embeddings_aug")
@@ -233,27 +232,24 @@ object Similarity {
       .join(pairs, Seq("va"))
       .join(v.select($"vec_id".as("vb"), $"embedding".as("bemb"), $"norm_sq".as("nb")), Seq("vb"))
       .select($"va", $"vb", dotExpr("aemb", "bemb").as("dot"), $"na", $"nb")
-      .withColumn("cosine", $"dot".cast(DoubleType) /
-        (sqrt($"na".cast(DoubleType)) * sqrt($"nb".cast(DoubleType))))
+      .withColumn("cosine", $"dot" / (sqrt($"na") * sqrt($"nb")))
       .filter($"cosine" >= 0.99)
       .select($"va".as("vec_a"), $"vb".as("vec_b"), round($"cosine", 6).as("cosine"))
   }
 
   val embeddingNearDupOracle: String = Fixtures.oracle(
-    elementCtes("embeddings_aug") + bucketCte +
-      """, pairs AS (
+    elementCtes("embeddings_aug") + bucketCte + normCte("embeddings_aug") +
+      s""", pairs AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
        dots AS (
-         SELECT p.va, p.vb, SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS dot
+         SELECT p.va, p.vb, ${DotProduct.duckDot("x.embedding", "y.embedding")} AS dot
          FROM pairs p
-         JOIN el x ON x.vec_id = p.va
-         JOIN el y ON y.vec_id = p.vb AND y.idx = x.idx
-         GROUP BY 1, 2),
+         JOIN embeddings_aug x ON x.vec_id = p.va
+         JOIN embeddings_aug y ON y.vec_id = p.vb),
        scored AS (
          SELECT dots.va, dots.vb,
-                CAST(dots.dot AS DOUBLE)
-                  / (SQRT(CAST(na.norm_sq AS DOUBLE)) * SQRT(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+                dots.dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) AS cosine
          FROM dots
          JOIN nrm na ON dots.va = na.vec_id
          JOIN nrm nb ON dots.vb = nb.vec_id)
@@ -269,6 +265,7 @@ object Similarity {
     * only shuffle is centroid-count-deep. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
     import spark.implicits._
 
     val v = vecs(spark, sfDir)
@@ -280,8 +277,7 @@ object Similarity {
       // but aggregates with a map-side partial instead of a window sort
       v.crossJoin(broadcast(cents))
         .select($"vec_id", $"cid", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
-        .withColumn("cos", $"dot".cast(DoubleType) /
-          (sqrt($"norm_sq".cast(DoubleType)) * sqrt($"cnorm".cast(DoubleType))))
+        .withColumn("cos", $"dot" / (sqrt($"norm_sq") * sqrt($"cnorm")))
         .groupBy($"vec_id")
         .agg(min_by($"cid", struct(negate($"cos"), $"cid")).as("cluster"))
     }
@@ -298,18 +294,19 @@ object Similarity {
   }
 
   val annIvfOracle: String = Fixtures.oracle(
-    elementCtes("embeddings") +
-      s""", cel AS (SELECT vec_id AS cid, idx, v AS cv FROM el WHERE vec_id % 97 = 3),
-       cn AS (SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
+    normCte("embeddings") +
+      s""", cents AS (
+         SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 97 = 3),
+       cn AS (
+         SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
        cdots AS (
-         SELECT el.vec_id, cel.cid, SUM(CAST(el.v * cel.cv AS DECIMAL(38,12))) AS dot
-         FROM el JOIN cel ON el.idx = cel.idx
-         GROUP BY 1, 2),
+         SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
+         FROM embeddings e CROSS JOIN cents c),
        assignments AS (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
                       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-                        CAST(d.dot AS DOUBLE) / (SQRT(CAST(n.norm_sq AS DOUBLE)) * SQRT(CAST(c.cnorm AS DOUBLE))) DESC,
+                        d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
                         d.cid) AS rn
                FROM cdots d
                JOIN nrm n ON d.vec_id = n.vec_id
@@ -321,25 +318,12 @@ object Similarity {
            ON q.cluster = a.cluster AND a.vec_id != q.vec_id
          WHERE q.$queryFilter),
        dots AS (
-         SELECT c.qid, c.vec_id, SUM(CAST(q.v * d.v AS DECIMAL(38,12))) AS dot
+         SELECT c.qid, c.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
-         JOIN el q ON q.vec_id = c.qid
-         JOIN el d ON d.vec_id = c.vec_id AND d.idx = q.idx
-         GROUP BY 1, 2),
-       scored AS (
-         SELECT dots.qid, dots.vec_id,
-                CAST(dots.dot AS DOUBLE)
-                  / (SQRT(CAST(qn.norm_sq AS DOUBLE)) * SQRT(CAST(vn.norm_sq AS DOUBLE))) AS cosine
-         FROM dots
-         JOIN nrm qn ON dots.qid = qn.vec_id
-         JOIN nrm vn ON dots.vec_id = vn.vec_id),
-       ranked AS (
-         SELECT qid, vec_id, cosine,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         FROM scored)
-       SELECT qid AS query_id, vec_id AS neighbor_id,
-              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
-       FROM ranked WHERE rank <= 3""")
+         JOIN embeddings q ON q.vec_id = c.qid
+         JOIN embeddings d ON d.vec_id = c.vec_id)""" +
+      rankedTail(3))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
