@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextHash
+
+/** Native per-document fingerprint expressions for the dedup operators.
+  *
+  * The SQL formulations of SimHash and MinHash explode every document into
+  * (words × 32 bit-positions) / (shingles × 16 permutations) rows and push
+  * them through shuffling hash aggregates — ~10M intermediate rows at
+  * sf0.1, and row volume scales linearly with corpus size. Both
+  * fingerprints are per-document folds with no cross-document state, so
+  * they belong in the scan projection: one codegen'd expression call per
+  * document, zero pre-join shuffles. At 100 TB this turns the fingerprint
+  * stage from the dominant shuffle into a free map.
+  *
+  * Exactness contract: every operation is the SAME integer arithmetic the
+  * DuckDB oracle runs in exploded form (char-polynomial word hash mod
+  * p = 1e9+7 from [[graft.functions.TextHash]], ±1 bit votes, min over
+  * permuted shingle hashes) — integer sums/mins are order-independent, so
+  * the oracle SQL is unchanged and the comparison stays bit-exact. All
+  * intermediates stay < 2^63 (hash < 1e9+7; largest product
+  * 1e9 · 2654435761 < 2^62).
+  */
+object TextFingerprint {
+
+  private val P = TextHash.P
+
+  /** Char-polynomial word hash: acc = (acc·131 + codepoint) mod P, left to
+    * right — identical to TextHash.sparkWordHash / duckWordHash (both
+    * engines' `split(w, '')` + `ascii` walk codepoints). */
+  def wordHash(w: UTF8String): Long = {
+    val s = w.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** 32-bit SimHash over a words array: per word, wh2 = (hash·2654435761)
+    * mod 2^32; bit j votes +1 if set else −1; fingerprint sets bit j where
+    * the vote total is positive. */
+  def simhash32(words: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val wh2 = (wordHash(words.getUTF8String(i)) * 2654435761L) % 4294967296L
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((wh2 >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** 8 MinHash+LSH band keys over a words array: 16 permutation minima of
+    * the word-3-gram shingle hashes (min over duplicates ≡ min over the
+    * distinct set), packed pairwise into band keys mh(2b)·P + mh(2b+1).
+    * A document with fewer than 3 words has no shingles: returns an empty
+    * array (explodes to zero candidate rows), so callers need no separate
+    * length guard. */
+  def minhashBands(words: ArrayData): GenericArrayData = {
+    val n = words.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val mh = Array.fill[Long](16)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - 3) {
+      val shingle = UTF8String.concat(
+        words.getUTF8String(i), sep, words.getUTF8String(i + 1), sep,
+        words.getUTF8String(i + 2))
+      val wh = wordHash(shingle)
+      var k = 0
+      while (k < 16) {
+        val h = (wh * (97 + 31 * k) + (13 + 17 * k)) % P
+        if (h < mh(k)) mh(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](8)
+    var b = 0
+    while (b < 8) {
+      bands(b) = mh(2 * b) * P + mh(2 * b + 1)
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  private def checkWordsInput(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$name requires ARRAY<STRING> input, got ${t.simpleString}")
+    }
+
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkWordsInput("graft_simhash32", child)
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      simhash32(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.TextFingerprint.simhash32($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash32"
+  }
+
+  case class MinHashBands(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkWordsInput("graft_minhash_bands", child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      minhashBands(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.TextFingerprint.minhashBands($c)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+      copy(child = newChild)
+    override def prettyName: String = "graft_minhash_bands"
+  }
+
+  /** Register both fingerprint functions (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => MinHashBands(children.head))
+  }
+}

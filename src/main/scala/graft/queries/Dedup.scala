@@ -114,32 +114,23 @@ object Dedup {
     * shingle-hash set, banded 8×2; candidate pairs share ≥1 band signature.
     * Shingles (not single words) keep signatures selective on low-vocabulary
     * corpora. Signatures are integer arithmetic end-to-end, so this is
-    * oracle-checkable — rare for LSH. */
+    * oracle-checkable — rare for LSH.
+    *
+    * The 8 band keys per document come from the native codegen'd
+    * [[graft.plans.TextFingerprint.MinHashBands]] expression — one scan
+    * projection — instead of the former explode(shingles)×16-permutation
+    * join + two shuffling re-aggregations (a corpus-linear row blow-up).
+    * The DuckDB oracle keeps the exploded formulation: integer MIN is
+    * order-independent, so both reach identical band keys. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
     import spark.implicits._
 
-    val shingleHash = TextHash.sparkWordHash("concat(words[i], ' ', words[i+1], ' ', words[i+2])")
-    val wordHashes = spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .filter(size($"words") >= 3)
-      .select($"doc_id", explode(expr(
-        s"array_distinct(transform(sequence(0, size(words) - 3), i -> $shingleHash))")).as("wh"))
-
-    val hashIdx = spark.range(16).select($"id".cast(IntegerType).as("i"))
-    val minhashes = wordHashes
-      .join(broadcast(hashIdx))
-      .groupBy($"doc_id", $"i")
-      .agg(min((($"wh" * (lit(97) + $"i" * 31) + (lit(13) + $"i" * 17)) % P)).as("mh"))
-
-    // band signature: pack the band's two minhashes into one BIGINT key
-    // (i DIV 2: explicit integer division — CAST(double) truncates in Spark
-    // but rounds in DuckDB, so neither side may divide through double)
-    val bands = minhashes
-      .withColumn("band", expr("CAST(i DIV 2 AS INT)"))
-      .groupBy($"doc_id", $"band")
-      .agg((max(when($"i" % 2 === 0, $"mh")) * P +
-        max(when($"i" % 2 === 1, $"mh"))).as("band_key"))
+    val bands = spark.table("documents")
+      .select($"doc_id",
+        posexplode(expr("graft_minhash_bands(split(text, ' '))")))
+      .toDF("doc_id", "band", "band_key")
 
     bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
@@ -171,32 +162,23 @@ object Dedup {
 
   /** SimHash (32-bit) + banded blocking: per-bit weighted votes over word
     * hashes, fingerprint from vote signs, candidates share a band byte and
-    * pass Hamming ≤ 6. */
+    * pass Hamming ≤ 6.
+    *
+    * The fingerprint is the native codegen'd
+    * [[graft.plans.TextFingerprint.SimHash32]] expression — one scan
+    * projection per document — instead of the former explode(words)×32-bit
+    * join + two shuffling re-aggregations. The DuckDB oracle keeps the
+    * exploded ±1-vote SUM: integer sums are order-independent, so both
+    * reach identical fingerprints. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
     import spark.implicits._
 
-    val wordHashes = spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .select($"doc_id", explode(expr(
-        s"transform(words, w -> ${TextHash.sparkWordHash("w")})")).as("wh"))
-      .withColumn("wh2", ($"wh" * 2654435761L) % 4294967296L)
-
-    val bitIdx = spark.range(32).select($"id".cast(LongType).as("j"),
-      pow(lit(2.0), $"id".cast(DoubleType)).cast(LongType).as("bit"))
-    val sums = wordHashes
-      .join(broadcast(bitIdx))
-      .groupBy($"doc_id", $"j", $"bit")
-      .agg(sum(when(expr("wh2 DIV bit") % 2 === 1, 1L).otherwise(-1L)).as("vote"))
-
-    val fingerprints = sums
-      .groupBy($"doc_id")
-      .agg(sum(when($"vote" > 0, $"bit").otherwise(0L)).as("simhash"))
-
-    val bandedFp = (0 to 3).map { b =>
-      fingerprints.select($"doc_id", $"simhash", lit(b.toLong).as("b"),
-        (shiftright($"simhash", 8 * b) % 256).as("band_key"))
-    }.reduce(_ unionByName _)
+    val bandedFp = spark.table("documents")
+      .select($"doc_id", expr("graft_simhash32(split(text, ' '))").as("simhash"))
+      .select($"doc_id", $"simhash", explode(sequence(lit(0L), lit(3L))).as("b"))
+      .withColumn("band_key", expr("shiftright(simhash, CAST(b * 8 AS INT)) % 256"))
 
     bandedFp.as("x").join(bandedFp.as("y"),
         $"x.b" === $"y.b" && $"x.band_key" === $"y.band_key" &&
