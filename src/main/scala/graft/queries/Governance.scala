@@ -22,8 +22,12 @@ import graft.fixtures.Fixtures
   *  - stake changes are pre-aggregated per (staker, time) so running sums are
   *    well-defined under intra-block ties (the reference's tie order is
   *    Postgres-arbitrary; tie rows carry dt=0 so integrals are unaffected);
-  *  - per-interval reward terms are rounded into DECIMAL(38,10) before
-  *    summation (order-independent, cross-engine-stable);
+  *  - per-segment reward terms are rounded into DECIMAL(38,10) before
+  *    summation (order-independent, cross-engine-stable); the staker reward
+  *    integral itself is computed segment-wise — stake × ΔH over the
+  *    harmonic grid prefix H = Σ dt/total — which is the same pro-rata
+  *    integral as the reference's per-(staker, interval) sum, evaluated
+  *    with linear instead of quadratic row volume;
   *  - the rewards ranking breaks total_reward ties by claimee.
   */
 object Governance {
@@ -192,28 +196,11 @@ object Governance {
       .unionByName(win.select($"w_start".as("time")))
       .unionByName(win.select($"w_end".as("time")))
       .distinct()
-    // Prefix-sum decomposition of the global time grid: `lead` runs inside
-    // day-sized buckets (parallel), and only the bucket-boundary handoff —
-    // next non-empty bucket's first point — uses a bucket-count-sized window
-    // (≤ days-in-range rows, constant-partitioned by design). Replaces the
-    // reference's single global sort (dao.ts:1379-1404), which funnels every
-    // stake-change timestamp of a busy chain into one task.
-    val bucketed = timePoints.withColumn("bucket", floor($"time" / 86400L))
-    val wB = Window.partitionBy($"bucket").orderBy($"time")
-    val bucketFirst = bucketed.groupBy($"bucket").agg(min($"time").as("first_time"))
-    val wBg = Window.partitionBy(lit(0)).orderBy($"bucket")
-    val bucketNext = bucketFirst
-      .withColumn("next_first", lead($"first_time", 1).over(wBg))
-      .select($"bucket", $"next_first")
-    val intervals = bucketed
-      .withColumn("i_end_in", lead($"time", 1).over(wB))
-      .join(broadcast(bucketNext), Seq("bucket"), "left")
-      .withColumn("i_end", coalesce($"i_end_in", $"next_first"))
-      .filter($"i_end".isNotNull)
-      .select($"time".as("i_start"), $"i_end")
 
-    // running stake per staker over changes ≤ end, bootstrapped before start
-    // (Step 3-4; ties pre-aggregated per (staker, time))
+    // Stake deltas summed across ALL stakers per grid point: the per-interval
+    // total stake is the grid-global running sum of these (each staker's
+    // as-of stake at i_start is their delta-sum ≤ i_start; summing over
+    // stakers commutes with the prefix sum).
     val inWin = facts.crossJoin(win)
       .filter($"time" <= $"w_end" && $"time" >= $"w_start")
       .select($"party", $"time", $"delta")
@@ -222,6 +209,74 @@ object Governance {
       .groupBy($"party", $"w_start")
       .agg(sum($"delta").as("delta"))
       .select($"party", $"w_start".as("time"), $"delta")
+    val gDeltas = inWin.select($"time", $"delta")
+      .unionByName(boot.select($"time", $"delta"))
+      .groupBy($"time").agg(sum($"delta").as("gdelta"))
+
+    // Harmonic-prefix decomposition of the reward integral (replaces the
+    // former staker×interval materialization): the per-interval reward
+    // share  dt_i/total_i  depends only on the GRID, so each staker's
+    // reward is  stake_seg × (H(seg_end) − H(seg_start))  summed over their
+    // constant-stake segments, where H is the grid prefix sum of
+    // c_i = dt_i/total_i. The reference's formulation (dao.ts:1443-1484)
+    // materializes every (staker, interval) pair — |stakers|·|grid| rows
+    // (2.1M at sf0.1, quadratic-ish at scale); this one touches
+    // |grid| + |stake events| rows and joins them by equi-keys only.
+    //
+    // All prefix sums run bucket-decomposed (day buckets in parallel, a
+    // bucket-count-sized handoff window — same pattern as before) and in
+    // EXACT arithmetic: gdelta is decimal, and c_i is rounded into
+    // DECIMAL(28,20) per row before summation, so the bucketed Spark plan
+    // equals the oracle's single global window bit-for-bit regardless of
+    // addition order.
+    val grid = timePoints.join(gDeltas, Seq("time"), "left")
+      .withColumn("gdelta", coalesce($"gdelta", lit(0).cast(DecimalType(19, 0))))
+      .withColumn("bucket", floor($"time" / 86400L))
+    val wB = Window.partitionBy($"bucket").orderBy($"time")
+    val wBg = Window.partitionBy(lit(0)).orderBy($"bucket")
+    val dec1900 = DecimalType(38, 0)
+    val bAgg = grid.groupBy($"bucket").agg(
+      sum($"gdelta").as("b_delta"), min($"time").as("first_time"))
+    val bPre = bAgg
+      .withColumn("b_off", coalesce(
+        sum($"b_delta").over(wBg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(dec1900)))
+      .withColumn("next_first", lead($"first_time", 1).over(wBg))
+      .select($"bucket", $"b_off", $"next_first")
+    // Memoized (graft.util.Memo): the grid frames are consumed twice each
+    // (cOff + h; h_start + h_end lookups) — without persistence Spark
+    // re-executes the whole window/join subtree per use.
+    val ivals = graft.util.Memo.cached(spark, sfDir, s"staker_ivals_${startOff}_$endOff") {
+      grid
+        .withColumn("rs", sum($"gdelta").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("i_end_in", lead($"time", 1).over(wB))
+        .join(broadcast(bPre), Seq("bucket"))
+        .withColumn("total", $"rs" + $"b_off")
+        .withColumn("i_end", coalesce($"i_end_in", $"next_first"))
+        .filter($"i_end".isNotNull)
+        // dt > 0 always holds on a distinct sorted grid; total ≤ 0 intervals
+        // contribute nothing (the reference's total_stake > 0 guard)
+        .withColumn("c_dec", when($"total" > 0,
+          (($"i_end" - $"time").cast(DoubleType) / $"total".cast(DoubleType))
+            .cast(DecimalType(28, 20)))
+          .otherwise(lit(0).cast(DecimalType(28, 20))))
+    }
+    val cOff = ivals.groupBy($"bucket").agg(sum($"c_dec").as("c_b"))
+      .withColumn("c_off", coalesce(
+        sum($"c_b").over(wBg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(DecimalType(38, 20))))
+      .select($"bucket", $"c_off")
+    val h = graft.util.Memo.cached(spark, sfDir, s"staker_h_${startOff}_$endOff") {
+      ivals
+        .withColumn("h_in", sum($"c_dec").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(cOff), Seq("bucket"))
+        .withColumn("h_end", ($"h_in" + $"c_off").cast(DecimalType(30, 20)))
+        .withColumn("h_start", $"h_end" - $"c_dec")
+        .select($"time".as("i_start"), $"i_end", $"h_start", $"h_end")
+    }
+
+    // running stake per staker over changes ≤ end, bootstrapped before start
+    // (Step 3-4; ties pre-aggregated per (staker, time))
     val wS = Window.partitionBy($"party").orderBy($"time")
     val stakeEvents = inWin.unionByName(boot)
       .groupBy($"party", $"time").agg(sum($"delta").as("delta"))
@@ -229,30 +284,27 @@ object Governance {
         .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("next_time", lead($"time", 1).over(wS))
 
-    // as-of join (J8): the stake event governing interval start is the one
-    // with time ≤ i_start < next_time — an equi-free range join kept small by
-    // the broadcast interval grid.
-    val stakerIntervals = stakeEvents.as("se")
-      .join(broadcast(intervals.as("i")),
-        $"se.time" <= $"i.i_start" &&
-          ($"se.next_time".isNull || $"se.next_time" > $"i.i_start"))
-      .select($"i.i_start", $"i.i_end", $"se.party".as("staker"), $"se.stake")
-
-    val totalPerInterval = stakerIntervals
-      .groupBy($"i_start", $"i_end")
-      .agg(sum($"stake").as("total_stake"))
+    // constant-stake segments [time, next_time ∨ w_end); every boundary is a
+    // grid point, so both H lookups are broadcast equi-joins (the as-of
+    // range join J8 collapses into the segment decomposition)
+    val segs = stakeEvents
+      .crossJoin(win.select($"w_end", $"total_duration"))
+      .filter($"stake" > 0)
+      .withColumn("seg_end", coalesce($"next_time", $"w_end"))
+      .filter($"time" < $"seg_end")
 
     val stakerShareFrac = stakingShare / (stakingShare + delegateShare)
-    val stakerRewardsDf = stakerIntervals
-      .join(broadcast(totalPerInterval), Seq("i_start", "i_end"))
-      .crossJoin(win.select($"total_duration"))
-      .filter($"total_stake" > 0 && $"stake" > 0 && ($"i_end" - $"i_start") > 0)
+    val stakerRewardsDf = segs
+      .join(broadcast(h.select($"i_start", $"h_start")), $"time" === $"i_start")
+      .join(broadcast(h.select($"i_end", $"h_end")), $"seg_end" === $"i_end")
+      .withColumn("dh", ($"h_end" - $"h_start").cast(DecimalType(15, 9)))
       .withColumn("reward",
         (lit(totalRewards) * lit(stakerShareFrac)
-          * (($"i_end" - $"i_start").cast(DoubleType) / $"total_duration".cast(DoubleType))
-          * ($"stake".cast(DoubleType) / $"total_stake".cast(DoubleType)))
+          * $"stake".cast(DoubleType)
+          * $"dh".cast(DoubleType)
+          / $"total_duration".cast(DoubleType))
           .cast(dec3810))
-      .groupBy($"staker".as("claimee"))
+      .groupBy($"party".as("claimee"))
       .agg(sum($"reward").as("staker_reward"))
 
     // delegate vote-weight rewards over proposals in the window (Step 8-10)
@@ -321,11 +373,35 @@ object Governance {
            SELECT f.time FROM facts f, win WHERE f.time BETWEEN win.w_start AND win.w_end
            UNION ALL SELECT w_start AS time FROM win
            UNION ALL SELECT w_end AS time FROM win) t),
-       intervals AS (
-         SELECT time AS i_start, LEAD(time) OVER (ORDER BY time) AS i_end
-         FROM time_points),
-       bounded_intervals AS (
-         SELECT i_start, i_end FROM intervals WHERE i_end IS NOT NULL),
+       g_deltas AS (
+         SELECT time, SUM(delta) AS gdelta FROM (
+           SELECT f.time, f.delta FROM facts f, win
+           WHERE f.time >= win.w_start AND f.time <= win.w_end
+           UNION ALL
+           SELECT win.w_start AS time, SUM(f.delta) AS delta
+           FROM facts f, win WHERE f.time < win.w_start
+           GROUP BY win.w_start) u
+         GROUP BY time),
+       grid AS (
+         SELECT tp.time, COALESCE(g.gdelta, CAST(0 AS DECIMAL(19,0))) AS gdelta
+         FROM time_points tp LEFT JOIN g_deltas g ON tp.time = g.time),
+       ivals AS (
+         SELECT time AS i_start,
+                LEAD(time) OVER (ORDER BY time) AS i_end,
+                SUM(gdelta) OVER (ORDER BY time ROWS UNBOUNDED PRECEDING) AS total
+         FROM grid),
+       cvals AS (
+         SELECT i_start, i_end,
+                CASE WHEN total > 0
+                     THEN CAST(CAST(i_end - i_start AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(28,20))
+                     ELSE CAST(0 AS DECIMAL(28,20)) END AS c_dec
+         FROM ivals WHERE i_end IS NOT NULL),
+       hvals AS (
+         SELECT i_start, i_end, c_dec,
+                CAST(SUM(c_dec) OVER (ORDER BY i_start ROWS UNBOUNDED PRECEDING) AS DECIMAL(30,20)) AS h_end
+         FROM cvals),
+       hgrid AS (
+         SELECT i_start, i_end, h_end, h_end - c_dec AS h_start FROM hvals),
        stake_events AS (
          SELECT party, time,
                 SUM(delta) OVER (PARTITION BY party ORDER BY time ROWS UNBOUNDED PRECEDING) AS stake,
@@ -338,22 +414,20 @@ object Governance {
                      FROM facts f, win WHERE f.time < win.w_start
                      GROUP BY f.party, win.w_start) u
                GROUP BY party, time) g),
-       staker_intervals AS (
-         SELECT i.i_start, i.i_end, se.party AS staker, se.stake
-         FROM stake_events se
-         JOIN bounded_intervals i
-           ON se.time <= i.i_start AND (se.next_time IS NULL OR se.next_time > i.i_start)),
-       total_per_interval AS (
-         SELECT i_start, i_end, SUM(stake) AS total_stake
-         FROM staker_intervals GROUP BY 1, 2),
+       segs AS (
+         SELECT se.party, se.time, se.stake,
+                COALESCE(se.next_time, win.w_end) AS seg_end, win.total_duration
+         FROM stake_events se, win
+         WHERE se.stake > 0 AND se.time < COALESCE(se.next_time, win.w_end)),
        staker_rewards AS (
-         SELECT si.staker AS claimee,
+         SELECT sg.party AS claimee,
                 SUM(CAST(1.0e12 * 0.7
-                    * (CAST(si.i_end - si.i_start AS DOUBLE) / CAST(win.total_duration AS DOUBLE))
-                    * (CAST(si.stake AS DOUBLE) / CAST(t.total_stake AS DOUBLE)) AS DECIMAL(38,10))) AS staker_reward
-         FROM staker_intervals si
-         JOIN total_per_interval t ON si.i_start = t.i_start AND si.i_end = t.i_end, win
-         WHERE t.total_stake > 0 AND si.stake > 0 AND si.i_end - si.i_start > 0
+                    * CAST(sg.stake AS DOUBLE)
+                    * CAST(ROUND(he.h_end - hs.h_start, 9) AS DOUBLE)
+                    / CAST(sg.total_duration AS DOUBLE) AS DECIMAL(38,10))) AS staker_reward
+         FROM segs sg
+         JOIN hgrid hs ON sg.time = hs.i_start
+         JOIN hgrid he ON sg.seg_end = he.i_end
          GROUP BY 1),
        proposals_in_period AS (
          SELECT gp.id FROM governor_proposed gp
