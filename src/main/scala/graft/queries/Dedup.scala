@@ -50,13 +50,18 @@ object Dedup {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val allGrams = spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .filter(size($"words") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(words) - 3), " +
-          "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
-      .distinct()
+    // memoized: consumed by counts, the stop-gram scan, and both sides of
+    // the inverted-index self-join — without persistence the explode +
+    // distinct subtree re-executes once per consumer
+    val allGrams = graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
+      spark.table("documents")
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(words) - 3), " +
+            "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+        .distinct()
+    }
 
     // document-frequency cap: a gram shared by >500 docs generates >125k
     // candidate pairs on its own and carries no near-dup signal (stop-gram);

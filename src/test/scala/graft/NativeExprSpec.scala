@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.plans.{DotProduct, TextFingerprint}
+
+/** Specs for the native codegen'd expressions (graft.plans): each is checked
+  * against an independent driver-side reimplementation of its contract, AND
+  * exercised through a DataFrame (whole-stage codegen path) — not just
+  * interpreted eval. */
+class NativeExprSpec extends SparkSpec {
+
+  private def session = { val s = spark; DotProduct.register(s); TextFingerprint.register(s); s }
+
+  test("graft_dot equals a strict left-to-right double fold (float arrays)") {
+    val s = session
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rng.nextFloat() - 0.5f),
+      Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val got = rows.toDF("a", "b")
+      .select(expr("graft_dot(a, b)")).collect().map(_.getDouble(0))
+    val want = rows.map { case (a, b) =>
+      var acc = 0.0
+      for (i <- 0 until 64) acc += a(i).toDouble * b(i).toDouble
+      acc
+    }
+    // bit-exact, not approximate: the fold order is the contract
+    assert(got.toSeq == want)
+  }
+
+  test("graft_dot handles double arrays, length mismatch, and nulls") {
+    val s = session
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1.5, 2.5, 3.5)), Some(Seq(2.0, 4.0))), // common prefix: 1.5*2+2.5*4
+      (None, Some(Seq(1.0)))) // null array -> null
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 13.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("graft_simhash32 equals the exploded ±1-vote formulation") {
+    val s = session
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a", "", "one two")
+    // independent reimplementation of the oracle's exploded formulation
+    def naive(text: String): Long = {
+      val words = text.split(" ", -1)
+      val votes = new Array[Int](32)
+      for (w <- words) {
+        var h = 0L
+        for (c <- w) h = (h * 131 + c.toLong) % TextHash.P
+        val wh2 = (h * 2654435761L) % 4294967296L
+        for (j <- 0 until 32)
+          votes(j) += (if (((wh2 >> j) & 1L) == 1L) 1 else -1)
+      }
+      (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val got = docs.toDF("text")
+      .select(expr("graft_simhash32(split(text, ' '))")).collect().map(_.getLong(0))
+    assert(got.toSeq == docs.map(naive))
+  }
+
+  test("graft_minhash_bands equals the per-permutation shingle minima") {
+    val s = session
+    import s.implicits._
+    val docs = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma", // exactly one shingle
+      "alpha beta", // < 3 words -> no shingles -> empty array
+      "x y z x y z x y z")
+    def shingleHash(a: String, b: String, c: String): Long = {
+      val sgl = s"$a $b $c"
+      var h = 0L
+      for (ch <- sgl) h = (h * 131 + ch.toLong) % TextHash.P
+      h
+    }
+    def naive(text: String): Seq[Long] = {
+      val words = text.split(" ", -1)
+      if (words.length < 3) return Seq.empty
+      val shingles = (0 to words.length - 3)
+        .map(i => shingleHash(words(i), words(i + 1), words(i + 2)))
+      val mh = (0 until 16).map { k =>
+        shingles.map(wh => (wh * (97 + 31 * k) + (13 + 17 * k)) % TextHash.P).min
+      }
+      (0 until 8).map(b => mh(2 * b) * TextHash.P + mh(2 * b + 1))
+    }
+    val got = docs.toDF("text")
+      .select(expr("graft_minhash_bands(split(text, ' '))"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got.toSeq == docs.map(naive))
+  }
+
+  test("native expressions survive whole-stage codegen in a grouped plan") {
+    val s = session
+    import s.implicits._
+    // push the expressions through a shuffle + aggregate so the generated
+    // code path (not just the interpreted projection) is exercised
+    val df = Seq.tabulate(100)(i => (i % 7, s"w$i w${i + 1} w${i + 2} w${i + 3}"))
+      .toDF("k", "text")
+      .groupBy($"k")
+      .agg(
+        sum(expr("graft_simhash32(split(text, ' '))")).as("sh"),
+        sum(expr("graft_minhash_bands(split(text, ' '))[0]")).as("mb"))
+    assert(df.collect().length == 7)
+  }
+}
