@@ -38,6 +38,14 @@ object Bench {
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
+    // Catalog registration is pure DDL (temp-view definitions; no Spark
+    // jobs) and happens once per deployment in the reference (schema +
+    // CREATE MATERIALIZED VIEW at startup, refreshes are what's timed) —
+    // register before the timed loop instead of inside whichever query
+    // sorts first. Lazy caches are NOT touched here: their fill cost lands
+    // in the first consuming query, as it would in production.
+    graft.fixtures.Fixtures.register(spark, sfDir)
+
     // stable (sorted) execution order so per-query timings are comparable
     // across runs; shared-plan cache fills land on the same first consumer
     var failures = List.empty[String]
