@@ -65,12 +65,17 @@ object Bench {
     // SPARK_GRAFT_REPEAT=N runs the catalog N times and reports the LAST
     // pass: earlier passes absorb one-time costs (janino codegen compile,
     // parquet footer reads, memo fills), isolating steady-state plan cost
-    // from session warmup when profiling. Default 1 = the driver's protocol.
+    // from session warmup when profiling. Default 1 = the driver's
+    // protocol. Failures are tracked per pass and only the reported pass's
+    // failures surface — an earlier-pass entry would otherwise duplicate
+    // (or contradict) timings taken from the last pass.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = (1 to repeat).map { i =>
+      failures = Nil
       val r = runAll()
       if (i < repeat) System.err.println(
-        s"[bench] pass $i/$repeat total ${r.map(_._2).sum}")
+        s"[bench] pass $i/$repeat total ${r.map(_._2).sum}" +
+          (if (failures.nonEmpty) s" failures=$failures" else ""))
       r
     }.last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

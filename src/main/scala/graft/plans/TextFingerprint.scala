@@ -36,8 +36,12 @@ object TextFingerprint {
 
   /** Char-polynomial word hash: acc = (acc·131 + codepoint) mod P, left to
     * right — identical to TextHash.sparkWordHash / duckWordHash (both
-    * engines' `split(w, '')` + `ascii` walk codepoints). */
+    * engines' `split(w, '')` + `ascii` walk codepoints). A null word (never
+    * produced by split(), but the registered SQL functions accept any
+    * ARRAY<STRING>) hashes like the empty string instead of crashing the
+    * task from generated code. */
   def wordHash(w: UTF8String): Long = {
+    if (w == null) return 0L
     val s = w.toString
     var acc = 0L
     var i = 0

@@ -94,10 +94,14 @@ object DotProduct {
   }
 
   /** The DuckDB mirror of the same left fold, as oracle SQL text:
-    * `x` walks `a` with 1-based index `i`; `b[i]` is 1-based too, so the
-    * pairing is index-aligned. `list_prepend(0.0, …)` seeds the fold at
-    * 0.0 exactly like the codegen loop. */
+    * `x` walks `a` sliced to the common-prefix length with 1-based index
+    * `i`; `b[i]` is 1-based too, so the pairing is index-aligned. The
+    * slice mirrors the Scala loop's `min(len)` bound — without it an
+    * out-of-range `b[i]` yields NULL and poisons the whole sum, where the
+    * expression returns the prefix dot. `list_prepend(0.0, …)` seeds the
+    * fold at 0.0 exactly like the codegen loop. */
   def duckDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform($a, " +
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"$a[1:LEAST(len($a), len($b))], " +
       s"(x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))), (p, q) -> p + q)"
 }

@@ -228,7 +228,8 @@ object Governance {
     // EXACT arithmetic: gdelta is decimal, and c_i is rounded into
     // DECIMAL(28,20) per row before summation, so the bucketed Spark plan
     // equals the oracle's single global window bit-for-bit regardless of
-    // addition order.
+    // addition order. (Per-row parity of the double→decimal cast needs the
+    // oracle to cast through VARCHAR — see the cvals CTE note.)
     val grid = timePoints.join(gDeltas, Seq("time"), "left")
       .withColumn("gdelta", coalesce($"gdelta", lit(0).cast(DecimalType(19, 0))))
       .withColumn("bucket", floor($"time" / 86400L))
@@ -297,7 +298,11 @@ object Governance {
     val stakerRewardsDf = segs
       .join(broadcast(h.select($"i_start", $"h_start")), $"time" === $"i_start")
       .join(broadcast(h.select($"i_end", $"h_end")), $"seg_end" === $"i_end")
-      .withColumn("dh", ($"h_end" - $"h_start").cast(DecimalType(15, 9)))
+      // (18,9): 9 integer digits hold any ΔH ≤ H_total ≤ window_secs/1
+      // (a sub-1e9-second window even at a 1-wei total stake), and the
+      // Long-backed unscaled value keeps the decimal→double conversion on
+      // the correctly-rounded path in both engines for realistic ΔH
+      .withColumn("dh", ($"h_end" - $"h_start").cast(DecimalType(18, 9)))
       .withColumn("reward",
         (lit(totalRewards) * lit(stakerShareFrac)
           * $"stake".cast(DoubleType)
@@ -392,8 +397,13 @@ object Governance {
          FROM grid),
        cvals AS (
          SELECT i_start, i_end,
+                -- double→decimal goes through VARCHAR: DuckDB's direct cast
+                -- rounds the full binary expansion while Spark rounds the
+                -- shortest decimal representation (BigDecimal.valueOf); the
+                -- shortest repr is what CAST(double AS VARCHAR) prints, so
+                -- the bridged cast lands on Spark's exact value
                 CASE WHEN total > 0
-                     THEN CAST(CAST(i_end - i_start AS DOUBLE) / CAST(total AS DOUBLE) AS DECIMAL(28,20))
+                     THEN CAST(CAST(CAST(i_end - i_start AS DOUBLE) / CAST(total AS DOUBLE) AS VARCHAR) AS DECIMAL(28,20))
                      ELSE CAST(0 AS DECIMAL(28,20)) END AS c_dec
          FROM ivals WHERE i_end IS NOT NULL),
        hvals AS (
@@ -421,10 +431,10 @@ object Governance {
          WHERE se.stake > 0 AND se.time < COALESCE(se.next_time, win.w_end)),
        staker_rewards AS (
          SELECT sg.party AS claimee,
-                SUM(CAST(1.0e12 * 0.7
+                SUM(CAST(CAST(1.0e12 * 0.7
                     * CAST(sg.stake AS DOUBLE)
                     * CAST(ROUND(he.h_end - hs.h_start, 9) AS DOUBLE)
-                    / CAST(sg.total_duration AS DOUBLE) AS DECIMAL(38,10))) AS staker_reward
+                    / CAST(sg.total_duration AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10))) AS staker_reward
          FROM segs sg
          JOIN hgrid hs ON sg.time = hs.i_start
          JOIN hgrid he ON sg.seg_end = he.i_end
@@ -442,8 +452,8 @@ object Governance {
        total_votes AS (SELECT SUM(total_weight) AS total FROM delegate_weights),
        delegate_rewards AS (
          SELECT dw.delegate AS claimee,
-                CAST(CAST(dw.total_weight AS DOUBLE) * 1.0e12 * 0.3
-                     / CAST(tv.total AS DOUBLE) AS DECIMAL(38,10)) AS delegate_reward
+                CAST(CAST(CAST(dw.total_weight AS DOUBLE) * 1.0e12 * 0.3
+                     / CAST(tv.total AS DOUBLE) AS VARCHAR) AS DECIMAL(38,10)) AS delegate_reward
          FROM delegate_weights dw, total_votes tv),
        all_rewards AS (
          SELECT claimee, CAST(0 AS DECIMAL(38,10)) AS delegate_reward, staker_reward FROM staker_rewards

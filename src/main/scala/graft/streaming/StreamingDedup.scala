@@ -80,14 +80,19 @@ object StreamingDedup {
           var seen = state.getOption.getOrElse(Seq.empty)
           val out = Seq.newBuilder[NearDupPair]
           for ((_, _, id, fp) <- rows.toSeq.sortBy(_._3)) {
-            for ((sid, sfp) <- seen) {
-              val hamming = java.lang.Long.bitCount(fp ^ sfp)
-              if (hamming <= 6) {
-                val (a, b) = if (sid < id) (sid, id) else (id, sid)
-                out += NearDupPair(a, b, hamming, bucket._1)
+            // re-delivery of a doc_id already in state must not produce a
+            // (id, id) self-pair or a duplicate state entry — the batch
+            // self-join excludes both via doc_id < doc_id
+            if (!seen.exists(_._1 == id)) {
+              for ((sid, sfp) <- seen) {
+                val hamming = java.lang.Long.bitCount(fp ^ sfp)
+                if (hamming <= 6) {
+                  val (a, b) = if (sid < id) (sid, id) else (id, sid)
+                  out += NearDupPair(a, b, hamming, bucket._1)
+                }
               }
+              seen :+= ((id, fp))
             }
-            seen :+= ((id, fp))
           }
           state.update(seen)
           out.result().iterator

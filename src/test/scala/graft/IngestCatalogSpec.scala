@@ -57,24 +57,26 @@ class IngestCatalogSpec extends SparkSpec {
       Row(8L, 0L, 0L, "0xgov", EventProcessors.governorExecuted.keySelector,
         Seq("0x11", "0x2", "0x2", "0x5", "0x6", "0x1", "0x7"))))
 
-    val out = EventProcessors.decodeAll(spark, events,
-      Map("nft" -> "0xnft", "positions" -> "0xpositions", "governor" -> "0xgov"))
-
-    // decoded frames replace the fixture views the catalog queries read
-    out("position_transfers").createOrReplaceTempView("position_transfers")
-    out("position_minted_with_referrer")
-      .createOrReplaceTempView("position_minted_with_referrer")
-    EventProcessors.governorProposalCalls(out("governor_proposed"))
-      .select(col("event_id"), col("proposal_id"), col("index"),
-        col("to_address"), col("selector"),
-        hexWord("calldata[0]").as("calldata_word"))
-      .createOrReplaceTempView("governor_proposed_calls")
-    EventProcessors.governorExecutionResults(out("governor_executed"))
-      .select(col("event_id"), col("proposal_id"), col("index"),
-        hexWord("result_word").as("result_word"))
-      .createOrReplaceTempView("governor_executed_results")
-
+    // everything from the first view swap on runs inside try/finally: a
+    // failure mid-swap must still restore the shared session's views
     try {
+      val out = EventProcessors.decodeAll(spark, events,
+        Map("nft" -> "0xnft", "positions" -> "0xpositions", "governor" -> "0xgov"))
+
+      // decoded frames replace the fixture views the catalog queries read
+      out("position_transfers").createOrReplaceTempView("position_transfers")
+      out("position_minted_with_referrer")
+        .createOrReplaceTempView("position_minted_with_referrer")
+      EventProcessors.governorProposalCalls(out("governor_proposed"))
+        .select(col("event_id"), col("proposal_id"), col("index"),
+          col("to_address"), col("selector"),
+          hexWord("calldata[0]").as("calldata_word"))
+        .createOrReplaceTempView("governor_proposed_calls")
+      EventProcessors.governorExecutionResults(out("governor_executed"))
+        .select(col("event_id"), col("proposal_id"), col("index"),
+          hexWord("result_word").as("result_word"))
+        .createOrReplaceTempView("governor_executed_results")
+
       // O1 top-1-per-key over the decoded transfer stream
       val owners = Positions.positionOwners(spark, sf)
         .orderBy("token_id").collect()
