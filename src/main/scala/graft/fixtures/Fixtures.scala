@@ -14,6 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Determinism rules (see FIXTURES.md):
   *   - integer/decimal arithmetic only for anything aggregated;
   *   - doubles only from deterministic IEEE ops (mul/add/floor on exact ints);
+  *   - when an oracle must round a computed DOUBLE into DECIMAL, cast it
+  *     through VARCHAR on the DuckDB side (`CAST(CAST(x AS VARCHAR) AS
+  *     DECIMAL(p,s))`): Spark's cast rounds the shortest decimal
+  *     representation (BigDecimal.valueOf) while DuckDB's direct cast
+  *     rounds the full binary expansion — verified to differ (e.g.
+  *     1/3 → …330000 vs …331968 at scale 20);
   *   - no engine-specific hash/random/time functions;
   *   - `cents = floor(value*100 + 0.5)` is exact (value has 2 decimals);
   *   - times are BIGINT epoch seconds (the reference's timestamptz semantics,

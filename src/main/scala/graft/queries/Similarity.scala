@@ -135,13 +135,17 @@ object Similarity {
          SELECT vec_id, ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
          FROM $table)"""
 
+  /** Per-term double→decimal goes through VARCHAR so DuckDB rounds the
+    * shortest decimal representation — the value Spark's cast produces —
+    * rather than the full binary expansion; the projection feeds a discrete
+    * sign decision, so per-term parity must be exact, not approximate. */
   private val bucketCte: String =
     """, buckets AS (
          SELECT vec_id,
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
            SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS DECIMAL(18,12))) AS proj
+                  SUM(CAST(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(18,12))) AS proj
            FROM el, UNNEST(range(12)) AS t(p)
            GROUP BY 1, 2) pr
          GROUP BY vec_id)"""
