@@ -267,14 +267,13 @@ object Similarity {
     * ARRAYS (not exploded elements) against the vector scan — a fold per
     * (vector, centroid) — followed by a map-side-combined min_by, so the
     * only shuffle is centroid-count-deep. */
-  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
-    DotProduct.register(spark)
+  /** Max-cosine centroid per vector (shared by [[annIvf]] and
+    * [[kmeansRefine]]); centroids = every 97th vector, the seeded-sample
+    * stand-in for a trained quantizer. */
+  private def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-
     val v = vecs(spark, sfDir)
-
-    val assignments = graft.util.Memo.cached(spark, sfDir, "sim_ivf_assign") {
+    graft.util.Memo.cached(spark, sfDir, "sim_ivf_assign") {
       val cents = v.filter($"vec_id" % 97 === 3)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
       // min_by over (-cos, cid) ≡ ROW_NUMBER(ORDER BY cos DESC, cid) = 1,
@@ -285,6 +284,15 @@ object Similarity {
         .groupBy($"vec_id")
         .agg(min_by($"cid", struct(negate($"cos"), $"cid")).as("cluster"))
     }
+  }
+
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val v = vecs(spark, sfDir)
+    val assignments = ivfAssignments(spark, sfDir)
 
     val qa = assignments.filter(expr(queryFilter))
       .select($"vec_id".as("qid"), $"cluster")
@@ -297,7 +305,9 @@ object Similarity {
     rerank(v, qv, candidates, 3)
   }
 
-  val annIvfOracle: String = Fixtures.oracle(
+  /** Oracle twin of [[ivfAssignments]] (shared by ANN-IVF and the k-means
+    * refinement). */
+  private def assignmentCtes: String =
     normCte("embeddings") +
       s""", cents AS (
          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 97 = 3),
@@ -315,8 +325,11 @@ object Similarity {
                FROM cdots d
                JOIN nrm n ON d.vec_id = n.vec_id
                JOIN cn c ON d.cid = c.cid) t
-         WHERE rn = 1),
-       candidates AS (
+         WHERE rn = 1)"""
+
+  val annIvfOracle: String = Fixtures.oracle(
+    assignmentCtes +
+      s""", candidates AS (
          SELECT q.vec_id AS qid, a.vec_id
          FROM assignments q JOIN assignments a
            ON q.cluster = a.cluster AND a.vec_id != q.vec_id
@@ -329,15 +342,54 @@ object Similarity {
          JOIN embeddings d ON d.vec_id = c.vec_id)""" +
       rankedTail(3))
 
+  /** One Lloyd refinement step over the IVF cells: per-cluster element-wise
+    * mean vectors (flattened to (cluster, idx, n, mean_v) rows so the
+    * result is oracle-hashable) — the clustering primitive a training-data
+    * curation pipeline uses for diversity sampling / cluster-balanced
+    * selection. Unlike the pairwise similarity paths, the element explode
+    * here is the RIGHT distributed shape: it feeds a map-side-combinable
+    * groupBy on (cluster, idx), so the shuffle carries only
+    * clusters × dim partial sums, never row-pair blow-up. Element sums
+    * accumulate in DECIMAL(18,12) (order-independent, Long-backed) and the
+    * mean divides once in double — cross-engine exact. */
+  def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val el = spark.table("embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("idx", "x")))
+    el.join(ivfAssignments(spark, sfDir).hint("broadcast"), Seq("vec_id"))
+      .groupBy($"cluster", $"idx")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
+      .select($"cluster", $"idx", $"n",
+        round($"sx".cast(DoubleType) / $"n".cast(DoubleType), 6).as("mean_v"))
+  }
+
+  val kmeansRefineOracle: String = Fixtures.oracle(
+    elementCtes("embeddings") + assignmentCtes +
+      """, means AS (
+         SELECT a.cluster, el.idx, COUNT(1) AS n,
+                SUM(CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM el JOIN assignments a ON el.vec_id = a.vec_id
+         GROUP BY 1, 2)
+       SELECT cluster, idx, n,
+              ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v
+       FROM means""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_embedding_near_dup" -> (embeddingNearDup _))
+    "sim_embedding_near_dup" -> (embeddingNearDup _),
+    "sim_kmeans_refine" -> (kmeansRefine _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
-    "sim_embedding_near_dup" -> embeddingNearDupOracle)
+    "sim_embedding_near_dup" -> embeddingNearDupOracle,
+    "sim_kmeans_refine" -> kmeansRefineOracle)
 }
