@@ -141,15 +141,80 @@ object TextOps {
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
        FROM documents""")
 
+  /** The end-to-end curation funnel a training-data pipeline runs before
+    * tokenization: keep each document only if it is the canonical copy of
+    * its exact-dup group AND language-classified English-like AND above the
+    * quality bar AND inside the token-length band. One declarative plan —
+    * the dedup groupBy is the only shuffle; every signal is a scan-side
+    * projection, and Catalyst prunes `documents` to (doc_id, text) once for
+    * all four signals. Thresholds keep a non-trivial subset at every sf
+    * (~30% of the corpus). */
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val docs = spark.table("documents")
+    // canonical representative per exact-dup group (same groups as GROUP BY
+    // text — within a SHA-256 group all texts are identical)
+    val canonical = docs
+      .groupBy(sha2($"text", 256).as("sha"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+
+    docs
+      .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
+      .withColumn("stop_ratio", expr(stopCountSpark("text")).cast(DoubleType) / $"n_words")
+      .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast(DoubleType))
+      .withColumn("quality",
+        least(lit(1.0), $"n_words" / 200.0) * 0.4 +
+          least(lit(1.0), $"stop_ratio" * 10.0) * 0.3 +
+          ($"n_uniq" / $"n_words") * 0.3)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
+        $"n_words".between(10.0, 150.0))
+      .select(
+        $"doc_id",
+        round($"quality", 6).as("quality_score"),
+        $"n_words".cast(LongType).as("ws_tokens"),
+        when($"stop_ratio" >= 0.08, "en").otherwise("en_like").as("lang_pred"))
+  }
+
+  val corpusCurationOracle: String = Fixtures.oracle(
+    s""", curation_sig AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                CAST(${stopCountDuck("text")} AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+         FROM documents),
+       curation_q AS (
+         SELECT doc_id, n_words, stop_ratio,
+                LEAST(1.0, n_words / 200.0) * 0.4
+                  + LEAST(1.0, stop_ratio * 10.0) * 0.3
+                  + (n_uniq / n_words) * 0.3 AS quality
+         FROM curation_sig),
+       curation_canon AS (
+         SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+       SELECT q.doc_id,
+              ROUND(q.quality, 6) AS quality_score,
+              CAST(q.n_words AS BIGINT) AS ws_tokens,
+              CASE WHEN q.stop_ratio >= 0.08 THEN 'en' ELSE 'en_like' END AS lang_pred
+       FROM curation_q q
+       WHERE q.doc_id IN (SELECT doc_id FROM curation_canon)
+         AND q.quality >= 0.5 AND q.stop_ratio >= 0.04
+         AND q.n_words BETWEEN 10.0 AND 150.0""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
-    "text_doc_fingerprint" -> (docFingerprint _))
+    "text_doc_fingerprint" -> (docFingerprint _),
+    "corpus_curation" -> (corpusCuration _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
-    "text_doc_fingerprint" -> docFingerprintOracle)
+    "text_doc_fingerprint" -> docFingerprintOracle,
+    "corpus_curation" -> corpusCurationOracle)
 }
