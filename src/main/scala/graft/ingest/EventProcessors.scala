@@ -30,7 +30,26 @@ object EventProcessors {
       decode: Felts => Row)
 
   private def hex(v: BigInt): String = "0x" + v.toString(16)
-  private def dec(v: BigInt): java.math.BigDecimal = new java.math.BigDecimal(v.bigInteger)
+
+  /** Decimal with a LOUD 38-digit ceiling: Spark's DecimalType maxes at
+    * precision 38 — one digit short of u128-max (39 digits), far short of
+    * u256 — while the reference's Postgres NUMERIC is unbounded. A value
+    * beyond the ceiling must fail the decode visibly; the silent
+    * alternative is Row encoding's CheckOverflow nulling the amount inside
+    * a fact row (non-ANSI) where nothing would ever notice. */
+  private def dec(v: BigInt): java.math.BigDecimal = {
+    val d = new java.math.BigDecimal(v.bigInteger)
+    require(d.precision <= 38, s"decoded integer exceeds DECIMAL(38,0): $v")
+    d
+  }
+
+  /** u64 felt into a Long with an explicit range check — `BigInt.toLong`
+    * silently WRAPS for values ≥ 2^63, which would persist a corrupted
+    * key/time instead of rejecting the payload. */
+  private def u64(v: BigInt): Long = {
+    require(v.signum >= 0 && v.bitLength <= 63, s"u64 value out of Long range: $v")
+    v.toLong
+  }
 
   private val poolKeyFields = Seq(
     StructField("token0", StringType), StructField("token1", StringType),
@@ -189,7 +208,7 @@ object EventProcessors {
       val et = FeltDecode.parseU64(data, st.next)
       val srd = FeltDecode.parseI129(data, et.next)
       Row(hex(owner.value), hex(salt.value), hex(sell.value), hex(buy.value),
-        dec(fee.value), st.value.toLong, et.value.toLong, dec(srd.value))
+        dec(fee.value), u64(st.value), u64(et.value), dec(srd.value))
     })
 
   /** TWAMM OrderProceedsWithdrawn (events/twamm.ts:30-36, 0x3e0741...89b5). */
@@ -212,7 +231,7 @@ object EventProcessors {
       val et = FeltDecode.parseU64(data, st.next)
       val amt = FeltDecode.parseU128(data, et.next)
       Row(hex(owner.value), hex(salt.value), hex(sell.value), hex(buy.value),
-        dec(fee.value), st.value.toLong, et.value.toLong, dec(amt.value))
+        dec(fee.value), u64(st.value), u64(et.value), dec(amt.value))
     })
 
   /** TWAMM VirtualOrdersExecuted (events/twamm.ts:46-52, 0x29416a...840f). */
@@ -289,7 +308,7 @@ object EventProcessors {
     data => {
       val id = FeltDecode.parseU64(data, 0)
       val ref = FeltDecode.parseAddress(data, id.next)
-      Row(id.value.toLong, hex(ref.value))
+      Row(u64(id.value), hex(ref.value))
     })
 
   /** Legacy PositionMinted (events/positions.ts:10-19, 0x2a9157...929f):
@@ -307,7 +326,7 @@ object EventProcessors {
       val upper = FeltDecode.parseI129(data, lower.next)
       val ref = FeltDecode.backwardsCompatible(FeltDecode.parseAddress)(data, upper.next)
       val k = pk.value
-      Row(id.value.toLong, hex(k.token0), hex(k.token1), dec(k.fee),
+      Row(u64(id.value), hex(k.token0), hex(k.token1), dec(k.fee),
         k.tickSpacing.toInt, hex(k.extension), lower.value.toInt, upper.value.toInt,
         ref.value.map(hex).orNull)
     })
@@ -343,7 +362,7 @@ object EventProcessors {
       val calls = FeltDecode.parseSpanOf(call)(data, proposer.next)
       val cfg = FeltDecode.backwardsCompatible(FeltDecode.parseU64)(data, calls.next)
       Row(hex(id.value), hex(proposer.value),
-        cfg.value.map(_.toLong).map(Long.box).orNull,
+        cfg.value.map(u64).map(Long.box).orNull,
         calls.value.map { case (to, sel, cd) => Row(hex(to), hex(sel), cd.map(hex)) })
     })
 
@@ -397,7 +416,7 @@ object EventProcessors {
     data => {
       val id = FeltDecode.parseFelt252(data, 0)
       val ts = FeltDecode.parseU64(data, id.next)
-      Row(hex(id.value), ts.value.toLong)
+      Row(hex(id.value), u64(ts.value))
     })
 
   /** Governor Described (events/governor.ts:65-69, 0x8643a1...7a9):
@@ -433,8 +452,8 @@ object EventProcessors {
       val ed = FeltDecode.parseU64(data, pct.next)
       val ew = FeltDecode.parseU64(data, ed.next)
       val ver = FeltDecode.parseU64(data, ew.next)
-      Row(vsd.value.toLong, vp.value.toLong, vwsd.value.toLong, dec(q.value),
-        dec(pct.value), ed.value.toLong, ew.value.toLong, ver.value.toLong)
+      Row(u64(vsd.value), u64(vp.value), u64(vwsd.value), dec(q.value),
+        dec(pct.value), u64(ed.value), u64(ew.value), u64(ver.value))
     })
 
   private val registrationSchema = StructType(Seq(
@@ -496,7 +515,7 @@ object EventProcessors {
       val idx = FeltDecode.parseU64(data, t1.next)
       val ts = FeltDecode.parseU64(data, idx.next)
       val tc = FeltDecode.parseI129(data, ts.next)
-      Row(hex(t0.value), hex(t1.value), idx.value.toLong, ts.value.toLong, dec(tc.value))
+      Row(hex(t0.value), hex(t1.value), u64(idx.value), u64(ts.value), dec(tc.value))
     })
 
   /** Limit OrderPlaced (events/limitOrders.ts:17-24, 0x03b935...7cb). */
@@ -587,13 +606,31 @@ object EventProcessors {
     * data array<string>); `contracts` maps logical contract names to
     * deployed addresses (the reference's env-var filter inputs). Every
     * output carries the packed event_id. */
+  /** Canonical form of a 0x-hex felt for equality tests: lowercase, leading
+    * zeros stripped. Selectors/addresses circulate in BOTH minimal-hex and
+    * zero-padded-to-64 forms (the registry constants themselves are mixed,
+    * copied verbatim from the reference); exact string equality would make
+    * whichever subset mismatches the feed's canonical form silently match
+    * nothing. */
+  private[ingest] def normHex(s: String): String = {
+    val h = s.toLowerCase.stripPrefix("0x").dropWhile(_ == '0')
+    "0x" + (if (h.isEmpty) "0" else h)
+  }
+
+  /** Column twin of [[normHex]] (codegen'd regexps, stays in the scan). */
+  private def normHexCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("0x"),
+      when(regexp_replace(regexp_replace(lower(c), "^0x", ""), "^0+", "") === "", "0")
+        .otherwise(regexp_replace(regexp_replace(lower(c), "^0x", ""), "^0+", "")))
+
   def decodeAll(spark: SparkSession, raw: DataFrame,
       contracts: Map[String, String]): Map[String, DataFrame] =
     registry.filter(p => contracts.contains(p.contract)).map { p =>
       val metaSchema = StructType(Seq(StructField("event_id", LongType)) ++ p.schema.fields)
       val decode = p.decode
       val matching = raw
-        .filter(col("emitter") === contracts(p.contract) && col("key0") === p.keySelector)
+        .filter(normHexCol(col("emitter")) === normHex(contracts(p.contract)) &&
+          normHexCol(col("key0")) === normHex(p.keySelector))
         .select(
           Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index"))
             .as("event_id"),
@@ -626,8 +663,11 @@ object EventProcessors {
     * no executed call disappears from the child table. */
   def governorExecutionResults(executed: DataFrame): DataFrame =
     executed
+      // outer at BOTH levels: an execution with an empty results array (or
+      // an empty span inside it) keeps a NULL-word row — otherwise the
+      // execution disappears from the child table entirely
       .select(col("event_id"), col("id").as("proposal_id"),
-        posexplode(col("results")).as(Seq("index", "span")))
+        posexplode_outer(col("results")).as(Seq("index", "span")))
       .select(col("event_id"), col("proposal_id"), col("index"),
         posexplode_outer(col("span")).as(Seq("word_index", "result_word")))
 }

@@ -52,10 +52,17 @@ object Ingest {
     BigInt(1, md.digest())
   }
 
-  /** Dimension upsert (`ON CONFLICT DO NOTHING`, dao.ts:1869-1893): union the
-    * incoming keys and keep the first row per key. */
+  /** Dimension upsert (`ON CONFLICT DO NOTHING`, dao.ts:1869-1893): keep
+    * every existing row untouched and add only incoming keys that are
+    * genuinely new. The anti-join makes the DO-NOTHING direction explicit —
+    * `union.dropDuplicates(key)` keeps a partition-order-dependent row per
+    * key and can silently REPLACE an existing dimension row's attributes
+    * with the incoming version. (Among multiple new rows sharing a key
+    * within one batch the pick is still arbitrary, matching the reference's
+    * insert-order nondeterminism inside a transaction.) */
   def upsertDim(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
-    existing.unionByName(incoming).dropDuplicates(key)
+    existing.unionByName(
+      incoming.join(existing.select(key), Seq(key), "left_anti").dropDuplicates(key))
 
   /** Reorg retraction (dao.ts:2306-2321 / index.ts:162-184): drop every fact
     * at or above the invalidated block. The FK cascade of the reference is

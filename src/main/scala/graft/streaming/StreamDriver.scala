@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -25,6 +27,15 @@ import graft.ingest.Ingest
   *
   * Event-time watermarks/session windows are deliberately absent: blockchain
   * order is total, and "late data" manifests only as reorgs (T8).
+  *
+  * Layout note: `batch_id=N` accrues one directory per micro-batch — on
+  * plain parquet a long-lived deployment must periodically compact old
+  * batches (fold `batch_id < N` into one archive partition per
+  * block_bucket, quiesced). On a production table format (Delta/Iceberg)
+  * the same pipeline writes MERGE/DELETE-capable tables and compaction is
+  * the format's OPTIMIZE; the plain-parquet layout here is the
+  * dependency-free stand-in that keeps the replay-idempotence and
+  * partition-pruned-retract semantics testable.
   */
 final class StreamDriver(
     spark: SparkSession,
@@ -64,12 +75,28 @@ final class StreamDriver(
     * Idempotency is scoped to the batch: partitions are
     * `batch_id=N/block_bucket=M`, so a checkpoint replay of batch N
     * dynamically overwrites ONLY its own partitions (exactly-once, T1)
-    * while other batches sharing a block bucket stay untouched. */
+    * while other batches sharing a block bucket stay untouched.
+    *
+    * Replay-after-retract: a checkpoint replay of an UNCOMMITTED batch that
+    * was written before a reorg retraction would resurrect the retracted
+    * blocks (its offset-WAL file list is pre-reorg). Every retract therefore
+    * records `(maxBatchId at retract time, fromBlock)` in a ledger, and a
+    * replayed batch with id ≤ a ledger entry's maxBatchId is filtered to
+    * `block_number < fromBlock` — reproducing exactly the survivor set the
+    * retract committed. Batches newer than every ledger entry (the
+    * post-reorg canonical chain) pass through unfiltered. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val keyed = batch.withColumn("event_id",
+    // a row without a block number can neither be keyed nor retracted (it
+    // would land in the __HIVE_DEFAULT_PARTITION__ bucket, outside every
+    // reorg predicate) — malformed input, dropped at the boundary
+    val valid = batch.filter(col("block_number").isNotNull)
+    val keyed = valid.withColumn("event_id",
       Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
 
-    withBlockBucket(keyed)
+    val cutoff = retractCutoffFor(batchId)
+    val replaySafe = cutoff.map(c => keyed.filter(col("block_number") < c)).getOrElse(keyed)
+
+    withBlockBucket(replaySafe)
       .withColumn("batch_id", lit(batchId))
       .write
       .mode("overwrite")
@@ -77,7 +104,7 @@ final class StreamDriver(
       .partitionBy("batch_id", "block_bucket")
       .parquet(s"$factRoot/raw_events")
 
-    onOperationalRefresh(keyed)
+    onOperationalRefresh(replaySafe)
     if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
   }
 
@@ -87,22 +114,28 @@ final class StreamDriver(
     * buckets are never read. (With a table format this is `DELETE WHERE`;
     * on plain parquet it is an explicit partition-level delete+rewrite.)
     *
-    * Crash-recoverable: survivors are fully materialized under
-    * `.retract_tmp` and stamped with a commit marker recording the boundary
-    * BEFORE any source file is deleted. If the process dies between the
-    * deletes and the swap, the next retract()/recoverRetract() first
-    * completes the pending swap from the marker — it never recomputes
-    * survivors from a half-deleted source, and overwrite can never clobber
-    * committed-but-unswapped survivors. */
+    * Crash-recoverable, two markers (each created atomically by
+    * write-temp-then-rename; a torn temp is ignored because only the
+    * renamed names are ever read):
+    *  - `_RETRACT_DELETE` = survivors are fully materialized under
+    *    `.retract_tmp`; the stale deletes may (re)run. Carries
+    *    `fromBlock maxBatchId` so recovery can also replay the ledger
+    *    entry that guards checkpoint replays (see processBatch).
+    *  - `_RETRACT_SWAP` = every stale bucket is gone; only the remaining
+    *    renames may run. Recovery from SWAP never re-deletes, because a
+    *    partially-swapped survivor bucket in dest is indistinguishable from
+    *    a stale one by path alone.
+    * Removing the temp dir (markers included) marks the retract complete;
+    * the ledger entry persists. */
   def retract(fromBlock: Long): Unit = {
     val path = s"$factRoot/raw_events"
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // 0. finish any half-done retract first (see recoverRetract)
     recoverRetract()
 
     val boundary = fromBlock / 4096
+    val maxBatch = maxBatchId(fs)
 
     // 1. surviving rows of the boundary bucket are written EXECUTOR-SIDE to
     //    a temp prefix — never materialized on the driver (a production
@@ -117,38 +150,33 @@ final class StreamDriver(
 
     // 1b. commit point: once this marker exists, the retract WILL complete
     //     (here or on recovery) using only the materialized survivors.
-    writeMarker(fs, "DELETE", boundary)
+    writeMarker(fs, DeleteMarker, s"$fromBlock $maxBatch")
+    writeLedgerEntry(fs, maxBatch, fromBlock)
 
     deletePhase(fs, boundary)
-    // flip the marker AFTER all stale deletes: recovery from "SWAP" must
-    // never re-delete, because a partially-swapped survivor bucket in dest
-    // is indistinguishable from a stale one by path alone.
-    writeMarker(fs, "SWAP", boundary)
+    writeMarker(fs, SwapMarker, s"$fromBlock $maxBatch")
     swapPhase(fs)
   }
 
   /** Complete a retract that died between its commit point and its swap.
     * Safe to call any time (e.g. on driver startup before resuming the
     * stream): a marker-less temp dir means the survivors write itself never
-    * committed — the source is still intact, so the temp is just discarded.
-    * Marker phase DELETE = no survivor has been renamed into place yet, so
-    * the stale deletes are redone idempotently; phase SWAP = every stale
-    * bucket is already gone, only the remaining renames are replayed. */
+    * committed — the source is still intact, so the temp is just discarded. */
   def recoverRetract(): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
+    val fs = new Path(s"$factRoot/raw_events")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
-    val marker = new org.apache.hadoop.fs.Path(tmpDir, MarkerName)
-    if (fs.exists(marker)) {
-      val Array(phase, b) = {
-        val in = fs.open(marker)
-        try scala.io.Source.fromInputStream(in).mkString.trim.split(' ') finally in.close()
-      }
-      val boundary = b.toLong
-      if (phase == "DELETE") {
-        deletePhase(fs, boundary)
-        writeMarker(fs, "SWAP", boundary)
-      }
+    val tmpPath = new Path(tmpDir)
+    val swapM = new Path(tmpDir, SwapMarker)
+    val deleteM = new Path(tmpDir, DeleteMarker)
+    if (fs.exists(swapM)) {
+      swapPhase(fs)
+    } else if (fs.exists(deleteM)) {
+      val Array(fromBlock, maxBatch) = readMarker(fs, deleteM).split(' ').map(_.toLong)
+      // the ledger entry is part of the commit — replay it before deleting,
+      // in case the original crash hit between marker and ledger
+      writeLedgerEntry(fs, maxBatch, fromBlock)
+      deletePhase(fs, fromBlock / 4096)
+      writeMarker(fs, SwapMarker, s"$fromBlock $maxBatch")
       swapPhase(fs)
     } else if (fs.exists(tmpPath)) {
       fs.delete(tmpPath, true)
@@ -156,24 +184,82 @@ final class StreamDriver(
   }
 
   private val tmpDir = s"$factRoot/.retract_tmp"
-  private val MarkerName = "_RETRACT_COMMITTED"
+  private val ledgerDir = s"$factRoot/.retract_log"
+  private val DeleteMarker = "_RETRACT_DELETE"
+  private val SwapMarker = "_RETRACT_SWAP"
 
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
-      phase: String, boundary: Long): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, MarkerName), true)
-    try out.write(s"$phase $boundary".getBytes("UTF-8")) finally out.close()
+  /** Atomic marker creation: write a temp file, then rename into the final
+    * name. A crash mid-write leaves only a torn temp that is never read; a
+    * rename onto an already-existing marker (recovery replay) is a no-op. */
+  private def writeMarker(fs: FileSystem, name: String, content: String): Unit = {
+    val dest = new Path(tmpDir, name)
+    if (!fs.exists(dest)) {
+      val tmp = new Path(tmpDir, name + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, dest)
+    }
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+  }
+
+  /** One empty file per retract, data in the name (no torn-content risk):
+    * `r_<maxBatchId>_<fromBlock>`. */
+  private def writeLedgerEntry(fs: FileSystem, maxBatch: Long, fromBlock: Long): Unit =
+    if (maxBatch >= 0) {
+      fs.mkdirs(new Path(ledgerDir))
+      fs.create(new Path(ledgerDir, s"r_${maxBatch}_$fromBlock"), true).close()
+    }
+
+  /** The replay guard for a batch id: the tightest retract boundary among
+    * ledger entries whose maxBatchId covers this batch (None for batches
+    * newer than every recorded retract). */
+  private def retractCutoffFor(batchId: Long): Option[Long] = {
+    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(ledgerDir)
+    if (!fs.exists(dir)) return None
+    val cutoffs = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case LedgerName(maxBatch, fromBlock) if maxBatch.toLong >= batchId =>
+        fromBlock.toLong }
+    if (cutoffs.isEmpty) None else Some(cutoffs.min)
+  }
+
+  private val LedgerName = "r_(-?\\d+)_(\\d+)".r
+
+  private def maxBatchId(fs: FileSystem): Long = {
+    val root = new Path(s"$factRoot/raw_events")
+    if (!fs.exists(root)) return -1L
+    val ids = fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") &&
+        n.stripPrefix("batch_id=").forall(c => c.isDigit || c == '-') =>
+        n.stripPrefix("batch_id=").toLong }
+    if (ids.isEmpty) -1L else ids.max
   }
 
   /** Step 2, idempotent: partition-level delete of every bucket ≥ boundary.
-    * Runs only while the marker is in phase DELETE — i.e. before any
-    * survivor has been renamed into the fact root. */
-  private def deletePhase(fs: org.apache.hadoop.fs.FileSystem, boundary: Long): Unit = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
+    * Runs only while the DELETE marker is current — i.e. before any
+    * survivor has been renamed into the fact root. Non-numeric partition
+    * directory names (foreign files, default partitions) are skipped, never
+    * parsed. */
+  private def deletePhase(fs: FileSystem, boundary: Long): Unit = {
+    val hadoopPath = new Path(s"$factRoot/raw_events")
+    if (!fs.exists(hadoopPath)) return
     fs.listStatus(hadoopPath)
       .filter(_.getPath.getName.startsWith("batch_id="))
       .foreach { batchDir =>
         fs.listStatus(batchDir.getPath)
-          .filter(_.getPath.getName.startsWith("block_bucket="))
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("block_bucket=") && {
+              val v = n.stripPrefix("block_bucket=")
+              v.nonEmpty && v.forall(c => c.isDigit || c == '-')
+            }
+          }
           .filter(_.getPath.getName.stripPrefix("block_bucket=").toLong >= boundary)
           .foreach(st => fs.delete(st.getPath, true))
       }
@@ -183,10 +269,10 @@ final class StreamDriver(
     * place — pure filesystem renames (metadata ops), no row ever crosses
     * the driver. Each rename removes its source from the temp prefix, so a
     * replay only touches not-yet-swapped buckets. Removing the temp dir
-    * (marker included) is what marks the retract complete. */
-  private def swapPhase(fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(s"$factRoot/raw_events")
-    val tmpPath = new org.apache.hadoop.fs.Path(tmpDir)
+    * (markers included) is what marks the retract complete. */
+  private def swapPhase(fs: FileSystem): Unit = {
+    val hadoopPath = new Path(s"$factRoot/raw_events")
+    val tmpPath = new Path(tmpDir)
     if (fs.exists(tmpPath)) {
       fs.listStatus(tmpPath)
         .filter(_.getPath.getName.startsWith("batch_id="))
@@ -194,7 +280,7 @@ final class StreamDriver(
           fs.listStatus(batchDir.getPath)
             .filter(_.getPath.getName.startsWith("block_bucket="))
             .foreach { bucketDir =>
-              val dest = new org.apache.hadoop.fs.Path(
+              val dest = new Path(
                 s"${hadoopPath.toString}/${batchDir.getPath.getName}/${bucketDir.getPath.getName}")
               fs.mkdirs(dest.getParent)
               fs.rename(bucketDir.getPath, dest)

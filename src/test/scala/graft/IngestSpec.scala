@@ -98,8 +98,10 @@ class IngestSpec extends SparkSpec {
     driver.processBatch(batch, 0L)
 
     // Simulate a retract(5000) that crashed right AFTER its commit point
-    // (survivors fully materialized + marker written) but BEFORE any delete
-    // or swap: replay step 1 of retract() by hand, then "crash".
+    // (survivors fully materialized + DELETE marker written) but BEFORE any
+    // delete or swap: replay step 1 of retract() by hand, then "crash". The
+    // marker carries "fromBlock maxBatchId" (the ledger entry is replayed
+    // from it on recovery).
     val boundary = 5000L / 4096
     graft.ingest.Ingest.retractFacts(
         spark.read.parquet(s"$dir/raw_events")
@@ -107,8 +109,8 @@ class IngestSpec extends SparkSpec {
       .write.mode("overwrite")
       .partitionBy("batch_id", "block_bucket")
       .parquet(s"$dir/.retract_tmp")
-    val markerPath = java.nio.file.Paths.get(s"$dir/.retract_tmp/_RETRACT_COMMITTED")
-    java.nio.file.Files.write(markerPath, s"DELETE $boundary".getBytes("UTF-8"))
+    val markerPath = java.nio.file.Paths.get(s"$dir/.retract_tmp/_RETRACT_DELETE")
+    java.nio.file.Files.write(markerPath, s"5000 0".getBytes("UTF-8"))
 
     // Recovery must complete the pending retract from the materialized
     // survivors — final state identical to an uninterrupted retract(5000).
@@ -125,5 +127,53 @@ class IngestSpec extends SparkSpec {
     driver.recoverRetract()
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/.retract_tmp")))
     assert(spark.read.parquet(s"$dir/raw_events").count() == 4999L)
+  }
+
+  test("checkpoint replay after retract does not resurrect retracted blocks (T2/T3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+
+    val preReorg = (1L to 9000L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(preReorg, 0L)
+    driver.retract(5000L)
+
+    // a crash before batch 0's checkpoint commit makes Spark REPLAY it with
+    // its pre-reorg file list; the retract ledger must filter the replay to
+    // the survivor set instead of resurrecting blocks >= 5000 and
+    // clobbering the swapped-in boundary bucket
+    driver.processBatch(preReorg, 0L)
+    val afterReplay = spark.read.parquet(s"$dir/raw_events")
+    assert(afterReplay.count() == 4999L)
+    assert(afterReplay.agg(max("block_number")).collect().head.getLong(0) == 4999L)
+
+    // the post-reorg canonical chain arrives in NEWER batches — unfiltered
+    val postReorg = (5000L to 5100L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(postReorg, 1L)
+    val afterNew = spark.read.parquet(s"$dir/raw_events")
+    assert(afterNew.count() == 4999L + 101L)
+    assert(afterNew.agg(max("block_number")).collect().head.getLong(0) == 5100L)
+  }
+
+  test("rows without a block number are dropped at the ingest boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    val batch = Seq((Option(7L), 0L, 0L), (Option.empty[Long], 0L, 1L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(batch, 0L)
+    val written = spark.read.parquet(s"$dir/raw_events")
+    assert(written.count() == 1L)
+    // no __HIVE_DEFAULT_PARTITION__ bucket exists to wedge a retract, and a
+    // retract covering everything completes without a parse error
+    val bucketDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/raw_events/batch_id=0"))
+      .toArray.map(_.toString).filter(_.contains("block_bucket"))
+    assert(bucketDirs.forall(!_.contains("__HIVE_DEFAULT_PARTITION__")))
+    driver.retract(5L)
+    val schema = written.schema
+    assert(spark.read.schema(schema).parquet(s"$dir/raw_events").count() == 0L)
   }
 }
