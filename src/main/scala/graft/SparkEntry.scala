@@ -31,7 +31,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (Sampling.queries, Sampling.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.fixtures.Fixtures
+
+/** Sampling and corpus-shaping operators for training-data pipelines, over
+  * the `documents` and `embeddings` tables: stratified down-sampling,
+  * per-stratum uniform-k selection, int8 embedding quantization, and
+  * token-budget context packing.
+  *
+  * Everything here must be reproducible run-over-run and engine-over-engine
+  * (the DuckDB differential oracle re-derives every row), so randomness is
+  * replaced by a multiplicative hash of the stable key: `rand()`-style
+  * sampling would be irreproducible and, at 100 TB, make every retry of a
+  * failed stage emit a different corpus. The hash keeps the decision a
+  * narrow per-row projection — no shuffle, no state, resumable at any point.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of a non-negative id, mod 2^32. The id is
+    * first reduced mod 2^31 so the product stays under 2^63 (non-ANSI Spark
+    * would wrap silently; DuckDB would error — BOTH are wrong answers).
+    * Collisions across 2^31-spaced ids only shift which rows are sampled,
+    * never determinism. */
+  private val Mult = 2654435761L // floor(2^32 / golden ratio), Knuth §6.4
+  private def bucketExprSql(id: String): String =
+    s"(($id % 2147483648) * $Mult) % 4294967296"
+
+  /** Per-language Bernoulli rates in basis points (fraction of 10000).
+    * The synthetic corpus is en-heavy; a curation pass typically
+    * down-samples the dominant language and keeps the tail. */
+  val stratumRatesBp: Map[String, Int] = Map("en" -> 2000)
+  val defaultRateBp: Int = 5000
+
+  /** Stratified hash-sampling: keep a deterministic `rate(lang)` fraction of
+    * each language stratum. The keep/drop decision is a pure projection of
+    * (doc_id, lang) — the plan is scan → filter, no shuffle, and the same
+    * doc survives every re-run and both engines. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val rateCol = stratumRatesBp.foldLeft(lit(defaultRateBp)) {
+      case (acc, (lang, bp)) => when($"lang" === lang, lit(bp)).otherwise(acc)
+    }
+    spark.table("documents")
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .withColumn("rate_bp", rateCol.cast(LongType))
+      .filter($"bucket" < $"rate_bp")
+      .select($"doc_id", $"lang", $"bucket", $"rate_bp")
+  }
+
+  val stratifiedSampleOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id, lang,
+               CAST(${bucketExprSql("doc_id")} % 10000 AS BIGINT) AS bucket,
+               CAST(CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END AS BIGINT) AS rate_bp
+        FROM documents
+        WHERE ${bucketExprSql("doc_id")} % 10000
+              < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END""")
+
+  /** Deterministic uniform-k per stratum (the batch analogue of reservoir
+    * sampling): rank docs inside each language by hash order and keep the
+    * first k. Unlike a true reservoir this is shuffle-exact: one hash
+    * partition per stratum, rank via window — at scale the per-stratum
+    * ordering is the only state, and k rows per stratum is all that
+    * survives. Tie-break on doc_id so colliding hashes stay deterministic. */
+  def uniformKPerStratum(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = spark.table("documents")
+      .withColumn("h", expr(bucketExprSql("doc_id")).cast(LongType))
+    hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
+      .filter($"rk" <= k)
+      .select($"lang", $"doc_id", $"rk".cast(LongType).as("sample_rank"))
+  }
+
+  val uniformKPerStratumOracle: String = Fixtures.oracle(
+    s"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+        FROM (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ${bucketExprSql("doc_id")}, doc_id) AS rk
+              FROM documents)
+        WHERE rk <= 50""")
+
+  /** Symmetric int8 quantization of the embedding column: per-vector scale
+    * = max|x|, q_i = floor(x_i * 127 / scale + 0.5) in [-127, 127]. Emitted
+    * exploded (vec_id, idx, q) so the oracle verifies every element, not a
+    * digest. All arithmetic is on doubles promoted from the stored float32
+    * (exact) with `floor(x + 0.5)` instead of engine `round` — Spark
+    * HALF_UP vs DuckDB's banker's-rounding on doubles would differ at
+    * exact .5 midpoints.
+    *
+    * Scale path: the transform is a narrow projection (quantized vectors
+    * are 4x smaller than the float32 input — this operator's point at
+    * 100 TB); the explode here is only the oracle-visibility format. */
+  def embeddingQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("embeddings")
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x AS DOUBLE))))"))
+      .select($"vec_id", $"scale",
+        posexplode(expr(
+          """transform(embedding, x ->
+             CASE WHEN scale = 0.0d THEN 0L
+                  ELSE cast(greatest(-127.0d, least(127.0d,
+                         floor(cast(x AS DOUBLE) * 127.0d / scale + 0.5d))) AS BIGINT)
+             END)""")).as(Seq("idx", "q")))
+      .select($"vec_id", $"idx".cast(LongType).as("idx"), $"q",
+        $"scale".as("q_scale"))
+  }
+
+  val embeddingQuantizeOracle: String = Fixtures.oracle(
+    """SELECT vec_id,
+              CAST(u.i - 1 AS BIGINT) AS idx,
+              CASE WHEN s.scale = 0.0 THEN 0
+                   ELSE CAST(greatest(-127.0, least(127.0,
+                          floor(CAST(u.x AS DOUBLE) * 127.0 / s.scale + 0.5))) AS BIGINT)
+              END AS q,
+              s.scale AS q_scale
+       FROM (SELECT vec_id,
+                    list_aggregate(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+                    embedding
+             FROM embeddings) s,
+            UNNEST(list_transform(s.embedding, (x, i) -> {'x': x, 'i': i})) AS r(u)""")
+
+  /** Token-budget context packing: inside each language stratum, docs in
+    * doc_id order are packed into context windows of `budget` whitespace
+    * tokens via a running prefix sum — window_id = floor(tokens_before /
+    * budget). A window may overflow by at most one document (the classic
+    * streaming-packing bound); exact greedy packing is inherently
+    * sequential and would serialize the corpus through one task.
+    *
+    * Scale path: the window is PARTITIONED by stratum (packing quality is
+    * local — training shards are built per-partition anyway), so no global
+    * sort exists; each stratum's prefix sum is an independent partition. */
+  def packTokenBudget(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.table("documents")
+      .withColumn("n_tokens", size(split($"text", " ")).cast(LongType))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("window_id", floor(($"cum_tokens" - $"n_tokens") / budget).cast(LongType))
+      .select($"lang", $"doc_id", $"n_tokens", $"window_id",
+        ($"cum_tokens" - $"n_tokens").as("tokens_before"))
+  }
+
+  val packTokenBudgetOracle: String = Fixtures.oracle(
+    """SELECT lang, doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS window_id,
+              CAST(cum_tokens - n_tokens AS BIGINT) AS tokens_before
+       FROM (SELECT lang, doc_id,
+                    len(string_split(text, ' ')) AS n_tokens,
+                    sum(len(string_split(text, ' '))) OVER (
+                      PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             FROM documents)""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (stratifiedSample _),
+    "sample_uniform_k" -> ((s: SparkSession, d: String) => uniformKPerStratum(s, d)),
+    "embedding_quantize" -> (embeddingQuantize _),
+    "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" -> stratifiedSampleOracle,
+    "sample_uniform_k" -> uniformKPerStratumOracle,
+    "embedding_quantize" -> embeddingQuantizeOracle,
+    "pack_token_budget" -> packTokenBudgetOracle)
+}
