@@ -28,13 +28,13 @@ import graft.ingest.Ingest
   * Event-time watermarks/session windows are deliberately absent: blockchain
   * order is total, and "late data" manifests only as reorgs (T8).
   *
-  * Layout note: `batch_id=N` accrues one directory per micro-batch — on
-  * plain parquet a long-lived deployment must periodically compact old
-  * batches (fold `batch_id < N` into one archive partition per
-  * block_bucket, quiesced). On a production table format (Delta/Iceberg)
-  * the same pipeline writes MERGE/DELETE-capable tables and compaction is
-  * the format's OPTIMIZE; the plain-parquet layout here is the
-  * dependency-free stand-in that keeps the replay-idempotence and
+  * Layout note: `batch_id=N` accrues one directory per micro-batch — a
+  * long-lived deployment periodically calls [[compact]] (quiesced) to fold
+  * `batch_id < N` into the single archive partition `batch_id=-1`, one
+  * directory per block_bucket. On a production table format
+  * (Delta/Iceberg) the same pipeline writes MERGE/DELETE-capable tables
+  * and compaction is the format's OPTIMIZE; the plain-parquet layout here
+  * is the dependency-free stand-in that keeps the replay-idempotence and
   * partition-pruned-retract semantics testable.
   */
 final class StreamDriver(
@@ -86,6 +86,14 @@ final class StreamDriver(
     * retract committed. Batches newer than every ledger entry (the
     * post-reorg canonical chain) pass through unfiltered. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    // Replay-after-compact: a batch folded into the archive no longer owns
+    // a batch_id=N partition — re-writing one would DUPLICATE its rows
+    // (one copy in the archive, one in the resurrected partition). Its
+    // data (post-retract-filter, which ran before the fold) already lives
+    // in batch_id=-1, so the replay is a pure no-op; the stream converges
+    // at the first batch newer than the compaction ledger.
+    if (batchId < compactedUpTo) return
+
     // a row without a block number can neither be keyed nor retracted (it
     // would land in the __HIVE_DEFAULT_PARTITION__ bucket, outside every
     // reorg predicate) — malformed input, dropped at the boundary
@@ -150,12 +158,76 @@ final class StreamDriver(
 
     // 1b. commit point: once this marker exists, the retract WILL complete
     //     (here or on recovery) using only the materialized survivors.
-    writeMarker(fs, DeleteMarker, s"$fromBlock $maxBatch")
+    writeMarker(fs, tmpDir, DeleteMarker, s"$fromBlock $maxBatch")
     writeLedgerEntry(fs, maxBatch, fromBlock)
 
     deletePhase(fs, boundary)
-    writeMarker(fs, SwapMarker, s"$fromBlock $maxBatch")
-    swapPhase(fs)
+    writeMarker(fs, tmpDir, SwapMarker, s"$fromBlock $maxBatch")
+    swapPhase(fs, tmpDir)
+  }
+
+  /** Fold every `batch_id < upToBatch` partition (the existing archive
+    * included) into the single archive partition `batch_id=-1`, one
+    * directory per block_bucket — small per-micro-batch files become one
+    * scan-efficient run and the partition listing stops growing with
+    * stream age. Quiesced-only, like retract: no concurrent processBatch.
+    *
+    * Same two-marker crash-safe protocol as retract (the folded archive is
+    * fully materialized under `.compact_tmp` BEFORE any source directory
+    * is deleted), plus a compaction ledger entry consumed by processBatch:
+    * a checkpoint replay of a folded batch must skip its write entirely —
+    * its rows already live in the archive, and resurrecting `batch_id=N`
+    * would double them. */
+  def compact(upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"upToBatch must be >= 0: $upToBatch")
+    val path = s"$factRoot/raw_events"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 0. never interleave with a half-done retract or compact
+    recoverRetract()
+    recoverCompact()
+
+    if (!fs.exists(new Path(path)) || maxBatchId(fs) < 0) return
+
+    // 1. materialize the folded archive executor-side (never on the driver)
+    spark.read.parquet(path)
+      .filter(col("batch_id") < upToBatch)
+      .withColumn("batch_id", lit(-1L))
+      .write
+      .mode("overwrite")
+      .partitionBy("batch_id", "block_bucket")
+      .parquet(compactTmpDir)
+
+    // 1b. commit point
+    writeMarker(fs, compactTmpDir, DeleteMarker, s"$upToBatch")
+    writeCompactLedgerEntry(fs, upToBatch)
+
+    compactDeletePhase(fs, upToBatch)
+    writeMarker(fs, compactTmpDir, SwapMarker, s"$upToBatch")
+    swapPhase(fs, compactTmpDir)
+  }
+
+  /** Complete a compact that died between its commit point and its swap —
+    * same shape as [[recoverRetract]]: marker-less temp means the fold
+    * never committed (source intact, discard); DELETE means the source
+    * deletes may (re)run; SWAP means only renames remain. */
+  def recoverCompact(): Unit = {
+    val fs = new Path(s"$factRoot/raw_events")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpPath = new Path(compactTmpDir)
+    val swapM = new Path(compactTmpDir, SwapMarker)
+    val deleteM = new Path(compactTmpDir, DeleteMarker)
+    if (fs.exists(swapM)) {
+      swapPhase(fs, compactTmpDir)
+    } else if (fs.exists(deleteM)) {
+      val upToBatch = readMarker(fs, deleteM).toLong
+      writeCompactLedgerEntry(fs, upToBatch)
+      compactDeletePhase(fs, upToBatch)
+      writeMarker(fs, compactTmpDir, SwapMarker, s"$upToBatch")
+      swapPhase(fs, compactTmpDir)
+    } else if (fs.exists(tmpPath)) {
+      fs.delete(tmpPath, true)
+    }
   }
 
   /** Complete a retract that died between its commit point and its swap.
@@ -169,15 +241,15 @@ final class StreamDriver(
     val swapM = new Path(tmpDir, SwapMarker)
     val deleteM = new Path(tmpDir, DeleteMarker)
     if (fs.exists(swapM)) {
-      swapPhase(fs)
+      swapPhase(fs, tmpDir)
     } else if (fs.exists(deleteM)) {
       val Array(fromBlock, maxBatch) = readMarker(fs, deleteM).split(' ').map(_.toLong)
       // the ledger entry is part of the commit — replay it before deleting,
       // in case the original crash hit between marker and ledger
       writeLedgerEntry(fs, maxBatch, fromBlock)
       deletePhase(fs, fromBlock / 4096)
-      writeMarker(fs, SwapMarker, s"$fromBlock $maxBatch")
-      swapPhase(fs)
+      writeMarker(fs, tmpDir, SwapMarker, s"$fromBlock $maxBatch")
+      swapPhase(fs, tmpDir)
     } else if (fs.exists(tmpPath)) {
       fs.delete(tmpPath, true)
     }
@@ -185,16 +257,19 @@ final class StreamDriver(
 
   private val tmpDir = s"$factRoot/.retract_tmp"
   private val ledgerDir = s"$factRoot/.retract_log"
+  private val compactTmpDir = s"$factRoot/.compact_tmp"
+  private val compactLedgerDir = s"$factRoot/.compact_log"
   private val DeleteMarker = "_RETRACT_DELETE"
   private val SwapMarker = "_RETRACT_SWAP"
 
   /** Atomic marker creation: write a temp file, then rename into the final
     * name. A crash mid-write leaves only a torn temp that is never read; a
     * rename onto an already-existing marker (recovery replay) is a no-op. */
-  private def writeMarker(fs: FileSystem, name: String, content: String): Unit = {
-    val dest = new Path(tmpDir, name)
+  private def writeMarker(fs: FileSystem, dir: String, name: String,
+      content: String): Unit = {
+    val dest = new Path(dir, name)
     if (!fs.exists(dest)) {
-      val tmp = new Path(tmpDir, name + ".tmp")
+      val tmp = new Path(dir, name + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
       fs.rename(tmp, dest)
@@ -229,6 +304,43 @@ final class StreamDriver(
   }
 
   private val LedgerName = "r_(-?\\d+)_(\\d+)".r
+
+  /** One empty file per compaction, data in the name: `c_<upToBatch>`. */
+  private def writeCompactLedgerEntry(fs: FileSystem, upToBatch: Long): Unit = {
+    fs.mkdirs(new Path(compactLedgerDir))
+    fs.create(new Path(compactLedgerDir, s"c_$upToBatch"), true).close()
+  }
+
+  /** Exclusive upper bound of batch ids folded into the archive (0 when no
+    * compaction has ever run — no batch is ever skipped). */
+  private def compactedUpTo: Long = {
+    val dir = new Path(compactLedgerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val ids = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case CompactLedgerName(upTo) => upTo.toLong }
+    if (ids.isEmpty) 0L else ids.max
+  }
+
+  private val CompactLedgerName = "c_(\\d+)".r
+
+  /** Compact step 2, idempotent: drop every source batch directory folded
+    * into the materialized archive — ids below the bound plus the previous
+    * archive (-1), which the new archive supersedes. */
+  private def compactDeletePhase(fs: FileSystem, upToBatch: Long): Unit = {
+    val root = new Path(s"$factRoot/raw_events")
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_id=") && {
+          val v = n.stripPrefix("batch_id=")
+          v.nonEmpty && v.forall(c => c.isDigit || c == '-') && v.toLong < upToBatch
+        }
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+  }
 
   private def maxBatchId(fs: FileSystem): Long = {
     val root = new Path(s"$factRoot/raw_events")
@@ -270,9 +382,9 @@ final class StreamDriver(
     * the driver. Each rename removes its source from the temp prefix, so a
     * replay only touches not-yet-swapped buckets. Removing the temp dir
     * (markers included) is what marks the retract complete. */
-  private def swapPhase(fs: FileSystem): Unit = {
+  private def swapPhase(fs: FileSystem, srcTmpDir: String): Unit = {
     val hadoopPath = new Path(s"$factRoot/raw_events")
-    val tmpPath = new Path(tmpDir)
+    val tmpPath = new Path(srcTmpDir)
     if (fs.exists(tmpPath)) {
       fs.listStatus(tmpPath)
         .filter(_.getPath.getName.startsWith("batch_id="))

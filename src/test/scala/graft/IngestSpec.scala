@@ -176,4 +176,99 @@ class IngestSpec extends SparkSpec {
     val schema = written.schema
     assert(spark.read.schema(schema).parquet(s"$dir/raw_events").count() == 0L)
   }
+
+  test("compact folds old batches into the archive partition losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    def batchDf(lo: Long, hi: Long) = (lo to hi).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+
+    driver.processBatch(batchDf(1, 3000), 0L)
+    driver.processBatch(batchDf(3001, 6000), 1L)
+    driver.processBatch(batchDf(6001, 9000), 2L)
+    val before = spark.read.parquet(s"$dir/raw_events")
+      .select("block_number").as[Long].collect().sorted.toSeq
+
+    driver.compact(2L) // fold batches 0 and 1; batch 2 stays live
+
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/raw_events"))
+      .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(batchDirs == Seq("batch_id=-1", "batch_id=2"))
+    val after = spark.read.parquet(s"$dir/raw_events")
+      .select("block_number").as[Long].collect().sorted.toSeq
+    assert(after == before)
+
+    // a second compaction folds the previous archive plus batch 2
+    driver.processBatch(batchDf(9001, 9100), 3L)
+    driver.compact(3L)
+    val dirs2 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/raw_events"))
+      .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs2 == Seq("batch_id=-1", "batch_id=3"))
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 9100L)
+  }
+
+  test("checkpoint replay of a compacted batch does not duplicate its rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    val b0 = (1L to 100L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(b0, 0L)
+    driver.processBatch((101L to 200L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index"), 1L)
+    driver.compact(2L)
+
+    // replay of folded batch 0 must not resurrect batch_id=0
+    driver.processBatch(b0, 0L)
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 200L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/raw_events/batch_id=0")))
+  }
+
+  test("retract over the archive partition prunes and rewrites correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    driver.processBatch((1L to 9000L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index"), 0L)
+    driver.compact(1L)
+
+    driver.retract(5000L)
+    val left = spark.read.parquet(s"$dir/raw_events")
+    assert(left.count() == 4999L)
+    assert(left.agg(max("block_number")).collect().head.getLong(0) == 4999L)
+  }
+
+  test("compact recovery completes a fold that crashed before its deletes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    def batchDf(lo: Long, hi: Long) = (lo to hi).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index")
+    driver.processBatch(batchDf(1, 100), 0L)
+    driver.processBatch(batchDf(101, 200), 1L)
+
+    // replay compact step 1 by hand (fold batches < 2 into the archive),
+    // write the DELETE marker, then "crash" before any source delete
+    spark.read.parquet(s"$dir/raw_events")
+      .filter(col("batch_id") < 2L)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy("batch_id", "block_bucket")
+      .parquet(s"$dir/.compact_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/.compact_tmp/_RETRACT_DELETE"), "2".getBytes("UTF-8"))
+
+    driver.recoverCompact()
+
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/raw_events"))
+      .toArray.map(_.toString.split('/').last).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=-1"))
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 200L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/.compact_tmp")))
+    // the ledger entry was replayed from the marker: a replay of batch 0 is skipped
+    driver.processBatch(batchDf(1, 100), 0L)
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 200L)
+  }
 }
