@@ -379,17 +379,83 @@ object Similarity {
               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v
        FROM means""")
 
+  /** ANN quality measurement: per-query recall@3 of the LSH candidate path
+    * against the exact top-3 — the number a pipeline tunes its
+    * hyperplane/band parameters by. Exact top-3 is a prefix of
+    * [[cosineTopK]]'s top-5 (same ordering, same tie-break), so both sides
+    * reuse already-memoized frames; the join is output-sized (queries × k
+    * rows), negligible at any scale. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3)
+    val lsh = annLsh(spark, sfDir)
+    exact.as("e")
+      .join(lsh.as("l"),
+        col("e.query_id") === col("l.query_id") &&
+          col("e.neighbor_id") === col("l.neighbor_id"), "left_outer")
+      .groupBy(col("e.query_id"))
+      .agg(count(col("l.neighbor_id")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / 3.0, 6).as("recall_at_3"))
+  }
+
+  /** One shared el/buckets/nrm chain feeds BOTH the exact and the LSH side
+    * (the whole point: recall is measured against the same scores). */
+  val annRecallOracle: String = Fixtures.oracle(
+    elementCtes("embeddings") + bucketCte + normCte("embeddings") +
+      s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE q.$queryFilter),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id)),
+       lsh_cand AS (
+         SELECT q.vec_id AS qid, b.vec_id
+         FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+         WHERE q.$queryFilter),
+       lsh_dots AS (
+         SELECT c.qid, c.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM lsh_cand c
+         JOIN embeddings q ON q.vec_id = c.qid
+         JOIN embeddings d ON d.vec_id = c.vec_id),
+       lsh_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM lsh_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN lsh_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
-    "sim_kmeans_refine" -> (kmeansRefine _))
+    "sim_kmeans_refine" -> (kmeansRefine _),
+    "sim_ann_recall" -> (annRecall _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_embedding_near_dup" -> embeddingNearDupOracle,
-    "sim_kmeans_refine" -> kmeansRefineOracle)
+    "sim_kmeans_refine" -> kmeansRefineOracle,
+    "sim_ann_recall" -> annRecallOracle)
 }
