@@ -95,11 +95,107 @@ object Multimodal {
        FROM meta, UNNEST(range(0, n_frames, 5)) AS t(f)
        WHERE n_frames > 1""")
 
+  /** Resize row: target dims fit into a 224-box preserving aspect, plus a
+    * strided checksum standing in for the resampled payload. */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+      out_width: Long, out_height: Long, resized_checksum: Long)
+
+  /** Resize stage: compute aspect-preserving target dimensions (fit into
+    * 224×224) and produce the "resampled" payload — STUBBED as a strided
+    * byte checksum (stride = len/64 source bytes per output unit), because
+    * the container has no codecs. The plumbing is the real part: a typed
+    * per-partition batch stage whose byte loop touches the blob with the
+    * same access pattern a downsampler would, while the target-dim
+    * arithmetic is pure projection the optimizer can reorder. */
+  def resize(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val blobs = spark.table("documents")
+      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
+      .as[(Long, Array[Byte])]
+
+    blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val len = bytes.length.toLong
+        val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
+        val last = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xffL else 0L
+        // same fake dims as mediaMeta — one decode, many consumers
+        val w = 64 + (len * 7 + first) % 512
+        val h = 64 + (len * 13 + last) % 512
+        val longSide = math.max(w, h)
+        // --- STUB RESAMPLE (no codecs): strided byte checksum ----------
+        val stride = math.max(1L, len / 64L).toInt
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xffL; i += stride }
+        // ----------------------------------------------------------------
+        Resized(id, w, h, w * 224 / longSide, h * 224 / longSide, sum)
+      }
+    }.toDF()
+  }
+
+  val resizeOracle: String = Fixtures.oracle(
+    """, rmeta AS (
+         SELECT doc_id, strlen(text) AS len,
+                64 + (strlen(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS w,
+                64 + (strlen(text) * 13 + ascii(substr(text, strlen(text), 1))) % 512 AS h
+         FROM documents)
+       SELECT m.doc_id,
+              CAST(m.w AS BIGINT) AS width,
+              CAST(m.h AS BIGINT) AS height,
+              CAST(m.w * 224 // greatest(m.w, m.h) AS BIGINT) AS out_width,
+              CAST(m.h * 224 // greatest(m.w, m.h) AS BIGINT) AS out_height,
+              CAST((SELECT COALESCE(SUM(ascii(substr(d.text, CAST(t.i AS INT) + 1, 1))), 0)
+                    FROM UNNEST(range(0, m.len, greatest(1, m.len // 64))) AS t(i)) AS BIGINT)
+                AS resized_checksum
+       FROM rmeta m JOIN documents d ON d.doc_id = m.doc_id""")
+
+  /** Feature-extraction stage: an 8-bin byte histogram per blob — the exact
+    * shape of a per-item embedding/feature pass (one JVM batch per
+    * partition, tight loop over the payload, small fixed-width output).
+    * Emitted exploded (doc_id, bin, n) so the oracle checks every bin and
+    * the driver's hash never sees an array column. */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val blobs = spark.table("documents")
+      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
+      .as[(Long, Array[Byte])]
+
+    blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1; i += 1 }
+        (0 until 8).iterator.map(b => (id, b.toLong, hist(b)))
+      }
+    }.toDF("doc_id", "bin", "n")
+  }
+
+  val featureExtractOracle: String = Fixtures.oracle(
+    """, chars AS (
+         SELECT doc_id, ascii(substr(text, CAST(t.i AS INT) + 1, 1)) // 32 AS bin
+         FROM documents, UNNEST(range(strlen(text))) AS t(i)),
+       grid AS (
+         SELECT d.doc_id, b.bin
+         FROM documents d, UNNEST(range(8)) AS b(bin))
+       SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin,
+              CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+       FROM grid g
+       LEFT JOIN (SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY 1, 2) c
+         ON c.doc_id = g.doc_id AND c.bin = g.bin""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_media_meta" -> (mediaMeta _),
-    "multimodal_frame_sample" -> (frameSample _))
+    "multimodal_frame_sample" -> (frameSample _),
+    "multimodal_resize" -> (resize _),
+    "multimodal_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_media_meta" -> mediaMetaOracle,
-    "multimodal_frame_sample" -> frameSampleOracle)
+    "multimodal_frame_sample" -> frameSampleOracle,
+    "multimodal_resize" -> resizeOracle,
+    "multimodal_feature_extract" -> featureExtractOracle)
 }
