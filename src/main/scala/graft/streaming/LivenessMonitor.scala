@@ -14,49 +14,63 @@ import org.apache.spark.sql.streaming.StreamingQueryListener.{QueryIdleEvent, Qu
   * `onStall` fires once per stall episode per query (latched; re-armed by
   * the next input-carrying batch), so a supervision callback is an alert,
   * not a per-trigger alarm storm. Callers can also poll [[stalled]].
+  *
+  * The clock is injectable because the listener events themselves cannot be
+  * constructed outside `org.apache.spark.sql` — the `record*` methods are
+  * the testable surface the Spark callbacks delegate to.
   */
 final class LivenessMonitor(timeoutMs: Long = 300000L,
-    onStall: () => Unit = () => ()) extends StreamingQueryListener {
+    onStall: () => Unit = () => (),
+    now: () => Long = () => System.currentTimeMillis()) extends StreamingQueryListener {
 
   private val lastProgressAt = new ConcurrentHashMap[UUID, Long]()
   private val alerted = ConcurrentHashMap.newKeySet[UUID]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    lastProgressAt.put(event.id, System.currentTimeMillis())
+    recordStart(event.id)
 
-  override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    val id = event.progress.id
-    if (event.progress.numInputRows > 0) {
-      lastProgressAt.put(id, System.currentTimeMillis())
+  override def onQueryProgress(event: QueryProgressEvent): Unit =
+    recordProgress(event.progress.id, event.progress.numInputRows)
+
+  override def onQueryIdle(event: QueryIdleEvent): Unit = recordIdle(event.id)
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    recordTerminated(event.id)
+
+  private[graft] def recordStart(id: UUID): Unit =
+    lastProgressAt.put(id, now())
+
+  private[graft] def recordProgress(id: UUID, inputRows: Long): Unit =
+    if (inputRows > 0) {
+      lastProgressAt.put(id, now())
       alerted.remove(id)
     } else check(id)
-  }
 
-  override def onQueryIdle(event: QueryIdleEvent): Unit = check(event.id)
+  private[graft] def recordIdle(id: UUID): Unit = check(id)
 
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
-    lastProgressAt.remove(event.id)
-    alerted.remove(event.id)
+  private[graft] def recordTerminated(id: UUID): Unit = {
+    lastProgressAt.remove(id)
+    alerted.remove(id)
   }
 
   private def check(id: UUID): Unit = {
-    val last = lastProgressAt.getOrDefault(id, System.currentTimeMillis())
-    if (System.currentTimeMillis() - last > timeoutMs && alerted.add(id)) onStall()
+    val last = lastProgressAt.getOrDefault(id, now())
+    if (now() - last > timeoutMs && alerted.add(id)) onStall()
   }
 
   /** True when ANY tracked query has seen no input rows within the timeout. */
   def stalled: Boolean = {
-    val now = System.currentTimeMillis()
-    lastProgressAt.values().stream().anyMatch(t => now - t > timeoutMs)
+    val t = now()
+    lastProgressAt.values().stream().anyMatch(v => t - v > timeoutMs)
   }
 
   /** Millis since the last input-carrying batch of the most-stalled tracked
     * query (0 when nothing is tracked). */
   def sinceLastProgressMs: Long = {
-    val now = System.currentTimeMillis()
+    val t = now()
     val it = lastProgressAt.values().iterator()
     var max = 0L
-    while (it.hasNext) { val d = now - it.next(); if (d > max) max = d }
+    while (it.hasNext) { val d = t - it.next(); if (d > max) max = d }
     max
   }
 }
