@@ -167,15 +167,64 @@ object Sampling {
                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
              FROM documents)""")
 
+  /** Domain mixing: rebalance per-domain corpus shares toward a uniform
+    * target by down-sampling over-represented domains. The per-domain keep
+    * rate is DERIVED from the data (rate_d = total / (n_domains · n_d),
+    * capped at 1), then applied with the same multiplicative-hash Bernoulli
+    * as [[stratifiedSample]] — the Dolma/DoReMi-style mixing step. The
+    * domain column is `lang` because that is the SKEWED axis of this corpus
+    * (en ≈ 44% vs ~14% each for the rest); `source` is uniform by
+    * construction, so mixing on it would never exercise the down-sampling
+    * branch.
+    *
+    * Scale path: the rate table is one map-side-combined count per domain
+    * (dimension-sized, broadcast back); the keep/drop pass is a narrow
+    * scan-side filter. All rate arithmetic is integer basis points so both
+    * engines derive identical thresholds. */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_d"))
+    val totals = counts.agg(sum($"n_d").as("total"), count(lit(1)).as("n_domains"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select($"lang",
+        // DIV, not `/`: Column./ is double division and a truncating cast
+        // can disagree with exact floor at near-integer quotients
+        least(lit(10000L),
+          expr("(total * 10000) DIV (n_domains * n_d)")).as("rate_bp"))
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < $"rate_bp")
+      .select($"doc_id", $"lang", $"bucket", $"rate_bp")
+  }
+
+  val domainMixOracle: String = Fixtures.oracle(
+    s"""SELECT d.doc_id, d.lang,
+               CAST(${bucketExprSql("d.doc_id")} % 10000 AS BIGINT) AS bucket,
+               r.rate_bp
+        FROM documents d
+        JOIN (SELECT lang,
+                     CAST(least(10000, (t.total * 10000) // (t.n_domains * n_d)) AS BIGINT)
+                       AS rate_bp
+              FROM (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY lang) c
+              CROSS JOIN (SELECT COUNT(*) AS total, COUNT(DISTINCT lang) AS n_domains
+                          FROM documents) t) r
+          ON r.lang = d.lang
+        WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (stratifiedSample _),
     "sample_uniform_k" -> ((s: SparkSession, d: String) => uniformKPerStratum(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
-    "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)))
+    "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)),
+    "sample_domain_mix" -> (domainMix _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleOracle,
     "sample_uniform_k" -> uniformKPerStratumOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,
-    "pack_token_budget" -> packTokenBudgetOracle)
+    "pack_token_budget" -> packTokenBudgetOracle,
+    "sample_domain_mix" -> domainMixOracle)
 }
