@@ -204,17 +204,61 @@ object TextOps {
          AND q.quality >= 0.5 AND q.stop_ratio >= 0.04
          AND q.n_words BETWEEN 10.0 AND 150.0""")
 
+  /** Benchmark-decontamination probe set: in production this is the union
+    * of eval-suite n-grams (tiny against the corpus — always the broadcast
+    * side); here a fixed literal list of word-3-grams known to occur in the
+    * synthetic corpus, so the overlap branch is actually exercised. */
+  val contaminationProbes: Seq[String] = Seq(
+    "key agg row", "batch window spark", "table table key",
+    "query big table", "value fast spark")
+
+  /** Contamination scan: per-document occurrence and distinct-probe counts
+    * of eval-set n-grams — the decontamination step a training pipeline
+    * runs before cutting a corpus release. The probe filter sits directly
+    * on the exploded gram stream (scan-side, before any shuffle), so only
+    * matching grams — a vanishing fraction — reach the aggregation. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+      .filter($"gram".isInCollection(contaminationProbes))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct($"gram").as("n_probes"))
+  }
+
+  val contaminationOracle: String = Fixtures.oracle(
+    s""", cont_words AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       cont_grams AS (
+         SELECT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM cont_words, UNNEST(range(len(words) - 2)) AS t(i)
+         WHERE len(words) >= 3)
+       SELECT doc_id,
+              CAST(COUNT(1) AS BIGINT) AS n_hits,
+              CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_probes
+       FROM cont_grams
+       WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
+       GROUP BY doc_id""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_doc_fingerprint" -> (docFingerprint _),
-    "corpus_curation" -> (corpusCuration _))
+    "corpus_curation" -> (corpusCuration _),
+    "text_contamination" -> (contamination _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
     "text_doc_fingerprint" -> docFingerprintOracle,
-    "corpus_curation" -> corpusCurationOracle)
+    "corpus_curation" -> corpusCurationOracle,
+    "text_contamination" -> contaminationOracle)
 }
