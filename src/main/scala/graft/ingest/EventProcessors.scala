@@ -618,19 +618,25 @@ object EventProcessors {
   }
 
   /** Column twin of [[normHex]] (codegen'd regexps, stays in the scan). */
-  private def normHexCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(lit("0x"),
-      when(regexp_replace(regexp_replace(lower(c), "^0x", ""), "^0+", "") === "", "0")
-        .otherwise(regexp_replace(regexp_replace(lower(c), "^0x", ""), "^0+", "")))
+  private def normHexCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(regexp_replace(lower(c), "^0x", ""), "^0+", "")
+    concat(lit("0x"), when(stripped === "", "0").otherwise(stripped))
+  }
 
   def decodeAll(spark: SparkSession, raw: DataFrame,
-      contracts: Map[String, String]): Map[String, DataFrame] =
+      contracts: Map[String, String]): Map[String, DataFrame] = {
+    // normalize ONCE, before the per-processor loop: each of the ~29
+    // registry filters reuses the projected columns instead of paying the
+    // lower+regexp chain per row per processor on the ingest hot path
+    val normed = raw
+      .withColumn("emitter_norm", normHexCol(col("emitter")))
+      .withColumn("key0_norm", normHexCol(col("key0")))
     registry.filter(p => contracts.contains(p.contract)).map { p =>
       val metaSchema = StructType(Seq(StructField("event_id", LongType)) ++ p.schema.fields)
       val decode = p.decode
-      val matching = raw
-        .filter(normHexCol(col("emitter")) === normHex(contracts(p.contract)) &&
-          normHexCol(col("key0")) === normHex(p.keySelector))
+      val matching = normed
+        .filter(col("emitter_norm") === normHex(contracts(p.contract)) &&
+          col("key0_norm") === normHex(p.keySelector))
         .select(
           Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index"))
             .as("event_id"),
@@ -646,6 +652,7 @@ object EventProcessors {
       // table, exactly like the reference's shared insertRegistration
       .groupBy(_._1)
       .map { case (name, frames) => name -> frames.map(_._2).reduce(_ unionByName _) }
+  }
 
   /** S9 child rows: one row per proposal call (dao.ts:2525-2560), derived
     * from the decoded `governor_proposed` frame by posexplode — the Spark

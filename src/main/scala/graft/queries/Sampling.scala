@@ -35,6 +35,13 @@ object Sampling {
   val stratumRatesBp: Map[String, Int] = Map("en" -> 2000)
   val defaultRateBp: Int = 5000
 
+  /** SQL twin of the Spark rate fold — ONE definition feeds both engines,
+    * so editing [[stratumRatesBp]] can never silently desync the oracle. */
+  private def rateCaseSql(langCol: String): String =
+    "CASE " +
+      stratumRatesBp.map { case (l, bp) => s"WHEN $langCol = '$l' THEN $bp" }.mkString(" ") +
+      s" ELSE $defaultRateBp END"
+
   /** Stratified hash-sampling: keep a deterministic `rate(lang)` fraction of
     * each language stratum. The keep/drop decision is a pure projection of
     * (doc_id, lang) — the plan is scan → filter, no shuffle, and the same
@@ -55,10 +62,9 @@ object Sampling {
   val stratifiedSampleOracle: String = Fixtures.oracle(
     s"""SELECT doc_id, lang,
                CAST(${bucketExprSql("doc_id")} % 10000 AS BIGINT) AS bucket,
-               CAST(CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END AS BIGINT) AS rate_bp
+               CAST(${rateCaseSql("lang")} AS BIGINT) AS rate_bp
         FROM documents
-        WHERE ${bucketExprSql("doc_id")} % 10000
-              < CASE WHEN lang = 'en' THEN 2000 ELSE 5000 END""")
+        WHERE ${bucketExprSql("doc_id")} % 10000 < ${rateCaseSql("lang")}""")
 
   /** Deterministic uniform-k per stratum (the batch analogue of reservoir
     * sampling): rank docs inside each language by hash order and keep the

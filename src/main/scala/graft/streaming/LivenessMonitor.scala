@@ -54,7 +54,11 @@ final class LivenessMonitor(timeoutMs: Long = 300000L,
   }
 
   private def check(id: UUID): Unit = {
-    val last = lastProgressAt.getOrDefault(id, now())
+    // computeIfAbsent, not getOrDefault: a query whose async started-event
+    // was missed (listener registered after start()) must begin being
+    // tracked at its FIRST observed event, or a stalled-from-birth query
+    // would read `last = now()` forever and never alert
+    val last = lastProgressAt.computeIfAbsent(id, _ => now())
     if (now() - last > timeoutMs && alerted.add(id)) onStall()
   }
 

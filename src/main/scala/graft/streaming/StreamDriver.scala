@@ -139,8 +139,13 @@ final class StreamDriver(
     val path = s"$factRoot/raw_events"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // 0. finish any half-done retract first (see recoverRetract)
+    // 0. finish any half-done retract AND compact first: a crashed compact
+    //    leaves the source missing folded rows (still in .compact_tmp) —
+    //    computing survivors from that half-deleted source, then letting a
+    //    later recoverCompact() swap the stale pre-reorg archive back in,
+    //    would resurrect the retracted blocks
     recoverRetract()
+    recoverCompact()
 
     val boundary = fromBlock / 4096
     val maxBatch = maxBatchId(fs)
@@ -189,9 +194,14 @@ final class StreamDriver(
 
     if (!fs.exists(new Path(path)) || maxBatchId(fs) < 0) return
 
+    // clamp to the batches that actually exist: an over-large bound would
+    // land in the ledger and make processBatch silently skip every FUTURE
+    // batch below it — permanent data loss from a fat-fingered argument
+    val bound = math.min(upToBatch, maxBatchId(fs) + 1)
+
     // 1. materialize the folded archive executor-side (never on the driver)
     spark.read.parquet(path)
-      .filter(col("batch_id") < upToBatch)
+      .filter(col("batch_id") < bound)
       .withColumn("batch_id", lit(-1L))
       .write
       .mode("overwrite")
@@ -199,11 +209,11 @@ final class StreamDriver(
       .parquet(compactTmpDir)
 
     // 1b. commit point
-    writeMarker(fs, compactTmpDir, DeleteMarker, s"$upToBatch")
-    writeCompactLedgerEntry(fs, upToBatch)
+    writeMarker(fs, compactTmpDir, DeleteMarker, s"$bound")
+    writeCompactLedgerEntry(fs, bound)
 
-    compactDeletePhase(fs, upToBatch)
-    writeMarker(fs, compactTmpDir, SwapMarker, s"$upToBatch")
+    compactDeletePhase(fs, bound)
+    writeMarker(fs, compactTmpDir, SwapMarker, s"$bound")
     swapPhase(fs, compactTmpDir)
   }
 
@@ -287,19 +297,38 @@ final class StreamDriver(
     if (maxBatch >= 0) {
       fs.mkdirs(new Path(ledgerDir))
       fs.create(new Path(ledgerDir, s"r_${maxBatch}_$fromBlock"), true).close()
+      retractLedgerCache = Some(loadRetractLedger(fs))
     }
+
+  /** Both ledgers are cached in memory after the first read: this driver is
+    * the ledgers' only writer (retract/compact run in-process, quiesced),
+    * and without the cache every 2-second micro-batch would pay two
+    * listStatus round-trips against the fact store just to re-learn an
+    * unchanged answer. A fresh driver instance (restart) re-reads from the
+    * filesystem once. */
+  @volatile private var retractLedgerCache: Option[Seq[(Long, Long)]] = None
+  @volatile private var compactedUpToCache: Option[Long] = None
+
+  private def loadRetractLedger(fs: FileSystem): Seq[(Long, Long)] = {
+    val dir = new Path(ledgerDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case LedgerName(maxBatch, fromBlock) =>
+        (maxBatch.toLong, fromBlock.toLong) }
+  }
 
   /** The replay guard for a batch id: the tightest retract boundary among
     * ledger entries whose maxBatchId covers this batch (None for batches
     * newer than every recorded retract). */
   private def retractCutoffFor(batchId: Long): Option[Long] = {
-    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(ledgerDir)
-    if (!fs.exists(dir)) return None
-    val cutoffs = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case LedgerName(maxBatch, fromBlock) if maxBatch.toLong >= batchId =>
-        fromBlock.toLong }
+    val entries = retractLedgerCache.getOrElse {
+      val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val loaded = loadRetractLedger(fs)
+      retractLedgerCache = Some(loaded)
+      loaded
+    }
+    val cutoffs = entries.collect { case (maxBatch, fromBlock) if maxBatch >= batchId => fromBlock }
     if (cutoffs.isEmpty) None else Some(cutoffs.min)
   }
 
@@ -309,18 +338,24 @@ final class StreamDriver(
   private def writeCompactLedgerEntry(fs: FileSystem, upToBatch: Long): Unit = {
     fs.mkdirs(new Path(compactLedgerDir))
     fs.create(new Path(compactLedgerDir, s"c_$upToBatch"), true).close()
+    compactedUpToCache = Some(math.max(upToBatch, compactedUpToCache.getOrElse(0L)))
   }
 
   /** Exclusive upper bound of batch ids folded into the archive (0 when no
     * compaction has ever run — no batch is ever skipped). */
-  private def compactedUpTo: Long = {
+  private def compactedUpTo: Long = compactedUpToCache.getOrElse {
     val dir = new Path(compactLedgerDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return 0L
-    val ids = fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case CompactLedgerName(upTo) => upTo.toLong }
-    if (ids.isEmpty) 0L else ids.max
+    val loaded =
+      if (!fs.exists(dir)) 0L
+      else {
+        val ids = fs.listStatus(dir).toSeq
+          .map(_.getPath.getName)
+          .collect { case CompactLedgerName(upTo) => upTo.toLong }
+        if (ids.isEmpty) 0L else ids.max
+      }
+    compactedUpToCache = Some(loaded)
+    loaded
   }
 
   private val CompactLedgerName = "c_(\\d+)".r

@@ -240,6 +240,23 @@ class IngestSpec extends SparkSpec {
     assert(left.agg(max("block_number")).collect().head.getLong(0) == 4999L)
   }
 
+  test("compact clamps an over-large bound so future batches are not skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
+    driver.processBatch((1L to 100L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index"), 0L)
+    driver.compact(100L) // fat-fingered bound: only batch 0 exists
+
+    // batch 1 is NOT folded (it did not exist at compact time) — the
+    // clamped ledger must let it write normally instead of skipping it
+    driver.processBatch((101L to 200L).map(b => (b, 0L, 0L))
+      .toDF("block_number", "transaction_index", "event_index"), 1L)
+    assert(spark.read.parquet(s"$dir/raw_events").count() == 200L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/raw_events/batch_id=1")))
+  }
+
   test("compact recovery completes a fold that crashed before its deletes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

@@ -61,6 +61,17 @@ class LivenessMonitorSpec extends AnyFunSuite {
     assert(m.sinceLastProgressMs == 150L)
   }
 
+  test("a query with a missed started-event is tracked from its first observed event") {
+    val (m, setClock, alerts) = monitor(100L)
+    val q = UUID.randomUUID()
+    m.recordIdle(q) // listener registered after start(): no recordStart seen
+    assert(!m.stalled)
+    setClock(200L)
+    m.recordIdle(q) // 200ms since first observation -> stall must be detected
+    assert(m.stalled)
+    assert(alerts() == 1)
+  }
+
   test("terminated queries stop being tracked") {
     val (m, setClock, alerts) = monitor(100L)
     val q = UUID.randomUUID()
