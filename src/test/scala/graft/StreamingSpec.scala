@@ -61,6 +61,42 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (1L to 150L).map(_ * 4294967296L))
   }
 
+  test("real checkpoint replay after retract does not resurrect retracted blocks (T2/T3)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+    val rawDir = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt")
+    (1L to 9000L).map(b => (b, 0L, 0L)).toDF("block_number", "transaction_index", "event_index")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
+    val q1 = driver.start(s"$rawDir/*", schema, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$root/facts/raw_events").count() == 9000L)
+
+    driver.retract(5000L)
+    assert(spark.read.parquet(s"$root/facts/raw_events").count() == 4999L)
+
+    // simulate the crash window: the retract ran AFTER batch 0's data write
+    // but the commit marker is lost, so the restarted query REPLAYS batch 0
+    // from its pre-reorg offset file list (Spark's own replay path, not a
+    // hand-called processBatch)
+    val commit = java.nio.file.Paths.get(s"$root/ckpt/ingest/commits/0")
+    assert(java.nio.file.Files.exists(commit))
+    java.nio.file.Files.delete(commit)
+    // the local FS keeps a Hadoop checksum twin; left behind it fails the
+    // replayed batch's commit rename with a misleading "concurrently using"
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/ckpt/ingest/commits/.0.crc"))
+
+    val q2 = driver.start(s"$rawDir/*", schema, Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val after = spark.read.parquet(s"$root/facts/raw_events")
+    assert(after.count() == 4999L)
+    assert(after.agg(max($"block_number")).collect().head.getLong(0) == 4999L)
+  }
+
   test("hourly rollup watermark upsert equals full recompute (T6)") {
     val sfDir = "/root/testdata/sf0.001"
     val full = graft.queries.Rollups.hourlyVolumeByToken(spark, sfDir)
