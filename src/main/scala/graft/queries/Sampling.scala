@@ -68,17 +68,27 @@ object Sampling {
 
   /** Deterministic uniform-k per stratum (the batch analogue of reservoir
     * sampling): rank docs inside each language by hash order and keep the
-    * first k. Unlike a true reservoir this is shuffle-exact: one hash
-    * partition per stratum, rank via window — at scale the per-stratum
-    * ordering is the only state, and k rows per stratum is all that
-    * survives. Tie-break on doc_id so colliding hashes stay deterministic. */
+    * first k. Tie-break on doc_id so colliding hashes stay deterministic.
+    *
+    * Two-stage top-k: a single `Window.partitionBy(lang)` would put the
+    * ENTIRE stratum in one task (a handful of languages → a handful of
+    * tasks sorting terabytes at 100 TB). Stage 1 ranks within (lang, salt)
+    * — 199 parallel partitions per stratum — and keeps k rows per salt;
+    * since each stratum's global top-k is contained in the union of its
+    * per-salt top-ks, stage 2's per-lang window sees at most 199·k rows
+    * per stratum and the result is IDENTICAL to the one-shot window. */
   def uniformKPerStratum(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val hashed = spark.table("documents")
       .withColumn("h", expr(bucketExprSql("doc_id")).cast(LongType))
-    hashed
+      .withColumn("salt", pmod($"doc_id", lit(199L)))
+    val localTopK = hashed
+      .withColumn("rk_local", row_number().over(
+        Window.partitionBy($"lang", $"salt").orderBy($"h", $"doc_id")))
+      .filter($"rk_local" <= k)
+    localTopK
       .withColumn("rk", row_number().over(
         Window.partitionBy($"lang").orderBy($"h", $"doc_id")))
       .filter($"rk" <= k)
@@ -143,19 +153,30 @@ object Sampling {
     * streaming-packing bound); exact greedy packing is inherently
     * sequential and would serialize the corpus through one task.
     *
-    * Scale path: the window is PARTITIONED by stratum (packing quality is
-    * local — training shards are built per-partition anyway), so no global
-    * sort exists; each stratum's prefix sum is an independent partition. */
+    * The prefix sum is BUCKET-DECOMPOSED (same pattern as the
+    * staker-rewards harmonic prefix): cum = in-bucket prefix + the
+    * per-(lang, bucket) offset, where the offset window runs over
+    * bucket-count-sized rows. A single per-lang running sum would put the
+    * whole stratum in one task at 100 TB; integer addition is associative,
+    * so the decomposition is bit-identical to the one-shot window. */
   def packTokenBudget(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = spark.table("documents")
       .withColumn("n_tokens", size(split($"text", " ")).cast(LongType))
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .withColumn("bucket", expr("doc_id DIV 1024"))
+    val wB = Window.partitionBy($"lang", $"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bOff = docs.groupBy($"lang", $"bucket").agg(sum($"n_tokens").as("b_sum"))
+      .withColumn("b_off", coalesce(
+        sum($"b_sum").over(Window.partitionBy($"lang").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"bucket", $"b_off")
     docs
-      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_in", sum($"n_tokens").over(wB))
+      .join(broadcast(bOff), Seq("lang", "bucket"))
+      .withColumn("cum_tokens", $"cum_in" + $"b_off")
       .withColumn("window_id", floor(($"cum_tokens" - $"n_tokens") / budget).cast(LongType))
       .select($"lang", $"doc_id", $"n_tokens", $"window_id",
         ($"cum_tokens" - $"n_tokens").as("tokens_before"))
