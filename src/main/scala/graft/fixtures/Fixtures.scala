@@ -396,7 +396,21 @@ object Fixtures {
     "embeddings_aug" -> s"""
       SELECT vec_id, embedding FROM embeddings
       UNION ALL SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0
-      UNION ALL SELECT (SELECT MAX(vec_id) + 2 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0""")
+      UNION ALL SELECT (SELECT MAX(vec_id) + 2 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0""",
+
+    // documents_pii: PII-redaction input = the corpus with deterministic
+    // synthetic PII appended to a subset of documents (the driver corpus has
+    // no digits or @-signs, so a redaction operator over raw `documents`
+    // would never fire — same situation embeddings_aug solves for near-dup).
+    // doc_id % 5: 0 → email+phone, 2 → email only, 4 → phone only, else
+    // clean. Phone suffix is always 4 digits (1000 + doc_id % 9000).
+    "documents_pii" -> s"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING) || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS STRING)
+                  WHEN doc_id % 5 = 2 THEN text || ' mail admin' || CAST(doc_id AS STRING) || '@corp.example.org now'
+                  WHEN doc_id % 5 = 4 THEN text || ' call 555-' || CAST(1000 + doc_id % 9000 AS STRING) || ' anytime'
+                  ELSE text END AS text
+      FROM documents""")
 
   /** Names of the derived fixture views (excludes driver base tables). */
   val factTables: Seq[String] = defs.map(_._1)

@@ -144,7 +144,9 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  val minhashLshOracle: String = Fixtures.oracle(
+  /** MinHash band + candidate-pair CTE chain, shared by the LSH oracle and
+    * the cluster-components oracle. */
+  private val minhashPairCtes: String =
     s""", word_hashes AS (
          SELECT DISTINCT doc_id, ${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} AS wh
          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
@@ -159,11 +161,15 @@ object Dedup {
          SELECT doc_id, CAST(i // 2 AS INT) AS band,
                 MAX(CASE WHEN i % 2 = 0 THEN mh END) * $P
                   + MAX(CASE WHEN i % 2 = 1 THEN mh END) AS band_key
-         FROM minhashes GROUP BY 1, 2)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_bands
-       FROM bands a
-       JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       GROUP BY 1, 2""")
+         FROM minhashes GROUP BY 1, 2),
+       lsh_pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_bands
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)"""
+
+  val minhashLshOracle: String = Fixtures.oracle(
+    minhashPairCtes + "\n       SELECT doc_a, doc_b, shared_bands FROM lsh_pairs")
 
   /** SimHash (32-bit) + banded blocking: per-bit weighted votes over word
     * hashes, fingerprint from vote signs, candidates share a band byte and

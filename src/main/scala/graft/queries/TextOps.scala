@@ -246,13 +246,128 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  /** Gopher-style repetition filter: per-document repetition signals and a
+    * keep/drop verdict — the within-document repetition rules (top-word
+    * fraction, duplicate n-gram fraction) a training pipeline applies after
+    * dedup and before tokenization.
+    *
+    * All fractions are integer basis points (`x * 10000 div total`) so the
+    * DuckDB comparison is bit-exact. Plan shape: two explode → two-level
+    * aggregations, both keyed by doc_id (the second level reuses the
+    * partitioning of the first: Catalyst plans the (doc_id, word) →
+    * (doc_id) reaggregation without a second exchange), then one join on
+    * doc_id — no global state, linear in corpus size at 100 TB. */
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents").withColumn("words", split($"text", " "))
+
+    val wordStats = docs
+      .select($"doc_id", explode($"words").as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_words"), max($"cnt").as("top_cnt"))
+
+    val gramStats = docs
+      .filter(size($"words") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> concat(words[i], ' ', words[i+1]))")).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_grams"),
+        sum(when($"cnt" >= 2, $"cnt").otherwise(0L)).as("dup_occ"))
+
+    wordStats.join(gramStats, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        expr("top_cnt * 10000 div n_words").as("top_word_bp"),
+        expr("dup_occ * 10000 div n_grams").as("dup_2gram_bp"),
+        when(expr("top_cnt * 10000 div n_words") < 1200 &&
+          expr("dup_occ * 10000 div n_grams") < 800, "keep")
+          .otherwise("drop").as("verdict"))
+  }
+
+  val repetitionFilterOracle: String = Fixtures.oracle(
+    """, rep_words AS (
+         SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+       rep_wc AS (
+         SELECT doc_id, word, COUNT(1) AS cnt FROM rep_words GROUP BY 1, 2),
+       rep_wstats AS (
+         SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_cnt
+         FROM rep_wc GROUP BY doc_id),
+       rep_dw AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       rep_grams AS (
+         SELECT doc_id, words[i+1] || ' ' || words[i+2] AS gram
+         FROM rep_dw, UNNEST(range(len(words) - 1)) AS t(i)
+         WHERE len(words) >= 2),
+       rep_gc AS (
+         SELECT doc_id, gram, COUNT(1) AS cnt FROM rep_grams GROUP BY 1, 2),
+       rep_gstats AS (
+         SELECT doc_id, SUM(cnt) AS n_grams,
+                SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_occ
+         FROM rep_gc GROUP BY doc_id)
+       SELECT w.doc_id,
+              CAST(w.top_cnt * 10000 // w.n_words AS BIGINT) AS top_word_bp,
+              CAST(g.dup_occ * 10000 // g.n_grams AS BIGINT) AS dup_2gram_bp,
+              CASE WHEN w.top_cnt * 10000 // w.n_words < 1200
+                    AND g.dup_occ * 10000 // g.n_grams < 800
+                   THEN 'keep' ELSE 'drop' END AS verdict
+       FROM rep_wstats w JOIN rep_gstats g ON w.doc_id = g.doc_id""")
+
+  /** PII patterns shared by the Spark pipeline and the DuckDB oracle. Kept
+    * to constructs whose semantics are identical in Java regex and RE2
+    * (character classes, +, bounded repetition — no backreferences or
+    * lookaround, which RE2 lacks). */
+  val emailPattern: String = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  val phonePattern: String = "555-[0-9]{4}"
+
+  /** PII redaction: detect and mask email/phone spans over the
+    * `documents_pii` fixture view (the corpus with deterministic synthetic
+    * PII injected — the raw corpus has none, and a redactor whose match
+    * branch never fires is untested; see Fixtures `documents_pii`).
+    *
+    * Pure per-row regex projection — scan-speed at 100 TB, no shuffle, and
+    * the redacted text itself is reduced to SHA-256 + length so the full
+    * corpus never leaves the scan stage in the result. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents_pii")
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"text", lit(emailPattern), lit("<EMAIL>")),
+          lit(phonePattern), lit("<PHONE>")))
+      .select(
+        $"doc_id",
+        regexp_count($"text", lit(emailPattern)).cast(LongType).as("n_emails"),
+        regexp_count($"text", lit(phonePattern)).cast(LongType).as("n_phones"),
+        length($"redacted").cast(LongType).as("redacted_len"),
+        sha2($"redacted", 256).as("redacted_sha"))
+  }
+
+  val piiRedactOracle: String = Fixtures.oracle(
+    s""", pii_red AS (
+         SELECT doc_id, text,
+                regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+                               '$phonePattern', '<PHONE>', 'g') AS redacted
+         FROM documents_pii)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_phones,
+              CAST(length(redacted) AS BIGINT) AS redacted_len,
+              sha256(redacted) AS redacted_sha
+       FROM pii_red""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
-    "text_contamination" -> (contamination _))
+    "text_contamination" -> (contamination _),
+    "text_repetition_filter" -> (repetitionFilter _),
+    "text_pii_redact" -> (piiRedact _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
@@ -260,5 +375,7 @@ object TextOps {
     "text_lang_id" -> langIdOracle,
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
-    "text_contamination" -> contaminationOracle)
+    "text_contamination" -> contaminationOracle,
+    "text_repetition_filter" -> repetitionFilterOracle,
+    "text_pii_redact" -> piiRedactOracle)
 }
