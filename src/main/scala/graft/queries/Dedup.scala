@@ -224,15 +224,100 @@ object Dedup {
        JOIN banded y ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
        WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6""")
 
+  /** Near-dup cluster assignment: connected components over the MinHash-LSH
+    * candidate-pair graph — the step that turns pairwise near-dup evidence
+    * into "keep one document per duplicate cluster" (pairs alone
+    * over-delete: A~B and B~C must collapse to ONE canonical doc, not two
+    * independent pair decisions).
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the minimum label among itself and its neighbors; one round is
+    * one shuffle keyed by doc_id. Rounds = near-dup-graph diameter, which
+    * for dedup graphs is small (clusters are cliques-ish: documents similar
+    * to a common ancestor), and the loop is capped at 20 with a hard error
+    * on non-convergence rather than a silently partial clustering. The
+    * convergence check is one scalar (SUM of labels, strictly decreasing
+    * until fixpoint) per round. At 100 TB scale the same loop holds — the
+    * shuffled state is (doc_id, label) pairs for documents that appear in
+    * ANY candidate pair, a tiny fraction of the corpus; per-round frames
+    * are persisted and the previous round unpersisted, so lineage depth,
+    * not data volume, is the only growth.
+    *
+    * Output: every clustered document with its component representative
+    * (min doc_id), the cluster size, and a canon/dup role — the `dup` rows
+    * are exactly the deletion list a curation pipeline applies. */
+  def clusterComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val pairs = graft.util.Memo.cached(spark, sfDir, "dedup_cc_pairs") {
+      minhashLsh(spark, sfDir).select($"doc_a", $"doc_b")
+    }
+    val sym = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+
+    var labels = pairs
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("label"))
+      .persist()
+    // coalesce: SUM over an empty frame is NULL (possible at tiny sf where
+    // LSH yields no candidate pairs)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(org.apache.spark.sql.functions.sum($"label"), lit(0L)))
+        .as[Long].head()
+    var sum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = labels.join(sym, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"label")
+        .unionByName(labels)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .persist()
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == sum
+      sum = nextSum
+      rounds += 1
+    }
+    require(converged, s"cluster components did not converge in $rounds rounds")
+
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select($"doc_id", $"label".as("cluster_rep"), $"cluster_size",
+        when($"doc_id" === $"label", "canon").otherwise("dup").as("role"))
+  }
+
+  val clusterComponentsOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      """,
+       cc_sym AS (
+         SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         UNION ALL SELECT doc_b, doc_a FROM lsh_pairs)
+       SELECT doc_id, cluster_rep, cluster_size, role FROM (
+         WITH RECURSIVE reach(doc_id, lab) AS (
+             SELECT src, src FROM cc_sym
+             UNION
+             SELECT e.dst, r.lab FROM cc_sym e JOIN reach r ON e.src = r.doc_id),
+         comp AS (SELECT doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc_id),
+         sizes AS (SELECT cluster_rep, COUNT(1) AS cluster_size FROM comp GROUP BY 1)
+         SELECT c.doc_id, c.cluster_rep,
+                CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                CASE WHEN c.doc_id = c.cluster_rep THEN 'canon' ELSE 'dup' END AS role
+         FROM comp c JOIN sizes s USING (cluster_rep))""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _))
+    "dedup_simhash" -> (simhash _),
+    "dedup_cluster_components" -> (clusterComponents _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
-    "dedup_simhash" -> simhashOracle)
+    "dedup_simhash" -> simhashOracle,
+    "dedup_cluster_components" -> clusterComponentsOracle)
 }
