@@ -53,12 +53,10 @@ object ParseShortString {
     if (s == null) null else UTF8String.fromString(s)
   }
 
-  /** Register `parse_short_string_native(x)` as a SQL function (idempotent),
-    * so it is usable from `expr(...)`/SQL without a Column constructor. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("parse_short_string_native"),
-      new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
-      (children: Seq[Expression]) => ParseShortString(children.head))
-  }
+  /** Register the native function surface on an existing session
+    * (idempotent; single source of truth is [[GraftExtensions.functions]]). */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

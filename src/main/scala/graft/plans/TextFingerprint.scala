@@ -145,15 +145,10 @@ object TextFingerprint {
     override def prettyName: String = "graft_minhash_bands"
   }
 
-  /** Register both fingerprint functions (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      (children: Seq[Expression]) => SimHash32(children.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash_bands"),
-      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
-      (children: Seq[Expression]) => MinHashBands(children.head))
-  }
+  /** Register the native function surface on an existing session
+    * (idempotent; single source of truth is [[GraftExtensions.functions]]). */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -85,13 +85,12 @@ object DotProduct {
     acc
   }
 
-  /** Register `graft_dot(a, b)` as a SQL function (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1)))
-  }
+  /** Register the native function surface on an existing session
+    * (idempotent; single source of truth is [[GraftExtensions.functions]]). */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** The DuckDB mirror of the same left fold, as oracle SQL text:
     * `x` walks `a` sliced to the common-prefix length with 1-based index
