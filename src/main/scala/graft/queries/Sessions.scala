@@ -93,11 +93,127 @@ object Sessions {
        FROM ek
        GROUP BY 1, 2""")
 
+  /** Cohort retention: users grouped by first-seen day; per (cohort, day
+    * offset) the active-user count and the retention rate against the
+    * cohort's size, in integer basis points.
+    *
+    * Plan shape: one distinct over (user, day), one user-keyed min, one
+    * user-keyed join (co-partitioned with the distinct — Catalyst reuses
+    * the exchange), and a final tiny (cohort, offset) aggregate. The
+    * cohort-size side is `day_offset = 0` of the same aggregate (every user
+    * is active on their cohort day by definition), so no second scan. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val days = spark.table("ek")
+      .select($"user_id", ($"btime" - $"btime" % 86400).as("day"))
+      .distinct()
+    val first = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val counts = days.join(first, Seq("user_id"))
+      .withColumn("day_offset", expr("(day - cohort_day) div 86400"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users")) // distinct by construction
+    val sizes = counts.filter($"day_offset" === 0L)
+      .select($"cohort_day", $"n_users".as("cohort_size"))
+    counts.join(sizes, Seq("cohort_day"))
+      .select($"cohort_day", $"day_offset", $"n_users",
+        expr("n_users * 10000 div cohort_size").as("retention_bp"))
+  }
+
+  val retentionOracle: String = Fixtures.oracle(
+    """, ret_days AS (
+         SELECT DISTINCT user_id, btime - btime % 86400 AS day FROM ek),
+       ret_first AS (
+         SELECT user_id, MIN(day) AS cohort_day FROM ret_days GROUP BY 1),
+       ret_counts AS (
+         SELECT f.cohort_day, (d.day - f.cohort_day) // 86400 AS day_offset,
+                COUNT(1) AS n_users
+         FROM ret_days d JOIN ret_first f ON d.user_id = f.user_id
+         GROUP BY 1, 2),
+       ret_sizes AS (
+         SELECT cohort_day, n_users AS cohort_size FROM ret_counts
+         WHERE day_offset = 0)
+       SELECT c.cohort_day,
+              CAST(c.day_offset AS BIGINT) AS day_offset,
+              CAST(c.n_users AS BIGINT) AS n_users,
+              CAST(c.n_users * 10000 // s.cohort_size AS BIGINT) AS retention_bp
+       FROM ret_counts c JOIN ret_sizes s ON c.cohort_day = s.cohort_day""")
+
+  /** Ordered conversion funnel view → click → purchase: how many users
+    * reach each stage, where a stage counts only if it happens strictly
+    * after the previous stage (sequenced on the unique per-event `seq`, so
+    * ordering is total and deterministic — `btime` has ties within a
+    * block) and within a 150-block (~5 virtual hours) conversion window of
+    * it. The window uses the fixtures' event-id clock: block = seq div 8,
+    * so the constraint is pure integer arithmetic on both engines — and
+    * without it every user trivially reaches stage 3 (probed: 150 blocks
+    * splits the sf0.01 population 26/25/99 across stages 1/2/3).
+    *
+    * Plan shape: three filtered user-keyed min-aggregates chained by
+    * user-keyed joins — every shuffle is on user_id, so the chain
+    * co-partitions; no window over the full stream, no per-user event
+    * arrays. Output is ≤4 rows (stage, n_users). */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val e = spark.table("ek").select($"user_id", $"event_type", $"seq")
+    val users = e.select($"user_id").distinct()
+    val s1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"seq").as("s1"))
+    val s2 = e.filter($"event_type" === "click").join(s1, Seq("user_id"))
+      .filter($"seq" > $"s1" && expr("seq div 8 - s1 div 8 <= 150"))
+      .groupBy($"user_id").agg(min($"seq").as("s2"))
+    val s3 = e.filter($"event_type" === "purchase").join(s2, Seq("user_id"))
+      .filter($"seq" > $"s2" && expr("seq div 8 - s2 div 8 <= 150"))
+      .groupBy($"user_id").agg(min($"seq").as("s3"))
+
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(
+        when($"s3".isNotNull, 3L).when($"s2".isNotNull, 2L)
+          .when($"s1".isNotNull, 1L).otherwise(0L).as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  val funnelOracle: String = Fixtures.oracle(
+    """, fun_s1 AS (
+         SELECT user_id, MIN(seq) AS s1 FROM ek WHERE event_type = 'view' GROUP BY 1),
+       fun_s2 AS (
+         SELECT e.user_id, MIN(e.seq) AS s2 FROM ek e
+         JOIN fun_s1 f ON e.user_id = f.user_id
+         WHERE e.event_type = 'click' AND e.seq > f.s1
+           AND e.seq // 8 - f.s1 // 8 <= 150 GROUP BY 1),
+       fun_s3 AS (
+         SELECT e.user_id, MIN(e.seq) AS s3 FROM ek e
+         JOIN fun_s2 f ON e.user_id = f.user_id
+         WHERE e.event_type = 'purchase' AND e.seq > f.s2
+           AND e.seq // 8 - f.s2 // 8 <= 150 GROUP BY 1),
+       fun_stage AS (
+         SELECT u.user_id,
+                CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS stage
+         FROM (SELECT DISTINCT user_id FROM ek) u
+         LEFT JOIN fun_s1 s1 ON u.user_id = s1.user_id
+         LEFT JOIN fun_s2 s2 ON u.user_id = s2.user_id
+         LEFT JOIN fun_s3 s3 ON u.user_id = s3.user_id)
+       SELECT CAST(stage AS BIGINT) AS stage, COUNT(1) AS n_users
+       FROM fun_stage GROUP BY stage""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
-    "events_user_daily" -> (userDaily _))
+    "events_user_daily" -> (userDaily _),
+    "events_retention" -> (retention _),
+    "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
-    "events_user_daily" -> userDailyOracle)
+    "events_user_daily" -> userDailyOracle,
+    "events_retention" -> retentionOracle,
+    "events_funnel" -> funnelOracle)
 }
