@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (or `SparkSession.builder().withExtensions(new GraftExtensions)`), and
   * every session — including ones created by thrift/connect servers that the
   * application code never touches — resolves `graft_dot`, `graft_simhash32`,
-  * `graft_minhash_bands` and `parse_short_string_native` in SQL text.
+  * `graft_minhash_bands`, `graft_lsh_bucket` and `parse_short_string_native`
+  * in SQL text.
   *
   * The in-repo query catalog keeps calling the per-module `register(spark)`
   * helpers (they cover sessions that already exist, which extensions cannot
@@ -44,6 +45,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[TextFingerprint.MinHashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => TextFingerprint.MinHashBands(children.head)),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => LshBucket(children.head, children(1))),
     (FunctionIdentifier("parse_short_string_native"),
       new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
       (children: Seq[Expression]) => ParseShortString(children.head)))

@@ -29,8 +29,20 @@ import graft.plans.DotProduct
   */
 object Similarity {
 
-  /** Queries = every 50th vector. */
-  private val queryFilter = "vec_id % 50 = 0"
+  /** Fixed query budget: at most [[maxQueries]] query vectors regardless of
+    * corpus size. A corpus-proportional set (`vec_id % 50 = 0` alone, rounds
+    * 1-5) makes the exact paths O(N²/50) pairs with an O(N/50)-row broadcast
+    * — quadratic at 100×. With the cap, exact top-k is O(N·Q₀) and the
+    * broadcast is Q₀ rows at any corpus size. The predicate is pure integer
+    * arithmetic, so the DuckDB oracle runs it verbatim. */
+  private val maxQueries = 50
+
+  /** Queries = every 50th vector, capped at the first [[maxQueries]];
+    * `ref` is the (possibly alias-qualified) vec_id column. */
+  private def queryPred(ref: String): String =
+    s"$ref % 50 = 0 AND $ref < ${50 * maxQueries}"
+
+  private val queryFilter = queryPred("vec_id")
 
   /** Native codegen'd pair scorer (see [[graft.plans.DotProduct]]). */
   private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
@@ -38,29 +50,22 @@ object Similarity {
   /** Squared norm = dot of a vector with itself. */
   private def normSqExpr(a: String): Column = expr(s"graft_dot($a, $a)")
 
-  /** DECIMAL(18,12) accumulator for the LSH projection fold: precision ≤ 18
-    * keeps Spark's Decimal on the Long-backed fast path (precision > 18
-    * boxes every add into BigDecimal). Safe by construction: plane weights
-    * are |w| ≤ 9, embedding components |x| < 1, dim = 64, so |projection| <
-    * 1e3 — far inside (18,12)'s 6 integer digits, at any corpus size. */
-  private val decAcc = "DECIMAL(18,12)"
+  /** LSH plane count: candidates shrink by ~2^planes, so this must grow with
+    * corpus size (≥ 20 planes / multi-table LSH at 10⁹ vectors — see
+    * [[graft.plans.LshBucket]] for the schedule limit); 12 bits = 4096
+    * buckets is sized for the sf-scale fixtures. */
+  private val lshPlanes = 12
 
-  /** 12-plane random-hyperplane LSH bucket id as ONE nested fold per vector:
-    * the outer fold walks planes p=0..11, the inner fold computes the exact
-    * decimal projection against plane weights w(p,j) = ((p*37 + j*13) % 19)
-    * - 9; sign bits pack into a 12-bit bucket. Zero joins, zero shuffles —
-    * a pure projection over the scan. The bucket stays a DECIMAL fold (not
-    * the double fold used for pair scoring): its output is a sign decision
-    * (>= 0) per plane, and decimal exactness keeps both engines on the same
-    * side of the boundary even though the oracle's exploded-element SUM adds
-    * in arbitrary order. Buckets are computed once per vector, not per pair,
-    * so the interpreted fold is off the hot path. */
-  private def bucketExpr(emb: String): Column = expr(
-    s"""aggregate(sequence(0, 11), CAST(0 AS BIGINT), (acc, p) -> acc +
-          IF(aggregate(sequence(0, size($emb) - 1), CAST(0 AS $decAcc), (a, j) ->
-               CAST(a + CAST(CAST((p * 37 + j * 13) % 19 - 9 AS DOUBLE)
-                             * CAST($emb[j] AS DOUBLE) AS $decAcc) AS $decAcc))
-             >= 0, SHIFTLEFT(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
+  /** Random-hyperplane LSH bucket id — ONE call of the native codegen'd
+    * [[graft.plans.LshBucket]] expression per vector (zero joins, zero
+    * shuffles, a pure projection over the scan). The projection accumulates
+    * in DECIMAL(18,12) exactly like the SQL fold it replaced in round 6 (the
+    * interpreted `aggregate()` lambda cost 4-8× on every bucket consumer):
+    * decimal exactness keeps both engines on the same side of the `>= 0`
+    * boundary even though the oracle's exploded-element SUM adds in
+    * arbitrary order — see LshBucket's exactness contract. */
+  private def bucketExpr(emb: String): Column =
+    expr(s"graft_lsh_bucket($emb, $lshPlanes)")
 
   /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
     * because every similarity query consumes it. */
@@ -80,9 +85,10 @@ object Similarity {
     col("dot") / (sqrt(col("qn")) * sqrt(col("norm_sq")))
 
   /** Exact re-rank of (qid, vec_id) candidate pairs: broadcast the
-    * (candidates ⋈ query vectors) side — query vectors are 1/50th of the
-    * corpus and candidates are bucket-bounded — and probe the full vector
-    * set without a shuffle; one fold per pair, then top-k per query. */
+    * (candidates ⋈ query vectors) side — query vectors are a fixed
+    * [[maxQueries]]-row set and candidates are bucket-bounded — and probe
+    * the full vector set without a shuffle; one fold per pair, then top-k
+    * per query. */
   private def rerank(v: DataFrame, qv: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val scored = v
       .join(broadcast(candidates.join(qv, Seq("qid"))), Seq("vec_id"))
@@ -140,13 +146,13 @@ object Similarity {
     * rather than the full binary expansion; the projection feeds a discrete
     * sign decision, so per-term parity must be exact, not approximate. */
   private val bucketCte: String =
-    """, buckets AS (
+    s""", buckets AS (
          SELECT vec_id,
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
            SELECT el.vec_id, CAST(t.p AS INT) AS p,
                   SUM(CAST(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(18,12))) AS proj
-           FROM el, UNNEST(range(12)) AS t(p)
+           FROM el, UNNEST(range($lshPlanes)) AS t(p)
            GROUP BY 1, 2) pr
          GROUP BY vec_id)"""
 
@@ -175,7 +181,7 @@ object Similarity {
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
-         WHERE q.$queryFilter)""" +
+         WHERE ${queryPred("q.vec_id")})""" +
       rankedTail(5))
 
   /** LSH-bucketed ANN: 12 integer hyperplanes → sign-bit bucket id, then
@@ -204,7 +210,7 @@ object Similarity {
       s""", candidates AS (
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
-         WHERE q.$queryFilter),
+         WHERE ${queryPred("q.vec_id")}),
        dots AS (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
@@ -333,7 +339,7 @@ object Similarity {
          SELECT q.vec_id AS qid, a.vec_id
          FROM assignments q JOIN assignments a
            ON q.cluster = a.cluster AND a.vec_id != q.vec_id
-         WHERE q.$queryFilter),
+         WHERE ${queryPred("q.vec_id")}),
        dots AS (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
@@ -407,7 +413,7 @@ object Similarity {
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
-         WHERE q.$queryFilter),
+         WHERE ${queryPred("q.vec_id")}),
        exact_ranked AS (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
@@ -419,7 +425,7 @@ object Similarity {
        lsh_cand AS (
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
-         WHERE q.$queryFilter),
+         WHERE ${queryPred("q.vec_id")}),
        lsh_dots AS (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot

@@ -99,6 +99,58 @@ class NativeExprSpec extends SparkSpec {
     assert(got.toSeq == docs.map(naive))
   }
 
+  test("graft_lsh_bucket equals the interpreted SQL decimal fold it replaced") {
+    val s = session
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    // adversarial magnitudes: tiny components push w*x toward the 1e-12
+    // rounding boundary where shortest-repr vs exact-binary rounding differ
+    val rows = Seq.fill(200)(Array.fill(64)(
+      (rng.nextFloat() - 0.5f) * (if (rng.nextInt(4) == 0) 1e-10f else 1f)))
+    val df = rows.map(Tuple1(_)).toDF("emb")
+    val sqlFold =
+      """aggregate(sequence(0, 11), CAST(0 AS BIGINT), (acc, p) -> acc +
+           IF(aggregate(sequence(0, size(emb) - 1), CAST(0 AS DECIMAL(18,12)), (a, j) ->
+                CAST(a + CAST(CAST((p * 37 + j * 13) % 19 - 9 AS DOUBLE)
+                              * CAST(emb[j] AS DOUBLE) AS DECIMAL(18,12)) AS DECIMAL(18,12)))
+              >= 0, SHIFTLEFT(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))"""
+    val both = df.select(
+      expr("graft_lsh_bucket(emb, 12)").as("native"),
+      expr(sqlFold).as("fold")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+
+    // independent reimplementation of the decimal-fold contract
+    def naive(emb: Array[Float]): Long = {
+      var fp = 0L
+      for (p <- 0 until 12) {
+        var acc = BigInt(0) // unscaled DECIMAL(18,12)
+        for (j <- emb.indices) {
+          val w = ((p * 37 + j * 13) % 19 - 9).toDouble
+          val term = new java.math.BigDecimal(java.lang.Double.toString(w * emb(j).toDouble))
+            .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()
+          acc += BigInt(term)
+        }
+        if (acc >= 0) fp |= (1L << p)
+      }
+      fp
+    }
+    val native = df.select(expr("graft_lsh_bucket(emb, 12)")).collect().map(_.getLong(0))
+    assert(native.toSeq == rows.map(naive))
+  }
+
+  test("graft_lsh_bucket rejects planes outside the weight-schedule range") {
+    val s = session
+    import s.implicits._
+    val df = Seq(Tuple1(Array.fill(8)(0.5f))).toDF("emb")
+    intercept[Exception] {
+      df.select(expr("graft_lsh_bucket(emb, 20)")).collect()
+    }
+    // null array -> null, planes honored for any in-range count
+    val ok = Seq((Option.empty[Array[Float]], 1)).toDF("emb", "k")
+      .select(expr("graft_lsh_bucket(emb, 4)")).collect()
+    assert(ok(0).isNullAt(0))
+  }
+
   test("native expressions survive whole-stage codegen in a grouped plan") {
     val s = session
     import s.implicits._
