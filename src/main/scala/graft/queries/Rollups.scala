@@ -103,8 +103,29 @@ object Rollups {
     * (`replaceWhere`-style) and leaves older hours untouched — see
     * RollupIncrementalSpec for the upsert-equals-full-recompute law. */
   def hourlyVolumeByTokenSince(spark: SparkSession, sfDir: String, sinceHour: Long): DataFrame = {
-    hourlyVolumeByToken(spark, sfDir).filter(col("hour") >= sinceHour)
+    hourlyVolumeByTokenImpl(spark, sfDir).filter(col("hour") >= sinceHour)
   }
+
+  /** Incremental variants of the remaining three rollups — the reference
+    * refreshes ALL FOUR hourly tables for `hour >= since` on every
+    * analytical tick (index.ts:71-102, dao.ts:1617-1787), not just volume.
+    * `hour` is a group key, so Catalyst pushes the predicate below the
+    * aggregate onto the block-time projection: only the look-back window's
+    * rows reach the shuffle. The `Since` family deliberately bypasses the
+    * Memo (unlike the batch-catalog entry points): a live refresher must
+    * re-read the CURRENT fact tables each tick, while the memoized frames
+    * freeze the first read for the static batch catalog. See
+    * [[graft.streaming.RollupRefresher]] for the partition-overwrite
+    * consumer and RollupIncrementalSpec for the
+    * incremental-equals-full-recompute law across all four. */
+  def hourlyRevenueByTokenSince(spark: SparkSession, sfDir: String, sinceHour: Long): DataFrame =
+    hourlyRevenueByToken(spark, sfDir).filter(col("hour") >= sinceHour)
+
+  def hourlyPriceDataSince(spark: SparkSession, sfDir: String, sinceHour: Long): DataFrame =
+    hourlyPriceData(spark, sfDir).filter(col("hour") >= sinceHour)
+
+  def hourlyTvlDeltaByTokenSince(spark: SparkSession, sfDir: String, sinceHour: Long): DataFrame =
+    hourlyTvlDeltaByTokenImpl(spark, sfDir).filter(col("hour") >= sinceHour)
 
   /** Oracle CTE chain producing hourly_volume_cte (casts match the Spark
     * output schema exactly). */
