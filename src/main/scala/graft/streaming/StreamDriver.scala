@@ -25,6 +25,13 @@ import graft.ingest.Ingest
   *    reference's 5-minute throttle expressed in batches; the incremental
   *    variant recomputes only `hour >= watermark` partitions (T6).
   *
+  *  - pending (unfinalized head) rows, flagged by an optional `is_pending`
+  *    column, are processed and served operationally but never committed as
+  *    canonical (T4, index.ts:137,243-246): they live in a side store that
+  *    each batch replaces, the finalized re-emission supersedes them without
+  *    a reorg, and restarts/retracts drop the store (the source re-emits the
+  *    head because the cursor never advanced past it).
+  *
   * Event-time watermarks/session windows are deliberately absent: blockchain
   * order is total, and "late data" manifests only as reorgs (T8).
   *
@@ -59,6 +66,12 @@ final class StreamDriver(
     * the last committed batch. */
   def start(rawEventsPath: String, schema: org.apache.spark.sql.types.StructType,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    // T4 startup cleanup: the pending store is the uncommitted head suffix —
+    // only valid relative to the live stream position at the moment it was
+    // written. After a restart the source re-emits the head (the reference
+    // never advances its cursor past pending data, index.ts:243-246), so a
+    // stale pending suffix would double it.
+    dropPending()
     val raw = spark.readStream.schema(schema).parquet(rawEventsPath)
     raw.writeStream
       .trigger(trigger)
@@ -98,7 +111,20 @@ final class StreamDriver(
     // would land in the __HIVE_DEFAULT_PARTITION__ bucket, outside every
     // reorg predicate) — malformed input, dropped at the boundary
     val valid = batch.filter(col("block_number").isNotNull)
-    val keyed = valid.withColumn("event_id",
+
+    // T4: a batch may carry PENDING (unfinalized head) rows, flagged by an
+    // optional `is_pending` column (index.ts:137). They are processed —
+    // visible to operational consumers this tick — but never become
+    // canonical: they land in the pending store, which each batch replaces
+    // wholesale (the pending head is whatever THIS batch says it is; the
+    // finalized re-emission of the same block arrives later as a normal
+    // canonical row, so the swap needs no reorg).
+    val hasPending = valid.columns.contains("is_pending")
+    val isPending = coalesce(col("is_pending").cast("boolean"), lit(false))
+    val canonical = if (hasPending) valid.filter(!isPending).drop("is_pending") else valid
+    val pending = if (hasPending) Some(valid.filter(isPending).drop("is_pending")) else None
+
+    val keyed = canonical.withColumn("event_id",
       Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
 
     val cutoff = retractCutoffFor(batchId)
@@ -112,8 +138,47 @@ final class StreamDriver(
       .partitionBy("batch_id", "block_bucket")
       .parquet(s"$factRoot/raw_events")
 
-    onOperationalRefresh(replaySafe)
+    val keyedPending = pending.map(p => p.withColumn("event_id",
+        Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index"))))
+      .flatMap { k =>
+        // the pending store is ALWAYS this batch's pending set — an empty
+        // one means the head is fully finalized, so the store empties too
+        if (k.isEmpty) { dropPending(); None }
+        else {
+          withBlockBucket(k).withColumn("batch_id", lit(PendingBatchId))
+            .write.mode("overwrite").parquet(pendingDir)
+          Some(k)
+        }
+      }
+
+    onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
     if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
+  }
+
+  /** Canonical facts plus the pending head (T4): what an operational query
+    * should see — the reference serves unfinalized data too, it just never
+    * commits a cursor past it. Pending rows carry `batch_id = -2`. */
+  def operationalEvents: DataFrame = {
+    val path = s"$factRoot/raw_events"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = spark.read.parquet(path)
+    if (!fs.exists(new Path(pendingDir))) canonical
+    else {
+      // align the pending store (data columns only) to the canonical read
+      // schema: partition-column read-back may narrow types, and unionByName
+      // wants identical sets
+      val p = spark.read.parquet(pendingDir)
+      val aligned = canonical.schema.fields.map { f =>
+        if (p.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      canonical.unionByName(p.select(aligned.toSeq: _*))
+    }
+  }
+
+  private def dropPending(): Unit = {
+    val fs = new Path(pendingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(pendingDir), true)
   }
 
   /** Reorg retraction (T3): only partitions that can contain blocks ≥
@@ -146,6 +211,10 @@ final class StreamDriver(
     //    would resurrect the retracted blocks
     recoverRetract()
     recoverCompact()
+
+    // a reorg invalidates the unfinalized head outright (T3 ∩ T4): the
+    // post-reorg source re-emits it
+    dropPending()
 
     val boundary = fromBlock / 4096
     val maxBatch = maxBatchId(fs)
@@ -264,6 +333,14 @@ final class StreamDriver(
       fs.delete(tmpPath, true)
     }
   }
+
+  /** Pending-head store (T4): replaced wholesale each batch, never part of
+    * the canonical partition layout, never retracted or compacted. */
+  private val pendingDir = s"$factRoot/pending_events"
+
+  /** Sentinel batch_id of pending rows in [[operationalEvents]] (canonical
+    * batches are ≥ 0; the compacted archive is -1). */
+  val PendingBatchId = -2L
 
   private val tmpDir = s"$factRoot/.retract_tmp"
   private val ledgerDir = s"$factRoot/.retract_log"

@@ -97,6 +97,56 @@ class StreamingSpec extends SparkSpec {
     assert(after.agg(max($"block_number")).collect().head.getLong(0) == 4999L)
   }
 
+  test("pending blocks are served operationally but never committed as canonical (T4)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+    val rawDir = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+
+    val pendingSchema = StructType(schema.fields :+ StructField("is_pending", BooleanType))
+    var lastOperational: Option[org.apache.spark.sql.DataFrame] = None
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt",
+      onOperationalRefresh = df => lastOperational = Some(df))
+
+    // chunk 1: blocks 1..10 finalized, block 11 pending (unfinalized head)
+    ((1L to 10L).map(b => (b, 0L, 0L, false)) :+ ((11L, 0L, 0L, true)))
+      .toDF("block_number", "transaction_index", "event_index", "is_pending")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
+    driver.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+
+    // canonical storage holds only finalized blocks; the operational surface
+    // (and the refresh callback) see the pending head too
+    assert(spark.read.parquet(s"$root/facts/raw_events").count() == 10L)
+    assert(driver.operationalEvents.count() == 11L)
+    assert(lastOperational.get.count() == 11L)
+    val pendingRows = driver.operationalEvents.filter($"batch_id" === driver.PendingBatchId)
+    assert(pendingRows.select($"block_number").collect().map(_.getLong(0)).toSeq == Seq(11L))
+
+    // chunk 2: block 11 re-emitted finalized + block 12 pending — the swap
+    // needs NO reorg: canonical grows to 11, the pending store is replaced
+    ((Seq((11L, 0L, 0L, false))) :+ ((12L, 0L, 0L, true)))
+      .toDF("block_number", "transaction_index", "event_index", "is_pending")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=2")
+    driver.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+
+    val canonical = spark.read.parquet(s"$root/facts/raw_events")
+    assert(canonical.count() == 11L)
+    assert(canonical.agg(max($"block_number")).collect().head.getLong(0) == 11L)
+    // no duplicate: block 11 exists exactly once across the whole surface
+    val op = driver.operationalEvents
+    assert(op.count() == 12L)
+    assert(op.filter($"block_number" === 11L).count() == 1L)
+    assert(op.filter($"batch_id" === driver.PendingBatchId)
+      .select($"block_number").collect().map(_.getLong(0)).toSeq == Seq(12L))
+
+    // startup cleanup: a fresh driver drops the stale pending suffix before
+    // resuming (the live source re-emits the head, never advancing past it)
+    val driver2 = new StreamDriver(spark, s"$root/facts", s"$root/ckpt")
+    driver2.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+    assert(driver2.operationalEvents.filter($"batch_id" === driver2.PendingBatchId).isEmpty)
+    assert(spark.read.parquet(s"$root/facts/raw_events").count() == 11L)
+  }
+
   test("hourly rollup watermark upsert equals full recompute (T6)") {
     val sfDir = "/root/testdata/sf0.001"
     val full = graft.queries.Rollups.hourlyVolumeByToken(spark, sfDir)
