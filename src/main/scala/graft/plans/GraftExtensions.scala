@@ -45,6 +45,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[TextFingerprint.MinHashBands].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => TextFingerprint.MinHashBands(children.head)),
+    (FunctionIdentifier("graft_simhash64_bands"),
+      new ExpressionInfo(classOf[TextFingerprint.SimHash64Bands].getName, "graft_simhash64_bands"),
+      (children: Seq[Expression]) => TextFingerprint.SimHash64Bands(children.head)),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucket(children.head, children(1))),

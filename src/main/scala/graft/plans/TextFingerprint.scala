@@ -112,6 +112,52 @@ object TextFingerprint {
     new GenericArrayData(bands)
   }
 
+  /** 4 × 16-bit band chunks of a 64-bit SimHash. The fingerprint's low 32
+    * bits vote from `(hash·2654435761) mod 2^32` (same mix as
+    * [[simhash32]]), the high 32 bits from an independent multiplier
+    * `(hash·2246822519) mod 2^32` — both products stay < 2^62, so the
+    * DuckDB oracle runs the identical arithmetic in plain BIGINTs. Returned
+    * as the four band keys (not the packed 64-bit value): bit 63 of a
+    * packed fingerprint is not representable as a positive BIGINT sum in
+    * SQL, and the band keys are what the blocking join consumes anyway.
+    *
+    * Scale rationale (vs the 8-bit bands of rounds 1-5): candidate pairs
+    * grow ~N²/keyspace per band; 2^8 = 256 keys puts ~N/256 docs in a band
+    * bucket (quadratic blow-up at 10⁹ docs), 2^16 = 65536 keeps the bucket
+    * ~N/65536. Hot band keys (boilerplate-heavy corpora) remain possible —
+    * salt the band-key join when a key's bucket exceeds the executor
+    * budget. */
+  def simhash64Bands(words: ArrayData): GenericArrayData = {
+    val votes = new Array[Int](64)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val wh = wordHash(words.getUTF8String(i))
+      val lo = (wh * 2654435761L) % 4294967296L
+      val hi = (wh * 2246822519L) % 4294967296L
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if (((lo >>> j) & 1L) == 1L) 1 else -1)
+        votes(32 + j) += (if (((hi >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](4)
+    var b = 0
+    while (b < 4) {
+      var chunk = 0L
+      var j = 0
+      while (j < 16) {
+        if (votes(16 * b + j) > 0) chunk |= (1L << j)
+        j += 1
+      }
+      bands(b) = chunk
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   private def checkWordsInput(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -143,6 +189,19 @@ object TextFingerprint {
     override protected def withNewChildInternal(newChild: Expression): MinHashBands =
       copy(child = newChild)
     override def prettyName: String = "graft_minhash_bands"
+  }
+
+  case class SimHash64Bands(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkWordsInput("graft_simhash64_bands", child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      simhash64Bands(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.TextFingerprint.simhash64Bands($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
+      copy(child = newChild)
+    override def prettyName: String = "graft_simhash64_bands"
   }
 
   /** Register the native function surface on an existing session

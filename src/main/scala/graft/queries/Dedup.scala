@@ -171,58 +171,77 @@ object Dedup {
   val minhashLshOracle: String = Fixtures.oracle(
     minhashPairCtes + "\n       SELECT doc_a, doc_b, shared_bands FROM lsh_pairs")
 
-  /** SimHash (32-bit) + banded blocking: per-bit weighted votes over word
-    * hashes, fingerprint from vote signs, candidates share a band byte and
-    * pass Hamming ≤ 6.
+  /** SimHash (64-bit, 4 × 16-bit bands) + banded blocking: per-bit weighted
+    * votes over word hashes, fingerprint from vote signs, candidates share
+    * a 16-bit band chunk and pass Hamming ≤ 12.
     *
-    * The fingerprint is the native codegen'd
-    * [[graft.plans.TextFingerprint.SimHash32]] expression — one scan
-    * projection per document — instead of the former explode(words)×32-bit
-    * join + two shuffling re-aggregations. The DuckDB oracle keeps the
-    * exploded ±1-vote SUM: integer sums are order-independent, so both
-    * reach identical fingerprints. */
+    * The four band keys per document come from the native codegen'd
+    * [[graft.plans.TextFingerprint.SimHash64Bands]] expression — one scan
+    * projection per document. The DuckDB oracle keeps the exploded ±1-vote
+    * SUM over both 32-bit halves: integer sums are order-independent, so
+    * both reach identical band keys.
+    *
+    * Candidate-count bound: pairs grow ~Σ_bands N²/keyspace. Rounds 1-5
+    * used a 32-bit fingerprint with 8-bit bands — 256 keys/band puts ~N/256
+    * docs in a bucket, which is quadratic at 10⁹ docs (≈4M docs/bucket);
+    * 16-bit bands keep buckets ~N/65536. The keyspace is a PARAMETER of the
+    * blocking shape, not the shape itself — at larger corpora widen further
+    * (more/wider bands) and salt the band-key equi-join if a boilerplate
+    * band key still overflows an executor's bucket budget (skew is
+    * data-dependent; the join key is content-derived). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     graft.plans.TextFingerprint.register(spark)
     import spark.implicits._
 
-    val bandedFp = spark.table("documents")
-      .select($"doc_id", expr("graft_simhash32(split(text, ' '))").as("simhash"))
-      .select($"doc_id", $"simhash", explode(sequence(lit(0L), lit(3L))).as("b"))
-      .withColumn("band_key", expr("shiftright(simhash, CAST(b * 8 AS INT)) % 256"))
+    val fp = spark.table("documents")
+      .select($"doc_id", expr("graft_simhash64_bands(split(text, ' '))").as("chunks"))
+    val banded = fp.select($"doc_id", $"chunks",
+      posexplode($"chunks").as(Seq("b", "band_key")))
 
-    bandedFp.as("x").join(bandedFp.as("y"),
+    banded.as("x").join(banded.as("y"),
         $"x.b" === $"y.b" && $"x.band_key" === $"y.band_key" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast(LongType).as("hamming"))
+        // 4-element fold per CANDIDATE pair (output-sized, not corpus-sized
+        // — the interpreted-lambda ban applies to scan projections)
+        expr("aggregate(zip_with(x.chunks, y.chunks, (cx, cy) -> bit_count(cx ^ cy)), 0, (acc, v) -> acc + v)")
+          .cast(LongType).as("hamming"))
       .distinct()
-      .filter($"hamming" <= 6)
+      .filter($"hamming" <= 12)
   }
 
   val simhashOracle: String = Fixtures.oracle(
     s""", word_hashes AS (
-         SELECT doc_id, (${TextHash.duckWordHash("w.word")} * 2654435761) % 4294967296 AS wh2
+         SELECT doc_id,
+                (${TextHash.duckWordHash("w.word")} * 2654435761) % 4294967296 AS lo,
+                (${TextHash.duckWordHash("w.word")} * 2246822519) % 4294967296 AS hi
          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents) w),
        bit_votes AS (
          SELECT doc_id, t.j,
-                CAST(POWER(2.0, CAST(t.j AS DOUBLE)) AS BIGINT) AS bit,
-                SUM(CASE WHEN (wh2 // CAST(POWER(2.0, CAST(t.j AS DOUBLE)) AS BIGINT)) % 2 = 1
+                SUM(CASE WHEN (CASE WHEN t.j < 32
+                               THEN (lo // CAST(POWER(2.0, CAST(t.j AS DOUBLE)) AS BIGINT)) % 2
+                               ELSE (hi // CAST(POWER(2.0, CAST(t.j - 32 AS DOUBLE)) AS BIGINT)) % 2 END) = 1
                          THEN 1 ELSE -1 END) AS vote
-         FROM word_hashes, UNNEST(range(32)) AS t(j)
-         GROUP BY 1, 2, 3),
-       fingerprints AS (
-         SELECT doc_id, SUM(CASE WHEN vote > 0 THEN bit ELSE 0 END) AS simhash
-         FROM bit_votes GROUP BY doc_id),
-       banded AS (
-         SELECT doc_id, simhash, t.b,
-                (simhash // CAST(POWER(2.0, CAST(t.b * 8 AS DOUBLE)) AS BIGINT)) % 256 AS band_key
-         FROM fingerprints, UNNEST(range(4)) AS t(b))
-       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-              CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       FROM banded x
-       JOIN banded y ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-       WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 6""")
+         FROM word_hashes, UNNEST(range(64)) AS t(j)
+         GROUP BY 1, 2),
+       chunks AS (
+         SELECT doc_id, CAST(j // 16 AS INT) AS b,
+                SUM(CASE WHEN vote > 0 THEN CAST(POWER(2.0, CAST(j % 16 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS band_key
+         FROM bit_votes
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM chunks x JOIN chunks y
+           ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       ham AS (
+         SELECT c.doc_a, c.doc_b,
+                CAST(SUM(bit_count(xor(cx.band_key, cy.band_key))) AS BIGINT) AS hamming
+         FROM cand c
+         JOIN chunks cx ON cx.doc_id = c.doc_a
+         JOIN chunks cy ON cy.doc_id = c.doc_b AND cy.b = cx.b
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 12""")
 
   /** Near-dup cluster assignment: connected components over the MinHash-LSH
     * candidate-pair graph — the step that turns pairwise near-dup evidence

@@ -22,12 +22,12 @@ import graft.plans.TextFingerprint
   *  - [[exactDedup]]: key = SHA-256 of the text; state = the canonical
   *    (first-seen, min doc_id within its arrival batch) doc id. Every
   *    arriving doc gets a verdict row immediately (Append mode).
-  *  - [[simhashPairs]]: key = (band, band byte) of the 32-bit SimHash —
-  *    exactly the batch query's blocking — state = docs seen in the bucket;
-  *    an arriving doc emits a candidate pair per state member within
-  *    Hamming ≤ 6 (deduplicate across bands downstream, as the batch
-  *    query's `distinct` does). State per bucket grows with bucket
-  *    occupancy, the same factor that bounds the batch self-join.
+  *  - [[simhashPairs]]: key = (band, 16-bit band chunk) of the 64-bit
+  *    SimHash — exactly the batch query's blocking — state = docs seen in
+  *    the bucket; an arriving doc emits a candidate pair per state member
+  *    within Hamming ≤ 12 (deduplicate across bands downstream, as the
+  *    batch query's `distinct` does). State per bucket grows with bucket
+  *    occupancy, the same ~N/2^16 factor that bounds the batch self-join.
   */
 object StreamingDedup {
 
@@ -39,11 +39,15 @@ object StreamingDedup {
     MessageDigest.getInstance("SHA-256").digest(text.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** 32-bit SimHash of a document via the same native fold as the batch
-    * query (graft_simhash32), driver/executor-side. */
-  def simhash(text: String): Long =
-    TextFingerprint.simhash32(new GenericArrayData(
+  /** 64-bit SimHash of a document via the same native fold as the batch
+    * query (graft_simhash64_bands), driver/executor-side; the four 16-bit
+    * band chunks pack into one long (chunk b at bits [16b, 16b+16)), so
+    * Hamming distance is one `bitCount(xor)` and band keys are shifts. */
+  def simhash(text: String): Long = {
+    val chunks = TextFingerprint.simhash64Bands(new GenericArrayData(
       text.split(" ", -1).map(w => UTF8String.fromString(w): Any)))
+    (0 until 4).map(b => chunks.getLong(b) << (16 * b)).reduce(_ | _)
+  }
 
   /** Streaming exact dedup: one verdict per arriving document; the first
     * group member to arrive (min doc_id within its micro-batch) is
@@ -63,14 +67,15 @@ object StreamingDedup {
       }
   }
 
-  /** Streaming SimHash near-dup candidates: same 4×(band byte) blocking as
-    * the batch query, Hamming ≤ 6 verified against bucket state. */
+  /** Streaming SimHash near-dup candidates: same 4×(16-bit band chunk)
+    * blocking as the batch query, Hamming ≤ 12 verified against bucket
+    * state. */
   def simhashPairs(docs: Dataset[DocIn]): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     docs
       .map(d => (d.doc_id, simhash(d.text)))
       .flatMap { case (id, fp) =>
-        (0 until 4).map(b => (b, ((fp >> (8 * b)) & 255L).toInt, id, fp))
+        (0 until 4).map(b => (b, ((fp >>> (16 * b)) & 65535L).toInt, id, fp))
       }
       .groupByKey { case (b, key, _, _) => (b, key) }
       .flatMapGroupsWithState[Seq[(Long, Long)], NearDupPair](
@@ -86,7 +91,7 @@ object StreamingDedup {
             if (!seen.exists(_._1 == id)) {
               for ((sid, sfp) <- seen) {
                 val hamming = java.lang.Long.bitCount(fp ^ sfp)
-                if (hamming <= 6) {
+                if (hamming <= 12) {
                   val (a, b) = if (sid < id) (sid, id) else (id, sid)
                   out += NearDupPair(a, b, hamming, bucket._1)
                 }

@@ -99,6 +99,37 @@ class NativeExprSpec extends SparkSpec {
     assert(got.toSeq == docs.map(naive))
   }
 
+  test("graft_simhash64_bands equals the exploded two-half ±1-vote formulation") {
+    val s = session
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "a", "", "one two one two")
+    // independent reimplementation of the oracle's exploded formulation
+    def naive(text: String): Seq[Long] = {
+      val votes = new Array[Int](64)
+      for (w <- text.split(" ", -1)) {
+        var h = 0L
+        for (c <- w) h = (h * 131 + c.toLong) % TextHash.P
+        val lo = (h * 2654435761L) % 4294967296L
+        val hi = (h * 2246822519L) % 4294967296L
+        for (j <- 0 until 32) {
+          votes(j) += (if (((lo >> j) & 1L) == 1L) 1 else -1)
+          votes(32 + j) += (if (((hi >> j) & 1L) == 1L) 1 else -1)
+        }
+      }
+      (0 until 4).map(b =>
+        (0 until 16).map(j => if (votes(16 * b + j) > 0) 1L << j else 0L).sum)
+    }
+    val got = docs.toDF("text")
+      .select(expr("graft_simhash64_bands(split(text, ' '))"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got.toSeq == docs.map(naive))
+    // every chunk fits 16 bits — the blocking key space is 2^16 per band
+    assert(got.flatten.forall(c => c >= 0L && c < 65536L))
+  }
+
   test("graft_lsh_bucket equals the interpreted SQL decimal fold it replaced") {
     val s = session
     import s.implicits._

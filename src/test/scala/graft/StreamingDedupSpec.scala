@@ -67,8 +67,8 @@ class StreamingDedupSpec extends SparkSpec {
     val expected = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
       hamming = java.lang.Long.bitCount(fa ^ fb)
-      if hamming <= 6
-      if (0 until 4).exists(k => ((fa >> (8 * k)) & 255L) == ((fb >> (8 * k)) & 255L))
+      if hamming <= 12
+      if (0 until 4).exists(k => ((fa >>> (16 * k)) & 65535L) == ((fb >>> (16 * k)) & 65535L))
     } yield (a, b, hamming)).distinct.sorted
 
     assert(streamed == expected)
