@@ -34,24 +34,39 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Wrap a builder with an arity check so a SQL call with the wrong number
+    * of arguments fails analysis with the expected signature instead of an
+    * IndexOutOfBoundsException from `children(i)`. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children =>
+      if (children.length == n) build(children)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** Every native function the library exposes, in one place. */
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+      arity("graft_dot", 2)(c => DotProduct(c.head, c(1)))),
     (FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[TextFingerprint.SimHash32].getName, "graft_simhash32"),
-      (children: Seq[Expression]) => TextFingerprint.SimHash32(children.head)),
+      arity("graft_simhash32", 1)(c => TextFingerprint.SimHash32(c.head))),
     (FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[TextFingerprint.MinHashBands].getName, "graft_minhash_bands"),
-      (children: Seq[Expression]) => TextFingerprint.MinHashBands(children.head)),
+      arity("graft_minhash_bands", 1)(c => TextFingerprint.MinHashBands(c.head))),
     (FunctionIdentifier("graft_simhash64_bands"),
       new ExpressionInfo(classOf[TextFingerprint.SimHash64Bands].getName, "graft_simhash64_bands"),
-      (children: Seq[Expression]) => TextFingerprint.SimHash64Bands(children.head)),
+      arity("graft_simhash64_bands", 1)(c => TextFingerprint.SimHash64Bands(c.head))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
-      (children: Seq[Expression]) => LshBucket(children.head, children(1))),
+      arity("graft_lsh_bucket", 2)(c => LshBucket(c.head, c(1)))),
     (FunctionIdentifier("parse_short_string_native"),
       new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
-      (children: Seq[Expression]) => ParseShortString(children.head)))
+      arity("parse_short_string_native", 1)(c => ParseShortString(c.head))))
 }

@@ -138,12 +138,21 @@ final class StreamDriver(
       .partitionBy("batch_id", "block_bucket")
       .parquet(s"$factRoot/raw_events")
 
-    val keyedPending = pending.map(p => p.withColumn("event_id",
-        Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index"))))
+    val keyedPending = pending.map { p =>
+        // the retract-ledger replay guard applies to pending rows too: a
+        // checkpoint replay of a pre-reorg batch must not repopulate the
+        // pending store (and the operational view) with retracted blocks
+        val k = p.withColumn("event_id",
+          Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
+        cutoff.map(c => k.filter(col("block_number") < c)).getOrElse(k)
+      }
       .flatMap { k =>
+        // one scan for the whole batch: isEmpty, the store write, and the
+        // operational union below all reuse the cached pending frame
+        k.persist()
         // the pending store is ALWAYS this batch's pending set — an empty
         // one means the head is fully finalized, so the store empties too
-        if (k.isEmpty) { dropPending(); None }
+        if (k.isEmpty) { k.unpersist(); dropPending(); None }
         else {
           withBlockBucket(k).withColumn("batch_id", lit(PendingBatchId))
             .write.mode("overwrite").parquet(pendingDir)
@@ -151,7 +160,8 @@ final class StreamDriver(
         }
       }
 
-    onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
+    try onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
+    finally keyedPending.foreach(_.unpersist())
     if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
   }
 
@@ -159,22 +169,37 @@ final class StreamDriver(
     * should see — the reference serves unfinalized data too, it just never
     * commits a cursor past it. Pending rows carry `batch_id = -2`. */
   def operationalEvents: DataFrame = {
-    val path = s"$factRoot/raw_events"
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val canonical = spark.read.parquet(path)
-    if (!fs.exists(new Path(pendingDir))) canonical
-    else {
-      // align the pending store (data columns only) to the canonical read
-      // schema: partition-column read-back may narrow types, and unionByName
-      // wants identical sets
-      val p = spark.read.parquet(pendingDir)
-      val aligned = canonical.schema.fields.map { f =>
-        if (p.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }
-      canonical.unionByName(p.select(aligned.toSeq: _*))
+    val fs = new Path(factRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canonical = readParquetIfPresent(s"$factRoot/raw_events", fs)
+    val pendingHead = readParquetIfPresent(pendingDir, fs)
+    (canonical, pendingHead) match {
+      case (Some(c), Some(p)) =>
+        // align the pending store (data columns only) to the canonical read
+        // schema: partition-column read-back may narrow types, and unionByName
+        // wants identical sets
+        val aligned = c.schema.fields.map { f =>
+          if (p.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        c.unionByName(p.select(aligned.toSeq: _*))
+      case (Some(c), None) => c
+      // no canonical data yet (no batch processed, or an all-pending first
+      // batch): serve the pending head alone rather than throwing
+      case (None, Some(p)) => p
+      case (None, None) => spark.emptyDataFrame
     }
   }
+
+  /** Read a parquet directory that may be absent or schemaless (exists but
+    * holds no data files yet — e.g. an all-pending first batch never wrote
+    * canonical rows). Returns None in both cases instead of throwing. */
+  private def readParquetIfPresent(dir: String, fs: FileSystem): Option[DataFrame] =
+    if (!fs.exists(new Path(dir))) None
+    else try Some(spark.read.parquet(dir)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+             e.getMessage.contains("PATH_NOT_FOUND") => None
+    }
 
   private def dropPending(): Unit = {
     val fs = new Path(pendingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)

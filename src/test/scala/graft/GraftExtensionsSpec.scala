@@ -47,6 +47,22 @@ class GraftExtensionsSpec extends SparkSpec {
   test("the descriptor list and the legacy register() expose the same names") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names == Set("graft_dot", "graft_simhash32", "graft_minhash_bands",
-      "parse_short_string_native"))
+      "graft_simhash64_bands", "graft_lsh_bucket", "parse_short_string_native"))
+  }
+
+  test("wrong-arity SQL calls fail analysis cleanly, not with IndexOutOfBounds") {
+    graft.plans.GraftExtensions.functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", id.funcName), builder)
+    }
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_lsh_bucket(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("graft_lsh_bucket"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(e2.getMessage.contains("graft_dot"))
   }
 }

@@ -147,6 +147,65 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/facts/raw_events").count() == 11L)
   }
 
+  test("checkpoint replay after retract does not repopulate the pending store (T3 ∩ T4)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+    val rawDir = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+
+    val pendingSchema = StructType(schema.fields :+ StructField("is_pending", BooleanType))
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt")
+
+    // blocks 1..9000 finalized, 9001 pending (head of the pre-reorg chain)
+    ((1L to 9000L).map(b => (b, 0L, 0L, false)) :+ ((9001L, 0L, 0L, true)))
+      .toDF("block_number", "transaction_index", "event_index", "is_pending")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
+    driver.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+    assert(driver.operationalEvents.filter($"batch_id" === driver.PendingBatchId).count() == 1L)
+
+    // reorg back to 5000: the pending head is invalidated with it
+    driver.retract(5000L)
+    assert(driver.operationalEvents.filter($"batch_id" === driver.PendingBatchId).isEmpty)
+
+    // lose batch 0's commit → Spark replays it from the pre-reorg offsets.
+    // The retract-ledger guard must apply to the batch's PENDING subset too:
+    // block 9001 is ≥ the cutoff and must not reappear in the pending store.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/ckpt/ingest/commits/0"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/ckpt/ingest/commits/.0.crc"))
+    driver.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+
+    val op = driver.operationalEvents
+    assert(op.filter($"batch_id" === driver.PendingBatchId).isEmpty)
+    assert(op.count() == 4999L)
+    assert(op.agg(max($"block_number")).collect().head.getLong(0) == 4999L)
+  }
+
+  test("operationalEvents serves the pending head (or nothing) before any canonical data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+    val rawDir = s"$root/raw"
+    Files.createDirectories(java.nio.file.Paths.get(rawDir))
+
+    val pendingSchema = StructType(schema.fields :+ StructField("is_pending", BooleanType))
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt")
+
+    // nothing processed at all → empty frame, not an exception
+    assert(driver.operationalEvents.isEmpty)
+
+    // an all-pending first batch: the canonical write has zero rows (the
+    // raw_events dir exists but holds no data files), yet the operational
+    // surface must serve the pending head
+    Seq((1L, 0L, 0L, true), (2L, 0L, 0L, true))
+      .toDF("block_number", "transaction_index", "event_index", "is_pending")
+      .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
+    driver.start(s"$rawDir/*", pendingSchema, Trigger.AvailableNow()).awaitTermination()
+
+    val op = driver.operationalEvents
+    assert(op.count() == 2L)
+    assert(op.filter($"batch_id" === driver.PendingBatchId).count() == 2L)
+  }
+
   test("hourly rollup watermark upsert equals full recompute (T6)") {
     val sfDir = "/root/testdata/sf0.001"
     val full = graft.queries.Rollups.hourlyVolumeByToken(spark, sfDir)
