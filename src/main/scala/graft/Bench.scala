@@ -27,6 +27,11 @@ object Bench {
       df.write.mode("overwrite").parquet(tmp)
       val p = spark.read.parquet(tmp)
       p.groupBy($"k").agg(sum($"v"), count(lit(1)), min(sha2(concat(hex($"id")), 256))).count()
+      // collation-aware string ops (lower/upper) lazily run the ICU
+      // CollationAwareUTF8String static init on first task-side use — a
+      // multi-second one-time cost that otherwise lands on whichever query
+      // calls lower() first
+      p.select(lower(concat($"k".cast("string"), lit("A")))).distinct().count()
       p.join(broadcast(p.limit(100).select($"k".as("k2"))), $"k" === $"k2").count()
       p.as("a").join(p.as("b"), "k").count()
       p.withColumn("rn", row_number().over(

@@ -439,6 +439,18 @@ object Fixtures {
     }
     defs.foreach { case (name, sql) =>
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $sql")
+      // The driver's testdata is one single-row-group parquet file per
+      // table, which cannot split: without an explicit fan-out the
+      // fact-sized `ek` cache inherits the scan's single partition and
+      // EVERY downstream view runs its cache scan on one core. The shuffle
+      // happens once, at cache build (replaced here, before any downstream
+      // view resolves `ek`); a production events table is many
+      // files/row-groups and gets this parallelism at the scan.
+      // blocks/pool_keys stay as declared — they are dimension-sized and
+      // aggregate through a shuffle already.
+      if (name == "ek")
+        spark.table("ek").repartition(spark.sparkContext.defaultParallelism)
+          .createOrReplaceTempView("ek")
     }
     cachedViews.foreach(v => spark.sql(s"CACHE LAZY TABLE $v"))
     registeredFor.put(spark, sfDir)
