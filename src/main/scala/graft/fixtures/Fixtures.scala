@@ -433,6 +433,9 @@ object Fixtures {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (registeredFor.containsKey(spark)) {
       cachedViews.foreach(v => spark.sql(s"UNCACHE TABLE IF EXISTS $v"))
+      // the memoized sub-plans are derived from the previous sfDir's data:
+      // stale AND a storage leak once the session points elsewhere
+      graft.util.Memo.release(spark, registeredFor.get(spark))
     }
     baseTables.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)

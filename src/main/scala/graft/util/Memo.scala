@@ -14,6 +14,14 @@ import org.apache.spark.storage.StorageLevel
   * the first use persists the (dimension-sized) intermediate and later uses
   * are cache scans — the batch analogue of the reference's materialized-view
   * tiers (dao.ts:1798-1807).
+  *
+  * Lifecycle: frames accumulate for as long as a (session, sfDir) scope is
+  * live — fine for a bench/verify run, a leak on a long-lived cluster where
+  * corpus-sized frames (the embeddings table + norms) would pin
+  * MEMORY_AND_DISK storage forever. [[release]] drops one scope,
+  * [[releaseAll]] a whole session; `Fixtures.register` releases the previous
+  * scope automatically when a session re-registers against a different data
+  * directory.
   */
 object Memo {
 
@@ -22,4 +30,19 @@ object Memo {
   def cached(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
     frames.getOrElseUpdate((spark, sfDir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every frame memoized for (session, sfDir). The
+    * next `cached` call under the scope rebuilds from scratch. */
+  def release(spark: SparkSession, sfDir: String): Unit =
+    frames.keys
+      .filter(k => (k._1 eq spark) && k._2 == sfDir)
+      .foreach(k => frames.remove(k).foreach(_.unpersist(false)))
+
+  /** Unpersist and forget every frame memoized for the session, all scopes —
+    * also drops the session references themselves, so a stopped session can
+    * be collected. */
+  def releaseAll(spark: SparkSession): Unit =
+    frames.keys
+      .filter(_._1 eq spark)
+      .foreach(k => frames.remove(k).foreach(_.unpersist(false)))
 }
