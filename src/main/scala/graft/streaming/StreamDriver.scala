@@ -50,7 +50,8 @@ final class StreamDriver(
     checkpointRoot: String,
     analyticalEvery: Long = 10L,
     onOperationalRefresh: DataFrame => Unit = _ => (),
-    onAnalyticalRefresh: Long => Unit = _ => ()) {
+    onAnalyticalRefresh: Long => Unit = _ => (),
+    jdbcSink: Option[JdbcBatchSink] = None) {
 
   /** Partition column: coarse block bucket so a reorg delete prunes to a
     * bounded set of partitions (4096 blocks per bucket). */
@@ -137,6 +138,10 @@ final class StreamDriver(
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "block_bucket")
       .parquet(s"$factRoot/raw_events")
+
+    // relational leg (BASELINE's "JDBC sink to Postgres"): canonical rows
+    // only — the pending head stays in its replaceable side store
+    jdbcSink.foreach(_.write(replaySafe, batchId))
 
     val keyedPending = pending.map { p =>
         // the retract-ledger replay guard applies to pending rows too: a
@@ -240,6 +245,10 @@ final class StreamDriver(
     // a reorg invalidates the unfinalized head outright (T3 ∩ T4): the
     // post-reorg source re-emits it
     dropPending()
+
+    // the relational leg deletes instead of rewriting partitions (the
+    // reference cascades deletes from event_keys, dao.ts:1543-1576)
+    jdbcSink.foreach(_.retract(fromBlock))
 
     val boundary = fromBlock / 4096
     val maxBatch = maxBatchId(fs)
