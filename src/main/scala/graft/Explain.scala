@@ -6,15 +6,20 @@ import org.apache.spark.sql.SparkSession
   * catalog queries so scan pushdown (PushedFilters/ReadSchema), broadcast
   * joins, and whole-stage-codegen spans can be checked per change.
   *
-  * Usage: runMain graft.Explain [--time] [sfDir] [queryName ...]
-  * With --time, runs each query three times and prints cold/warm seconds
-  * instead of plans (warm isolates steady-state plan cost from codegen
-  * compile + IO first-touch).
+  * Usage: runMain graft.Explain [--time|--stages] [sfDir] [queryName ...]
+  *  - --time: runs each query three times, prints cold/warm seconds (warm
+  *    isolates steady-state plan cost from codegen compile + IO first-touch).
+  *  - --stages: runs each query once with a stage-metrics listener and
+  *    prints wall seconds plus summed task runTime/cpuTime. runTime much
+  *    greater than cpuTime means tasks were BLOCKED (lock/init/IO), the
+  *    signature that exposed the ICU collation static-init stall (round 7);
+  *    wall much greater than runTime means the time went to the driver
+  *    (planning, broadcast collect, janino compile).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val time = args.headOption.contains("--time")
-    val rest = if (time) args.tail else args
+    val mode = args.headOption.filter(_.startsWith("--")).getOrElse("")
+    val rest = if (mode.nonEmpty) args.tail else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (rest.length > 1) rest.tail.toSeq
       else Seq("q1_pricing_summary", "hourly_volume_by_token", "pool_states",
@@ -28,18 +33,49 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    names.foreach { name =>
-      if (time) {
-        val runs = (1 to 3).map { _ =>
+    mode match {
+      case "--time" =>
+        names.foreach { name =>
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$name%-30s cold ${runs.head}%6.2f  warm ${runs.drop(1).min}%6.2f")
+        }
+
+      case "--stages" =>
+        val acc = new java.util.concurrent.atomic.AtomicLongArray(3) // run, cpu, tasks
+        var worst: (Long, Int, String) = (0L, 0, "") // runTime, tasks of the slowest stage
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            acc.addAndGet(0, m.executorRunTime)
+            acc.addAndGet(1, m.executorCpuTime / 1000000L)
+            acc.addAndGet(2, sc.stageInfo.numTasks.toLong)
+            if (m.executorRunTime > worst._1)
+              worst = (m.executorRunTime, sc.stageInfo.numTasks,
+                sc.stageInfo.details.linesIterator.take(1).mkString)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        println(f"${"query"}%-34s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"tasks"}%6s  worst-stage run_s/tasks")
+        names.foreach { name =>
+          (0 to 2).foreach(acc.set(_, 0L)); worst = (0L, 0, "")
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          // listener events are async; give the bus a moment to drain
+          Thread.sleep(300)
+          println(f"$name%-34s $wall%7.2f ${acc.get(0) / 1e3}%7.2f ${acc.get(1) / 1e3}%7.2f ${acc.get(2)}%6d  ${worst._1 / 1e3}%.2f/${worst._2}")
         }
-        println(f"$name%-30s cold ${runs.head}%6.2f  warm ${runs.drop(1).min}%6.2f")
-      } else {
-        println(s"\n======== $name ========")
-        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      }
+
+      case _ =>
+        names.foreach { name =>
+          println(s"\n======== $name ========")
+          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
     }
     spark.stop()
   }

@@ -247,7 +247,7 @@ object Governance {
     // Memoized (graft.util.Memo): the grid frames are consumed twice each
     // (cOff + h; h_start + h_end lookups) — without persistence Spark
     // re-executes the whole window/join subtree per use.
-    val ivals = graft.util.Memo.cached(spark, sfDir, s"staker_ivals_${startOff}_$endOff") {
+    val ivals = graft.util.Memo.checkpointed(spark, sfDir, s"staker_ivals_${startOff}_$endOff") {
       grid
         .withColumn("rs", sum($"gdelta").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("i_end_in", lead($"time", 1).over(wB))
@@ -267,7 +267,7 @@ object Governance {
         sum($"c_b").over(wBg.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0).cast(DecimalType(38, 20))))
       .select($"bucket", $"c_off")
-    val h = graft.util.Memo.cached(spark, sfDir, s"staker_h_${startOff}_$endOff") {
+    val h = graft.util.Memo.checkpointed(spark, sfDir, s"staker_h_${startOff}_$endOff") {
       ivals
         .withColumn("h_in", sum($"c_dec").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .join(broadcast(cOff), Seq("bucket"))

@@ -31,6 +31,19 @@ object Memo {
     frames.getOrElseUpdate((spark, sfDir, name),
       build.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Like [[cached]], but also truncates lineage with an eager local
+    * checkpoint. A persisted frame still CARRIES its full logical plan, so
+    * every downstream stage's serialized task binary embeds the whole build
+    * tree — for a deep plan (multi-window integrals) that is megabytes per
+    * stage, and in local mode all executor threads serialize on the
+    * broadcast-read KeyLock while one deserializes it (measured: the
+    * majority of staker_rewards' warm wall time). Checkpointed frames hand
+    * consumers a leaf RDD instead. Local checkpoint blocks die with their
+    * executor — right for derived frames that can rebuild; an iterative
+    * production job would point spark.checkpoint.dir at durable storage. */
+  def checkpointed(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((spark, sfDir, name), build.localCheckpoint())
+
   /** Unpersist and forget every frame memoized for (session, sfDir). The
     * next `cached` call under the scope rebuilds from scratch. */
   def release(spark: SparkSession, sfDir: String): Unit =
