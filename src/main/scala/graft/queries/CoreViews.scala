@@ -25,7 +25,7 @@ object CoreViews {
     * position straddles the current tick.
     */
   def poolStates(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "pool_states") {
+    graft.util.Memo.checkpointed(spark, sfDir, "pool_states") {
       Fixtures.register(spark, sfDir)
       poolStatesFrom(spark, spark.table("pool_keys"), spark.table("swaps"),
         spark.table("pool_initializations"), spark.table("position_updates"))
@@ -140,7 +140,7 @@ object CoreViews {
     * scale it is a map-side-combined shuffle on (pool, tick), no trigger state.
     */
   def tickLiquidity(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "tick_liquidity") {
+    graft.util.Memo.checkpointed(spark, sfDir, "tick_liquidity") {
       Fixtures.register(spark, sfDir)
       tickLiquidityFrom(spark, spark.table("position_updates"))
     }

@@ -54,7 +54,7 @@ object Rollups {
   // =====================================================================
 
   def hourlyVolumeByToken(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "hourly_volume_by_token") {
+    graft.util.Memo.checkpointed(spark, sfDir, "hourly_volume_by_token") {
       hourlyVolumeByTokenImpl(spark, sfDir)
     }
 
@@ -298,7 +298,7 @@ object Rollups {
   // =====================================================================
 
   def hourlyTvlDeltaByToken(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "hourly_tvl_delta_by_token") {
+    graft.util.Memo.checkpointed(spark, sfDir, "hourly_tvl_delta_by_token") {
       hourlyTvlDeltaByTokenImpl(spark, sfDir)
     }
 

@@ -33,7 +33,7 @@ object Tokens {
     // memoized: the union + decode + double-rlike validation feeds three
     // consumers (perAddress, firstOfSymbol, and the join probe) — without the
     // persist the whole decode tree executes three times
-    val validated = graft.util.Memo.cached(spark, sfDir, "token_regs_validated") {
+    val validated = graft.util.Memo.checkpointed(spark, sfDir, "token_regs_validated") {
       v1.unionByName(v3)
         .filter(
           length($"symbol") > 1 && length($"symbol") < 10 &&

@@ -30,7 +30,7 @@ object Twamm {
     * execution time (theta-join J5, kept hash-joinable by the key_hash
     * equi-part with the range conditions as residual filters). */
   def twammPoolStates(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "twamm_pool_states") {
+    graft.util.Memo.checkpointed(spark, sfDir, "twamm_pool_states") {
       twammPoolStatesImpl(spark, sfDir)
     }
 
