@@ -61,19 +61,27 @@ final class StreamDriver(
 
   /** Start the ingestion query over a parquet-backed raw-event stream whose
     * rows carry (block_number, transaction_index, event_index, payload...).
+    * Convenience overload of `start(BlockSource, Trigger)`. */
+  def start(rawEventsPath: String, schema: org.apache.spark.sql.types.StructType,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    start(graft.sources.FileBlockSource(rawEventsPath, schema), trigger)
+
+  /** Start the ingestion query over any [[graft.sources.BlockSource]] —
+    * the explicit seam where a production stream (Kafka, DataSource V2,
+    * a gRPC bridge) replaces the bundled file source.
     * `Trigger.AvailableNow()` drains the backlog and stops (used by tests and
     * catch-up runs); the default processes continuously. The checkpoint is
     * the cursor (S11): restarting with the same checkpointRoot resumes after
     * the last committed batch. */
-  def start(rawEventsPath: String, schema: org.apache.spark.sql.types.StructType,
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+  def start(source: graft.sources.BlockSource, trigger: Trigger): StreamingQuery = {
     // T4 startup cleanup: the pending store is the uncommitted head suffix —
     // only valid relative to the live stream position at the moment it was
     // written. After a restart the source re-emits the head (the reference
     // never advances its cursor past pending data, index.ts:243-246), so a
     // stale pending suffix would double it.
     dropPending()
-    val raw = spark.readStream.schema(schema).parquet(rawEventsPath)
+    val raw = source.stream(spark)
+    require(raw.isStreaming, s"BlockSource $source returned a non-streaming frame")
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpointRoot/ingest")

@@ -206,6 +206,32 @@ class StreamingSpec extends SparkSpec {
     assert(op.filter($"batch_id" === driver.PendingBatchId).count() == 2L)
   }
 
+  test("a custom (non-file) BlockSource drives the same ingestion pipeline") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-streaming").toString
+
+    // an in-memory stream standing in for a network source (Kafka / gRPC
+    // bridge): proves the BlockSource seam, not just the bundled file impl
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val source = new graft.sources.BlockSource {
+      override def schema = StructType(Seq(
+        StructField("block_number", LongType),
+        StructField("transaction_index", LongType),
+        StructField("event_index", LongType)))
+      override def stream(s: org.apache.spark.sql.SparkSession) =
+        mem.toDF().toDF("block_number", "transaction_index", "event_index")
+    }
+
+    mem.addData((1L to 50L).map(b => (b, 0L, 0L)))
+    val driver = new StreamDriver(spark, s"$root/facts", s"$root/ckpt")
+    driver.start(source, Trigger.AvailableNow()).awaitTermination()
+
+    val events = spark.read.parquet(s"$root/facts/raw_events")
+    assert(events.count() == 50L)
+    assert(events.agg(max($"block_number")).collect().head.getLong(0) == 50L)
+  }
+
   test("JDBC sink leg: idempotent batch writes, replay convergence, reorg deletes") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-streaming").toString
