@@ -37,17 +37,21 @@ object GraftExtensions {
   /** Wrap a builder with an arity check so a SQL call with the wrong number
     * of arguments fails analysis with the expected signature instead of an
     * IndexOutOfBoundsException from `children(i)`. */
-  private def arity(name: String, n: Int)(
+  private def arities(name: String, ns: Set[Int])(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children =>
-      if (children.length == n) build(children)
+      if (ns.contains(children.length)) build(children)
       else throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
           "functionName" -> name,
-          "expectedNum" -> n.toString,
+          "expectedNum" -> ns.toSeq.sorted.mkString(" or "),
           "actualNum" -> children.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    arities(name, Set(n))(build)
 
   /** Every native function the library exposes, in one place. */
   val functions: Seq[FunctionDescription] = Seq(
@@ -65,7 +69,8 @@ object GraftExtensions {
       arity("graft_simhash64_bands", 1)(c => TextFingerprint.SimHash64Bands(c.head))),
     (FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
-      arity("graft_lsh_bucket", 2)(c => LshBucket(c.head, c(1)))),
+      arities("graft_lsh_bucket", Set(2, 3))(c =>
+        if (c.length == 2) LshBucket(c.head, c(1)) else LshBucket(c.head, c(1), c(2)))),
     (FunctionIdentifier("parse_short_string_native"),
       new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
       arity("parse_short_string_native", 1)(c => ParseShortString(c.head))))

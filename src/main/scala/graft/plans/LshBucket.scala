@@ -3,18 +3,20 @@ package graft.plans
 import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native random-hyperplane LSH bucket id over an embedding column.
   *
-  * `graft_lsh_bucket(embedding, planes)` computes, per vector, the sign bit
-  * of `planes` integer-hyperplane projections and packs them into a BIGINT
-  * bucket id — the blocking key of the similarity-search scale path (bucket
-  * equi-join replaces the all-pairs cross join; candidates shrink by
-  * ~2^planes). Plane weights are `w(p, j) = ((p*37 + j*13) % 19) - 9`.
+  * `graft_lsh_bucket(embedding, planes[, table])` computes, per vector, the
+  * sign bit of `planes` integer-hyperplane projections and packs them into a
+  * BIGINT bucket id — the blocking key of the similarity-search scale path
+  * (bucket equi-join replaces the all-pairs cross join; candidates shrink by
+  * ~2^planes). Plane weights are `w(p, j) = ((p*37 + j*m) % 19) - 9` where
+  * `m` is the table's multiplier ([[LshBucket.multipliers]]; table 0 is the
+  * original `m = 13` schedule, so two-argument calls are unchanged).
   *
   * Why native: the SQL formulation is a nested `aggregate()` lambda fold —
   * planes × dim interpreted decimal adds per vector that Spark never
@@ -41,12 +43,17 @@ import org.apache.spark.sql.types._
   * ≥ 20 planes or a multi-table LSH. NOTE: the weight schedule repeats at
   * p = 19 (`p*37 mod 19` cycles), so planes > 19 requires a different
   * schedule — the expression rejects planes outside [1, 19] rather than
-  * silently emitting duplicate hyperplanes.
+  * silently emitting duplicate hyperplanes. The `table` argument IS the
+  * multi-table path: each table indexes an independent multiplier (distinct
+  * j-coefficient mod the prime 19 → distinct hyperplane family), queries
+  * union the candidate sets of several tables, and recall grows with table
+  * count at linear (not exponential) candidate cost.
   *
   * Null array yields null; elements are assumed non-null (parquet vector
   * columns), matching [[DotProduct]].
   */
-case class LshBucket(left: Expression, right: Expression) extends BinaryExpression {
+case class LshBucket(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
 
   private def elemType(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _) => Some(FloatType)
@@ -55,33 +62,46 @@ case class LshBucket(left: Expression, right: Expression) extends BinaryExpressi
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (elemType(left.dataType), right.dataType) match {
-      case (Some(_), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    (elemType(first.dataType), second.dataType, third.dataType) match {
+      case (Some(_), IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_lsh_bucket requires (ARRAY<FLOAT|DOUBLE>, INT) inputs, got " +
-          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+        s"graft_lsh_bucket requires (ARRAY<FLOAT|DOUBLE>, INT[, INT]) inputs, got " +
+          s"${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString}")
     }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
 
   private def isFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(emb: Any, planes: Any): Any =
-    LshBucket.bucket(emb.asInstanceOf[ArrayData], planes.asInstanceOf[Int], isFloat)
+  override protected def nullSafeEval(emb: Any, planes: Any, table: Any): Any =
+    LshBucket.bucket(emb.asInstanceOf[ArrayData], planes.asInstanceOf[Int],
+      table.asInstanceOf[Int], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (emb, planes) =>
-      s"graft.plans.LshBucket.bucket($emb, $planes, $isFloat)")
+    defineCodeGen(ctx, ev, (emb, planes, table) =>
+      s"graft.plans.LshBucket.bucket($emb, $planes, $table, $isFloat)")
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LshBucket =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LshBucket =
+    copy(first = newFirst, second = newSecond, third = newThird)
 
   override def prettyName: String = "graft_lsh_bucket"
 }
 
 object LshBucket {
+
+  /** Two-argument form: the original single-table (m = 13) schedule. */
+  def apply(emb: Expression, planes: Expression): LshBucket =
+    LshBucket(emb, planes, Literal(0))
+
+  /** Per-table j-multipliers. 19 is prime, so any m ≢ 0 (mod 19) yields 19
+    * distinct plane patterns; distinct multipliers yield distinct hyperplane
+    * families (different j-coefficients). Index 0 = 13 keeps two-argument
+    * calls and every existing oracle unchanged. */
+  val multipliers: IndexedSeq[Int] = IndexedSeq(13, 15, 17, 2, 3, 5, 7, 11)
 
   /** One term of the projection fold: `d` cast to DECIMAL(18,12) exactly as
     * Spark's double→decimal cast does (shortest decimal representation, then
@@ -95,10 +115,13 @@ object LshBucket {
       .unscaledValue().longValueExact()
 
   /** Static fold target shared by interpreted eval and generated code. */
-  def bucket(emb: ArrayData, planes: Int, isFloat: Boolean): Long = {
+  def bucket(emb: ArrayData, planes: Int, table: Int, isFloat: Boolean): Long = {
     require(planes >= 1 && planes <= 19,
       s"graft_lsh_bucket: planes must be in [1, 19] (weight schedule repeats " +
         s"at p = 19; use a different schedule for wider buckets), got $planes")
+    require(table >= 0 && table < multipliers.length,
+      s"graft_lsh_bucket: table must be in [0, ${multipliers.length - 1}], got $table")
+    val m = multipliers(table)
     val n = emb.numElements()
     var fp = 0L
     var p = 0
@@ -107,7 +130,7 @@ object LshBucket {
       var j = 0
       while (j < n) {
         val x = if (isFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
-        val w = ((p * 37 + j * 13) % 19 - 9).toDouble
+        val w = ((p * 37 + j * m) % 19 - 9).toDouble
         acc += termUnscaled(w * x)
         j += 1
       }

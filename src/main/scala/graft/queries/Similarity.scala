@@ -144,17 +144,22 @@ object Similarity {
   /** Per-term double→decimal goes through VARCHAR so DuckDB rounds the
     * shortest decimal representation — the value Spark's cast produces —
     * rather than the full binary expansion; the projection feeds a discrete
-    * sign decision, so per-term parity must be exact, not approximate. */
-  private val bucketCte: String =
-    s""", buckets AS (
+    * sign decision, so per-term parity must be exact, not approximate.
+    * `mult` is the table's j-multiplier ([[graft.plans.LshBucket.multipliers]]);
+    * `name` lets multi-table oracles emit one CTE per plane family. */
+  private def bucketCteFor(name: String, mult: Int): String =
+    s""", $name AS (
          SELECT vec_id,
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
            SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST(CAST((t.p * 37 + el.idx * 13) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(18,12))) AS proj
+                  SUM(CAST(CAST(CAST((t.p * 37 + el.idx * $mult) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(18,12))) AS proj
            FROM el, UNNEST(range($lshPlanes)) AS t(p)
            GROUP BY 1, 2) pr
          GROUP BY vec_id)"""
+
+  private val bucketCte: String =
+    bucketCteFor("buckets", graft.plans.LshBucket.multipliers(0))
 
   /** Shared oracle tail: score candidate pairs by the array fold, rank,
     * cut at k. */
@@ -211,6 +216,63 @@ object Similarity {
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
+       dots AS (
+         SELECT c.qid, c.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM candidates c
+         JOIN embeddings q ON q.vec_id = c.qid
+         JOIN embeddings d ON d.vec_id = c.vec_id)""" +
+      rankedTail(3))
+
+  /** Multi-table LSH ANN — THE recall lever of the LSH scale path. A single
+    * table misses any neighbor split from its query by one of the `planes`
+    * hyperplanes; with T independent plane families (distinct j-multipliers
+    * mod the prime 19 — see [[graft.plans.LshBucket.multipliers]]) the miss
+    * probability decays geometrically in T while candidate volume (and so
+    * cost) grows only linearly: union the per-table bucket equi-joins,
+    * dedup, exact re-rank once. At a 10⁹-vector corpus this is how recall
+    * is bought WITHOUT widening buckets past executor bucket budgets. */
+  def annLshMultitable(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val v = vecs(spark, sfDir)
+    val tables = Seq(
+      lshBuckets(spark, sfDir), // table 0 — shared with annLsh
+      graft.util.Memo.cached(spark, sfDir, "sim_buckets_t1") {
+        spark.table("embeddings").select(col("vec_id"),
+          expr(s"graft_lsh_bucket(embedding, $lshPlanes, 1)").as("bucket"))
+      })
+
+    val candidates = tables.map { b =>
+        b.filter(expr(queryFilter)).select($"vec_id".as("qid"), $"bucket")
+          .join(b, Seq("bucket"))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id")
+      }
+      .reduce(_ unionByName _)
+      .distinct()
+
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    rerank(v, qv, candidates, 3)
+  }
+
+  val annLshMultitableOracle: String = Fixtures.oracle(
+    elementCtes("embeddings") +
+      bucketCteFor("buckets_t0", graft.plans.LshBucket.multipliers(0)) +
+      bucketCteFor("buckets_t1", graft.plans.LshBucket.multipliers(1)) +
+      normCte("embeddings") +
+      s""", candidates AS (
+         SELECT DISTINCT qid, vec_id FROM (
+           SELECT q.vec_id AS qid, b.vec_id
+           FROM buckets_t0 q JOIN buckets_t0 b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+           WHERE ${queryPred("q.vec_id")}
+           UNION ALL
+           SELECT q.vec_id AS qid, b.vec_id
+           FROM buckets_t1 q JOIN buckets_t1 b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+           WHERE ${queryPred("q.vec_id")})),
        dots AS (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
@@ -452,6 +514,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_lsh_multitable" -> (annLshMultitable _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
     "sim_kmeans_refine" -> (kmeansRefine _),
@@ -460,6 +523,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
+    "sim_ann_lsh_multitable" -> annLshMultitableOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_embedding_near_dup" -> embeddingNearDupOracle,
     "sim_kmeans_refine" -> kmeansRefineOracle,

@@ -182,6 +182,28 @@ class NativeExprSpec extends SparkSpec {
     assert(ok(0).isNullAt(0))
   }
 
+  test("graft_lsh_bucket multi-table: table 0 is the 2-arg form, other tables differ") {
+    val s = session
+    import s.implicits._
+    val df = (1 to 64).map(i => Tuple2(i.toLong,
+        Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)))
+      .toDF("vec_id", "emb")
+
+    val rows = df.select(
+      expr("graft_lsh_bucket(emb, 12)").as("b2"),
+      expr("graft_lsh_bucket(emb, 12, 0)").as("t0"),
+      expr("graft_lsh_bucket(emb, 12, 1)").as("t1")).collect()
+    // table 0 IS the original schedule — every existing oracle is unchanged
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    // a different plane family buckets differently for at least some vectors
+    assert(rows.exists(r => r.getLong(1) != r.getLong(2)))
+
+    // out-of-range table index is rejected, not silently wrapped
+    intercept[Exception] {
+      df.select(expr("graft_lsh_bucket(emb, 12, 99)")).collect()
+    }
+  }
+
   test("native expressions survive whole-stage codegen in a grouped plan") {
     val s = session
     import s.implicits._
