@@ -205,15 +205,43 @@ object Sessions {
        SELECT CAST(stage AS BIGINT) AS stage, COUNT(1) AS n_users
        FROM fun_stage GROUP BY stage""")
 
+  /** Top-5 event amounts per user via the bounded [[graft.plans.TopKLongs]]
+    * aggregate — the scale-correct "top-k per group": a window rank
+    * (`ROW_NUMBER() ... <= k`, the oracle's formulation) shuffles and sorts
+    * EVERY event; the bounded aggregate pre-collapses each map task to ≤ k
+    * values per user before the exchange, so the shuffle carries
+    * `users × k` longs no matter how many events the corpus has. The
+    * result is a value multiset per rank, so tie order cannot diverge
+    * between engines. */
+  def topAmountsPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.DotProduct.register(spark) // registers the shared native-fn surface
+    import spark.implicits._
+    spark.table("raw")
+      .groupBy($"user_id")
+      .agg(expr("graft_topk(cents, 5)").as("tops"))
+      .select($"user_id", posexplode($"tops").as(Seq("r", "amount")))
+      .select($"user_id", ($"r" + 1).cast(LongType).as("rank"), $"amount")
+  }
+
+  val topAmountsPerUserOracle: String = Fixtures.oracle(
+    """SELECT user_id, CAST(r AS BIGINT) AS rank, amount FROM (
+         SELECT user_id, cents AS amount,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents DESC) AS r
+         FROM raw) t
+       WHERE r <= 5""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
     "events_user_daily" -> (userDaily _),
     "events_retention" -> (retention _),
+    "events_top_amounts_per_user" -> (topAmountsPerUser _),
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
     "events_user_daily" -> userDailyOracle,
     "events_retention" -> retentionOracle,
+    "events_top_amounts_per_user" -> topAmountsPerUserOracle,
     "events_funnel" -> funnelOracle)
 }

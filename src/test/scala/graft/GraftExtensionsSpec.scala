@@ -47,7 +47,8 @@ class GraftExtensionsSpec extends SparkSpec {
   test("the descriptor list and the legacy register() expose the same names") {
     val names = GraftExtensions.functions.map(_._1.funcName).toSet
     assert(names == Set("graft_dot", "graft_simhash32", "graft_minhash_bands",
-      "graft_simhash64_bands", "graft_lsh_bucket", "parse_short_string_native"))
+      "graft_simhash64_bands", "graft_lsh_bucket", "graft_topk",
+      "parse_short_string_native"))
   }
 
   test("wrong-arity SQL calls fail analysis cleanly, not with IndexOutOfBounds") {

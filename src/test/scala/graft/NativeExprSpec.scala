@@ -204,6 +204,34 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk equals the window-rank formulation and map-side combines") {
+    val s = session
+    import s.implicits._
+    // values engineered so groups have <k, =k, and >k rows, with ties
+    val df = (1 to 500).map(i => (i % 7, (i * 31 % 100).toLong))
+      .toDF("g", "v").repartition(8) // multiple partitions force partial merge
+    graft.plans.DotProduct.register(s)
+
+    val agg = df.groupBy($"g").agg(expr("graft_topk(v, 5)").as("tops"))
+      .select($"g", posexplode($"tops").as(Seq("r", "v")))
+      .select($"g", ($"r" + 1).as("rank"), $"v")
+    val win = df.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v".desc)))
+      .filter($"rank" <= 5).select($"g", $"rank".cast("int").as("rank"), $"v")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+
+    // partial aggregation is the point: the plan must carry a partial_graft_topk
+    val plan = df.groupBy($"g").agg(expr("graft_topk(v, 5)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"no partial aggregate in:\n$plan")
+
+    // nulls skipped; k larger than the group yields the whole group sorted
+    val tiny = Seq((1, Some(3L)), (1, None), (1, Some(9L))).toDF("g", "v")
+    val out = tiny.groupBy($"g").agg(expr("graft_topk(v, 5)").as("t"))
+      .select($"t").head().getSeq[Long](0)
+    assert(out == Seq(9L, 3L))
+  }
+
   test("native expressions survive whole-stage codegen in a grouped plan") {
     val s = session
     import s.implicits._
