@@ -139,13 +139,264 @@ object Tpch {
        JOIN region r ON n.n_regionkey = r.r_regionkey
        GROUP BY 1, 2"""
 
+  /** Min-cost supplier per part (TPC-H Q2 shape, adapted: the corpus has no
+    * partsupp table, so "suppliers offering the part" = suppliers observed
+    * shipping it in lineitem, and "cost" = s_acctbal). The classic
+    * correlated-MIN subquery is decorrelated to a `min_by` aggregate — one
+    * shuffle on l_partkey over the DISTINCT (part, supplier) pairs, which are
+    * already far smaller than lineitem. Ties broken by s_suppkey so the
+    * winner is unique under any partitioning. */
+  def q2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_size" <= 3)
+      .select($"p_partkey", $"p_name")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey").distinct()
+
+    pairs
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey")
+      .agg(min_by(struct($"s_name", $"s_acctbal"), struct($"s_acctbal", $"s_suppkey")).as("best"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"p_name",
+        $"best.s_name".as("s_name"), $"best.s_acctbal".as("s_acctbal"))
+  }
+
+  val q2Oracle: String =
+    """SELECT p.p_partkey, p.p_name, b.s_name, b.s_acctbal
+       FROM part p
+       JOIN (SELECT ps.l_partkey, s.s_name, s.s_acctbal,
+                    ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                                       ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+             FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             JOIN supplier s ON ps.l_suppkey = s.s_suppkey) b
+         ON p.p_partkey = b.l_partkey AND b.rn = 1
+       WHERE p.p_size <= 3"""
+
+  /** Order-priority count under an EXISTS (TPC-H Q4 shape, adapted: the
+    * corpus has no commit/receipt dates, so "late" = shipped more than a year
+    * after the order date). The correlated EXISTS is a LEFT SEMI hash join on
+    * l_orderkey with the lateness comparison as an extra join condition — no
+    * subquery re-execution, one shuffle, and the semi join short-circuits per
+    * order on the first qualifying lineitem. */
+  def q4(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_shipdate")
+
+    orders
+      .join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 365 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Oracle: String =
+    """SELECT o.o_orderpriority, COUNT(1) AS order_count
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+       GROUP BY 1"""
+
+  /** Cross-nation shipping volume (TPC-H Q7 shape): revenue between
+    * (supplier nation, customer nation) pairs per ship year. One genuine
+    * fact-to-fact shuffle join (lineitem ⋈ orders on orderkey — both sides
+    * corpus-sized at 100 TB, so this is the standard repartition join);
+    * everything dimension-shaped (customer, supplier, nation) broadcasts.
+    * Revenue is pre-projected to one decimal column before the shuffle. */
+  def q7(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val custNation = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val suppNation = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val orderCust = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"cust_nation")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey",
+        year($"l_shipdate").cast(LongType).as("ship_year"),
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    li.join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(orderCust, $"l_orderkey" === $"o_orderkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"ship_year")
+      .agg(sum($"rev").cast(dec(38, 2)).cast(DoubleType).as("revenue"))
+  }
+
+  val q7Oracle: String =
+    """SELECT sn.n_name AS supp_nation,
+              cn.n_name AS cust_nation,
+              CAST(YEAR(l.l_shipdate) AS BIGINT) AS ship_year,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       WHERE sn.n_name <> cn.n_name
+       GROUP BY 1, 2, 3"""
+
+  /** Top customers by returned-item revenue (TPC-H Q10 shape). Revenue is
+    * pre-aggregated per customer key BEFORE the dimension join — the grouped
+    * frame is customer-sized, so the name/nation join broadcasts against it
+    * rather than widening every lineitem row. Deterministic top-20 via the
+    * c_custkey tiebreak. */
+  def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val returned = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    returned
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev").cast(dec(38, 2)).cast(DoubleType).as("revenue"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, c.c_custkey
+       LIMIT 20"""
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+    * exceeds 250. The HAVING subquery is ONE map-side-combinable groupBy on
+    * l_orderkey; the surviving keys (p99 of orders) then join orders and the
+    * broadcast customer dim. No IN-subquery re-scan of lineitem. */
+  def q18(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey", $"c_name")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val big = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast(dec(18, 2))).as("sum_qty"))
+      .filter($"sum_qty" > 250)
+
+    orders
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        $"sum_qty".cast(DoubleType).as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q18Oracle: String =
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY 1, 2, 3, 4, 5
+       HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 100"""
+
+  /** Suppliers who alone held up multi-supplier orders (TPC-H Q21 shape,
+    * adapted lateness: shipped >730 days after the order date). The double
+    * correlation (EXISTS another supplier on the order / NOT EXISTS another
+    * LATE supplier) becomes one LEFT SEMI plus one LEFT ANTI self-join of the
+    * (orderkey, suppkey, late) projection — three shuffles on l_orderkey
+    * total, each carrying ~16 B/row, never the full lineitem width. */
+  def q21(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_suppkey", $"s_name")
+    val lo = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 730 DAYS")).as("late"))
+    val late = lo.filter($"late").select($"l_orderkey", $"l_suppkey")
+
+    late
+      .join(lo.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2")),
+        $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(late.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3")),
+        $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(25)
+  }
+
+  val q21Oracle: String =
+    """WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+                          (l.l_shipdate > o.o_orderdate + INTERVAL 730 DAY) AS late
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       SELECT s.s_name, COUNT(1) AS numwait
+       FROM lo l1
+       JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+       WHERE l1.late
+         AND EXISTS (SELECT 1 FROM lo l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lo l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.late)
+       GROUP BY 1
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 25"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1 _),
+    "q2_min_cost_supplier" -> (q2 _),
     "q3_top_orders" -> (q3 _),
-    "q5_regional_volume" -> (q5 _))
+    "q4_late_order_priority" -> (q4 _),
+    "q5_regional_volume" -> (q5 _),
+    "q7_nation_volume" -> (q7 _),
+    "q10_returned_items" -> (q10 _),
+    "q18_large_orders" -> (q18 _),
+    "q21_waiting_suppliers" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
+    "q2_min_cost_supplier" -> q2Oracle,
     "q3_top_orders" -> q3Oracle,
-    "q5_regional_volume" -> q5Oracle)
+    "q4_late_order_priority" -> q4Oracle,
+    "q5_regional_volume" -> q5Oracle,
+    "q7_nation_volume" -> q7Oracle,
+    "q10_returned_items" -> q10Oracle,
+    "q18_large_orders" -> q18Oracle,
+    "q21_waiting_suppliers" -> q21Oracle)
 }
