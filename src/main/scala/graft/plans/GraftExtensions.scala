@@ -74,6 +74,29 @@ object GraftExtensions {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKLongs].getName, "graft_topk"),
       arity("graft_topk", 2)(c => TopKLongs(c.head, c(1)))),
+    // Catalyst's bloom-filter pair, exposed to SQL. Spark builds these
+    // internally for runtime row-level join filtering but never registers
+    // them; a decontamination pipeline wants them first-class: build one
+    // bloom over the (tiny) probe side, pre-filter the corpus scan-side,
+    // and exact-verify only the survivors. No false negatives, so the
+    // bloom is a pure bandwidth optimization over the exact semantics.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      arities("graft_bloom_agg", Set(1, 2, 3))(c =>
+        if (c.length == 1)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head)
+        else if (c.length == 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head, c(1))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c.head, c(1), c(2)))),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      arity("graft_might_contain", 2)(c =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1)))),
     (FunctionIdentifier("parse_short_string_native"),
       new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
       arity("parse_short_string_native", 1)(c => ParseShortString(c.head))))

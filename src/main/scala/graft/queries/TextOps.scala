@@ -246,6 +246,60 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  /** Table-backed decontamination with a bloom pre-filter: probe n-grams
+    * come from a TABLE (here the `src0` slice of the corpus standing in for
+    * an eval suite), not a literal list — the realistic shape once the eval
+    * union is tens of millions of grams.
+    *
+    * Scale plan: the probe side aggregates into ONE bloom filter
+    * (`graft_bloom_agg`, Catalyst's own bloom sketch, registered for SQL in
+    * [[graft.plans.GraftExtensions]]); the scalar subquery broadcasts those
+    * few MB to every task, and `graft_might_contain` drops non-matching
+    * corpus grams AT THE SCAN — the exact-verify semi join that follows
+    * only ever shuffles the bloom's survivors (true hits + the ~1% false
+    * positives), not the corpus gram stream. Blooms have no false
+    * negatives, so the result is bit-identical to the exact semi join the
+    * oracle runs. This is the same plan Spark's runtime row-level filtering
+    * injects for selective joins, made explicit and user-controllable. */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.DotProduct.register(spark)
+    spark.sql(
+      """WITH gw AS (
+           SELECT doc_id, source, split(text, ' ') AS words FROM documents),
+         grams AS (
+           SELECT doc_id, source,
+                  explode(transform(sequence(0, size(words) - 3),
+                          i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS gram
+           FROM gw WHERE size(words) >= 3),
+         probe AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+         corpus AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0')
+         SELECT c.doc_id,
+                COUNT(1) AS n_hits,
+                COUNT(DISTINCT c.gram) AS n_probes
+         FROM corpus c
+         LEFT SEMI JOIN probe p ON c.gram = p.gram
+         WHERE graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(gram), 8192L) FROM probe),
+                 xxhash64(c.gram))
+         GROUP BY c.doc_id""")
+  }
+
+  val contaminationBloomOracle: String = Fixtures.oracle(
+    """, cb_words AS (
+         SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+       cb_grams AS (
+         SELECT doc_id, source, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM cb_words, UNNEST(range(len(words) - 2)) AS t(i)
+         WHERE len(words) >= 3)
+       SELECT g.doc_id,
+              CAST(COUNT(1) AS BIGINT) AS n_hits,
+              CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_probes
+       FROM cb_grams g
+       WHERE g.source <> 'src0'
+         AND g.gram IN (SELECT gram FROM cb_grams WHERE source = 'src0')
+       GROUP BY g.doc_id""")
+
   /** Gopher-style repetition filter: per-document repetition signals and a
     * keep/drop verdict — the within-document repetition rules (top-word
     * fraction, duplicate n-gram fraction) a training pipeline applies after
@@ -366,6 +420,7 @@ object TextOps {
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
     "text_contamination" -> (contamination _),
+    "text_contamination_bloom" -> (contaminationBloom _),
     "text_repetition_filter" -> (repetitionFilter _),
     "text_pii_redact" -> (piiRedact _))
 
@@ -376,6 +431,7 @@ object TextOps {
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
     "text_contamination" -> contaminationOracle,
+    "text_contamination_bloom" -> contaminationBloomOracle,
     "text_repetition_filter" -> repetitionFilterOracle,
     "text_pii_redact" -> piiRedactOracle)
 }

@@ -232,6 +232,24 @@ class NativeExprSpec extends SparkSpec {
     assert(out == Seq(9L, 3L))
   }
 
+  test("graft_bloom_agg + graft_might_contain: no false negatives, real filtering") {
+    val s = session
+    import s.implicits._
+    (1L to 1000L).toDF("v").createOrReplaceTempView("bl_corpus")
+    (1L to 1000L by 10).toDF("p").createOrReplaceTempView("bl_probe")
+    val kept = s.sql(
+      """SELECT v FROM bl_corpus
+         WHERE graft_might_contain(
+                 (SELECT graft_bloom_agg(xxhash64(p), 200L) FROM bl_probe),
+                 xxhash64(v))""")
+      .collect().map(_.getLong(0)).toSet
+    val members = (1L to 1000L by 10).toSet
+    // blooms never drop a member (the exact-verify join downstream relies
+    // on this); and the sketch must actually prune most non-members
+    assert(members.subsetOf(kept))
+    assert(kept.size < 400, s"bloom pruned nothing: ${kept.size} of 1000 kept")
+  }
+
   test("native expressions survive whole-stage codegen in a grouped plan") {
     val s = session
     import s.implicits._
