@@ -231,8 +231,37 @@ object Sessions {
          FROM raw) t
        WHERE r <= 5""")
 
+  /** Point-in-time join over the event stream: each click matched to the
+    * same user's most recent purchase at-or-before it (inclusive as-of on
+    * the globally-unique event sequence, so ties are impossible and the
+    * result is deterministic). Runs through the generalized
+    * [[graft.operators.AsOf]] merge-as-union operator — one shuffle of
+    * |clicks| + |purchases| rows on user_id, no row multiplication — and is
+    * oracle-checked against DuckDB's native ASOF JOIN, which implements the
+    * same semantics independently. */
+  def asofLastPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val ev = spark.table("raw")
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"seq")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"seq", $"cents")
+    graft.operators.AsOf
+      .backward(clicks, purchases, Seq("user_id"), "seq", "seq", Seq("seq", "cents"), "p_")
+      .select($"user_id", $"seq".as("click_seq"),
+        $"p_seq".as("purchase_seq"), $"p_cents".as("purchase_cents"))
+  }
+
+  val asofLastPurchaseOracle: String = Fixtures.oracle(
+    """SELECT c.user_id, c.seq AS click_seq,
+              p.seq AS purchase_seq, p.cents AS purchase_cents
+       FROM (SELECT user_id, seq FROM raw WHERE event_type = 'click') c
+       ASOF JOIN (SELECT user_id, seq, cents FROM raw WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.seq >= p.seq""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
+    "events_asof_last_purchase" -> (asofLastPurchase _),
     "events_user_daily" -> (userDaily _),
     "events_retention" -> (retention _),
     "events_top_amounts_per_user" -> (topAmountsPerUser _),
@@ -240,6 +269,7 @@ object Sessions {
 
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
+    "events_asof_last_purchase" -> asofLastPurchaseOracle,
     "events_user_daily" -> userDailyOracle,
     "events_retention" -> retentionOracle,
     "events_top_amounts_per_user" -> topAmountsPerUserOracle,
