@@ -246,6 +246,40 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  /** Fixed-window document chunking: split every document into 50-word
+    * chunks on a 40-word stride (10-word overlap) — the context-window
+    * packing step before tokenization in a training pipeline. A pure
+    * narrow transform (split → sequence → explode → slice): no shuffle,
+    * runs at scan speed with the ~n_words/stride fan-out bounded per row,
+    * so it parallelizes perfectly at 100 TB. Chunk identity is
+    * (doc_id, chunk_start), deterministic under any partitioning. */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") > 0)
+      .select($"doc_id", $"words",
+        explode(expr(
+          "transform(sequence(0, cast(ceil(size(words) / 40.0) as int) - 1), i -> i * 40)"))
+          .as("st"))
+      .withColumn("chunk", expr("slice(words, st + 1, 50)"))
+      .select($"doc_id",
+        $"st".cast(LongType).as("chunk_start"),
+        size($"chunk").cast(LongType).as("n_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+  }
+
+  val chunkOracle: String = Fixtures.oracle(
+    """, ch_words AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         WHERE len(string_split(text, ' ')) > 0)
+       SELECT doc_id,
+              CAST(st AS BIGINT) AS chunk_start,
+              CAST(len(words[st+1:st+50]) AS BIGINT) AS n_tokens,
+              array_to_string(words[st+1:st+50], ' ') AS chunk_text
+       FROM ch_words, UNNEST(range(0, len(words), 40)) AS t(st)""")
+
   /** Table-backed decontamination with a bloom pre-filter: probe n-grams
     * come from a TABLE (here the `src0` slice of the corpus standing in for
     * an eval suite), not a literal list — the realistic shape once the eval
@@ -419,6 +453,7 @@ object TextOps {
     "text_lang_id" -> (langId _),
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
+    "text_chunk" -> (chunk _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_repetition_filter" -> (repetitionFilter _),
@@ -430,6 +465,7 @@ object TextOps {
     "text_lang_id" -> langIdOracle,
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
+    "text_chunk" -> chunkOracle,
     "text_contamination" -> contaminationOracle,
     "text_contamination_bloom" -> contaminationBloomOracle,
     "text_repetition_filter" -> repetitionFilterOracle,
