@@ -378,12 +378,150 @@ object Tpch {
        ORDER BY numwait DESC, s.s_name
        LIMIT 25"""
 
+  /** Forecast-revenue change (TPC-H Q6): pure scan → pushed filter →
+    * single partial-aggregated sum, zero joins and zero shuffles beyond the
+    * final 1-row combine. The fastest possible shape at 100 TB: every
+    * predicate reaches the parquet reader as a PushedFilter and only 4 of
+    * 11 lineitem columns are read. */
+  def q6(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        $"l_shipdate" < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(sum($"l_extendedprice".cast(dec(18, 2)) * $"l_discount".cast(dec(4, 2)))
+        .cast(dec(38, 2)).cast(DoubleType).as("revenue"))
+  }
+
+  val q6Oracle: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
+  /** Promotion revenue share (TPC-H Q14 shape): one month of lineitem
+    * against the broadcast part dim, conditional decimal sums, one final
+    * double division. */
+  def q14(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select($"p_partkey", $"p_type")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= expr("TIMESTAMP '1996-03-01 00:00:00'") &&
+        $"l_shipdate" < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      .select($"l_partkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"rev").otherwise(lit(0).cast(dec(18, 4))))
+          .cast(dec(38, 2)).as("promo"),
+        sum($"rev").cast(dec(38, 2)).as("total"))
+      .select(round(lit(100.0) * $"promo".cast(DoubleType) / $"total".cast(DoubleType), 6)
+        .as("promo_revenue"))
+  }
+
+  val q14Oracle: String =
+    """SELECT ROUND(100.0
+               * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+               / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE),
+             6) AS promo_revenue
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+         AND l.l_shipdate < TIMESTAMP '1996-04-01'"""
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+    * brand/size/quantity branches over the lineitem ⋈ part join. The join
+    * key is the only equi-condition; the disjunction stays a post-join
+    * filter that Catalyst pushes to each side as far as its columns allow
+    * (quantity bounds to lineitem, size/brand bounds to part). */
+  def q19(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_partkey", $"l_quantity",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+      .agg(sum($"rev").cast(dec(38, 2)).cast(DoubleType).as("revenue"))
+  }
+
+  val q19Oracle: String =
+    """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)"""
+
+  /** Dormant high-balance customers (TPC-H Q22 shape, adapted: nation key
+    * stands in for the phone country code). The global-average threshold is
+    * compared by CROSS-MULTIPLICATION (`c_acctbal * n > total`) so both
+    * engines decide each borderline customer with exact decimal arithmetic —
+    * an avg-as-double threshold could flip a customer on the last ulp. The
+    * 1-row average broadcasts; "dormant" (no order since 1999 — every
+    * customer in this corpus has SOME order) is a LEFT ANTI join against
+    * the date-filtered orders, with the date predicate pushed to the
+    * orders scan. */
+  def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal".cast(dec(18, 2)).as("bal"))
+    val thr = cust.filter($"bal" > 0)
+      .agg(sum($"bal").as("tot"), count(lit(1)).as("n"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter($"o_orderdate" >= expr("TIMESTAMP '1999-01-01 00:00:00'"))
+      .select($"o_custkey")
+
+    cust
+      .join(broadcast(thr))
+      .filter($"bal" * $"n" > $"tot")
+      .join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey".cast(LongType).as("nation"))
+      .agg(count(lit(1)).as("numcust"),
+        sum($"bal").cast(dec(38, 2)).cast(DoubleType).as("totacctbal"))
+  }
+
+  val q22Oracle: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+                  FROM customer),
+            t AS (SELECT SUM(bal) AS tot, COUNT(1) AS n FROM c WHERE bal > 0)
+       SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+              COUNT(1) AS numcust,
+              CAST(ROUND(SUM(c.bal), 2) AS DOUBLE) AS totacctbal
+       FROM c, t
+       WHERE c.bal * t.n > t.tot
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q2_min_cost_supplier" -> (q2 _),
     "q3_top_orders" -> (q3 _),
     "q4_late_order_priority" -> (q4 _),
     "q5_regional_volume" -> (q5 _),
+    "q6_forecast_revenue" -> (q6 _),
+    "q14_promo_revenue" -> (q14 _),
+    "q19_disjunctive_revenue" -> (q19 _),
+    "q22_dormant_customers" -> (q22 _),
     "q7_nation_volume" -> (q7 _),
     "q10_returned_items" -> (q10 _),
     "q18_large_orders" -> (q18 _),
@@ -395,6 +533,10 @@ object Tpch {
     "q3_top_orders" -> q3Oracle,
     "q4_late_order_priority" -> q4Oracle,
     "q5_regional_volume" -> q5Oracle,
+    "q6_forecast_revenue" -> q6Oracle,
+    "q14_promo_revenue" -> q14Oracle,
+    "q19_disjunctive_revenue" -> q19Oracle,
+    "q22_dormant_customers" -> q22Oracle,
     "q7_nation_volume" -> q7Oracle,
     "q10_returned_items" -> q10Oracle,
     "q18_large_orders" -> q18Oracle,
