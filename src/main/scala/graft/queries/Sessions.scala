@@ -259,9 +259,65 @@ object Sessions {
        ASOF JOIN (SELECT user_id, seq, cents FROM raw WHERE event_type = 'purchase') p
          ON c.user_id = p.user_id AND c.seq >= p.seq""")
 
+  /** Multi-level OLAP rollup: revenue by (day, event_type) with per-day
+    * subtotals and a grand total in ONE pass — `ROLLUP` plans a single
+    * shuffle with partial aggregation per grouping set, vs the 3-scan
+    * UNION ALL a naive report would run. Null grouping keys are
+    * canonicalized (`-1` / `'ALL'`) so both engines emit identical
+    * subtotal rows. */
+  def dailyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("ek")
+      .select(expr("(btime - 1704067200) div 86400").as("day"),
+        $"event_type", $"cents")
+      .rollup($"day", $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
+      .select(coalesce($"day", lit(-1L)).as("day"),
+        coalesce($"event_type", lit("ALL")).as("event_type"),
+        $"n_events", $"total_cents")
+  }
+
+  val dailyRollupOracle: String = Fixtures.oracle(
+    """SELECT COALESCE(day, -1) AS day,
+              COALESCE(event_type, 'ALL') AS event_type,
+              COUNT(1) AS n_events,
+              CAST(SUM(cents) AS BIGINT) AS total_cents
+       FROM (SELECT (btime - 1704067200) // 86400 AS day, event_type, cents FROM ek)
+       GROUP BY ROLLUP(day, event_type)""")
+
+  /** Quartile decomposition of purchase amounts per user (NTILE): assigns
+    * each purchase to a within-user quartile, then aggregates per quartile.
+    * The window partitions by user (corpus-parallel, no global sort); the
+    * (cents, seq) ordering is unique so tile assignment is deterministic. */
+  def valueQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val purchases = spark.table("raw")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"seq", $"cents")
+    val w = Window.partitionBy($"user_id").orderBy($"cents", $"seq")
+    purchases
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .groupBy($"quartile")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+  }
+
+  val valueQuartilesOracle: String = Fixtures.oracle(
+    """SELECT CAST(q AS BIGINT) AS quartile,
+              COUNT(1) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents,
+              MIN(cents) AS min_cents, MAX(cents) AS max_cents
+       FROM (SELECT cents,
+                    NTILE(4) OVER (PARTITION BY user_id ORDER BY cents, seq) AS q
+             FROM raw WHERE event_type = 'purchase')
+       GROUP BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
     "events_asof_last_purchase" -> (asofLastPurchase _),
+    "events_daily_rollup" -> (dailyRollup _),
+    "events_value_quartiles" -> (valueQuartiles _),
     "events_user_daily" -> (userDaily _),
     "events_retention" -> (retention _),
     "events_top_amounts_per_user" -> (topAmountsPerUser _),
@@ -270,6 +326,8 @@ object Sessions {
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
     "events_asof_last_purchase" -> asofLastPurchaseOracle,
+    "events_daily_rollup" -> dailyRollupOracle,
+    "events_value_quartiles" -> valueQuartilesOracle,
     "events_user_daily" -> userDailyOracle,
     "events_retention" -> retentionOracle,
     "events_top_amounts_per_user" -> topAmountsPerUserOracle,
