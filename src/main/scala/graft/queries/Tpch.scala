@@ -439,6 +439,75 @@ object Tpch {
        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
          AND l.l_shipdate < TIMESTAMP '1996-04-01'"""
 
+  /** Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the revenue
+    * view is one map-side-combinable groupBy on l_suppkey; the "= MAX of
+    * the view" correlation becomes a global window max over the
+    * supplier-sized aggregate (output-sized input, so the unpartitioned
+    * window is safe by construction). Decimal revenue makes the tie
+    * comparison exact; genuine ties all surface, as in the spec query. */
+  def q15(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_suppkey", $"s_name")
+    val revenue = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        $"l_shipdate" < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast(dec(18, 2)) *
+        (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2))))
+        .cast(dec(38, 2)).as("total_revenue"))
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    revenue
+      .withColumn("max_rev", max($"total_revenue").over(w))
+      .filter($"total_revenue" === $"max_rev")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        $"total_revenue".cast(DoubleType).as("total_revenue"))
+  }
+
+  val q15Oracle: String =
+    """WITH revenue AS (
+         SELECT l_suppkey,
+                ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1)
+       SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)"""
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): lineitems below 20%
+    * of their part's average quantity. The correlated AVG subquery is
+    * decorrelated to ONE per-part aggregate joined back on l_partkey, and
+    * the threshold `qty < 0.2 * avg` is compared as
+    * `qty * 5 * count < sum` — exact decimal cross-multiplication, no
+    * double division on the comparison path. */
+  def q17(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_partkey", $"l_quantity".cast(dec(18, 2)).as("qty"),
+        $"l_extendedprice".cast(dec(18, 2)).as("price"))
+    val perPart = li.groupBy($"l_partkey".as("agg_partkey"))
+      .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("n_li"))
+
+    li.join(perPart, $"l_partkey" === $"agg_partkey")
+      .filter($"qty" * 5 * $"n_li" < $"sum_qty")
+      .agg(sum($"price").cast(dec(38, 2)).cast(DoubleType).as("small_lot_revenue"))
+  }
+
+  val q17Oracle: String =
+    """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_lot_revenue
+       FROM lineitem l
+       JOIN (SELECT l_partkey AS agg_partkey,
+                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                    COUNT(1) AS n_li
+             FROM lineitem GROUP BY 1) p
+         ON l.l_partkey = p.agg_partkey
+       WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * p.n_li < p.sum_qty"""
+
   /** Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
     * brand/size/quantity branches over the lineitem ⋈ part join. The join
     * key is the only equi-condition; the disjunction stays a post-join
@@ -520,6 +589,8 @@ object Tpch {
     "q5_regional_volume" -> (q5 _),
     "q6_forecast_revenue" -> (q6 _),
     "q14_promo_revenue" -> (q14 _),
+    "q15_top_supplier" -> (q15 _),
+    "q17_small_lot_revenue" -> (q17 _),
     "q19_disjunctive_revenue" -> (q19 _),
     "q22_dormant_customers" -> (q22 _),
     "q7_nation_volume" -> (q7 _),
@@ -535,6 +606,8 @@ object Tpch {
     "q5_regional_volume" -> q5Oracle,
     "q6_forecast_revenue" -> q6Oracle,
     "q14_promo_revenue" -> q14Oracle,
+    "q15_top_supplier" -> q15Oracle,
+    "q17_small_lot_revenue" -> q17Oracle,
     "q19_disjunctive_revenue" -> q19Oracle,
     "q22_dormant_customers" -> q22Oracle,
     "q7_nation_volume" -> q7Oracle,
