@@ -313,9 +313,44 @@ object Sessions {
              FROM raw WHERE event_type = 'purchase')
        GROUP BY 1""")
 
+  /** Cross-user temporal correlation: for each purchase, how many clicks
+    * (by anyone) land in the 4 minutes after it. There is NO equality key
+    * between the sides — the naive formulation is a quadratic
+    * BroadcastNestedLoopJoin — so this runs through
+    * [[graft.operators.BinnedRange]]: both sides key by a 239-second time
+    * bin, the purchase side explodes to its ≤2 overlapped bins, and the
+    * exact window re-checks after an ordinary hash join. Candidates are
+    * window-proportional, not |purchases|×|clicks|. Per-event times
+    * spread within the 120 s block via the event's in-block slot. */
+  def clickFollow(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val ev = spark.table("ek")
+      .select($"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"seq".as("purchase_seq"), $"t")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"seq".as("click_seq"), $"t".as("ct"))
+
+    graft.operators.BinnedRange
+      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("click_seq"))
+      .groupBy($"purchase_seq")
+      .agg(count(lit(1)).as("n_follow_clicks"))
+  }
+
+  val clickFollowOracle: String = Fixtures.oracle(
+    """, cf AS (SELECT seq, event_type, btime + (seq % 8) * 15 AS t FROM ek)
+       SELECT p.seq AS purchase_seq, COUNT(1) AS n_follow_clicks
+       FROM cf p
+       JOIN cf c ON c.event_type = 'click'
+               AND c.t >= p.t + 1 AND c.t <= p.t + 240
+       WHERE p.event_type = 'purchase'
+       GROUP BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
     "events_asof_last_purchase" -> (asofLastPurchase _),
+    "events_click_follow" -> (clickFollow _),
     "events_daily_rollup" -> (dailyRollup _),
     "events_value_quartiles" -> (valueQuartiles _),
     "events_user_daily" -> (userDaily _),
@@ -326,6 +361,7 @@ object Sessions {
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
     "events_asof_last_purchase" -> asofLastPurchaseOracle,
+    "events_click_follow" -> clickFollowOracle,
     "events_daily_rollup" -> dailyRollupOracle,
     "events_value_quartiles" -> valueQuartilesOracle,
     "events_user_daily" -> userDailyOracle,
