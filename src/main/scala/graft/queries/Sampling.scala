@@ -241,7 +241,57 @@ object Sampling {
           ON r.lang = d.lang
         WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
 
+  /** Importance (weighted) sampling: keep-probability proportional to a
+    * per-document weight — here a length proxy capped at 95% — instead of
+    * a per-stratum constant. Same deterministic-hash machinery as the
+    * stratified sampler (pure projection, no shuffle, retry-stable); only
+    * the rate becomes a function of the row. The realistic use is
+    * quality-weighted corpus mixing, where weight = a quality score. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("weight_bp", least(lit(9500L), $"n_chars" * 10L).cast(LongType))
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < $"weight_bp")
+      .select($"doc_id", $"lang", $"bucket", $"weight_bp")
+  }
+
+  val weightedSampleOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id, lang,
+               CAST(${bucketExprSql("doc_id")} % 10000 AS BIGINT) AS bucket,
+               CAST(least(9500, n_chars * 10) AS BIGINT) AS weight_bp
+        FROM documents
+        WHERE ${bucketExprSql("doc_id")} % 10000 < least(9500, n_chars * 10)""")
+
+  /** Leakage-free train/holdout split: the split decision hashes the
+    * DOCUMENT CONTENT (sha-256 of text), not the row id, so byte-identical
+    * duplicates land in the same split even across re-crawls with new ids —
+    * the eval-contamination failure mode a row-id split invites. The first
+    * hex nibble buckets 16 ways: 0–c → train (13/16 ≈ 81%), d–f →
+    * holdout. Pure projection; composes with the dedup ladder for
+    * near-dup-safe splits (route each near-dup CLUSTER's canonical sha
+    * through the same rule). */
+  def trainHoldoutSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("content_sha", sha2($"text", 256))
+      .withColumn("split",
+        when(substring($"content_sha", 1, 1) <= "c", "train").otherwise("holdout"))
+      .select($"doc_id", $"lang", $"content_sha", $"split")
+  }
+
+  val trainHoldoutSplitOracle: String = Fixtures.oracle(
+    """SELECT doc_id, lang,
+              sha256(text) AS content_sha,
+              CASE WHEN substr(sha256(text), 1, 1) <= 'c'
+                   THEN 'train' ELSE 'holdout' END AS split
+       FROM documents""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (weightedSample _),
+    "split_train_holdout" -> (trainHoldoutSplit _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_uniform_k" -> ((s: SparkSession, d: String) => uniformKPerStratum(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -249,6 +299,8 @@ object Sampling {
     "sample_domain_mix" -> (domainMix _))
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" -> weightedSampleOracle,
+    "split_train_holdout" -> trainHoldoutSplitOracle,
     "sample_stratified" -> stratifiedSampleOracle,
     "sample_uniform_k" -> uniformKPerStratumOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,

@@ -246,6 +246,32 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  /** Per-language length distribution: exact interpolated p50/p90/p99 of
+    * whitespace token counts — the corpus-health dashboard behind length
+    * cutoffs. Exact `percentile` (not approx) is intentional: the stratum
+    * count is tiny (languages), the per-stratum state is the value
+    * multiset, and the DuckDB oracle's quantile_cont uses the same
+    * (n-1)p interpolation, so a 4-decimal round compares exactly. */
+  def lengthPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .select($"lang", size(split($"text", " ")).cast(LongType).as("n"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99"))
+  }
+
+  val lengthPercentilesOracle: String = Fixtures.oracle(
+    """SELECT lang, COUNT(1) AS n_docs,
+              ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+              ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
+              ROUND(quantile_cont(len(string_split(text, ' ')), 0.99), 4) AS p99
+       FROM documents
+       GROUP BY 1""")
+
   /** Fixed-window document chunking: split every document into 50-word
     * chunks on a 40-word stride (10-word overlap) — the context-window
     * packing step before tokenization in a training pipeline. A pure
@@ -454,6 +480,7 @@ object TextOps {
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
     "text_chunk" -> (chunk _),
+    "text_length_percentiles" -> (lengthPercentiles _),
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_repetition_filter" -> (repetitionFilter _),
@@ -466,6 +493,7 @@ object TextOps {
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
     "text_chunk" -> chunkOracle,
+    "text_length_percentiles" -> lengthPercentilesOracle,
     "text_contamination" -> contaminationOracle,
     "text_contamination_bloom" -> contaminationBloomOracle,
     "text_repetition_filter" -> repetitionFilterOracle,
