@@ -347,10 +347,40 @@ object Sessions {
        WHERE p.event_type = 'purchase'
        GROUP BY 1""")
 
+  /** Cohort set algebra over the virtual week: users active on weekdays
+    * INTERSECT / EXCEPT users active on weekends. Set ops hash-distinct
+    * each side on the full row — here a single bigint column — so the
+    * shuffle carries distinct user ids, not events; Catalyst plans both
+    * ops as aggregates over a union-style exchange, no nested loops. */
+  def cohortSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val days = spark.table("ek")
+      .select($"user_id", expr("(btime - 1704067200) div 86400").as("day"))
+    val weekday = days.filter($"day" % 7 < 5).select($"user_id").distinct()
+    val weekend = days.filter($"day" % 7 >= 5).select($"user_id").distinct()
+    weekday.intersect(weekend).select($"user_id", lit("both").as("cohort"))
+      .unionByName(
+        weekday.except(weekend).select($"user_id", lit("weekday_only").as("cohort")))
+      .unionByName(
+        weekend.except(weekday).select($"user_id", lit("weekend_only").as("cohort")))
+  }
+
+  val cohortSetsOracle: String = Fixtures.oracle(
+    """, cs AS (SELECT user_id, (btime - 1704067200) // 86400 AS day FROM ek),
+       wd AS (SELECT DISTINCT user_id FROM cs WHERE day % 7 < 5),
+       we AS (SELECT DISTINCT user_id FROM cs WHERE day % 7 >= 5)
+       SELECT user_id, 'both' AS cohort FROM (SELECT user_id FROM wd INTERSECT SELECT user_id FROM we)
+       UNION ALL
+       SELECT user_id, 'weekday_only' FROM (SELECT user_id FROM wd EXCEPT SELECT user_id FROM we)
+       UNION ALL
+       SELECT user_id, 'weekend_only' FROM (SELECT user_id FROM we EXCEPT SELECT user_id FROM wd)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
     "events_asof_last_purchase" -> (asofLastPurchase _),
     "events_click_follow" -> (clickFollow _),
+    "events_cohort_sets" -> (cohortSets _),
     "events_daily_rollup" -> (dailyRollup _),
     "events_value_quartiles" -> (valueQuartiles _),
     "events_user_daily" -> (userDaily _),
@@ -362,6 +392,7 @@ object Sessions {
     "events_sessionization" -> sessionizeOracle,
     "events_asof_last_purchase" -> asofLastPurchaseOracle,
     "events_click_follow" -> clickFollowOracle,
+    "events_cohort_sets" -> cohortSetsOracle,
     "events_daily_rollup" -> dailyRollupOracle,
     "events_value_quartiles" -> valueQuartilesOracle,
     "events_user_daily" -> userDailyOracle,
