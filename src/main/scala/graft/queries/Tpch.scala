@@ -581,6 +581,312 @@ object Tpch {
                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
        GROUP BY 1"""
 
+  /** National market share (TPC-H Q8 shape): NATION_3 suppliers' share of
+    * ECONOMY-part revenue sold to AMERICA-region customers, per order year.
+    * Every dimension chain (part, supplier→nation, customer→nation→region)
+    * broadcasts; the one fact-to-fact shuffle is lineitem ⋈ orders on
+    * orderkey, with orders pre-shrunk by the region semi-join and projected
+    * to (orderkey, year) before the exchange. The share divides two decimal
+    * sums as ONE final double division (same discipline as q14). */
+  def q8(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+      .filter($"r_name" === "AMERICA")
+    val regionCust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter($"o_orderdate" >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+        $"o_orderdate" < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .join(broadcast(regionCust), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_type" === "ECONOMY")
+      .select($"p_partkey")
+    val suppNation = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"))
+
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"n_name" === "NATION_3", $"rev").otherwise(lit(0).cast(dec(18, 4))))
+          .cast(dec(38, 2)).as("nat"),
+        sum($"rev").cast(dec(38, 2)).as("tot"))
+      .select($"o_year",
+        round($"nat".cast(DoubleType) / $"tot".cast(DoubleType), 6).as("mkt_share"))
+  }
+
+  val q8Oracle: String =
+    """SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+              ROUND(CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                  / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE),
+                    6) AS mkt_share
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       JOIN region r ON cn.n_regionkey = r.r_regionkey
+       WHERE p.p_type = 'ECONOMY'
+         AND r.r_name = 'AMERICA'
+         AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1"""
+
+  /** Product-type profit (TPC-H Q9 shape, adapted: no partsupp, so unit
+    * supply cost = 10% of p_retailprice). Profit per (supplier nation, order
+    * year) over 'widget' parts. Every term stays in EXACT decimal until the
+    * final rounding — qty(9,2) × retail(9,2) × 0.10(4,2) never exceeds the
+    * multiply-scale budget in either engine, so no intermediate rounding can
+    * diverge. Part and supplier-nation broadcast; lineitem ⋈ orders is the
+    * one genuine shuffle, carrying (orderkey, year) only. */
+  def q9(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey", $"p_retailprice")
+    val suppNation = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", year($"o_orderdate").cast(LongType).as("o_year"))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        ($"l_extendedprice".cast(dec(18, 2)) *
+          (lit(1).cast(dec(4, 2)) - $"l_discount".cast(dec(4, 2)))).as("rev"),
+        $"l_quantity".cast(dec(9, 2)).as("qty"))
+
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .select($"n_name", $"o_year",
+        ($"rev" - $"qty" * $"p_retailprice".cast(dec(9, 2)) * lit(0.10).cast(dec(4, 2)))
+          .as("amount"))
+      .groupBy($"n_name", $"o_year")
+      .agg(sum($"amount").cast(dec(38, 2)).cast(DoubleType).as("sum_profit"))
+  }
+
+  val q9Oracle: String =
+    """SELECT sn.n_name, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                     - CAST(l.l_quantity AS DECIMAL(9,2))
+                       * CAST(p.p_retailprice AS DECIMAL(9,2))
+                       * CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit
+       FROM lineitem l
+       JOIN part p ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE p.p_name LIKE '%widget%'
+       GROUP BY 1, 2"""
+
+  /** Important-part inventory value (TPC-H Q11 shape, adapted: no partsupp,
+    * so a part's "stock value" = its total shipped qty × price from
+    * lineitem). Parts whose value exceeds 1.5× the MEAN part value — a
+    * scale-free threshold (the spec's fixed fraction of the grand total
+    * empties as the part count grows). The global (total, count) is a 1-row
+    * broadcast compared by CROSS-MULTIPLICATION (`2 × value × n > 3 × total`) —
+    * exact decimal on both engines, no double-ulp flip on borderline parts
+    * (same discipline as q22). */
+  def q11(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_partkey",
+        ($"l_quantity".cast(dec(9, 2)) * $"l_extendedprice".cast(dec(18, 2))).as("val"))
+      .groupBy($"l_partkey")
+      .agg(sum($"val").cast(dec(28, 4)).as("value"))
+    val total = perPart.agg(
+      sum($"value").cast(dec(32, 4)).as("tot"), count(lit(1)).as("n"))
+
+    perPart
+      .join(broadcast(total))
+      .filter($"value" * $"n" * lit(2).cast(dec(2, 0)) > $"tot" * lit(3).cast(dec(2, 0)))
+      .select($"l_partkey", $"value".cast(dec(38, 2)).cast(DoubleType).as("value"))
+  }
+
+  val q11Oracle: String =
+    """WITH pp AS (SELECT l_partkey,
+                          CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))
+                                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS value
+                   FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(value) AS DECIMAL(32,4)) AS tot, COUNT(1) AS n FROM pp)
+       SELECT pp.l_partkey, CAST(ROUND(pp.value, 2) AS DOUBLE) AS value
+       FROM pp, t
+       WHERE pp.value * t.n * CAST(2 AS DECIMAL(2,0)) > t.tot * CAST(3 AS DECIMAL(2,0))"""
+
+  /** Late-shipment priority split (TPC-H Q12 shape, adapted: no l_shipmode /
+    * receipt dates, so the grouping axis is l_returnflag and "late" =
+    * shipped >90 days after the order date; one observation year). The
+    * orderkey join is the single fact-to-fact shuffle; both CASE counts are
+    * map-side-combinable sums. */
+  def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+        $"l_shipdate" < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+
+    li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l.l_returnflag,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+       GROUP BY 1"""
+
+  /** Customer order-count distribution (TPC-H Q13 shape, adapted: the
+    * "special-request" exclusion filters on o_orderpriority instead of the
+    * absent comment column). The LEFT OUTER join keeps order-less customers
+    * (c_count = 0 bucket); `count(o_orderkey)` counts only matched rows.
+    * Two shuffles total: custkey for the per-customer count, then the
+    * count-histogram re-agg over a customer-sized frame. */
+  def q13(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+      .select($"o_orderkey", $"o_custkey")
+
+    cust
+      .join(orders, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, COUNT(1) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '4-NOT SPECIFIED'
+             GROUP BY 1) cc
+       GROUP BY 1"""
+
+  /** Supplier counts per part attribute (TPC-H Q16 shape, adapted:
+    * "suppliers offering the part" = distinct (part, supplier) pairs
+    * observed in lineitem; the complaint exclusion = negative-balance
+    * suppliers, removed by a LEFT ANTI join before counting). The DISTINCT
+    * pair projection is the only lineitem-sized shuffle; part attributes
+    * broadcast; COUNT(DISTINCT suppkey) expands to the standard two-level
+    * distinct aggregate on a pairs-sized frame. */
+  def q16(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_brand" =!= "Brand#12" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val complaints = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .filter($"s_acctbal" < 0)
+      .select($"s_suppkey")
+    val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey").distinct()
+
+    pairs
+      .join(broadcast(complaints), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size".cast(LongType).as("p_size"))
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  val q16Oracle: String =
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+              COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+       JOIN part p ON ps.l_partkey = p.p_partkey
+       WHERE p.p_brand <> 'Brand#12'
+         AND p.p_type <> 'PROMO'
+         AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY 1, 2, 3"""
+
+  /** Dominant suppliers of STANDARD parts (TPC-H Q20 shape, adapted: no
+    * ps_availqty, so the nested quantity correlation becomes "supplier
+    * shipped MORE than half of the part's total 1996 volume"). Two stacked
+    * aggregates over the same filtered projection — per (part, supplier),
+    * then per part — joined back and compared by cross-multiplication
+    * (`2 × qty > part total`, exact decimal); suppliers with ≥1 dominant
+    * part survive a final LEFT SEMI into the broadcast supplier dim. */
+  def q20(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"n_name")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .filter($"p_type" === "STANDARD")
+      .select($"p_partkey")
+    val ps = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        $"l_shipdate" < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast(dec(18, 2))).as("qty"))
+    val perPart = ps.groupBy($"l_partkey".as("agg_partkey"))
+      .agg(sum($"qty").as("part_qty"))
+
+    val dominant = ps
+      .join(perPart, $"l_partkey" === $"agg_partkey")
+      .filter($"qty" * 2 > $"part_qty")
+      .select($"l_suppkey").distinct()
+
+    supp
+      .join(dominant, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"n_name")
+  }
+
+  val q20Oracle: String =
+    """WITH ps AS (SELECT l.l_partkey, l.l_suppkey,
+                          SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+                   FROM lineitem l
+                   JOIN part p ON l.l_partkey = p.p_partkey
+                   WHERE p.p_type = 'STANDARD'
+                     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                   GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, SUM(qty) AS part_qty FROM ps GROUP BY 1)
+       SELECT s.s_suppkey, s.s_name, n.n_name
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE s.s_suppkey IN (SELECT ps.l_suppkey
+                             FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+                             WHERE ps.qty * 2 > pt.part_qty)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q2_min_cost_supplier" -> (q2 _),
@@ -594,8 +900,15 @@ object Tpch {
     "q19_disjunctive_revenue" -> (q19 _),
     "q22_dormant_customers" -> (q22 _),
     "q7_nation_volume" -> (q7 _),
+    "q8_market_share" -> (q8 _),
+    "q9_product_profit" -> (q9 _),
     "q10_returned_items" -> (q10 _),
+    "q11_important_parts" -> (q11 _),
+    "q12_priority_shipping" -> (q12 _),
+    "q13_order_distribution" -> (q13 _),
+    "q16_supplier_part_counts" -> (q16 _),
     "q18_large_orders" -> (q18 _),
+    "q20_dominant_suppliers" -> (q20 _),
     "q21_waiting_suppliers" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
@@ -611,7 +924,14 @@ object Tpch {
     "q19_disjunctive_revenue" -> q19Oracle,
     "q22_dormant_customers" -> q22Oracle,
     "q7_nation_volume" -> q7Oracle,
+    "q8_market_share" -> q8Oracle,
+    "q9_product_profit" -> q9Oracle,
     "q10_returned_items" -> q10Oracle,
+    "q11_important_parts" -> q11Oracle,
+    "q12_priority_shipping" -> q12Oracle,
+    "q13_order_distribution" -> q13Oracle,
+    "q16_supplier_part_counts" -> q16Oracle,
     "q18_large_orders" -> q18Oracle,
+    "q20_dominant_suppliers" -> q20Oracle,
     "q21_waiting_suppliers" -> q21Oracle)
 }
