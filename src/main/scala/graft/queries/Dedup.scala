@@ -340,8 +340,86 @@ object Dedup {
                 CASE WHEN c.doc_id = c.cluster_rep THEN 'canon' ELSE 'dup' END AS role
          FROM comp c JOIN sizes s USING (cluster_rep))""")
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
+    * MOSS): detects SHARED SUBSTRINGS rather than whole-document similarity
+    * — the modality the gram/minhash/simhash ladder above misses (a long
+    * plagiarized passage inside an otherwise-unrelated document).
+    *
+    * Per document: polynomial word hashes → word-4-gram hashes (fixed-k
+    * inline fold, no lambda-of-lambda) → window-5 minimum per position (the
+    * winnow: guarantees any shared run of ≥ 8 words yields ≥ 1 shared
+    * fingerprint) → DISTINCT (doc, fp). All scan-side array expressions;
+    * the only corpus-sized shuffle keys on the fingerprint itself, so the
+    * candidate join is blocking-based like every dedup above. Fingerprints
+    * shared by > 500 documents are boilerplate (no dup signal, quadratic
+    * candidate cost) and are dropped like [[ngramJaccard]]'s stop-grams,
+    * surfaced via the same observe() metric pattern. */
+  /** The winnow itself, factored for spec-level testing on hand-built
+    * frames: (doc_id, text) → DISTINCT (doc_id, fp). */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 8) // k + w - 1 = 4 + 5 - 1
+      .withColumn("wh", expr(
+        s"transform(words, w -> ${TextHash.sparkWordHash("w")})"))
+      .withColumn("gh", expr(
+        s"""transform(sequence(0, size(wh) - 4),
+            i -> ((((wh[i] * 131 + wh[i+1]) % $P) * 131 + wh[i+2]) % $P * 131 + wh[i+3]) % $P)"""))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(gh) - 5),
+           i -> least(gh[i], gh[i+1], gh[i+2], gh[i+3], gh[i+4]))""")).as("fp"))
+      .distinct()
+  }
+
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val fps = graft.util.Memo.cached(spark, sfDir, "dedup_winnow_fps") {
+      winnowFingerprints(spark.table("documents"))
+    }
+
+    Fixtures.ensureMetricLogger(spark)
+    val hotFps = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > 500).select($"fp")
+      .observe("graft_winnow_boilerplate_dropped", count(lit(1)).as("n_hot_fps"))
+    val kept = fps.join(broadcast(hotFps), Seq("fp"), "left_anti")
+
+    kept.as("a").join(kept.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= 2)
+  }
+
+  val winnowOracle: String = Fixtures.oracle(
+    s""", ww AS (
+         SELECT doc_id,
+                list_transform(string_split(text, ' '), w -> ${TextHash.duckWordHash("w")}) AS wh
+         FROM documents
+         WHERE len(string_split(text, ' ')) >= 8),
+       gs AS (
+         SELECT doc_id,
+                list_transform(range(len(wh) - 3),
+                  i -> ((((wh[i+1] * 131 + wh[i+2]) % $P) * 131 + wh[i+3]) % $P * 131 + wh[i+4]) % $P) AS gh
+         FROM ww),
+       fps AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(len(gh) - 4),
+                  i -> least(gh[i+1], gh[i+2], gh[i+3], gh[i+4], gh[i+5]))) AS fp
+         FROM gs),
+       kept AS (
+         SELECT * FROM fps
+         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(1) > 500))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_fps
+       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+       HAVING COUNT(1) >= 2""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_winnow" -> (winnow _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
@@ -349,6 +427,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactOracle,
+    "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,

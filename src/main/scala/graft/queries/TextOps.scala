@@ -473,6 +473,152 @@ object TextOps {
               sha256(redacted) AS redacted_sha
        FROM pii_red""")
 
+  /** BM25 query terms (fixed literal set, like [[contamination]]'s probes):
+    * the retrieval surface is parameterized by the caller; a FIXED query
+    * budget keeps the scoring join O(corpus), never O(corpus × queries). */
+  val bm25Terms: Seq[String] = Seq("spark", "join", "window")
+
+  /** BM25 keyword retrieval (Robertson/Spärck Jones, the standard
+    * training-data search/ranking primitive): top-20 documents for a fixed
+    * query term set, k1 = 1.2, b = 0.75.
+    *
+    * Scale shape: the exploded token stream is filtered to the query terms
+    * SCAN-SIDE (the match fraction is vanishing, as in [[contamination]]),
+    * so the (doc, term, tf) aggregate shuffles only matching tokens; df and
+    * the corpus stats (N, avgdl) are 1-row/term-count broadcasts; the final
+    * per-document combine adds a FIXED number of per-term scores in literal
+    * order, so no double-sum reorder can flip a bit. The idf uses the
+    * rational (N − df + ½)/(df + ½) form — division and multiply only
+    * (IEEE-exact-rounded, bit-identical across engines), no ln() whose libm
+    * rounding could diverge. Only top-k ordering needs the score, so ties
+    * break on doc_id for determinism. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    bm25(spark.table("documents"), bm25Terms)
+  }
+
+  /** The scoring pipeline itself, factored for spec-level testing on
+    * hand-built frames: (doc_id, text) + query terms → top-20 (doc_id,
+    * score). */
+  def bm25(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    import documents.sparkSession.implicits._
+    val docs = documents
+      .select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
+
+    val tf = documents
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word".isin(terms: _*))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(df), Seq("word"))
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("avgdl", $"total_dl".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("idf",
+        (($"n" - $"df").cast(DoubleType) + lit(0.5)) / ($"df".cast(DoubleType) + lit(0.5)))
+      .withColumn("sc",
+        $"idf" * ($"tf".cast(DoubleType) * lit(2.2)) /
+          ($"tf".cast(DoubleType) +
+            lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast(DoubleType) / $"avgdl"))))
+
+    // per-term sums see at most ONE row each ((doc, word) is unique after
+    // the tf aggregate), so the only true addition is the fixed-order
+    // coalesce chain below — order-independent by construction
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when($"word" === t, $"sc")).as(s"s_$i")
+    }
+    scored.groupBy($"doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", round($"score", 6).as("score"))
+  }
+
+  val bm25SearchOracle: String = {
+    val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val caseSums = bm25Terms.zipWithIndex
+      .map { case (t, i) => s"SUM(CASE WHEN word = '$t' THEN sc END) AS s_$i" }
+      .mkString(", ")
+    val total = bm25Terms.indices.map(i => s"COALESCE(s_$i, 0.0)").mkString(" + ")
+    Fixtures.oracle(
+      s""", dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+          stats AS (SELECT COUNT(1) AS n, SUM(dl) AS total_dl FROM dls),
+          tf AS (SELECT doc_id, word, COUNT(1) AS tf
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+                 WHERE word IN ($terms)
+                 GROUP BY 1, 2),
+          df AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
+          scored AS (
+            SELECT t.doc_id, t.word,
+                   ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                     * (CAST(t.tf AS DOUBLE) * 2.2)
+                     / (CAST(t.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                                / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS sc
+            FROM tf t
+            JOIN df d ON t.word = d.word
+            JOIN dls l ON t.doc_id = l.doc_id
+            CROSS JOIN stats s),
+          combined AS (SELECT doc_id, $caseSums FROM scored GROUP BY 1)
+       SELECT doc_id, ROUND($total, 6) AS score
+       FROM combined
+       ORDER BY $total DESC, doc_id
+       LIMIT 20""")
+  }
+
+  /** Per-document TF-IDF keyword extraction: top-3 terms per document by
+    * tf × (N+1)/(df+1) — the rational idf (no ln(), same bit-determinism
+    * argument as [[bm25Search]]). The (doc, word) tf aggregate is the one
+    * corpus-sized shuffle; df re-aggregates the tf frame (vocabulary-sized)
+    * and broadcasts back; the top-3 window partitions BY DOCUMENT, so every
+    * window is bounded by a single document's vocabulary — no global sort,
+    * no whole-corpus partition (the r4 WindowExec lesson). Ties break on the
+    * word itself for a deterministic keyword set. */
+  def keywordTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val tf = spark.table("documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = spark.table("documents").agg(count(lit(1)).as("n"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"sc".desc, $"word")
+    tf.join(broadcast(df), Seq("word"))
+      .join(broadcast(n))
+      .withColumn("sc",
+        $"tf".cast(DoubleType) *
+          (($"n" + lit(1L)).cast(DoubleType) / ($"df" + lit(1L)).cast(DoubleType)))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"word".as("keyword"), $"rank", round($"sc", 6).as("score"))
+  }
+
+  val keywordTfidfOracle: String = Fixtures.oracle(
+    """, tf AS (SELECT doc_id, word, COUNT(1) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY 1, 2),
+       df AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(1) AS n FROM documents),
+       scored AS (
+         SELECT t.doc_id, t.word,
+                CAST(t.tf AS DOUBLE) * (CAST(n.n + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) AS sc,
+                ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                   ORDER BY CAST(t.tf AS DOUBLE) * (CAST(n.n + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) DESC,
+                                            t.word) AS rank
+         FROM tf t JOIN df d ON t.word = d.word CROSS JOIN n)
+       SELECT doc_id, word AS keyword, CAST(rank AS BIGINT) AS rank, ROUND(sc, 6) AS score
+       FROM scored WHERE rank <= 3""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
@@ -484,7 +630,9 @@ object TextOps {
     "text_contamination" -> (contamination _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_repetition_filter" -> (repetitionFilter _),
-    "text_pii_redact" -> (piiRedact _))
+    "text_pii_redact" -> (piiRedact _),
+    "text_bm25_search" -> (bm25Search _),
+    "text_keyword_tfidf" -> (keywordTfidf _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
@@ -497,5 +645,7 @@ object TextOps {
     "text_contamination" -> contaminationOracle,
     "text_contamination_bloom" -> contaminationBloomOracle,
     "text_repetition_filter" -> repetitionFilterOracle,
-    "text_pii_redact" -> piiRedactOracle)
+    "text_pii_redact" -> piiRedactOracle,
+    "text_bm25_search" -> bm25SearchOracle,
+    "text_keyword_tfidf" -> keywordTfidfOracle)
 }
