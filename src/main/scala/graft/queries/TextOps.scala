@@ -619,6 +619,80 @@ object TextOps {
        SELECT doc_id, word AS keyword, CAST(rank AS BIGINT) AS rank, ROUND(sc, 6) AS score
        FROM scored WHERE rank <= 3""")
 
+  /** Corpus n-gram language-model counts (the classic MapReduce LM
+    * workload): word bigrams with count and document frequency, top-100 by
+    * count. ONE shuffle keyed on the bigram itself (map-side combined), so
+    * hot grams are the only skew surface (salt via util.Salted if a corpus
+    * has a degenerate header); the top-k is a TakeOrderedAndProject over the
+    * vocabulary²-sized aggregate, never a global sort of the corpus. Ties
+    * break on the gram text. */
+  def ngramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+        .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(100)
+  }
+
+  val ngramCountsOracle: String = Fixtures.oracle(
+    """, dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+       grams AS (
+         SELECT doc_id, words[i+1] || ' ' || words[i+2] AS bigram
+         FROM dw, UNNEST(range(len(words) - 1)) AS t(i))
+       SELECT bigram, COUNT(1) AS n, COUNT(DISTINCT doc_id) AS n_docs
+       FROM grams
+       GROUP BY 1
+       ORDER BY n DESC, bigram
+       LIMIT 100""")
+
+  /** Vocabulary coverage (tokenizer-prep shape): terms ranked by corpus
+    * frequency with the CUMULATIVE token-coverage fraction — "how big must
+    * the vocabulary be to cover X% of tokens". The running sum's window is
+    * over the VOCABULARY-sized aggregate (bounded by construction — the
+    * corpus only contributes counts), ordered deterministically by
+    * (count desc, term). The fraction divides two exact longs per row, so
+    * both engines agree bit-for-bit. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val counts = spark.table("documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("total"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"term")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts
+      .join(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"term")).cast(LongType))
+      .withColumn("cum_n", sum($"n").over(w))
+      .select($"rank", $"term", $"n",
+        round($"cum_n".cast(DoubleType) / $"total".cast(DoubleType), 6).as("coverage"))
+  }
+
+  val vocabCoverageOracle: String = Fixtures.oracle(
+    """, counts AS (
+         SELECT term, COUNT(1) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY 1),
+       t AS (SELECT SUM(n) AS total FROM counts)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+              term, n,
+              ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, term
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / CAST(t.total AS DOUBLE), 6) AS coverage
+       FROM counts, t""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
@@ -632,7 +706,9 @@ object TextOps {
     "text_repetition_filter" -> (repetitionFilter _),
     "text_pii_redact" -> (piiRedact _),
     "text_bm25_search" -> (bm25Search _),
-    "text_keyword_tfidf" -> (keywordTfidf _))
+    "text_keyword_tfidf" -> (keywordTfidf _),
+    "text_ngram_counts" -> (ngramCounts _),
+    "text_vocab_coverage" -> (vocabCoverage _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
@@ -647,5 +723,7 @@ object TextOps {
     "text_repetition_filter" -> repetitionFilterOracle,
     "text_pii_redact" -> piiRedactOracle,
     "text_bm25_search" -> bm25SearchOracle,
-    "text_keyword_tfidf" -> keywordTfidfOracle)
+    "text_keyword_tfidf" -> keywordTfidfOracle,
+    "text_ngram_counts" -> ngramCountsOracle,
+    "text_vocab_coverage" -> vocabCoverageOracle)
 }
