@@ -393,7 +393,10 @@ object Dedup {
       .filter($"shared_fps" >= 2)
   }
 
-  val winnowOracle: String = Fixtures.oracle(
+  /** Winnow CTE chain (DuckDB), shared between [[winnowOracle]] and the
+    * end-to-end funnel oracle (TextOps.pretrainFunnel) so the two can never
+    * drift. Defines ww/gs/fps/kept/w_pairs. */
+  val winnowOracleCtes: String =
     s""", ww AS (
          SELECT doc_id,
                 list_transform(string_split(text, ' '), w -> ${TextHash.duckWordHash("w")}) AS wh
@@ -411,11 +414,15 @@ object Dedup {
          FROM gs),
        kept AS (
          SELECT * FROM fps
-         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(1) > 500))
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_fps
-       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       GROUP BY 1, 2
-       HAVING COUNT(1) >= 2""")
+         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(1) > 500)),
+       w_pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_fps
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+         HAVING COUNT(1) >= 2)"""
+
+  val winnowOracle: String = Fixtures.oracle(
+    winnowOracleCtes + "\n       SELECT doc_a, doc_b, shared_fps FROM w_pairs")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

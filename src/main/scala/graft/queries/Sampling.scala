@@ -26,7 +26,9 @@ object Sampling {
     * Collisions across 2^31-spaced ids only shift which rows are sampled,
     * never determinism. */
   private val Mult = 2654435761L // floor(2^32 / golden ratio), Knuth §6.4
-  private def bucketExprSql(id: String): String =
+  /** Public: reused by TextOps.pretrainFunnel so the funnel's mix stage
+    * and the sampling operators share ONE hash definition. */
+  def bucketExprSql(id: String): String =
     s"(($id % 2147483648) * $Mult) % 4294967296"
 
   /** Per-language Bernoulli rates in basis points (fraction of 10000).
@@ -37,7 +39,8 @@ object Sampling {
 
   /** SQL twin of the Spark rate fold — ONE definition feeds both engines,
     * so editing [[stratumRatesBp]] can never silently desync the oracle. */
-  private def rateCaseSql(langCol: String): String =
+  /** Public for the same reason as [[bucketExprSql]]. */
+  def rateCaseSql(langCol: String): String =
     "CASE " +
       stratumRatesBp.map { case (l, bp) => s"WHEN $langCol = '$l' THEN $bp" }.mkString(" ") +
       s" ELSE $defaultRateBp END"

@@ -693,6 +693,143 @@ object TextOps {
                     / CAST(t.total AS DOUBLE), 6) AS coverage
        FROM counts, t""")
 
+  /** End-to-end pre-training data funnel — the whole curation pipeline as
+    * ONE declarative plan, reporting (docs, tokens) surviving each stage:
+    *
+    *   0 all → 1 exact dedup → 2 winnow near-dup → 3 quality
+    *     → 4 decontaminated → 5 domain mix
+    *
+    * Composition rules are the deterministic ones each stage already uses
+    * standalone: exact dedup keeps the min doc_id per SHA-256 group; the
+    * near-dup stage drops any document that winnow-pairs with a LOWER
+    * doc_id (Dedup.winnow's pair set, shared memo — survivor choice is
+    * order-free); quality re-uses [[corpusCuration]]'s predicates;
+    * decontamination anti-joins documents containing any
+    * [[contaminationProbes]] gram; the mix stage applies
+    * [[Sampling]]'s Knuth-hash Bernoulli rates per language.
+    *
+    * Scale shape: every stage is a semi/anti-join of 8-byte doc_id sets
+    * against the previous survivor set — the funnel never re-shuffles
+    * document text. Each stage's predicate input (sha groups, winnow
+    * pairs, quality signals, probe hits, hash buckets) is computed from
+    * the base scan exactly once. */
+  def pretrainFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents")
+      .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_words"))
+
+    val canonical = spark.table("documents")
+      .groupBy(sha2($"text", 256).as("sha"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val s1 = docs.join(canonical, Seq("doc_id"), "left_semi")
+
+    val nearDups = Dedup.winnow(spark, sfDir).select($"doc_b".as("doc_id")).distinct()
+    val s2 = s1.join(nearDups, Seq("doc_id"), "left_anti")
+
+    val qualityOk = spark.table("documents")
+      .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
+      .withColumn("stop_ratio", expr(stopCountSpark("text")).cast(DoubleType) / $"n_words")
+      .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast(DoubleType))
+      .withColumn("quality",
+        least(lit(1.0), $"n_words" / 200.0) * 0.4 +
+          least(lit(1.0), $"stop_ratio" * 10.0) * 0.3 +
+          ($"n_uniq" / $"n_words") * 0.3)
+      .filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
+        $"n_words".between(10.0, 150.0))
+      .select($"doc_id")
+    val s3 = s2.join(qualityOk, Seq("doc_id"), "left_semi")
+
+    val contaminated = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 3), " +
+          "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+      .filter($"gram".isin(contaminationProbes: _*))
+      .select($"doc_id").distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+
+    val rateCol = Sampling.stratumRatesBp.foldLeft(lit(Sampling.defaultRateBp)) {
+      case (acc, (lang, bp)) => when($"lang" === lang, lit(bp)).otherwise(acc)
+    }
+    val s5 = s4
+      .withColumn("bucket", (expr(Sampling.bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < rateCol.cast(LongType))
+      .select($"doc_id", $"lang", $"n_words")
+
+    def stat(stageId: Int, stage: String, ids: DataFrame): DataFrame =
+      ids.select($"doc_id").join(docs, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+        .select(lit(stageId.toLong).as("stage_id"), lit(stage).as("stage"),
+          $"n_docs", $"n_tokens")
+
+    stat(0, "all", docs)
+      .unionByName(stat(1, "exact_dedup", s1))
+      .unionByName(stat(2, "near_dedup", s2))
+      .unionByName(stat(3, "quality", s3))
+      .unionByName(stat(4, "decontaminated", s4))
+      .unionByName(stat(5, "domain_mix", s5))
+  }
+
+  val pretrainFunnelOracle: String = {
+    val probes = contaminationProbes.map(p => s"'$p'").mkString(", ")
+    Fixtures.oracle(Dedup.winnowOracleCtes +
+      s""", f_docs AS (
+           SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents),
+         f_s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         f_s2 AS (SELECT doc_id FROM f_s1
+                  WHERE doc_id NOT IN (SELECT doc_b FROM w_pairs)),
+         f_sig AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                  CAST(${stopCountDuck("text")} AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+           FROM documents),
+         f_quality AS (
+           SELECT doc_id
+           FROM (SELECT doc_id, n_words, stop_ratio,
+                        LEAST(1.0, n_words / 200.0) * 0.4
+                          + LEAST(1.0, stop_ratio * 10.0) * 0.3
+                          + (n_uniq / n_words) * 0.3 AS quality
+                 FROM f_sig) q
+           WHERE q.quality >= 0.5 AND q.stop_ratio >= 0.04
+             AND q.n_words BETWEEN 10.0 AND 150.0),
+         f_s3 AS (SELECT doc_id FROM f_s2 WHERE doc_id IN (SELECT doc_id FROM f_quality)),
+         f_contam AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3) dw,
+                      UNNEST(range(len(words) - 2)) AS t(i)) g
+           WHERE gram IN ($probes)),
+         f_s4 AS (SELECT doc_id FROM f_s3 WHERE doc_id NOT IN (SELECT doc_id FROM f_contam)),
+         f_s5 AS (
+           SELECT d.doc_id FROM f_s4 s JOIN f_docs d ON s.doc_id = d.doc_id
+           WHERE (${Sampling.bucketExprSql("d.doc_id")}) % 10000
+                 < ${Sampling.rateCaseSql("d.lang")})
+         SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage,
+                COUNT(1) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM f_docs
+         UNION ALL
+         SELECT 1, 'exact_dedup', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
+         FROM f_s1 s JOIN f_docs d ON s.doc_id = d.doc_id
+         UNION ALL
+         SELECT 2, 'near_dedup', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
+         FROM f_s2 s JOIN f_docs d ON s.doc_id = d.doc_id
+         UNION ALL
+         SELECT 3, 'quality', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
+         FROM f_s3 s JOIN f_docs d ON s.doc_id = d.doc_id
+         UNION ALL
+         SELECT 4, 'decontaminated', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
+         FROM f_s4 s JOIN f_docs d ON s.doc_id = d.doc_id
+         UNION ALL
+         SELECT 5, 'domain_mix', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
+         FROM f_s5 s JOIN f_docs d ON s.doc_id = d.doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
@@ -708,7 +845,8 @@ object TextOps {
     "text_bm25_search" -> (bm25Search _),
     "text_keyword_tfidf" -> (keywordTfidf _),
     "text_ngram_counts" -> (ngramCounts _),
-    "text_vocab_coverage" -> (vocabCoverage _))
+    "text_vocab_coverage" -> (vocabCoverage _),
+    "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
     "text_token_count" -> tokenCountOracle,
@@ -725,5 +863,6 @@ object TextOps {
     "text_bm25_search" -> bm25SearchOracle,
     "text_keyword_tfidf" -> keywordTfidfOracle,
     "text_ngram_counts" -> ngramCountsOracle,
-    "text_vocab_coverage" -> vocabCoverageOracle)
+    "text_vocab_coverage" -> vocabCoverageOracle,
+    "corpus_pretrain_funnel" -> pretrainFunnelOracle)
 }
