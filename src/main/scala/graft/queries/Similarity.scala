@@ -338,10 +338,11 @@ object Similarity {
   /** Max-cosine centroid per vector (shared by [[annIvf]] and
     * [[kmeansRefine]]); centroids = every 97th vector, the seeded-sample
     * stand-in for a trained quantizer. */
-  private def ivfAssignments(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfAssignments(spark: SparkSession, sfDir: String,
+      table: String = "embeddings"): DataFrame = {
     import spark.implicits._
-    val v = vecs(spark, sfDir)
-    graft.util.Memo.cached(spark, sfDir, "sim_ivf_assign") {
+    val v = vecs(spark, sfDir, table)
+    graft.util.Memo.cached(spark, sfDir, s"sim_ivf_assign_$table") {
       val cents = v.filter($"vec_id" % 97 === 3)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
       // min_by over (-cos, cid) ≡ ROW_NUMBER(ORDER BY cos DESC, cid) = 1,
@@ -373,17 +374,17 @@ object Similarity {
     rerank(v, qv, candidates, 3)
   }
 
-  /** Oracle twin of [[ivfAssignments]] (shared by ANN-IVF and the k-means
-    * refinement). */
-  private def assignmentCtes: String =
-    normCte("embeddings") +
+  /** Oracle twin of [[ivfAssignments]] (shared by ANN-IVF, the k-means
+    * refinement, and semantic dedup). */
+  private def assignmentCtesFor(table: String): String =
+    normCte(table) +
       s""", cents AS (
-         SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 97 = 3),
+         SELECT vec_id AS cid, embedding AS cemb FROM $table WHERE vec_id % 97 = 3),
        cn AS (
          SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
        cdots AS (
          SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
-         FROM embeddings e CROSS JOIN cents c),
+         FROM $table e CROSS JOIN cents c),
        assignments AS (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
@@ -394,6 +395,58 @@ object Similarity {
                JOIN nrm n ON d.vec_id = n.vec_id
                JOIN cn c ON d.cid = c.cid) t
          WHERE rn = 1)"""
+
+  private def assignmentCtes: String = assignmentCtesFor("embeddings")
+
+  /** SemDeDup-style semantic deduplication (cluster → within-cell cosine →
+    * drop toward the lowest id): assign every vector of `embeddings_aug`
+    * (the near-dup fixture — the raw corpus has no pair above cosine 0.61
+    * at any sf) to its IVF cell, score pairs WITHIN a cell only, and drop
+    * each vector whose cosine to a lower-id cell-mate is ≥ 0.9, reporting
+    * its lowest-id exemplar — the embedding-space analogue of
+    * dedup_winnow's survivor rule.
+    *
+    * Scale shape: the pair join keys on the cluster id, so the quadratic
+    * term is bounded by the cell size (~N/centroids, and the centroid count
+    * grows with the corpus — same knob as [[annIvf]]); scoring is one
+    * native graft_dot fold per surviving pair; the final exemplar choice is
+    * a map-side-combinable min/min_by aggregate, no window. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val av = vecs(spark, sfDir, "embeddings_aug")
+      .join(ivfAssignments(spark, sfDir, "embeddings_aug"), Seq("vec_id"))
+
+    av.select($"cluster", $"vec_id".as("va"), $"embedding".as("ea"), $"norm_sq".as("na"))
+      .join(av.select($"cluster", $"vec_id".as("vb"), $"embedding".as("eb"), $"norm_sq".as("nb")),
+        Seq("cluster"))
+      .filter($"va" < $"vb")
+      .select($"va", $"vb", dotExpr("ea", "eb").as("dot"), $"na", $"nb")
+      .withColumn("cos", $"dot" / (sqrt($"na") * sqrt($"nb")))
+      .filter($"cos" >= 0.9)
+      .groupBy($"vb".as("vec_id"))
+      .agg(min($"va").as("exemplar_id"), min_by($"cos", $"va").as("exemplar_cos"))
+      .select($"vec_id", $"exemplar_id", round($"exemplar_cos", 6).as("cosine"))
+  }
+
+  val semanticDedupOracle: String = Fixtures.oracle(
+    assignmentCtesFor("embeddings_aug") +
+      s""", sd_scored AS (
+         SELECT x.vec_id AS va, y.vec_id AS vb,
+                ${DotProduct.duckDot("ea.embedding", "eb.embedding")}
+                  / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) AS cos
+         FROM assignments x
+         JOIN assignments y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         JOIN embeddings_aug ea ON x.vec_id = ea.vec_id
+         JOIN embeddings_aug eb ON y.vec_id = eb.vec_id
+         JOIN nrm na ON x.vec_id = na.vec_id
+         JOIN nrm nb ON y.vec_id = nb.vec_id)
+       SELECT vb AS vec_id, MIN(va) AS exemplar_id,
+              ROUND(ARG_MIN(cos, va), 6) AS cosine
+       FROM sd_scored
+       WHERE cos >= 0.9
+       GROUP BY vb""")
 
   val annIvfOracle: String = Fixtures.oracle(
     assignmentCtes +
@@ -518,6 +571,7 @@ object Similarity {
     "sim_ann_ivf" -> (annIvf _),
     "sim_embedding_near_dup" -> (embeddingNearDup _),
     "sim_kmeans_refine" -> (kmeansRefine _),
+    "sim_semantic_dedup" -> (semanticDedup _),
     "sim_ann_recall" -> (annRecall _))
 
   val oracles: Map[String, String] = Map(
@@ -527,5 +581,6 @@ object Similarity {
     "sim_ann_ivf" -> annIvfOracle,
     "sim_embedding_near_dup" -> embeddingNearDupOracle,
     "sim_kmeans_refine" -> kmeansRefineOracle,
+    "sim_semantic_dedup" -> semanticDedupOracle,
     "sim_ann_recall" -> annRecallOracle)
 }
