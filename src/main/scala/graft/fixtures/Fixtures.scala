@@ -398,6 +398,16 @@ object Fixtures {
       UNION ALL SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0
       UNION ALL SELECT (SELECT MAX(vec_id) + 2 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0""",
 
+    // media_aug: duplicate-blob input for the perceptual-hash dedup — the
+    // same construction as embeddings_aug (the corpus has no two identical
+    // documents at any sf, so a media near-dup operator over raw blobs
+    // would never fire): the corpus plus two byte-identical copies of doc 0
+    // under fresh ids derived from MAX(doc_id).
+    "media_aug" -> s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text FROM documents WHERE doc_id = 0
+      UNION ALL SELECT (SELECT MAX(doc_id) + 2 FROM documents) AS doc_id, text FROM documents WHERE doc_id = 0""",
+
     // documents_pii: PII-redaction input = the corpus with deterministic
     // synthetic PII appended to a subset of documents (the driver corpus has
     // no digits or @-signs, so a redaction operator over raw `documents`

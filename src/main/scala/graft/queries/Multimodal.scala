@@ -187,14 +187,105 @@ object Multimodal {
        LEFT JOIN (SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY 1, 2) c
          ON c.doc_id = g.doc_id AND c.bin = g.bin""")
 
+  /** Per-band polynomial multipliers for the stub perceptual hash. */
+  private val phashMults = Seq(131L, 137L, 139L, 149L)
+
+  /** (doc_id, 4 × 16-bit fingerprint bands) over a blob column. */
+  private case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Image near-duplicate detection by banded perceptual hash — the media
+    * analogue of dedup_simhash: 64-bit fingerprint split into 4 × 16-bit
+    * bands, candidates = pairs sharing ≥ 1 band (equi-join on the band
+    * value, blocking-based like every dedup here), verified by Hamming
+    * distance over the full fingerprint.
+    *
+    * The hash itself is a STUB like every decode in this module (a real
+    * pHash needs an image codec: DCT over downsampled luma); each band is a
+    * per-multiplier polynomial over the blob bytes, byte-looped in the same
+    * typed mapPartitions batch shape a codec stage uses. Only byte-identical
+    * blobs collide under the stub — the seeded `media_aug` copies (and the
+    * corpus's organic duplicate texts at sf0.1) make the pipeline fire
+    * deterministically. The Hamming verify never overflows: per-band XOR of
+    * 16-bit values, popcounts summed — no 64-bit shift whose sign bit the
+    * two engines could treat differently. */
+  def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val blobs = spark.table("media_aug")
+      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
+      .as[(Long, Array[Byte])]
+
+    val bands = blobs.mapPartitions { it =>
+      val ms = phashMults
+      it.map { case (id, bytes) =>
+        // --- STUB PHASH (no codecs in this container) -----------------
+        val h = Array.fill(4)(0L)
+        var i = 0
+        while (i < bytes.length) {
+          val x = bytes(i) & 0xffL
+          var b = 0
+          while (b < 4) { h(b) = (h(b) * ms(b) + x) % 65536L; b += 1 }
+          i += 1
+        }
+        // ---------------------------------------------------------------
+        PhashBands(id, h(0), h(1), h(2), h(3))
+      }
+    }.toDF()
+
+    val expl = bands.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+      explode(array(
+        struct(lit(0).as("bi"), $"b0".as("bv")),
+        struct(lit(1).as("bi"), $"b1".as("bv")),
+        struct(lit(2).as("bi"), $"b2".as("bv")),
+        struct(lit(3).as("bi"), $"b3".as("bv")))).as("band"))
+      .select($"doc_id", $"band.bi", $"band.bv", $"b0", $"b1", $"b2", $"b3")
+
+    expl.as("a").join(expl.as("b"),
+        $"a.bi" === $"b.bi" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        (bit_count($"a.b0".bitwiseXOR($"b.b0")) +
+          bit_count($"a.b1".bitwiseXOR($"b.b1")) +
+          bit_count($"a.b2".bitwiseXOR($"b.b2")) +
+          bit_count($"a.b3".bitwiseXOR($"b.b3"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 8)
+  }
+
+  private def duckBand(m: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * $m + x) % 65536)"
+
+  val phashDedupOracle: String = Fixtures.oracle(
+    s""", ph AS (
+         SELECT doc_id,
+                ${duckBand(131L)} AS b0, ${duckBand(137L)} AS b1,
+                ${duckBand(139L)} AS b2, ${duckBand(149L)} AS b3
+         FROM media_aug),
+       pbands AS (
+         SELECT doc_id, 0 AS bi, b0 AS bv, b0, b1, b2, b3 FROM ph
+         UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM ph
+         UNION ALL SELECT doc_id, 2, b2, b0, b1, b2, b3 FROM ph
+         UNION ALL SELECT doc_id, 3, b3, b0, b1, b2, b3 FROM ph),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                   + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+         FROM pbands a JOIN pbands b
+           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_media_meta" -> (mediaMeta _),
+    "multimodal_phash_dedup" -> (phashDedup _),
     "multimodal_frame_sample" -> (frameSample _),
     "multimodal_resize" -> (resize _),
     "multimodal_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_media_meta" -> mediaMetaOracle,
+    "multimodal_phash_dedup" -> phashDedupOracle,
     "multimodal_frame_sample" -> frameSampleOracle,
     "multimodal_resize" -> resizeOracle,
     "multimodal_feature_extract" -> featureExtractOracle)
