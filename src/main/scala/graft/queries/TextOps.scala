@@ -708,11 +708,13 @@ object TextOps {
     * [[contaminationProbes]] gram; the mix stage applies
     * [[Sampling]]'s Knuth-hash Bernoulli rates per language.
     *
-    * Scale shape: every stage is a semi/anti-join of 8-byte doc_id sets
-    * against the previous survivor set — the funnel never re-shuffles
-    * document text. Each stage's predicate input (sha groups, winnow
-    * pairs, quality signals, probe hits, hash buckets) is computed from
-    * the base scan exactly once. */
+    * Scale shape: ONE pass. Each stage contributes a doc_id-keyed marker
+    * set (sha canonical ids, winnow near-dup ids, quality survivors, probe
+    * hits); the funnel outer-joins the four markers onto the doc spine and
+    * computes all six stage counts in a SINGLE aggregation over cumulative
+    * flag conjunctions (a UNION-of-six-aggregates form would re-execute
+    * every stage chain per branch — 6 chains instead of 1). Document text
+    * never re-shuffles: every join carries 8-byte ids plus booleans. */
   def pretrainFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
@@ -722,11 +724,10 @@ object TextOps {
     val canonical = spark.table("documents")
       .groupBy(sha2($"text", 256).as("sha"))
       .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val s1 = docs.join(canonical, Seq("doc_id"), "left_semi")
+      .select($"doc_id", lit(1).as("c1"))
 
     val nearDups = Dedup.winnow(spark, sfDir).select($"doc_b".as("doc_id")).distinct()
-    val s2 = s1.join(nearDups, Seq("doc_id"), "left_anti")
+      .withColumn("c2", lit(1))
 
     val qualityOk = spark.table("documents")
       .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
@@ -738,8 +739,7 @@ object TextOps {
           ($"n_uniq" / $"n_words") * 0.3)
       .filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
         $"n_words".between(10.0, 150.0))
-      .select($"doc_id")
-    val s3 = s2.join(qualityOk, Seq("doc_id"), "left_semi")
+      .select($"doc_id", lit(1).as("c3"))
 
     val contaminated = spark.table("documents")
       .withColumn("words", split($"text", " "))
@@ -749,28 +749,42 @@ object TextOps {
           "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
       .filter($"gram".isin(contaminationProbes: _*))
       .select($"doc_id").distinct()
-    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("c4", lit(1))
 
     val rateCol = Sampling.stratumRatesBp.foldLeft(lit(Sampling.defaultRateBp)) {
       case (acc, (lang, bp)) => when($"lang" === lang, lit(bp)).otherwise(acc)
     }
-    val s5 = s4
-      .withColumn("bucket", (expr(Sampling.bucketExprSql("doc_id")) % 10000L).cast(LongType))
-      .filter($"bucket" < rateCol.cast(LongType))
-      .select($"doc_id", $"lang", $"n_words")
+    val flagged = docs
+      .join(canonical, Seq("doc_id"), "left_outer")
+      .join(nearDups, Seq("doc_id"), "left_outer")
+      .join(qualityOk, Seq("doc_id"), "left_outer")
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .withColumn("s1", $"c1".isNotNull)
+      .withColumn("s2", $"s1" && $"c2".isNull)
+      .withColumn("s3", $"s2" && $"c3".isNotNull)
+      .withColumn("s4", $"s3" && $"c4".isNull)
+      .withColumn("s5", $"s4" &&
+        (expr(Sampling.bucketExprSql("doc_id")) % 10000L).cast(LongType) <
+          rateCol.cast(LongType))
 
-    def stat(stageId: Int, stage: String, ids: DataFrame): DataFrame =
-      ids.select($"doc_id").join(docs, Seq("doc_id"))
-        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
-        .select(lit(stageId.toLong).as("stage_id"), lit(stage).as("stage"),
-          $"n_docs", $"n_tokens")
-
-    stat(0, "all", docs)
-      .unionByName(stat(1, "exact_dedup", s1))
-      .unionByName(stat(2, "near_dedup", s2))
-      .unionByName(stat(3, "quality", s3))
-      .unionByName(stat(4, "decontaminated", s4))
-      .unionByName(stat(5, "domain_mix", s5))
+    def nAt(f: org.apache.spark.sql.Column) = sum(when(f, 1L).otherwise(0L))
+    def tAt(f: org.apache.spark.sql.Column) = sum(when(f, $"n_words").otherwise(0L))
+    flagged
+      .agg(
+        count(lit(1)).as("n0"), sum($"n_words").as("t0"),
+        nAt($"s1").as("n1"), tAt($"s1").as("t1"),
+        nAt($"s2").as("n2"), tAt($"s2").as("t2"),
+        nAt($"s3").as("n3"), tAt($"s3").as("t3"),
+        nAt($"s4").as("n4"), tAt($"s4").as("t4"),
+        nAt($"s5").as("n5"), tAt($"s5").as("t5"))
+      .select(expr(
+        """stack(6,
+             0L, 'all',            n0, t0,
+             1L, 'exact_dedup',    n1, t1,
+             2L, 'near_dedup',     n2, t2,
+             3L, 'quality',        n3, t3,
+             4L, 'decontaminated', n4, t4,
+             5L, 'domain_mix',     n5, t5) AS (stage_id, stage, n_docs, n_tokens)"""))
   }
 
   val pretrainFunnelOracle: String = {
