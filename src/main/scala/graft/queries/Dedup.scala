@@ -340,22 +340,12 @@ object Dedup {
                 CASE WHEN c.doc_id = c.cluster_rep THEN 'canon' ELSE 'dup' END AS role
          FROM comp c JOIN sizes s USING (cluster_rep))""")
 
-  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
-    * MOSS): detects SHARED SUBSTRINGS rather than whole-document similarity
-    * — the modality the gram/minhash/simhash ladder above misses (a long
-    * plagiarized passage inside an otherwise-unrelated document).
-    *
-    * Per document: polynomial word hashes → word-4-gram hashes (fixed-k
-    * inline fold, no lambda-of-lambda) → window-5 minimum per position (the
-    * winnow: guarantees any shared run of ≥ 8 words yields ≥ 1 shared
-    * fingerprint) → DISTINCT (doc, fp). All scan-side array expressions;
-    * the only corpus-sized shuffle keys on the fingerprint itself, so the
-    * candidate join is blocking-based like every dedup above. Fingerprints
-    * shared by > 500 documents are boilerplate (no dup signal, quadratic
-    * candidate cost) and are dropped like [[ngramJaccard]]'s stop-grams,
-    * surfaced via the same observe() metric pattern. */
   /** The winnow itself, factored for spec-level testing on hand-built
-    * frames: (doc_id, text) → DISTINCT (doc_id, fp). */
+    * frames: (doc_id, text) → DISTINCT (doc_id, fp). Per document:
+    * polynomial word hashes → word-4-gram hashes (fixed-k inline fold, no
+    * lambda-of-lambda) → window-5 minimum per position (the winnow:
+    * guarantees any shared run of ≥ 8 words yields ≥ 1 shared fingerprint).
+    * All scan-side array expressions. */
   def winnowFingerprints(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
@@ -372,6 +362,17 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer/Wilkerson/Aiken,
+    * MOSS): detects SHARED SUBSTRINGS rather than whole-document similarity
+    * — the modality the gram/minhash/simhash ladder above misses (a long
+    * plagiarized passage inside an otherwise-unrelated document).
+    *
+    * The only corpus-sized shuffle keys on the fingerprint itself
+    * ([[winnowFingerprints]]), so the candidate join is blocking-based like
+    * every dedup above. Fingerprints shared by > 500 documents are
+    * boilerplate (no dup signal, quadratic candidate cost) and are dropped
+    * like [[ngramJaccard]]'s stop-grams, surfaced via the same observe()
+    * metric pattern. */
   def winnow(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._

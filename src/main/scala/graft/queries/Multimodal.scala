@@ -190,8 +190,10 @@ object Multimodal {
   /** Per-band polynomial multipliers for the stub perceptual hash. */
   private val phashMults = Seq(131L, 137L, 139L, 149L)
 
-  /** (doc_id, 4 × 16-bit fingerprint bands) over a blob column. */
-  private case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+  /** (doc_id, 4 × 16-bit fingerprint bands) over a blob column. Public like
+    * [[MediaMeta]]: Janino-generated encoder code cannot touch a private
+    * class, and the silent fallback is the interpreted row path. */
+  case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
   /** Image near-duplicate detection by banded perceptual hash — the media
     * analogue of dedup_simhash: 64-bit fingerprint split into 4 × 16-bit

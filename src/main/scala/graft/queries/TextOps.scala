@@ -149,19 +149,23 @@ object TextOps {
     * projection, and Catalyst prunes `documents` to (doc_id, text) once for
     * all four signals. Thresholds keep a non-trivial subset at every sf
     * (~30% of the corpus). */
-  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
+  /** Canonical representative per exact-dup group (same groups as GROUP BY
+    * text — within a SHA-256 group all texts are identical). Shared by
+    * [[corpusCuration]] and [[pretrainFunnel]]. */
+  private def canonicalDocIds(spark: SparkSession): DataFrame = {
     import spark.implicits._
-
-    val docs = spark.table("documents")
-    // canonical representative per exact-dup group (same groups as GROUP BY
-    // text — within a SHA-256 group all texts are identical)
-    val canonical = docs
+    spark.table("documents")
       .groupBy(sha2($"text", 256).as("sha"))
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
+  }
 
-    docs
+  /** Per-document curation signals + composite quality score. ONE
+    * definition feeds [[corpusCuration]], [[pretrainFunnel]], and (via the
+    * mirrored SQL in their oracles) both differential checks. */
+  private def curationSignals(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("documents")
       .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
       .withColumn("stop_ratio", expr(stopCountSpark("text")).cast(DoubleType) / $"n_words")
       .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast(DoubleType))
@@ -169,9 +173,22 @@ object TextOps {
         least(lit(1.0), $"n_words" / 200.0) * 0.4 +
           least(lit(1.0), $"stop_ratio" * 10.0) * 0.3 +
           ($"n_uniq" / $"n_words") * 0.3)
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
-        $"n_words".between(10.0, 150.0))
+  }
+
+  /** The curation bar (quality floor, stopword floor, token-length band),
+    * applied identically by [[corpusCuration]] and the funnel's stage 3. */
+  private def curationBar(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
+      $"n_words".between(10.0, 150.0))
+  }
+
+  def corpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    curationBar(curationSignals(spark))
+      .join(canonicalDocIds(spark), Seq("doc_id"), "left_semi")
       .select(
         $"doc_id",
         round($"quality", 6).as("quality_score"),
@@ -217,8 +234,10 @@ object TextOps {
     * runs before cutting a corpus release. The probe filter sits directly
     * on the exploded gram stream (scan-side, before any shuffle), so only
     * matching grams — a vanishing fraction — reach the aggregation. */
-  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
+  /** (doc_id, gram) stream of probe-set matches — scan-side filter before
+    * any shuffle. Shared by [[contamination]] and [[pretrainFunnel]] so the
+    * two can never disagree about what "contaminated" means. */
+  private def probeGramHits(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.table("documents")
       .withColumn("words", split($"text", " "))
@@ -227,6 +246,12 @@ object TextOps {
         "transform(sequence(0, size(words) - 3), " +
           "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
       .filter($"gram".isInCollection(contaminationProbes))
+  }
+
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    probeGramHits(spark)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hits"),
         countDistinct($"gram").as("n_probes"))
@@ -721,33 +746,15 @@ object TextOps {
     val docs = spark.table("documents")
       .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_words"))
 
-    val canonical = spark.table("documents")
-      .groupBy(sha2($"text", 256).as("sha"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id", lit(1).as("c1"))
+    val canonical = canonicalDocIds(spark).withColumn("c1", lit(1))
 
     val nearDups = Dedup.winnow(spark, sfDir).select($"doc_b".as("doc_id")).distinct()
       .withColumn("c2", lit(1))
 
-    val qualityOk = spark.table("documents")
-      .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
-      .withColumn("stop_ratio", expr(stopCountSpark("text")).cast(DoubleType) / $"n_words")
-      .withColumn("n_uniq", size(array_distinct(split($"text", " "))).cast(DoubleType))
-      .withColumn("quality",
-        least(lit(1.0), $"n_words" / 200.0) * 0.4 +
-          least(lit(1.0), $"stop_ratio" * 10.0) * 0.3 +
-          ($"n_uniq" / $"n_words") * 0.3)
-      .filter($"quality" >= 0.5 && $"stop_ratio" >= 0.04 &&
-        $"n_words".between(10.0, 150.0))
+    val qualityOk = curationBar(curationSignals(spark))
       .select($"doc_id", lit(1).as("c3"))
 
-    val contaminated = spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .filter(size($"words") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(words) - 3), " +
-          "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
-      .filter($"gram".isin(contaminationProbes: _*))
+    val contaminated = probeGramHits(spark)
       .select($"doc_id").distinct()
       .withColumn("c4", lit(1))
 
