@@ -376,8 +376,42 @@ object Sessions {
        UNION ALL
        SELECT user_id, 'weekend_only' FROM (SELECT user_id FROM we EXCEPT SELECT user_id FROM wd)""")
 
+  /** Semi-structured extraction: `events.props` is a JSON blob (the only
+    * semi-structured column in the corpus). The path extraction is a
+    * codegen'd scan-side projection (`get_json_object`, one JsonPath parse
+    * per row — no UDF, no schema inference pass), followed by one
+    * map-side-combined aggregate per event_type. At 100 TB the JSON never
+    * reaches a shuffle: only (event_type, k) longs do. Null-safe: rows
+    * whose props lack the key drop out before the aggregate, identically
+    * in both engines. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("events")
+      .select($"event_type", get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        countDistinct($"k").as("n_distinct_k"),
+        sum(when($"k" >= 50, 1L).otherwise(0L)).as("n_high"))
+  }
+
+  val jsonPropsOracle: String =
+    """SELECT event_type,
+              COUNT(1) AS n,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
+              COUNT(DISTINCT k) AS n_distinct_k,
+              CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+       FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events) e
+       WHERE k IS NOT NULL
+       GROUP BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
+    "events_json_props" -> (jsonProps _),
     "events_asof_last_purchase" -> (asofLastPurchase _),
     "events_click_follow" -> (clickFollow _),
     "events_cohort_sets" -> (cohortSets _),
@@ -390,6 +424,7 @@ object Sessions {
 
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
+    "events_json_props" -> jsonPropsOracle,
     "events_asof_last_purchase" -> asofLastPurchaseOracle,
     "events_click_follow" -> clickFollowOracle,
     "events_cohort_sets" -> cohortSetsOracle,
