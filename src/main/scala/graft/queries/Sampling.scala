@@ -292,7 +292,53 @@ object Sampling {
                    THEN 'train' ELSE 'holdout' END AS split
        FROM documents""")
 
+  /** Class-balanced downsampling (classifier-training prep): every label
+    * keeps exactly the MINORITY class's count, chosen by the deterministic
+    * Knuth-hash order (retry-stable, like every sampler here). Two-stage
+    * top-m: rank within (label, salt) buckets first, keep ≤ m per bucket,
+    * then re-rank only the ≤ 199·m survivors per label — the global top-m
+    * of a label is always within the top-m of its bucket, so this is
+    * bit-identical to the one-shot window without ever sorting a whole
+    * class in one task (same scale rationale as [[uniformKPerStratum]]).
+    * The minority count m is a 1-row broadcast. */
+  def classBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val e = spark.table("embeddings")
+      .select($"vec_id", $"label".cast(LongType).as("label"))
+    val m = e.groupBy($"label").agg(count(lit(1)).as("cnt"))
+      .agg(min($"cnt").as("m"))
+
+    val bucketed = e
+      .withColumn("h", expr(bucketExprSql("vec_id")))
+      .withColumn("salt", $"vec_id" % 199)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label", $"salt").orderBy($"h", $"vec_id")
+    val survivors = bucketed
+      .withColumn("r1", row_number().over(w1))
+      .join(broadcast(m))
+      .filter($"r1" <= $"m")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy($"h", $"vec_id")
+    survivors
+      .withColumn("rank", row_number().over(w2).cast(LongType))
+      .filter($"rank" <= $"m")
+      .select($"label", $"rank", $"vec_id")
+  }
+
+  val classBalancedOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       m AS (SELECT MIN(cnt) AS m
+             FROM (SELECT label, COUNT(1) AS cnt FROM e GROUP BY 1) c),
+       r AS (SELECT label, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY label
+                                       ORDER BY ${bucketExprSql("vec_id")}, vec_id) AS rank
+             FROM e)
+       SELECT label, CAST(rank AS BIGINT) AS rank, vec_id
+       FROM r, m WHERE rank <= m.m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_class_balanced" -> (classBalanced _),
     "sample_weighted" -> (weightedSample _),
     "split_train_holdout" -> (trainHoldoutSplit _),
     "sample_stratified" -> (stratifiedSample _),
@@ -302,6 +348,7 @@ object Sampling {
     "sample_domain_mix" -> (domainMix _))
 
   val oracles: Map[String, String] = Map(
+    "sample_class_balanced" -> classBalancedOracle,
     "sample_weighted" -> weightedSampleOracle,
     "split_train_holdout" -> trainHoldoutSplitOracle,
     "sample_stratified" -> stratifiedSampleOracle,

@@ -409,9 +409,55 @@ object Sessions {
        WHERE k IS NOT NULL
        GROUP BY 1"""
 
+  /** Per-user z-score anomaly detection over event amounts — the data-QA
+    * operator a pipeline runs before trusting a metric stream. The per-user
+    * moments (n, Σx, Σx²) accumulate EXACTLY (decimal-128 sums — longs
+    * would overflow Σx² long before 100 TB) in ONE map-side-combined
+    * aggregate; z is computed without ever materializing μ or σ as
+    * intermediate doubles: z = (x·n − Σx) / √(n·Σx² − (Σx)²), ONE double
+    * division per event against broadcast per-user moments, so both
+    * engines make every |z| ≥ 3 decision on identical IEEE values.
+    * Degenerate users (zero variance) are filtered arithmetically —
+    * n·Σx² = (Σx)² — before any division. */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val r = spark.table("raw")
+      .select($"user_id", $"seq", $"cents".cast(DecimalType(18, 0)).as("c"))
+    val moments = r.groupBy($"user_id")
+      .agg(count(lit(1)).cast(DecimalType(18, 0)).as("n"),
+        sum($"c").cast(DecimalType(28, 0)).as("sc"),
+        sum(($"c" * $"c").cast(DecimalType(28, 0))).cast(DecimalType(38, 0)).as("sc2"))
+      .filter($"n" * $"sc2" =!= $"sc" * $"sc")
+
+    r.join(broadcast(moments), Seq("user_id"))
+      .withColumn("z",
+        ($"c" * $"n" - $"sc").cast(DoubleType) /
+          sqrt(($"n" * $"sc2" - $"sc" * $"sc").cast(DoubleType)))
+      .filter(abs($"z") >= 3.0)
+      .select($"user_id", $"seq",
+        $"c".cast(LongType).as("cents"), round($"z", 6).as("z"))
+  }
+
+  val anomalyZscoreOracle: String = Fixtures.oracle(
+    """, az_r AS (SELECT user_id, seq, CAST(cents AS DECIMAL(18,0)) AS c FROM raw),
+       az_m AS (SELECT user_id,
+                       CAST(COUNT(1) AS DECIMAL(18,0)) AS n,
+                       CAST(SUM(c) AS DECIMAL(28,0)) AS sc,
+                       CAST(SUM(CAST(c * c AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sc2
+                FROM az_r GROUP BY 1)
+       SELECT r.user_id, r.seq, CAST(r.c AS BIGINT) AS cents,
+              ROUND(CAST(r.c * m.n - m.sc AS DOUBLE)
+                    / SQRT(CAST(m.n * m.sc2 - m.sc * m.sc AS DOUBLE)), 6) AS z
+       FROM az_r r JOIN az_m m ON r.user_id = m.user_id
+       WHERE m.n * m.sc2 <> m.sc * m.sc
+         AND ABS(CAST(r.c * m.n - m.sc AS DOUBLE)
+                 / SQRT(CAST(m.n * m.sc2 - m.sc * m.sc AS DOUBLE))) >= 3.0""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionization" -> (sessionize _),
     "events_json_props" -> (jsonProps _),
+    "events_anomaly_zscore" -> (anomalyZscore _),
     "events_asof_last_purchase" -> (asofLastPurchase _),
     "events_click_follow" -> (clickFollow _),
     "events_cohort_sets" -> (cohortSets _),
@@ -425,6 +471,7 @@ object Sessions {
   val oracles: Map[String, String] = Map(
     "events_sessionization" -> sessionizeOracle,
     "events_json_props" -> jsonPropsOracle,
+    "events_anomaly_zscore" -> anomalyZscoreOracle,
     "events_asof_last_purchase" -> asofLastPurchaseOracle,
     "events_click_follow" -> clickFollowOracle,
     "events_cohort_sets" -> cohortSetsOracle,
