@@ -564,6 +564,68 @@ object Similarity {
        WHERE e.rank <= 3
        GROUP BY e.qid""")
 
+  /** Recall@3 of the IVF candidate path vs the exact top-3 — the same QA
+    * metric as [[annRecall]], over the other index family (nprobe=1, so
+    * recall quantifies exactly what the single-cell probe loses; the knob a
+    * deployment turns is nprobe/centroid count). Reuses the memoized exact
+    * side and IVF assignments; the join is output-sized. */
+  def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3)
+    val ivf = annIvf(spark, sfDir)
+    exact.as("e")
+      .join(ivf.as("l"),
+        col("e.query_id") === col("l.query_id") &&
+          col("e.neighbor_id") === col("l.neighbor_id"), "left_outer")
+      .groupBy(col("e.query_id"))
+      .agg(count(col("l.neighbor_id")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / 3.0, 6).as("recall_at_3"))
+  }
+
+  val annRecallIvfOracle: String = Fixtures.oracle(
+    assignmentCtes +
+      s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id)),
+       ivf_cand AS (
+         SELECT q.vec_id AS qid, a.vec_id
+         FROM assignments q JOIN assignments a
+           ON q.cluster = a.cluster AND a.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       ivf_dots AS (
+         SELECT c.qid, c.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM ivf_cand c
+         JOIN embeddings q ON q.vec_id = c.qid
+         JOIN embeddings d ON d.vec_id = c.vec_id),
+       ivf_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM ivf_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN ivf_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
@@ -572,7 +634,8 @@ object Similarity {
     "sim_embedding_near_dup" -> (embeddingNearDup _),
     "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_semantic_dedup" -> (semanticDedup _),
-    "sim_ann_recall" -> (annRecall _))
+    "sim_ann_recall" -> (annRecall _),
+    "sim_ann_recall_ivf" -> (annRecallIvf _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -582,5 +645,6 @@ object Similarity {
     "sim_embedding_near_dup" -> embeddingNearDupOracle,
     "sim_kmeans_refine" -> kmeansRefineOracle,
     "sim_semantic_dedup" -> semanticDedupOracle,
-    "sim_ann_recall" -> annRecallOracle)
+    "sim_ann_recall" -> annRecallOracle,
+    "sim_ann_recall_ivf" -> annRecallIvfOracle)
 }

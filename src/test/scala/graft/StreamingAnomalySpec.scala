@@ -61,6 +61,42 @@ class StreamingAnomalySpec extends SparkSpec {
     assert(got.isEmpty, "no event may be scored before minN prior events")
   }
 
+  test("moments state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = java.nio.file.Files.createTempDirectory("anomaly_ckpt").toString
+    val in = MemoryStream[EventIn]
+    // the memory sink rejects checkpoint recovery; collect via foreachBatch
+    // (the same sink shape StreamDriver uses)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+    def start() = StreamingAnomaly.detect(in.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Anomaly], _: Long) =>
+        got.synchronized { got ++= batch.collect() }; ()
+      }
+      .start()
+
+    // run 1: the calm prefix builds up state, then stop
+    val q1 = start()
+    in.addData(calm: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2: same checkpoint — the spike must be scored against the
+    // RECOVERED 10-event moments, not a cold state
+    val q2 = start()
+    in.addData(spike)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(got.map(_.seq).toSeq == Seq(11L),
+      s"the spike must flag against recovered state: ${got.toSeq}")
+    assert(got.head.z > 3.0)
+  }
+
   test("end-of-stream state equals the batch moments (split across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
