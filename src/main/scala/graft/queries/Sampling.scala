@@ -337,8 +337,55 @@ object Sampling {
        SELECT label, CAST(rank AS BIGINT) AS rank, vec_id
        FROM r, m WHERE rank <= m.m"""
 
+  /** Diversity-aware quality selection (cross-modal): the top-2
+    * highest-quality documents PER EMBEDDING CLUSTER — cluster-balanced
+    * curation, the selection rule that keeps a quality-filtered corpus from
+    * collapsing onto one mode. Composes the shared text-quality signals
+    * (TextOps.curationSignals) with the shared IVF assignment
+    * (Similarity.ivfAssignments) over the doc_id = vec_id spine; the top-k
+    * window partitions BY CLUSTER, bounded by cell occupancy
+    * (~N/centroids), ties broken on doc_id. */
+  def diverseQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.DotProduct.register(spark)
+    import spark.implicits._
+    val quality = TextOps.curationSignals(spark).select($"doc_id", $"quality")
+    val assign = Similarity.ivfAssignments(spark, sfDir)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"quality".desc, $"doc_id")
+    quality.join(assign, $"doc_id" === $"vec_id")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= 2)
+      .select($"cluster", $"rank", $"doc_id", round($"quality", 6).as("quality"))
+  }
+
+  val diverseQualityOracle: String = Fixtures.oracle(
+    Similarity.assignmentCtesFor("embeddings") +
+      s""", dq_sig AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                CAST(${TextOps.stopCountDuck("text")} AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+         FROM documents),
+       dq_q AS (
+         SELECT doc_id,
+                LEAST(1.0, n_words / 200.0) * 0.4
+                  + LEAST(1.0, stop_ratio * 10.0) * 0.3
+                  + (n_uniq / n_words) * 0.3 AS quality
+         FROM dq_sig),
+       dq_r AS (
+         SELECT a.cluster, q.doc_id, q.quality,
+                ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                   ORDER BY q.quality DESC, q.doc_id) AS rank
+         FROM dq_q q JOIN assignments a ON q.doc_id = a.vec_id)
+       SELECT cluster, CAST(rank AS BIGINT) AS rank, doc_id, ROUND(quality, 6) AS quality
+       FROM dq_r WHERE rank <= 2""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_class_balanced" -> (classBalanced _),
+    "sample_diverse_quality" -> (diverseQuality _),
     "sample_weighted" -> (weightedSample _),
     "split_train_holdout" -> (trainHoldoutSplit _),
     "sample_stratified" -> (stratifiedSample _),
@@ -349,6 +396,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "sample_class_balanced" -> classBalancedOracle,
+    "sample_diverse_quality" -> diverseQualityOracle,
     "sample_weighted" -> weightedSampleOracle,
     "split_train_holdout" -> trainHoldoutSplitOracle,
     "sample_stratified" -> stratifiedSampleOracle,

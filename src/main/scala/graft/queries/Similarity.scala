@@ -338,7 +338,7 @@ object Similarity {
   /** Max-cosine centroid per vector (shared by [[annIvf]] and
     * [[kmeansRefine]]); centroids = every 97th vector, the seeded-sample
     * stand-in for a trained quantizer. */
-  private def ivfAssignments(spark: SparkSession, sfDir: String,
+  private[queries] def ivfAssignments(spark: SparkSession, sfDir: String,
       table: String = "embeddings"): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, sfDir, table)
@@ -376,7 +376,7 @@ object Similarity {
 
   /** Oracle twin of [[ivfAssignments]] (shared by ANN-IVF, the k-means
     * refinement, and semantic dedup). */
-  private def assignmentCtesFor(table: String): String =
+  private[queries] def assignmentCtesFor(table: String): String =
     normCte(table) +
       s""", cents AS (
          SELECT vec_id AS cid, embedding AS cemb FROM $table WHERE vec_id % 97 = 3),

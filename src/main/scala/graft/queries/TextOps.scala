@@ -24,7 +24,7 @@ object TextOps {
   private def stopCountSpark(col: String): String =
     stopwords.map(w => s"size(filter(split($col, ' '), x -> x = '$w'))").mkString(" + ")
 
-  private def stopCountDuck(col: String): String =
+  private[queries] def stopCountDuck(col: String): String =
     stopwords.map(w => s"len(list_filter(string_split($col, ' '), x -> x = '$w'))").mkString(" + ")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -163,7 +163,7 @@ object TextOps {
   /** Per-document curation signals + composite quality score. ONE
     * definition feeds [[corpusCuration]], [[pretrainFunnel]], and (via the
     * mirrored SQL in their oracles) both differential checks. */
-  private def curationSignals(spark: SparkSession): DataFrame = {
+  private[queries] def curationSignals(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.table("documents")
       .withColumn("n_words", size(split($"text", " ")).cast(DoubleType))
