@@ -399,10 +399,10 @@ object Fixtures {
       UNION ALL SELECT (SELECT MAX(vec_id) + 2 FROM embeddings) AS vec_id, embedding FROM embeddings WHERE vec_id = 0""",
 
     // media_aug: duplicate-blob input for the perceptual-hash dedup — the
-    // same construction as embeddings_aug (the corpus has no two identical
-    // documents at any sf, so a media near-dup operator over raw blobs
-    // would never fire): the corpus plus two byte-identical copies of doc 0
-    // under fresh ids derived from MAX(doc_id).
+    // same construction as embeddings_aug. The small-sf corpora have NO
+    // duplicate documents (sf0.1 has a handful of organic ones), so the
+    // two seeded byte-identical copies of doc 0 under fresh ids derived
+    // from MAX(doc_id) guarantee a deterministic positive at EVERY sf.
     "media_aug" -> s"""
       SELECT doc_id, text FROM documents
       UNION ALL SELECT (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text FROM documents WHERE doc_id = 0

@@ -202,14 +202,18 @@ object Multimodal {
     * distance over the full fingerprint.
     *
     * The hash itself is a STUB like every decode in this module (a real
-    * pHash needs an image codec: DCT over downsampled luma); each band is a
-    * per-multiplier polynomial over the blob bytes, byte-looped in the same
-    * typed mapPartitions batch shape a codec stage uses. Only byte-identical
-    * blobs collide under the stub — the seeded `media_aug` copies (and the
-    * corpus's organic duplicate texts at sf0.1) make the pipeline fire
-    * deterministically. The Hamming verify never overflows: per-band XOR of
-    * 16-bit values, popcounts summed — no 64-bit shift whose sign bit the
-    * two engines could treat differently. */
+    * pHash needs an image codec: DCT over downsampled luma); the blob is
+    * DECODED first (UTF-8 → codepoints — the decode IS the stub codec
+    * step) and each band is a per-multiplier polynomial over the decoded
+    * codepoints, looped in the same typed mapPartitions batch shape a
+    * codec stage uses. Folding codepoints, not raw bytes, is what keeps
+    * the oracle's per-character `ascii()` fold equivalent for ANY text,
+    * not just the ASCII corpus. Only content-identical blobs collide under
+    * the stub — the seeded `media_aug` copies (and the corpus's organic
+    * duplicate texts at sf0.1) make the pipeline fire deterministically.
+    * The Hamming verify never overflows: per-band XOR of 16-bit values,
+    * popcounts summed — no 64-bit shift whose sign bit the two engines
+    * could treat differently. */
   def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
@@ -222,10 +226,14 @@ object Multimodal {
       val ms = phashMults
       it.map { case (id, bytes) =>
         // --- STUB PHASH (no codecs in this container) -----------------
+        // the "decode" step: bytes -> codepoints (a real codec would
+        // yield pixels here); the fold then runs over decoded units so
+        // the oracle's per-character ascii() fold matches for ANY text
+        val cps = new String(bytes, "UTF-8").codePoints().toArray
         val h = Array.fill(4)(0L)
         var i = 0
-        while (i < bytes.length) {
-          val x = bytes(i) & 0xffL
+        while (i < cps.length) {
+          val x = cps(i).toLong
           var b = 0
           while (b < 4) { h(b) = (h(b) * ms(b) + x) % 65536L; b += 1 }
           i += 1

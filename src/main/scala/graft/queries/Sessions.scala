@@ -415,8 +415,11 @@ object Sessions {
     * would overflow Σx² long before 100 TB) in ONE map-side-combined
     * aggregate; z is computed without ever materializing μ or σ as
     * intermediate doubles: z = (x·n − Σx) / √(n·Σx² − (Σx)²), ONE double
-    * division per event against broadcast per-user moments, so both
-    * engines make every |z| ≥ 3 decision on identical IEEE values.
+    * division per event, so both engines make every |z| ≥ 3 decision on
+    * identical IEEE values. The moments join is a plain equi-join on
+    * user_id — the moments frame is one row PER USER, which grows with the
+    * corpus, so it must never be broadcast; both sides already share the
+    * user_id partitioning from the aggregate.
     * Degenerate users (zero variance) are filtered arithmetically —
     * n·Σx² = (Σx)² — before any division. */
   def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -430,7 +433,7 @@ object Sessions {
         sum(($"c" * $"c").cast(DecimalType(28, 0))).cast(DecimalType(38, 0)).as("sc2"))
       .filter($"n" * $"sc2" =!= $"sc" * $"sc")
 
-    r.join(broadcast(moments), Seq("user_id"))
+    r.join(moments, Seq("user_id"))
       .withColumn("z",
         ($"c" * $"n" - $"sc").cast(DoubleType) /
           sqrt(($"n" * $"sc2" - $"sc" * $"sc").cast(DoubleType)))

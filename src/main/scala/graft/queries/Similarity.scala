@@ -506,23 +506,29 @@ object Similarity {
     * [[cosineTopK]]'s top-5 (same ordering, same tie-break), so both sides
     * reuse already-memoized frames; the join is output-sized (queries × k
     * rows), negligible at any scale. */
-  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3)
-    val lsh = annLsh(spark, sfDir)
+  /** Shared recall@3 harness: exact top-3 vs any candidate path's top-3.
+    * ONE definition for every index family so the metric (k, tie-breaks,
+    * rank guard) can never diverge between them. */
+  private def recallAgainst(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.as("e")
-      .join(lsh.as("l"),
+      .join(approx.as("l"),
         col("e.query_id") === col("l.query_id") &&
           col("e.neighbor_id") === col("l.neighbor_id"), "left_outer")
       .groupBy(col("e.query_id"))
       .agg(count(col("l.neighbor_id")).as("hits"))
       .select(col("query_id"), col("hits"),
         round(col("hits") / 3.0, 6).as("recall_at_3"))
-  }
 
-  /** One shared el/buckets/nrm chain feeds BOTH the exact and the LSH side
-    * (the whole point: recall is measured against the same scores). */
-  val annRecallOracle: String = Fixtures.oracle(
-    elementCtes("embeddings") + bucketCte + normCte("embeddings") +
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annLsh(spark, sfDir))
+
+  /** Shared recall@3 oracle builder: `prefix` supplies the candidate
+    * path's CTEs (buckets / assignments, plus nrm), `candidates` the
+    * (qid, vec_id) candidate query. The exact side and the LEFT JOIN tail
+    * are written ONCE for every index family. */
+  private def recallOracle(prefix: String, candidates: String): String =
+    Fixtures.oracle(prefix +
       s""", exact_dots AS (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
@@ -537,94 +543,53 @@ object Similarity {
                FROM exact_dots dots
                JOIN nrm qn ON dots.qid = qn.vec_id
                JOIN nrm vn ON dots.vec_id = vn.vec_id)),
-       lsh_cand AS (
-         SELECT q.vec_id AS qid, b.vec_id
-         FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
-         WHERE ${queryPred("q.vec_id")}),
-       lsh_dots AS (
+       cand AS ($candidates),
+       cand_dots AS (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
-         FROM lsh_cand c
+         FROM cand c
          JOIN embeddings q ON q.vec_id = c.qid
          JOIN embeddings d ON d.vec_id = c.vec_id),
-       lsh_ranked AS (
+       cand_ranked AS (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
                       dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
-               FROM lsh_dots dots
+               FROM cand_dots dots
                JOIN nrm qn ON dots.qid = qn.vec_id
                JOIN nrm vn ON dots.vec_id = vn.vec_id))
        SELECT e.qid AS query_id,
               CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
               ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
        FROM exact_ranked e
-       LEFT JOIN lsh_ranked l
+       LEFT JOIN cand_ranked l
          ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
        WHERE e.rank <= 3
        GROUP BY e.qid""")
+
+  /** One shared el/buckets/nrm chain feeds BOTH the exact and the LSH side
+    * of the LSH recall oracle. */
+  val annRecallOracle: String = recallOracle(
+    elementCtes("embeddings") + bucketCte + normCte("embeddings"),
+    s"""SELECT q.vec_id AS qid, b.vec_id
+        FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+        WHERE ${queryPred("q.vec_id")}""")
 
   /** Recall@3 of the IVF candidate path vs the exact top-3 — the same QA
     * metric as [[annRecall]], over the other index family (nprobe=1, so
     * recall quantifies exactly what the single-cell probe loses; the knob a
     * deployment turns is nprobe/centroid count). Reuses the memoized exact
     * side and IVF assignments; the join is output-sized. */
-  def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3)
-    val ivf = annIvf(spark, sfDir)
-    exact.as("e")
-      .join(ivf.as("l"),
-        col("e.query_id") === col("l.query_id") &&
-          col("e.neighbor_id") === col("l.neighbor_id"), "left_outer")
-      .groupBy(col("e.query_id"))
-      .agg(count(col("l.neighbor_id")).as("hits"))
-      .select(col("query_id"), col("hits"),
-        round(col("hits") / 3.0, 6).as("recall_at_3"))
-  }
+  def annRecallIvf(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annIvf(spark, sfDir))
 
-  val annRecallIvfOracle: String = Fixtures.oracle(
-    assignmentCtes +
-      s""", exact_dots AS (
-         SELECT q.vec_id AS qid, d.vec_id,
-                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
-         FROM embeddings q
-         JOIN embeddings d ON d.vec_id != q.vec_id
-         WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
-         SELECT qid, vec_id,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         FROM (SELECT dots.qid, dots.vec_id,
-                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
-               FROM exact_dots dots
-               JOIN nrm qn ON dots.qid = qn.vec_id
-               JOIN nrm vn ON dots.vec_id = vn.vec_id)),
-       ivf_cand AS (
-         SELECT q.vec_id AS qid, a.vec_id
-         FROM assignments q JOIN assignments a
-           ON q.cluster = a.cluster AND a.vec_id != q.vec_id
-         WHERE ${queryPred("q.vec_id")}),
-       ivf_dots AS (
-         SELECT c.qid, c.vec_id,
-                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
-         FROM ivf_cand c
-         JOIN embeddings q ON q.vec_id = c.qid
-         JOIN embeddings d ON d.vec_id = c.vec_id),
-       ivf_ranked AS (
-         SELECT qid, vec_id,
-                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         FROM (SELECT dots.qid, dots.vec_id,
-                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
-               FROM ivf_dots dots
-               JOIN nrm qn ON dots.qid = qn.vec_id
-               JOIN nrm vn ON dots.vec_id = vn.vec_id))
-       SELECT e.qid AS query_id,
-              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
-              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
-       FROM exact_ranked e
-       LEFT JOIN ivf_ranked l
-         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
-       WHERE e.rank <= 3
-       GROUP BY e.qid""")
+  val annRecallIvfOracle: String = recallOracle(
+    assignmentCtes,
+    s"""SELECT q.vec_id AS qid, a.vec_id
+        FROM assignments q JOIN assignments a
+          ON q.cluster = a.cluster AND a.vec_id != q.vec_id
+        WHERE ${queryPred("q.vec_id")}""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
