@@ -851,6 +851,63 @@ object TextOps {
          FROM f_s5 s JOIN f_docs d ON s.doc_id = d.doc_id""")
   }
 
+  /** N-gram LM fluency score — the perplexity-proxy quality signal a
+    * curation pipeline computes from the corpus's OWN statistics: per
+    * document, the average scaled conditional bigram frequency
+    * avg_g⌊10⁶ · cnt(w₁w₂) / cnt(w₁·)⌋ (how "expected" each next word is
+    * given the corpus LM). Deliberately ln-free AND division-exact: each
+    * per-gram score is an INTEGER (floor division), the per-doc total is an
+    * integer sum, and the final average is one more floor division — no
+    * floating-point accumulation anywhere, so the oracle matches
+    * bit-for-bit regardless of row order.
+    *
+    * Scale shape: the bigram-count join keys on the gram itself
+    * (inverted-index pattern, same as [[ngramCounts]]) and is a SHUFFLE
+    * join — the bigram vocabulary is V²-shaped and must never broadcast;
+    * only the unigram head-count frame broadcasts (vocabulary grows
+    * sublinearly with the corpus, Heaps' law). Then ONE map-side-combined
+    * per-doc aggregate. Documents under 2 words have no bigrams and drop out
+    * identically in both engines. */
+  def lmFluency(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val grams = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> struct(words[i] AS head, concat(words[i], ' ', words[i+1]) AS gram))"))
+        .as("g"))
+      .select($"doc_id", $"g.head", $"g.gram")
+
+    val bigCnt = grams.groupBy($"gram").agg(count(lit(1)).as("big_n"))
+    val headCnt = grams.groupBy($"head").agg(count(lit(1)).as("head_n"))
+
+    grams
+      .join(bigCnt, Seq("gram"))
+      .join(broadcast(headCnt), Seq("head"))
+      .select($"doc_id", expr("(big_n * 1000000L) DIV head_n").as("g_score"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"g_score").as("total"))
+      .select($"doc_id", $"n_grams", expr("total DIV n_grams").as("fluency"))
+  }
+
+  val lmFluencyOracle: String = Fixtures.oracle(
+    """, lm_grams AS (
+         SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+               WHERE len(string_split(text, ' ')) >= 2) dw,
+              UNNEST(range(len(words) - 1)) AS t(i)),
+       lm_big AS (SELECT gram, COUNT(1) AS big_n FROM lm_grams GROUP BY 1),
+       lm_head AS (SELECT head, COUNT(1) AS head_n FROM lm_grams GROUP BY 1)
+       SELECT g.doc_id,
+              COUNT(1) AS n_grams,
+              CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
+       FROM lm_grams g
+       JOIN lm_big b ON g.gram = b.gram
+       JOIN lm_head h ON g.head = h.head
+       GROUP BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
@@ -867,6 +924,7 @@ object TextOps {
     "text_keyword_tfidf" -> (keywordTfidf _),
     "text_ngram_counts" -> (ngramCounts _),
     "text_vocab_coverage" -> (vocabCoverage _),
+    "text_lm_fluency" -> (lmFluency _),
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
@@ -885,5 +943,6 @@ object TextOps {
     "text_keyword_tfidf" -> keywordTfidfOracle,
     "text_ngram_counts" -> ngramCountsOracle,
     "text_vocab_coverage" -> vocabCoverageOracle,
+    "text_lm_fluency" -> lmFluencyOracle,
     "corpus_pretrain_funnel" -> pretrainFunnelOracle)
 }
