@@ -584,6 +584,51 @@ object Similarity {
     recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
       annIvf(spark, sfDir))
 
+  /** Embedding-space outlier report (data QA): the 20 vectors LEAST
+    * attached to any IVF centroid (lowest max-cosine) — the candidates a
+    * curation pass inspects for garbage/mislabeled embeddings. A fixed-size
+    * ranked report rather than a threshold: the attachment distribution
+    * shifts with corpus composition, a bottom-k is meaningful at every
+    * scale and compiles to TakeOrderedAndProject (no global sort). The
+    * scoring pass is the same broadcast-centroids fold as
+    * [[ivfAssignments]], reduced by a map-side-combinable max. */
+  def outlierReport(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val cents = v.filter($"vec_id" % 97 === 3)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
+
+    v.crossJoin(broadcast(cents))
+      .select($"vec_id", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
+      .withColumn("cos", $"dot" / (sqrt($"norm_sq") * sqrt($"cnorm")))
+      .groupBy($"vec_id")
+      .agg(max($"cos").as("best_cos"))
+      .orderBy($"best_cos".asc, $"vec_id")
+      .limit(20)
+      .select($"vec_id", round($"best_cos", 6).as("best_cos"))
+  }
+
+  val outlierReportOracle: String = Fixtures.oracle(
+    normCte("embeddings") +
+      s""", out_cd AS (
+         SELECT e.vec_id, c.cid,
+                ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
+         FROM embeddings e
+         CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb
+                     FROM embeddings WHERE vec_id % 97 = 3) c),
+       out_best AS (
+         SELECT d.vec_id, MAX(d.dot / (SQRT(n.norm_sq) * SQRT(cn.norm_sq))) AS best_cos
+         FROM out_cd d
+         JOIN nrm n ON d.vec_id = n.vec_id
+         JOIN nrm cn ON d.cid = cn.vec_id
+         GROUP BY 1)
+       SELECT vec_id, ROUND(best_cos, 6) AS best_cos
+       FROM out_best
+       ORDER BY best_cos, vec_id
+       LIMIT 20""")
+
   val annRecallIvfOracle: String = recallOracle(
     assignmentCtes,
     s"""SELECT q.vec_id AS qid, a.vec_id
@@ -600,7 +645,8 @@ object Similarity {
     "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_ann_recall" -> (annRecall _),
-    "sim_ann_recall_ivf" -> (annRecallIvf _))
+    "sim_ann_recall_ivf" -> (annRecallIvf _),
+    "sim_outlier_report" -> (outlierReport _))
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKOracle,
@@ -611,5 +657,6 @@ object Similarity {
     "sim_kmeans_refine" -> kmeansRefineOracle,
     "sim_semantic_dedup" -> semanticDedupOracle,
     "sim_ann_recall" -> annRecallOracle,
-    "sim_ann_recall_ivf" -> annRecallIvfOracle)
+    "sim_ann_recall_ivf" -> annRecallIvfOracle,
+    "sim_outlier_report" -> outlierReportOracle)
 }
