@@ -46,7 +46,8 @@ object Explain {
 
       case "--stages" =>
         val acc = new java.util.concurrent.atomic.AtomicLongArray(3) // run, cpu, tasks
-        var worst: (Long, Int, String) = (0L, 0, "") // runTime, tasks of the slowest stage
+        // written on the listener-bus thread, read on main: AtomicReference
+        val worst = new java.util.concurrent.atomic.AtomicReference[(Long, Int, String)]((0L, 0, ""))
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -54,21 +55,32 @@ object Explain {
             acc.addAndGet(0, m.executorRunTime)
             acc.addAndGet(1, m.executorCpuTime / 1000000L)
             acc.addAndGet(2, sc.stageInfo.numTasks.toLong)
-            if (m.executorRunTime > worst._1)
-              worst = (m.executorRunTime, sc.stageInfo.numTasks,
-                sc.stageInfo.details.linesIterator.take(1).mkString)
+            worst.updateAndGet { w =>
+              if (m.executorRunTime > w._1)
+                (m.executorRunTime, sc.stageInfo.numTasks,
+                  sc.stageInfo.details.linesIterator.take(1).mkString)
+              else w
+            }
           }
         }
         spark.sparkContext.addSparkListener(listener)
         println(f"${"query"}%-34s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"tasks"}%6s  worst-stage run_s/tasks")
         names.foreach { name =>
-          (0 to 2).foreach(acc.set(_, 0L)); worst = (0L, 0, "")
+          (0 to 2).foreach(acc.set(_, 0L)); worst.set((0L, 0, ""))
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
-          // listener events are async; give the bus a moment to drain
-          Thread.sleep(300)
-          println(f"$name%-34s $wall%7.2f ${acc.get(0) / 1e3}%7.2f ${acc.get(1) / 1e3}%7.2f ${acc.get(2)}%6d  ${worst._1 / 1e3}%.2f/${worst._2}")
+          // listener events are async; block until the bus has drained.
+          // listenerBus is private[spark] in Scala but public in bytecode —
+          // reflection reaches waitUntilEmpty(); fall back to a sleep if a
+          // Spark upgrade reshapes it (dev tool, best-effort)
+          try {
+            val sc = spark.sparkContext
+            val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+            bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+          } catch { case scala.util.control.NonFatal(_) => Thread.sleep(300) }
+          val w = worst.get()
+          println(f"$name%-34s $wall%7.2f ${acc.get(0) / 1e3}%7.2f ${acc.get(1) / 1e3}%7.2f ${acc.get(2)}%6d  ${w._1 / 1e3}%.2f/${w._2}")
         }
 
       case _ =>

@@ -61,6 +61,14 @@ object AsOf {
       rightOrd: String,
       payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    // the union below merges same-named columns silently, so a left/right
+    // column that collides with our scratch names would corrupt the
+    // carried-forward payload (LEFT rows feeding last(__payload)) — fail
+    // loudly instead
+    val reserved = Set("__ord", "__payload", "__side", "__m")
+    val clash = (left.columns ++ right.columns).filter(reserved)
+    require(clash.isEmpty,
+      s"as-of inputs must not contain reserved columns ${clash.mkString(", ")}")
     val keep = (rightOrd +: payload).distinct
     val r = right.select(
       on.map(col) ++ Seq(

@@ -43,14 +43,17 @@ object BinnedRange {
       on: Seq[String] = Nil): DataFrame = {
     require(hi >= lo, s"empty window [$lo, $hi]")
     val binW = math.max(hi - lo, 1L)
-    // integer floor-division bins; sequence() is inclusive and spans at
-    // most 2 ids because binW >= window span
+    // pure-integer floor-division bins (double floor(x / b) is exact only
+    // for |x| < 2^53 — epoch-nanos columns would bin wrong and silently
+    // drop matches); (x - ((x % b + b) % b)) DIV b floors for negatives too.
+    // sequence() is inclusive and spans at most 2 ids because binW >= span
+    def floorDiv(x: String): String =
+      s"((($x) - (((($x) % $binW) + $binW) % $binW)) DIV $binW)"
     val l2 = left.withColumn("__bin",
       explode(expr(
-        s"sequence(CAST(floor(($leftT + $lo) / ${binW}.0D) AS BIGINT), " +
-          s"CAST(floor(($leftT + $hi) / ${binW}.0D) AS BIGINT))")))
+        s"sequence(${floorDiv(s"$leftT + $lo")}, ${floorDiv(s"$leftT + $hi")})")))
     val r2 = right
-      .withColumn("__bin", expr(s"CAST(floor($rightT / ${binW}.0D) AS BIGINT)"))
+      .withColumn("__bin", expr(floorDiv(rightT)))
       .select(("__bin" +: on ++: (rightT +: payload).distinct).map(col): _*)
 
     l2.join(r2, on :+ "__bin")

@@ -63,20 +63,28 @@ object Dedup {
         .distinct()
     }
 
-    // document-frequency cap: a gram shared by >500 docs generates >125k
-    // candidate pairs on its own and carries no near-dup signal (stop-gram);
-    // dropping it bounds the inverted-index blow-up at scale. Counts are
-    // computed BEFORE the cap so Jaccard denominators stay exact.
+    // document-frequency cap, CORPUS-RELATIVE (df·10 > N, i.e. a gram in
+    // >10% of all documents): a stop-gram carries no near-dup signal and
+    // generates quadratic candidate pairs. A fixed absolute cap would drift
+    // under Zipf — the number of grams exceeding any constant grows with
+    // corpus size — so the threshold scales with the observed doc count
+    // (the sample_domain_mix observed-count pattern). Counts are computed
+    // BEFORE the cap so Jaccard denominators stay exact.
     val counts = allGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
     // surface the silent cap (VERDICT r2/r3): a truncated candidate space
     // must be visible, not implied. observe() attaches a passive metric to
     // the executed plan — no extra job at plan-construction time, no cached
     // frame to leak — and Fixtures' listener logs it when the query RUNS.
     Fixtures.ensureMetricLogger(spark)
+    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
     val hotGrams = allGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
-      .filter($"df" > 500).select($"gram")
+      .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast
+      .filter($"df" * 10L > $"n_docs").select($"gram")
       .observe("graft_ngram_stopgrams_dropped", count(lit(1)).as("n_stop_grams"))
-    val grams = allGrams.join(broadcast(hotGrams), Seq("gram"), "left_anti")
+    // plain shuffle anti-join on the gram key: the stop-gram set is
+    // Zipf-growing (vocabulary-derived), so it must never be broadcast —
+    // AQE may still convert at runtime when the set is provably tiny
+    val grams = allGrams.join(hotGrams, Seq("gram"), "left_anti")
 
     val inter = grams.as("a").join(grams.as("b"),
         $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
@@ -103,7 +111,8 @@ object Dedup {
        grams AS (
          SELECT g.* FROM all_grams g
          WHERE g.gram NOT IN (
-           SELECT gram FROM all_grams GROUP BY gram HAVING COUNT(1) > 500)),
+           SELECT gram FROM all_grams GROUP BY gram
+           HAVING COUNT(1) * 10 > (SELECT COUNT(1) FROM documents))),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -369,10 +378,12 @@ object Dedup {
     *
     * The only corpus-sized shuffle keys on the fingerprint itself
     * ([[winnowFingerprints]]), so the candidate join is blocking-based like
-    * every dedup above. Fingerprints shared by > 500 documents are
+    * every dedup above. Fingerprints shared by >10% of all documents are
     * boilerplate (no dup signal, quadratic candidate cost) and are dropped
-    * like [[ngramJaccard]]'s stop-grams, surfaced via the same observe()
-    * metric pattern. */
+    * like [[ngramJaccard]]'s stop-grams — the cap is corpus-relative for
+    * the same Zipf-drift reason, and the anti-join is a plain shuffle join
+    * (the hot set is vocabulary-derived and must not broadcast) — surfaced
+    * via the same observe() metric pattern. */
   def winnow(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
@@ -382,10 +393,12 @@ object Dedup {
     }
 
     Fixtures.ensureMetricLogger(spark)
+    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
     val hotFps = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" > 500).select($"fp")
+      .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast
+      .filter($"df" * 10L > $"n_docs").select($"fp")
       .observe("graft_winnow_boilerplate_dropped", count(lit(1)).as("n_hot_fps"))
-    val kept = fps.join(broadcast(hotFps), Seq("fp"), "left_anti")
+    val kept = fps.join(hotFps, Seq("fp"), "left_anti")
 
     kept.as("a").join(kept.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
@@ -415,7 +428,8 @@ object Dedup {
          FROM gs),
        kept AS (
          SELECT * FROM fps
-         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(1) > 500)),
+         WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp
+                          HAVING COUNT(1) * 10 > (SELECT COUNT(1) FROM documents))),
        w_pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_fps
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -269,7 +269,9 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     spark.table("ek")
-      .select(expr("(btime - 1704067200) div 86400").as("day"),
+      // floor semantics to match DuckDB's `//` (Spark `div` truncates toward
+      // zero — differs for btime below the anchor); exact: |sec| << 2^53
+      .select(expr("CAST(floor((btime - 1704067200) / 86400.0D) AS BIGINT)").as("day"),
         $"event_type", $"cents")
       .rollup($"day", $"event_type")
       .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
@@ -356,7 +358,9 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val days = spark.table("ek")
-      .select($"user_id", expr("(btime - 1704067200) div 86400").as("day"))
+      // floor division (matches DuckDB `//`), see dailyRollup
+      .select($"user_id",
+        expr("CAST(floor((btime - 1704067200) / 86400.0D) AS BIGINT)").as("day"))
     val weekday = days.filter($"day" % 7 < 5).select($"user_id").distinct()
     val weekend = days.filter($"day" % 7 >= 5).select($"user_id").distinct()
     weekday.intersect(weekend).select($"user_id", lit("both").as("cohort"))

@@ -601,8 +601,11 @@ object TextOps {
   /** Per-document TF-IDF keyword extraction: top-3 terms per document by
     * tf × (N+1)/(df+1) — the rational idf (no ln(), same bit-determinism
     * argument as [[bm25Search]]). The (doc, word) tf aggregate is the one
-    * corpus-sized shuffle; df re-aggregates the tf frame (vocabulary-sized)
-    * and broadcasts back; the top-3 window partitions BY DOCUMENT, so every
+    * corpus-sized shuffle; df re-aggregates the tf frame and joins back as a
+    * plain SHUFFLE join on the word key — the df frame is vocabulary-sized
+    * (Heaps' law: 10⁸-10⁹ distinct tokens at web scale, typos/URLs/ids), so
+    * it must never be broadcast; the only broadcast is the 1-row corpus
+    * count. The top-3 window partitions BY DOCUMENT, so every
     * window is bounded by a single document's vocabulary — no global sort,
     * no whole-corpus partition (the r4 WindowExec lesson). Ties break on the
     * word itself for a deterministic keyword set. */
@@ -618,7 +621,7 @@ object TextOps {
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"sc".desc, $"word")
-    tf.join(broadcast(df), Seq("word"))
+    tf.join(df, Seq("word"))
       .join(broadcast(n))
       .withColumn("sc",
         $"tf".cast(DoubleType) *
@@ -861,13 +864,13 @@ object TextOps {
     * floating-point accumulation anywhere, so the oracle matches
     * bit-for-bit regardless of row order.
     *
-    * Scale shape: the bigram-count join keys on the gram itself
-    * (inverted-index pattern, same as [[ngramCounts]]) and is a SHUFFLE
-    * join — the bigram vocabulary is V²-shaped and must never broadcast;
-    * only the unigram head-count frame broadcasts (vocabulary grows
-    * sublinearly with the corpus, Heaps' law). Then ONE map-side-combined
-    * per-doc aggregate. Documents under 2 words have no bigrams and drop out
-    * identically in both engines. */
+    * Scale shape: BOTH count joins are SHUFFLE joins on their gram/head
+    * keys (inverted-index pattern, same as [[ngramCounts]]) — the bigram
+    * vocabulary is V²-shaped, and the unigram head-count frame is still
+    * vocabulary-sized (Heaps' law is sublinear, not bounded: a web corpus
+    * has 10⁸-10⁹ distinct tokens), so neither may broadcast. Then ONE
+    * map-side-combined per-doc aggregate. Documents under 2 words have no
+    * bigrams and drop out identically in both engines. */
   def lmFluency(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
@@ -885,7 +888,7 @@ object TextOps {
 
     grams
       .join(bigCnt, Seq("gram"))
-      .join(broadcast(headCnt), Seq("head"))
+      .join(headCnt, Seq("head"))
       .select($"doc_id", expr("(big_n * 1000000L) DIV head_n").as("g_score"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"g_score").as("total"))

@@ -25,11 +25,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Memo {
 
-  private val frames = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** Each entry carries the frame plus the action that actually frees its
+    * storage: `unpersist` for persisted frames, but for localCheckpoint-ed
+    * frames `Dataset.unpersist` is a NO-OP (checkpoint blocks belong to the
+    * underlying RDD, which is not registered in the cacheManager), so those
+    * entries unpersist the checkpointed RDD directly. */
+  private val frames = TrieMap.empty[(SparkSession, String, String), (DataFrame, () => Unit)]
 
   def cached(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, sfDir, name),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    frames.getOrElseUpdate((spark, sfDir, name), {
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+      (df, () => { df.unpersist(false); () })
+    })._1
 
   /** Like [[cached]], but also truncates lineage with an eager local
     * checkpoint. A persisted frame still CARRIES its full logical plan, so
@@ -42,14 +49,30 @@ object Memo {
     * executor — right for derived frames that can rebuild; an iterative
     * production job would point spark.checkpoint.dir at durable storage. */
   def checkpointed(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, sfDir, name), build.localCheckpoint())
+    frames.getOrElseUpdate((spark, sfDir, name), {
+      val ck = build.localCheckpoint()
+      (ck, () => checkpointRdd(ck).foreach(_.unpersist(false)))
+    })._1
+
+  /** The RDD holding a localCheckpoint-ed frame's blocks. The analyzed plan
+    * is a single `LogicalRDD` leaf whose `rdd` accessor is package-private
+    * to Spark at the Scala level but public in bytecode — reflection reaches
+    * it without depending on a private API at compile time. Best-effort: if
+    * a Spark upgrade reshapes the plan, release falls back to the (async,
+    * GC-driven) ContextCleaner path rather than failing. */
+  private def checkpointRdd(ck: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    try {
+      val leaf = ck.queryExecution.analyzed
+      val m = leaf.getClass.getMethod("rdd")
+      Option(m.invoke(leaf)).collect { case r: org.apache.spark.rdd.RDD[_] => r }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Unpersist and forget every frame memoized for (session, sfDir). The
     * next `cached` call under the scope rebuilds from scratch. */
   def release(spark: SparkSession, sfDir: String): Unit =
     frames.keys
       .filter(k => (k._1 eq spark) && k._2 == sfDir)
-      .foreach(k => frames.remove(k).foreach(_.unpersist(false)))
+      .foreach(k => frames.remove(k).foreach(_._2()))
 
   /** Unpersist and forget every frame memoized for the session, all scopes —
     * also drops the session references themselves, so a stopped session can
@@ -57,5 +80,5 @@ object Memo {
   def releaseAll(spark: SparkSession): Unit =
     frames.keys
       .filter(_._1 eq spark)
-      .foreach(k => frames.remove(k).foreach(_.unpersist(false)))
+      .foreach(k => frames.remove(k).foreach(_._2()))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.{Dedup, TextOps}
+
+/** Plan assertions for the growing-broadcast class of scale bugs (VERDICT r7).
+  *
+  * A frame whose cardinality grows with the corpus vocabulary (per-word df,
+  * unigram head counts, Zipf stop-gram sets) must never carry a broadcast
+  * HINT: at sf0.01 Catalyst may still auto-broadcast it from size estimates
+  * (correct — it IS tiny there), but at 100 TB the estimate is huge and the
+  * join must degrade to a shuffle. Setting autoBroadcastJoinThreshold=-1
+  * simulates the at-scale estimate: with auto-conversion off, the ONLY
+  * broadcasts left must be the explicitly hinted bounded frames (1-row
+  * corpus totals), and every vocabulary join must plan as a shuffle join.
+  */
+class ScalePlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withNoAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("keywordTfidf's vocabulary df join shuffles when estimates are large") {
+    withNoAutoBroadcast {
+      val p = plan(TextOps.keywordTfidf(spark, sfDir))
+      assert(p.contains("SortMergeJoin"),
+        s"tf ⋈ df must be a shuffle join without auto-broadcast:\n$p")
+      // the one remaining broadcast is the hinted 1-row corpus count
+      assert(p.split("BroadcastExchange").length - 1 <= 1,
+        s"only the 1-row N frame may broadcast:\n$p")
+    }
+  }
+
+  test("lmFluency broadcasts nothing: both count joins shuffle on their keys") {
+    withNoAutoBroadcast {
+      val p = plan(TextOps.lmFluency(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        s"neither the bigram nor the unigram count frame may broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"), s"count joins must shuffle:\n$p")
+    }
+  }
+
+  test("ngramJaccard's stop-gram anti-join shuffles; only the 1-row total broadcasts") {
+    withNoAutoBroadcast {
+      val p = plan(Dedup.ngramJaccard(spark, sfDir))
+      assert(p.contains("LeftAnti"), s"stop-gram filter must be an anti-join:\n$p")
+      assert(!p.contains("BroadcastHashJoin LeftAnti"),
+        s"the Zipf-growing stop-gram set must not broadcast:\n$p")
+      // the hinted 1-row doc-count subtree appears once per side of the
+      // inverted-index SELF-join, hence <= 2
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"only the hinted 1-row doc count may broadcast:\n$p")
+    }
+  }
+
+  test("winnow's boilerplate anti-join shuffles; only the 1-row total broadcasts") {
+    withNoAutoBroadcast {
+      val p = plan(Dedup.winnow(spark, sfDir))
+      assert(p.contains("LeftAnti"), s"boilerplate filter must be an anti-join:\n$p")
+      assert(!p.contains("BroadcastHashJoin LeftAnti"),
+        s"the fingerprint hot set must not broadcast:\n$p")
+      // hinted 1-row subtree duplicated across the self-join, hence <= 2
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"only the hinted 1-row doc count may broadcast:\n$p")
+    }
+  }
+}
