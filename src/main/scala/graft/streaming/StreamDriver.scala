@@ -51,7 +51,8 @@ final class StreamDriver(
     analyticalEvery: Long = 10L,
     onOperationalRefresh: DataFrame => Unit = _ => (),
     onAnalyticalRefresh: Long => Unit = _ => (),
-    jdbcSink: Option[JdbcBatchSink] = None) {
+    jdbcSink: Option[JdbcBatchSink] = None,
+    multiTableSink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])] = None) {
 
   /** Partition column: coarse block bucket so a reorg delete prunes to a
     * bounded set of partitions (4096 blocks per bucket). */
@@ -80,6 +81,11 @@ final class StreamDriver(
     // never advances its cursor past pending data, index.ts:243-246), so a
     // stale pending suffix would double it.
     dropPending()
+    // multi-table relational leg: delete any batch the cursor never
+    // acknowledged (a crash between the fact appends and the cursor write);
+    // the checkpoint replay below then rewrites it — the reference's
+    // "delete any pending data on restart" contract (index.ts:242-244)
+    multiTableSink.foreach(_._1.repairAfterRestart())
     val raw = source.stream(spark)
     require(raw.isStreaming, s"BlockSource $source returned a non-streaming frame")
     raw.writeStream
@@ -150,6 +156,16 @@ final class StreamDriver(
     // relational leg (BASELINE's "JDBC sink to Postgres"): canonical rows
     // only — the pending head stays in its replaceable side store
     jdbcSink.foreach(_.write(replaySafe, batchId))
+
+    // multi-table relational leg: route the batch into per-processor fact
+    // frames (the reference DAO's ~24 tables, dao.ts:1895-2893) and write
+    // them with the cursor-as-commit-marker protocol. The 1-row max-block
+    // aggregate is the cursor read — a legitimate driver-side collect.
+    multiTableSink.foreach { case (sink, route) =>
+      val endBlock = replaySafe.agg(max(col("block_number"))).collect().head
+      if (!endBlock.isNullAt(0)) // an all-filtered replay batch moves no cursor
+        sink.write(route(replaySafe), batchId, endBlock.getLong(0))
+    }
 
     val keyedPending = pending.map { p =>
         // the retract-ledger replay guard applies to pending rows too: a
@@ -257,6 +273,7 @@ final class StreamDriver(
     // the relational leg deletes instead of rewriting partitions (the
     // reference cascades deletes from event_keys, dao.ts:1543-1576)
     jdbcSink.foreach(_.retract(fromBlock))
+    multiTableSink.foreach(_._1.retract(fromBlock))
 
     val boundary = fromBlock / 4096
     val maxBatch = maxBatchId(fs)
