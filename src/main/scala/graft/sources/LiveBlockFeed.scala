@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** A live block feed over the file-source seam — the closest a sandboxed
+  * build gets to the reference's network cursor stream (an Apibara gRPC
+  * subscription pushing block batches while the indexer runs,
+  * index.ts:127-141).
+  *
+  * A producer (its own thread, a bridge process draining gRPC, a test
+  * script) calls [[emit]] while a [[graft.streaming.StreamDriver]] query is
+  * RUNNING over [[source]]; each emit lands one uniquely-named chunk under
+  * the watched directory and becomes (part of) the next micro-batch. The
+  * arrival race is real — the stream's file listing runs concurrently with
+  * the producer's write — and safe, because parquet part files are
+  * committed by atomic rename: a chunk is either absent from a listing or
+  * complete.
+  *
+  * Rows follow the raw-event contract
+  * `(block_number, transaction_index, event_index, ..., is_pending?)`:
+  * a finalized block is emitted with `is_pending = false`, the unfinalized
+  * head with `true`, and a later emit re-sends the head's blocks finalized
+  * (the reference's pending → accepted transition). Reorgs are NOT emitted
+  * through the feed: like the reference's invalidate message they are a
+  * control-channel event, delivered by quiescing the query and calling
+  * `StreamDriver.retract` before resuming on the same checkpoint.
+  */
+final class LiveBlockFeed(dir: String, val schema: StructType) {
+
+  private val chunkIds = new AtomicInteger(0)
+
+  /** The consuming side: hand this to `StreamDriver.start`. */
+  def source: BlockSource = FileBlockSource(s"$dir/*", schema)
+
+  /** Append one block batch to the feed. Thread-safe; callable while the
+    * consuming query runs. The frame must match [[schema]]. */
+  def emit(batch: DataFrame): Unit = {
+    require(batch.schema.fieldNames.sameElements(schema.fieldNames),
+      s"feed rows must match the declared schema ${schema.fieldNames.mkString(",")}")
+    batch.write.mode("overwrite")
+      .parquet(s"$dir/chunk=${chunkIds.incrementAndGet()}")
+  }
+}
