@@ -51,11 +51,39 @@ object Bench {
     // in the first consuming query, as it would in production.
     graft.fixtures.Fixtures.register(spark, sfDir)
 
+    // Per-query stage metrics alongside wall time: a contended run is
+    // attributable instead of looking like a plan regression (BENCH_r07's
+    // phantom sim_* spikes cost a round of diagnosis). Signature table:
+    //   wall >> run        -> driver-side (GC pause, janino compile,
+    //                         scheduling delay, listing) or host contention
+    //   run  >> cpu        -> tasks blocked (IO, lock, static init)
+    //   wall ~ run ~ cpu   -> genuine executor work: only THIS shape can be
+    //                         a plan regression
+    val acc = new java.util.concurrent.atomic.AtomicLongArray(2) // runTime, cpuTime(ms)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        acc.addAndGet(0, m.executorRunTime)
+        acc.addAndGet(1, m.executorCpuTime / 1000000L)
+      }
+    })
+    // listenerBus is private[spark] in Scala, public in bytecode; without
+    // the drain a query's trailing stages could bleed into the next entry
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case scala.util.control.NonFatal(_) => Thread.sleep(200) }
+
     // stable (sorted) execution order so per-query timings are comparable
     // across runs; shared-plan cache fills land on the same first consumer
     var failures = List.empty[String]
-    def runAll(): Seq[(String, Double)] =
+    def runAll(): Seq[(String, Double, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        drainListenerBus()
+        acc.set(0, 0L); acc.set(1, 0L)
         val t0 = System.nanoTime()
         // a failed query must surface as a FAILURE, never as a fast timing
         // (pre-round-1 commit bfe8d10 was exactly this bug): the elapsed time
@@ -65,7 +93,9 @@ object Bench {
           failures ::= name
           System.err.println(s"[bench] $name FAILED: $e")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainListenerBus()
+        (name, wall, acc.get(0) / 1e3, acc.get(1) / 1e3)
       }
     // SPARK_GRAFT_REPEAT=N runs the catalog N times and reports the LAST
     // pass: earlier passes absorb one-time costs (janino codegen compile,
@@ -83,11 +113,16 @@ object Bench {
           (if (failures.nonEmpty) s" failures=$failures" else ""))
       r
     }.last
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // executor-side attribution per query (seconds): run = summed task
+    // runTime, cpu = summed task cpuTime — see the signature table above
+    val ms = results.map { case (k, _, run, cpu) =>
+      f""""$k":{"run":$run%.3f,"cpu":$cpu%.3f}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_metrics":$ms,"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
