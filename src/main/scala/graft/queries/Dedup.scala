@@ -86,9 +86,11 @@ object Dedup {
     // AQE may still convert at runtime when the set is provably tiny
     val grams = allGrams.join(hotGrams, Seq("gram"), "left_anti")
 
-    val inter = grams.as("a").join(grams.as("b"),
-        $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // inverted-index self-join, routed through the salt gate: plain
+    // gram-keyed equi-join by default (AQE skew split as the net), salted
+    // when spark.graft.salt.selfJoinBuckets is set for known-skewed corpora
+    val inter = graft.util.Salted.pairSelfJoin(grams, "gram", "doc_id")
+      .groupBy($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
     inter
@@ -400,9 +402,9 @@ object Dedup {
       .observe("graft_winnow_boilerplate_dropped", count(lit(1)).as("n_hot_fps"))
     val kept = fps.join(hotFps, Seq("fp"), "left_anti")
 
-    kept.as("a").join(kept.as("b"),
-        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // same salt gate as ngramJaccard's inverted-index join
+    graft.util.Salted.pairSelfJoin(kept, "fp", "doc_id")
+      .groupBy($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter($"shared_fps" >= 2)
   }

@@ -1,7 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{functions, Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence}
 
 /** Two-stage salted aggregation — the standard skew lever for hot keys.
   *
@@ -23,5 +23,49 @@ object Salted {
       .agg(functions.sum(col(valueCol)).as(alias))
       .groupBy(keyCols: _*)
       .agg(functions.sum(col(alias)).as(alias))
+  }
+
+  /** Session config: bucket count for salted band/bucket SELF-joins. 0
+    * (default) = plain equi-join, relying on AQE's runtime skew split
+    * (SkewJoinSpec); > 0 = static salting below, for deployments whose
+    * band-key skew is known up front (a boilerplate header shared by
+    * millions of documents makes one band key quadratic BEFORE the join
+    * output AQE measures — salting bounds the build itself). */
+  val selfJoinBucketsKey = "spark.graft.salt.selfJoinBuckets"
+
+  /** Candidate-pair self-join on a blocking key — `(id_a < id_b sharing
+    * key)`, the shape of every band/bucket dedup join — routed through the
+    * [[selfJoinBucketsKey]] gate: plain when 0, salted when set.
+    * Output: one (id_a, id_b) row per shared-key co-occurrence (callers
+    * aggregate per pair). Result is IDENTICAL either way; only the shuffle
+    * layout changes. */
+  def pairSelfJoin(df: DataFrame, key: String, idCol: String): DataFrame = {
+    val buckets = df.sparkSession.conf
+      .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
+    if (buckets <= 0)
+      df.as("a").join(df.as("b"),
+          col(s"a.$key") === col(s"b.$key") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    else saltedPairSelfJoin(df, key, idCol, buckets)
+  }
+
+  /** The salted variant: side A takes a deterministic per-row salt from its
+    * id, side B replicates each row across ALL buckets, and the join keys
+    * on (key, salt) — so a hot key's pair build spreads over `buckets`
+    * reducers while every (a, b) pair still meets exactly once, at the
+    * reducer owning a's salt. Cost model: a key with H rows pays H·buckets
+    * replicated rows against H²/buckets per-reducer pair work — the right
+    * trade exactly when one H is pathological. The salt derives from the id
+    * (not rand()), so the plan stays deterministic and replayable. */
+  def saltedPairSelfJoin(df: DataFrame, key: String, idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val a = df.withColumn("__salt", pmod(functions.hash(col(idCol)), lit(buckets)))
+    val b = df.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    a.as("a").join(b.as("b"),
+        col(s"a.$key") === col(s"b.$key") &&
+          col("a.__salt") === col("b.__salt") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
   }
 }
