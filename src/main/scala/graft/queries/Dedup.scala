@@ -441,7 +441,83 @@ object Dedup {
   val winnowOracle: String = Fixtures.oracle(
     winnowOracleCtes + "\n       SELECT doc_a, doc_b, shared_fps FROM w_pairs")
 
+  /** Containment near-dup detection: a short document embedded inside a
+    * longer one has high containment |A∩B| / min(|A|,|B|) but LOW Jaccard
+    * (the union is dominated by the long doc), so the Jaccard ladder misses
+    * it — the classic quote/boilerplate-inclusion case in web corpora.
+    *
+    * Shape: candidate generation is the SAME MinHash band equi-join as
+    * [[minhashLsh]] (blocking, never all-pairs); verification computes the
+    * EXACT word-3-gram intersection per surviving pair and keeps pairs with
+    * containment ≥ 0.8. The threshold compare and the reported score are
+    * pure integer arithmetic (cross-multiplication / basis points), so both
+    * engines agree bit-for-bit. The pair⋈gram joins are keyed on doc_id —
+    * candidate-output-sized, not corpus-sized; gram sets come from the
+    * memoized inverted index shared with [[ngramJaccard]]. */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+
+    val bands = spark.table("documents")
+      .select($"doc_id",
+        posexplode(expr("graft_minhash_bands(split(text, ' '))")))
+      .toDF("doc_id", "band", "band_key")
+    val pairs = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    val grams = graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
+      spark.table("documents")
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(words) - 3), " +
+            "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+        .distinct()
+    }
+    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+
+    val inter = pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"gram"), Seq("doc_b", "gram"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(counts.select($"doc_id".as("doc_a"), $"n_grams".as("na")), Seq("doc_a"))
+      .join(counts.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), Seq("doc_b"))
+      .filter($"inter" * 5L >= least($"na", $"nb") * 4L)
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
+        expr("(inter * 10000) DIV least(na, nb)").as("containment_bp"))
+  }
+
+  val containmentOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      s""", cn_pairs AS (SELECT DISTINCT doc_a, doc_b FROM lsh_pairs),
+       cn_grams AS (
+         SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(words) - 2)) AS t(i)
+         WHERE len(words) >= 3),
+       cn_counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM cn_grams GROUP BY 1),
+       cn_inter AS (
+         SELECT p.doc_a, p.doc_b, COUNT(1) AS inter
+         FROM cn_pairs p
+         JOIN cn_grams a ON a.doc_id = p.doc_a
+         JOIN cn_grams b ON b.doc_id = p.doc_b AND b.gram = a.gram
+         GROUP BY 1, 2)
+       SELECT i.doc_a, i.doc_b, i.inter, ca.n_grams AS na, cb.n_grams AS nb,
+              CAST((i.inter * 10000) // least(ca.n_grams, cb.n_grams) AS BIGINT) AS containment_bp
+       FROM cn_inter i
+       JOIN cn_counts ca ON ca.doc_id = i.doc_a
+       JOIN cn_counts cb ON cb.doc_id = i.doc_b
+       WHERE i.inter * 5 >= least(ca.n_grams, cb.n_grams) * 4""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (containment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_winnow" -> (winnow _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -454,6 +530,7 @@ object Dedup {
     "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_containment" -> containmentOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_cluster_components" -> clusterComponentsOracle)
 }

@@ -244,6 +244,72 @@ object Sampling {
           ON r.lang = d.lang
         WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
 
+  /** Temperature-scaled domain mixing (the mT5/XLM-R multilingual sampling
+    * scheme): target domain shares ∝ n_d^α with α = 1/2, flattening the
+    * size distribution less aggressively than [[domainMix]]'s uniform
+    * target. The kept-corpus budget is half the corpus; each domain's keep
+    * count is its √n-proportional share of that budget, converted to a
+    * Bernoulli rate and applied with the same deterministic
+    * multiplicative-hash decision as the other samplers.
+    *
+    * Exactness: n^(1/2) is computed as an INTEGER sqrt — floor(√n) from the
+    * IEEE-exact double sqrt, then corrected by one in each direction so the
+    * result is exactly ⌊√n⌋ even at values where the double rounds across
+    * the integer boundary. Every downstream quantity (share, rate) is
+    * integer arithmetic, so the per-domain weight SUM is order-free and
+    * both engines derive bit-identical thresholds — the same reason
+    * [[domainMix]] uses basis points.
+    *
+    * Scale path: identical to domainMix — one map-side-combined count per
+    * domain, a domain-sized rate table broadcast back, scan-side filter. */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_d"))
+    val weights = counts
+      .withColumn("s0", expr("CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT)"))
+      .withColumn("s1", expr("s0 - CASE WHEN s0 * s0 > n_d THEN 1 ELSE 0 END"))
+      .withColumn("w_d", expr("s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_d THEN 1 ELSE 0 END"))
+      .select($"lang", $"n_d", $"w_d")
+    val totals = weights.agg(sum($"n_d").as("total"), sum($"w_d").as("w_total"))
+    val rates = weights.crossJoin(broadcast(totals))
+      .select($"lang",
+        least(lit(10000L),
+          expr("((((total DIV 2) * w_d) DIV w_total) * 10000) DIV n_d")).as("rate_bp"))
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < $"rate_bp")
+      .select($"doc_id", $"lang", $"bucket", $"rate_bp")
+  }
+
+  val temperatureMixOracle: String = Fixtures.oracle(
+    s"""SELECT d.doc_id, d.lang,
+               CAST(${bucketExprSql("d.doc_id")} % 10000 AS BIGINT) AS bucket,
+               r.rate_bp
+        FROM documents d
+        JOIN (SELECT lang,
+                     CAST(least(10000, ((((t.total // 2) * w_d) // t.w_total) * 10000) // n_d)
+                       AS BIGINT) AS rate_bp
+              FROM (SELECT lang, n_d,
+                           s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_d THEN 1 ELSE 0 END AS w_d
+                    FROM (SELECT lang, n_d,
+                                 s0 - CASE WHEN s0 * s0 > n_d THEN 1 ELSE 0 END AS s1
+                          FROM (SELECT lang, COUNT(*) AS n_d,
+                                       CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+                                FROM documents GROUP BY lang))) w
+              CROSS JOIN (SELECT SUM(n_d) AS total, SUM(w_d) AS w_total
+                          FROM (SELECT n_d,
+                                       s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_d THEN 1 ELSE 0 END AS w_d
+                                FROM (SELECT n_d,
+                                             s0 - CASE WHEN s0 * s0 > n_d THEN 1 ELSE 0 END AS s1
+                                      FROM (SELECT COUNT(*) AS n_d,
+                                                   CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS s0
+                                            FROM documents GROUP BY lang)))) t) r
+          ON r.lang = d.lang
+        WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
+
   /** Importance (weighted) sampling: keep-probability proportional to a
     * per-document weight — here a length proxy capped at 95% — instead of
     * a per-stratum constant. Same deterministic-hash machinery as the
@@ -392,7 +458,8 @@ object Sampling {
     "sample_uniform_k" -> ((s: SparkSession, d: String) => uniformKPerStratum(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
     "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)),
-    "sample_domain_mix" -> (domainMix _))
+    "sample_domain_mix" -> (domainMix _),
+    "sample_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "sample_class_balanced" -> classBalancedOracle,
@@ -403,5 +470,6 @@ object Sampling {
     "sample_uniform_k" -> uniformKPerStratumOracle,
     "embedding_quantize" -> embeddingQuantizeOracle,
     "pack_token_budget" -> packTokenBudgetOracle,
-    "sample_domain_mix" -> domainMixOracle)
+    "sample_domain_mix" -> domainMixOracle,
+    "sample_temperature_mix" -> temperatureMixOracle)
 }

@@ -461,7 +461,98 @@ object Sessions {
          AND ABS(CAST(r.c * m.n - m.sc AS DOUBLE)
                  / SQRT(CAST(m.n * m.sc2 - m.sc * m.sc AS DOUBLE))) >= 3.0""")
 
+  /** Integer PageRank over the user interaction graph — the graph-centrality
+    * quality signal of web-corpus curation (Common Crawl ranks pages by
+    * harmonic centrality / PageRank over the link graph; here the "links"
+    * are purchase→click temporal influence edges from the same binned range
+    * join as [[clickFollow]]).
+    *
+    * Determinism: ranks are held as integers at scale 10^12 and every step
+    * is integer arithmetic — per-edge share r DIV deg, damping
+    * (85·Σ) DIV 100 — so the per-node contribution SUM is order-free and
+    * five iterations produce bit-identical ranks in both engines (a
+    * double-valued PageRank would drift by summation order).
+    *
+    * Scale path: the edge list is built by an equi-joinable binned range
+    * join (never all-pairs), each iteration is ONE shuffle (join ranks⋈edges
+    * on src, re-group on dst), and the rank frame is localCheckpoint-ed per
+    * round so the plan stays iteration-depth-free — the same iterate +
+    * truncate pattern as dedup_cluster_components. Cost is
+    * iterations × output-sized shuffles at any corpus size. */
+  def userPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val S = 1000000000000L
+
+    val ev = spark.table("ek")
+      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("src"), $"t")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("dst_user"), $"t".as("ct"))
+
+    val edges = graft.operators.BinnedRange
+      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
+      .filter($"src" =!= $"dst_user")
+      .select($"src", $"dst_user".as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    val nodes = edges.select($"src".as("u")).union(edges.select($"dst".as("u"))).distinct()
+    val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select($"u", expr(s"$S DIV n").as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("u", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select($"dst".as("u"), expr("r DIV deg").as("c"))
+        .groupBy($"u").agg(sum($"c").as("contrib"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(contrib, Seq("u"), "left")
+        .select($"u",
+          expr(s"((15 * ($S DIV n)) DIV 100) + (85 * coalesce(contrib, CAST(0 AS BIGINT))) DIV 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.select($"u".as("user_id"), $"r".as("rank_e12"))
+  }
+
+  private def pagerankIterCte(prev: String, cur: String): String =
+    s""", $cur AS (
+         SELECT nd.u,
+                CAST(pb.b + (85 * COALESCE(SUM(pv.r // dg.deg), 0)) // 100 AS BIGINT) AS r
+         FROM pr_nodes nd
+         CROSS JOIN pr_base pb
+         LEFT JOIN pr_edges e ON e.dst = nd.u
+         LEFT JOIN $prev pv ON pv.u = e.src
+         LEFT JOIN pr_deg dg ON dg.src = e.src
+         GROUP BY nd.u, pb.b)"""
+
+  val userPagerankOracle: String = Fixtures.oracle(
+    """, pr_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
+       pr_edges AS (
+         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
+         FROM pr_ev p JOIN pr_ev c
+           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
+         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+       pr_nodes AS (SELECT src AS u FROM pr_edges UNION SELECT dst FROM pr_edges),
+       pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+       pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
+       pr_base AS (SELECT CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS b FROM pr_n),
+       pr_r0 AS (SELECT u, CAST((SELECT 1000000000000 // n FROM pr_n) AS BIGINT) AS r
+                 FROM pr_nodes)""" +
+      pagerankIterCte("pr_r0", "pr_r1") +
+      pagerankIterCte("pr_r1", "pr_r2") +
+      pagerankIterCte("pr_r2", "pr_r3") +
+      pagerankIterCte("pr_r3", "pr_r4") +
+      pagerankIterCte("pr_r4", "pr_r5") +
+      "\n       SELECT u AS user_id, r AS rank_e12 FROM pr_r5")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_user_pagerank" -> (userPagerank _),
     "events_sessionization" -> (sessionize _),
     "events_json_props" -> (jsonProps _),
     "events_anomaly_zscore" -> (anomalyZscore _),
@@ -476,6 +567,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_user_pagerank" -> userPagerankOracle,
     "events_sessionization" -> sessionizeOracle,
     "events_json_props" -> jsonPropsOracle,
     "events_anomaly_zscore" -> anomalyZscoreOracle,

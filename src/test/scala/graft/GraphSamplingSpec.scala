@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Dedup, Sampling, Sessions}
+
+/** Round-8 additions: temperature-scaled domain mixing, containment
+  * near-dup verification, and integer PageRank over the interaction
+  * graph. The DuckDB differential covers value equality; these tests pin
+  * the SEMANTIC properties each operator exists for. */
+class GraphSamplingSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("temperature mix downsamples the head to a share between raw and uniform") {
+    val kept = Sampling.temperatureMix(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Sampling.temperatureMix(spark, sfDir)
+      .select(col("lang"), col("rate_bp")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dominant language is kept at a LOWER rate than every tail language
+    // (that is what temperature sampling is for)
+    val en = rates("en")
+    rates.filterNot(_._1 == "en").foreach { case (l, bp) =>
+      assert(en < bp, s"en rate $en should be below $l rate $bp")
+    }
+    assert(rates.values.forall(bp => bp > 0 && bp <= 10000))
+    // α=1/2 interpolates: en's share of the KEPT corpus sits strictly
+    // between its raw corpus share and the uniform 1/k share — the defining
+    // property of temperature sampling at 0 < α < 1
+    val keptShare = kept("en").toDouble / kept.values.sum
+    val rawShare = corpus("en").toDouble / corpus.values.sum
+    val uniformShare = 1.0 / corpus.size
+    assert(keptShare < rawShare,
+      s"kept share $keptShare should be below raw share $rawShare")
+    assert(keptShare > uniformShare,
+      s"kept share $keptShare should be above uniform share $uniformShare")
+  }
+
+  test("containment catches subset pairs and scores in exact basis points") {
+    val out = Dedup.containment(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter")
+      val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+      val bp = r.getAs[Long]("containment_bp")
+      assert(bp == inter * 10000L / math.min(na, nb))
+      assert(bp >= 8000L, s"below threshold: $r")
+      assert(inter <= math.min(na, nb), "intersection cannot exceed either set")
+    }
+  }
+
+  test("pagerank conserves damped mass and ranks in-degree hubs above leaves") {
+    val ranks = Sessions.userPagerank(spark, sfDir)
+    val n = ranks.count()
+    assert(n > 0)
+    val total = ranks.agg(sum(col("rank_e12"))).collect().head.getLong(0)
+    val S = 1000000000000L
+    // teleport mass alone is 0.15·S; dangling + integer-floor loss can only
+    // shrink the total below S
+    assert(total >= S * 15 / 100 - n * 2, s"total $total below teleport floor")
+    assert(total <= S, s"total $total exceeds injected mass")
+    // every node retains at least the teleport base
+    val base = (15L * (S / n)) / 100L
+    assert(ranks.filter(col("rank_e12") < base).isEmpty)
+  }
+}
