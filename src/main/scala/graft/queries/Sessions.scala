@@ -269,9 +269,11 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     spark.table("ek")
-      // floor semantics to match DuckDB's `//` (Spark `div` truncates toward
-      // zero — differs for btime below the anchor); exact: |sec| << 2^53
-      .select(expr("CAST(floor((btime - 1704067200) / 86400.0D) AS BIGINT)").as("day"),
+      // truncating DIV on BOTH sides: DuckDB's INTEGER `//` truncates toward
+      // zero exactly like Spark's DIV (verified: -7 // 2 = -3 — only
+      // DOUBLE-typed `//` floors), so for btime below the anchor the pair
+      // still agrees; a floor() here would be the one that diverges
+      .select(expr("(btime - 1704067200) DIV 86400").as("day"),
         $"event_type", $"cents")
       .rollup($"day", $"event_type")
       .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"))
@@ -358,9 +360,9 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val days = spark.table("ek")
-      // floor division (matches DuckDB `//`), see dailyRollup
+      // truncating DIV matches DuckDB's integer `//`, see dailyRollup
       .select($"user_id",
-        expr("CAST(floor((btime - 1704067200) / 86400.0D) AS BIGINT)").as("day"))
+        expr("(btime - 1704067200) DIV 86400").as("day"))
     val weekday = days.filter($"day" % 7 < 5).select($"user_id").distinct()
     val weekend = days.filter($"day" % 7 >= 5).select($"user_id").distinct()
     weekday.intersect(weekend).select($"user_id", lit("both").as("cohort"))

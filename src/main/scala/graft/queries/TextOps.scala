@@ -911,7 +911,106 @@ object TextOps {
        JOIN lm_head h ON g.head = h.head
        GROUP BY 1""")
 
+  /** Model-based quality scoring — the fastText-classifier curation stage
+    * (DCLM / FineWeb-Edu filter corpora with a linear bag-of-words
+    * classifier; its inference is exactly this shape: hash each token into
+    * a weight table, sum, threshold). The weight table here is a
+    * deterministic function of the shared polynomial word hash
+    * (`w ↦ (hash(w) mod 1001) − 500`, a pseudo-random ±500 weight) so both
+    * engines score identically with NO model file; swapping in real learned
+    * weights changes the lookup, not the plan.
+    *
+    * Scale path: pure scan-side projection — the per-document fold is a
+    * codegen'd higher-order aggregate over the token array, no shuffle, no
+    * vocabulary-sized side state (the "weight table" is computed inline
+    * from the hash, the same trick as feature hashing). Integer sums are
+    * order-free, so scores are bit-identical across engines. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val wordWeight = s"(${TextHash.sparkWordHash("w")} % 1001) - 500"
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id",
+        size($"words").cast(LongType).as("n_words"),
+        expr(s"aggregate(transform(words, w -> $wordWeight), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("score"))
+      // score can be NEGATIVE: both Spark's DIV and DuckDB's integer //
+      // truncate toward zero (verified: -7//2 = -3 in both), so plain DIV
+      // is dialect-safe here; only DOUBLE-typed // floors in DuckDB
+      .withColumn("score_bp", expr("(score * 10000) DIV n_words"))
+      .withColumn("keep", ($"score" > 0L).cast("boolean"))
+      .select($"doc_id", $"n_words", $"score", $"score_bp", $"keep")
+  }
+
+  val classifierScoreOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(words,
+                      w -> (${TextHash.duckWordHash("w")} % 1001) - 500)) AS BIGINT) AS score,
+               CAST((list_sum(list_transform(words,
+                      w -> (${TextHash.duckWordHash("w")} % 1001) - 500)) * 10000)
+                    // len(words) AS BIGINT) AS score_bp,
+               list_sum(list_transform(words,
+                      w -> (${TextHash.duckWordHash("w")} % 1001) - 500)) > 0 AS keep
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)""")
+
+  /** Cross-document segment-level dedup — the C4 "remove repeated lines
+    * across the corpus" stage. The corpus has no sentence structure, so the
+    * unit is a fixed 8-word segment: each document splits into consecutive
+    * 8-word windows, every segment occurrence competes globally on its
+    * content hash, and only the FIRST occurrence (lowest (doc_id, seg_idx))
+    * survives. Output is the per-document attrition report a curation run
+    * inspects: segments held vs segments kept.
+    *
+    * Scale path: segments explode scan-side; the global winner election is
+    * ONE map-side-combinable min per segment hash (the shuffle key is the
+    * content hash, the same blocking discipline as the dedup ladder — never
+    * all-pairs); the keep check is an equi-join on (hash, packed position).
+    * Positions pack as `doc_id · 2^20 + seg_idx` — exact while documents
+    * stay under ~10^6 segments (8M words), a documented bound. */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val segsIdx = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, CAST((size(words) + 7) DIV 8 AS INT) - 1), " +
+          s"i -> ${TextHash.sparkDocFingerprint("slice(words, i * 8 + 1, 8)")})")))
+      .toDF("doc_id", "seg_idx", "h")
+      .withColumn("packed", $"doc_id" * 1048576L + $"seg_idx")
+    val winners = segsIdx.groupBy($"h").agg(min($"packed").as("w"))
+    val kept = segsIdx.join(winners,
+        segsIdx("h") === winners("h") && segsIdx("packed") === winners("w"))
+      .groupBy(segsIdx("doc_id")).agg(count(lit(1)).as("n_kept"))
+    segsIdx.groupBy($"doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        expr("(coalesce(n_kept, CAST(0 AS BIGINT)) * 10000) DIV n_segs").as("kept_bp"))
+  }
+
+  val lineDedupOracle: String = Fixtures.oracle(
+    s""", ld_segs AS (
+         SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+                ${TextHash.duckDocFingerprint("list_slice(words, i * 8 + 1, i * 8 + 8)")} AS h,
+                doc_id * 1048576 + t.i AS packed
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range((len(words) + 7) // 8)) AS t(i)),
+       ld_win AS (SELECT h, MIN(packed) AS w FROM ld_segs GROUP BY h),
+       ld_kept AS (
+         SELECT s.doc_id, COUNT(1) AS n_kept
+         FROM ld_segs s JOIN ld_win v ON v.h = s.h AND v.w = s.packed
+         GROUP BY 1)
+       SELECT s.doc_id, COUNT(1) AS n_segs,
+              CAST(COALESCE(MAX(k.n_kept), 0) AS BIGINT) AS n_kept,
+              CAST((COALESCE(MAX(k.n_kept), 0) * 10000) // COUNT(1) AS BIGINT) AS kept_bp
+       FROM ld_segs s LEFT JOIN ld_kept k ON k.doc_id = s.doc_id
+       GROUP BY s.doc_id""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_score" -> (classifierScore _),
+    "text_line_dedup" -> (lineDedup _),
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
@@ -931,6 +1030,8 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_classifier_score" -> classifierScoreOracle,
+    "text_line_dedup" -> lineDedupOracle,
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,

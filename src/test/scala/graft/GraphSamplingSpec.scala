@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Sampling, Sessions}
+import graft.queries.{Dedup, Sampling, Sessions, TextOps}
 
 /** Round-8 additions: temperature-scaled domain mixing, containment
   * near-dup verification, and integer PageRank over the interaction
@@ -68,5 +68,39 @@ class GraphSamplingSpec extends SparkSpec {
     // every node retains at least the teleport base
     val base = (15L * (S / n)) / 100L
     assert(ranks.filter(col("rank_e12") < base).isEmpty)
+  }
+
+  test("classifier score is a pure scan-side projection (no shuffle)") {
+    val df = TextOps.classifierScore(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"model-filter inference must not shuffle:\n$plan")
+    // keep/threshold consistency on actual rows
+    df.collect().foreach { r =>
+      val score = r.getAs[Long]("score"); val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Boolean]("keep") == (score > 0))
+      assert(r.getAs[Long]("score_bp") == score * 10000L / n)
+      assert(math.abs(score) <= 500L * n, "weights are bounded by ±500")
+    }
+  }
+
+  test("line dedup keeps exactly one occurrence per distinct segment") {
+    val out = TextOps.lineDedup(spark, sfDir)
+    val totalKept = out.agg(sum(col("n_kept"))).collect().head.getLong(0)
+    // total survivors across the corpus == number of distinct segment
+    // hashes: every distinct segment elected exactly one winner
+    graft.fixtures.Fixtures.register(spark, sfDir)
+    val distinctSegs = spark.sql(
+      """SELECT COUNT(DISTINCT h) AS c FROM (
+           SELECT explode(transform(sequence(0, CAST((size(words) + 7) DIV 8 AS INT) - 1),
+             i -> aggregate(transform(slice(words, i * 8 + 1, 8),
+               w -> aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+                 CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)),
+               CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007))) AS h
+           FROM (SELECT split(text, ' ') AS words FROM documents))""")
+      .collect().head.getLong(0)
+    assert(totalKept == distinctSegs,
+      s"kept $totalKept segments but corpus has $distinctSegs distinct ones")
+    assert(out.filter(col("n_kept") > col("n_segs")).isEmpty)
   }
 }
