@@ -35,3 +35,14 @@ final case class FileBlockSource(path: String, schema: StructType) extends Block
   override def stream(spark: SparkSession): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 }
+
+/** The custom DataSource V2 implementation of the seam: the `graft-blocks`
+  * connector ([[graft.sources.v2.BlockFeedProvider]]) reading a directory
+  * of atomically-committed JSON-lines chunks — the wire shape a gRPC
+  * bridge process writes. Offsets are committed-chunk counts, so
+  * checkpoint recovery replans identical micro-batches (exactly-once with
+  * StreamDriver's idempotent sink). */
+final case class FeedBlockSource(dir: String, schema: StructType) extends BlockSource {
+  override def stream(spark: SparkSession): DataFrame =
+    spark.readStream.format("graft-blocks").schema(schema).option("path", dir).load()
+}
