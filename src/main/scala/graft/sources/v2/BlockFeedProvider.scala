@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -99,11 +99,17 @@ final class BlockFeedTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new BlockFeedScan(dir, tableSchema) }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxChunks = Option(options.get("maxChunksPerTrigger")).map(_.toInt)
+    maxChunks.foreach(n => require(n > 0, s"maxChunksPerTrigger must be positive, got $n"))
+    new ScanBuilder {
+      override def build(): Scan = new BlockFeedScan(dir, tableSchema, maxChunks)
+    }
+  }
 }
 
-final class BlockFeedScan(dir: String, schema: StructType) extends Scan {
+final class BlockFeedScan(
+    dir: String, schema: StructType, maxChunksPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = schema
 
   /** Batch leg: a backfill scan of every committed chunk — the replay/
@@ -116,7 +122,7 @@ final class BlockFeedScan(dir: String, schema: StructType) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BlockFeedMicroBatchStream(dir, schema)
+    new BlockFeedMicroBatchStream(dir, schema, maxChunksPerTrigger)
 }
 
 /** Offset = number of committed chunks. Monotone because chunks are
@@ -125,13 +131,31 @@ final case class ChunkCountOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
 
-final class BlockFeedMicroBatchStream(dir: String, schema: StructType)
-    extends MicroBatchStream {
+final class BlockFeedMicroBatchStream(
+    dir: String, schema: StructType, maxChunksPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = ChunkCountOffset(0)
 
   override def latestOffset(): Offset =
     ChunkCountOffset(BlockFeedProvider.listChunks(dir).length)
+
+  /** Backpressure (`maxChunksPerTrigger`): cap how far one micro-batch
+    * advances, so a deep backlog drains in bounded batches instead of one
+    * giant catch-up batch — the Kafka `maxOffsetsPerTrigger` discipline.
+    * "Rows" at the admission layer are CHUNKS: the unit the offset counts. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxChunksPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = BlockFeedProvider.listChunks(dir).length
+    val from = start.asInstanceOf[ChunkCountOffset].n
+    limit match {
+      case r: ReadMaxRows => ChunkCountOffset(math.min(avail.toLong, from + r.maxRows()).toInt)
+      case _ => ChunkCountOffset(avail)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     ChunkCountOffset(json.trim.toInt)

@@ -84,6 +84,27 @@ class BlockFeedV2Spec extends SparkSpec {
     assert(facts.agg(max(col("block_number"))).collect().head.getLong(0) == 100L)
   }
 
+  test("maxChunksPerTrigger drains a backlog in bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft-feed-v2a").toString + "/feed"
+    val feed = new JsonBlockFeed(dir)
+    (1 to 3).foreach(i => feed.emit(chunk(i * 100 until i * 100 + 10)))
+
+    val out = Files.createTempDirectory("graft-feed-v2a-out").toString
+    val q = spark.readStream.format("graft-blocks").schema(schema)
+      .option("path", dir).option("maxChunksPerTrigger", "1").load()
+      .writeStream.trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .option("checkpointLocation", s"$out/ckpt")
+      .format("parquet").option("path", s"$out/data").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length == 3,
+        s"3 chunks at 1 chunk/trigger must take 3 batches, got ${dataBatches.length}")
+      assert(dataBatches.forall(_.numInputRows == 10))
+    } finally q.stop()
+    assert(spark.read.parquet(s"$out/data").count() == 30)
+  }
+
   test("chunk listing ignores uncommitted temp files") {
     val dir = Files.createTempDirectory("graft-feed-v2t").toString
     val feed = new JsonBlockFeed(dir)
