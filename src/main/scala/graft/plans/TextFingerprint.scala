@@ -158,6 +158,48 @@ object TextFingerprint {
     new GenericArrayData(bands)
   }
 
+  /** KMV (k-minimum-values) sketch of a document's shingle set: the k
+    * smallest DISTINCT values of `(wordHash(shingle) · 2654435761) mod 2^32`
+    * over word-3-gram shingles, returned sorted ascending.
+    *
+    * KMV sketches compose under union — the k smallest of a group's shingle
+    * universe are always among the union of its documents' per-doc k
+    * smallest — so corpus-level sketches aggregate from this one scan-side
+    * projection: explode (≤ k longs per doc), distinct, bounded top-k. No
+    * shingle strings ever shuffle, and the estimator
+    * `distinct ≈ (k−1)·M/h_(k)` plus the Jaccard share `|K(A∪B)∩A∩B|/k`
+    * (Beyer et al., SIGMOD'07) lets two 100 TB corpus snapshots be compared
+    * for content overlap with a langs×k-long exchange instead of a
+    * shingle-level join.
+    *
+    * Same exactness contract as the other fingerprints: identical integer
+    * arithmetic to the oracle's exploded formulation (multiplied hash
+    * < 2^62; distinct-set minima are order-independent). Fewer than 3 words
+    * → no shingles → empty sketch. */
+  def kmvSketch(words: ArrayData, k: Int): GenericArrayData = {
+    val n = words.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - 3) {
+      val shingle = UTF8String.concat(
+        words.getUTF8String(i), sep, words.getUTF8String(i + 1), sep,
+        words.getUTF8String(i + 2))
+      val h = (wordHash(shingle) * 2654435761L) % 4294967296L
+      if (set.size < k || h < set.last) {
+        set.add(h)
+        if (set.size > k) set.pollLast()
+      }
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   private def checkWordsInput(name: String, child: Expression): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -202,6 +244,31 @@ object TextFingerprint {
     override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
       copy(child = newChild)
     override def prettyName: String = "graft_simhash64_bands"
+  }
+
+  case class KmvSketch(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+          val kv = right.eval(null)
+          if (kv != null && kv.asInstanceOf[Int] > 0) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"graft_kmv_sketch: k must be a positive INT literal, got $kv")
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_sketch requires (ARRAY<STRING>, foldable INT) inputs, " +
+            s"got ${l.simpleString}, ${r.simpleString}")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(words: Any, k: Any): Any =
+      kmvSketch(words.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (w, k) => s"graft.plans.TextFingerprint.kmvSketch($w, $k)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KmvSketch =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_kmv_sketch"
   }
 
   /** Register the native function surface on an existing session

@@ -516,12 +516,143 @@ object Dedup {
        JOIN cn_counts cb ON cb.doc_id = i.doc_b
        WHERE i.inter * 5 >= least(ca.n_grams, cb.n_grams) * 4""")
 
+  /** Incremental MinHash dedup — the daily-ingest pattern at 100 TB: the
+    * standing corpus' band index is computed ONCE and persisted (here:
+    * memoized via [[graft.util.Memo]], the sandbox stand-in for a bucketed
+    * index table); an incoming batch (docs with `doc_id % 7 = 0` — a
+    * deterministic fixture split) computes bands for ITS documents only and
+    * equi-joins (band, band_key) against the index plus itself. The 100 TB
+    * corpus is never re-fingerprinted and never re-shuffled per batch —
+    * per-batch cost is O(batch) map work + a join keyed on the batch's band
+    * keys. Output = every LSH candidate pair involving ≥1 incoming doc,
+    * identical to filtering the full-corpus pairs (the oracle's form),
+    * because index ∪ batch partitions the corpus.
+    *
+    * The batch side is NOT broadcast-hinted: in this fixture it grows with
+    * the corpus (1/7th), and even in production "today's crawl" is beyond
+    * broadcast size — AQE may still pick a broadcast when a real batch is
+    * provably small. Hot band keys route through the same AQE-skew /
+    * salt-gate story as [[minhashLsh]]. */
+  def incrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+
+    def bandsOf(docs: DataFrame): DataFrame = docs
+      .select($"doc_id",
+        posexplode(expr("graft_minhash_bands(split(text, ' '))")))
+      .toDF("doc_id", "band", "band_key")
+
+    val docs = spark.table("documents")
+    val index = graft.util.Memo.cached(spark, sfDir, "minhash_band_index") {
+      bandsOf(docs.filter($"doc_id" % 7 =!= 0))
+    }
+    val incoming = bandsOf(docs.filter($"doc_id" % 7 === 0))
+
+    val vsIndex = incoming.as("n").join(index.as("o"),
+        $"n.band" === $"o.band" && $"n.band_key" === $"o.band_key")
+      .select(least($"n.doc_id", $"o.doc_id").as("doc_a"),
+        greatest($"n.doc_id", $"o.doc_id").as("doc_b"))
+    val vsBatch = incoming.as("a").join(incoming.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+
+    vsIndex.unionByName(vsBatch)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  val incrementalMinhashOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      """
+       SELECT doc_a, doc_b, shared_bands FROM lsh_pairs
+       WHERE doc_a % 7 = 0 OR doc_b % 7 = 0""")
+
+  /** Corpus-overlap estimation between snapshots via KMV (k-minimum-values)
+    * sketches over word-3-gram shingles — how two 100 TB crawl snapshots are
+    * compared for content overlap WITHOUT a shingle-level join (Beyer et
+    * al., SIGMOD'07; the `lang` column stands in for the snapshot axis).
+    *
+    * Plan shape: the native codegen'd `graft_kmv_sketch` emits ≤ k longs per
+    * document in the scan projection (no shingle strings ever leave the
+    * scan); sketches compose under union, so the per-snapshot sketch is
+    * explode → distinct pre-agg (map-side combined) → `graft_topk` bounded
+    * aggregate — the exchange carries (snapshot, hash) longs, ≤ k per
+    * snapshot after the final combine. The pairwise comparison runs on a
+    * snapshots²-row frame of k-long arrays: estimator arithmetic only,
+    * nothing corpus-sized. Estimates are deterministic (integer hashing,
+    * one exact-rounded double division each), hence hash-checkable against
+    * the oracle — rare for a sketch.
+    *
+    * Estimators: with U = the k smallest of A∪B (kth value τ),
+    * `est_union = (k−1)·2^32/τ` when U is full (else |U| exactly), and
+    * `jaccard_est = |U ∩ A ∩ B| / |U|`. */
+  def corpusOverlapKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+    val k = 256
+
+    val sketches = spark.table("documents")
+      .select($"lang", explode(expr(s"graft_kmv_sketch(split(text, ' '), $k)")).as("h"))
+      .groupBy($"lang", $"h").agg(count(lit(1)).as("df")) // distinct (map-side combined)
+      .groupBy($"lang").agg(expr(s"graft_topk(-h, $k)").as("negs"))
+      // graft_topk returns the k largest of −h descending == the k smallest
+      // of h ascending after negation — no re-sort needed
+      .select($"lang", expr("transform(negs, x -> -x)").as("sk"))
+
+    sketches.as("a").join(sketches.as("b"), $"a.lang" < $"b.lang")
+      .select($"a.lang".as("lang_a"), $"b.lang".as("lang_b"),
+        $"a.sk".as("ska"), $"b.sk".as("skb"))
+      .withColumn("mg", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k)"))
+      .withColumn("k_eff", size($"mg").cast(LongType))
+      .withColumn("tau", expr("element_at(mg, size(mg))"))
+      .withColumn("n_both",
+        size(expr("array_intersect(array_intersect(mg, ska), skb)")).cast(LongType))
+      .withColumn("jaccard_est",
+        round($"n_both".cast(DoubleType) / $"k_eff".cast(DoubleType), 6))
+      .withColumn("est_union",
+        round(when($"k_eff" === k,
+          lit((k - 1).toDouble) * lit(4294967296.0) / $"tau".cast(DoubleType))
+          .otherwise($"k_eff".cast(DoubleType)), 3))
+      .select($"lang_a", $"lang_b", $"k_eff", $"tau", $"n_both",
+        $"jaccard_est", $"est_union")
+  }
+
+  val corpusOverlapKmvOracle: String = Fixtures.oracle(
+    s""", kmv_h AS (
+         SELECT DISTINCT lang,
+                (${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} * 2654435761) % 4294967296 AS h
+         FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)
+         WHERE len(d.words) >= 3),
+       kmv_sk AS (
+         SELECT lang, list_sort(list(h ORDER BY h))[1:256] AS sk
+         FROM kmv_h GROUP BY 1),
+       kmv_pairs AS (
+         SELECT a.lang AS lang_a, b.lang AS lang_b, a.sk AS ska, b.sk AS skb,
+                list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:256] AS mg
+         FROM kmv_sk a JOIN kmv_sk b ON a.lang < b.lang)
+       SELECT lang_a, lang_b,
+              CAST(len(mg) AS BIGINT) AS k_eff,
+              mg[len(mg)] AS tau,
+              CAST(len(list_intersect(list_intersect(mg, ska), skb)) AS BIGINT) AS n_both,
+              ROUND(CAST(len(list_intersect(list_intersect(mg, ska), skb)) AS DOUBLE)
+                    / CAST(len(mg) AS DOUBLE), 6) AS jaccard_est,
+              ROUND(CASE WHEN len(mg) = 256
+                    THEN CAST(255 AS DOUBLE) * 4294967296.0 / CAST(mg[len(mg)] AS DOUBLE)
+                    ELSE CAST(len(mg) AS DOUBLE) END, 3) AS est_union
+       FROM kmv_pairs""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> (containment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_winnow" -> (winnow _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_incremental_minhash" -> (incrementalMinhash _),
+    "corpus_overlap_kmv" -> (corpusOverlapKmv _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster_components" -> (clusterComponents _))
 
@@ -530,6 +661,8 @@ object Dedup {
     "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_incremental_minhash" -> incrementalMinhashOracle,
+    "corpus_overlap_kmv" -> corpusOverlapKmvOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_cluster_components" -> clusterComponentsOracle)
