@@ -553,7 +553,39 @@ object Sessions {
       pagerankIterCte("pr_r4", "pr_r5") +
       "\n       SELECT u AS user_id, r AS rank_e12 FROM pr_r5")
 
+  /** Z-order (Morton) layout keys over the event stream — the sort key a
+    * 100 TB events table is physically laid out by so that file-level
+    * min/max statistics prune scans for predicates on EITHER `user_id` OR
+    * time (a single-column sort prunes only its own column; see
+    * [[graft.operators.Layout]] and LayoutSpec's measured bounding-box
+    * shrink). The interleaved dimensions are the user id and the BLOCK
+    * INDEX (btime minus the epoch anchor, over the 120 s spacing) so both
+    * sides carry comparable variation widths — interleaving the raw epoch
+    * seconds would waste the time dimension's bits on a constant offset.
+    *
+    * The key is pure built-in bitwise arithmetic (5-step magic-mask
+    * spread), whole-stage-codegen'd, and bit-identical in DuckDB — layout
+    * keys are oracle-checked like any other operator. */
+  def zorderKey(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("ek")
+      .select($"id", $"user_id", $"btime",
+        graft.operators.Layout.zorderKey(
+          $"user_id", expr("(btime - 1704067200) div 120"))
+          .as("zkey"))
+  }
+
+  val zorderKeyOracle: String = Fixtures.oracle(
+    graft.operators.Layout.duckZorderCtes(
+      "(SELECT id, user_id, btime FROM ek)",
+      "user_id", "(btime - 1704067200) // 120") +
+      s"""
+       SELECT id, user_id, btime, ${graft.operators.Layout.duckZorderKey} AS zkey
+       FROM z5""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder_key" -> (zorderKey _),
     "events_user_pagerank" -> (userPagerank _),
     "events_sessionization" -> (sessionize _),
     "events_json_props" -> (jsonProps _),
@@ -569,6 +601,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder_key" -> zorderKeyOracle,
     "events_user_pagerank" -> userPagerankOracle,
     "events_sessionization" -> sessionizeOracle,
     "events_json_props" -> jsonPropsOracle,
