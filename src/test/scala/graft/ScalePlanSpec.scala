@@ -75,4 +75,26 @@ class ScalePlanSpec extends SparkSpec {
         s"only the hinted 1-row doc count may broadcast:\n$p")
     }
   }
+
+  test("incremental minhash: the batch-vs-index join shuffles (batch outgrows drivers)") {
+    withNoAutoBroadcast {
+      val p = plan(Dedup.incrementalMinhash(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        s"neither the batch bands nor the index may carry a broadcast hint:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"band-key joins must degrade to shuffle joins at scale:\n$p")
+    }
+  }
+
+  test("KMV overlap: no corpus-sized exchange after the sketch aggregation") {
+    withNoAutoBroadcast {
+      val p = plan(Dedup.corpusOverlapKmv(spark, sfDir))
+      // the sketch merge must be a partial/final hash aggregate pair on
+      // graft_topk (map-side combine bounds the exchange at groups × k)
+      assert(p.contains("partial_graft_topk"),
+        s"sketch merge must pre-combine map-side:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"the snapshot-pair comparison needs no broadcast hint:\n$p")
+    }
+  }
 }
