@@ -71,6 +71,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       arities("graft_lsh_bucket", Set(2, 3))(c =>
         if (c.length == 2) LshBucket(c.head, c(1)) else LshBucket(c.head, c(1), c(2)))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[TextFingerprint.MinHashSig].getName, "graft_minhash_sig"),
+      arity("graft_minhash_sig", 1)(c => TextFingerprint.MinHashSig(c.head))),
     (FunctionIdentifier("graft_kmv_sketch"),
       new ExpressionInfo(classOf[TextFingerprint.KmvSketch].getName, "graft_kmv_sketch"),
       arity("graft_kmv_sketch", 2)(c => TextFingerprint.KmvSketch(c.head, c(1)))),

@@ -158,6 +158,33 @@ object TextFingerprint {
     new GenericArrayData(bands)
   }
 
+  /** The 16 raw MinHash permutation minima (the signature [[minhashBands]]
+    * packs pairwise): position-wise equality between two signatures is an
+    * unbiased estimator of shingle-set Jaccard similarity — `matches/16` —
+    * so candidate pairs from the band join can be SCORED without ever
+    * touching the documents' text again. Fewer than 3 words → empty. */
+  def minhashSig(words: ArrayData): GenericArrayData = {
+    val n = words.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val mh = Array.fill[Long](16)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - 3) {
+      val shingle = UTF8String.concat(
+        words.getUTF8String(i), sep, words.getUTF8String(i + 1), sep,
+        words.getUTF8String(i + 2))
+      val wh = wordHash(shingle)
+      var k = 0
+      while (k < 16) {
+        val h = (wh * (97 + 31 * k) + (13 + 17 * k)) % P
+        if (h < mh(k)) mh(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mh.map(x => x: Any))
+  }
+
   /** KMV (k-minimum-values) sketch of a document's shingle set: the k
     * smallest DISTINCT values of `(wordHash(shingle) · 2654435761) mod 2^32`
     * over word-3-gram shingles, returned sorted ascending.
@@ -244,6 +271,19 @@ object TextFingerprint {
     override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
       copy(child = newChild)
     override def prettyName: String = "graft_simhash64_bands"
+  }
+
+  case class MinHashSig(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkWordsInput("graft_minhash_sig", child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      minhashSig(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.TextFingerprint.minhashSig($c)")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+    override def prettyName: String = "graft_minhash_sig"
   }
 
   case class KmvSketch(left: Expression, right: Expression)

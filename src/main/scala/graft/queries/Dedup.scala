@@ -516,6 +516,55 @@ object Dedup {
        JOIN cn_counts cb ON cb.doc_id = i.doc_b
        WHERE i.inter * 5 >= least(ca.n_grams, cb.n_grams) * 4""")
 
+  /** MinHash signature-based Jaccard ESTIMATION over the LSH candidate
+    * pairs: position-wise agreement of the 16 permutation minima is an
+    * unbiased estimator of shingle-set Jaccard (`matches/16`), so candidate
+    * pairs are SCORED from their fixed-width signatures alone — no second
+    * pass over document text, which is the whole economics of MinHash at
+    * 100 TB (the exact-verify alternative re-shuffles the documents
+    * themselves, [[ngramJaccard]]'s cost). Candidates come from the same
+    * band equi-join as [[minhashLsh]]; the per-pair match count is an
+    * output-sized fold over two 16-long arrays (the documented acceptable
+    * use of `aggregate()` — never scan-side). */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+
+    val docs = spark.table("documents")
+      .select($"doc_id", expr("graft_minhash_bands(split(text, ' '))").as("bands"),
+        expr("graft_minhash_sig(split(text, ' '))").as("sig"))
+    val bands = docs.select($"doc_id", posexplode($"bands")).toDF("doc_id", "band", "band_key")
+
+    val pairs = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+
+    pairs
+      .join(docs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), Seq("doc_b"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("est_jaccard",
+        round($"matches".cast(DoubleType) / lit(16.0), 6))
+      .select($"doc_a", $"doc_b", $"shared_bands", $"matches", $"est_jaccard")
+  }
+
+  val minhashEstimateOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      """,
+       sig_matches AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
+         FROM minhashes a
+         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b, p.shared_bands, m.matches,
+              ROUND(CAST(m.matches AS DOUBLE) / 16.0, 6) AS est_jaccard
+       FROM lsh_pairs p
+       JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b""")
+
   /** Incremental MinHash dedup — the daily-ingest pattern at 100 TB: the
     * standing corpus' band index is computed ONCE and persisted (here:
     * memoized via [[graft.util.Memo]], the sandbox stand-in for a bucketed
@@ -652,6 +701,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_incremental_minhash" -> (incrementalMinhash _),
+    "dedup_minhash_estimate" -> (minhashEstimate _),
     "corpus_overlap_kmv" -> (corpusOverlapKmv _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster_components" -> (clusterComponents _))
@@ -662,6 +712,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_incremental_minhash" -> incrementalMinhashOracle,
+    "dedup_minhash_estimate" -> minhashEstimateOracle,
     "corpus_overlap_kmv" -> corpusOverlapKmvOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_simhash" -> simhashOracle,

@@ -681,6 +681,78 @@ object TextOps {
        ORDER BY n DESC, bigram
        LIMIT 100""")
 
+  /** Collocation mining by pointwise mutual information — the classic
+    * corpus-statistics workload (word2vec-era count pipelines): bigrams
+    * whose observed frequency beats the independence expectation,
+    * `P(xy)/(P(x)P(y))`, reported as the raw likelihood RATIO (= e^PMI; the
+    * log is monotone, so ranking is unchanged and the score stays inside
+    * the cross-engine-exact +,×,÷ arithmetic — ln() would diverge by libm
+    * rounding, the [[bm25Search]] lesson).
+    *
+    * Scale shape: one bigram-keyed shuffle + one unigram-keyed shuffle,
+    * both map-side combined; the two unigram-count joins are VOCABULARY
+    * joins and therefore plain shuffle joins on the word key — never
+    * broadcast (Heaps' law; the keywordTfidf rule). Only the two 1-row
+    * totals broadcast. The ≥5 count floor drops the hapax tail before the
+    * joins; the final top-50 is a TakeOrderedAndProject over the surviving
+    * collocation aggregate, never a global sort of the corpus.
+    *
+    * Ratio arithmetic: `((cxy·nu)·nu) / ((cx·cy)·nb)` with explicit
+    * parenthesization, each IEEE op exact-rounded identically in both
+    * engines; counts convert exactly to double below 2^53. */
+  def bigramPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val words = spark.table("documents")
+      .select(explode(split($"text", " ")).as("word"))
+    val uni = words.groupBy($"word").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum($"c").as("nu"))
+
+    val bi = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] AS x, words[i+1] AS y))"))
+        .as("p"))
+      .select($"p.x", $"p.y")
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
+      .filter($"cxy" >= 5)
+    val nb = bi.agg(sum($"cxy").as("nb"))
+
+    bi
+      .join(uni.select($"word".as("x"), $"c".as("cx")), Seq("x"))
+      .join(uni.select($"word".as("y"), $"c".as("cy")), Seq("y"))
+      .join(broadcast(nu)).join(broadcast(nb))
+      .withColumn("pmi_ratio", round(
+        (($"cxy".cast(DoubleType) * $"nu".cast(DoubleType)) * $"nu".cast(DoubleType)) /
+          ((($"cx".cast(DoubleType) * $"cy".cast(DoubleType)) * $"nb".cast(DoubleType))), 6))
+      .select(concat($"x", lit(" "), $"y").as("bigram"), $"cxy".as("n"), $"pmi_ratio")
+      .orderBy($"pmi_ratio".desc, $"bigram")
+      .limit(50)
+  }
+
+  val bigramPmiOracle: String = Fixtures.oracle(
+    """, pmi_words AS (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       pmi_uni AS (SELECT word, COUNT(1) AS c FROM pmi_words GROUP BY 1),
+       pmi_nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM pmi_uni),
+       pmi_dw AS (SELECT string_split(text, ' ') AS words FROM documents
+                  WHERE len(string_split(text, ' ')) >= 2),
+       pmi_bi AS (
+         SELECT words[i+1] AS x, words[i+2] AS y, COUNT(1) AS cxy
+         FROM pmi_dw, UNNEST(range(len(words) - 1)) AS t(i)
+         GROUP BY 1, 2 HAVING COUNT(1) >= 5),
+       pmi_nb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS nb FROM pmi_bi)
+       SELECT b.x || ' ' || b.y AS bigram, b.cxy AS n,
+              ROUND(((CAST(b.cxy AS DOUBLE) * CAST(n1.nu AS DOUBLE)) * CAST(n1.nu AS DOUBLE))
+                    / (((CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) * CAST(n2.nb AS DOUBLE))), 6) AS pmi_ratio
+       FROM pmi_bi b
+       JOIN pmi_uni ux ON b.x = ux.word
+       JOIN pmi_uni uy ON b.y = uy.word
+       CROSS JOIN pmi_nu n1 CROSS JOIN pmi_nb n2
+       ORDER BY pmi_ratio DESC, bigram
+       LIMIT 50""")
+
   /** Vocabulary coverage (tokenizer-prep shape): terms ranked by corpus
     * frequency with the CUMULATIVE token-coverage fraction — "how big must
     * the vocabulary be to cover X% of tokens". The running sum's window is
@@ -1025,6 +1097,7 @@ object TextOps {
     "text_bm25_search" -> (bm25Search _),
     "text_keyword_tfidf" -> (keywordTfidf _),
     "text_ngram_counts" -> (ngramCounts _),
+    "text_bigram_pmi" -> (bigramPmi _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_lm_fluency" -> (lmFluency _),
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
@@ -1046,6 +1119,7 @@ object TextOps {
     "text_bm25_search" -> bm25SearchOracle,
     "text_keyword_tfidf" -> keywordTfidfOracle,
     "text_ngram_counts" -> ngramCountsOracle,
+    "text_bigram_pmi" -> bigramPmiOracle,
     "text_vocab_coverage" -> vocabCoverageOracle,
     "text_lm_fluency" -> lmFluencyOracle,
     "corpus_pretrain_funnel" -> pretrainFunnelOracle)

@@ -99,6 +99,34 @@ class NativeExprSpec extends SparkSpec {
     assert(got.toSeq == docs.map(naive))
   }
 
+  test("graft_minhash_sig: raw minima, and bands are its pairwise packing") {
+    val s = session
+    import s.implicits._
+    val docs = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma",
+      "alpha beta", // < 3 words -> empty
+      "the quick brown fox jumps over the lazy dog")
+    val rows = docs.toDF("text")
+      .select(expr("graft_minhash_sig(split(text, ' '))").as("sig"),
+        expr("graft_minhash_bands(split(text, ' '))").as("bands"))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    rows.foreach { case (sig, bands) =>
+      if (sig.isEmpty) assert(bands.isEmpty)
+      else {
+        assert(sig.length == 16 && bands.length == 8)
+        (0 until 8).foreach(b =>
+          assert(bands(b) == sig(2 * b) * TextHash.P + sig(2 * b + 1)))
+      }
+    }
+    // identical docs agree on every position; a different doc does not
+    val Seq(s1, s2) = Seq(docs.head, docs.head).toDF("text")
+      .select(expr("graft_minhash_sig(split(text, ' '))"))
+      .collect().toSeq.map(_.getSeq[Long](0))
+    assert(s1 == s2)
+  }
+
   test("graft_simhash64_bands equals the exploded two-half ±1-vote formulation") {
     val s = session
     import s.implicits._
