@@ -64,4 +64,42 @@ class StreamingKmvSpec extends SparkSpec {
     // and the full sketches genuinely overflowed k (the bound was exercised)
     assert(after2("a").k_eff == k && after2("b").k_eff == k)
   }
+
+  test("sketch state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = java.nio.file.Files.createTempDirectory("kmv_ckpt").toString
+    val in = MemoryStream[DocIn]
+    val got = scala.collection.mutable.ArrayBuffer.empty[KmvEstimate]
+    def start() = StreamingKmv.estimates(in.toDS(), k)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KmvEstimate], _: Long) =>
+        got.synchronized { got ++= batch.collect() }; ()
+      }
+      .start()
+
+    val doc1 = DocIn("a", 1, "the fast key order sort table scan merge part window small hash")
+    val doc2 = DocIn("a", 2, "stream spark window window dup key order sort batch batch merge")
+
+    val q1 = start()
+    in.addData(doc1)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2 resumes from the checkpoint: the merged estimate must reflect
+    // BOTH documents' shingles, i.e. equal the batch sketch of {doc1, doc2}
+    val q2 = start()
+    in.addData(doc2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ref = StreamingKmv.estimate(refSketch(Seq(doc1.text, doc2.text)), k)
+    val last = got.last
+    assert(last.k_eff == ref.k_eff && last.tau == ref.tau &&
+      last.est_distinct == ref.est_distinct,
+      s"recovered-state merge must equal the batch sketch: $last vs $ref")
+  }
 }
