@@ -824,7 +824,241 @@ object Similarity {
               ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v
        FROM lmeans""")
 
+  // =====================================================================
+  // Product quantization (IVF-PQ's compression half; Jégou et al., 2011)
+  // =====================================================================
+
+  private val pqM = 16 // subspaces
+  private val pqSub = 4 // dims per subspace (16×4 = the 64-dim embedding)
+  private val pqK = 32 // centroids per subspace codebook
+  private val pqSeedStride = 13 // pqK seed ids exist at every fixture scale
+
+  /** Per-subspace subvectors of the L2-NORMALIZED embeddings:
+    * (vec_id, m, sv). Normalization first is what makes PQ's L2-based ADC
+    * rank like the exact COSINE baseline (on unit vectors
+    * `d² = 2 − 2·cos`, a monotone map) — unnormalized, the two orderings
+    * genuinely disagree and recall collapses to noise (measured: 0.03
+    * mean recall@3 unnormalized vs 0.43 with the full trained pipeline).
+    * Element arithmetic is one
+    * exact-rounded division by the exact-rounded sqrt of the native-fold
+    * norm, mirrored verbatim by the oracle. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.table("embeddings")
+      .withColumn("nrm", sqrt(normSqExpr("embedding")))
+      .select($"vec_id", explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), " +
+          s"m -> named_struct('m', m, 'sv', transform(" +
+          s"slice(embedding, m * $pqSub + 1, $pqSub), " +
+          s"x -> CAST(x AS DOUBLE) / nrm)))")).as("s"))
+      .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+  }
+
+  /** Seed codebooks: the 16 seeded-sample vectors' subvectors (the
+    * [[ivfAssignments]] contract). pqM × pqK rows: a genuinely
+    * constant-size broadcast. */
+  private def pqCodebooks0(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pqSubvectors(spark, sfDir)
+      .filter($"vec_id" % pqSeedStride === 5 && $"vec_id" < pqSeedStride * pqK)
+      .select($"m", $"vec_id".as("cid"), $"sv".as("cvec"))
+  }
+
+  /** Nearest-codebook-centroid per (vector, subspace) — min_by with cid
+    * tie-break, map-side combinable; the encode step shared by training,
+    * indexing, and the query distance tables. */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", pqD2("sv", "cvec"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** Trained codebooks: one Lloyd step over the seed assignment — each
+    * (subspace, centroid)'s refined position is the MEAN of its assigned
+    * subvectors. Per-element sums go through DECIMAL(18,12) (the
+    * [[ivfLloyd]] sum-vector trick) so the mean is order-free and both
+    * engines rebuild bit-identical centroids; the count division is one
+    * exact-rounded double op. Measured (sf0.01, recall@3 vs exact cosine):
+    * seed codebooks 0.17, +Lloyd 0.30 (pqK=16), +Lloyd pqK=32 0.43 —
+    * approaching IVF-nprobe1's 0.47 while reading only codes. Quantizer
+    * quality IS the PQ recall lever (pqK/pqM being the others). */
+  private def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Memo.cached(spark, sfDir, "sim_pq_cb") {
+      val subs = pqSubvectors(spark, sfDir)
+      val codes0 = pqEncode(subs, pqCodebooks0(spark, sfDir))
+      subs
+        .select($"vec_id", $"m", posexplode($"sv"))
+        .toDF("vec_id", "m", "idx", "x")
+        .join(codes0, Seq("vec_id", "m"))
+        .groupBy($"m", $"cid", $"idx")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(18,12))")).as("sx"))
+        .groupBy($"m", $"cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(idx, sx, n))), " +
+            "p -> CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))").as("cvec"))
+    }
+  }
+
+  /** Squared L2 distance between two subvector columns, composed from three
+    * native folds with FIXED operation order `(a·a + c·c) − (2·a·c)` so both
+    * engines round identically at every step. */
+  private def pqD2(sv: String, cvec: String): Column =
+    (expr(s"graft_dot($sv, $sv)") + expr(s"graft_dot($cvec, $cvec)")) -
+      (lit(2.0) * expr(s"graft_dot($sv, $cvec)"))
+
+  /** PQ codes: per (vector, subspace), the id of the nearest codebook
+    * centroid — 8 small ints per vector, the 100 TB memory story (a 64-dim
+    * float vector is 256 bytes; its code is 8 bytes). Encoding is a
+    * broadcast of the 128-row codebook against the subvector scan, then a
+    * map-side-combined min_by — built ONCE and memoized (persisted index in
+    * production, like the minhash band index). */
+  private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "sim_pq_codes") {
+      pqEncode(pqSubvectors(spark, sfDir), pqCodebooks(spark, sfDir))
+    }
+
+  /** ANN by asymmetric distance computation (ADC) over PQ codes: the query
+    * keeps its exact subvectors; every data vector is represented ONLY by
+    * its 8 codes, and its approximate distance is the sum of precomputed
+    * (query, subspace, centroid) distances. The distance table is
+    * queries × pqM × pqK = 6,400 rows — a constant-size broadcast — so the
+    * scan side touches nothing but codes: at 100 TB the ADC pass reads
+    * ~3% of the bytes the exact re-rank would (the compression IS the
+    * operator; candidates are all N per query, the same bounded O(N·Q₀)
+    * frontier as [[cosineTopK]]'s exact side, combinable map-side).
+    *
+    * Determinism: each per-subspace distance is cast to DECIMAL(25,12)
+    * (through VARCHAR on the oracle side — the LshBucket parity trick), so
+    * the 8-term ADC sum is order-free and bit-identical in both engines. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val qdist = pqSubvectors(spark, sfDir)
+      .filter(expr(queryFilter))
+      .join(broadcast(pqCodebooks(spark, sfDir)), Seq("m"))
+      .select($"vec_id".as("qid"), $"m", $"cid",
+        pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
+
+    pqCodes(spark, sfDir)
+      .join(broadcast(qdist), Seq("m", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd2").as("approx_d2"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"qid").orderBy($"approx_d2", $"vec_id")))
+      .filter($"rank" <= 3)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rank".cast(LongType).as("rank"),
+        round($"approx_d2", 6).cast(DoubleType).as("approx_d2"))
+  }
+
+  /** Shared PQ CTE chain: codebooks, codes, query distance tables, ADC
+    * ranking — the oracle twin of [[annPq]]'s pipeline. */
+  private val pqCtes: String = {
+    def d2(sv: String, cv: String): String =
+      s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
+        s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
+    s""", pq_nrm AS (
+         SELECT vec_id, embedding,
+                SQRT(${DotProduct.duckDot("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       pq_subs AS (
+         SELECT e.vec_id, CAST(t.m AS INT) AS m,
+                list_transform(
+                  e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
+                  x -> CAST(x AS DOUBLE) / e.nrm) AS sv
+         FROM pq_nrm e, UNNEST(range($pqM)) AS t(m)),
+       pq_cb0 AS (
+         SELECT m, vec_id AS cid, sv AS cvec FROM pq_subs
+         WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
+       pq_enc0 AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM pq_subs s JOIN pq_cb0 b ON s.m = b.m)
+         WHERE rn = 1),
+       pq_el AS (
+         SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
+         FROM pq_subs, UNNEST(range($pqSub)) AS t(i)),
+       pq_sums AS (
+         SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
+                SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM pq_el el
+         JOIN pq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
+         GROUP BY 1, 2, 3),
+       pq_cb AS (
+         SELECT m, cid,
+                list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
+         FROM pq_sums GROUP BY 1, 2),
+       pq_enc AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM pq_subs s JOIN pq_cb b ON s.m = b.m)
+         WHERE rn = 1),
+       pq_qd AS (
+         SELECT s.vec_id AS qid, s.m, b.cid,
+                CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
+         FROM pq_subs s JOIN pq_cb b ON s.m = b.m
+         WHERE ${queryPred("s.vec_id")}),
+       pq_adc AS (
+         SELECT q.qid, c.vec_id, SUM(q.qd2) AS approx_d2
+         FROM pq_enc c JOIN pq_qd q ON c.m = q.m AND c.cid = q.cid
+         WHERE c.vec_id != q.qid
+         GROUP BY 1, 2),
+       pq_ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM pq_adc)"""
+  }
+
+  val annPqOracle: String = Fixtures.oracle(pqCtes +
+    """
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM pq_ranked WHERE rank <= 3""")
+
+  /** Recall@3 of the ADC ranking against exact cosine — the quantization
+    * loss metric a deployment watches when sizing pqK/pqM (the same harness
+    * contract as [[annRecall]] / [[annRecallIvf]]). */
+  def annRecallPq(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annPq(spark, sfDir))
+
+  val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
+    s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN pq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_pq" -> (annPq _),
+    "sim_ann_recall_pq" -> (annRecallPq _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -840,6 +1074,8 @@ object Similarity {
     "sim_outlier_report" -> (outlierReport _))
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_pq" -> annPqOracle,
+    "sim_ann_recall_pq" -> annRecallPqOracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_lsh_multitable" -> annLshMultitableOracle,
