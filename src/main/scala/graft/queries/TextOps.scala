@@ -271,6 +271,93 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  private val cmsD = 4 // hash rows
+  private val cmsW = 1024 // buckets per row
+  private val cmsProbes = Seq("the", "key", "order", "sort", "batch", "window",
+    "hash", "stream", "spark", "scan", "merge", "zzz_absent_zzz")
+
+  /** Count-min sketch term-frequency estimation (Cormode & Muthukrishnan,
+    * 2005): token counts folded into a FIXED d×w counter matrix (4×1024
+    * longs — 32 KB regardless of corpus size), probed for a fixed word set
+    * with `est = min_i counter[i][h_i(w)]`. The sketch never underestimates
+    * (every occurrence lands in all d probed cells) and overestimates only
+    * by hash-colliding mass — both properties pinned in CmsSpec, and the
+    * `overestimate` column makes the error observable per probe.
+    *
+    * Why it earns a place next to the exact `text_ngram_counts`: the exact
+    * counter's state is vocabulary-sized (Heaps' law — unbounded), the
+    * sketch's is 32 KB and MERGEABLE (counters sum), which is what a
+    * streaming / federated deployment carries. Scale shape: one map-side-
+    * combined shuffle of (i, bucket) keys with ≤ d×w rows out; the counter
+    * frame and the probe table are constant-size broadcasts. Hashes reuse
+    * the minhash permutation family over the shared polynomial word hash —
+    * pure integer arithmetic, so the whole sketch is oracle-checkable. */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    def bucketOf(wordHashSql: String, iCol: String): String =
+      s"(($wordHashSql * (97 + 31 * $iCol) + (13 + 17 * $iCol)) % ${TextHash.P}) % $cmsW"
+
+    val counters = spark.table("documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .select(expr(TextHash.sparkWordHash("word")).as("wh"),
+        explode(expr(s"sequence(0, ${cmsD - 1})")).as("i"))
+      .select($"i", expr(bucketOf("wh", "i")).as("bucket"))
+      .groupBy($"i", $"bucket").agg(count(lit(1)).as("cnt"))
+
+    val probes = cmsProbes.toDF("word")
+      .select($"word", expr(TextHash.sparkWordHash("word")).as("wh"),
+        explode(expr(s"sequence(0, ${cmsD - 1})")).as("i"))
+      .select($"word", $"i", expr(bucketOf("wh", "i")).as("bucket"))
+
+    val exact = spark.table("documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word".isin(cmsProbes: _*))
+      .groupBy($"word").agg(count(lit(1)).as("exact_n"))
+
+    probes
+      .join(broadcast(counters), Seq("i", "bucket"), "left")
+      .groupBy($"word")
+      .agg(min(coalesce($"cnt", lit(0L))).as("cm_estimate"))
+      .join(exact, Seq("word"), "left")
+      .withColumn("exact_n", coalesce($"exact_n", lit(0L)))
+      .select($"word", $"exact_n", $"cm_estimate",
+        ($"cm_estimate" - $"exact_n").as("overestimate"))
+  }
+
+  val countMinOracle: String = {
+    def bucketOf(wh: String, i: String): String =
+      s"(($wh * (97 + 31 * $i) + (13 + 17 * $i)) % ${TextHash.P}) % $cmsW"
+    val probeValues = cmsProbes.map(p => s"('$p')").mkString(", ")
+    Fixtures.oracle(
+      s""", cms_words AS (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       cms_counters AS (
+         SELECT i, bucket, COUNT(1) AS cnt FROM (
+           SELECT CAST(t.i AS INT) AS i,
+                  ${bucketOf(TextHash.duckWordHash("w.word"), "t.i")} AS bucket
+           FROM cms_words w, UNNEST(range($cmsD)) AS t(i))
+         GROUP BY 1, 2),
+       cms_probes(word) AS (VALUES $probeValues),
+       cms_pb AS (
+         SELECT p.word, CAST(t.i AS INT) AS i,
+                ${bucketOf(TextHash.duckWordHash("p.word"), "t.i")} AS bucket
+         FROM cms_probes p, UNNEST(range($cmsD)) AS t(i)),
+       cms_est AS (
+         SELECT p.word, MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+         FROM cms_pb p
+         LEFT JOIN cms_counters c ON p.i = c.i AND p.bucket = c.bucket
+         GROUP BY 1),
+       cms_exact AS (
+         SELECT word, COUNT(1) AS exact_n FROM cms_words
+         WHERE word IN (${cmsProbes.map(p => s"'$p'").mkString(", ")})
+         GROUP BY 1)
+       SELECT e.word, COALESCE(x.exact_n, 0) AS exact_n, e.cm_estimate,
+              e.cm_estimate - COALESCE(x.exact_n, 0) AS overestimate
+       FROM cms_est e LEFT JOIN cms_exact x ON e.word = x.word""")
+  }
+
   /** Per-language length distribution: exact interpolated p50/p90/p99 of
     * whitespace token counts — the corpus-health dashboard behind length
     * cutoffs. Exact `percentile` (not approx) is intentional: the stratum
@@ -1098,6 +1185,7 @@ object TextOps {
     "text_keyword_tfidf" -> (keywordTfidf _),
     "text_ngram_counts" -> (ngramCounts _),
     "text_bigram_pmi" -> (bigramPmi _),
+    "text_count_min" -> (countMin _),
     "text_vocab_coverage" -> (vocabCoverage _),
     "text_lm_fluency" -> (lmFluency _),
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
@@ -1120,6 +1208,7 @@ object TextOps {
     "text_keyword_tfidf" -> keywordTfidfOracle,
     "text_ngram_counts" -> ngramCountsOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
+    "text_count_min" -> countMinOracle,
     "text_vocab_coverage" -> vocabCoverageOracle,
     "text_lm_fluency" -> lmFluencyOracle,
     "corpus_pretrain_funnel" -> pretrainFunnelOracle)
