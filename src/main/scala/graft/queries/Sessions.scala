@@ -584,7 +584,42 @@ object Sessions {
        SELECT id, user_id, btime, ${graft.operators.Layout.duckZorderKey} AS zkey
        FROM z5""")
 
+  /** Exponentially-weighted moving average of purchase amounts per user —
+    * the trend/smoothing primitive behind spend-drift detection, computed
+    * in EXACT integer arithmetic: with α = 1/2 the last 16 weights are the
+    * powers 2^15..2^0, so `ewma = Σ availableⱼ cents_{n-j}·2^(15-j) DIV
+    * Σ availableⱼ 2^(15-j)` is a ratio of exact longs (largest numerator
+    * < 2^63 for cents < 2^47) — no float-sum order dependence, no decimal
+    * plumbing, bit-identical across engines (the text_lm_fluency
+    * division-exact lesson applied to time series). Short histories use
+    * only the available lags (true prefix EWMA, not zero-padded).
+    *
+    * The 16-term lag chain is ONE window pass per user partition — at
+    * 100 TB the state per task is 16 lags deep regardless of user-history
+    * length, and partitions are per-user (no global window). The SQL text
+    * is generated once and shared by both engines modulo the integer-div
+    * spelling. */
+  private def ewmaSql(div: String): String = {
+    val num = (0 until 16).map(j =>
+      s"CASE WHEN LAG(seq, $j) OVER w IS NOT NULL THEN LAG(cents, $j) OVER w * ${1L << (15 - j)} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val den = (0 until 16).map(j =>
+      s"CASE WHEN LAG(seq, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""SELECT seq, user_id, cents, $num $div $den AS ewma_cents
+       FROM (SELECT seq, user_id, cents FROM raw WHERE event_type = 'purchase') p
+       WINDOW w AS (PARTITION BY user_id ORDER BY seq)"""
+  }
+
+  def ewmaTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql(ewmaSql("div"))
+  }
+
+  val ewmaTrendOracle: String = Fixtures.oracle(ewmaSql("//"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma_trend" -> (ewmaTrend _),
     "layout_zorder_key" -> (zorderKey _),
     "events_user_pagerank" -> (userPagerank _),
     "events_sessionization" -> (sessionize _),
@@ -601,6 +636,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_ewma_trend" -> ewmaTrendOracle,
     "layout_zorder_key" -> zorderKeyOracle,
     "events_user_pagerank" -> userPagerankOracle,
     "events_sessionization" -> sessionizeOracle,
