@@ -117,8 +117,11 @@ object Bench {
       .mkString("{", ",", "}")
     // executor-side attribution per query (seconds): run = summed task
     // runTime, cpu = summed task cpuTime — see the signature table above
+    // Double.toString, not f"%.3f": the interpolator is default-locale
+    // sensitive and a comma-decimal locale would emit invalid JSON
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val ms = results.map { case (k, _, run, cpu) =>
-      f""""$k":{"run":$run%.3f,"cpu":$cpu%.3f}""" }
+      s""""$k":{"run":${r3(run)},"cpu":${r3(cpu)}}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

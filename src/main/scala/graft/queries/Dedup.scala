@@ -21,6 +21,27 @@ object Dedup {
 
   private val P = TextHash.P
 
+  /** Distinct word-3-grams per document — THE shared gram view (ngram
+    * Jaccard, containment). One definition behind one Memo key: two
+    * textually-duplicated builders under the same key would make whichever
+    * query ran first define the cached frame for both, so any one-sided
+    * edit would silently leak across queries in session order. Memoized
+    * because it is consumed by counts, the stop-gram scan, and both sides
+    * of the inverted-index self-join — without persistence the explode +
+    * distinct subtree re-executes once per consumer. */
+  private def distinctGrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
+      spark.table("documents")
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 3)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(words) - 3), " +
+            "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
+        .distinct()
+    }
+  }
+
   /** Exact dedup: group by the SHA-256 of the text — a fixed 32-byte shuffle
     * key instead of the full document bytes (at 100 TB the group key IS the
     * shuffle volume; flagged rounds 1-3) — keep min doc_id as the canonical
@@ -50,18 +71,7 @@ object Dedup {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    // memoized: consumed by counts, the stop-gram scan, and both sides of
-    // the inverted-index self-join — without persistence the explode +
-    // distinct subtree re-executes once per consumer
-    val allGrams = graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
-      spark.table("documents")
-        .withColumn("words", split($"text", " "))
-        .filter(size($"words") >= 3)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(words) - 3), " +
-            "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
-        .distinct()
-    }
+    val allGrams = distinctGrams(spark, sfDir)
 
     // document-frequency cap, CORPUS-RELATIVE (df·10 > N, i.e. a gram in
     // >10% of all documents): a stop-gram carries no near-dup signal and
@@ -469,15 +479,7 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    val grams = graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
-      spark.table("documents")
-        .withColumn("words", split($"text", " "))
-        .filter(size($"words") >= 3)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(words) - 3), " +
-            "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")).as("gram"))
-        .distinct()
-    }
+    val grams = distinctGrams(spark, sfDir)
     val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
 
     val inter = pairs

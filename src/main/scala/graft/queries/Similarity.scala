@@ -909,11 +909,11 @@ object Similarity {
       (lit(2.0) * expr(s"graft_dot($sv, $cvec)"))
 
   /** PQ codes: per (vector, subspace), the id of the nearest codebook
-    * centroid — 8 small ints per vector, the 100 TB memory story (a 64-dim
-    * float vector is 256 bytes; its code is 8 bytes). Encoding is a
-    * broadcast of the 128-row codebook against the subvector scan, then a
-    * map-side-combined min_by — built ONCE and memoized (persisted index in
-    * production, like the minhash band index). */
+    * centroid — pqM (= 16) 5-bit codes per vector, the 100 TB memory story
+    * (a 64-dim float vector is 256 bytes; its packed code is ~10-16 bytes).
+    * Encoding is a broadcast of the 512-row codebook against the subvector
+    * scan, then a map-side-combined min_by — built ONCE and memoized
+    * (persisted index in production, like the minhash band index). */
   private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.cached(spark, sfDir, "sim_pq_codes") {
       pqEncode(pqSubvectors(spark, sfDir), pqCodebooks(spark, sfDir))
@@ -921,9 +921,9 @@ object Similarity {
 
   /** ANN by asymmetric distance computation (ADC) over PQ codes: the query
     * keeps its exact subvectors; every data vector is represented ONLY by
-    * its 8 codes, and its approximate distance is the sum of precomputed
+    * its 16 codes, and its approximate distance is the sum of precomputed
     * (query, subspace, centroid) distances. The distance table is
-    * queries × pqM × pqK = 6,400 rows — a constant-size broadcast — so the
+    * queries × pqM × pqK = 25,600 rows — a constant-size broadcast — so the
     * scan side touches nothing but codes: at 100 TB the ADC pass reads
     * ~3% of the bytes the exact re-rank would (the compression IS the
     * operator; candidates are all N per query, the same bounded O(N·Q₀)

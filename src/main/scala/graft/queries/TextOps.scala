@@ -795,7 +795,7 @@ object TextOps {
     val uni = words.groupBy($"word").agg(count(lit(1)).as("c"))
     val nu = uni.agg(sum($"c").as("nu"))
 
-    val bi = spark.table("documents")
+    val biAll = spark.table("documents")
       .withColumn("words", split($"text", " "))
       .filter(size($"words") >= 2)
       .select(explode(expr(
@@ -803,8 +803,12 @@ object TextOps {
         .as("p"))
       .select($"p.x", $"p.y")
       .groupBy($"x", $"y").agg(count(lit(1)).as("cxy"))
-      .filter($"cxy" >= 5)
-    val nb = bi.agg(sum($"cxy").as("nb"))
+    // nb is the UNFLOORED bigram total: P(xy) = cxy/nb must be a fraction
+    // of all bigram occurrences — totalling only the ≥5 survivors would
+    // inflate every ratio by the floored-out mass (constant-factor, so the
+    // oracle can't catch it if it mirrors the mistake)
+    val nb = biAll.agg(sum($"cxy").as("nb"))
+    val bi = biAll.filter($"cxy" >= 5)
 
     bi
       .join(uni.select($"word".as("x"), $"c".as("cx")), Seq("x"))
@@ -825,11 +829,12 @@ object TextOps {
        pmi_nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM pmi_uni),
        pmi_dw AS (SELECT string_split(text, ' ') AS words FROM documents
                   WHERE len(string_split(text, ' ')) >= 2),
-       pmi_bi AS (
+       pmi_bi_all AS (
          SELECT words[i+1] AS x, words[i+2] AS y, COUNT(1) AS cxy
          FROM pmi_dw, UNNEST(range(len(words) - 1)) AS t(i)
-         GROUP BY 1, 2 HAVING COUNT(1) >= 5),
-       pmi_nb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS nb FROM pmi_bi)
+         GROUP BY 1, 2),
+       pmi_nb AS (SELECT CAST(SUM(cxy) AS BIGINT) AS nb FROM pmi_bi_all),
+       pmi_bi AS (SELECT * FROM pmi_bi_all WHERE cxy >= 5)
        SELECT b.x || ' ' || b.y AS bigram, b.cxy AS n,
               ROUND(((CAST(b.cxy AS DOUBLE) * CAST(n1.nu AS DOUBLE)) * CAST(n1.nu AS DOUBLE))
                     / (((CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) * CAST(n2.nb AS DOUBLE))), 6) AS pmi_ratio

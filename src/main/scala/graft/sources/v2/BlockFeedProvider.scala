@@ -88,8 +88,15 @@ object BlockFeedProvider {
   def listChunks(dir: String): Array[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Array.empty
-    else Files.list(p).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".jsonl")).toArray.sorted
+    else {
+      // Files.list holds an OS directory handle until closed — and this is
+      // called ≥2× per trigger (latestOffset + planInputPartitions), so
+      // relying on GC leaks fds on a long-running driver
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.toString).filter(_.endsWith(".jsonl")).toArray.sorted
+      finally s.close()
+    }
   }
 }
 

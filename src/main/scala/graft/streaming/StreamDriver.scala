@@ -143,7 +143,12 @@ final class StreamDriver(
       Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
 
     val cutoff = retractCutoffFor(batchId)
+    // persisted for the batch: the parquet write, the JDBC leg, and the
+    // multi-table leg (cursor collect + one append per routed fact table —
+    // ~25 consumers at the reference's table count) would otherwise each
+    // re-execute the read + filter pipeline from source
     val replaySafe = cutoff.map(c => keyed.filter(col("block_number") < c)).getOrElse(keyed)
+      .persist() // unpersisted after the operational refresh (last consumer)
 
     withBlockBucket(replaySafe)
       .withColumn("batch_id", lit(batchId))
@@ -161,6 +166,8 @@ final class StreamDriver(
     // frames (the reference DAO's ~24 tables, dao.ts:1895-2893) and write
     // them with the cursor-as-commit-marker protocol. The 1-row max-block
     // aggregate is the cursor read — a legitimate driver-side collect.
+    // replaySafe is persisted above: at the reference's table count this
+    // leg alone re-reads the batch ~25× otherwise.
     multiTableSink.foreach { case (sink, route) =>
       val endBlock = replaySafe.agg(max(col("block_number"))).collect().head
       if (!endBlock.isNullAt(0)) // an all-filtered replay batch moves no cursor
@@ -190,7 +197,10 @@ final class StreamDriver(
       }
 
     try onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
-    finally keyedPending.foreach(_.unpersist())
+    finally {
+      keyedPending.foreach(_.unpersist())
+      replaySafe.unpersist()
+    }
     if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
   }
 
