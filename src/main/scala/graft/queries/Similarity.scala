@@ -931,7 +931,7 @@ object Similarity {
     *
     * Determinism: each per-subspace distance is cast to DECIMAL(25,12)
     * (through VARCHAR on the oracle side — the LshBucket parity trick), so
-    * the 8-term ADC sum is order-free and bit-identical in both engines. */
+    * the 16-term ADC sum is order-free and bit-identical in both engines. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)

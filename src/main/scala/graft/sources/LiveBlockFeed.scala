@@ -35,22 +35,8 @@ final class LiveBlockFeed(dir: String, val schema: StructType) {
   // chunk dirs the consumer's file-source WAL already references, breaking
   // checkpoint recovery with FileNotFoundException (JsonBlockFeed makes the
   // same guarantee)
-  private val chunkIds: AtomicInteger = {
-    val p = java.nio.file.Paths.get(dir)
-    val last =
-      if (!java.nio.file.Files.isDirectory(p)) 0
-      else {
-        val s = java.nio.file.Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .map(_.getFileName.toString)
-            .collect { case n if n.startsWith("chunk=") => n.drop(6).toInt }
-            .foldLeft(0)(math.max)
-        } finally s.close()
-      }
-    new AtomicInteger(last)
-  }
+  private val chunkIds: AtomicInteger = new AtomicInteger(
+    graft.util.Dirs.numericSuffixes(dir, "chunk=").foldLeft(0)(math.max))
 
   /** The consuming side: hand this to `StreamDriver.start`. */
   def source: BlockSource = FileBlockSource(s"$dir/*", schema)

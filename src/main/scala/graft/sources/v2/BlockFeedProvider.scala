@@ -85,19 +85,11 @@ object BlockFeedProvider {
 
   /** Committed chunks, lexicographically ordered (zero-padded names make
     * that the append order). */
-  def listChunks(dir: String): Array[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) Array.empty
-    else {
-      // Files.list holds an OS directory handle until closed — and this is
-      // called ≥2× per trigger (latestOffset + planInputPartitions), so
-      // relying on GC leaks fds on a long-running driver
-      val s = Files.list(p)
-      try s.iterator().asScala
-        .map(_.toString).filter(_.endsWith(".jsonl")).toArray.sorted
-      finally s.close()
-    }
-  }
+  def listChunks(dir: String): Array[String] =
+    graft.util.Dirs.listNames(dir)
+      .filter(_.endsWith(".jsonl"))
+      .map(n => Paths.get(dir).resolve(n).toString)
+      .toArray
 }
 
 final class BlockFeedTable(dir: String, tableSchema: StructType)

@@ -148,60 +148,65 @@ final class StreamDriver(
     // ~25 consumers at the reference's table count) would otherwise each
     // re-execute the read + filter pipeline from source
     val replaySafe = cutoff.map(c => keyed.filter(col("block_number") < c)).getOrElse(keyed)
-      .persist() // unpersisted after the operational refresh (last consumer)
+      .persist()
+    // the finally must cover EVERY consumer: a transient failure in any leg
+    // (parquet write, JDBC outage, pending-store write) would otherwise
+    // strand the batch-sized cache in the CacheManager for the session's
+    // lifetime, one leak per failed-and-replayed batch
+    try {
+      withBlockBucket(replaySafe)
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "block_bucket")
+        .parquet(s"$factRoot/raw_events")
 
-    withBlockBucket(replaySafe)
-      .withColumn("batch_id", lit(batchId))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "block_bucket")
-      .parquet(s"$factRoot/raw_events")
+      // relational leg (BASELINE's "JDBC sink to Postgres"): canonical rows
+      // only — the pending head stays in its replaceable side store
+      jdbcSink.foreach(_.write(replaySafe, batchId))
 
-    // relational leg (BASELINE's "JDBC sink to Postgres"): canonical rows
-    // only — the pending head stays in its replaceable side store
-    jdbcSink.foreach(_.write(replaySafe, batchId))
-
-    // multi-table relational leg: route the batch into per-processor fact
-    // frames (the reference DAO's ~24 tables, dao.ts:1895-2893) and write
-    // them with the cursor-as-commit-marker protocol. The 1-row max-block
-    // aggregate is the cursor read — a legitimate driver-side collect.
-    // replaySafe is persisted above: at the reference's table count this
-    // leg alone re-reads the batch ~25× otherwise.
-    multiTableSink.foreach { case (sink, route) =>
-      val endBlock = replaySafe.agg(max(col("block_number"))).collect().head
-      if (!endBlock.isNullAt(0)) // an all-filtered replay batch moves no cursor
-        sink.write(route(replaySafe), batchId, endBlock.getLong(0))
-    }
-
-    val keyedPending = pending.map { p =>
-        // the retract-ledger replay guard applies to pending rows too: a
-        // checkpoint replay of a pre-reorg batch must not repopulate the
-        // pending store (and the operational view) with retracted blocks
-        val k = p.withColumn("event_id",
-          Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
-        cutoff.map(c => k.filter(col("block_number") < c)).getOrElse(k)
+      // multi-table relational leg: route the batch into per-processor fact
+      // frames (the reference DAO's ~24 tables, dao.ts:1895-2893) and write
+      // them with the cursor-as-commit-marker protocol. The 1-row max-block
+      // aggregate is the cursor read — a legitimate driver-side collect.
+      // replaySafe is persisted above: at the reference's table count this
+      // leg alone re-reads the batch ~25× otherwise.
+      multiTableSink.foreach { case (sink, route) =>
+        val endBlock = replaySafe.agg(max(col("block_number"))).collect().head
+        if (!endBlock.isNullAt(0)) // an all-filtered replay batch moves no cursor
+          sink.write(route(replaySafe), batchId, endBlock.getLong(0))
       }
-      .flatMap { k =>
-        // one scan for the whole batch: isEmpty, the store write, and the
-        // operational union below all reuse the cached pending frame
-        k.persist()
-        // the pending store is ALWAYS this batch's pending set — an empty
-        // one means the head is fully finalized, so the store empties too
-        if (k.isEmpty) { k.unpersist(); dropPending(); None }
-        else {
-          withBlockBucket(k).withColumn("batch_id", lit(PendingBatchId))
-            .write.mode("overwrite").parquet(pendingDir)
-          Some(k)
+
+      val keyedPending = pending.map { p =>
+          // the retract-ledger replay guard applies to pending rows too: a
+          // checkpoint replay of a pre-reorg batch must not repopulate the
+          // pending store (and the operational view) with retracted blocks
+          val k = p.withColumn("event_id",
+            Ingest.eventId(col("block_number"), col("transaction_index"), col("event_index")))
+          cutoff.map(c => k.filter(col("block_number") < c)).getOrElse(k)
         }
-      }
+        .flatMap { k =>
+          // one scan for the whole batch: isEmpty, the store write, and the
+          // operational union below all reuse the cached pending frame
+          k.persist()
+          try {
+            // the pending store is ALWAYS this batch's pending set — an
+            // empty one means the head is fully finalized, so the store
+            // empties too
+            if (k.isEmpty) { k.unpersist(); dropPending(); None }
+            else {
+              withBlockBucket(k).withColumn("batch_id", lit(PendingBatchId))
+                .write.mode("overwrite").parquet(pendingDir)
+              Some(k)
+            }
+          } catch { case t: Throwable => k.unpersist(); throw t }
+        }
 
-    try onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
-    finally {
-      keyedPending.foreach(_.unpersist())
-      replaySafe.unpersist()
-    }
-    if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
+      try onOperationalRefresh(keyedPending.foldLeft(replaySafe)(_ unionByName _))
+      finally keyedPending.foreach(_.unpersist())
+      if (batchId % analyticalEvery == 0) onAnalyticalRefresh(batchId)
+    } finally replaySafe.unpersist()
   }
 
   /** Canonical facts plus the pending head (T4): what an operational query

@@ -1,0 +1,35 @@
+package graft.util
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Leak-safe local directory listing. `Files.list` holds an OS directory
+  * handle until CLOSED — relying on GC leaks file descriptors on any
+  * long-running driver that lists per trigger (the graft-blocks connector
+  * lists ≥2× per micro-batch). Every local listing in the repo routes
+  * through here so the close discipline lives in one place.
+  */
+object Dirs {
+
+  /** Entry NAMES of `dir`, sorted; empty if `dir` is not a directory. */
+  def listNames(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally s.close()
+    }
+  }
+
+  /** The numeric suffixes of entries named `<prefix><digits>`, e.g.
+    * `chunk=17` → 17 for prefix "chunk=". Non-numeric entries with the
+    * prefix are SKIPPED, not parse errors: a stray `chunk=2.bak` left by an
+    * operator must not brick the caller's startup. */
+  def numericSuffixes(dir: String, prefix: String): Seq[Int] =
+    listNames(dir).collect {
+      case n if n.startsWith(prefix) && n.length > prefix.length &&
+        n.drop(prefix.length).forall(_.isDigit) => n.drop(prefix.length).toInt
+    }
+}

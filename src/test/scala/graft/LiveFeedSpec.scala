@@ -122,21 +122,20 @@ class LiveFeedSpec extends SparkSpec {
     feed1.emit(rows(1 to 3, pending = false))
     feed1.emit(rows(4 to 6, pending = false))
 
+    // a stray non-numeric entry (operator backup) must be skipped by the
+    // resume scan, not parsed into a constructor NumberFormatException
+    Files.createDirectory(java.nio.file.Paths.get(dir, "chunk=2.bak"))
+
     // a NEW producer instance over the same directory (process restart):
     // counting from zero again would overwrite chunk=1, deleting parquet
     // parts a consumer checkpoint may already reference
     val feed2 = new LiveBlockFeed(dir, schema)
     feed2.emit(rows(7 to 9, pending = false))
 
-    val chunks = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-    val names = try {
-      import scala.jdk.CollectionConverters._
-      chunks.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("chunk=")).toList.sorted
-    } finally chunks.close()
-    assert(names == List("chunk=1", "chunk=2", "chunk=3"))
+    assert(graft.util.Dirs.numericSuffixes(dir, "chunk=").sorted == Seq(1, 2, 3))
     // all 9 blocks survive — nothing was overwritten
-    val all = spark.read.schema(schema).parquet(s"$dir/chunk=*")
+    val all = spark.read.schema(schema)
+      .parquet(s"$dir/chunk=1", s"$dir/chunk=2", s"$dir/chunk=3")
     assert(all.count() == 9L)
     assert(all.agg(org.apache.spark.sql.functions.countDistinct(
       org.apache.spark.sql.functions.col("block_number"))).head().getLong(0) == 9L)
