@@ -567,6 +567,74 @@ object Dedup {
        FROM lsh_pairs p
        JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b""")
 
+  /** Estimator-quality harness for [[minhashEstimate]]: per LSH candidate
+    * pair, the signature estimate `matches/16` NEXT TO the exact gram-set
+    * Jaccard and their absolute error — the number a dedup deployment
+    * watches when sizing permutations/bands (the [[Similarity]] recall
+    * harnesses' role, for the text ladder). The exact side touches gram
+    * sets only for CANDIDATE pairs (output-sized joins onto the shared
+    * gram view), never all pairs, and uses the UNCAPPED gram sets — the
+    * signatures hash every shingle, so stop-gram-capped Jaccard would not
+    * be the quantity the estimator estimates. */
+  def minhashQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val est = minhashEstimate(spark, sfDir)
+      .withColumn("est_d", $"matches".cast(DoubleType) / lit(16.0))
+
+    val grams = distinctGrams(spark, sfDir)
+    val counts = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = est.select($"doc_a", $"doc_b")
+      .join(grams.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"gram"), Seq("doc_b", "gram"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .join(counts.select($"doc_id".as("doc_a"), $"n_grams".as("na")), Seq("doc_a"))
+      .join(counts.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), Seq("doc_b"))
+      .withColumn("exact_d",
+        $"inter".cast(DoubleType) / ($"na" + $"nb" - $"inter").cast(DoubleType))
+      .select($"doc_a", $"doc_b", $"matches",
+        round($"est_d", 6).as("est_jaccard"),
+        round($"exact_d", 6).as("exact_jaccard"),
+        round(abs($"est_d" - $"exact_d"), 6).as("abs_err"))
+  }
+
+  val minhashQualityOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      """,
+       mq_sig_matches AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
+         FROM minhashes a
+         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       mq_grams AS (
+         SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)
+         WHERE len(d.words) >= 3),
+       mq_counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM mq_grams GROUP BY 1),
+       mq_inter AS (
+         SELECT p.doc_a, p.doc_b, COUNT(1) AS inter
+         FROM lsh_pairs p
+         JOIN mq_grams a ON a.doc_id = p.doc_a
+         JOIN mq_grams b ON b.doc_id = p.doc_b AND b.gram = a.gram
+         GROUP BY 1, 2)
+       SELECT p.doc_a, p.doc_b, m.matches,
+              ROUND(CAST(m.matches AS DOUBLE) / 16.0, 6) AS est_jaccard,
+              ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                    / CAST(ca.n_grams + cb.n_grams - COALESCE(i.inter, 0) AS DOUBLE), 6) AS exact_jaccard,
+              ROUND(ABS((CAST(m.matches AS DOUBLE) / 16.0)
+                    - (CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                       / CAST(ca.n_grams + cb.n_grams - COALESCE(i.inter, 0) AS DOUBLE))), 6) AS abs_err
+       FROM lsh_pairs p
+       JOIN mq_sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+       LEFT JOIN mq_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+       JOIN mq_counts ca ON p.doc_a = ca.doc_id
+       JOIN mq_counts cb ON p.doc_b = cb.doc_id""")
+
   /** Incremental MinHash dedup — the daily-ingest pattern at 100 TB: the
     * standing corpus' band index is computed ONCE and persisted (here:
     * memoized via [[graft.util.Memo]], the sandbox stand-in for a bucketed
@@ -704,6 +772,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_incremental_minhash" -> (incrementalMinhash _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
+    "dedup_minhash_quality" -> (minhashQuality _),
     "corpus_overlap_kmv" -> (corpusOverlapKmv _),
     "dedup_simhash" -> (simhash _),
     "dedup_cluster_components" -> (clusterComponents _))
@@ -715,6 +784,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_incremental_minhash" -> incrementalMinhashOracle,
     "dedup_minhash_estimate" -> minhashEstimateOracle,
+    "dedup_minhash_quality" -> minhashQualityOracle,
     "corpus_overlap_kmv" -> corpusOverlapKmvOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_simhash" -> simhashOracle,
