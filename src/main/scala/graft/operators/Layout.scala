@@ -83,4 +83,33 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+
+  /** Training-data shard export: write `df` as `numShards` parquet shard
+    * directories (`shard=N/`) with DETERMINISTIC membership — shard =
+    * Knuth-hash(idCol) mod numShards — plus a `_manifest.json` recording
+    * per-shard row counts. Determinism is the contract a training run
+    * needs: re-exporting the same corpus yields byte-identical shard
+    * MEMBERSHIP (resumable downloads, reproducible data order after the
+    * in-shard sort by id), unlike `repartition(n)`'s round-robin, which
+    * depends on input split sizes. One shuffle, keyed by the shard id;
+    * in-shard order is the id sort, so readers get a stable sequence. */
+  def writeSharded(df: DataFrame, idCol: String, path: String,
+      numShards: Int): Map[Int, Long] = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val sharded = df
+      .withColumn("shard", pmod(
+        col(idCol).cast("long") * lit(2654435761L), lit(numShards.toLong)).cast("int"))
+    sharded
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val counts = sharded.groupBy(col("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val manifest = (0 until numShards).map(s =>
+      s"""{"shard":$s,"rows":${counts.getOrElse(s, 0L)}}""").mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_manifest.json"),
+      manifest.getBytes("UTF-8"))
+    counts
+  }
 }

@@ -104,4 +104,33 @@ class LayoutSpec extends SparkSpec {
     assert(math.max(zU, zT) < 0.75,
       s"zorder worst-dim fraction: u=$zU t=$zT")
   }
+
+  test("sharded export: deterministic membership, stable in-shard order, manifest") {
+    val s = spark
+    import s.implicits._
+    graft.fixtures.Fixtures.register(s, "/root/testdata/sf0.001")
+    val docs = s.table("documents").select($"doc_id", $"lang", $"n_chars")
+
+    val base = Files.createTempDirectory("graft_shards").toString
+    val counts1 = Layout.writeSharded(docs, "doc_id", s"$base/a", 4)
+    val counts2 = Layout.writeSharded(docs, "doc_id", s"$base/b", 4)
+    assert(counts1 == counts2, "membership must be reproducible")
+    assert(counts1.values.sum == docs.count())
+    // hash sharding balances within a loose factor (no shard starves)
+    val (lo, hi) = (counts1.values.min, counts1.values.max)
+    assert(lo > 0 && hi < 3 * lo, s"shard balance: $counts1")
+
+    // identical membership AND identical in-shard id order across exports
+    def shard0(ids: String) = s.read.parquet(s"$ids/shard=0")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(shard0(s"$base/a") == shard0(s"$base/b"))
+    assert(shard0(s"$base/a") == shard0(s"$base/a").sorted)
+
+    // manifest row counts agree with the data
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/a", "_manifest.json")), "UTF-8")
+    counts1.foreach { case (sh, n) =>
+      assert(manifest.contains(s"""{"shard":$sh,"rows":$n}"""), manifest)
+    }
+  }
 }
