@@ -97,4 +97,40 @@ class ScalePlanSpec extends SparkSpec {
         s"the snapshot-pair comparison needs no broadcast hint:\n$p")
     }
   }
+
+  test("zorder key is a pure scan-side projection: zero exchanges") {
+    val p = plan(graft.queries.Sessions.zorderKey(spark, sfDir))
+    // assert on the query's own operators — the cached fixture view's
+    // materialization subtree (below the in-memory scan) has its own
+    // repartition, which is not this query's plan
+    val own = p.split("Scan In-memory table|InMemoryRelation").head
+    assert(!own.contains("Exchange"),
+      s"the Morton spread must not shuffle anything:\n$p")
+    assert(own.contains("Project"), s"expected a bare projection:\n$p")
+  }
+
+  test("PQ: only the hinted constant-size codebook/distance frames broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Similarity.annPq(spark, sfDir))
+      // hinted broadcasts are allowed (codebook = pqM×pqK rows, distance
+      // table = Q₀×pqM×pqK rows — both corpus-independent); what must NOT
+      // appear is a shuffle-free plan degenerating into a broadcast of the
+      // corpus-sized subvector or code frames, which only AQE could pick
+      // here and auto-broadcast is off
+      val broadcasts = p.split("BroadcastExchange").length - 1
+      assert(broadcasts >= 2, s"codebook + distance-table hints expected:\n$p")
+      assert(p.contains("partial_min_by") || p.contains("min_by"),
+        s"encode step must aggregate with a partial:\n$p")
+    }
+  }
+
+  test("EWMA: one per-user window, never a global partition") {
+    val p = plan(graft.queries.Sessions.ewmaTrend(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") ||
+      !p.contains("PartitionBy: []"), s"window must partition by user:\n$p")
+    // 16 lags over ONE window frame — a single Window node, not a chain
+    assert(p.split("\\bWindow\\b").length - 1 <= 3,
+      s"lag chain must share one window node:\n$p")
+  }
 }
