@@ -96,14 +96,30 @@ object Layout {
   def writeSharded(df: DataFrame, idCol: String, path: String,
       numShards: Int): Map[Int, Long] = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val sharded = df
+    // fail BEFORE writing anything: a non-integral id column would cast to
+    // null for every row and a null id would hash to a null shard — rows
+    // silently landing in __HIVE_DEFAULT_PARTITION__, invisible to shard
+    // readers and the manifest
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"writeSharded needs an integral id column; $idCol is ${idType.simpleString}")
+    require(df.filter(col(idCol).isNull).isEmpty,
+      s"writeSharded: $idCol contains nulls — null hashes to no shard")
+    df
       .withColumn("shard", pmod(
         col(idCol).cast("long") * lit(2654435761L), lit(numShards.toLong)).cast("int"))
-    sharded
       .repartition(numShards, col("shard"))
-      .sortWithinPartitions(idCol)
+      // sort by (shard, id), not id alone: the dynamic-partition writer
+      // inserts its own per-partition sort on `shard`, and the documented
+      // in-shard id order must not depend on that sort's stability
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val counts = sharded.groupBy(col("shard")).count()
+    // manifest counts from the WRITTEN files (ground truth, ~free footer
+    // reads), not a second pass over the source lineage — which would both
+    // double the export cost and, under a concurrently-changing input,
+    // record counts disagreeing with the parquet actually written
+    val counts = df.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val manifest = (0 until numShards).map(s =>
       s"""{"shard":$s,"rows":${counts.getOrElse(s, 0L)}}""").mkString("[", ",", "]")

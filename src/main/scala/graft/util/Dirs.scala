@@ -24,12 +24,17 @@ object Dirs {
   }
 
   /** The numeric suffixes of entries named `<prefix><digits>`, e.g.
-    * `chunk=17` → 17 for prefix "chunk=". Non-numeric entries with the
-    * prefix are SKIPPED, not parse errors: a stray `chunk=2.bak` left by an
-    * operator must not brick the caller's startup. */
+    * `chunk=17` → 17 for prefix "chunk=". Entries that are not a valid Int
+    * suffix are SKIPPED, not parse errors — including all-digit suffixes
+    * too long for Int (a stray `chunk=20260813120000` timestamp): anything
+    * a caller of this helper did not itself write must not brick its
+    * startup. Nine digits is the longest string guaranteed inside Int
+    * range. */
   def numericSuffixes(dir: String, prefix: String): Seq[Int] =
     listNames(dir).collect {
-      case n if n.startsWith(prefix) && n.length > prefix.length &&
-        n.drop(prefix.length).forall(_.isDigit) => n.drop(prefix.length).toInt
+      case n if n.startsWith(prefix) && {
+        val sfx = n.drop(prefix.length)
+        sfx.nonEmpty && sfx.length <= 9 && sfx.forall(_.isDigit)
+      } => n.drop(prefix.length).toInt
     }
 }

@@ -119,6 +119,15 @@ class ScalePlanSpec extends SparkSpec {
       // here and auto-broadcast is off
       val broadcasts = p.split("BroadcastExchange").length - 1
       assert(broadcasts >= 2, s"codebook + distance-table hints expected:\n$p")
+      // upper bound too — the regression class this suite exists for is a
+      // hint creeping onto a corpus-sized frame (subvectors/codes); the
+      // legitimate hinted subtrees are codebook, distance table, and the
+      // codebook re-appearing inside the memoized codes/training builds
+      // observed legitimate count is 5 (codebook hint re-expanded inside
+      // the memoized codes/training subtrees + the distance table); a hint
+      // creeping onto the corpus-sized subvector/code frames adds at least
+      // two more expansions and trips this
+      assert(broadcasts <= 6, s"a corpus-sized frame gained a broadcast:\n$p")
       assert(p.contains("partial_min_by") || p.contains("min_by"),
         s"encode step must aggregate with a partial:\n$p")
     }
@@ -127,8 +136,11 @@ class ScalePlanSpec extends SparkSpec {
   test("EWMA: one per-user window, never a global partition") {
     val p = plan(graft.queries.Sessions.ewmaTrend(spark, sfDir))
     assert(p.contains("Window"), p)
-    assert(!p.contains("Window [") ||
-      !p.contains("PartitionBy: []"), s"window must partition by user:\n$p")
+    // WindowExec prints `Window [functions], [partitionSpec], [orderSpec]`;
+    // the partition spec list must name user_id — an empty `[]` spec is the
+    // whole-table-through-one-task regression this pins against
+    assert("""\], \[user_id#\d+L?\], \[seq#\d+""".r.findFirstIn(p).isDefined,
+      s"window must partition by user_id and order by seq:\n$p")
     // 16 lags over ONE window frame — a single Window node, not a chain
     assert(p.split("\\bWindow\\b").length - 1 <= 3,
       s"lag chain must share one window node:\n$p")
