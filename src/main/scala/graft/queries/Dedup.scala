@@ -764,7 +764,73 @@ object Dedup {
                     ELSE CAST(len(mg) AS DOUBLE) END, 3) AS est_union
        FROM kmv_pairs""")
 
+  /** Per-snapshot novelty attribution from the KMV sketches: merge all
+    * snapshot sketches into the GLOBAL k-min (the corpus-wide sketch —
+    * composability again), then credit each of its k values to the
+    * snapshots containing it. A value in exactly one snapshot is UNIQUE
+    * content owned by that snapshot; `unique_share = unique/k` estimates
+    * the fraction of corpus-wide distinct shingles only that snapshot
+    * contributes — "which crawl adds the most new content", the curation
+    * signal that decides whether a source earns its ingest cost. Costs a
+    * snapshots×k-row comparison on top of the sketches; the corpus is
+    * never re-read. */
+  def corpusNoveltyKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+    val k = 256
+
+    val hashes = spark.table("documents")
+      .select($"lang", explode(expr(s"graft_kmv_sketch(split(text, ' '), $k)")).as("h"))
+      .groupBy($"lang", $"h").agg(count(lit(1)).as("df"))
+      .select($"lang", $"h")
+    // global k-min: merge across snapshots (distinct first — the same value
+    // may live in several snapshots), bounded by graft_topk
+    val global = hashes.select($"h").distinct()
+      .agg(expr(s"graft_topk(-h, $k)").as("negs"))
+      .select(explode(expr("transform(negs, x -> -x)")).as("h"))
+
+    // present = the lang carries that global k-min value (coverage);
+    // unique = it is the ONLY lang carrying it (novelty). On a saturated
+    // corpus every value is multiply-owned and unique counts go to ZERO —
+    // that is the metric's answer ("this source adds nothing new"), which
+    // is why coverage is reported alongside rather than novelty alone.
+    val owned = global.join(hashes, Seq("h"))
+    val owners = owned.groupBy($"h").agg(count(lit(1)).as("owners"))
+    owned.join(owners, Seq("h"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_present"),
+        sum(when($"owners" === 1, 1L).otherwise(0L)).as("unique_vals"))
+      .withColumn("present_share",
+        round($"n_present".cast(DoubleType) / lit(k.toDouble), 6))
+      .withColumn("unique_share",
+        round($"unique_vals".cast(DoubleType) / lit(k.toDouble), 6))
+      .select($"lang", $"n_present", $"present_share", $"unique_vals", $"unique_share")
+  }
+
+  val corpusNoveltyKmvOracle: String = Fixtures.oracle(
+    s""", nov_h AS (
+         SELECT DISTINCT lang,
+                (${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} * 2654435761) % 4294967296 AS h
+         FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)
+         WHERE len(d.words) >= 3),
+       nov_global AS (
+         SELECT h FROM (SELECT DISTINCT h FROM nov_h) ORDER BY h LIMIT 256),
+       nov_owned AS (
+         SELECT g.h, s.lang FROM nov_global g JOIN nov_h s ON g.h = s.h),
+       nov_owners AS (
+         SELECT h, COUNT(1) AS owners FROM nov_owned GROUP BY h)
+       SELECT d.lang,
+              CAST(COUNT(1) AS BIGINT) AS n_present,
+              ROUND(CAST(COUNT(1) AS DOUBLE) / 256.0, 6) AS present_share,
+              CAST(SUM(CASE WHEN o.owners = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_vals,
+              ROUND(CAST(SUM(CASE WHEN o.owners = 1 THEN 1 ELSE 0 END) AS DOUBLE) / 256.0, 6) AS unique_share
+       FROM nov_owned d JOIN nov_owners o ON d.h = o.h
+       GROUP BY d.lang""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_novelty_kmv" -> (corpusNoveltyKmv _),
     "dedup_containment" -> (containment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_winnow" -> (winnow _),
@@ -786,6 +852,7 @@ object Dedup {
     "dedup_minhash_estimate" -> minhashEstimateOracle,
     "dedup_minhash_quality" -> minhashQualityOracle,
     "corpus_overlap_kmv" -> corpusOverlapKmvOracle,
+    "corpus_novelty_kmv" -> corpusNoveltyKmvOracle,
     "dedup_containment" -> containmentOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_cluster_components" -> clusterComponentsOracle)
