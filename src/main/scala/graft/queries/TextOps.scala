@@ -847,27 +847,92 @@ object TextOps {
 
   /** Vocabulary coverage (tokenizer-prep shape): terms ranked by corpus
     * frequency with the CUMULATIVE token-coverage fraction — "how big must
-    * the vocabulary be to cover X% of tokens". The running sum's window is
-    * over the VOCABULARY-sized aggregate (bounded by construction — the
-    * corpus only contributes counts), ordered deterministically by
-    * (count desc, term). The fraction divides two exact longs per row, so
-    * both engines agree bit-for-bit. */
+    * the vocabulary be to cover X% of tokens", ordered deterministically by
+    * (count desc, term).
+    *
+    * The global rank + running sum are HIERARCHICALLY DECOMPOSED so that no
+    * window ever runs unpartitioned over the vocabulary (which grows with
+    * the corpus under Heaps' law — 10^8-10^9 distinct tokens at 100 TB; the
+    * same reasoning that killed the keywordTfidf broadcast in r7). Integer
+    * addition is associative, so the decomposition is bit-identical to the
+    * one-shot window and the oracle is unchanged:
+    *
+    *   level 0  per-(n, 2-char term prefix) bucket: row_number by term.
+    *            Byte-wise string order means term1 < term2 ⟹ prefix(term1)
+    *            ≤ prefix(term2), so buckets are contiguous slices of the
+    *            global (n desc, term) order.
+    *   level 1  offsets across prefixes within an exact count n: window
+    *            partitioned by n, ≤ |charset|² rows per partition.
+    *   level 2  offsets across distinct counts within a power-of-two bin
+    *            (floor(log2 n) — monotone in n, so bins are contiguous
+    *            count ranges): window partitioned by bin.
+    *   level 3  offsets across the ≤ 64 bins (provably bounded by the long
+    *            width): a triangular self-join over ≤ 64 rows — no window.
+    *
+    * The level-1/2 offset tables grow with the vocabulary, so they join by
+    * SHUFFLE on (n, p) / (n); only the 64-row bin table and the 1-row
+    * corpus total broadcast. The fraction divides two exact longs per row,
+    * so both engines agree bit-for-bit. */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val counts = spark.table("documents")
       .select(explode(split($"text", " ")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum($"n").as("total"))
 
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n".desc, $"term")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts
+    // level 0: in-bucket rank; every row in a (n, p) bucket carries the
+    // same count n, so its cumulative-sum contribution is just n·rank_in
+    val rows = counts.withColumn("p", substring($"term", 1, 2))
+    val wA = Window.partitionBy($"n", $"p").orderBy($"term")
+    val ranked = rows.withColumn("rank_in", row_number().over(wA).cast(LongType))
+
+    // level 1: bucket sizes, then offsets across prefixes within each n
+    val b1 = rows.groupBy($"n", $"p").agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy($"n").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = b1
+      .withColumn("p_off", coalesce(sum($"cnt").over(wB), lit(0L)))
+      .select($"n", $"p", $"p_off")
+
+    // level 2: per-count totals, offsets across counts within a log2 bin
+    val n1 = b1.groupBy($"n").agg(sum($"cnt").as("cnt_n"))
+      .withColumn("nsum_n", $"n" * $"cnt_n")
+      .withColumn("bin", floor(log2($"n")).cast(LongType))
+    val wC = Window.partitionBy($"bin").orderBy($"n".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nOff = n1
+      .withColumn("n_off_cnt", coalesce(sum($"cnt_n").over(wC), lit(0L)))
+      .withColumn("n_off_nsum", coalesce(sum($"nsum_n").over(wC), lit(0L)))
+      .select($"n", $"bin", $"n_off_cnt", $"n_off_nsum")
+
+    // level 3: offsets across the ≤ 64 bins (bounded by the bit width of a
+    // long, not by the corpus) — a ≤ 64×64 triangular self-join instead of
+    // a window, so no unpartitioned WindowExec anywhere in the plan
+    val bins = n1.groupBy($"bin")
+      .agg(sum($"cnt_n").as("cnt_b"), sum($"nsum_n").as("nsum_b"))
+    val binOff = bins.as("b")
+      .join(bins.select($"bin".as("h_bin"), $"cnt_b".as("h_cnt"),
+        $"nsum_b".as("h_nsum")), $"h_bin" > $"b.bin", "left")
+      .groupBy($"b.bin".as("bin"))
+      .agg(coalesce(sum($"h_cnt"), lit(0L)).as("bin_off_cnt"),
+        coalesce(sum($"h_nsum"), lit(0L)).as("bin_off_nsum"))
+
+    // compose one (n, p)-keyed offset table; vocabulary-growing frames
+    // join by shuffle, only the 64-row bin table broadcasts
+    val offs = bOff
+      .join(nOff, Seq("n"))
+      .join(broadcast(binOff), Seq("bin"))
+      .select($"n", $"p",
+        ($"p_off" + $"n_off_cnt" + $"bin_off_cnt").as("rank_off"),
+        ($"n" * $"p_off" + $"n_off_nsum" + $"bin_off_nsum").as("nsum_off"))
+
+    ranked
+      .join(offs, Seq("n", "p"))
       .join(broadcast(total))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"term")).cast(LongType))
-      .withColumn("cum_n", sum($"n").over(w))
+      .withColumn("rank", $"rank_off" + $"rank_in")
+      .withColumn("cum_n", $"nsum_off" + $"n" * $"rank_in")
       .select($"rank", $"term", $"n",
         round($"cum_n".cast(DoubleType) / $"total".cast(DoubleType), 6).as("coverage"))
   }

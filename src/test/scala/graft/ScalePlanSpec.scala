@@ -145,4 +145,29 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.split("\\bWindow\\b").length - 1 <= 3,
       s"lag chain must share one window node:\n$p")
   }
+
+  test("vocabCoverage: every window is partitioned; vocab offset joins shuffle") {
+    withNoAutoBroadcast {
+      val df = TextOps.vocabCoverage(spark, sfDir)
+      // the r8 verdict's weak item: a global (n desc, term) window moved
+      // the Heaps-growing vocabulary through ONE task. The decomposed form
+      // must have NO WindowExec with an empty partition spec.
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"vocabulary-sized window must be partitioned:\n${df.queryExecution.executedPlan}")
+      val p = plan(df)
+      // vocabulary-growing offset tables (per-(n,prefix), per-n) must join
+      // by shuffle; only the ≤64-row bin table and 1-row total broadcast
+      assert(p.contains("SortMergeJoin"),
+        s"vocab offset joins must shuffle without auto-broadcast:\n$p")
+      // three bounded broadcasts are legitimate: the ≤64×64 triangular bin
+      // self-join (non-equi ⇒ BroadcastNestedLoopJoin), the hinted ≤64-row
+      // bin-offset table, and the hinted 1-row corpus total
+      assert(p.split("BroadcastExchange").length - 1 <= 3,
+        s"a vocabulary-sized frame gained a broadcast:\n$p")
+    }
+  }
 }
