@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.StructType
   * RUNNING over [[source]]; each emit lands one uniquely-named chunk under
   * the watched directory and becomes (part of) the next micro-batch. The
   * arrival race is real — the stream's file listing runs concurrently with
-  * the producer's write — and safe, because parquet part files are
-  * committed by atomic rename: a chunk is either absent from a listing or
-  * complete.
+  * the producer's write — and safe, because the chunk is fully written
+  * under a staging directory OUTSIDE the watched tree and then renamed
+  * into the watched path as ONE directory rename. Per-part-file renames
+  * would not be enough: a multi-partition emit commits part files one at a
+  * time, so a listing could catch half an emit and split one block batch
+  * across two micro-batches (and a listing must never record an in-flight
+  * staging path that vanishes at rename time — that fails the micro-batch
+  * on read).
   *
   * Rows follow the raw-event contract
   * `(block_number, transaction_index, event_index, ..., is_pending?)`:
@@ -42,11 +47,23 @@ final class LiveBlockFeed(dir: String, val schema: StructType) {
   def source: BlockSource = FileBlockSource(s"$dir/*", schema)
 
   /** Append one block batch to the feed. Thread-safe; callable while the
-    * consuming query runs. The frame must match [[schema]]. */
+    * consuming query runs. The frame must match [[schema]]. The batch is
+    * staged under a hidden directory and committed with one atomic
+    * directory rename, so a concurrent listing sees the whole emit or
+    * none of it. */
   def emit(batch: DataFrame): Unit = {
     require(batch.schema.fieldNames.sameElements(schema.fieldNames),
       s"feed rows must match the declared schema ${schema.fieldNames.mkString(",")}")
-    batch.write.mode("overwrite")
-      .parquet(s"$dir/chunk=${chunkIds.incrementAndGet()}")
+    val id = chunkIds.incrementAndGet()
+    // stage OUTSIDE the watched tree: a glob listing must never observe
+    // in-flight part files (leaf names aren't dot-prefixed, so hidden-file
+    // filtering would not reliably exclude a staging dir under `dir`)
+    val staged = s"${dir.stripSuffix("/")}.staging/chunk=$id"
+    batch.write.mode("overwrite").parquet(staged)
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/chunk=$id")
+    val fs = dest.getFileSystem(conf)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), dest),
+      s"commit rename failed for $staged")
   }
 }

@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
 
@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -24,13 +24,31 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Transport model: a bridge process (the gRPC drainer, a test, the
   * [[JsonBlockFeed]] helper) appends immutable chunk files
-  * `chunk-NNNNNN.jsonl` — one JSON object per raw event row — into a
+  * `chunk-NNNNNNNNNNNN.jsonl` — one JSON object per raw event row — into a
   * directory, committing each via atomic rename so a chunk is either
   * invisible or complete. The STREAM OFFSET is the count of committed
-  * chunks: chunks are append-only and lexicographically ordered, so an
-  * offset range `[start, end)` always re-plans to the same files — the
+  * chunks: chunks are append-only and ordered by their numeric suffix, so
+  * an offset range `[start, end)` always re-plans to the same files — the
   * deterministic-replay property Spark's exactly-once contract needs
   * (each micro-batch re-reads identically on checkpoint recovery).
+  *
+  * All FOUR of the reference stream's dispatch arms ride this one format
+  * (index.ts:142-287): `data` as plain rows, pending/accepted as the
+  * `is_pending` row flag, and `invalidate` / `heartbeat` as single-row
+  * CONTROL chunks (`chunk-N.ctrl.jsonl`, [[BlockFeedProvider.ControlCol]])
+  * that offset planning always places alone in their micro-batch — see
+  * `latestOffset(start, limit)`.
+  *
+  * Offset-listing cost under long stream histories: the offset is a chunk
+  * COUNT, so `latestOffset` is one directory listing — O(committed chunks),
+  * not O(rows). Chunk files are append-only forever from the connector's
+  * view; a deployment whose history outgrows a flat directory listing
+  * (~10⁶ chunks) periodically quiesces, folds the consumed prefix into the
+  * batch archive (StreamDriver.compact's discipline), moves the survivor
+  * chunks to a fresh feed directory renumbered from 0, and restarts the
+  * query with a fresh checkpoint — the same base-offset rotation Kafka
+  * performs with log segment deletion + earliest-offset advance. PLANS.md
+  * §"DSv2 offset compaction" records the protocol.
   *
   * Usage (streaming and batch):
   * {{{
@@ -78,17 +96,54 @@ object BlockFeedProvider {
     StructField("transaction_index", LongType),
     StructField("event_index", LongType)))
 
+  /** Control-message columns (the reference stream's non-data dispatch arms,
+    * index.ts:142-287: `invalidate` and `heartbeat`; `data` rides as plain
+    * rows and pending as the `is_pending` flag). A control row has
+    * `_control` set and every data column null; a data row has `_control`
+    * null. Append these to the read schema via [[withControlColumns]] when
+    * the feed carries markers. */
+  val ControlCol = "_control"
+  val InvalidateFromCol = "_invalidate_from"
+  val ControlInvalidate = "invalidate"
+  val ControlHeartbeat = "heartbeat"
+
+  def withControlColumns(schema: StructType): StructType =
+    StructType(schema.fields ++ Seq(
+      StructField(ControlCol, StringType),
+      StructField(InvalidateFromCol, LongType)))
+
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     case _ => false
   }
 
-  /** Committed chunks, lexicographically ordered (zero-padded names make
-    * that the append order). */
+  /** `chunk-<digits>.jsonl` (data) or `chunk-<digits>.ctrl.jsonl` (control
+    * marker); anything else in the directory is a foreign file, skipped. */
+  private val ChunkName = "chunk-(\\d+)(\\.ctrl)?\\.jsonl".r
+
+  /** The numeric suffix of a committed chunk file name, if it is one. */
+  def chunkId(name: String): Option[Long] = name match {
+    case ChunkName(digits, _) if digits.length <= 18 => Some(digits.toLong)
+    case _ => None
+  }
+
+  /** A control chunk carries exactly one marker row (invalidate/heartbeat)
+    * and no data. It is detectable from the NAME so offset planning can put
+    * it alone in its micro-batch without opening the file. */
+  def isControl(path: String): Boolean =
+    Paths.get(path).getFileName.toString.contains(".ctrl.")
+
+  /** Committed chunks in append order. Ordered by the PARSED numeric
+    * suffix, not lexicographically: zero-padding makes the two agree up to
+    * the padding width, but past it (chunk-1000000 vs chunk-999999 at %06d)
+    * lexicographic order would silently diverge from append order and break
+    * deterministic offset→file replay. Foreign `.jsonl` files are skipped,
+    * never parse errors. */
   def listChunks(dir: String): Array[String] =
     graft.util.Dirs.listNames(dir)
-      .filter(_.endsWith(".jsonl"))
-      .map(n => Paths.get(dir).resolve(n).toString)
+      .flatMap(n => chunkId(n).map(id => (id, n)))
+      .sortBy(_._1)
+      .map { case (_, n) => Paths.get(dir).resolve(n).toString }
       .toArray
 }
 
@@ -132,9 +187,20 @@ final case class ChunkCountOffset(n: Int) extends Offset {
 
 final class BlockFeedMicroBatchStream(
     dir: String, schema: StructType, maxChunksPerTrigger: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = ChunkCountOffset(0)
+
+  /** Trigger.AvailableNow drain target: captured ONCE at query start.
+    * Without this, Spark's generic wrapper would capture the FIRST
+    * admission-limited offset as the drain target — a control marker (or
+    * maxChunksPerTrigger cap) at the head of the backlog would end the
+    * run after one micro-batch instead of draining. */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(BlockFeedProvider.listChunks(dir).length)
 
   override def latestOffset(): Offset =
     ChunkCountOffset(BlockFeedProvider.listChunks(dir).length)
@@ -147,13 +213,31 @@ final class BlockFeedMicroBatchStream(
     maxChunksPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** Besides the admission cap, a micro-batch never CROSSES a control
+    * chunk (invalidate/heartbeat marker): a marker rides ALONE in its
+    * batch, so the consumer (StreamDriver) sees data batches and control
+    * batches strictly ordered — pre-invalidate data commits before the
+    * retraction runs, post-invalidate data only after it. This is the
+    * micro-batch form of the reference's sequential message dispatch
+    * (index.ts:142-287). Determinism holds: the boundary is a pure
+    * function of the committed chunk list prefix, so recovery re-plans
+    * the same ranges. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = BlockFeedProvider.listChunks(dir).length
+    val committed = BlockFeedProvider.listChunks(dir)
+    // under AvailableNow, never admit past the chunk count captured at
+    // query start (chunks committed mid-drain wait for the next run)
+    val avail = availableNowTarget
+      .map(t => math.min(t, committed.length)).getOrElse(committed.length)
+    val chunks = committed.take(avail)
     val from = start.asInstanceOf[ChunkCountOffset].n
-    limit match {
-      case r: ReadMaxRows => ChunkCountOffset(math.min(avail.toLong, from + r.maxRows()).toInt)
-      case _ => ChunkCountOffset(avail)
+    val cap = limit match {
+      case r: ReadMaxRows => math.min(chunks.length.toLong, from + r.maxRows()).toInt
+      case _ => chunks.length
     }
+    val end =
+      if (from < chunks.length && BlockFeedProvider.isControl(chunks(from))) from + 1
+      else (from until cap).find(i => BlockFeedProvider.isControl(chunks(i))).getOrElse(cap)
+    ChunkCountOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -226,19 +310,27 @@ final class ChunkReader(path: String, schema: StructType)
 /** Producer helper: the writing half of the feed (what a gRPC bridge or a
   * test uses). Each [[emit]] writes one chunk to a temp file and commits it
   * with an ATOMIC rename — a concurrent reader's directory listing sees the
-  * chunk fully or not at all. */
+  * chunk fully or not at all.
+  *
+  * Besides data batches, the producer forwards the reference stream's
+  * CONTROL messages (index.ts:142-287) as single-row marker chunks:
+  * [[emitInvalidate]] (chain reorg — retract from a block) and
+  * [[emitHeartbeat]] (liveness signal). Markers share the chunk number
+  * sequence, so the offset contract is unchanged; the `.ctrl.` name infix
+  * lets offset planning isolate them without opening the file. */
 final class JsonBlockFeed(dir: String) {
   Files.createDirectories(Paths.get(dir))
   private val mapper = new ObjectMapper()
-  // resume numbering after any chunks a previous producer left behind
-  private val next = new AtomicInteger(
-    BlockFeedProvider.listChunks(dir).lastOption
-      .map(p => Paths.get(p).getFileName.toString.stripPrefix("chunk-").stripSuffix(".jsonl").toInt)
-      .getOrElse(0))
+  // resume numbering after any chunks a previous producer left behind: the
+  // parse is TOLERANT (chunk-<digits> names only) — a foreign .jsonl file
+  // in the feed dir must not brick producer restart
+  private val next = new AtomicLong(
+    graft.util.Dirs.listNames(dir)
+      .flatMap(BlockFeedProvider.chunkId)
+      .foldLeft(0L)(math.max))
 
   /** Append one block batch: each row is (column → scalar value). */
   def emit(rows: Seq[Map[String, Any]]): Unit = {
-    val id = next.incrementAndGet()
     val body = rows.map { r =>
       val o = mapper.createObjectNode()
       r.foreach {
@@ -251,9 +343,28 @@ final class JsonBlockFeed(dir: String) {
       }
       o.toString
     }.mkString("", "\n", "\n")
+    commit(body, ctrl = false)
+  }
+
+  /** Reorg marker: every block ≥ `fromBlock` is invalid; the consumer
+    * retracts the suffix before reading any later chunk (the reference's
+    * `invalidate` dispatch arm + dao.ts:2306-2321 retraction). */
+  def emitInvalidate(fromBlock: Long): Unit =
+    commit(s"""{"${BlockFeedProvider.ControlCol}":"${BlockFeedProvider.ControlInvalidate}","${BlockFeedProvider.InvalidateFromCol}":$fromBlock}""" + "\n",
+      ctrl = true)
+
+  /** Liveness marker: no data, but the micro-batch it forms carries one
+    * input row, so progress-based stall watchdogs ([[graft.streaming.LivenessMonitor]])
+    * see a heartbeat exactly as the reference's keep-alive message. */
+  def emitHeartbeat(): Unit =
+    commit(s"""{"${BlockFeedProvider.ControlCol}":"${BlockFeedProvider.ControlHeartbeat}"}""" + "\n",
+      ctrl = true)
+
+  private def commit(body: String, ctrl: Boolean): Unit = {
+    val id = next.incrementAndGet()
+    val name = if (ctrl) f"chunk-$id%012d.ctrl.jsonl" else f"chunk-$id%012d.jsonl"
     val tmp: Path = Files.createTempFile(Paths.get(dir), ".chunk", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, f"chunk-$id%06d.jsonl"),
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
   }
 }

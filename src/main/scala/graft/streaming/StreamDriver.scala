@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ingest.Ingest
+import graft.sources.v2.BlockFeedProvider.{ControlCol, InvalidateFromCol}
 
 /** Streaming ingestion driver mirroring the reference's lifecycle
   * (index.ts:127-287, SURVEY.md §2.10):
@@ -122,10 +123,48 @@ final class StreamDriver(
     // at the first batch newer than the compaction ledger.
     if (batchId < compactedUpTo) return
 
+    // Control batches (the reference's invalidate/heartbeat dispatch arms,
+    // index.ts:142-287, carried in-band by the graft-blocks connector):
+    // the connector guarantees a control marker rides ALONE in its
+    // micro-batch, so a batch containing control rows has no data to
+    // ingest — an invalidate runs the retraction inline (the stream stays
+    // up; micro-batches are sequential, so the quiesced-only requirement
+    // holds by construction), a heartbeat is pure liveness (its one input
+    // row refreshes LivenessMonitor's progress clock; nothing to store).
+    // A checkpoint replay of an invalidate batch re-runs the retract,
+    // which is idempotent — and Spark replays at most the LAST uncommitted
+    // batch, so no post-reorg batch can have committed before the replay.
+    if (batch.columns.contains(ControlCol)) {
+      // driver-side collect is marker-count-sized (one row per control
+      // chunk, one control chunk per batch) — legitimate
+      val markers = batch.filter(col(ControlCol).isNotNull)
+        .select(col(ControlCol), col(InvalidateFromCol)).collect()
+      if (markers.nonEmpty) {
+        require(batch.filter(col(ControlCol).isNull).isEmpty,
+          s"batch $batchId mixes control markers with data rows — the " +
+            "source must emit markers in their own micro-batch")
+        val invalidateFrom: Seq[Long] = markers.toSeq.collect {
+          case r if r.getString(0) == graft.sources.v2.BlockFeedProvider.ControlInvalidate =>
+            r.getLong(1)
+        }
+        if (invalidateFrom.nonEmpty) {
+          retract(invalidateFrom.min)
+          // poke operational consumers after a retraction (the reference
+          // pushes the invalidation downstream); heartbeats change nothing
+          onOperationalRefresh(spark.emptyDataFrame)
+        }
+        return
+      }
+    }
+    val dataBatch =
+      if (batch.columns.contains(ControlCol))
+        batch.drop(ControlCol, InvalidateFromCol)
+      else batch
+
     // a row without a block number can neither be keyed nor retracted (it
     // would land in the __HIVE_DEFAULT_PARTITION__ bucket, outside every
     // reorg predicate) — malformed input, dropped at the boundary
-    val valid = batch.filter(col("block_number").isNotNull)
+    val valid = dataBatch.filter(col("block_number").isNotNull)
 
     // T4: a batch may carry PENDING (unfinalized head) rows, flagged by an
     // optional `is_pending` column (index.ts:137). They are processed —
@@ -289,6 +328,11 @@ final class StreamDriver(
     // reference cascades deletes from event_keys, dao.ts:1543-1576)
     jdbcSink.foreach(_.retract(fromBlock))
     multiTableSink.foreach(_._1.retract(fromBlock))
+
+    // an invalidate can precede any canonical write (a reorg during
+    // catch-up, or a pending-only head): with no fact storage yet, the
+    // pending drop and relational deletes above are the whole retraction
+    if (!fs.exists(new Path(path))) return
 
     val boundary = fromBlock / 4096
     val maxBatch = maxBatchId(fs)
