@@ -508,10 +508,10 @@ object Similarity {
          JOIN embeddings d ON d.vec_id = c.vec_id)""" +
       rankedTail(3))
 
-  /** Oracle twin of [[ivfQueryProbes]] (p=2): reuses assignmentCtes' cdots
-    * (every vector×centroid dot), ranks per query, cuts at 2. */
-  private val qprobesCte: String =
-    s""", qprobes AS (
+  /** Oracle twin of [[ivfQueryProbes]]: reuses assignmentCtes' cdots
+    * (every vector×centroid dot), ranks per query, cuts at `p`. */
+  private def qprobesCteFor(name: String, p: Int): String =
+    s""", $name AS (
          SELECT vec_id AS qid, cid AS cluster FROM (
            SELECT d.vec_id, d.cid,
                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -521,7 +521,9 @@ object Similarity {
            JOIN nrm n ON d.vec_id = n.vec_id
            JOIN cn c ON d.cid = c.cid
            WHERE ${queryPred("d.vec_id")}) t
-         WHERE rn <= 2)"""
+         WHERE rn <= $p)"""
+
+  private val qprobesCte: String = qprobesCteFor("qprobes", 2)
 
   val annIvfNprobe2Oracle: String = Fixtures.oracle(
     assignmentCtes + qprobesCte +
@@ -1032,6 +1034,117 @@ object Similarity {
     recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
       annPq(spark, sfDir))
 
+  /** IVF×PQ — the billion-vector composition (Jégou et al. 2011): the IVF
+    * quantizer prunes the search to each query's top-2 cells, and PQ's
+    * asymmetric distance ranks WITHIN those cells reading only codes. The
+    * two halves are exactly [[annIvfNprobe2]]'s candidate generation and
+    * [[annPq]]'s ADC scoring — composed, so the ADC pass touches
+    * ~nprobe/centroids of the code rows a full-scan ADC reads (the
+    * `ivfpq.adc_rows` observed metric measures it; IvfPqSpec asserts the
+    * fraction), while cell restriction also removes the far-away
+    * distractors whose noisy ADC distances cost full-scan PQ recall.
+    *
+    * Scale shape: probes are a fixed Q₀×2 set; candidates key the code
+    * join by vec_id (in production the code table is cell-partitioned, so
+    * this is a partition-pruned read); the distance table stays a
+    * constant-size broadcast; the rank window partitions by query. The
+    * decimal ADC-sum determinism contract is [[annPq]]'s. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val candidates = ivfQueryProbes(spark, sfDir, ivfPqNprobe)
+      .join(ivfAssignments(spark, sfDir), Seq("cluster"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+
+    val qdist = pqSubvectors(spark, sfDir)
+      .filter(expr(queryFilter))
+      .join(broadcast(pqCodebooks(spark, sfDir)), Seq("m"))
+      .select($"vec_id".as("qid"), $"m", $"cid",
+        pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
+
+    pqCodes(spark, sfDir)
+      .join(candidates, Seq("vec_id"))
+      .join(broadcast(qdist), Seq("qid", "m", "cid"))
+      .observe("ivfpq", count(lit(1)).as("adc_rows"))
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd2").as("approx_d2"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"qid").orderBy($"approx_d2", $"vec_id")))
+      .filter($"rank" <= 3)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+        $"rank".cast(LongType).as("rank"),
+        round($"approx_d2", 6).cast(DoubleType).as("approx_d2"))
+  }
+
+  /** IVF×PQ probe depth: one more cell than [[annIvfNprobe2]] — measured
+    * at sf0.01, nprobe=2 lands recall 0.400 vs full-scan PQ's 0.433;
+    * nprobe=3 recovers the gap and more (0.467 — cell pruning drops the
+    * noisy far-away distractors ADC mis-ranks) while the scanned-code
+    * fraction stays ~nprobe/centroids (~16% at sf0.1's 20 cells, shrinking
+    * as the corpus grows centroids; IvfPqSpec pins both). */
+  private val ivfPqNprobe = 3
+
+  /** Cell-restricted ADC CTE chain shared by the IVF×PQ oracle pair. */
+  private val ivfPqCtes: String =
+    qprobesCteFor("ivfpq_probes", ivfPqNprobe) +
+    s""", ivfpq_cand AS (
+         SELECT q.qid, a.vec_id
+         FROM ivfpq_probes q JOIN assignments a
+           ON q.cluster = a.cluster AND a.vec_id != q.qid),
+       ivfpq_adc AS (
+         SELECT cand.qid, c.vec_id, SUM(q.qd2) AS approx_d2
+         FROM ivfpq_cand cand
+         JOIN pq_enc c ON c.vec_id = cand.vec_id
+         JOIN pq_qd q ON q.qid = cand.qid AND c.m = q.m AND c.cid = q.cid
+         GROUP BY 1, 2),
+       ivfpq_ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM ivfpq_adc)"""
+
+  val annIvfPqOracle: String = Fixtures.oracle(
+    pqCtes + assignmentCtes + ivfPqCtes +
+      """
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM ivfpq_ranked WHERE rank <= 3""")
+
+  /** Recall@3 of the IVF×PQ path — what cell pruning plus quantization
+    * jointly lose (or regain: pruning removes full-scan ADC's noisy
+    * distractors) against the exact top-3. */
+  def annRecallIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annIvfPq(spark, sfDir))
+
+  val annRecallIvfPqOracle: String = Fixtures.oracle(
+    pqCtes + assignmentCtes + ivfPqCtes +
+      s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN ivfpq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
     s""", exact_dots AS (
          SELECT q.vec_id AS qid, d.vec_id,
@@ -1059,6 +1172,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_pq" -> (annPq _),
     "sim_ann_recall_pq" -> (annRecallPq _),
+    "sim_ann_ivfpq" -> (annIvfPq _),
+    "sim_ann_recall_ivfpq" -> (annRecallIvfPq _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -1076,6 +1191,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_recall_pq" -> annRecallPqOracle,
+    "sim_ann_ivfpq" -> annIvfPqOracle,
+    "sim_ann_recall_ivfpq" -> annRecallIvfPqOracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_lsh_multitable" -> annLshMultitableOracle,
