@@ -158,10 +158,8 @@ object Dedup {
         posexplode(expr("graft_minhash_bands(split(text, ' '))")))
       .toDF("doc_id", "band", "band_key")
 
-    bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    graft.util.Salted.pairSelfJoin(bands, Seq("band", "band_key"), "doc_id")
+      .groupBy($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
   }
 
@@ -217,18 +215,24 @@ object Dedup {
 
     val fp = spark.table("documents")
       .select($"doc_id", expr("graft_simhash64_bands(split(text, ' '))").as("chunks"))
-    val banded = fp.select($"doc_id", $"chunks",
+    val banded = fp.select($"doc_id",
       posexplode($"chunks").as(Seq("b", "band_key")))
 
-    banded.as("x").join(banded.as("y"),
-        $"x.b" === $"y.b" && $"x.band_key" === $"y.band_key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+    // candidate pairs through the salt gate, then ONE distance fold per
+    // DISTINCT pair against the per-doc fingerprint frame (the gate's
+    // (id_a, id_b) contract carries no payload columns, so the chunks
+    // rejoin here — pair-output-sized, cheaper than folding per
+    // co-occurrence as the pre-gate join did)
+    graft.util.Salted.pairSelfJoin(banded, Seq("b", "band_key"), "doc_id")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+      .distinct()
+      .join(fp.select($"doc_id".as("doc_a"), $"chunks".as("chunks_a")), Seq("doc_a"))
+      .join(fp.select($"doc_id".as("doc_b"), $"chunks".as("chunks_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
         // 4-element fold per CANDIDATE pair (output-sized, not corpus-sized
         // — the interpreted-lambda ban applies to scan projections)
-        expr("aggregate(zip_with(x.chunks, y.chunks, (cx, cy) -> bit_count(cx ^ cy)), 0, (acc, v) -> acc + v)")
+        expr("aggregate(zip_with(chunks_a, chunks_b, (cx, cy) -> bit_count(cx ^ cy)), 0, (acc, v) -> acc + v)")
           .cast(LongType).as("hamming"))
-      .distinct()
       .filter($"hamming" <= 12)
   }
 
@@ -473,10 +477,8 @@ object Dedup {
       .select($"doc_id",
         posexplode(expr("graft_minhash_bands(split(text, ' '))")))
       .toDF("doc_id", "band", "band_key")
-    val pairs = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val pairs = graft.util.Salted.pairSelfJoin(bands, Seq("band", "band_key"), "doc_id")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .distinct()
 
     val grams = distinctGrams(spark, sfDir)
@@ -538,10 +540,8 @@ object Dedup {
         expr("graft_minhash_sig(split(text, ' '))").as("sig"))
     val bands = docs.select($"doc_id", posexplode($"bands")).toDF("doc_id", "band", "band_key")
 
-    val pairs = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val pairs = graft.util.Salted.pairSelfJoin(bands, Seq("band", "band_key"), "doc_id")
+      .groupBy($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
 
     pairs
@@ -672,10 +672,9 @@ object Dedup {
         $"n.band" === $"o.band" && $"n.band_key" === $"o.band_key")
       .select(least($"n.doc_id", $"o.doc_id").as("doc_a"),
         greatest($"n.doc_id", $"o.doc_id").as("doc_b"))
-    val vsBatch = incoming.as("a").join(incoming.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val vsBatch = graft.util.Salted
+      .pairSelfJoin(incoming, Seq("band", "band_key"), "doc_id")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
 
     vsIndex.unionByName(vsBatch)
       .groupBy($"doc_a", $"doc_b")

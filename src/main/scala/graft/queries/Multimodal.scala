@@ -243,22 +243,29 @@ object Multimodal {
       }
     }.toDF()
 
-    val expl = bands.select($"doc_id", $"b0", $"b1", $"b2", $"b3",
+    val expl = bands.select($"doc_id",
       explode(array(
         struct(lit(0).as("bi"), $"b0".as("bv")),
         struct(lit(1).as("bi"), $"b1".as("bv")),
         struct(lit(2).as("bi"), $"b2".as("bv")),
         struct(lit(3).as("bi"), $"b3".as("bv")))).as("band"))
-      .select($"doc_id", $"band.bi", $"band.bv", $"b0", $"b1", $"b2", $"b3")
+      .select($"doc_id", $"band.bi", $"band.bv")
 
-    expl.as("a").join(expl.as("b"),
-        $"a.bi" === $"b.bi" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        (bit_count($"a.b0".bitwiseXOR($"b.b0")) +
-          bit_count($"a.b1".bitwiseXOR($"b.b1")) +
-          bit_count($"a.b2".bitwiseXOR($"b.b2")) +
-          bit_count($"a.b3".bitwiseXOR($"b.b3"))).cast(LongType).as("hamming"))
+    // candidate pairs through the salt gate (uniform with the text band
+    // joins), then one hamming computation per DISTINCT pair against the
+    // per-doc band frame
+    graft.util.Salted.pairSelfJoin(expl, Seq("bi", "bv"), "doc_id")
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .distinct()
+      .join(bands.select($"doc_id".as("doc_a"), $"b0".as("a0"), $"b1".as("a1"),
+        $"b2".as("a2"), $"b3".as("a3")), Seq("doc_a"))
+      .join(bands.select($"doc_id".as("doc_b"), $"b0", $"b1", $"b2", $"b3"),
+        Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        (bit_count($"a0".bitwiseXOR($"b0")) +
+          bit_count($"a1".bitwiseXOR($"b1")) +
+          bit_count($"a2".bitwiseXOR($"b2")) +
+          bit_count($"a3".bitwiseXOR($"b3"))).cast(LongType).as("hamming"))
       .filter($"hamming" <= 8)
   }
 

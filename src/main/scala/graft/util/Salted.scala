@@ -39,15 +39,26 @@ object Salted {
     * Output: one (id_a, id_b) row per shared-key co-occurrence (callers
     * aggregate per pair). Result is IDENTICAL either way; only the shuffle
     * layout changes. */
-  def pairSelfJoin(df: DataFrame, key: String, idCol: String): DataFrame = {
+  def pairSelfJoin(df: DataFrame, key: String, idCol: String): DataFrame =
+    pairSelfJoin(df, Seq(key), idCol)
+
+  /** Composite-key form — the minhash/simhash/phash band joins block on
+    * (band index, band key). One gate covers every candidate-pair join in
+    * the repo, so the skew story is uniform: AQE split by default, static
+    * salting via [[selfJoinBucketsKey]] when a boilerplate band key is
+    * known to be hot up front. */
+  def pairSelfJoin(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
     val buckets = df.sparkSession.conf
       .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
     if (buckets <= 0)
       df.as("a").join(df.as("b"),
-          col(s"a.$key") === col(s"b.$key") && col(s"a.$idCol") < col(s"b.$idCol"))
+          keyEq(keys) && col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    else saltedPairSelfJoin(df, key, idCol, buckets)
+    else saltedPairSelfJoin(df, keys, idCol, buckets)
   }
+
+  def saltedPairSelfJoin(df: DataFrame, key: String, idCol: String,
+      buckets: Int): DataFrame = saltedPairSelfJoin(df, Seq(key), idCol, buckets)
 
   /** The salted variant: side A takes a deterministic per-row salt from its
     * id, side B replicates each row across ALL buckets, and the join keys
@@ -57,15 +68,18 @@ object Salted {
     * replicated rows against H²/buckets per-reducer pair work — the right
     * trade exactly when one H is pathological. The salt derives from the id
     * (not rand()), so the plan stays deterministic and replayable. */
-  def saltedPairSelfJoin(df: DataFrame, key: String, idCol: String,
+  def saltedPairSelfJoin(df: DataFrame, keys: Seq[String], idCol: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val a = df.withColumn("__salt", pmod(functions.hash(col(idCol)), lit(buckets)))
     val b = df.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     a.as("a").join(b.as("b"),
-        col(s"a.$key") === col(s"b.$key") &&
+        keyEq(keys) &&
           col("a.__salt") === col("b.__salt") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
   }
+
+  private def keyEq(keys: Seq[String]): Column =
+    keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
 }

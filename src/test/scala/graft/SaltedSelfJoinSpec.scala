@@ -52,6 +52,37 @@ class SaltedSelfJoinSpec extends SparkSpec {
     assert(spread == 8L, s"expected the hot key spread over 8 salts, got $spread")
   }
 
+  test("composite (band, band_key) salted self-join equals the plain join") {
+    val s = spark
+    import s.implicits._
+    // two band indexes; band 0 has a hot key (0) shared by 150 docs, band 1
+    // scatters — the exact blocking shape of the minhash/simhash/phash joins
+    val banded = s.range(0, 200).select($"id".as("doc_id"))
+      .select($"doc_id", explode(array(
+        struct(lit(0L).as("band"), when($"doc_id" < 150, 0L).otherwise($"doc_id").as("band_key")),
+        struct(lit(1L).as("band"), ($"doc_id" % 7).as("band_key")))).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.band_key")
+    val plain = Salted.pairSelfJoin(banded, Seq("band", "band_key"), "doc_id").cache()
+    val salted = withBuckets(8) {
+      Salted.pairSelfJoin(banded, Seq("band", "band_key"), "doc_id").cache()
+    }
+    try {
+      assert(plain.count() > 0)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty,
+        "salting must not change the composite-key candidate-pair set")
+    } finally { plain.unpersist(); salted.unpersist() }
+  }
+
+  test("minhashLsh under the salt gate matches its unsalted result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val base = graft.queries.Dedup.minhashLsh(spark, sfDir).collect().toSet
+    val salted = withBuckets(4) {
+      graft.queries.Dedup.minhashLsh(spark, sfDir).collect().toSet
+    }
+    assert(base.nonEmpty, "fixture must produce LSH candidate pairs")
+    assert(base == salted, "the salt gate must be invisible in the result")
+  }
+
   test("ngramJaccard under the salt gate matches its unsalted result") {
     val sfDir = "/root/testdata/sf0.001"
     // compare collected sets: combining both instances into one exceptAll
