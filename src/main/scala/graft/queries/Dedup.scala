@@ -725,11 +725,18 @@ object Dedup {
         $"a.sk".as("ska"), $"b.sk".as("skb"))
       .withColumn("mg", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $k)"))
       .withColumn("k_eff", size($"mg").cast(LongType))
-      .withColumn("tau", expr("element_at(mg, size(mg))"))
+      // degenerate snapshots (every doc under 3 words) yield EMPTY sketches:
+      // element_at on an empty array throws in Spark and 0/0 is NaN-vs-NULL
+      // across engines, so both tau and the estimate pin to 0 (mirrored in
+      // the oracle's CASE guards)
+      .withColumn("tau",
+        when(size($"mg") > 0, expr("element_at(mg, size(mg))")).otherwise(lit(0L)))
       .withColumn("n_both",
         size(expr("array_intersect(array_intersect(mg, ska), skb)")).cast(LongType))
       .withColumn("jaccard_est",
-        round($"n_both".cast(DoubleType) / $"k_eff".cast(DoubleType), 6))
+        when($"k_eff" > 0,
+          round($"n_both".cast(DoubleType) / $"k_eff".cast(DoubleType), 6))
+          .otherwise(lit(0.0)))
       .withColumn("est_union",
         round(when($"k_eff" === k,
           lit((k - 1).toDouble) * lit(4294967296.0) / $"tau".cast(DoubleType))
@@ -754,10 +761,12 @@ object Dedup {
          FROM kmv_sk a JOIN kmv_sk b ON a.lang < b.lang)
        SELECT lang_a, lang_b,
               CAST(len(mg) AS BIGINT) AS k_eff,
-              mg[len(mg)] AS tau,
+              CASE WHEN len(mg) > 0 THEN mg[len(mg)] ELSE 0 END AS tau,
               CAST(len(list_intersect(list_intersect(mg, ska), skb)) AS BIGINT) AS n_both,
-              ROUND(CAST(len(list_intersect(list_intersect(mg, ska), skb)) AS DOUBLE)
-                    / CAST(len(mg) AS DOUBLE), 6) AS jaccard_est,
+              CASE WHEN len(mg) > 0
+                   THEN ROUND(CAST(len(list_intersect(list_intersect(mg, ska), skb)) AS DOUBLE)
+                        / CAST(len(mg) AS DOUBLE), 6)
+                   ELSE 0.0 END AS jaccard_est,
               ROUND(CASE WHEN len(mg) = 256
                     THEN CAST(255 AS DOUBLE) * 4294967296.0 / CAST(mg[len(mg)] AS DOUBLE)
                     ELSE CAST(len(mg) AS DOUBLE) END, 3) AS est_union

@@ -110,4 +110,31 @@ class KmvOverlapSpec extends SparkSpec {
       .filter(col("doc_a") % 7 === 0 || col("doc_b") % 7 === 0)
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }
+
+  test("corpus overlap survives snapshots whose sketches are all empty") {
+    val s = session
+    import s.implicits._
+    // Fixtures.register is memoized per (session, sfDir): registering the
+    // real fixture first, then overriding the documents view, keeps the
+    // override live through corpusOverlapKmv's own register call. Every doc
+    // in langs aa/bb is under 3 words -> their sketches are EMPTY. The
+    // explode drops empty sketches, so degenerate snapshots fall out of the
+    // report entirely — on both engines (the oracle's len(words) >= 3 filter
+    // mirrors it) — rather than joining with an empty mg. cc carries one
+    // real doc so the pipeline end (sketch, pair machinery) still runs.
+    graft.fixtures.Fixtures.register(s, sfDir)
+    Seq((1L, "aa", "one two"), (2L, "bb", "x"), (3L, "bb", "y z"),
+      (4L, "cc", "alpha beta gamma delta"))
+      .toDF("doc_id", "lang", "text").createOrReplaceTempView("documents")
+    try {
+      // no pair row (only cc sketches) and, crucially, no runtime throw
+      assert(Dedup.corpusOverlapKmv(s, sfDir).collect().isEmpty)
+      // novelty attribution sees only the lang that contributed hashes
+      val nov = Dedup.corpusNoveltyKmv(s, sfDir).collect()
+      assert(nov.map(_.getString(0)).toSet == Set("cc"))
+    } finally {
+      // restore the real table for suites sharing the session
+      s.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    }
+  }
 }
