@@ -97,24 +97,38 @@ object Bench {
         drainListenerBus()
         (name, wall, acc.get(0) / 1e3, acc.get(1) / 1e3)
       }
-    // SPARK_GRAFT_REPEAT=N runs the catalog N times and reports the LAST
-    // pass: earlier passes absorb one-time costs (janino codegen compile,
-    // parquet footer reads, memo fills), isolating steady-state plan cost
-    // from session warmup when profiling. Default 1 = the driver's
-    // protocol. Failures are tracked per pass and only the reported pass's
-    // failures surface — an earlier-pass entry would otherwise duplicate
-    // (or contradict) timings taken from the last pass.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val results = (1 to repeat).map { i =>
+    // SPARK_GRAFT_REPEAT=N (default 2) runs the catalog N times. The
+    // HEADLINE numbers (value/queries/stage_metrics) come from pass 1 —
+    // the cold protocol every prior round reported, comparable with
+    // BASELINE.md — while `wall_min2` takes each query's MINIMUM wall
+    // across passes: later passes have absorbed the one-time costs
+    // (janino codegen compile, parquet footer reads, memo fills) and a
+    // per-query min is immune to a transient contention spike landing on
+    // one pass. A contended run then shows headline >> wall_min2 with
+    // run >> cpu in stage_metrics — diagnosable instead of looking like a
+    // plan regression (BENCH_r07's phantom sim_* spikes cost a round of
+    // diagnosis). Failures are unioned across passes: a query that fails
+    // anywhere must surface.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    var allFailures = Set.empty[String]
+    val passes = (1 to repeat).map { i =>
       failures = Nil
       val r = runAll()
+      allFailures ++= failures
       if (i < repeat) System.err.println(
         s"[bench] pass $i/$repeat total ${r.map(_._2).sum}" +
           (if (failures.nonEmpty) s" failures=$failures" else ""))
       r
-    }.last
+    }
+    val results = passes.head
+    failures = allFailures.toList
+    val minWall: Map[String, Double] = passes.flatten
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).min }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, _, _) => s"\"" + k + "\":" + minWall(k) }
+      .mkString("{", ",", "}")
+    val totalMin = results.map { case (k, _, _, _) => minWall(k) }.sum
     // executor-side attribution per query (seconds): run = summed task
     // runTime, cpu = summed task cpuTime — see the signature table above
     // Double.toString, not f"%.3f": the interpolator is default-locale
@@ -125,7 +139,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_metrics":$ms,"failures":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wall_min2":$qsMin,"total_min2":$totalMin,"stage_metrics":$ms,"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
