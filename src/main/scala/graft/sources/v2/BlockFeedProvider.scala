@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * cursor stream (an Apibara gRPC subscription delivering block batches,
   * index.ts:16-24,127-141).
   *
-  * Transport model: a bridge process (the gRPC drainer, a test, the
+  * Transport model: a bridge process
+  * ([[graft.sources.net.BlockStreamDrainer]] over the TCP wire protocol, a
+  * gRPC drainer in a protobuf-equipped deployment, a test, the
   * [[JsonBlockFeed]] helper) appends immutable chunk files
   * `chunk-NNNNNNNNNNNN.jsonl` — one JSON object per raw event row — into a
   * directory, committing each via atomic rename so a chunk is either
