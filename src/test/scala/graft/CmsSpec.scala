@@ -82,4 +82,47 @@ class CmsSpec extends SparkSpec {
       .map { case (w, rows) => w -> rows.maxBy(_._2)._1.cm_estimate }
     assert(fin == ref(batch1 ++ batch2))
   }
+
+  test("counter state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val probes = Seq("key", "stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toString
+    val in = MemoryStream[DocIn]
+    val got = scala.collection.mutable.ArrayBuffer.empty[CmsEstimate]
+    def start() = StreamingCms.estimates(in.toDS(), probes)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[CmsEstimate], _: Long) =>
+        got.synchronized { got ++= batch.collect() }; ()
+      }
+      .start()
+
+    val doc1 = DocIn("a", 1, "key stream key sort merge")
+    val doc2 = DocIn("a", 2, "key stream stream batch")
+
+    val q1 = start()
+    in.addData(doc1)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2 resumes from the checkpoint: estimates must equal the batch
+    // sketch of BOTH documents — additive counter state recovered intact
+    val q2 = start()
+    in.addData(doc2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val c = new Array[Long](StreamingCms.D * StreamingCms.W)
+    Seq(doc1, doc2).flatMap(_.text.split(" ", -1)).foreach { w =>
+      val wh = StreamingCms.wordHash(w)
+      for (i <- 0 until StreamingCms.D)
+        c(i * StreamingCms.W + StreamingCms.bucket(wh, i)) += 1
+    }
+    val last = got.groupBy(_.word).map { case (w, es) => w -> es.last.cm_estimate }
+    probes.foreach(p => assert(last(p) == StreamingCms.estimate(c, p),
+      s"recovered-state estimate for '$p': ${last(p)} vs batch ${StreamingCms.estimate(c, p)}"))
+  }
 }
