@@ -124,22 +124,35 @@ object Bench {
     failures = allFailures.toList
     val minWall: Map[String, Double] = passes.flatten
       .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).min }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // Double.toString, not f"%.3f": the interpolator is default-locale
+    // sensitive and a comma-decimal locale would emit invalid JSON; r3
+    // also keeps the detail line ~30% shorter than raw double precision
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, _, _) => s"\"" + k + "\":" + minWall(k) }
+    val qsMin = results.map { case (k, _, _, _) => s"\"" + k + "\":" + r3(minWall(k)) }
       .mkString("{", ",", "}")
     val totalMin = results.map { case (k, _, _, _) => minWall(k) }.sum
     // executor-side attribution per query (seconds): run = summed task
     // runTime, cpu = summed task cpuTime — see the signature table above
-    // Double.toString, not f"%.3f": the interpolator is default-locale
-    // sensitive and a comma-decimal locale would emit invalid JSON
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val ms = results.map { case (k, _, run, cpu) =>
       s""""$k":{"run":${r3(run)},"cpu":${r3(cpu)}}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failed = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wall_min2":$qsMin,"total_min2":$totalMin,"stage_metrics":$ms,"failures":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"wall_min2":$qsMin,"total_min2":${r3(totalMin)},"stage_metrics":$ms,"failures":$failed,"sf":"$sfDir"}""")
+    // Compact summary printed LAST: the full detail line above runs ~10 KB
+    // at 120+ queries, and a capture that keeps only the final ~2 KB of
+    // output (the driver's protocol does exactly this) truncates it to an
+    // unparseable tail — every prior round's BENCH file carries
+    // `parsed: null` for this reason. This line carries the headline
+    // numbers plus the slowest queries and is sized to survive any
+    // tail-window ≥ ~1.5 KB, so the recorded bench is parseable even when
+    // the detail line is not.
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":12,"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

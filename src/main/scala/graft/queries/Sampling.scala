@@ -449,7 +449,45 @@ object Sampling {
        SELECT cluster, CAST(rank AS BIGINT) AS rank, doc_id, ROUND(quality, 6) AS quality
        FROM dq_r WHERE rank <= 2""")
 
+  /** DSIR importance RESAMPLING — the selection half of Xie et al. 2023:
+    * keep each document with probability proportional to its importance
+    * weight (TextOps.dsirWeights — how target-like its hashed-bigram bag
+    * is), normalized so the expected kept volume is half the corpus:
+    * rate_d = min(1, w_d / (2·w̄)). The keep decision is the same
+    * deterministic Knuth-hash Bernoulli as every sampler here — the paper
+    * samples a Gumbel top-k; a hash threshold keeps the decision
+    * retry-stable and oracle-checkable while preserving the
+    * ∝-weight semantics.
+    *
+    * Scale shape: the weight frame adds DSIR's fixed-bucket score pass
+    * (constant-size broadcasts only); the mean weight is a 1-row broadcast;
+    * the keep filter is a projection of (doc_id, weight). Documents under
+    * 2 words carry no bigram evidence and drop out of the weight frame —
+    * and therefore the sample — identically in both engines. */
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val w = TextOps.dsirWeights(spark)
+    val avg = w.agg(expr("sum(weight_bp) DIV count(1)").as("avg_bp"))
+    w.crossJoin(broadcast(avg))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(weight_bp * 5000) DIV avg_bp")))
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < $"rate_bp")
+      .select($"doc_id", $"weight_bp", $"bucket", $"rate_bp")
+  }
+
+  val dsirSampleOracle: String = Fixtures.oracle(TextOps.dsirCtes +
+    s""", dsir_avg AS (SELECT SUM(weight_bp) // COUNT(1) AS avg_bp FROM dsir_w)
+       SELECT d.doc_id, d.weight_bp,
+              CAST(${bucketExprSql("d.doc_id")} % 10000 AS BIGINT) AS bucket,
+              CAST(LEAST(10000, (d.weight_bp * 5000) // a.avg_bp) AS BIGINT) AS rate_bp
+       FROM dsir_w d CROSS JOIN dsir_avg a
+       WHERE ${bucketExprSql("d.doc_id")} % 10000
+               < LEAST(10000, (d.weight_bp * 5000) // a.avg_bp)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (dsirSample _),
     "sample_class_balanced" -> (classBalanced _),
     "sample_diverse_quality" -> (diverseQuality _),
     "sample_weighted" -> (weightedSample _),
@@ -462,6 +500,7 @@ object Sampling {
     "sample_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" -> dsirSampleOracle,
     "sample_class_balanced" -> classBalancedOracle,
     "sample_diverse_quality" -> diverseQualityOracle,
     "sample_weighted" -> weightedSampleOracle,

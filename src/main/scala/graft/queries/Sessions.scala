@@ -618,7 +618,68 @@ object Sessions {
 
   val ewmaTrendOracle: String = Fixtures.oracle(ewmaSql("//"))
 
+  /** Bot/spam-account screening — the behavioral data-QA stage of a
+    * training-data pipeline (automated accounts poison engagement-derived
+    * quality signals, so curation flags them before any popularity-weighted
+    * sampling). Per user: volume (event count), diversity (distinct event
+    * types), activity span, and burstiness (max events in any 10-minute
+    * wall-clock bucket); flags compare each user against corpus-derived
+    * baselines — volume > 1.2× the mean and burst > 1.5× the mean burst —
+    * by integer cross-multiplication (the q11/q22 discipline: no
+    * double-ulp flip can disagree between engines), so thresholds track
+    * corpus composition instead of going stale as absolute constants.
+    *
+    * Scale shape: two map-side-combined aggregates partitioned by user
+    * (the burst pre-agg keys on (user, bucket) — never a per-user ordered
+    * window), a user-count-sized join on user_id, and a 1-row mean
+    * broadcast. No global windows, no collect. */
+  def botFlags(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val ev = spark.table("ek").select($"user_id", $"event_type", $"btime")
+    val perUser = ev.groupBy($"user_id").agg(
+      count(lit(1)).as("n_events"),
+      count_distinct($"event_type").as("n_types"),
+      (max($"btime") - min($"btime")).as("span_secs"))
+    val burst = ev
+      .groupBy($"user_id", expr("btime DIV 600").as("win"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id").agg(max($"c").as("max_burst"))
+    val stats = perUser.join(burst, Seq("user_id"))
+    val avgs = stats.agg(
+      expr("sum(n_events) DIV count(1)").as("avg_n"),
+      expr("sum(max_burst) DIV count(1)").as("avg_burst"))
+    stats.crossJoin(broadcast(avgs))
+      .select($"user_id", $"n_events", $"n_types", $"span_secs", $"max_burst",
+        ($"n_events" * 5 > $"avg_n" * 6).as("flag_volume"),
+        ($"max_burst" * 2 > $"avg_burst" * 3).as("flag_burst"))
+      .withColumn("is_bot", $"flag_volume" || $"flag_burst")
+  }
+
+  val botFlagsOracle: String = Fixtures.oracle(
+    """, bot_pu AS (
+         SELECT user_id, COUNT(1) AS n_events,
+                CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                MAX(btime) - MIN(btime) AS span_secs
+         FROM ek GROUP BY 1),
+       bot_b AS (
+         SELECT user_id, MAX(c) AS max_burst
+         FROM (SELECT user_id, btime // 600 AS win, COUNT(1) AS c
+               FROM ek GROUP BY 1, 2)
+         GROUP BY 1),
+       bot_a AS (SELECT SUM(n_events) // COUNT(1) AS avg_n FROM bot_pu),
+       bot_ab AS (SELECT SUM(max_burst) // COUNT(1) AS avg_burst FROM bot_b)
+       SELECT p.user_id, p.n_events, p.n_types, p.span_secs, b.max_burst,
+              p.n_events * 5 > a.avg_n * 6 AS flag_volume,
+              b.max_burst * 2 > ab.avg_burst * 3 AS flag_burst,
+              (p.n_events * 5 > a.avg_n * 6)
+                OR (b.max_burst * 2 > ab.avg_burst * 3) AS is_bot
+       FROM bot_pu p
+       JOIN bot_b b ON p.user_id = b.user_id
+       CROSS JOIN bot_a a CROSS JOIN bot_ab ab""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_flags" -> (botFlags _),
     "events_ewma_trend" -> (ewmaTrend _),
     "layout_zorder_key" -> (zorderKey _),
     "events_user_pagerank" -> (userPagerank _),
@@ -636,6 +697,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_bot_flags" -> botFlagsOracle,
     "events_ewma_trend" -> ewmaTrendOracle,
     "layout_zorder_key" -> zorderKeyOracle,
     "events_user_pagerank" -> userPagerankOracle,

@@ -1237,7 +1237,155 @@ object TextOps {
        FROM ld_segs s LEFT JOIN ld_kept k ON k.doc_id = s.doc_id
        GROUP BY s.doc_id""")
 
+  /** Hashed-feature space for the DSIR estimator: like count-min and
+    * feature hashing, a FIXED bucket count replaces the Heaps-unbounded
+    * bigram vocabulary, which is what makes the distribution tables
+    * constant-size (and legitimately broadcastable) at any corpus scale.
+    * DSIR's published configuration uses 10⁴ hashed buckets; 2^12 keeps the
+    * fixture's buckets multiply occupied. */
+  private def dsirBuckets = 4096
+
+  /** The target-distribution sources — DSIR's "formal text" exemplar set
+    * (Wikipedia+books in the paper). A caller parameter in library use,
+    * like [[bm25Search]]'s query set; two of the corpus's 20 uniform
+    * sources ≈ a 10% target slice. */
+  private def dsirTargetSources = Seq("src1", "src2")
+  private def dsirTargetPred = dsirTargetSources.map(s => s"'$s'").mkString(
+    "source IN (", ", ", ")")
+
+  /** Shared (doc, bucket) hashed-bigram stream: one row per bigram
+    * occurrence, bucket = polynomial hash of the bigram string mod
+    * [[dsirBuckets]]. Scan-side explode; the bigram STRING never leaves the
+    * projection — only the integer bucket reaches any exchange. */
+  private def dsirGrams(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> concat(words[i], ' ', words[i+1]))")).as("gram"))
+      .select($"doc_id", $"source",
+        expr(s"${TextHash.sparkWordHash("gram")} % $dsirBuckets").as("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): per document, how
+    * much more likely its hashed-bigram bag is under the TARGET
+    * distribution (docs from [[dsirTargetSources]]) than under the raw
+    * corpus distribution. The published estimator is log-space
+    * (Σ c_b · (log p̂_t[b] − log p̂_r[b])); this one keeps the SAME ordering
+    * signal as a rational per-bucket likelihood ratio in basis points with
+    * add-one smoothing — ln-free, so every quantity is integer arithmetic,
+    * order-free, and bit-identical across engines (the [[lmFluency]]
+    * discipline):
+    *
+    *   score_b  = 10⁴ · (tgt_b + 1)(raw_total + B) / ((raw_b + 1)(tgt_total + B))
+    *   weight   = (Σ_grams score_bucket(gram)) DIV n_grams
+    *
+    * Scale shape: both count tables are FIXED [[dsirBuckets]]-row frames
+    * (map-side-combined counts — feature hashing is what bounds them, the
+    * same reason [[countMin]] scales), so the score-table broadcast is
+    * constant-size at any corpus; the per-doc weight is one
+    * map-side-combined aggregate over scan-side exploded grams. Long
+    * arithmetic holds while (tgt_b+1)·(raw_total+B)·10⁴ < 2^63 — beyond
+    * ~10¹⁰ target grams, promote the score expression to DECIMAL(38,0)
+    * (same values, wider lanes). */
+  private[queries] def dsirWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grams = dsirGrams(spark)
+    val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("raw_b"))
+    val tgt = grams.filter(expr(dsirTargetPred))
+      .groupBy($"bucket").agg(count(lit(1)).as("tgt_b"))
+    val totals = raw.agg(sum($"raw_b").as("raw_total")).crossJoin(
+      tgt.agg(coalesce(sum($"tgt_b"), lit(0L)).as("tgt_total")))
+    val scores = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"bucket", expr(
+        s"((coalesce(tgt_b, CAST(0 AS BIGINT)) + 1) * (raw_total + $dsirBuckets) * 10000) " +
+          s"DIV ((raw_b + 1) * (tgt_total + $dsirBuckets))").as("score_bp"))
+    grams
+      .join(broadcast(scores), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum($"score_bp").as("s"))
+      .select($"doc_id", $"n_grams", expr("s DIV n_grams").as("weight_bp"))
+  }
+
+  def dsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    dsirWeights(spark)
+  }
+
+  /** Oracle twin of [[dsirWeights]], ending at CTE `dsir_w(doc_id, n_grams,
+    * weight_bp)` — shared with Sampling's resampling oracle. */
+  private[queries] def dsirCtes: String =
+    s""", dsir_grams AS (
+         SELECT doc_id, source,
+                ${TextHash.duckWordHash("(words[i+1] || ' ' || words[i+2])")} % $dsirBuckets AS bucket
+         FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+               WHERE len(string_split(text, ' ')) >= 2) dw,
+              UNNEST(range(len(words) - 1)) AS t(i)),
+       dsir_raw AS (SELECT bucket, COUNT(1) AS raw_b FROM dsir_grams GROUP BY 1),
+       dsir_tgt AS (SELECT bucket, COUNT(1) AS tgt_b FROM dsir_grams
+                    WHERE $dsirTargetPred GROUP BY 1),
+       dsir_tot AS (SELECT (SELECT SUM(raw_b) FROM dsir_raw) AS raw_total,
+                           (SELECT COALESCE(SUM(tgt_b), 0) FROM dsir_tgt) AS tgt_total),
+       dsir_scores AS (
+         SELECT r.bucket,
+                ((COALESCE(g.tgt_b, 0) + 1) * (t.raw_total + $dsirBuckets) * 10000)
+                  // ((r.raw_b + 1) * (t.tgt_total + $dsirBuckets)) AS score_bp
+         FROM dsir_raw r LEFT JOIN dsir_tgt g ON r.bucket = g.bucket
+         CROSS JOIN dsir_tot t),
+       dsir_w AS (
+         SELECT g.doc_id, COUNT(1) AS n_grams,
+                CAST(SUM(s.score_bp) // COUNT(1) AS BIGINT) AS weight_bp
+         FROM dsir_grams g JOIN dsir_scores s ON g.bucket = s.bucket
+         GROUP BY 1)"""
+
+  val dsirWeightOracle: String = Fixtures.oracle(dsirCtes +
+    """
+       SELECT doc_id, n_grams, weight_bp FROM dsir_w""")
+
+  /** Materialized document-frequency / idf index — the serving-side half of
+    * [[bm25Search]]: a deployment computes this ONCE per corpus snapshot and
+    * reuses it across every query (the reference recomputes df per query
+    * because its corpus is view-sized; at 100 TB the index IS the product).
+    * idf is the same rational BM25 form bm25Search scores with,
+    * (N − df + ½)/(df + ½), integerized ×2 into basis points so the table
+    * is order-free exact: idf_bp = ((2N − 2df + 1) · 10⁴) DIV (2df + 1).
+    *
+    * Scale shape: per-doc DISTINCT terms come from a scan-side
+    * array_distinct (never a corpus-wide DISTINCT shuffle of raw
+    * occurrences); the df count is ONE map-side-combined shuffle on the
+    * term key; N is a 1-row broadcast. Output is vocabulary-sized — it is
+    * an INDEX, written once, bucketed by term for the lookup join. */
+  def dfIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val pairs = spark.table("documents")
+      .select(explode(array_distinct(split($"text", " "))).as("term"))
+    val dfs = pairs.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = spark.table("documents").agg(count(lit(1)).as("n_docs"))
+    dfs.crossJoin(broadcast(n))
+      .select($"term", $"df", $"n_docs",
+        expr("((2 * n_docs - 2 * df + 1) * 10000) DIV (2 * df + 1)").as("idf_bp"))
+  }
+
+  val dfIndexOracle: String = Fixtures.oracle(
+    """, dfx AS (
+         SELECT term, COUNT(1) AS df
+         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+               FROM documents)
+         GROUP BY 1),
+       dfn AS (SELECT COUNT(1) AS n_docs FROM documents)
+       SELECT x.term, x.df, n.n_docs,
+              CAST(((2 * n.n_docs - 2 * x.df + 1) * 10000) // (2 * x.df + 1) AS BIGINT)
+                AS idf_bp
+       FROM dfx x CROSS JOIN dfn n""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_weight" -> (dsirWeight _),
+    "text_df_index" -> (dfIndex _),
     "text_classifier_score" -> (classifierScore _),
     "text_line_dedup" -> (lineDedup _),
     "text_token_count" -> (tokenCount _),
@@ -1261,6 +1409,8 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_dsir_weight" -> dsirWeightOracle,
+    "text_df_index" -> dfIndexOracle,
     "text_classifier_score" -> classifierScoreOracle,
     "text_line_dedup" -> lineDedupOracle,
     "text_token_count" -> tokenCountOracle,

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Sampling, Sessions, TextOps}
+
+/** Behavioral contracts for the round-10 curation operators (the DuckDB
+  * oracle pins the arithmetic; these pin the SEMANTICS the arithmetic is
+  * supposed to deliver):
+  *
+  *   - DSIR weights must actually DISCRIMINATE toward the target
+  *     distribution — the property the estimator exists for, which a
+  *     value-level oracle (running the same formula) cannot assert.
+  *   - DSIR resampling must keep the hash-threshold subset at the half-
+  *     corpus budget.
+  *   - The df/idf index must agree with a brute-force distinct-doc count
+  *     and be monotone in df.
+  *   - Bot flags must equal the cross-multiplied comparison against the
+  *     corpus means recomputed from the output itself, with both flag
+  *     branches exercised by the fixture.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("dsir weights discriminate toward the target sources") {
+    val w = TextOps.dsirWeight(spark, sfDir)
+    val byTgt = w
+      .join(spark.table("documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("is_tgt", col("source").isin("src1", "src2"))
+      .groupBy(col("is_tgt")).agg(avg(col("weight_bp")).as("aw"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byTgt(true) > byTgt(false),
+      s"target-source docs must average higher importance: $byTgt")
+    // weights are likelihood RATIOS in basis points: a doc scoring at the
+    // raw distribution sits near 10000 only when the target equals the
+    // corpus; with a thin target, smoothing pulls scores below that. All
+    // weights must be strictly positive (add-one smoothing guarantees it).
+    val mn = w.agg(min(col("weight_bp"))).first().getLong(0)
+    assert(mn > 0, s"smoothed likelihood ratios are strictly positive, got $mn")
+  }
+
+  test("dsir weight frame has one row per ≥2-word doc, n_grams = words-1") {
+    val w = TextOps.dsirWeight(spark, sfDir)
+    val docs = spark.table("documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).cast("long").as("expect"))
+      .filter(col("expect") >= 1)
+    assert(w.count() === docs.count())
+    val bad = w.join(docs, Seq("doc_id")).filter(col("n_grams") =!= col("expect")).count()
+    assert(bad === 0, "every bigram occurrence must be counted exactly once")
+  }
+
+  test("dsir resampling keeps the deterministic subset at the half-corpus budget") {
+    val kept = Sampling.dsirSample(spark, sfDir)
+    assert(kept.filter(col("bucket") >= col("rate_bp")).count() === 0,
+      "every kept row must satisfy its own hash threshold")
+    // rate_bp must be the broadcast-mean normalization of the weight frame
+    val w = TextOps.dsirWeight(spark, sfDir)
+    val avgBp = w.agg(expr("sum(weight_bp) DIV count(1)")).first().getLong(0)
+    val badRate = kept
+      .withColumn("expect", least(lit(10000L), expr(s"(weight_bp * 5000) DIV $avgBp")))
+      .filter(col("rate_bp") =!= col("expect")).count()
+    assert(badRate === 0)
+    // expected kept volume is total/2; the Knuth hash is uniform enough that
+    // ±40% of the budget covers every fixture sf (observed: 48-50%)
+    val total = spark.table("documents").count()
+    val n = kept.count()
+    assert(n > total * 3 / 10 && n < total * 7 / 10,
+      s"kept $n of $total — resampling budget is half the corpus")
+  }
+
+  test("df index matches brute-force document frequency and idf is monotone") {
+    val idx = TextOps.dfIndex(spark, sfDir)
+    val brute = spark.table("documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("bdf"))
+    assert(idx.join(brute, Seq("term")).filter(col("df") =!= col("bdf")).count() === 0)
+    assert(idx.count() === brute.count())
+    val rows = idx.select(col("df"), col("idf_bp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((d1, i1), (d2, i2)) =>
+        assert(d1 != d2 || i1 == i2)
+        if (d1 < d2) assert(i1 >= i2, s"idf must not increase with df: ($d1,$i1) -> ($d2,$i2)")
+      case _ => ()
+    }
+  }
+
+  test("bot flags equal cross-multiplied comparison against recomputed corpus means") {
+    // sf0.01: the burst branch needs enough users for the 10-minute-bucket
+    // maximum to spread (both flag kinds fire there; sf0.001 only volume)
+    val out = Sessions.botFlags(spark, "/root/testdata/sf0.01").collect()
+    val avgN = out.map(_.getAs[Long]("n_events")).sum / out.length
+    val avgB = out.map(_.getAs[Long]("max_burst")).sum / out.length
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("flag_volume") === (r.getAs[Long]("n_events") * 5 > avgN * 6))
+      assert(r.getAs[Boolean]("flag_burst") === (r.getAs[Long]("max_burst") * 2 > avgB * 3))
+      assert(r.getAs[Boolean]("is_bot") ===
+        (r.getAs[Boolean]("flag_volume") || r.getAs[Boolean]("flag_burst")))
+    }
+    assert(out.exists(_.getAs[Boolean]("flag_volume")), "volume branch must fire")
+    assert(out.exists(_.getAs[Boolean]("flag_burst")), "burst branch must fire")
+    assert(out.exists(r => !r.getAs[Boolean]("is_bot")), "most users must stay clean")
+  }
+}

@@ -170,4 +170,20 @@ class ScalePlanSpec extends SparkSpec {
         s"a vocabulary-sized frame gained a broadcast:\n$p")
     }
   }
+
+  test("DSIR: only the fixed-bucket score table and 1-row totals broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(TextOps.dsirWeight(spark, sfDir))
+      // legitimate broadcasts: the hinted score table (≤4096 rows — FIXED
+      // bucket count, the feature-hashing bound), the hinted 1-row totals,
+      // and the 1-row×1-row totals cross join (BNLJ must broadcast a side).
+      // A hint creeping onto the corpus-sized gram stream adds more.
+      assert(p.split("BroadcastExchange").length - 1 <= 3,
+        s"a corpus-sized frame gained a broadcast:\n$p")
+      // the raw⋈tgt bucket-count join is bounded too, but carries no hint —
+      // without auto-broadcast it must degrade to a shuffle join
+      assert(p.contains("SortMergeJoin"),
+        s"unhinted bucket-count join must shuffle when estimates are large:\n$p")
+    }
+  }
 }
