@@ -467,7 +467,7 @@ object Sampling {
   def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val w = TextOps.dsirWeights(spark)
+    val w = TextOps.dsirWeights(spark, sfDir)
     val avg = w.agg(expr("sum(weight_bp) DIV count(1)").as("avg_bp"))
     w.crossJoin(broadcast(avg))
       .withColumn("rate_bp",

@@ -1291,7 +1291,8 @@ object TextOps {
     * arithmetic holds while (tgt_b+1)·(raw_total+B)·10⁴ < 2^63 — beyond
     * ~10¹⁰ target grams, promote the score expression to DECIMAL(38,0)
     * (same values, wider lanes). */
-  private[queries] def dsirWeights(spark: SparkSession): DataFrame = {
+  private[queries] def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "dsir_weights") {
     import spark.implicits._
     val grams = dsirGrams(spark)
     val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("raw_b"))
@@ -1313,7 +1314,7 @@ object TextOps {
 
   def dsirWeight(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    dsirWeights(spark)
+    dsirWeights(spark, sfDir)
   }
 
   /** Oracle twin of [[dsirWeights]], ending at CTE `dsir_w(doc_id, n_grams,
