@@ -32,7 +32,8 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Sampling.queries, Sampling.oracles))
+      (Sampling.queries, Sampling.oracles),
+      (Classifier.queries, Classifier.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
