@@ -486,7 +486,90 @@ object Sampling {
        WHERE ${bucketExprSql("d.doc_id")} % 10000
                < LEAST(10000, (d.weight_bp * 5000) // a.avg_bp)""")
 
+  /** DoReMi-style domain-mixture reweighting (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023): upweight domains where the proxy model does WORST.
+    * DoReMi's update is weight_d ∝ prior_d · exp(η · excess_loss_d); this
+    * keeps the same monotone signal as integer rationals — the per-domain
+    * "loss" is the corpus-derived bigram fluency ([[TextOps.lmFluency]]:
+    * lower fluency = less predictable under the corpus LM = higher loss),
+    * and exp(excess) becomes the hardness ratio
+    *
+    *   hardness_bp_d = 10⁴ · corpus_mean_fluency / mean_fluency_d
+    *
+    * (>10⁴ exactly when the domain is harder than average — monotone in
+    * DoReMi's excess loss, ln/exp-free so every value is integer
+    * arithmetic and bit-identical across engines). The prior is the
+    * observed doc share; the output mixture is normalized to ~10⁴ bp by
+    * integer division (Σ within n_domains of 10⁴ by truncation — exact
+    * enough for a sampling rate table; a production run would hand the
+    * rates to [[domainMix]]'s Bernoulli gate).
+    *
+    * The domain axis is `lang` — the corpus's skewed axis, same choice and
+    * reason as [[domainMix]]. Docs under 2 words carry no bigram loss
+    * evidence and drop from the means identically in both engines.
+    *
+    * Scale shape: the fluency frame is the vocabulary-safe lmFluency plan
+    * (both count joins shuffle on their keys); everything after is
+    * domain-sized — one map-side-combined (lang) aggregate, a 1-row corpus
+    * mean, a ≤n_domains-row weight table. No new corpus-sized exchange. */
+  def doremiWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val fl = TextOps.lmFluency(spark, sfDir)
+      .join(spark.table("documents").select($"doc_id", $"lang"), Seq("doc_id"))
+    val perDom = fl.groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"), sum($"fluency").as("fl_sum"))
+    val corpus = perDom.agg(
+      sum($"n_docs").as("all_docs"), sum($"fl_sum").as("all_fl"))
+    val scored = perDom.crossJoin(broadcast(corpus))
+      .select($"lang", $"n_docs",
+        expr("(n_docs * 10000) DIV all_docs").as("share_bp"),
+        expr("((all_fl DIV all_docs) * 10000) DIV (fl_sum DIV n_docs)")
+          .as("hardness_bp"))
+      .withColumn("raw", $"share_bp" * $"hardness_bp")
+    val rawTotal = scored.agg(sum($"raw").as("raw_total"))
+    scored.crossJoin(broadcast(rawTotal))
+      .select($"lang", $"n_docs", $"share_bp", $"hardness_bp",
+        expr("(raw * 10000) DIV raw_total").as("weight_bp"))
+  }
+
+  val doremiWeightsOracle: String = Fixtures.oracle(
+    """, dm_grams AS (
+         SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+               WHERE len(string_split(text, ' ')) >= 2) dw,
+              UNNEST(range(len(words) - 1)) AS t(i)),
+       dm_big AS (SELECT gram, COUNT(1) AS big_n FROM dm_grams GROUP BY 1),
+       dm_head AS (SELECT head, COUNT(1) AS head_n FROM dm_grams GROUP BY 1),
+       dm_fl AS (
+         SELECT g.doc_id,
+                CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
+         FROM dm_grams g
+         JOIN dm_big b ON g.gram = b.gram
+         JOIN dm_head h ON g.head = h.head
+         GROUP BY 1),
+       dm_dom AS (
+         SELECT d.lang, COUNT(1) AS n_docs, SUM(f.fluency) AS fl_sum
+         FROM dm_fl f JOIN documents d ON f.doc_id = d.doc_id
+         GROUP BY 1),
+       dm_all AS (SELECT SUM(n_docs) AS all_docs, SUM(fl_sum) AS all_fl FROM dm_dom),
+       dm_scored AS (
+         SELECT m.lang, m.n_docs,
+                (m.n_docs * 10000) // a.all_docs AS share_bp,
+                ((a.all_fl // a.all_docs) * 10000) // (m.fl_sum // m.n_docs)
+                  AS hardness_bp
+         FROM dm_dom m CROSS JOIN dm_all a),
+       dm_tot AS (SELECT SUM(share_bp * hardness_bp) AS raw_total FROM dm_scored)
+       SELECT s.lang, s.n_docs,
+              CAST(s.share_bp AS BIGINT) AS share_bp,
+              CAST(s.hardness_bp AS BIGINT) AS hardness_bp,
+              CAST((s.share_bp * s.hardness_bp * 10000) // t.raw_total AS BIGINT)
+                AS weight_bp
+       FROM dm_scored s CROSS JOIN dm_tot t""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_doremi_weights" -> (doremiWeights _),
     "sample_dsir" -> (dsirSample _),
     "sample_class_balanced" -> (classBalanced _),
     "sample_diverse_quality" -> (diverseQuality _),
@@ -500,6 +583,7 @@ object Sampling {
     "sample_temperature_mix" -> (temperatureMix _))
 
   val oracles: Map[String, String] = Map(
+    "mix_doremi_weights" -> doremiWeightsOracle,
     "sample_dsir" -> dsirSampleOracle,
     "sample_class_balanced" -> classBalancedOracle,
     "sample_diverse_quality" -> diverseQualityOracle,

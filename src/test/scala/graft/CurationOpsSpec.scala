@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Sampling, Sessions, TextOps}
+import graft.queries.{Classifier, Sampling, Sessions, TextOps}
 
 /** Behavioral contracts for the round-10 curation operators (the DuckDB
   * oracle pins the arithmetic; these pin the SEMANTICS the arithmetic is
@@ -83,6 +83,70 @@ class CurationOpsSpec extends SparkSpec {
         assert(d1 != d2 || i1 == i2)
         if (d1 < d2) assert(i1 >= i2, s"idf must not increase with df: ($d1,$i1) -> ($d2,$i2)")
       case _ => ()
+    }
+  }
+
+  test("nb classifier: model is feature-hash bounded and discriminates the label") {
+    val model = Classifier.nbTrain(spark, sfDir)
+    // the feature-hashing contract: the model can NEVER outgrow the bucket
+    // count, whatever the corpus vocabulary does under Heaps' law
+    assert(model.count() <= 4096)
+    assert(model.filter(col("pos_n") < 0 || col("neg_n") < 0).count() === 0)
+    val scores = Classifier.nbScore(spark, sfDir)
+    val byLabel = scores
+      .join(spark.table("documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("is_pos", col("source").isin("src1", "src2"))
+      .groupBy(col("is_pos")).agg(avg(col("margin_bp")).as("am"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLabel(true) > byLabel(false),
+      s"positive-source docs must average a higher margin: $byLabel")
+    // every document scores (the model was trained on this corpus, so no
+    // token can miss the model join)
+    assert(scores.count() === spark.table("documents").count())
+  }
+
+  test("nb classifier: keep gate agrees with the margin sign") {
+    // keep is sum>0, margin_bp is the truncated mean — a small positive sum
+    // can truncate to mean 0, so assert the two implications rather than
+    // strict equality
+    val rows = Classifier.nbScore(spark, sfDir).collect()
+    rows.foreach { r =>
+      val m = r.getAs[Long]("margin_bp")
+      if (m > 0) assert(r.getAs[Boolean]("keep"), s"mean>0 implies sum>0: $r")
+      if (m < 0) assert(!r.getAs[Boolean]("keep"), s"mean<0 implies sum<=0: $r")
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")) &&
+      rows.exists(!_.getAs[Boolean]("keep")), "gate must split the fixture")
+  }
+
+  test("doremi weights: normalized mixture, hardness inverse to mean fluency") {
+    val w = Sampling.doremiWeights(spark, sfDir).collect()
+    val langs = spark.table("documents").select(col("lang")).distinct().count()
+    assert(w.length === langs, "one mixture row per domain")
+    // truncating integer normalization loses at most 1 bp per domain
+    val total = w.map(_.getAs[Long]("weight_bp")).sum
+    assert(total > 10000 - w.length && total <= 10000,
+      s"mixture must normalize to ~10^4 bp, got $total")
+    // hardness must order INVERSELY to per-domain mean fluency
+    val fl = TextOps.lmFluency(spark, sfDir)
+      .join(spark.table("documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang")).agg(expr("sum(fluency) DIV count(1)").as("mf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    w.sortBy(_.getAs[Long]("hardness_bp")).toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(fl(a.getString(0)) >= fl(b.getString(0)),
+          s"higher hardness must mean lower fluency: ${a.getString(0)} vs ${b.getString(0)}")
+      case _ => ()
+    }
+    // the reweighting direction: vs its share, a domain moves UP iff its
+    // hardness is above the mixture-weighted average (here: any domain
+    // harder than 10^4 with near-uniform hardness gains weight)
+    w.foreach { r =>
+      val up = r.getAs[Long]("weight_bp") > r.getAs[Long]("share_bp")
+      val hard = r.getAs[Long]("hardness_bp") > 10000L
+      if (r.getAs[Long]("hardness_bp") != 10000L)
+        assert(up === hard || math.abs(r.getAs[Long]("weight_bp") - r.getAs[Long]("share_bp")) <= 10,
+          s"direction of reweighting must track hardness: $r")
     }
   }
 

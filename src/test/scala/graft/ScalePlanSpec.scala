@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, TextOps}
+import graft.queries.{Classifier, Dedup, TextOps}
 
 /** Plan assertions for the growing-broadcast class of scale bugs (VERDICT r7).
   *
@@ -168,6 +168,17 @@ class ScalePlanSpec extends SparkSpec {
       // bin-offset table, and the hinted 1-row corpus total
       assert(p.split("BroadcastExchange").length - 1 <= 3,
         s"a vocabulary-sized frame gained a broadcast:\n$p")
+    }
+  }
+
+  test("NB classifier: only the fixed-width model and 1-row totals broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(Classifier.nbScore(spark, sfDir))
+      // legitimate: the hinted ≤4096-row model (feature-hash bounded) at
+      // the score join, and inside the model build the hinted 1-row totals.
+      // The token stream is corpus-sized and must never gain a hint.
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"a corpus-sized frame gained a broadcast:\n$p")
     }
   }
 
