@@ -1102,6 +1102,7 @@ object TextOps {
     * bigrams and drop out identically in both engines. */
   def lmFluency(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
+    graft.util.Memo.cached(spark, sfDir, "lm_fluency") {
     import spark.implicits._
     val grams = spark.table("documents")
       .withColumn("words", split($"text", " "))
@@ -1122,6 +1123,7 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"), sum($"g_score").as("total"))
       .select($"doc_id", $"n_grams", expr("total DIV n_grams").as("fluency"))
+    }
   }
 
   val lmFluencyOracle: String = Fixtures.oracle(
