@@ -837,7 +837,104 @@ object Dedup {
        FROM nov_owned d JOIN nov_owners o ON d.h = o.h
        GROUP BY d.lang""")
 
+  /** Exact repeated-SUBSTRING detection between document pairs — the Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+    * semantics at fixed window granularity: their suffix-array pass finds
+    * verbatim token spans ≥ 50 tokens repeated across the corpus; here a
+    * span shared by two documents surfaces as a RUN of consecutive shared
+    * 8-token windows on one (doc_a, doc_b, offset-difference) diagonal, and
+    * the per-pair report carries the longest such run (`max_run + 7` =
+    * shared span length in tokens). A suffix array is the wrong shape for a
+    * shuffle engine; diagonal run-detection over a window-hash inverted
+    * index is the same answer built from the primitives a cluster does well
+    * — one explode, one blocked self-join, one partitioned window.
+    *
+    * Scale shape: stride-1 windows explode scan-side (word hashes computed
+    * ONCE per word, then an 8-slot rolling fold — never re-hashing
+    * characters per window); boilerplate windows (present in >10% of docs,
+    * the corpus-relative cap discipline) drop before the join; the pair
+    * join routes through the [[graft.util.Salted]] gate on the window-hash
+    * blocking key; run detection is a row_number window partitioned by
+    * (pair, diagonal) — partition size = windows that pair shares on one
+    * alignment, never corpus-sized. Output is capped to TRUE runs
+    * (max_run ≥ 2, i.e. a shared span ≥ 9 tokens), the report a curation
+    * pass would cut at. */
+  def substringRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val wins = spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 8)
+      .withColumn("wh", expr(
+        s"transform(words, w -> ${TextHash.sparkWordHash("w")})"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, size(wh) - 8),
+            i -> aggregate(slice(wh, i + 1, 8), CAST(0 AS BIGINT),
+                           (acc, x) -> (acc * 131 + x) % $P))""")))
+      .toDF("doc_id", "idx", "h")
+      .withColumn("idx", $"idx".cast(LongType))
+    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
+    val hot = wins.groupBy($"h").agg(count_distinct($"doc_id").as("dfc"))
+      .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast
+      .filter($"dfc" * 10L > $"n_docs").select($"h")
+    val kept = wins.join(hot, Seq("h"), "left_anti")
+    val pairs = graft.util.Salted
+      .pairSelfJoinCarry(kept, Seq("h"), "doc_id", Seq("idx"))
+    val runs = pairs
+      .withColumn("d", $"idx_b" - $"idx_a")
+      .withColumn("island", $"idx_a" - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id_a", $"doc_id_b", $"d").orderBy($"idx_a")))
+      .groupBy($"doc_id_a", $"doc_id_b", $"d", $"island")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum($"run_len").as("shared_windows"),
+        max($"run_len").as("max_run"))
+      .filter($"max_run" >= 2L)
+      .withColumn("max_span_tokens", $"max_run" + 7L)
+  }
+
+  val substringRunsOracle: String = Fixtures.oracle(
+    s""", sr_wh AS (
+         SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                               w -> ${TextHash.duckWordHash("w")}) AS wh
+         FROM documents
+         WHERE len(string_split(text, ' ')) >= 8),
+       sr_w AS (
+         SELECT doc_id, CAST(t.i AS BIGINT) AS idx,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         list_slice(wh, i + 1, i + 8)),
+                            (a, b) -> (a * 131 + b) % $P) AS h
+         FROM sr_wh, UNNEST(range(len(wh) - 7)) AS t(i)),
+       sr_n AS (SELECT COUNT(1) AS n_docs FROM documents),
+       sr_hot AS (
+         SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS dfc
+                        FROM sr_w GROUP BY 1) x
+         CROSS JOIN sr_n WHERE dfc * 10 > n_docs),
+       sr_k AS (SELECT * FROM sr_w WHERE h NOT IN (SELECT h FROM sr_hot)),
+       sr_p AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, a.idx AS ia, b.idx AS ib
+         FROM sr_k a JOIN sr_k b ON a.h = b.h AND a.doc_id < b.doc_id),
+       sr_i AS (
+         SELECT da, db, ib - ia AS d,
+                ia - ROW_NUMBER() OVER (PARTITION BY da, db, ib - ia
+                                        ORDER BY ia) AS island
+         FROM sr_p),
+       sr_r AS (
+         SELECT da, db, d, island, COUNT(1) AS run_len
+         FROM sr_i GROUP BY 1, 2, 3, 4)
+       SELECT da AS doc_a, db AS doc_b,
+              COUNT(1) AS n_runs,
+              CAST(SUM(run_len) AS BIGINT) AS shared_windows,
+              CAST(MAX(run_len) AS BIGINT) AS max_run,
+              CAST(MAX(run_len) + 7 AS BIGINT) AS max_span_tokens
+       FROM sr_r GROUP BY 1, 2
+       HAVING MAX(run_len) >= 2""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_runs" -> (substringRuns _),
     "corpus_novelty_kmv" -> (corpusNoveltyKmv _),
     "dedup_containment" -> (containment _),
     "dedup_exact" -> (dedupExact _),
@@ -852,6 +949,7 @@ object Dedup {
     "dedup_cluster_components" -> (clusterComponents _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_runs" -> substringRunsOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,

@@ -80,6 +80,31 @@ object Salted {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
   }
 
+  /** [[pairSelfJoin]] variant that also carries per-side payload columns
+    * through the gate (e.g. window POSITIONS for substring-run detection):
+    * each `carry` column c surfaces as `c_a` / `c_b`. Same gate, same
+    * determinism, same either-way-identical result contract. */
+  def pairSelfJoinCarry(df: DataFrame, keys: Seq[String], idCol: String,
+      carry: Seq[String]): DataFrame = {
+    val out = (c: String) => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))
+    val cols = (Seq(idCol) ++ carry).flatMap(out)
+    val buckets = df.sparkSession.conf
+      .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
+    if (buckets <= 0)
+      df.as("a").join(df.as("b"),
+          keyEq(keys) && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(cols: _*)
+    else {
+      val a = df.withColumn("__salt", pmod(functions.hash(col(idCol)), lit(buckets)))
+      val b = df.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      a.as("a").join(b.as("b"),
+          keyEq(keys) &&
+            col("a.__salt") === col("b.__salt") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(cols: _*)
+    }
+  }
+
   private def keyEq(keys: Seq[String]): Column =
     keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
 }

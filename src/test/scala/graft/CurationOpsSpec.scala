@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Classifier, Sampling, Sessions, TextOps}
+import graft.queries.{Classifier, Dedup, Sampling, Sessions, TextOps}
 
 /** Behavioral contracts for the round-10 curation operators (the DuckDB
   * oracle pins the arithmetic; these pin the SEMANTICS the arithmetic is
@@ -148,6 +148,39 @@ class CurationOpsSpec extends SparkSpec {
         assert(up === hard || math.abs(r.getAs[Long]("weight_bp") - r.getAs[Long]("share_bp")) <= 10,
           s"direction of reweighting must track hardness: $r")
     }
+  }
+
+  test("substring runs are witnessed by the true longest common token span") {
+    val out = Dedup.substringRuns(spark, sfDir).collect()
+    assert(out.nonEmpty, "the fixture's near-dup docs must surface run pairs")
+    val words = spark.table("documents").select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    // O(n·m) longest common token SUBSTRING — brute-force ground truth
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      var prev = new Array[Int](b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+      }
+      best
+    }
+    var exact = 0
+    out.foreach { r =>
+      val truth = lcs(words(r.getAs[Long]("doc_a")), words(r.getAs[Long]("doc_b")))
+      val span = r.getAs[Long]("max_span_tokens")
+      // the boilerplate cap can only BREAK runs (shorten), never extend —
+      // so the reported span is a lower bound on the true shared span
+      assert(span <= truth,
+        s"reported span $span must not exceed the true LCS $truth: $r")
+      if (span == truth) exact += 1
+    }
+    assert(exact > 0, "at least one pair must witness its true span exactly")
   }
 
   test("bot flags equal cross-multiplied comparison against recomputed corpus means") {

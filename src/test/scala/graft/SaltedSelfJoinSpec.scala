@@ -83,6 +83,36 @@ class SaltedSelfJoinSpec extends SparkSpec {
     assert(base == salted, "the salt gate must be invisible in the result")
   }
 
+  test("carry variant: salted equals plain, payload columns intact") {
+    val s = spark
+    import s.implicits._
+    val withIdx = bands.withColumn("idx", $"doc_id" % 7)
+    val plain = Salted.pairSelfJoinCarry(withIdx, Seq("band"), "doc_id", Seq("idx")).cache()
+    val salted = withBuckets(8) {
+      Salted.pairSelfJoinCarry(withIdx, Seq("band"), "doc_id", Seq("idx")).cache()
+    }
+    try {
+      assert(plain.columns.toSeq ===
+        Seq("doc_id_a", "doc_id_b", "idx_a", "idx_b"))
+      assert(plain.count() == 200L * 199 / 2)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty,
+        "salting must not change the carried-pair set")
+      // the payload must be each side's own value, not a join artifact
+      assert(plain.filter($"idx_a" =!= $"doc_id_a" % 7).count() === 0)
+      assert(plain.filter($"idx_b" =!= $"doc_id_b" % 7).count() === 0)
+    } finally { plain.unpersist(); salted.unpersist() }
+  }
+
+  test("substringRuns under the salt gate matches its unsalted result") {
+    val sfDir = "/root/testdata/sf0.001"
+    val base = graft.queries.Dedup.substringRuns(spark, sfDir).collect().toSet
+    val salted = withBuckets(4) {
+      graft.queries.Dedup.substringRuns(spark, sfDir).collect().toSet
+    }
+    assert(base.nonEmpty, "fixture must produce substring-run pairs")
+    assert(base == salted, "the salt gate must be invisible in the result")
+  }
+
   test("ngramJaccard under the salt gate matches its unsalted result") {
     val sfDir = "/root/testdata/sf0.001"
     // compare collected sets: combining both instances into one exceptAll
