@@ -862,17 +862,21 @@ object Dedup {
   def substringRuns(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val wins = spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .filter(size($"words") >= 8)
-      .withColumn("wh", expr(
-        s"transform(words, w -> ${TextHash.sparkWordHash("w")})"))
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0, size(wh) - 8),
-            i -> aggregate(slice(wh, i + 1, 8), CAST(0 AS BIGINT),
-                           (acc, x) -> (acc * 131 + x) % $P))""")))
-      .toDF("doc_id", "idx", "h")
-      .withColumn("idx", $"idx".cast(LongType))
+    // memoized: the frame feeds both the boilerplate-cap build and the
+    // kept join below — without it the char-level word hashing runs twice
+    val wins = graft.util.Memo.cached(spark, sfDir, "dedup_sr_windows") {
+      spark.table("documents")
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 8)
+        .withColumn("wh", expr(
+          s"transform(words, w -> ${TextHash.sparkWordHash("w")})"))
+        .select($"doc_id", posexplode(expr(
+          s"""transform(sequence(0, size(wh) - 8),
+              i -> aggregate(slice(wh, i + 1, 8), CAST(0 AS BIGINT),
+                             (acc, x) -> (acc * 131 + x) % $P))""")))
+        .toDF("doc_id", "idx", "h")
+        .withColumn("idx", $"idx".cast(LongType))
+    }
     val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
     val hot = wins.groupBy($"h").agg(count_distinct($"doc_id").as("dfc"))
       .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast

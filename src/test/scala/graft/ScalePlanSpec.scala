@@ -171,6 +171,25 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("substringRuns: hot-window anti-join shuffles; only the 1-row total broadcasts") {
+    withNoAutoBroadcast {
+      val p = plan(Dedup.substringRuns(spark, sfDir))
+      // the window-hash frequency frame grows with the corpus (stride-1
+      // windows ≈ token count) — it must never gain a broadcast hint; the
+      // only legitimate broadcast is the hinted 1-row doc count, whose
+      // subtree appears on BOTH sides of the pair self-join (the kept
+      // frame embeds it), so it may print twice — but only ever in the
+      // 1-row cross-join form, never as a keyed HashedRelation build
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"a corpus-sized frame gained a broadcast:\n$p")
+      assert(p.split("BroadcastExchange IdentityBroadcastMode").length ==
+        p.split("BroadcastExchange").length,
+        s"every broadcast must be the 1-row cross-join form:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"the pair join must shuffle on the window-hash key:\n$p")
+    }
+  }
+
   test("NB classifier: only the fixed-width model and 1-row totals broadcast") {
     withNoAutoBroadcast {
       val p = plan(Classifier.nbScore(spark, sfDir))
