@@ -1386,7 +1386,84 @@ object TextOps {
                 AS idf_bp
        FROM dfx x CROSS JOIN dfn n""")
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): split each language
+    * into head / middle / tail TERCILES by language-model score — the
+    * canonical "keep the head, inspect the middle, drop the tail" curation
+    * gate. The LM signal is the corpus-derived [[lmFluency]] score (higher
+    * = more predictable = CCNet's lower perplexity), and a doc's tercile
+    * comes from its exact rank within its language:
+    *
+    *   tercile = ((n_lang − asc_rank) · 3) DIV n_lang   (0=head, 2=tail)
+    *
+    * — pure integer arithmetic on (rank, count), so the cut points are
+    * bit-identical across engines by construction, unlike any
+    * floating-point quantile estimate.
+    *
+    * Scale shape: the per-language rank is NEVER a per-lang global window
+    * (one task per language at 100 TB — the vocabCoverage defect class).
+    * It is bucket-decomposed on the SCORE VALUE: fluency DIV 10⁴ buckets
+    * (≤ ~101 per language — bounded by the score's value range, not the
+    * corpus), per-(lang, bucket) counts, a prefix-sum window over that
+    * bounded count table (broadcast back), and an in-bucket row_number.
+    * Residual partition = docs per (lang, score-decile-ish slice) —
+    * 100× finer than per-lang. Rank arithmetic is associative, so the
+    * decomposition is bit-identical to the one-shot window. */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fl = lmFluency(spark, sfDir)
+      .join(spark.table("documents").select($"doc_id", $"lang"), Seq("doc_id"))
+      .withColumn("fbucket", expr("fluency DIV 10000"))
+    val bOff = fl.groupBy($"lang", $"fbucket").agg(count(lit(1)).as("b_n"))
+      .withColumn("b_off", coalesce(
+        sum($"b_n").over(Window.partitionBy($"lang").orderBy($"fbucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"fbucket", $"b_off")
+    val nLang = fl.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    fl.withColumn("rn", row_number().over(
+        Window.partitionBy($"lang", $"fbucket").orderBy($"fluency", $"doc_id")))
+      .join(broadcast(bOff), Seq("lang", "fbucket"))
+      .withColumn("asc_rank", $"b_off" + $"rn")
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("tercile", expr("((n_lang - asc_rank) * 3) DIV n_lang"))
+      .select($"doc_id", $"lang", $"fluency", $"asc_rank", $"n_lang", $"tercile",
+        when($"tercile" === 0L, "head").when($"tercile" === 1L, "middle")
+          .otherwise("tail").as("ccnet_bucket"))
+  }
+
+  val ccnetBucketsOracle: String = Fixtures.oracle(
+    """, cc_grams AS (
+         SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+               WHERE len(string_split(text, ' ')) >= 2) dw,
+              UNNEST(range(len(words) - 1)) AS t(i)),
+       cc_big AS (SELECT gram, COUNT(1) AS big_n FROM cc_grams GROUP BY 1),
+       cc_head AS (SELECT head, COUNT(1) AS head_n FROM cc_grams GROUP BY 1),
+       cc_fl AS (
+         SELECT g.doc_id,
+                CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
+         FROM cc_grams g
+         JOIN cc_big b ON g.gram = b.gram
+         JOIN cc_head h ON g.head = h.head
+         GROUP BY 1),
+       cc_r AS (
+         SELECT f.doc_id, d.lang, f.fluency,
+                ROW_NUMBER() OVER (PARTITION BY d.lang
+                                   ORDER BY f.fluency, f.doc_id) AS asc_rank,
+                COUNT(1) OVER (PARTITION BY d.lang) AS n_lang
+         FROM cc_fl f JOIN documents d ON f.doc_id = d.doc_id)
+       SELECT doc_id, lang, fluency,
+              CAST(asc_rank AS BIGINT) AS asc_rank,
+              CAST(n_lang AS BIGINT) AS n_lang,
+              CAST(((n_lang - asc_rank) * 3) // n_lang AS BIGINT) AS tercile,
+              CASE ((n_lang - asc_rank) * 3) // n_lang
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+              END AS ccnet_bucket
+       FROM cc_r""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ccnet_buckets" -> (ccnetBuckets _),
     "text_dsir_weight" -> (dsirWeight _),
     "text_df_index" -> (dfIndex _),
     "text_classifier_score" -> (classifierScore _),
@@ -1412,6 +1489,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_ccnet_buckets" -> ccnetBucketsOracle,
     "text_dsir_weight" -> dsirWeightOracle,
     "text_df_index" -> dfIndexOracle,
     "text_classifier_score" -> classifierScoreOracle,

@@ -150,6 +150,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccnet terciles are balanced within one doc and ordered by fluency") {
+    val out = TextOps.ccnetBuckets(spark, sfDir).collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_.getAs[Long]("tercile")).view.mapValues(_.length)
+      assert(sizes.keys.toSet === Set(0L, 1L, 2L), s"$lang must fill all terciles")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang tercile sizes must differ by at most one: $sizes")
+      // bucket boundaries respect the score: every head doc outscores (or
+      // ties) every middle doc, every middle outscores every tail doc
+      def fl(t: Long) = rows.filter(_.getAs[Long]("tercile") == t)
+        .map(_.getAs[Long]("fluency"))
+      assert(fl(0).min >= fl(1).max, s"$lang head/middle boundary")
+      assert(fl(1).min >= fl(2).max, s"$lang middle/tail boundary")
+    }
+  }
+
   test("substring runs are witnessed by the true longest common token span") {
     val out = Dedup.substringRuns(spark, sfDir).collect()
     assert(out.nonEmpty, "the fixture's near-dup docs must surface run pairs")

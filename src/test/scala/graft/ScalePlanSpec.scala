@@ -171,6 +171,18 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets: the corpus-sized rank window is bucket-decomposed") {
+    val p = plan(TextOps.ccnetBuckets(spark, sfDir))
+    // the row_number over corpus-sized rows must partition by
+    // (lang, fbucket) — a lang-only partition is the one-task-per-language
+    // defect class at 100 TB (the bounded per-(lang,fbucket) COUNT table's
+    // offset window may partition by lang alone; that frame is value-range
+    // bounded)
+    val rn = "row_number\\(\\) windowspecdefinition\\(lang#\\d+, fbucket#\\d+L?,".r
+    assert(rn.findFirstIn(p).isDefined,
+      s"the rank window must partition by (lang, fbucket):\n$p")
+  }
+
   test("substringRuns: hot-window anti-join shuffles; only the 1-row total broadcasts") {
     withNoAutoBroadcast {
       val p = plan(Dedup.substringRuns(spark, sfDir))
