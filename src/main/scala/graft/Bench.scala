@@ -149,10 +149,11 @@ object Bench {
     // numbers plus the slowest queries and is sized to survive any
     // tail-window ≥ ~1.5 KB, so the recorded bench is parseable even when
     // the detail line is not.
-    val slowest = results.sortBy(-_._2).take(12)
+    val slowestN = results.sortBy(-_._2).take(12)
+    val slowest = slowestN
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":12,"failures":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size},"failures":$failed,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -64,14 +64,16 @@ object Classifier {
 
   /** (doc_id, source, bucket) token stream: scan-side explode, the token
     * STRING dies in the projection — only the integer bucket reaches any
-    * exchange. */
-  private def nbTokens(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.table("documents")
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
-      .select($"doc_id", $"source",
-        expr(s"${TextHash.sparkWordHash("w")} % $nbBuckets").as("bucket"))
-  }
+    * exchange. Memoized: the frame feeds the count pass AND the score
+    * join, and the char-level polynomial hashing is the expensive part. */
+  private def nbTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "nb_tokens") {
+      import spark.implicits._
+      spark.table("documents")
+        .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+        .select($"doc_id", $"source",
+          expr(s"${TextHash.sparkWordHash("w")} % $nbBuckets").as("bucket"))
+    }
 
   /** The trained model: one row per OCCUPIED bucket with class counts and
     * the integer evidence weight. Memo-cached — [[nbScore]] applies the
@@ -79,7 +81,7 @@ object Classifier {
   private[queries] def nbWeights(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.cached(spark, sfDir, "nb_weights") {
       import spark.implicits._
-      val counts = nbTokens(spark)
+      val counts = nbTokens(spark, sfDir)
         .withColumn("is_pos", expr(nbPosPred))
         .groupBy($"bucket")
         .agg(sum(when($"is_pos", 1L).otherwise(0L)).as("pos_n"),
@@ -111,7 +113,7 @@ object Classifier {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val w = nbWeights(spark, sfDir)
-    nbTokens(spark)
+    nbTokens(spark, sfDir)
       .join(broadcast(w.select($"bucket", $"weight_bp")), Seq("bucket"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -534,22 +534,8 @@ object Sampling {
         expr("(raw * 10000) DIV raw_total").as("weight_bp"))
   }
 
-  val doremiWeightsOracle: String = Fixtures.oracle(
-    """, dm_grams AS (
-         SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
-         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
-               WHERE len(string_split(text, ' ')) >= 2) dw,
-              UNNEST(range(len(words) - 1)) AS t(i)),
-       dm_big AS (SELECT gram, COUNT(1) AS big_n FROM dm_grams GROUP BY 1),
-       dm_head AS (SELECT head, COUNT(1) AS head_n FROM dm_grams GROUP BY 1),
-       dm_fl AS (
-         SELECT g.doc_id,
-                CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
-         FROM dm_grams g
-         JOIN dm_big b ON g.gram = b.gram
-         JOIN dm_head h ON g.head = h.head
-         GROUP BY 1),
-       dm_dom AS (
+  val doremiWeightsOracle: String = Fixtures.oracle(TextOps.fluencyCtes("dm_") +
+    """, dm_dom AS (
          SELECT d.lang, COUNT(1) AS n_docs, SUM(f.fluency) AS fl_sum
          FROM dm_fl f JOIN documents d ON f.doc_id = d.doc_id
          GROUP BY 1),

@@ -1126,21 +1126,31 @@ object TextOps {
     }
   }
 
-  val lmFluencyOracle: String = Fixtures.oracle(
-    """, lm_grams AS (
+  /** THE fluency oracle CTE chain, name-prefixed so multiple consumers can
+    * coexist in one WITH block — ends at `<p>fl(doc_id, n_grams, fluency)`.
+    * One definition behind one helper: the lmFluency, DoReMi, and CCNet
+    * oracles all assert the SAME arithmetic, so an edit to the fluency
+    * formula cannot desync them (the shared-builder discipline). */
+  private[queries] def fluencyCtes(p: String): String =
+    s""", ${p}grams AS (
          SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
                WHERE len(string_split(text, ' ')) >= 2) dw,
               UNNEST(range(len(words) - 1)) AS t(i)),
-       lm_big AS (SELECT gram, COUNT(1) AS big_n FROM lm_grams GROUP BY 1),
-       lm_head AS (SELECT head, COUNT(1) AS head_n FROM lm_grams GROUP BY 1)
-       SELECT g.doc_id,
-              COUNT(1) AS n_grams,
-              CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
-       FROM lm_grams g
-       JOIN lm_big b ON g.gram = b.gram
-       JOIN lm_head h ON g.head = h.head
-       GROUP BY 1""")
+       ${p}big AS (SELECT gram, COUNT(1) AS big_n FROM ${p}grams GROUP BY 1),
+       ${p}head AS (SELECT head, COUNT(1) AS head_n FROM ${p}grams GROUP BY 1),
+       ${p}fl AS (
+         SELECT g.doc_id,
+                COUNT(1) AS n_grams,
+                CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
+         FROM ${p}grams g
+         JOIN ${p}big b ON g.gram = b.gram
+         JOIN ${p}head h ON g.head = h.head
+         GROUP BY 1)"""
+
+  val lmFluencyOracle: String = Fixtures.oracle(fluencyCtes("lm_") +
+    """
+       SELECT doc_id, n_grams, fluency FROM lm_fl""")
 
   /** Model-based quality scoring — the fastText-classifier curation stage
     * (DCLM / FineWeb-Edu filter corpora with a linear bag-of-words
@@ -1259,17 +1269,18 @@ object TextOps {
     * occurrence, bucket = polynomial hash of the bigram string mod
     * [[dsirBuckets]]. Scan-side explode; the bigram STRING never leaves the
     * projection — only the integer bucket reaches any exchange. */
-  private def dsirGrams(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    spark.table("documents")
-      .withColumn("words", split($"text", " "))
-      .filter(size($"words") >= 2)
-      .select($"doc_id", $"source", explode(expr(
-        "transform(sequence(0, size(words) - 2), " +
-          "i -> concat(words[i], ' ', words[i+1]))")).as("gram"))
-      .select($"doc_id", $"source",
-        expr(s"${TextHash.sparkWordHash("gram")} % $dsirBuckets").as("bucket"))
-  }
+  private def dsirGrams(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "dsir_grams") {
+      import spark.implicits._
+      spark.table("documents")
+        .withColumn("words", split($"text", " "))
+        .filter(size($"words") >= 2)
+        .select($"doc_id", $"source", explode(expr(
+          "transform(sequence(0, size(words) - 2), " +
+            "i -> concat(words[i], ' ', words[i+1]))")).as("gram"))
+        .select($"doc_id", $"source",
+          expr(s"${TextHash.sparkWordHash("gram")} % $dsirBuckets").as("bucket"))
+    }
 
   /** DSIR importance weights (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): per document, how
@@ -1296,7 +1307,7 @@ object TextOps {
   private[queries] def dsirWeights(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.cached(spark, sfDir, "dsir_weights") {
     import spark.implicits._
-    val grams = dsirGrams(spark)
+    val grams = dsirGrams(spark, sfDir)
     val raw = grams.groupBy($"bucket").agg(count(lit(1)).as("raw_b"))
     val tgt = grams.filter(expr(dsirTargetPred))
       .groupBy($"bucket").agg(count(lit(1)).as("tgt_b"))
@@ -1432,22 +1443,8 @@ object TextOps {
           .otherwise("tail").as("ccnet_bucket"))
   }
 
-  val ccnetBucketsOracle: String = Fixtures.oracle(
-    """, cc_grams AS (
-         SELECT doc_id, words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
-         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
-               WHERE len(string_split(text, ' ')) >= 2) dw,
-              UNNEST(range(len(words) - 1)) AS t(i)),
-       cc_big AS (SELECT gram, COUNT(1) AS big_n FROM cc_grams GROUP BY 1),
-       cc_head AS (SELECT head, COUNT(1) AS head_n FROM cc_grams GROUP BY 1),
-       cc_fl AS (
-         SELECT g.doc_id,
-                CAST(SUM((b.big_n * 1000000) // h.head_n) // COUNT(1) AS BIGINT) AS fluency
-         FROM cc_grams g
-         JOIN cc_big b ON g.gram = b.gram
-         JOIN cc_head h ON g.head = h.head
-         GROUP BY 1),
-       cc_r AS (
+  val ccnetBucketsOracle: String = Fixtures.oracle(fluencyCtes("cc_") +
+    """, cc_r AS (
          SELECT f.doc_id, d.lang, f.fluency,
                 ROW_NUMBER() OVER (PARTITION BY d.lang
                                    ORDER BY f.fluency, f.doc_id) AS asc_rank,

@@ -16,10 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * `graft_topk` over the same rows, which the spec asserts with no
   * tolerance, against the registered native aggregate itself.
   *
-  * Scale design: state is ≤ k longs per group, forever — the streaming
-  * analogue of the batch aggregate's map-side bound (each micro-batch
-  * collapses to ≤ k values per group before touching state). Emission is
-  * Update-mode: one refreshed row per group per batch.
+  * Scale design: state is ≤ k longs per group, forever. Unlike the batch
+  * aggregate, `mapGroupsWithState` has no map-side combine — a micro-batch's
+  * rows all shuffle to the group owner — so the merge folds the iterator
+  * through a k-bounded min-heap (O(n log k) time, O(k) memory) instead of
+  * materializing the batch. Emission is Update-mode: one refreshed row per
+  * group per batch.
   */
 object StreamingTopK {
 
@@ -27,12 +29,18 @@ object StreamingTopK {
   case class TopKOut(group: String, topk: Seq[Long])
 
   /** Driver/executor-side reference merge: k largest (duplicates kept),
-    * sorted descending — the batch aggregate's exact output contract. */
+    * sorted descending — the batch aggregate's exact output contract. The
+    * fold never materializes the batch: a min-heap of ≤ k survivors, so a
+    * hot group with millions of rows in one micro-batch costs O(n log k)
+    * and O(k) memory, not an O(n) array + O(n log n) sort. */
   def mergeTopK(state: Array[Long], incoming: Iterator[Long], k: Int): Array[Long] = {
-    // k is small by contract (an aggregate budget, not a row set): a sort
-    // of ≤ state + batch values per group per micro-batch is the simple
-    // correct thing; a heap only changes constants
-    (state.iterator ++ incoming).toArray.sorted(Ordering.Long.reverse).take(k)
+    val heap = scala.collection.mutable.PriorityQueue.empty[Long](Ordering.Long.reverse)
+    state.foreach(heap.enqueue(_))
+    incoming.foreach { v =>
+      if (heap.size < k) heap.enqueue(v)
+      else if (v > heap.head) { heap.dequeue(); heap.enqueue(v) }
+    }
+    heap.toArray.sorted(Ordering.Long.reverse)
   }
 
   /** One refreshed top-k row per group per micro-batch. */

@@ -47,15 +47,9 @@ object Salted {
     * the repo, so the skew story is uniform: AQE split by default, static
     * salting via [[selfJoinBucketsKey]] when a boilerplate band key is
     * known to be hot up front. */
-  def pairSelfJoin(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
-    val buckets = df.sparkSession.conf
-      .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
-    if (buckets <= 0)
-      df.as("a").join(df.as("b"),
-          keyEq(keys) && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    else saltedPairSelfJoin(df, keys, idCol, buckets)
-  }
+  def pairSelfJoin(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    pairSelfJoinCarry(df, keys, idCol, Nil)
+      .select(col(s"${idCol}_a").as("id_a"), col(s"${idCol}_b").as("id_b"))
 
   def saltedPairSelfJoin(df: DataFrame, key: String, idCol: String,
       buckets: Int): DataFrame = saltedPairSelfJoin(df, Seq(key), idCol, buckets)
@@ -69,7 +63,33 @@ object Salted {
     * trade exactly when one H is pathological. The salt derives from the id
     * (not rand()), so the plan stays deterministic and replayable. */
   def saltedPairSelfJoin(df: DataFrame, keys: Seq[String], idCol: String,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    saltedCarry(df, keys, idCol, Nil, buckets)
+      .select(col(s"${idCol}_a").as("id_a"), col(s"${idCol}_b").as("id_b"))
+
+  /** [[pairSelfJoin]] variant that also carries per-side payload columns
+    * through the gate (e.g. window POSITIONS for substring-run detection):
+    * each `carry` column c surfaces as `c_a` / `c_b`. Same gate, same
+    * determinism, same either-way-identical result contract. This is THE
+    * implementation — the id-only forms above are carry=Nil projections of
+    * it, so the gate logic exists exactly once. */
+  def pairSelfJoinCarry(df: DataFrame, keys: Seq[String], idCol: String,
+      carry: Seq[String]): DataFrame = {
+    val buckets = df.sparkSession.conf
+      .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
+    if (buckets <= 0)
+      df.as("a").join(df.as("b"),
+          keyEq(keys) && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(carryCols(idCol, carry): _*)
+    else saltedCarry(df, keys, idCol, carry, buckets)
+  }
+
+  private def carryCols(idCol: String, carry: Seq[String]) =
+    (Seq(idCol) ++ carry).flatMap(c =>
+      Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
+
+  private def saltedCarry(df: DataFrame, keys: Seq[String], idCol: String,
+      carry: Seq[String], buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val a = df.withColumn("__salt", pmod(functions.hash(col(idCol)), lit(buckets)))
     val b = df.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
@@ -77,32 +97,7 @@ object Salted {
         keyEq(keys) &&
           col("a.__salt") === col("b.__salt") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-  }
-
-  /** [[pairSelfJoin]] variant that also carries per-side payload columns
-    * through the gate (e.g. window POSITIONS for substring-run detection):
-    * each `carry` column c surfaces as `c_a` / `c_b`. Same gate, same
-    * determinism, same either-way-identical result contract. */
-  def pairSelfJoinCarry(df: DataFrame, keys: Seq[String], idCol: String,
-      carry: Seq[String]): DataFrame = {
-    val out = (c: String) => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))
-    val cols = (Seq(idCol) ++ carry).flatMap(out)
-    val buckets = df.sparkSession.conf
-      .getOption(selfJoinBucketsKey).map(_.toInt).getOrElse(0)
-    if (buckets <= 0)
-      df.as("a").join(df.as("b"),
-          keyEq(keys) && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(cols: _*)
-    else {
-      val a = df.withColumn("__salt", pmod(functions.hash(col(idCol)), lit(buckets)))
-      val b = df.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
-      a.as("a").join(b.as("b"),
-          keyEq(keys) &&
-            col("a.__salt") === col("b.__salt") &&
-            col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(cols: _*)
-    }
+      .select(carryCols(idCol, carry): _*)
   }
 
   private def keyEq(keys: Seq[String]): Column =

@@ -21,10 +21,20 @@ class ScalePlanSpec extends SparkSpec {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "-1")
+    // Memoized frames (Memo.cached) freeze their physical plan under the
+    // conf active at FIRST build — a memo built by an earlier suite under
+    // default conf would hand this test a BroadcastHashJoin-shaped cached
+    // plan (and, symmetrically, leave later suites a no-broadcast one).
+    // Releasing the scope on both edges makes every plan assertion inspect
+    // a fresh build under the intended conf, independent of suite order.
+    graft.util.Memo.release(spark, sfDir)
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      graft.util.Memo.release(spark, sfDir)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 
