@@ -1459,7 +1459,58 @@ object TextOps {
               END AS ccnet_bucket
        FROM cc_r""")
 
+  /** BPE-training pair counts — the inner-loop primitive of byte-pair
+    * encoding tokenizer training (Sennrich et al. 2016): count adjacent
+    * symbol pairs corpus-wide, merge the winner, repeat. This operator is
+    * one round at character level, with the trick that makes BPE train on
+    * terabyte corpora at all: pairs are counted over the DISTINCT-word
+    * vocabulary weighted by word frequency — the corpus collapses to a
+    * Heaps-bounded vocabulary before any character work happens, so the
+    * explode is vocabulary-sized, not corpus-sized. The iterative merge
+    * loop composes this per round (apply the merge to the vocabulary —
+    * a string rewrite on vocab-sized rows — and re-count).
+    *
+    * Output: the top 32 pairs under the deterministic total order
+    * (count DESC, pair ASC) — the next-merge candidate list. Top-k via
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition heads,
+    * then one merge of ≤ k·partitions rows — never a global sort);
+    * the rank window runs over ≤ 32 rows. */
+  def bpeTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = spark.table("documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    vocab.filter(length($"w") >= 2)
+      .select($"freq", explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("pair_count"))
+      .orderBy($"pair_count".desc, $"pair".asc)
+      .limit(32)
+      .withColumn("merge_rank", row_number().over(
+        Window.orderBy($"pair_count".desc, $"pair".asc)))
+  }
+
+  val bpeTopPairsOracle: String = Fixtures.oracle(
+    """, bpe_v AS (
+         SELECT w, COUNT(1) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY 1),
+       bpe_p AS (
+         SELECT substring(v.w, t.i + 1, 2) AS pair, SUM(v.freq) AS pair_count
+         FROM (SELECT w, freq FROM bpe_v WHERE length(w) >= 2) v,
+              UNNEST(range(length(v.w) - 1)) AS t(i)
+         GROUP BY 1)
+       SELECT pair, CAST(pair_count AS BIGINT) AS pair_count,
+              CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
+                AS merge_rank
+       FROM bpe_p
+       ORDER BY pair_count DESC, pair LIMIT 32""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_top_pairs" -> (bpeTopPairs _),
     "text_ccnet_buckets" -> (ccnetBuckets _),
     "text_dsir_weight" -> (dsirWeight _),
     "text_df_index" -> (dfIndex _),
@@ -1486,6 +1537,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_top_pairs" -> bpeTopPairsOracle,
     "text_ccnet_buckets" -> ccnetBucketsOracle,
     "text_dsir_weight" -> dsirWeightOracle,
     "text_df_index" -> dfIndexOracle,

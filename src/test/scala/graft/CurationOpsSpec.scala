@@ -166,6 +166,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe pair counts: vocab-weighted counting equals the corpus-level count") {
+    val out = TextOps.bpeTopPairs(spark, sfDir).collect()
+    assert(out.length === 32)
+    // brute force: count adjacent char pairs over EVERY token occurrence
+    val brute = scala.collection.mutable.Map.empty[String, Long]
+    spark.table("documents").select(col("text")).collect().foreach { r =>
+      r.getString(0).split(" ").foreach { w =>
+        var i = 0
+        while (i + 1 < w.length) {
+          val p = w.substring(i, i + 2)
+          brute(p) = brute.getOrElse(p, 0L) + 1
+          i += 1
+        }
+      }
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("pair_count") === brute(r.getAs[String]("pair")),
+        s"vocab-weighted count must equal the corpus count for ${r.getAs[String]("pair")}")
+    }
+    // the output is the TRUE top-32 under (count desc, pair asc)
+    val expected = brute.toSeq.sortBy { case (p, c) => (-c, p) }.take(32).map(_._1)
+    assert(out.sortBy(_.getAs[Int]("merge_rank")).map(_.getAs[String]("pair")).toSeq
+      === expected)
+  }
+
   test("substring runs are witnessed by the true longest common token span") {
     val out = Dedup.substringRuns(spark, sfDir).collect()
     assert(out.nonEmpty, "the fixture's near-dup docs must surface run pairs")
