@@ -1509,7 +1509,64 @@ object TextOps {
        FROM bpe_p
        ORDER BY pair_count DESC, pair LIMIT 32""")
 
+  /** Gopher rule gate (Rae et al. 2021, Table A1) — the canonical NAMED
+    * rule set curation stacks cite, as one boolean column per rule plus
+    * the conjunction. Thresholds are the paper's, applied by integer
+    * cross-multiplication (no ratio ever materializes, so no double-ulp
+    * flip can disagree between engines):
+    *
+    *   - word count in [50, 100 000]
+    *   - mean word length in [3, 10] chars
+    *   - ≥ 2 stopword hits (the shared stopword list)
+    *   - duplicate-word mass ≤ 50% (unique words ≥ half the tokens —
+    *     the fixture-visible stand-in for the paper's duplicate-line
+    *     fraction; this corpus has no line structure)
+    *
+    * The paper's symbol-ratio / bullet / ellipsis rules are vacuous on a
+    * purely alphabetic corpus and are deliberately omitted rather than
+    * shipped untestable. Scale shape: pure scan-side projection — no
+    * joins, no shuffles, no state. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .withColumn("n_words", size($"words").cast(LongType))
+      .withColumn("n_chars_w", (length($"text") - ($"n_words" - 1L)))
+      .withColumn("n_uniq", size(array_distinct($"words")).cast(LongType))
+      .withColumn("n_stop", expr(stopCountSpark("text")).cast(LongType))
+      .select($"doc_id", $"n_words", $"n_uniq", $"n_stop",
+        ($"n_words" >= 50L && $"n_words" <= 100000L).as("rule_word_count"),
+        ($"n_chars_w" >= $"n_words" * 3L && $"n_chars_w" <= $"n_words" * 10L)
+          .as("rule_mean_word_len"),
+        ($"n_stop" >= 2L).as("rule_stopwords"),
+        ($"n_uniq" * 2L >= $"n_words").as("rule_dup_mass"))
+      .withColumn("keep",
+        $"rule_word_count" && $"rule_mean_word_len" &&
+          $"rule_stopwords" && $"rule_dup_mass")
+  }
+
+  val gopherRulesOracle: String = Fixtures.oracle(
+    s"""SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+               CAST(${stopCountDuck("text")} AS BIGINT) AS n_stop,
+               len(words) >= 50 AND len(words) <= 100000 AS rule_word_count,
+               (length(text) - (len(words) - 1)) >= len(words) * 3
+                 AND (length(text) - (len(words) - 1)) <= len(words) * 10
+                 AS rule_mean_word_len,
+               ${stopCountDuck("text")} >= 2 AS rule_stopwords,
+               len(list_distinct(words)) * 2 >= len(words) AS rule_dup_mass,
+               (len(words) >= 50 AND len(words) <= 100000)
+                 AND ((length(text) - (len(words) - 1)) >= len(words) * 3
+                      AND (length(text) - (len(words) - 1)) <= len(words) * 10)
+                 AND (${stopCountDuck("text")} >= 2)
+                 AND (len(list_distinct(words)) * 2 >= len(words)) AS keep
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+              FROM documents)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> (gopherRules _),
     "text_bpe_top_pairs" -> (bpeTopPairs _),
     "text_ccnet_buckets" -> (ccnetBuckets _),
     "text_dsir_weight" -> (dsirWeight _),
@@ -1537,6 +1594,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" -> gopherRulesOracle,
     "text_bpe_top_pairs" -> bpeTopPairsOracle,
     "text_ccnet_buckets" -> ccnetBucketsOracle,
     "text_dsir_weight" -> dsirWeightOracle,

@@ -166,6 +166,25 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules reconstruct from raw counts and the gate discriminates") {
+    val out = TextOps.gopherRules(spark, sfDir).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      assert(r.getAs[Boolean]("rule_word_count") === (n >= 50L && n <= 100000L))
+      assert(r.getAs[Boolean]("rule_stopwords") === (r.getAs[Long]("n_stop") >= 2L))
+      assert(r.getAs[Boolean]("rule_dup_mass") === (r.getAs[Long]("n_uniq") * 2 >= n))
+      assert(r.getAs[Boolean]("keep") ===
+        (r.getAs[Boolean]("rule_word_count") && r.getAs[Boolean]("rule_mean_word_len") &&
+          r.getAs[Boolean]("rule_stopwords") && r.getAs[Boolean]("rule_dup_mass")))
+    }
+    // the three corpus-discriminating rules each fire both ways (mean word
+    // length is structurally in [3,10] on the synthetic vocabulary — kept
+    // because it is the paper's rule, vacuously true here)
+    for (rule <- Seq("rule_word_count", "rule_stopwords", "rule_dup_mass", "keep"))
+      assert(out.exists(_.getAs[Boolean](rule)) && out.exists(!_.getAs[Boolean](rule)),
+        s"$rule must split the fixture")
+  }
+
   test("bpe pair counts: vocab-weighted counting equals the corpus-level count") {
     val out = TextOps.bpeTopPairs(spark, sfDir).collect()
     assert(out.length === 32)
