@@ -678,7 +678,70 @@ object Sessions {
        JOIN bot_b b ON p.user_id = b.user_id
        CROSS JOIN bot_a a CROSS JOIN bot_ab ab""")
 
+  /** Mergeable histogram quantiles — the FIXED-STATE quantile path for
+    * 100 TB, next to the exact-sort family ([[valueQuartiles]] NTILE,
+    * `text_length_percentiles`): log₂-binned value histograms per event
+    * type, and p50/p90/p99 read off the cumulative bins. An exact
+    * percentile shuffles and sorts every row; the histogram is ≤64
+    * counters per group — map-side combined, additively mergeable across
+    * partitions, days, and streams (the same order-free-merge contract as
+    * the count-min/KMV/top-k sketch family) — at the cost of a bounded
+    * answer: the quantile is located to its power-of-two bin [lo, hi]
+    * (≤2× relative error; subdivide bins for tighter bounds, same plan).
+    *
+    * Everything is integer: bin = ⌊log₂ cents⌋ via `length(bin(x)) - 1`
+    * (both engines print identical binary strings), the quantile rule is
+    * the cross-multiplied `cum·100 ≥ q·total`, and the bin bounds are
+    * shifts — no float ever appears, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one map-side-combined (type, bin) count; the cumulative
+    * window runs over ≤64 rows per type (value-range bounded, the
+    * [[graft.queries.TextOps.ccnetBuckets]] discipline); the quantile
+    * probe set is a 3-row broadcast. */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = spark.table("raw")
+      .filter($"cents" >= 1L)
+      .withColumn("bin", (length(bin($"cents")) - 1).cast(LongType))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
+    val cum = hist
+      .withColumn("cum", sum($"n").over(
+        Window.partitionBy($"event_type").orderBy($"bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"n").over(Window.partitionBy($"event_type")))
+    val qs = Seq(50L, 90L, 99L).toDF("q")
+    cum.crossJoin(broadcast(qs))
+      .filter($"cum" * 100L >= $"q" * $"total")
+      .groupBy($"event_type", $"q")
+      .agg(min($"bin").as("qbin"), max($"total").as("total"))
+      .select($"event_type", $"q", $"total", $"qbin",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(qbin AS INT))").as("lo_cents"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(qbin AS INT) + 1) - 1").as("hi_cents"))
+  }
+
+  val histQuantilesOracle: String = Fixtures.oracle(
+    """, hq_h AS (
+         SELECT event_type, CAST(length(bin(cents)) - 1 AS BIGINT) AS bin,
+                COUNT(1) AS n
+         FROM raw WHERE cents >= 1 GROUP BY 1, 2),
+       hq_c AS (
+         SELECT event_type, bin, n,
+                SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(n) OVER (PARTITION BY event_type) AS total
+         FROM hq_h)
+       SELECT c.event_type, q.q, CAST(MAX(c.total) AS BIGINT) AS total,
+              MIN(c.bin) AS qbin,
+              CAST(1 << CAST(MIN(c.bin) AS INT) AS BIGINT) AS lo_cents,
+              CAST((1 << (CAST(MIN(c.bin) AS INT) + 1)) - 1 AS BIGINT) AS hi_cents
+       FROM hq_c c CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT))) AS q(q)
+       WHERE c.cum * 100 >= q.q * c.total
+       GROUP BY 1, 2""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hist_quantiles" -> (histQuantiles _),
     "events_bot_flags" -> (botFlags _),
     "events_ewma_trend" -> (ewmaTrend _),
     "layout_zorder_key" -> (zorderKey _),
@@ -697,6 +760,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_hist_quantiles" -> histQuantilesOracle,
     "events_bot_flags" -> botFlagsOracle,
     "events_ewma_trend" -> ewmaTrendOracle,
     "layout_zorder_key" -> zorderKeyOracle,

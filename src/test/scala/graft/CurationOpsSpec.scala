@@ -243,6 +243,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(exact > 0, "at least one pair must witness its true span exactly")
   }
 
+  test("hist quantiles bracket the exact percentile for every (type, q)") {
+    val out = Sessions.histQuantiles(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byType = spark.table("raw").filter(col("cents") >= 1)
+      .select(col("event_type"), col("cents")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    out.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val q = r.getAs[Long]("q")
+      // the exact quantile under the SAME rule at value granularity:
+      // smallest value whose rank satisfies rank·100 ≥ q·n
+      val exact = vs(((q * vs.length + 99) / 100 - 1).toInt)
+      assert(exact >= r.getAs[Long]("lo_cents") && exact <= r.getAs[Long]("hi_cents"),
+        s"exact p$q=$exact outside [${r.getAs[Long]("lo_cents")}, ${r.getAs[Long]("hi_cents")}]: $r")
+      assert(r.getAs[Long]("total") === vs.length.toLong)
+    }
+  }
+
   test("bot flags equal cross-multiplied comparison against recomputed corpus means") {
     // sf0.01: the burst branch needs enough users for the 10-minute-bucket
     // maximum to spread (both flag kinds fire there; sf0.001 only volume)

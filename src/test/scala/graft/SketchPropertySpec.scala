@@ -80,6 +80,25 @@ class SketchPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("streaming top-k merge is split-invariant and equals the sorted-take reference") {
+    import graft.streaming.StreamingTopK.mergeTopK
+    val valuesGen = Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    val kGen = Gen.chooseNum(1, 8)
+    check(Prop.forAll(valuesGen, kGen, Gen.chooseNum(0, 1000)) {
+      (vs: List[Long], k: Int, cutSeed: Int) =>
+        val ref = vs.sorted(Ordering.Long.reverse).take(k)
+        // one-shot merge matches the reference...
+        val oneShot = mergeTopK(Array.empty, vs.iterator, k).toList
+        // ...and ANY two-batch split through intermediate state matches too
+        // (the micro-batch prefix contract: state is a pure function of the
+        // multiset, not of how the stream was batched)
+        val cut = if (vs.isEmpty) 0 else cutSeed % (vs.length + 1)
+        val (a, b) = vs.splitAt(cut)
+        val viaState = mergeTopK(mergeTopK(Array.empty, a.iterator, k), b.iterator, k).toList
+        oneShot == ref && viaState == ref
+    })
+  }
+
   test("Morton key preserves per-dimension ordering within the other dimension") {
     // de-interleaving the key recovers both inputs — the property file
     // skipping relies on (a z-range bounds BOTH dimensions)
