@@ -1565,7 +1565,158 @@ object TextOps {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS words
               FROM documents)""")
 
+  /** Zipf/Heaps corpus diagnostic: the frequency-of-frequencies spectrum.
+    * Term frequencies are bucketed into power-of-two bins (the
+    * `events_hist_quantiles` binning, `floor(log2 c)` via `length(bin(c))-1`)
+    * and each bin reports how many distinct terms and how many total
+    * occurrences it holds. Under Zipf the per-bin occupancy falls off
+    * geometrically — a corpus whose spectrum doesn't (e.g. heavy synthetic
+    * duplication inflating the high-frequency bins) fails the shape test, so
+    * this is the one-page "is this crawl snapshot statistically normal"
+    * report curation pipelines run before anything else.
+    *
+    * Scale shape: scan-side explode → ONE vocabulary-keyed shuffle agg
+    * (map-side combined) → a ≤64-row bin agg. Nothing is broadcast, no
+    * window, no sort beyond the 64-row presentation orderBy. */
+  def zipfSpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .withColumn("fbin", (length(bin($"c")) - 1).cast(LongType))
+      .groupBy($"fbin")
+      .agg(count(lit(1)).as("n_terms"), sum($"c").as("n_occ"))
+      .select($"fbin", $"n_terms", $"n_occ",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(fbin AS INT))").as("lo_freq"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(fbin AS INT) + 1) - 1").as("hi_freq"))
+      .orderBy($"fbin")
+  }
+
+  val zipfSpectrumOracle: String = Fixtures.oracle(
+    """, zs_w AS (SELECT w AS word
+                  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+                  WHERE length(w) > 0),
+       zs_f AS (SELECT word, COUNT(1) AS c FROM zs_w GROUP BY 1),
+       zs_b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS fbin,
+                       COUNT(1) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_occ
+                FROM zs_f GROUP BY 1)
+       SELECT fbin, n_terms, n_occ,
+              CAST(1 << CAST(fbin AS INT) AS BIGINT) AS lo_freq,
+              CAST((1 << (CAST(fbin AS INT) + 1)) - 1 AS BIGINT) AS hi_freq
+       FROM zs_b
+       ORDER BY fbin""")
+
+  /** Per-source n-gram diversity: distinct bigrams as a share of total
+    * bigram occurrences, in basis points. The low-diversity tail is the
+    * template/boilerplate/synthetic-data signal at DOMAIN granularity —
+    * `text_repetition_filter` catches self-repeating DOCUMENTS; a source
+    * whose documents are individually clean but collectively near-identical
+    * (mirror farms, generated spam) only shows up here.
+    *
+    * Scale shape: scan-side bigram explode → ONE (source, bigram)-keyed
+    * shuffle agg (map-side combined) → a source-sized re-agg. The ratio is
+    * integer cross-multiplication (`·10⁴ DIV`), order-free on both engines
+    * (DuckDB INTEGER `//` truncates exactly like Spark's DIV — the pinned
+    * dialect rule). */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+        .as("bigram"))
+      .groupBy($"source", $"bigram").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("distinct_bigrams"), sum($"n").as("total_bigrams"))
+      .select($"source", $"distinct_bigrams", $"total_bigrams",
+        expr("distinct_bigrams * 10000 DIV total_bigrams").as("diversity_bp"))
+      .orderBy($"source")
+  }
+
+  val ngramDiversityOracle: String = Fixtures.oracle(
+    """, nd_dw AS (SELECT source, string_split(text, ' ') AS words FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+       nd_g AS (SELECT source, words[i+1] || ' ' || words[i+2] AS bigram
+                FROM nd_dw, UNNEST(range(len(words) - 1)) AS t(i)),
+       nd_sb AS (SELECT source, bigram, COUNT(1) AS n FROM nd_g GROUP BY 1, 2)
+       SELECT source, COUNT(1) AS distinct_bigrams,
+              CAST(SUM(n) AS BIGINT) AS total_bigrams,
+              CAST((COUNT(1) * 10000) // SUM(n) AS BIGINT) AS diversity_bp
+       FROM nd_sb
+       GROUP BY 1
+       ORDER BY source""")
+
+  /** Per-domain characteristic terms by association lift: for each
+    * (source, word), `lift = P(word | source) / P(word) = (a·N)/(n_s·c_w)`.
+    * This is the domain-indicative-vocabulary report (the χ²/log-odds
+    * feature-selection family — lift keeps the exact same ranking inside
+    * the cross-engine-exact ×,÷ arithmetic; χ²'s squared products would
+    * need a variance denominator for no extra ordering power). Used to
+    * label what a domain IS about before deciding its mixture weight, and
+    * as the seed list for classifier-based topic filters.
+    *
+    * Scale shape: (source, word) counts in ONE map-side-combined shuffle;
+    * the per-word corpus-count join is a VOCABULARY join and therefore a
+    * plain shuffle join on the word key (Heaps' law — the keywordTfidf
+    * rule); only the source-sized totals table and the 1-row grand total
+    * broadcast. The ≥5 count floor drops the hapax tail before the joins;
+    * the final top-200 is a TakeOrderedAndProject, never a global sort.
+    *
+    * Ratio arithmetic: long products are exact below 2^53 and convert
+    * exactly to double; one IEEE division, exact-rounded identically on
+    * both engines. At 100 TB counts approach 2^53 — normalize with two
+    * divisions `(a/n_s)/(c_w/N)` there; at every tested SF the single
+    * division keeps full precision. */
+  def domainLift(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val sw = spark.table("documents")
+      .select($"source", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"source", $"word").agg(count(lit(1)).as("a"))
+    val cw = sw.groupBy($"word").agg(sum($"a").as("cw"))
+    val ns = sw.groupBy($"source").agg(sum($"a").as("ns"))
+    val n = sw.agg(sum($"a").as("n"))
+    sw.filter($"a" >= 5)
+      .join(cw, "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ratio",
+        ($"a" * $"n").cast(DoubleType) / ($"ns" * $"cw").cast(DoubleType))
+      .select($"source", $"word", $"a".as("n_in_domain"), $"cw".as("n_corpus"),
+        $"lift_ratio")
+      .orderBy($"lift_ratio".desc, $"source", $"word")
+      .limit(200)
+  }
+
+  val domainLiftOracle: String = Fixtures.oracle(
+    """, dl_w AS (SELECT source, w AS word
+                  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+                  WHERE length(w) > 0),
+       dl_sw AS (SELECT source, word, COUNT(1) AS a FROM dl_w GROUP BY 1, 2),
+       dl_cw AS (SELECT word, CAST(SUM(a) AS BIGINT) AS cw FROM dl_sw GROUP BY 1),
+       dl_ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM dl_sw GROUP BY 1),
+       dl_n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM dl_sw)
+       SELECT sw.source, sw.word,
+              CAST(sw.a AS BIGINT) AS n_in_domain, cw.cw AS n_corpus,
+              CAST(sw.a * n.n AS DOUBLE) / CAST(ns.ns * cw.cw AS DOUBLE)
+                AS lift_ratio
+       FROM dl_sw sw
+       JOIN dl_cw cw USING (word)
+       JOIN dl_ns ns USING (source)
+       CROSS JOIN dl_n n
+       WHERE sw.a >= 5
+       ORDER BY lift_ratio DESC, sw.source, sw.word
+       LIMIT 200""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_spectrum" -> (zipfSpectrum _),
+    "text_ngram_diversity" -> (ngramDiversity _),
+    "text_domain_lift" -> (domainLift _),
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_top_pairs" -> (bpeTopPairs _),
     "text_ccnet_buckets" -> (ccnetBuckets _),
@@ -1594,6 +1745,9 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_spectrum" -> zipfSpectrumOracle,
+    "text_ngram_diversity" -> ngramDiversityOracle,
+    "text_domain_lift" -> domainLiftOracle,
     "text_gopher_rules" -> gopherRulesOracle,
     "text_bpe_top_pairs" -> bpeTopPairsOracle,
     "text_ccnet_buckets" -> ccnetBucketsOracle,

@@ -277,4 +277,69 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.exists(_.getAs[Boolean]("flag_burst")), "burst branch must fire")
     assert(out.exists(r => !r.getAs[Boolean]("is_bot")), "most users must stay clean")
   }
+
+  test("zipf spectrum partitions the vocabulary and brackets every term count") {
+    val out = TextOps.zipfSpectrum(spark, sfDir).collect()
+    val counts = spark.table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).count()
+      .collect().map(_.getAs[Long]("count"))
+    // bins PARTITION the vocabulary: term and occurrence totals are exact
+    assert(out.map(_.getAs[Long]("n_terms")).sum === counts.length.toLong)
+    assert(out.map(_.getAs[Long]("n_occ")).sum === counts.sum)
+    // each bin's population is exactly the terms whose count it brackets
+    out.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("lo_freq"), r.getAs[Long]("hi_freq"))
+      assert(lo === (1L << r.getAs[Long]("fbin").toInt) && hi === lo * 2 - 1)
+      assert(counts.count(c => c >= lo && c <= hi).toLong === r.getAs[Long]("n_terms"), r)
+    }
+  }
+
+  test("ngram diversity equals brute-force distinct/total per source") {
+    val out = TextOps.ngramDiversity(spark, sfDir).collect()
+    val docs = spark.table("documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .filter(_._2.length >= 2)
+    val bySrc = docs.groupBy(_._1).map { case (s, ds) =>
+      val grams = ds.flatMap(d => d._2.sliding(2).map(_.mkString(" ")))
+      s -> ((grams.distinct.length.toLong, grams.length.toLong))
+    }
+    assert(out.length === bySrc.size)
+    out.foreach { r =>
+      val (d, t) = bySrc(r.getAs[String]("source"))
+      assert(r.getAs[Long]("distinct_bigrams") === d, r)
+      assert(r.getAs[Long]("total_bigrams") === t, r)
+      assert(r.getAs[Long]("diversity_bp") === d * 10000L / t, r)
+      assert(r.getAs[Long]("diversity_bp") > 0L && r.getAs[Long]("diversity_bp") <= 10000L)
+    }
+  }
+
+  test("domain lift recomputes from raw counts and is sorted by lift") {
+    val out = TextOps.domainLift(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 200)
+    val words = spark.table("documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = words.length.toLong
+    val bySrcWord = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byWord = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = words.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.foreach { r =>
+      val (s, w) = (r.getAs[String]("source"), r.getAs[String]("word"))
+      val a = bySrcWord((s, w))
+      assert(a >= 5L && r.getAs[Long]("n_in_domain") === a, r)
+      assert(r.getAs[Long]("n_corpus") === byWord(w), r)
+      val expect = (a * n).toDouble / (bySrc(s) * byWord(w)).toDouble
+      assert(r.getAs[Double]("lift_ratio") === expect, r)
+    }
+    // presentation contract: descending by lift (total order breaks ties)
+    val lifts = out.map(_.getAs[Double]("lift_ratio"))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+    // the report must actually discriminate: some term is over-represented
+    assert(lifts.head > 1.0, "top lift must exceed the independence baseline")
+  }
 }

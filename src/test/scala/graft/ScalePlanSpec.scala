@@ -238,4 +238,31 @@ class ScalePlanSpec extends SparkSpec {
         s"unhinted bucket-count join must shuffle when estimates are large:\n$p")
     }
   }
+
+  test("domainLift: vocabulary join shuffles; only source totals and 1-row N broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(TextOps.domainLift(spark, sfDir))
+      // the (source,word)⋈per-word-corpus-count join is a VOCABULARY join —
+      // it must plan as a shuffle join when estimates are large
+      assert(p.contains("SortMergeJoin"),
+        s"the per-word corpus-count join must shuffle:\n$p")
+      // legitimate broadcasts: the hinted source-sized totals table and the
+      // hinted 1-row grand total (cross join)
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"a vocabulary-sized frame gained a broadcast:\n$p")
+      // the output is a top-k, never a global sort of the scored frame
+      assert(p.contains("TakeOrderedAndProject"), s"top-200 must be TakeOrdered:\n$p")
+    }
+  }
+
+  test("zipfSpectrum and ngramDiversity broadcast nothing") {
+    withNoAutoBroadcast {
+      val pz = plan(TextOps.zipfSpectrum(spark, sfDir))
+      assert(!pz.contains("BroadcastExchange") && !pz.contains("Window"),
+        s"the spectrum is two hash aggregations, nothing else:\n$pz")
+      val pn = plan(TextOps.ngramDiversity(spark, sfDir))
+      assert(!pn.contains("BroadcastExchange") && !pn.contains("Window"),
+        s"diversity is two hash aggregations, nothing else:\n$pn")
+    }
+  }
 }
