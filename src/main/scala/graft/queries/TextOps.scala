@@ -972,39 +972,51 @@ object TextOps {
     * flag conjunctions (a UNION-of-six-aggregates form would re-execute
     * every stage chain per branch — 6 chains instead of 1). Document text
     * never re-shuffles: every join carries 8-byte ids plus booleans. */
+  /** The funnel's per-doc stage flags — shared by [[pretrainFunnel]] (the
+    * attrition report) and [[corpusBuild]] (the materialization), so the
+    * report can never desync from the corpus it describes. Memoized: both
+    * consumers trigger the winnow self-join and the contamination gram
+    * explode, the two expensive legs. */
+  private def funnelFlags(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "funnel_flags") {
+      import spark.implicits._
+      val docs = spark.table("documents")
+        .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_words"))
+
+      val canonical = canonicalDocIds(spark).withColumn("c1", lit(1))
+
+      val nearDups = Dedup.winnow(spark, sfDir).select($"doc_b".as("doc_id")).distinct()
+        .withColumn("c2", lit(1))
+
+      val qualityOk = curationBar(curationSignals(spark))
+        .select($"doc_id", lit(1).as("c3"))
+
+      val contaminated = probeGramHits(spark)
+        .select($"doc_id").distinct()
+        .withColumn("c4", lit(1))
+
+      val rateCol = Sampling.stratumRatesBp.foldLeft(lit(Sampling.defaultRateBp)) {
+        case (acc, (lang, bp)) => when($"lang" === lang, lit(bp)).otherwise(acc)
+      }
+      docs
+        .join(canonical, Seq("doc_id"), "left_outer")
+        .join(nearDups, Seq("doc_id"), "left_outer")
+        .join(qualityOk, Seq("doc_id"), "left_outer")
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .withColumn("s1", $"c1".isNotNull)
+        .withColumn("s2", $"s1" && $"c2".isNull)
+        .withColumn("s3", $"s2" && $"c3".isNotNull)
+        .withColumn("s4", $"s3" && $"c4".isNull)
+        .withColumn("s5", $"s4" &&
+          (expr(Sampling.bucketExprSql("doc_id")) % 10000L).cast(LongType) <
+            rateCol.cast(LongType))
+        .select($"doc_id", $"lang", $"n_words", $"s1", $"s2", $"s3", $"s4", $"s5")
+    }
+
   def pretrainFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val docs = spark.table("documents")
-      .select($"doc_id", $"lang", size(split($"text", " ")).cast(LongType).as("n_words"))
-
-    val canonical = canonicalDocIds(spark).withColumn("c1", lit(1))
-
-    val nearDups = Dedup.winnow(spark, sfDir).select($"doc_b".as("doc_id")).distinct()
-      .withColumn("c2", lit(1))
-
-    val qualityOk = curationBar(curationSignals(spark))
-      .select($"doc_id", lit(1).as("c3"))
-
-    val contaminated = probeGramHits(spark)
-      .select($"doc_id").distinct()
-      .withColumn("c4", lit(1))
-
-    val rateCol = Sampling.stratumRatesBp.foldLeft(lit(Sampling.defaultRateBp)) {
-      case (acc, (lang, bp)) => when($"lang" === lang, lit(bp)).otherwise(acc)
-    }
-    val flagged = docs
-      .join(canonical, Seq("doc_id"), "left_outer")
-      .join(nearDups, Seq("doc_id"), "left_outer")
-      .join(qualityOk, Seq("doc_id"), "left_outer")
-      .join(contaminated, Seq("doc_id"), "left_outer")
-      .withColumn("s1", $"c1".isNotNull)
-      .withColumn("s2", $"s1" && $"c2".isNull)
-      .withColumn("s3", $"s2" && $"c3".isNotNull)
-      .withColumn("s4", $"s3" && $"c4".isNull)
-      .withColumn("s5", $"s4" &&
-        (expr(Sampling.bucketExprSql("doc_id")) % 10000L).cast(LongType) <
-          rateCol.cast(LongType))
+    val flagged = funnelFlags(spark, sfDir)
 
     def nAt(f: org.apache.spark.sql.Column) = sum(when(f, 1L).otherwise(0L))
     def tAt(f: org.apache.spark.sql.Column) = sum(when(f, $"n_words").otherwise(0L))
@@ -1026,9 +1038,12 @@ object TextOps {
              5L, 'domain_mix',     n5, t5) AS (stage_id, stage, n_docs, n_tokens)"""))
   }
 
-  val pretrainFunnelOracle: String = {
+  /** The funnel CTE chain (through the per-stage survivor sets f_s1..f_s5),
+    * shared by the funnel and corpus-build oracles — the SQL twin of the
+    * [[funnelFlags]] sharing on the Spark side. */
+  private val funnelOracleCtes: String = {
     val probes = contaminationProbes.map(p => s"'$p'").mkString(", ")
-    Fixtures.oracle(Dedup.winnowOracleCtes +
+    Dedup.winnowOracleCtes +
       s""", f_docs AS (
            SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
            FROM documents),
@@ -1063,7 +1078,12 @@ object TextOps {
          f_s5 AS (
            SELECT d.doc_id FROM f_s4 s JOIN f_docs d ON s.doc_id = d.doc_id
            WHERE (${Sampling.bucketExprSql("d.doc_id")}) % 10000
-                 < ${Sampling.rateCaseSql("d.lang")})
+                 < ${Sampling.rateCaseSql("d.lang")})"""
+  }
+
+  val pretrainFunnelOracle: String =
+    Fixtures.oracle(funnelOracleCtes +
+      s"""
          SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage,
                 COUNT(1) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM f_docs
          UNION ALL
@@ -1081,7 +1101,47 @@ object TextOps {
          UNION ALL
          SELECT 5, 'domain_mix', COUNT(1), CAST(SUM(d.n_words) AS BIGINT)
          FROM f_s5 s JOIN f_docs d ON s.doc_id = d.doc_id""")
+
+  /** The capstone materialization: the corpus the funnel REPORTS on, as a
+    * per-document survivor manifest with the two assignments a training
+    * loader needs — the leakage-free content-hash train/holdout split (the
+    * [[graft.queries.Sampling.trainHoldoutSplit]] rule: duplicate text
+    * always lands on one side) and the deterministic Knuth-hash shard
+    * (the [[graft.operators.Layout]] export contract, 8 shards). A user of
+    * the engine runs the funnel to AUDIT attrition and corpus_build to
+    * EMIT the corpus; both consume the same memoized [[funnelFlags]]
+    * frame, so the report can never desync from the materialization.
+    *
+    * Scale shape: the flag frame's joins are all doc-id equi-joins (the
+    * funnel's audited shape); on top of it this adds ONE more doc-id
+    * equi-join (for the content hash) and two scan-side hash projections —
+    * no new shuffles beyond the join, no windows, nothing driver-side.
+    * The output is survivor-sized and ready for
+    * `Layout.writeSharded`-style export. */
+  def corpusBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    funnelFlags(spark, sfDir)
+      .filter($"s5")
+      .join(spark.table("documents")
+        .select($"doc_id", sha2($"text", 256).as("content_sha")), Seq("doc_id"))
+      .withColumn("split",
+        when(substring($"content_sha", 1, 1) <= "c", "train").otherwise("holdout"))
+      .withColumn("shard",
+        (expr(Sampling.bucketExprSql("doc_id")) % 8L).cast(LongType))
+      .select($"doc_id", $"lang", $"n_words", $"split", $"shard")
   }
+
+  val corpusBuildOracle: String =
+    Fixtures.oracle(funnelOracleCtes +
+      s"""
+         SELECT d.doc_id, d.lang, d.n_words,
+                CASE WHEN substr(sha256(t.text), 1, 1) <= 'c'
+                     THEN 'train' ELSE 'holdout' END AS split,
+                CAST((${Sampling.bucketExprSql("d.doc_id")}) % 8 AS BIGINT) AS shard
+         FROM f_s5 s
+         JOIN f_docs d ON s.doc_id = d.doc_id
+         JOIN documents t ON d.doc_id = t.doc_id""")
 
   /** N-gram LM fluency score — the perplexity-proxy quality signal a
     * curation pipeline computes from the corpus's OWN statistics: per
@@ -1717,6 +1777,7 @@ object TextOps {
     "text_zipf_spectrum" -> (zipfSpectrum _),
     "text_ngram_diversity" -> (ngramDiversity _),
     "text_domain_lift" -> (domainLift _),
+    "corpus_build" -> (corpusBuild _),
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_top_pairs" -> (bpeTopPairs _),
     "text_ccnet_buckets" -> (ccnetBuckets _),
@@ -1748,6 +1809,7 @@ object TextOps {
     "text_zipf_spectrum" -> zipfSpectrumOracle,
     "text_ngram_diversity" -> ngramDiversityOracle,
     "text_domain_lift" -> domainLiftOracle,
+    "corpus_build" -> corpusBuildOracle,
     "text_gopher_rules" -> gopherRulesOracle,
     "text_bpe_top_pairs" -> bpeTopPairsOracle,
     "text_ccnet_buckets" -> ccnetBucketsOracle,

@@ -30,4 +30,28 @@ class PretrainFunnelSpec extends SparkSpec {
     // branch; the flagged single-pass form has no Union at all
     assert(!plan.contains("Union"), "unexpected Union of per-stage aggregates")
   }
+
+  test("corpus_build emits exactly the corpus the funnel's last stage reports") {
+    val funnel = TextOps.pretrainFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    val build = TextOps.corpusBuild(spark, sfDir).collect()
+    // the report and the materialization consume one shared flag frame —
+    // their totals must agree exactly
+    assert(build.length.toLong === funnel("domain_mix")._1)
+    assert(build.map(_.getAs[Long]("n_words")).sum === funnel("domain_mix")._2)
+    // assignments recompute from the survivor's identity: content-hash
+    // split matches the split operator's rule, shard is the Knuth hash
+    val split = graft.queries.Sampling.trainHoldoutSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    build.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("split") === split(id), s"doc $id split desyncs")
+      val shard = ((id % 2147483648L) * 2654435761L) % 4294967296L % 8L
+      assert(r.getAs[Long]("shard") === shard, s"doc $id shard desyncs")
+    }
+    // both loader dimensions are actually populated on the fixture
+    assert(build.map(_.getAs[String]("split")).distinct.length === 2)
+    assert(build.map(_.getAs[Long]("shard")).distinct.length > 1)
+  }
 }
