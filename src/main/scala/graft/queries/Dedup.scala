@@ -535,6 +535,11 @@ object Dedup {
     graft.plans.TextFingerprint.register(spark)
     import spark.implicits._
 
+    // Memoized (candidate-pair-sized): [[minhashQuality]]'s plan references
+    // this frame THREE times (pair selection, then the final score join) —
+    // uncached, each reference re-runs the band self-join + signature fold.
+    graft.util.Memo.cached(spark, sfDir, "minhash_est_pairs") {
+
     val docs = spark.table("documents")
       .select($"doc_id", expr("graft_minhash_bands(split(text, ' '))").as("bands"),
         expr("graft_minhash_sig(split(text, ' '))").as("sig"))
@@ -552,6 +557,7 @@ object Dedup {
       .withColumn("est_jaccard",
         round($"matches".cast(DoubleType) / lit(16.0), 6))
       .select($"doc_a", $"doc_b", $"shared_bands", $"matches", $"est_jaccard")
+    }
   }
 
   val minhashEstimateOracle: String = Fixtures.oracle(
