@@ -99,6 +99,37 @@ class SketchPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("histogram binning and merge are split-invariant and bracket every value") {
+    import graft.streaming.StreamingHist.{bin, quantileBin}
+    val valuesGen = Gen.listOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    check(Prop.forAll(valuesGen, Gen.chooseNum(0, 1000)) { (vs: List[Long], cutSeed: Int) =>
+      val incl = vs.filter(_ >= 1L)
+      // binning brackets: every included value lies inside its bin's range
+      val brackets = incl.forall { v =>
+        val b = bin(v); v >= (1L << b) && (b == 62 || v < (1L << (b + 1)))
+      }
+      // additive merge is split-invariant (the micro-batch prefix contract)
+      def histOf(xs: List[Long]): Map[Int, Long] =
+        xs.filter(_ >= 1L).groupBy(bin).view.mapValues(_.length.toLong).toMap
+      val cut = if (vs.isEmpty) 0 else cutSeed % (vs.length + 1)
+      val (a, b) = vs.splitAt(cut)
+      val merged = (histOf(a).keySet ++ histOf(b).keySet)
+        .map(k => k -> (histOf(a).getOrElse(k, 0L) + histOf(b).getOrElse(k, 0L))).toMap
+      val splitInvariant = merged == histOf(vs)
+      // the quantile bin brackets the exact percentile under the same rule
+      val quantileOk = incl.isEmpty || {
+        val h = histOf(vs).toSeq.sortBy(_._1)
+        val sorted = incl.sorted
+        Seq(50L, 90L, 99L).forall { q =>
+          val qb = quantileBin(h.map(_._1), h.map(_._2), q)
+          val exact = sorted(((q * sorted.length + 99) / 100 - 1).toInt)
+          bin(exact) == qb
+        }
+      }
+      brackets && splitInvariant && quantileOk
+    })
+  }
+
   test("Morton key preserves per-dimension ordering within the other dimension") {
     // de-interleaving the key recovers both inputs — the property file
     // skipping relies on (a z-range bounds BOTH dimensions)
