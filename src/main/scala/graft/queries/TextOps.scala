@@ -1625,6 +1625,71 @@ object TextOps {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS words
               FROM documents)""")
 
+  /** Per-document duplicate-n-gram mass — the RedPajama-v2 quality-signal
+    * family (`frac_chars_top_2gram`, `frac_chars_dupe_2grams`): how much of
+    * a document's character mass sits in its single most-repeated bigram,
+    * and in ALL bigrams occurring ≥2× within the doc. Boilerplate, chart
+    * spam, and template pages score high while passing whole-doc
+    * repetition filters ([[repetitionFilter]] compares doc-level duplicate
+    * lines; this is the sub-line n-gram version both signals ship with).
+    * Masses are basis points by integer cross-multiplication; overlapping
+    * occurrences mean the signal can exceed 10⁴ by construction (same as
+    * the published signal). Top-gram ties break on the lexicographically
+    * LARGEST gram — `max(struct(count, gram))` here, `ORDER BY c DESC,
+    * gram DESC` in the oracle, identical on ASCII corpora.
+    *
+    * Scale shape: scan-side gram explode → ONE (doc, gram)-keyed
+    * map-side-combined count → ONE doc-keyed agg (struct-max + conditional
+    * sums; per-doc cardinality is doc-length-bounded, so no global or
+    * per-corpus window anywhere). */
+  def dupGramSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .select($"doc_id", length($"text").cast(LongType).as("n_chars"),
+        split($"text", " ").as("words"))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", $"n_chars", explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+        .as("gram"))
+      .groupBy($"doc_id", $"n_chars", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_chars")
+      .agg(
+        sum($"c").as("n_grams"),
+        max(struct($"c", $"gram")).as("top"),
+        sum(when($"c" >= 2, $"c" * length($"gram").cast(LongType)).otherwise(0L))
+          .as("dup_chars"))
+      .select($"doc_id", $"n_grams",
+        $"top.gram".as("top_gram"), $"top.c".as("top_gram_n"),
+        expr("top.c * length(top.gram) * 10000 DIV n_chars").as("top_mass_bp"),
+        expr("dup_chars * 10000 DIV n_chars").as("dup_mass_bp"))
+  }
+
+  val dupGramSignalsOracle: String = Fixtures.oracle(
+    """, dg_dw AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                          string_split(text, ' ') AS words
+                   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       dg_g AS (SELECT doc_id, n_chars, words[i+1] || ' ' || words[i+2] AS gram
+                FROM dg_dw, UNNEST(range(len(words) - 1)) AS t(i)),
+       dg_c AS (SELECT doc_id, n_chars, gram, COUNT(1) AS c
+                FROM dg_g GROUP BY 1, 2, 3),
+       dg_top AS (SELECT doc_id, gram, c,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, gram DESC) AS rn
+                  FROM dg_c),
+       dg_sum AS (SELECT doc_id, n_chars,
+                         CAST(SUM(c) AS BIGINT) AS n_grams,
+                         CAST(SUM(CASE WHEN c >= 2
+                                       THEN c * length(gram) ELSE 0 END) AS BIGINT)
+                           AS dup_chars
+                  FROM dg_c GROUP BY 1, 2)
+       SELECT s.doc_id, s.n_grams, t.gram AS top_gram,
+              CAST(t.c AS BIGINT) AS top_gram_n,
+              CAST((t.c * length(t.gram) * 10000) // s.n_chars AS BIGINT)
+                AS top_mass_bp,
+              CAST((s.dup_chars * 10000) // s.n_chars AS BIGINT) AS dup_mass_bp
+       FROM dg_sum s JOIN dg_top t ON s.doc_id = t.doc_id AND t.rn = 1""")
+
   /** Zipf/Heaps corpus diagnostic: the frequency-of-frequencies spectrum.
     * Term frequencies are bucketed into power-of-two bins (the
     * `events_hist_quantiles` binning, `floor(log2 c)` via `length(bin(c))-1`)
@@ -1777,6 +1842,7 @@ object TextOps {
     "text_zipf_spectrum" -> (zipfSpectrum _),
     "text_ngram_diversity" -> (ngramDiversity _),
     "text_domain_lift" -> (domainLift _),
+    "text_dup_gram_signals" -> (dupGramSignals _),
     "corpus_build" -> (corpusBuild _),
     "text_gopher_rules" -> (gopherRules _),
     "text_bpe_top_pairs" -> (bpeTopPairs _),
@@ -1809,6 +1875,7 @@ object TextOps {
     "text_zipf_spectrum" -> zipfSpectrumOracle,
     "text_ngram_diversity" -> ngramDiversityOracle,
     "text_domain_lift" -> domainLiftOracle,
+    "text_dup_gram_signals" -> dupGramSignalsOracle,
     "corpus_build" -> corpusBuildOracle,
     "text_gopher_rules" -> gopherRulesOracle,
     "text_bpe_top_pairs" -> bpeTopPairsOracle,

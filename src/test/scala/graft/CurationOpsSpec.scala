@@ -317,6 +317,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup-gram signals recompute from per-doc brute force") {
+    val out = TextOps.dupGramSignals(spark, sfDir).collect()
+    val docs = spark.table("documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.count(_._2.split(" ", -1).length >= 2))
+    out.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val grams = text.split(" ", -1).sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // the elected top gram is the true argmax under (count, gram) order
+      val (topGram, topN) = counts.maxBy { case (g, c) => (c, g) }
+      assert(r.getAs[String]("top_gram") === topGram, r)
+      assert(r.getAs[Long]("top_gram_n") === topN, r)
+      assert(r.getAs[Long]("n_grams") === grams.length.toLong, r)
+      val dupChars = counts.collect { case (g, c) if c >= 2 => c * g.length.toLong }.sum
+      assert(r.getAs[Long]("dup_mass_bp") === dupChars * 10000L / text.length, r)
+      assert(r.getAs[Long]("top_mass_bp") ===
+        topN * topGram.length.toLong * 10000L / text.length, r)
+      // a unique top gram contributes nothing to the duplicate mass
+      if (topN < 2) assert(r.getAs[Long]("dup_mass_bp") === 0L ||
+        counts.exists { case (_, c) => c >= 2 })
+    }
+  }
+
   test("domain lift recomputes from raw counts and is sorted by lift") {
     val out = TextOps.domainLift(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 200)
