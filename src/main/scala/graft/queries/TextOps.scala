@@ -971,12 +971,13 @@ object TextOps {
     * computes all six stage counts in a SINGLE aggregation over cumulative
     * flag conjunctions (a UNION-of-six-aggregates form would re-execute
     * every stage chain per branch — 6 chains instead of 1). Document text
-    * never re-shuffles: every join carries 8-byte ids plus booleans. */
-  /** The funnel's per-doc stage flags — shared by [[pretrainFunnel]] (the
-    * attrition report) and [[corpusBuild]] (the materialization), so the
-    * report can never desync from the corpus it describes. Memoized: both
-    * consumers trigger the winnow self-join and the contamination gram
-    * explode, the two expensive legs. */
+    * never re-shuffles: every join carries 8-byte ids plus booleans.
+    *
+    * The per-doc stage flags live in [[funnelFlags]], shared with
+    * [[corpusBuild]] (the materialization), so the report can never desync
+    * from the corpus it describes. Memoized: both consumers trigger the
+    * winnow self-join and the contamination gram explode, the two
+    * expensive legs. */
   private def funnelFlags(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.cached(spark, sfDir, "funnel_flags") {
       import spark.implicits._
