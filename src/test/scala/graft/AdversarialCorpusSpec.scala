@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.{Dedup, Sampling, TextOps}
+
+/** Robustness of the curation family against the garbage a real crawl
+  * contains. The synthetic fixtures are well-formed; a 100 TB crawl is
+  * not — so this suite swaps `documents.parquet` for an adversarial set
+  * (empty text, NULL text, all-whitespace, single mega-token, unicode +
+  * control characters, stopword-only, exact duplicates, NULL lang) and
+  * runs a representative query per family end-to-end. The contract is:
+  * no operator throws, row-level invariants hold, and the funnel/build
+  * consistency law survives inputs the oracles never exercised. */
+class AdversarialCorpusSpec extends SparkSpec {
+
+  private lazy val advDir: String = {
+    val dir = Files.createTempDirectory("graft_adv")
+    // reuse every non-document table from the smallest fixture unchanged
+    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
+      Files.copy(
+        Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        dir.resolve(s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = true)))
+    val docs = Seq(
+      Row(1L, "", "en", "srcA", 0L),                                     // empty
+      Row(2L, null, "en", "srcA", null),                                 // NULL text
+      Row(3L, "    ", "en", "srcA", 4L),                                 // whitespace only
+      Row(4L, "x" * 2000, "en", "srcA", 2000L),                          // one mega-token
+      Row(5L, "hello", "de", "srcB", 5L),                                // single word
+      Row(6L, "the the the a of the a of", "en", "srcB", 25L),           // stopwords only
+      Row(7L, "héllo wörld 漢字 test über straße", null, "srcB", 31L),   // unicode + NULL lang
+      Row(8L, "tab\tand\nnewline chars here", "fr", "srcC", 26L),        // control chars
+      Row(9L, "duplicate content for the exact dedup pair", "en", "srcC", 42L),
+      Row(10L, "duplicate content for the exact dedup pair", "en", "srcC", 42L),
+      Row(11L, "a normal looking document with several plain words inside it", "en", "srcC", 60L),
+      Row(12L, ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 20).trim, "en", "srcD", 619L)) // long + repetitive
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(docs, 2), schema)
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    dir.toString
+  }
+
+  /** Run one representative per family; the assertion is the run itself
+    * plus a sanity bound (operators must not invent rows from garbage). */
+  private val probes: Seq[(String, Int => Boolean)] = Seq(
+    "text_token_count" -> (_ == 12),        // one row per doc, nulls included
+    "text_quality_score" -> (_ <= 12),
+    "text_lang_id" -> (_ <= 12),
+    "text_gopher_rules" -> (_ <= 12),
+    "text_zipf_spectrum" -> (_ >= 1),
+    "text_ngram_diversity" -> (n => n >= 1 && n <= 4), // ≤ one row per source
+    "text_dup_gram_signals" -> (_ <= 12),
+    "text_line_dedup" -> (_ <= 12),
+    "text_lm_fluency" -> (_ <= 12),
+    "text_bpe_top_pairs" -> (_ <= 32),
+    "corpus_curation" -> (_ <= 12),
+    "dedup_exact" -> (_ >= 1),
+    "dedup_minhash_lsh" -> (_ >= 0),
+    "dedup_ngram_jaccard" -> (_ >= 0),
+    "sample_stratified" -> (_ <= 12),
+    "split_train_holdout" -> (_ == 12),
+    "corpus_pretrain_funnel" -> (_ == 6))
+
+  test("every probed operator survives the adversarial corpus") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val failures = probes.flatMap { case (name, rowsOk) =>
+      try {
+        val n = SparkEntry.queries(name)(spark, advDir).collect().length
+        if (rowsOk(n)) None else Some(s"$name: unexpected row count $n")
+      } catch {
+        case e: Exception => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("exact dedup elects one canonical doc from the duplicated pair") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val out = Dedup.dedupExact(spark, advDir).collect()
+    // docs 9 and 10 share text: one group, canonical = min id, count = 2
+    val dup = out.filter(r => Set(9L, 10L).contains(r.getAs[Long]("canonical_doc_id")))
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("canonical_doc_id") === 9L)
+    assert(dup.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("the funnel/build consistency law holds on garbage input") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val funnel = TextOps.pretrainFunnel(spark, advDir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val build = TextOps.corpusBuild(spark, advDir).collect()
+    assert(build.length.toLong === funnel("domain_mix"))
+    // survivors are real documents, never invented ids
+    val ids = spark.table("documents").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(build.forall(r => ids.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("the split operator never leaks duplicate text across the split") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val out = Sampling.trainHoldoutSplit(spark, advDir).collect()
+    val side = out.filter(r => Set(9L, 10L).contains(r.getAs[Long]("doc_id")))
+      .map(_.getAs[String]("split")).distinct
+    assert(side.length === 1, s"identical text must land on ONE side, got $side")
+  }
+}
