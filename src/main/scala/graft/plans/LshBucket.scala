@@ -108,11 +108,25 @@ object LshBucket {
     * HALF_UP at scale 12), returned as the scale-12 unscaled long. The
     * string hop is the contract, not an accident: rounding the shortest
     * representation and rounding the exact binary expansion differ on some
-    * inputs, and the differential oracle reproduces the former. */
+    * inputs, and the differential oracle reproduces the former.
+    *
+    * Garbage guards (a crawl-scale embedding table contains encoder
+    * failures; an expression that THROWS kills the whole stage): NaN terms
+    * contribute 0 to the projection, and magnitudes beyond the decimal
+    * range saturate sign-preserving — deterministic, and only reachable by
+    * inputs whose bucket assignment is meaningless anyway. */
   private def termUnscaled(d: Double): Long =
-    new JBigDecimal(java.lang.Double.toString(d), MathContext.DECIMAL128)
-      .setScale(12, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    if (java.lang.Double.isNaN(d)) 0L
+    else if (d == Double.PositiveInfinity) Long.MaxValue
+    else if (d == Double.NegativeInfinity) Long.MinValue + 1
+    else {
+      val unscaled = new JBigDecimal(java.lang.Double.toString(d), MathContext.DECIMAL128)
+        .setScale(12, RoundingMode.HALF_UP)
+        .unscaledValue()
+      if (unscaled.bitLength() > 63)
+        (if (unscaled.signum() >= 0) Long.MaxValue else Long.MinValue + 1)
+      else unscaled.longValueExact()
+    }
 
   /** Static fold target shared by interpreted eval and generated code. */
   def bucket(emb: ArrayData, planes: Int, table: Int, isFloat: Boolean): Long = {

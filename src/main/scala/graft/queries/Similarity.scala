@@ -68,11 +68,19 @@ object Similarity {
     expr(s"graft_lsh_bucket($emb, $lshPlanes)")
 
   /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
-    * because every similarity query consumes it. */
+    * because every similarity query consumes it. Degenerate vectors (zero
+    * norm, NULL embedding) are dropped HERE, at the index boundary: their
+    * cosine is 0/0 = NaN, and Spark's ordering treats NaN as GREATER than
+    * every real number — one all-zeros crawl embedding would silently top
+    * every top-k in the catalog. The oracle twin [[normCte]] carries the
+    * same predicate. */
   private def vecs(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
     graft.util.Memo.cached(spark, sfDir, s"sim_vecs_$table") {
       spark.table(table).select(col("vec_id"), col("embedding"),
         normSqExpr("embedding").as("norm_sq"))
+        // the isnan leg is NOT redundant: Spark's comparison semantics rank
+        // NaN larger than every number, so `NaN > 0` alone passes
+        .filter(col("norm_sq") > 0d && !isnan(col("norm_sq")))
     }
 
   /** LSH bucket per vector — shared by ANN + near-dup. */
@@ -138,8 +146,11 @@ object Similarity {
   /** Squared norms via the same left fold as the Spark side. */
   private def normCte(table: String): String =
     s""", nrm AS (
-         SELECT vec_id, ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
-         FROM $table)"""
+         SELECT vec_id, norm_sq
+         FROM (SELECT vec_id,
+                      ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+               FROM $table) n
+         WHERE norm_sq > 0 AND NOT isnan(norm_sq))"""
 
   /** Per-term double→decimal goes through VARCHAR so DuckDB rounds the
     * shortest decimal representation — the value Spark's cast produces —
@@ -548,7 +559,11 @@ object Similarity {
     * groupBy on (cluster, idx), so the shuffle carries only
     * clusters × dim partial sums, never row-pair blow-up. Element sums
     * accumulate in DECIMAL(18,12) (order-independent, Long-backed) and the
-    * mean divides once in double — cross-engine exact. */
+    * mean divides once in double — cross-engine exact. The cast is
+    * TRY_CAST on both engines: under ANSI a single garbage element beyond
+    * the decimal range (encoder failures exist in any crawl-scale
+    * embedding table) would otherwise throw and kill the stage; NULL terms
+    * drop out of SUM identically in Spark and DuckDB. */
   def kmeansRefine(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
@@ -563,7 +578,7 @@ object Similarity {
       .groupBy($"cluster", $"idx")
       .agg(
         count(lit(1)).as("n"),
-        sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
+        sum(expr("TRY_CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
       .select($"cluster", $"idx", $"n",
         round($"sx".cast(DoubleType) / $"n".cast(DoubleType), 6).as("mean_v"))
   }
@@ -572,7 +587,7 @@ object Similarity {
     elementCtes("embeddings") + assignmentCtes +
       """, means AS (
          SELECT a.cluster, el.idx, COUNT(1) AS n,
-                SUM(CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
+                SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM el JOIN assignments a ON el.vec_id = a.vec_id
          GROUP BY 1, 2)
        SELECT cluster, idx, n,
@@ -761,7 +776,7 @@ object Similarity {
       .groupBy($"cluster", $"idx")
       .agg(
         count(lit(1)).as("n"),
-        sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
+        sum(expr("TRY_CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
       .select($"cluster", $"idx", $"n",
         round($"sx".cast(DoubleType) / $"n".cast(DoubleType), 6).as("mean_v"))
   }
@@ -775,7 +790,7 @@ object Similarity {
     import spark.implicits._
     val cents2 = el.join(assignments, Seq("vec_id"))
       .groupBy($"cluster", $"idx")
-      .agg(sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
+      .agg(sum(expr("TRY_CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
       .groupBy($"cluster")
       .agg(expr(
         "transform(array_sort(collect_list(struct(idx, sx))), p -> CAST(p.sx AS DOUBLE))")
@@ -794,7 +809,7 @@ object Similarity {
     elementCtes("embeddings") + assignmentCtes +
       s""", lsum AS (
          SELECT a.cluster, el.idx,
-                SUM(CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
+                SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM el JOIN assignments a ON el.vec_id = a.vec_id
          GROUP BY 1, 2),
        lcent AS (
@@ -819,7 +834,7 @@ object Similarity {
          WHERE rn = 1),
        lmeans AS (
          SELECT a.cluster, el.idx, COUNT(1) AS n,
-                SUM(CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
+                SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM el JOIN a2 a ON el.vec_id = a.vec_id
          GROUP BY 1, 2)
        SELECT cluster, idx, n,

@@ -20,13 +20,14 @@ class AdversarialCorpusSpec extends SparkSpec {
 
   private lazy val advDir: String = {
     val dir = Files.createTempDirectory("graft_adv")
-    // reuse every non-document table from the smallest fixture unchanged
-    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
+    // reuse every well-formed table from the smallest fixture unchanged
+    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents" && t != "embeddings") {
       Files.copy(
         Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
         dir.resolve(s"$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    writeAdversarialEmbeddings(dir.resolve("embeddings.parquet").toString)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("text", StringType, nullable = true),
@@ -52,6 +53,29 @@ class AdversarialCorpusSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Embeddings a real pipeline's encoder failures produce: zero vectors,
+    * NULLs, truncated rows, overflow magnitudes, NaN elements — including a
+    * degenerate vector sitting in a QUERY slot (vec_id divisible by 50). */
+  private def writeAdversarialEmbeddings(path: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("label", IntegerType, nullable = true)))
+    def vec(i: Long): Seq[Float] =
+      (0 until 8).map(d => math.sin(i * 31 + d * 7).toFloat)
+    val rows: Seq[Row] = (0L until 60L).map {
+      case 7L  => Row(7L, Seq.fill(8)(0f), 0)                       // zero vector
+      case 13L => Row(13L, null, 1)                                 // NULL embedding
+      case 23L => Row(23L, Seq(1f, 2f), 0)                          // truncated
+      case 31L => Row(31L, Seq.fill(8)(1e30f), 1)                   // overflow magnitude
+      case 41L => Row(41L, Seq(1f, Float.NaN, 3f, 4f, 5f, 6f, 7f, 8f), 0) // NaN element
+      case 50L => Row(50L, Seq.fill(8)(0f), 1)                      // degenerate QUERY
+      case i   => Row(i, vec(i), (i % 2).toInt)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Run one representative per family; the assertion is the run itself
     * plus a sanity bound (operators must not invent rows from garbage). */
   private val probes: Seq[(String, Int => Boolean)] = Seq(
@@ -71,7 +95,13 @@ class AdversarialCorpusSpec extends SparkSpec {
     "dedup_ngram_jaccard" -> (_ >= 0),
     "sample_stratified" -> (_ <= 12),
     "split_train_holdout" -> (_ == 12),
-    "corpus_pretrain_funnel" -> (_ == 6))
+    "corpus_pretrain_funnel" -> (_ == 6),
+    "sim_ann_lsh" -> (_ >= 0),
+    "sim_embedding_near_dup" -> (_ >= 0),
+    "sim_outlier_report" -> (_ >= 0),
+    "sim_kmeans_refine" -> (_ >= 0),
+    "embedding_quantize" -> (_ >= 0),
+    "sample_class_balanced" -> (_ >= 0))
 
   test("every probed operator survives the adversarial corpus") {
     graft.fixtures.Fixtures.register(spark, advDir)
@@ -105,6 +135,24 @@ class AdversarialCorpusSpec extends SparkSpec {
     // survivors are real documents, never invented ids
     val ids = spark.table("documents").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(build.forall(r => ids.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("degenerate embeddings never reach a cosine ranking") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val out = graft.queries.Similarity.cosineTopK(spark, advDir).collect()
+    assert(out.nonEmpty, "the healthy query slot (vec_id 0) must rank neighbors")
+    // no NaN cosine anywhere — the norm>0 index guard is what prevents a
+    // zero/NaN vector from sorting ABOVE every real neighbor
+    assert(out.forall(r => !r.getAs[Double]("cosine").isNaN))
+    // the degenerate vectors are out of the index entirely, on both sides
+    val degenerate = Set(7L, 13L, 41L, 50L)
+    assert(out.forall(r => !degenerate.contains(r.getAs[Long]("neighbor_id"))))
+    assert(out.forall(r => r.getAs[Long]("query_id") != 50L),
+      "a zero-norm query slot must produce no result group")
+    // ranks stay contiguous from 1 per query group
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to g.length).toSeq)
+    }
   }
 
   test("the split operator never leaks duplicate text across the split") {
