@@ -341,21 +341,30 @@ object Sampling {
     * holdout. Pure projection; composes with the dedup ladder for
     * near-dup-safe splits (route each near-dup CLUSTER's canonical sha
     * through the same rule). */
+  /** Content-hash split rule — ONE definition per engine (the
+    * [[bucketExprSql]] convention), shared with `TextOps.corpusBuild`, so
+    * editing the ratio can never silently desync the standalone split view
+    * from the corpus manifest. First hex char ≤ 'c' ⇒ 13/16 train. */
+  def splitCol(sha: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(substring(sha, 1, 1) <= "c", "train").otherwise("holdout")
+
+  /** SQL twin of [[splitCol]]. */
+  def splitCaseSql(shaExpr: String): String =
+    s"CASE WHEN substr($shaExpr, 1, 1) <= 'c' THEN 'train' ELSE 'holdout' END"
+
   def trainHoldoutSplit(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     spark.table("documents")
       .withColumn("content_sha", sha2($"text", 256))
-      .withColumn("split",
-        when(substring($"content_sha", 1, 1) <= "c", "train").otherwise("holdout"))
+      .withColumn("split", splitCol($"content_sha"))
       .select($"doc_id", $"lang", $"content_sha", $"split")
   }
 
   val trainHoldoutSplitOracle: String = Fixtures.oracle(
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
               sha256(text) AS content_sha,
-              CASE WHEN substr(sha256(text), 1, 1) <= 'c'
-                   THEN 'train' ELSE 'holdout' END AS split
+              ${splitCaseSql("sha256(text)")} AS split
        FROM documents""")
 
   /** Class-balanced downsampling (classifier-training prep): every label

@@ -734,8 +734,8 @@ object Sessions {
          FROM hq_h)
        SELECT c.event_type, q.q, CAST(MAX(c.total) AS BIGINT) AS total,
               MIN(c.bin) AS qbin,
-              CAST(1 << CAST(MIN(c.bin) AS INT) AS BIGINT) AS lo_cents,
-              CAST((1 << (CAST(MIN(c.bin) AS INT) + 1)) - 1 AS BIGINT) AS hi_cents
+              CAST(1 AS BIGINT) << CAST(MIN(c.bin) AS INT) AS lo_cents,
+              (CAST(1 AS BIGINT) << (CAST(MIN(c.bin) AS INT) + 1)) - 1 AS hi_cents
        FROM hq_c c CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT))) AS q(q)
        WHERE c.cum * 100 >= q.q * c.total
        GROUP BY 1, 2""")

@@ -79,8 +79,11 @@ object Similarity {
       spark.table(table).select(col("vec_id"), col("embedding"),
         normSqExpr("embedding").as("norm_sq"))
         // the isnan leg is NOT redundant: Spark's comparison semantics rank
-        // NaN larger than every number, so `NaN > 0` alone passes
-        .filter(col("norm_sq") > 0d && !isnan(col("norm_sq")))
+        // NaN larger than every number, so `NaN > 0` alone passes. The
+        // upper bound drops +Infinity norms (an Inf element squares to Inf):
+        // their cosine against any query is NaN or ±Inf — same poison
+        .filter(col("norm_sq") > 0d && !isnan(col("norm_sq")) &&
+          col("norm_sq") < Double.PositiveInfinity)
     }
 
   /** LSH bucket per vector — shared by ANN + near-dup. */
@@ -150,7 +153,7 @@ object Similarity {
          FROM (SELECT vec_id,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM $table) n
-         WHERE norm_sq > 0 AND NOT isnan(norm_sq))"""
+         WHERE norm_sq > 0 AND isfinite(norm_sq))"""
 
   /** Per-term double→decimal goes through VARCHAR so DuckDB rounds the
     * shortest decimal representation — the value Spark's cast produces —

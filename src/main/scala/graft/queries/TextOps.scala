@@ -18,6 +18,13 @@ import graft.functions.TextHash
   */
 object TextOps {
 
+  /** The word-bigram explode expression (over a `words` column), shared by
+    * every string-bigram consumer ([[ngramCounts]], [[ngramDiversity]],
+    * [[dupGramSignals]]) so the gram universe can never silently diverge
+    * between signals. */
+  private[queries] val bigramConcatSql: String =
+    "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"
+
   /** Tiny stopword lexicon (words present in the synthetic corpus). */
   val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
 
@@ -747,8 +754,7 @@ object TextOps {
     spark.table("documents")
       .withColumn("words", split($"text", " "))
       .filter(size($"words") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+      .select($"doc_id", explode(expr(bigramConcatSql))
         .as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
@@ -1126,8 +1132,7 @@ object TextOps {
       .filter($"s5")
       .join(spark.table("documents")
         .select($"doc_id", sha2($"text", 256).as("content_sha")), Seq("doc_id"))
-      .withColumn("split",
-        when(substring($"content_sha", 1, 1) <= "c", "train").otherwise("holdout"))
+      .withColumn("split", Sampling.splitCol($"content_sha"))
       .withColumn("shard",
         (expr(Sampling.bucketExprSql("doc_id")) % 8L).cast(LongType))
       .select($"doc_id", $"lang", $"n_words", $"split", $"shard")
@@ -1137,8 +1142,7 @@ object TextOps {
     Fixtures.oracle(funnelOracleCtes +
       s"""
          SELECT d.doc_id, d.lang, d.n_words,
-                CASE WHEN substr(sha256(t.text), 1, 1) <= 'c'
-                     THEN 'train' ELSE 'holdout' END AS split,
+                ${Sampling.splitCaseSql("sha256(t.text)")} AS split,
                 CAST((${Sampling.bucketExprSql("d.doc_id")}) % 8 AS BIGINT) AS shard
          FROM f_s5 s
          JOIN f_docs d ON s.doc_id = d.doc_id
@@ -1650,8 +1654,7 @@ object TextOps {
       .select($"doc_id", length($"text").cast(LongType).as("n_chars"),
         split($"text", " ").as("words"))
       .filter(size($"words") >= 2)
-      .select($"doc_id", $"n_chars", explode(expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+      .select($"doc_id", $"n_chars", explode(expr(bigramConcatSql))
         .as("gram"))
       .groupBy($"doc_id", $"n_chars", $"gram").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id", $"n_chars")
@@ -1729,8 +1732,8 @@ object TextOps {
                        COUNT(1) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_occ
                 FROM zs_f GROUP BY 1)
        SELECT fbin, n_terms, n_occ,
-              CAST(1 << CAST(fbin AS INT) AS BIGINT) AS lo_freq,
-              CAST((1 << (CAST(fbin AS INT) + 1)) - 1 AS BIGINT) AS hi_freq
+              CAST(1 AS BIGINT) << CAST(fbin AS INT) AS lo_freq,
+              (CAST(1 AS BIGINT) << (CAST(fbin AS INT) + 1)) - 1 AS hi_freq
        FROM zs_b
        ORDER BY fbin""")
 
@@ -1752,8 +1755,7 @@ object TextOps {
     spark.table("documents")
       .withColumn("words", split($"text", " "))
       .filter(size($"words") >= 2)
-      .select($"source", explode(expr(
-        "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i+1]))"))
+      .select($"source", explode(expr(bigramConcatSql))
         .as("bigram"))
       .groupBy($"source", $"bigram").agg(count(lit(1)).as("n"))
       .groupBy($"source")

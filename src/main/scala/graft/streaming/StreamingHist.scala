@@ -35,8 +35,11 @@ object StreamingHist {
   def bin(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
 
   /** Locate the q-th percentile bin from merged counters by the batch
-    * operator's exact integer rule: smallest bin with cum·100 ≥ q·total. */
+    * operator's exact integer rule: smallest bin with cum·100 ≥ q·total.
+    * An empty sketch has no percentile — callers never see one from
+    * [[hists]] (empty states emit nothing), so a probe on one is a bug. */
   def quantileBin(bins: Seq[Int], counts: Seq[Long], q: Long): Int = {
+    require(bins.nonEmpty && counts.sum > 0, "quantile probe on an empty sketch")
     val total = counts.sum
     var cum = 0L
     var i = 0
@@ -62,7 +65,11 @@ object StreamingHist {
           rows.foreach { r => if (r.value >= 1L) counters(bin(r.value)) += 1L }
           state.update(counters)
           val occupied = counters.indices.filter(counters(_) > 0L)
-          Iterator.single(HistOut(
+          // a group whose values were ALL excluded (< 1) has no sketch yet:
+          // emitting an empty histogram would hand consumers a row no
+          // quantile probe can answer
+          if (occupied.isEmpty) Iterator.empty
+          else Iterator.single(HistOut(
             group,
             occupied,
             occupied.map(counters(_)),

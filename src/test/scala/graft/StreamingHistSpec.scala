@@ -66,6 +66,26 @@ class StreamingHistSpec extends SparkSpec {
     assert(StreamingHist.quantileBin(b.bins, b.counts, 99L) === 4)
   }
 
+  test("a group whose values were all excluded emits no sketch row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[ValueIn]
+    val q = StreamingHist.hists(in.toDS())
+      .writeStream.format("memory").queryName("hist_empty_out")
+      .outputMode(OutputMode.Update).start()
+    in.addData(ValueIn("dead", 0), ValueIn("dead", -7), ValueIn("live", 4))
+    q.processAllAvailable()
+    val out = spark.table("hist_empty_out").as[HistOut].collect()
+    q.stop()
+
+    // no empty sketch a quantile probe can't answer; the live group is intact
+    assert(out.map(_.group).toSet === Set("live"))
+    intercept[IllegalArgumentException] {
+      StreamingHist.quantileBin(Nil, Nil, 50L)
+    }
+  }
+
   test("histogram state survives a query restart from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
