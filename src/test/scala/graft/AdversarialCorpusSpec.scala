@@ -69,6 +69,7 @@ class AdversarialCorpusSpec extends SparkSpec {
       case 23L => Row(23L, Seq(1f, 2f), 0)                          // truncated
       case 31L => Row(31L, Seq.fill(8)(1e30f), 1)                   // overflow magnitude
       case 41L => Row(41L, Seq(1f, Float.NaN, 3f, 4f, 5f, 6f, 7f, 8f), 0) // NaN element
+      case 43L => Row(43L, Seq(1f, Float.PositiveInfinity, 3f, 4f, 5f, 6f, 7f, 8f), 1) // Inf element
       case 50L => Row(50L, Seq.fill(8)(0f), 1)                      // degenerate QUERY
       case i   => Row(i, vec(i), (i % 2).toInt)
     }
@@ -84,6 +85,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_lang_id" -> (_ <= 12),
     "text_gopher_rules" -> (_ <= 12),
     "text_zipf_spectrum" -> (_ >= 1),
+    "text_domain_lift" -> (_ >= 0),
     "text_ngram_diversity" -> (n => n >= 1 && n <= 4), // ≤ one row per source
     "text_dup_gram_signals" -> (_ <= 12),
     "text_line_dedup" -> (_ <= 12),
@@ -145,7 +147,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     // zero/NaN vector from sorting ABOVE every real neighbor
     assert(out.forall(r => !r.getAs[Double]("cosine").isNaN))
     // the degenerate vectors are out of the index entirely, on both sides
-    val degenerate = Set(7L, 13L, 41L, 50L)
+    // (43 = Inf element: its norm is +Infinity, which passed a naive
+    // `norm > 0 AND NOT isnan(norm)` guard — the finite-norm leg exists
+    // because its cosine is NaN or ±Inf all the same)
+    val degenerate = Set(7L, 13L, 41L, 43L, 50L)
     assert(out.forall(r => !degenerate.contains(r.getAs[Long]("neighbor_id"))))
     assert(out.forall(r => r.getAs[Long]("query_id") != 50L),
       "a zero-norm query slot must produce no result group")
