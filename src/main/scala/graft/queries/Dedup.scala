@@ -190,6 +190,59 @@ object Dedup {
   val minhashLshOracle: String = Fixtures.oracle(
     minhashPairCtes + "\n       SELECT doc_a, doc_b, shared_bands FROM lsh_pairs")
 
+  /** Cross-source duplication matrix — mirror-farm detection at SOURCE
+    * granularity: for each (source, source) pair, how many near-dup
+    * candidate pairs (and how many strong ones, est. Jaccard ≥ 0.5 by the
+    * integer `matches·2 ≥ 16` rule) span them. Within-source mass is
+    * template boilerplate; CROSS-source mass is mirroring/scraping — the
+    * signal crawl curation uses to collapse mirror hosts before dedup ever
+    * runs at doc granularity ([[Similarity]]'s role split: doc-level ops
+    * find the pairs, this aggregates them into the actionable report).
+    *
+    * Scale shape: starts from the MEMOIZED candidate-pair frame (shared
+    * with estimate/quality/incremental), so the band self-join is never
+    * re-run; the doc→source map joins are plain doc-id shuffle joins (the
+    * map is corpus-sized — never broadcast); output is ≤ sources². */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val src = spark.table("documents").select($"doc_id", $"source")
+    minhashEstimate(spark, sfDir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"matches")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"matches" * 2 >= 16, 1L).otherwise(0L)).as("n_strong"))
+      .withColumn("cross_source", $"source_a" =!= $"source_b")
+      .orderBy($"n_pairs".desc, $"source_a", $"source_b")
+  }
+
+  val sourceOverlapOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      """,
+       so_m AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
+         FROM minhashes a
+         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       so_s AS (
+         SELECT LEAST(da.source, db.source) AS source_a,
+                GREATEST(da.source, db.source) AS source_b,
+                m.matches
+         FROM lsh_pairs p
+         JOIN so_m m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+         JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id)
+       SELECT source_a, source_b, COUNT(1) AS n_pairs,
+              CAST(SUM(CASE WHEN matches * 2 >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_strong,
+              source_a <> source_b AS cross_source
+       FROM so_s
+       GROUP BY 1, 2
+       ORDER BY n_pairs DESC, source_a, source_b""")
+
   /** SimHash (64-bit, 4 × 16-bit bands) + banded blocking: per-bit weighted
     * votes over word hashes, fingerprint from vote signs, candidates share
     * a 16-bit band chunk and pass Hamming ≤ 12.
@@ -951,6 +1004,7 @@ object Dedup {
     "dedup_winnow" -> (winnow _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_source_overlap" -> (sourceOverlap _),
     "dedup_incremental_minhash" -> (incrementalMinhash _),
     "dedup_minhash_estimate" -> (minhashEstimate _),
     "dedup_minhash_quality" -> (minhashQuality _),
@@ -964,6 +1018,7 @@ object Dedup {
     "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_source_overlap" -> sourceOverlapOracle,
     "dedup_incremental_minhash" -> incrementalMinhashOracle,
     "dedup_minhash_estimate" -> minhashEstimateOracle,
     "dedup_minhash_quality" -> minhashQualityOracle,

@@ -317,6 +317,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("source overlap matrix partitions the candidate pairs exactly") {
+    val pairs = Dedup.minhashEstimate(spark, sfDir).collect()
+    val out = Dedup.sourceOverlap(spark, sfDir).collect()
+    // every candidate pair lands in exactly one (source_a, source_b) cell
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === pairs.length.toLong)
+    assert(out.map(_.getAs[Long]("n_strong")).sum ===
+      pairs.count(_.getAs[Long]("matches") * 2 >= 16).toLong)
+    out.foreach { r =>
+      assert(r.getAs[String]("source_a") <= r.getAs[String]("source_b"),
+        "cells are canonicalized by source order")
+      assert(r.getAs[Boolean]("cross_source") ===
+        (r.getAs[String]("source_a") != r.getAs[String]("source_b")))
+      assert(r.getAs[Long]("n_strong") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("dup-gram signals recompute from per-doc brute force") {
     val out = TextOps.dupGramSignals(spark, sfDir).collect()
     val docs = spark.table("documents")
