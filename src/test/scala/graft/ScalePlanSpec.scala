@@ -255,6 +255,15 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: the corpus-sized doc→source map joins shuffle, nothing broadcasts") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Dedup.sourceOverlap(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        s"neither the candidate pairs nor the doc→source map may broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"), s"pair/source joins must shuffle:\n$p")
+    }
+  }
+
   test("zipfSpectrum and ngramDiversity broadcast nothing") {
     withNoAutoBroadcast {
       val pz = plan(TextOps.zipfSpectrum(spark, sfDir))
