@@ -1694,6 +1694,54 @@ object TextOps {
               CAST((s.dup_chars * 10000) // s.n_chars AS BIGINT) AS dup_mass_bp
        FROM dg_sum s JOIN dg_top t ON s.doc_id = t.doc_id AND t.rn = 1""")
 
+  /** The corpus data card — the per-(lang, source) composition table every
+    * released dataset publishes (docs, unique docs by content hash, words,
+    * chars, corpus share, stopword density): the first page of a dataset
+    * README and the frame mixture decisions are sanity-checked against.
+    * Shares and densities are basis points by integer cross-multiplication.
+    *
+    * Scale shape: ONE map-side-combined (lang, source) aggregate over a
+    * scan-side projection (sha/size/length per row), plus a 1-row total
+    * broadcast for the share denominator. The distinct-doc count uses
+    * count(DISTINCT sha) INSIDE the group — Spark expands it to a two-pass
+    * aggregate on the same grouping key, still never corpus-global. */
+  def dataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val per = spark.table("documents")
+      .select($"lang", $"source", sha2($"text", 256).as("sha"),
+        size(split($"text", " ")).cast(LongType).as("w"),
+        length($"text").cast(LongType).as("c"),
+        expr(stopCountSpark("text")).cast(LongType).as("stop"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"sha").as("n_unique"),
+        sum($"w").as("n_words"),
+        sum($"c").as("n_chars"),
+        sum($"stop").as("n_stop"))
+    val total = per.agg(sum($"n_words").as("tw"))
+    per.crossJoin(broadcast(total))
+      .select($"lang", $"source", $"n_docs", $"n_unique", $"n_words", $"n_chars",
+        expr("n_words * 10000 DIV tw").as("share_bp"),
+        expr("n_stop * 10000 DIV n_words").as("stop_bp"))
+      .orderBy($"lang", $"source")
+  }
+
+  val dataCardOracle: String = Fixtures.oracle(
+    s""", dc AS (
+         SELECT lang, source, COUNT(1) AS n_docs,
+                COUNT(DISTINCT sha256(text)) AS n_unique,
+                CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                CAST(SUM(${stopCountDuck("text")}) AS BIGINT) AS n_stop
+         FROM documents GROUP BY 1, 2),
+       dc_t AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tw FROM dc)
+       SELECT lang, source, n_docs, n_unique, n_words, n_chars,
+              CAST((n_words * 10000) // tw AS BIGINT) AS share_bp,
+              CAST((n_stop * 10000) // n_words AS BIGINT) AS stop_bp
+       FROM dc CROSS JOIN dc_t
+       ORDER BY lang, source""")
+
   /** Zipf/Heaps corpus diagnostic: the frequency-of-frequencies spectrum.
     * Term frequencies are bucketed into power-of-two bins (the
     * `events_hist_quantiles` binning, `floor(log2 c)` via `length(bin(c))-1`)
@@ -1842,6 +1890,7 @@ object TextOps {
        LIMIT 200""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_datacard" -> (dataCard _),
     "text_zipf_spectrum" -> (zipfSpectrum _),
     "text_ngram_diversity" -> (ngramDiversity _),
     "text_domain_lift" -> (domainLift _),
@@ -1875,6 +1924,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_datacard" -> dataCardOracle,
     "text_zipf_spectrum" -> zipfSpectrumOracle,
     "text_ngram_diversity" -> ngramDiversityOracle,
     "text_domain_lift" -> domainLiftOracle,

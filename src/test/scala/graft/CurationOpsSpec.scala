@@ -317,6 +317,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("data card partitions the corpus and its shares telescope to the whole") {
+    val out = TextOps.dataCard(spark, sfDir).collect()
+    val docs = spark.table("documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_docs"), r)
+      assert(r.getAs[Long]("n_unique") >= 1L, r)
+      assert(r.getAs[Long]("stop_bp") >= 0L && r.getAs[Long]("stop_bp") <= 10000L, r)
+    }
+    // truncating division: shares sum to 10000 minus at most one bp per cell
+    val shares = out.map(_.getAs[Long]("share_bp")).sum
+    assert(shares <= 10000L && shares > 10000L - out.length, s"share sum $shares")
+  }
+
   test("source overlap matrix partitions the candidate pairs exactly") {
     val pairs = Dedup.minhashEstimate(spark, sfDir).collect()
     val out = Dedup.sourceOverlap(spark, sfDir).collect()
