@@ -29,7 +29,7 @@ object Dedup {
     * because it is consumed by counts, the stop-gram scan, and both sides
     * of the inverted-index self-join — without persistence the explode +
     * distinct subtree re-executes once per consumer. */
-  private def distinctGrams(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def distinctGrams(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.util.Memo.cached(spark, sfDir, "dedup_all_grams") {
       spark.table("documents")

@@ -278,6 +278,49 @@ object TextOps {
        WHERE gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
        GROUP BY doc_id""")
 
+  /** Per-document contamination OVERLAP FRACTION — the published
+    * decontamination rule (the GPT-3 appendix / "dirty vs clean" split):
+    * not just "does the doc contain an eval n-gram" ([[contamination]]'s
+    * membership flags) but WHAT SHARE of the doc's distinct 3-grams hit
+    * the eval set, with the keep/drop flag at the 10% threshold by integer
+    * cross-multiplication. A long document quoting one benchmark line is
+    * salvageable; a short one that IS the benchmark line is not — the
+    * fraction separates them where membership cannot.
+    *
+    * Scale shape: ONE map-side-combined doc-keyed aggregate over the
+    * memoized distinct-gram frame (shared with the whole dedup ladder —
+    * the gram explode is never re-run); the probe set is a fixed literal.
+    * Emits one row per ≥3-word document, hits or not — the zero rows are
+    * the point (the clean corpus is the output). */
+  def contaminationOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    Dedup.distinctGrams(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"gram".isInCollection(contaminationProbes), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select($"doc_id", $"n_grams", $"n_hit",
+        expr("n_hit * 10000 DIV n_grams").as("overlap_bp"))
+      .withColumn("flagged", $"overlap_bp" >= 1000L)
+  }
+
+  val contaminationOverlapOracle: String = Fixtures.oracle(
+    s""", co_grams AS (
+         SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+               WHERE len(string_split(text, ' ')) >= 3) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)),
+       co AS (
+         SELECT doc_id, COUNT(1) AS n_grams,
+                CAST(SUM(CASE WHEN gram IN (${contaminationProbes.map(p => s"'$p'").mkString(", ")})
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM co_grams GROUP BY 1)
+       SELECT doc_id, n_grams, n_hit,
+              CAST((n_hit * 10000) // n_grams AS BIGINT) AS overlap_bp,
+              (n_hit * 10000) // n_grams >= 1000 AS flagged
+       FROM co""")
+
   private val cmsD = 4 // hash rows
   private val cmsW = 1024 // buckets per row
   private val cmsProbes = Seq("the", "key", "order", "sort", "batch", "window",
@@ -1911,6 +1954,7 @@ object TextOps {
     "text_chunk" -> (chunk _),
     "text_length_percentiles" -> (lengthPercentiles _),
     "text_contamination" -> (contamination _),
+    "text_contamination_overlap" -> (contaminationOverlap _),
     "text_contamination_bloom" -> (contaminationBloom _),
     "text_repetition_filter" -> (repetitionFilter _),
     "text_pii_redact" -> (piiRedact _),
@@ -1945,6 +1989,7 @@ object TextOps {
     "text_chunk" -> chunkOracle,
     "text_length_percentiles" -> lengthPercentilesOracle,
     "text_contamination" -> contaminationOracle,
+    "text_contamination_overlap" -> contaminationOverlapOracle,
     "text_contamination_bloom" -> contaminationBloomOracle,
     "text_repetition_filter" -> repetitionFilterOracle,
     "text_pii_redact" -> piiRedactOracle,

@@ -317,6 +317,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination overlap agrees with the membership scan and covers clean docs") {
+    val overlap = TextOps.contaminationOverlap(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val hits = TextOps.contamination(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_probes")).toMap
+    // one row per ≥3-word doc — the clean zeros are part of the output
+    val eligible = spark.table("documents")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(overlap.size.toLong === eligible)
+    // distinct-probe counts agree exactly with the membership scan
+    overlap.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_hit") === hits.getOrElse(id, 0L), s"doc $id")
+      assert(r.getAs[Long]("overlap_bp") ===
+        r.getAs[Long]("n_hit") * 10000L / r.getAs[Long]("n_grams"))
+      assert(r.getAs[Boolean]("flagged") === (r.getAs[Long]("overlap_bp") >= 1000L))
+    }
+    assert(overlap.values.exists(_.getAs[Long]("n_hit") > 0), "fixture has hits")
+    assert(overlap.values.exists(_.getAs[Long]("n_hit") === 0L), "and clean docs")
+  }
+
   test("data card partitions the corpus and its shares telescope to the whole") {
     val out = TextOps.dataCard(spark, sfDir).collect()
     val docs = spark.table("documents").count()
