@@ -58,7 +58,10 @@ object Classifier {
   /** Positive-exemplar sources (the "high quality" label). Matches
     * [[TextOps]]'s DSIR target slice so generative and discriminative
     * estimators are trained on the identical supervision. */
-  private def nbPosSources = Seq("src1", "src2")
+  // ONE definition with the DSIR target slice (TextOps.dsirTargetSources):
+  // the doc below claims the two estimators share supervision — referencing
+  // the constant makes that claim structural instead of a convention
+  private def nbPosSources = TextOps.dsirTargetSources
   private def nbPosPred = nbPosSources.map(s => s"'$s'").mkString(
     "source IN (", ", ", ")")
 

@@ -704,7 +704,7 @@ object Sessions {
     import org.apache.spark.sql.expressions.Window
     val hist = spark.table("raw")
       .filter($"cents" >= 1L)
-      .withColumn("bin", (length(bin($"cents")) - 1).cast(LongType))
+      .withColumn("bin", expr(graft.functions.Log2Bin.binSql("cents")))
       .groupBy($"event_type", $"bin").agg(count(lit(1)).as("n"))
     val cum = hist
       .withColumn("cum", sum($"n").over(
@@ -717,13 +717,13 @@ object Sessions {
       .groupBy($"event_type", $"q")
       .agg(min($"bin").as("qbin"), max($"total").as("total"))
       .select($"event_type", $"q", $"total", $"qbin",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(qbin AS INT))").as("lo_cents"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(qbin AS INT) + 1) - 1").as("hi_cents"))
+        expr(graft.functions.Log2Bin.sparkLoSql("qbin")).as("lo_cents"),
+        expr(graft.functions.Log2Bin.sparkHiSql("qbin")).as("hi_cents"))
   }
 
   val histQuantilesOracle: String = Fixtures.oracle(
-    """, hq_h AS (
-         SELECT event_type, CAST(length(bin(cents)) - 1 AS BIGINT) AS bin,
+    s""", hq_h AS (
+         SELECT event_type, ${graft.functions.Log2Bin.binSql("cents")} AS bin,
                 COUNT(1) AS n
          FROM raw WHERE cents >= 1 GROUP BY 1, 2),
        hq_c AS (
@@ -734,8 +734,8 @@ object Sessions {
          FROM hq_h)
        SELECT c.event_type, q.q, CAST(MAX(c.total) AS BIGINT) AS total,
               MIN(c.bin) AS qbin,
-              CAST(1 AS BIGINT) << CAST(MIN(c.bin) AS INT) AS lo_cents,
-              (CAST(1 AS BIGINT) << (CAST(MIN(c.bin) AS INT) + 1)) - 1 AS hi_cents
+              ${graft.functions.Log2Bin.duckLoSql("MIN(c.bin)")} AS lo_cents,
+              ${graft.functions.Log2Bin.duckHiSql("MIN(c.bin)")} AS hi_cents
        FROM hq_c c CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT))) AS q(q)
        WHERE c.cum * 100 >= q.q * c.total
        GROUP BY 1, 2""")

@@ -159,6 +159,13 @@ object Similarity {
     * shortest decimal representation — the value Spark's cast produces —
     * rather than the full binary expansion; the projection feeds a discrete
     * sign decision, so per-term parity must be exact, not approximate.
+    * DECIMAL(30,12) + TRY_CAST: the 30-digit precision matches the native
+    * expression's exact arithmetic over the whole finite-embedding domain
+    * (a DECIMAL(18,12) hard cast ERRORED the whole oracle query on one
+    * >10⁶ garbage element); on NaN/overflow garbage TRY_CAST nulls the
+    * term where the native side saturates deterministically — the oracle
+    * contract covers finite in-range embeddings, garbage determinism is
+    * pinned Spark-side by AdversarialCorpusSpec.
     * `mult` is the table's j-multiplier ([[graft.plans.LshBucket.multipliers]]);
     * `name` lets multi-table oracles emit one CTE per plane family. */
   private def bucketCteFor(name: String, mult: Int): String =
@@ -167,7 +174,7 @@ object Similarity {
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
            SELECT el.vec_id, CAST(t.p AS INT) AS p,
-                  SUM(CAST(CAST(CAST((t.p * 37 + el.idx * $mult) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(18,12))) AS proj
+                  SUM(TRY_CAST(CAST(CAST((t.p * 37 + el.idx * $mult) % 19 - 9 AS DOUBLE) * el.v AS VARCHAR) AS DECIMAL(30,12))) AS proj
            FROM el, UNNEST(range($lshPlanes)) AS t(p)
            GROUP BY 1, 2) pr
          GROUP BY vec_id)"""

@@ -1369,7 +1369,10 @@ object TextOps {
     * (Wikipedia+books in the paper). A caller parameter in library use,
     * like [[bm25Search]]'s query set; two of the corpus's 20 uniform
     * sources ≈ a 10% target slice. */
-  private def dsirTargetSources = Seq("src1", "src2")
+  /** Public: Classifier.nbPosSources references this SAME slice so the
+    * generative (DSIR) and discriminative (NB) estimators are provably
+    * trained on identical supervision. */
+  private[queries] def dsirTargetSources = Seq("src1", "src2")
   private def dsirTargetPred = dsirTargetSources.map(s => s"'$s'").mkString(
     "source IN (", ", ", ")")
 
@@ -1383,9 +1386,7 @@ object TextOps {
       spark.table("documents")
         .withColumn("words", split($"text", " "))
         .filter(size($"words") >= 2)
-        .select($"doc_id", $"source", explode(expr(
-          "transform(sequence(0, size(words) - 2), " +
-            "i -> concat(words[i], ' ', words[i+1]))")).as("gram"))
+        .select($"doc_id", $"source", explode(expr(bigramConcatSql)).as("gram"))
         .select($"doc_id", $"source",
           expr(s"${TextHash.sparkWordHash("gram")} % $dsirBuckets").as("bucket"))
     }
@@ -1805,26 +1806,26 @@ object TextOps {
       .select(explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("c"))
-      .withColumn("fbin", (length(bin($"c")) - 1).cast(LongType))
+      .withColumn("fbin", expr(graft.functions.Log2Bin.binSql("c")))
       .groupBy($"fbin")
       .agg(count(lit(1)).as("n_terms"), sum($"c").as("n_occ"))
       .select($"fbin", $"n_terms", $"n_occ",
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(fbin AS INT))").as("lo_freq"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(fbin AS INT) + 1) - 1").as("hi_freq"))
+        expr(graft.functions.Log2Bin.sparkLoSql("fbin")).as("lo_freq"),
+        expr(graft.functions.Log2Bin.sparkHiSql("fbin")).as("hi_freq"))
       .orderBy($"fbin")
   }
 
   val zipfSpectrumOracle: String = Fixtures.oracle(
-    """, zs_w AS (SELECT w AS word
+    s""", zs_w AS (SELECT w AS word
                   FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
                   WHERE length(w) > 0),
        zs_f AS (SELECT word, COUNT(1) AS c FROM zs_w GROUP BY 1),
-       zs_b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS fbin,
+       zs_b AS (SELECT ${graft.functions.Log2Bin.binSql("c")} AS fbin,
                        COUNT(1) AS n_terms, CAST(SUM(c) AS BIGINT) AS n_occ
                 FROM zs_f GROUP BY 1)
        SELECT fbin, n_terms, n_occ,
-              CAST(1 AS BIGINT) << CAST(fbin AS INT) AS lo_freq,
-              (CAST(1 AS BIGINT) << (CAST(fbin AS INT) + 1)) - 1 AS hi_freq
+              ${graft.functions.Log2Bin.duckLoSql("fbin")} AS lo_freq,
+              ${graft.functions.Log2Bin.duckHiSql("fbin")} AS hi_freq
        FROM zs_b
        ORDER BY fbin""")
 

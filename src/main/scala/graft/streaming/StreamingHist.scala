@@ -29,9 +29,11 @@ object StreamingHist {
     * bin, plus the running total — everything a quantile probe needs. */
   case class HistOut(group: String, bins: Seq[Int], counts: Seq[Long], total: Long)
 
-  /** The batch query's binning contract, executor-side: floor(log₂ v) for
-    * v ≥ 1; negatives and zero are excluded exactly as the batch operator's
-    * `cents >= 1` guard excludes them. */
+  /** The batch query's binning contract ([[graft.functions.Log2Bin.binSql]])
+    * in its executor-side JVM form: floor(log₂ v) for v ≥ 1 — equal to
+    * `length(bin(v)) - 1` (asserted bit-exactly in the spec); negatives and
+    * zero are excluded exactly as the batch operator's `cents >= 1` guard
+    * excludes them. */
   def bin(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
 
   /** Locate the q-th percentile bin from merged counters by the batch

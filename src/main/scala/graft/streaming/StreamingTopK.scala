@@ -34,9 +34,12 @@ object StreamingTopK {
     * hot group with millions of rows in one micro-batch costs O(n log k)
     * and O(k) memory, not an O(n) array + O(n log n) sort. */
   def mergeTopK(state: Array[Long], incoming: Iterator[Long], k: Int): Array[Long] = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     val heap = scala.collection.mutable.PriorityQueue.empty[Long](Ordering.Long.reverse)
-    state.foreach(heap.enqueue(_))
-    incoming.foreach { v =>
+    // restored state goes through the SAME k-bounded fold as incoming rows:
+    // a checkpoint written under a larger k would otherwise pin oversized
+    // state forever (the <= k contract must hold against ANY restored state)
+    (state.iterator ++ incoming).foreach { v =>
       if (heap.size < k) heap.enqueue(v)
       else if (v > heap.head) { heap.dequeue(); heap.enqueue(v) }
     }
