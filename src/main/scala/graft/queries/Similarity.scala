@@ -1194,7 +1194,153 @@ object Similarity {
        WHERE e.rank <= 3
        GROUP BY e.qid""")
 
+  // -------------------------------------------------------------------
+  // Greedy k-center coreset selection (farthest-point traversal)
+  // -------------------------------------------------------------------
+
+  /** Coreset budget for [[kcenterSelect]] — a FIXED knob like [[maxQueries]],
+    * never a function of corpus size: the traversal costs exactly k
+    * max-reduction passes regardless of N. */
+  private val kcenterK = 8
+
+  /** Squared Euclidean distance composed from the native fold:
+    * ‖x‖² + ‖c‖² − 2·⟨x,c⟩. Every term is bit-identical across engines
+    * (graft_dot's strict left-fold contract), and the +/−/2× composition is
+    * order-fixed, so both engines land on the same double bits — argmax and
+    * tie decisions agree exactly. Cancellation can produce a tiny negative
+    * for near-identical vectors; that's fine everywhere it's consumed (the
+    * `> 0` pick filter treats such points as duplicates on both sides). */
+  private def dist2Col(xN: Column, xEmb: String, cN: Column, cEmb: String): Column =
+    xN + cN - lit(2d) * dotExpr(xEmb, cEmb)
+
+  private def dist2Sql(xN: String, xEmb: String, cN: String, cEmb: String): String =
+    s"($xN + $cN - 2 * ${DotProduct.duckDot(xEmb, cEmb)})"
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal — the
+    * coreset construction data-pruning pipelines use for diversity
+    * selection, Sener & Savarese ICLR'18): seed at the smallest vec_id,
+    * then k−1 times pick the point FARTHEST from the selected set (ties by
+    * vec_id; exact duplicates of a center, mind2 ≤ 0, are never picked —
+    * they add no coverage). Output: one row per center with its selection
+    * round, its distance-to-set at selection (the squared coverage radius —
+    * non-increasing by the greedy invariant, the 2-approximation
+    * certificate), and how many points it covers in the final assignment.
+    *
+    * Plan shape at 100 TB: k is fixed, so the traversal is k passes, each a
+    * single max-reduction (TakeOrderedAndProject — per-partition top-1 then
+    * a 1-row merge, never a global sort) plus a corpus-size map against a
+    * 1-row broadcast. The running min-distance frame is localCheckpoint-ed
+    * per round — the same lineage-truncation trade as PageRank and
+    * cluster-components (Sessions.scala / Dedup.scala): without it round t
+    * re-derives rounds 1..t−1 from scratch, with it each round is O(N). The
+    * final coverage pass joins against the k-row (≤ kcenterK) center set —
+    * broadcast by construction. Degenerate embeddings are dropped at the
+    * same [[vecs]] index boundary as the rest of the similarity family. */
+  def kcenterSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+
+    val v = vecs(spark, sfDir)
+
+    val seed = v.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"),
+        $"norm_sq".as("c_n"), lit(0d).as("c_r"))
+      .localCheckpoint()
+
+    var centers = Vector(seed)
+    var d = v.crossJoin(broadcast(seed.drop("c_r")))
+      .select($"vec_id", $"embedding", $"norm_sq",
+        dist2Col($"norm_sq", "embedding", $"c_n", "c_emb").as("mind2"))
+      .localCheckpoint()
+
+    for (_ <- 2 to kcenterK) {
+      // farthest point from the selected set; 1-row frame, materialized so
+      // the argmax job runs once and its result feeds both the output and
+      // the distance update without recomputation
+      val top = d.filter($"mind2" > 0d)
+        .orderBy($"mind2".desc, $"vec_id").limit(1)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"),
+          $"norm_sq".as("c_n"), $"mind2".as("c_r"))
+        .localCheckpoint()
+      centers = centers :+ top
+      d = d.crossJoin(broadcast(top.drop("c_r")))
+        .select($"vec_id", $"embedding", $"norm_sq",
+          least($"mind2", dist2Col($"norm_sq", "embedding", $"c_n", "c_emb")).as("mind2"))
+        .localCheckpoint()
+    }
+
+    val sel = centers.zipWithIndex
+      .map { case (c, i) => c.withColumn("round", lit((i + 1).toLong)) }
+      .reduce(_ unionByName _)
+
+    // final assignment: nearest center per point (ties by center id), then
+    // per-center coverage counts; the center side is ≤ k rows
+    val pairs = v.crossJoin(broadcast(sel.select($"c_id", $"c_emb", $"c_n")))
+      .select($"vec_id", $"c_id",
+        dist2Col($"norm_sq", "embedding", $"c_n", "c_emb").as("d2"))
+    val nearest = pairs.groupBy($"vec_id")
+      .agg(min(struct($"d2", $"c_id")).as("m"))
+      .select($"m.c_id".as("c_id"))
+    val cov = nearest.groupBy($"c_id").agg(count(lit(1)).as("covered"))
+
+    sel.join(cov, Seq("c_id"), "left")
+      .select($"round", $"c_id".as("center_id"),
+        round($"c_r", 6).as("radius2"),
+        coalesce($"covered", lit(0L)).as("covered"))
+  }
+
+  /** The oracle unrolls the k−1 greedy steps as chained CTE pairs
+    * (cₜ = argmax over dₜ₋₁, dₜ = min-update against cₜ). dₜ₋₁ is referenced
+    * twice per step, so the distance frames are pinned MATERIALIZED —
+    * inlining would double the plan per step (2^k copies of the base scan). */
+  val kcenterOracle: String = {
+    val stages = (2 to kcenterK).map { t =>
+      s""", c$t AS MATERIALIZED (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm_sq AS c_n, mind2 AS c_r
+           FROM d${t - 1} WHERE mind2 > 0
+           ORDER BY mind2 DESC, vec_id LIMIT 1),
+         d$t AS MATERIALIZED (
+           SELECT d.vec_id, d.embedding, d.norm_sq,
+                  LEAST(d.mind2, ${dist2Sql("d.norm_sq", "d.embedding", "c.c_n", "c.c_emb")}) AS mind2
+           FROM d${t - 1} d, c$t c)"""
+    }.mkString
+    val selArms = (1 to kcenterK)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS round, c_id, c_emb, c_n, c_r FROM c$t")
+      .mkString(" UNION ALL ")
+    Fixtures.oracle(
+      normCte("embeddings") +
+        s""", v AS MATERIALIZED (
+           SELECT e.vec_id, e.embedding, n.norm_sq
+           FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id),
+         c1 AS MATERIALIZED (
+           SELECT vec_id AS c_id, embedding AS c_emb, norm_sq AS c_n,
+                  CAST(0 AS DOUBLE) AS c_r
+           FROM v ORDER BY vec_id LIMIT 1),
+         d1 AS MATERIALIZED (
+           SELECT v.vec_id, v.embedding, v.norm_sq,
+                  ${dist2Sql("v.norm_sq", "v.embedding", "c.c_n", "c.c_emb")} AS mind2
+           FROM v, c1 c)""" +
+        stages +
+        s""", sel AS ($selArms),
+         pairs AS (
+           SELECT v.vec_id, s.c_id,
+                  ${dist2Sql("v.norm_sq", "v.embedding", "s.c_n", "s.c_emb")} AS d2
+           FROM v CROSS JOIN sel s),
+         nearest AS (
+           SELECT vec_id, c_id
+           FROM (SELECT vec_id, c_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+                 FROM pairs)
+           WHERE rn = 1),
+         cov AS (SELECT c_id, COUNT(1) AS covered FROM nearest GROUP BY 1)
+       SELECT s.round AS round, s.c_id AS center_id, ROUND(s.c_r, 6) AS radius2,
+              CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered
+       FROM sel s LEFT JOIN cov ON s.c_id = cov.c_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter" -> (kcenterSelect _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_recall_pq" -> (annRecallPq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
@@ -1214,6 +1360,7 @@ object Similarity {
     "sim_outlier_report" -> (outlierReport _))
 
   val oracles: Map[String, String] = Map(
+    "sample_kcenter" -> kcenterOracle,
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_recall_pq" -> annRecallPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
