@@ -33,7 +33,8 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Sampling.queries, Sampling.oracles),
-      (Classifier.queries, Classifier.oracles))
+      (Classifier.queries, Classifier.oracles),
+      (Bpe.queries, Bpe.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

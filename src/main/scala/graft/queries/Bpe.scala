@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.Fixtures
+
+/** In-engine BPE tokenizer training and application (Sennrich et al. 2016).
+  *
+  * [[TextOps.bpeTopPairs]] is ONE round of the training inner loop; this
+  * module runs the actual sequential trainer — k merges, each dependent on
+  * the corpus state the previous merge produced — and then applies the
+  * learned merge table to measure tokenizer fertility per language (the
+  * tokens-per-word / chars-per-token table every tokenizer release
+  * publishes).
+  *
+  * The trick that makes BPE train on a 100 TB corpus at all is the same one
+  * bpeTopPairs documents: all character-level work happens on the
+  * DISTINCT-word vocabulary weighted by word frequency, never on the corpus.
+  * The corpus is touched exactly twice — once to build (word, freq), once to
+  * build (lang, word, freq) for fertility — both map-side-combined
+  * aggregations; every one of the k training rounds is vocabulary-sized
+  * (Heaps-bounded: ~10⁸ rows at 100 TB, vs 10¹³ corpus tokens).
+  *
+  * Training round = one pair-count aggregation over adjacent token pairs
+  * (array explode, map-side combined), one argmax (TakeOrderedAndProject —
+  * per-partition top-1, 1-row merge, no global sort; ties broken
+  * lexicographically so the winner is a total order), and one merge
+  * application — a left fold over each word's token array (`aggregate`
+  * higher-order function) against the 1-row broadcast winner. The fold is
+  * the textbook greedy left-to-right single-rule rewrite; DuckDB replays the
+  * identical fold with `list_reduce`, so the oracle hash-matches the whole
+  * unrolled loop. Per-round localCheckpoint truncates lineage exactly like
+  * PageRank / cluster-components — without it round t re-derives rounds
+  * 1..t−1; with it each round is O(vocab).
+  */
+object Bpe {
+
+  /** Fixed merge budget — a knob like the similarity family's query budget,
+    * never a function of corpus size. Real tokenizers run 30-100k merges;
+    * the loop shape is identical, only the constant differs. */
+  private[queries] val bpeMerges = 12
+
+  /** Greedy left-to-right application of ONE merge rule (a, b) → ab over a
+    * token array: fold each token into the accumulator, replacing a trailing
+    * `a` when the incoming token is `b`. `aRef`/`bRef` are SQL expressions
+    * (column references or literals) visible in the enclosing row scope. */
+  private def mergeFoldSql(toks: String, aRef: String, bRef: String): String =
+    s"""aggregate($toks, CAST(array() AS array<string>), (acc, x) ->
+          CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $aRef AND x = $bRef
+               THEN concat(slice(acc, 1, size(acc) - 1), array(concat($aRef, $bRef)))
+               ELSE concat(acc, array(x)) END)"""
+
+  /** Adjacent (a, b) token pairs of a word's current token array; empty for
+    * single-token words. The size guard matters: Spark's `sequence(0, -1)`
+    * generates a DESCENDING sequence, not an empty one. */
+  private val pairsCol: Column = expr(
+    """CASE WHEN size(toks) > 1
+            THEN transform(sequence(0, size(toks) - 2),
+                   i -> named_struct('a', element_at(toks, i + 1),
+                                     'b', element_at(toks, i + 2)))
+            ELSE CAST(array() AS array<struct<a:string,b:string>>) END""")
+
+  /** (word, freq, toks) start state: distinct words with corpus frequencies,
+    * split into single-character tokens. */
+  private def vocab0(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "bpe_vocab0") { spark.table("documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        expr("transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))")) }
+
+  /** The learned merge table: (merge_rank, pair_left, pair_right,
+    * pair_count), one row per round in training order. Memoized — the
+    * fertility query replays the merges rather than re-training. */
+  def trainMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.util.Memo.cached(spark, sfDir, "bpe_train_merges") {
+      import spark.implicits._
+      var v = vocab0(spark, sfDir).localCheckpoint()
+      var merges = Vector.empty[DataFrame]
+      for (t <- 1 to bpeMerges) {
+        val top = v.select($"freq", explode(pairsCol).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"freq").as("pair_count"))
+          .orderBy($"pair_count".desc, $"a", $"b").limit(1)
+          .localCheckpoint()
+        merges = merges :+ top.select(lit(t.toLong).as("merge_rank"),
+          $"a".as("pair_left"), $"b".as("pair_right"), $"pair_count")
+        v = v.crossJoin(broadcast(top.select($"a", $"b")))
+          .select($"w", $"freq", expr(mergeFoldSql("toks", "a", "b")).as("toks"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionByName _)
+    }
+  }
+
+  /** Tokenizer fertility per language under the learned merge table:
+    * total word occurrences, total tokens after the k merges, tokens/word
+    * and chars/token in basis points (truncating integer DIV on both
+    * engines). The merge table is k rows — collected once (a bounded
+    * driver-side read, like the shard manifest) and replayed as k chained
+    * folds in a single vocabulary-sized projection; the per-(lang, word)
+    * frequency frame then joins the tokenized vocabulary BY SHUFFLE on the
+    * word key (both sides vocabulary-sized — never broadcast). */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val merges = trainMerges(spark, sfDir)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right")
+      .as[(String, String)].collect()
+
+    def litStr(s: String): String = "'" + s.replace("'", "''") + "'"
+    val applied = merges.foldLeft("toks") { case (acc, (a, b)) =>
+      mergeFoldSql(acc, litStr(a), litStr(b))
+    }
+    val vocabTok = vocab0(spark, sfDir)
+      .select($"w", size(expr(applied)).as("n_toks"))
+
+    val langWord = spark.table("documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+
+    langWord.join(vocabTok, Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"freq").as("words"),
+        sum($"freq" * $"n_toks").as("tokens"),
+        sum($"freq" * length($"w")).as("chars"))
+      .select($"lang", $"words", $"tokens",
+        expr("tokens * 10000 DIV words").as("fertility_bp"),
+        expr("chars * 10000 DIV tokens").as("chars_per_token_bp"))
+  }
+
+  // -------------------------------------------------------------------
+  // Oracles: the k rounds unrolled as chained MATERIALIZED CTE pairs
+  // (pₜ = argmax over vₜ₋₁'s pair counts, vₜ = fold-update against pₜ).
+  // vₜ₋₁ is referenced twice per round, so the states are pinned
+  // MATERIALIZED — inlining would double the plan per round.
+  // -------------------------------------------------------------------
+
+  private def duckMergeFold(toks: String, aRef: String, bRef: String): String =
+    s"""list_reduce(list_transform($toks, s -> [s]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $aRef AND x[1] = $bRef
+                           THEN list_slice(acc, 1, len(acc) - 1) || [$aRef || $bRef]
+                           ELSE acc || x END)"""
+
+  private val trainCtes: String = {
+    val rounds = (1 to bpeMerges).map { t =>
+      s""", bpe_p$t AS MATERIALIZED (
+           SELECT toks[t.i] AS a, toks[t.i + 1] AS b, SUM(freq) AS pair_count
+           FROM bpe_v${t - 1}, UNNEST(range(1, len(toks))) AS t(i)
+           GROUP BY 1, 2
+           ORDER BY pair_count DESC, a, b LIMIT 1),
+         bpe_v$t AS MATERIALIZED (
+           SELECT v.w, v.freq,
+                  ${duckMergeFold("v.toks", "p.a", "p.b")} AS toks
+           FROM bpe_v${t - 1} v, bpe_p$t p)"""
+    }.mkString
+    s""", bpe_w AS (
+         SELECT w, COUNT(1) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1),
+       bpe_v0 AS MATERIALIZED (
+         SELECT w, freq,
+                list_transform(range(length(w)), i -> substring(w, i + 1, 1)) AS toks
+         FROM bpe_w)""" + rounds
+  }
+
+  val trainMergesOracle: String = Fixtures.oracle(trainCtes +
+    (1 to bpeMerges).map(t =>
+      s"""SELECT CAST($t AS BIGINT) AS merge_rank, a AS pair_left,
+             b AS pair_right, CAST(pair_count AS BIGINT) AS pair_count
+          FROM bpe_p$t""").mkString("\n", " UNION ALL ", ""))
+
+  val fertilityOracle: String = Fixtures.oracle(trainCtes +
+    s""", bpe_vt AS (SELECT w, len(toks) AS n_toks FROM bpe_v$bpeMerges),
+       bpe_lw AS (
+         SELECT lang, w, COUNT(1) AS freq
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1, 2)
+       SELECT l.lang,
+              CAST(SUM(l.freq) AS BIGINT) AS words,
+              CAST(SUM(l.freq * v.n_toks) AS BIGINT) AS tokens,
+              CAST((SUM(l.freq * v.n_toks) * 10000) // SUM(l.freq) AS BIGINT)
+                AS fertility_bp,
+              CAST((SUM(l.freq * length(l.w)) * 10000) // SUM(l.freq * v.n_toks) AS BIGINT)
+                AS chars_per_token_bp
+       FROM bpe_lw l JOIN bpe_vt v ON l.w = v.w
+       GROUP BY 1""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (trainMerges _),
+    "text_bpe_fertility" -> (fertility _))
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> trainMergesOracle,
+    "text_bpe_fertility" -> fertilityOracle)
+}

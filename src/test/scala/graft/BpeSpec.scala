@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Bpe, TextOps}
+
+/** The sequential BPE trainer. The oracle hash-match proves both engines
+  * agree on the unrolled loop; this spec proves the loop implements BPE:
+  * the merge sequence equals an independent driver-side trainer, merge #1
+  * equals the rank-1 pair of the single-round `text_bpe_top_pairs`
+  * operator (the two operators must tell one story), and applying the
+  * merge table preserves word content while never increasing token count.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Driver-side reference trainer: greedy weighted pair counts over the
+    * distinct-word vocabulary, ties by (a, b), left-to-right application. */
+  private def bruteTrain(k: Int): Vector[(String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    graft.fixtures.Fixtures.register(s, sfDir)
+    val vocab = scala.collection.mutable.Map[Vector[String], Long]()
+    s.table("documents").select($"text").as[String].collect()
+      .flatMap(t => t.split(" ").filter(_.nonEmpty))
+      .foreach { w =>
+        val key = w.toCharArray.map(_.toString).toVector
+        vocab(key) = vocab.getOrElse(key, 0L) + 1
+      }
+    var state = vocab.toMap
+    var out = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (toks, freq) =>
+        toks.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + freq
+          case _ =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out = out :+ ((a, b, n))
+        state = state.groupMapReduce { case (toks, _) =>
+          toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+            if (acc.nonEmpty && acc.last == a && t == b)
+              acc.init :+ (a + b)
+            else acc :+ t
+          }
+        } { case (_, freq) => freq } (_ + _)
+      }
+    }
+    out
+  }
+
+  test("merge sequence equals an independent driver-side trainer") {
+    val s = spark
+    import s.implicits._
+    val got = Bpe.trainMerges(s, sfDir)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right", $"pair_count")
+      .as[(String, String, Long)].collect().toVector
+    val want = bruteTrain(12)
+    assert(got == want, s"\nspark: $got\nbrute: $want")
+  }
+
+  test("merge #1 equals text_bpe_top_pairs' rank-1 pair") {
+    val s = spark
+    import s.implicits._
+    val first = Bpe.trainMerges(s, sfDir).filter($"merge_rank" === 1L)
+      .select(concat($"pair_left", $"pair_right"), $"pair_count")
+      .as[(String, Long)].head()
+    val top1 = TextOps.bpeTopPairs(s, sfDir).filter($"merge_rank" === 1)
+      .select($"pair", $"pair_count").as[(String, Long)].head()
+    assert(first == top1, s"trainer round 1 $first vs top_pairs rank 1 $top1")
+  }
+
+  test("fertility invariants: content preserved, 1 <= tokens <= chars") {
+    val s = spark
+    import s.implicits._
+    val f = Bpe.fertility(s, sfDir)
+    // chars isn't in the output; re-derive the per-lang word/char totals
+    val totals = s.table("documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("words"), sum(length($"w")).as("chars"))
+    val joined = f.join(totals.withColumnRenamed("words", "w2"), Seq("lang"))
+      .select($"lang", $"words", $"tokens", $"w2", $"chars",
+        $"fertility_bp", $"chars_per_token_bp").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (words, tokens, w2, chars) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(words == w2, s"word totals must agree for ${r.getString(0)}")
+      assert(tokens >= words, "every word is at least one token")
+      assert(tokens <= chars, "merging never increases token count past chars")
+      assert(r.getLong(5) == tokens * 10000L / words)
+      assert(r.getLong(6) == chars * 10000L / tokens)
+    }
+  }
+
+  test("applying the merge table preserves every word's concatenated content") {
+    val s = spark
+    import s.implicits._
+    graft.fixtures.Fixtures.register(s, sfDir)
+    val merges = Bpe.trainMerges(s, sfDir)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right").as[(String, String)].collect()
+    val words = s.table("documents").select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)).distinct
+    words.foreach { w =>
+      val toks = merges.foldLeft(w.toCharArray.map(_.toString).toVector) {
+        case (ts, (a, b)) =>
+          ts.foldLeft(Vector.empty[String]) { (acc, t) =>
+            if (acc.nonEmpty && acc.last == a && t == b) acc.init :+ (a + b)
+            else acc :+ t
+          }
+      }
+      assert(toks.mkString == w, s"content broken for '$w': $toks")
+    }
+  }
+}
