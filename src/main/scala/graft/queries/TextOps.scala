@@ -128,6 +128,53 @@ object TextOps {
                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
          FROM documents) t""")
 
+  /** Language-ID confusion matrix: detector prediction vs the corpus's own
+    * lang metadata, per cell, with row shares in basis points — the
+    * agreement table crawl curation uses to find mislabeled sources before
+    * trusting EITHER signal (a source whose metadata says `de` but whose
+    * detector column says `en` is a labeling bug or a mirror). NULL
+    * metadata is canonicalized to 'unknown' so the share join never drops
+    * cells on a null key. Plan: ONE scan-side projection (the same
+    * explode-free stopword scoring as [[langId]]) into a (lang, pred)
+    * map-side-combined count; the per-lang totals frame is label-set-sized
+    * (bounded like the source dimension) and broadcasts. */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val cells = spark.table("documents")
+      .withColumn("stop_ratio",
+        expr(stopCountSpark("text")).cast(DoubleType) /
+          size(split($"text", " ")).cast(DoubleType))
+      .select(
+        coalesce($"lang", lit("unknown")).as("lang"),
+        when($"stop_ratio" >= 0.08, "en")
+          .when($"stop_ratio" >= 0.04, "en_like")
+          .otherwise("other").as("lang_pred"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("docs"))
+    val totals = cells.groupBy($"lang").agg(sum($"docs").as("lang_docs"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select($"lang", $"lang_pred", $"docs",
+        expr("docs * 10000 DIV lang_docs").as("row_share_bp"))
+  }
+
+  val langIdConfusionOracle: String = Fixtures.oracle(
+    s""", lc_cells AS (
+         SELECT COALESCE(lang, 'unknown') AS lang,
+                CASE WHEN stop_ratio >= 0.08 THEN 'en'
+                     WHEN stop_ratio >= 0.04 THEN 'en_like'
+                     ELSE 'other' END AS lang_pred,
+                COUNT(1) AS docs
+         FROM (
+           SELECT lang,
+                  CAST(${stopCountDuck("text")} AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+           FROM documents) t
+         GROUP BY 1, 2),
+       lc_tot AS (SELECT lang, SUM(docs) AS lang_docs FROM lc_cells GROUP BY 1)
+       SELECT c.lang, c.lang_pred, CAST(c.docs AS BIGINT) AS docs,
+              CAST((c.docs * 10000) // t.lang_docs AS BIGINT) AS row_share_bp
+       FROM lc_cells c JOIN lc_tot t ON c.lang = t.lang""")
+
   /** Document fingerprint: rolling polynomial hash over word hashes —
     * a content-defined 60-bit id (mod 1e9+7 folded), plus the per-doc word
     * count it covers. Pure integer arithmetic on both engines. */
@@ -1950,6 +1997,7 @@ object TextOps {
     "text_token_count" -> (tokenCount _),
     "text_quality_score" -> (qualityScore _),
     "text_lang_id" -> (langId _),
+    "text_langid_confusion" -> (langIdConfusion _),
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
     "text_chunk" -> (chunk _),
@@ -1985,6 +2033,7 @@ object TextOps {
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,
+    "text_langid_confusion" -> langIdConfusionOracle,
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
     "text_chunk" -> chunkOracle,

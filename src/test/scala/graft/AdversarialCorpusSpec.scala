@@ -91,6 +91,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_line_dedup" -> (_ <= 12),
     "text_lm_fluency" -> (_ <= 12),
     "text_bpe_top_pairs" -> (_ <= 32),
+    "text_bpe_train" -> (_ == 12),          // pairs never exhaust on this corpus
+    "text_bpe_fertility" -> (n => n >= 1 && n <= 4), // one row per lang value
+    "text_langid_confusion" -> (n => n >= 1 && n <= 12),
+    "sample_kcenter" -> (_ == 8),           // 55 valid vectors > k = 8
     "corpus_curation" -> (_ <= 12),
     "dedup_exact" -> (_ >= 1),
     "dedup_minhash_lsh" -> (_ >= 0),
@@ -158,6 +162,17 @@ class AdversarialCorpusSpec extends SparkSpec {
     out.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
       assert(g.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to g.length).toSeq)
     }
+  }
+
+  test("degenerate embeddings are never selected as k-center coreset centers") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val out = graft.queries.Similarity.kcenterSelect(spark, advDir).collect()
+    assert(out.length === 8)
+    val degenerate = Set(7L, 13L, 41L, 43L, 50L)
+    assert(out.forall(r => !degenerate.contains(r.getAs[Long]("center_id"))),
+      s"degenerate vector selected: ${out.map(_.getAs[Long]("center_id")).mkString(",")}")
+    // coverage partitions exactly the valid vectors (60 - 5 degenerate)
+    assert(out.map(_.getAs[Long]("covered")).sum === 55L)
   }
 
   test("the split operator never leaks duplicate text across the split") {

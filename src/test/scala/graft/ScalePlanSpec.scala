@@ -274,4 +274,35 @@ class ScalePlanSpec extends SparkSpec {
         s"diversity is two hash aggregations, nothing else:\n$pn")
     }
   }
+
+  test("BPE fertility: the vocabulary join shuffles; the merge table is literals, not a join") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Bpe.fertility(spark, sfDir))
+      assert(p.contains("SortMergeJoin"),
+        s"(lang, word) freqs ⋈ tokenized vocab must shuffle on the word key:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"the collected merge table is applied as literal folds — nothing to broadcast:\n$p")
+    }
+  }
+
+  test("k-center: no cartesian product; only the hinted <= k-row center frames broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Similarity.kcenterSelect(spark, sfDir))
+      assert(!p.contains("CartesianProduct"),
+        s"the center side must stay a hinted broadcast, never a cartesian:\n$p")
+      // final assignment pass: the <= k-row center frame broadcasts (hinted);
+      // the output-side sel ⋈ cov join is k-row and may plan either way
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"only the bounded center frames may broadcast:\n$p")
+    }
+  }
+
+  test("langid confusion: one scan-side agg; only the label-set totals broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(TextOps.langIdConfusion(spark, sfDir))
+      assert(p.split("BroadcastExchange").length - 1 <= 1,
+        s"only the hinted per-lang totals frame may broadcast:\n$p")
+      assert(!p.contains("Window"), s"shares come from an agg join, not a window:\n$p")
+    }
+  }
 }
