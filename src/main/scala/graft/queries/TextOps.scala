@@ -1876,6 +1876,77 @@ object TextOps {
        FROM zs_b
        ORDER BY fbin""")
 
+  /** Vocabulary growth curve (Heaps'-law diagnostic): treat doc_id as
+    * ingest order, cut the id range into 16 equal buckets, and report per
+    * bucket the docs/tokens ingested, the NEW distinct terms (first
+    * occurrence lands in the bucket), and the cumulative vocabulary — "how
+    * much new content does the next crawl snapshot add", the exact twin of
+    * `corpus_novelty_kmv`'s sketch estimate and the data-scaling saturation
+    * signal. Plan: one (term → min bucket) vocabulary-keyed
+    * map-side-combined agg; bucketing is pure integer arithmetic against
+    * the 1-row (min, max) id frame; then 16-row aggregates only — the
+    * cumulative sum is a triangular self-join over ≤ 16 rows, no window,
+    * no corpus-sized broadcast anywhere. */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val docs = spark.table("documents")
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    val bucketCol =
+      expr("CAST(least(15, ((doc_id - lo) * 16) DIV (hi - lo + 1)) AS BIGINT)")
+
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .select(bucketCol.as("bucket"), $"text")
+
+    val docStats = bucketed
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("docs"),
+        sum(expr("size(filter(split(text, ' '), w -> length(w) > 0))"))
+          .as("tokens"))
+
+    val newTerms = bucketed
+      .select($"bucket", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_terms"))
+
+    val perBucket = docStats.join(newTerms, Seq("bucket"), "left")
+      .select($"bucket", $"docs", $"tokens",
+        coalesce($"new_terms", lit(0L)).as("new_terms"))
+
+    perBucket
+      .join(perBucket.select($"bucket".as("h_b"), $"new_terms".as("h_n")),
+        expr("h_b <= bucket"), "left")
+      .groupBy($"bucket", $"docs", $"tokens", $"new_terms")
+      .agg(sum($"h_n").as("cum_vocab"))
+  }
+
+  val heapsCurveOracle: String = Fixtures.oracle(
+    """, hc_bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+       hc_docs AS (
+         SELECT CAST(LEAST(15, ((d.doc_id - b.lo) * 16) // (b.hi - b.lo + 1)) AS BIGINT)
+                  AS bucket,
+                d.text
+         FROM documents d, hc_bounds b),
+       hc_stats AS (
+         SELECT bucket, COUNT(1) AS docs,
+                CAST(SUM(len(list_filter(string_split(text, ' '),
+                                         w -> length(w) > 0))) AS BIGINT) AS tokens
+         FROM hc_docs GROUP BY 1),
+       hc_first AS (
+         SELECT w AS term, MIN(bucket) AS bucket
+         FROM hc_docs, UNNEST(string_split(text, ' ')) AS t(w)
+         WHERE length(w) > 0 GROUP BY 1),
+       hc_new AS (SELECT bucket, COUNT(1) AS new_terms FROM hc_first GROUP BY 1),
+       hc_pb AS (
+         SELECT s.bucket, CAST(s.docs AS BIGINT) AS docs, s.tokens,
+                CAST(COALESCE(n.new_terms, 0) AS BIGINT) AS new_terms
+         FROM hc_stats s LEFT JOIN hc_new n ON s.bucket = n.bucket)
+       SELECT b.bucket, b.docs, b.tokens, b.new_terms,
+              CAST(SUM(h.new_terms) AS BIGINT) AS cum_vocab
+       FROM hc_pb b LEFT JOIN hc_pb h ON h.bucket <= b.bucket
+       GROUP BY 1, 2, 3, 4""")
+
   /** Per-source n-gram diversity: distinct bigrams as a share of total
     * bigram occurrences, in basis points. The low-diversity tail is the
     * template/boilerplate/synthetic-data signal at DOMAIN granularity —
@@ -1983,6 +2054,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_datacard" -> (dataCard _),
     "text_zipf_spectrum" -> (zipfSpectrum _),
+    "corpus_heaps_curve" -> (heapsCurve _),
     "text_ngram_diversity" -> (ngramDiversity _),
     "text_domain_lift" -> (domainLift _),
     "text_dup_gram_signals" -> (dupGramSignals _),
@@ -2019,6 +2091,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "corpus_datacard" -> dataCardOracle,
     "text_zipf_spectrum" -> zipfSpectrumOracle,
+    "corpus_heaps_curve" -> heapsCurveOracle,
     "text_ngram_diversity" -> ngramDiversityOracle,
     "text_domain_lift" -> domainLiftOracle,
     "text_dup_gram_signals" -> dupGramSignalsOracle,

@@ -94,6 +94,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_bpe_train" -> (_ == 12),          // pairs never exhaust on this corpus
     "text_bpe_fertility" -> (n => n >= 1 && n <= 4), // one row per lang value
     "text_langid_confusion" -> (n => n >= 1 && n <= 12),
+    "corpus_heaps_curve" -> (n => n >= 1 && n <= 12),
     "sample_kcenter" -> (_ == 8),           // 55 valid vectors > k = 8
     "corpus_curation" -> (_ <= 12),
     "dedup_exact" -> (_ >= 1),

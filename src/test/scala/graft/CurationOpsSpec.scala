@@ -296,6 +296,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("heaps curve partitions the vocabulary and telescopes cumulatively") {
+    val out = TextOps.heapsCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val docs = spark.table("documents")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    val tokens = docs
+      .agg(sum(expr("size(filter(split(text, ' '), w -> length(w) > 0))")))
+      .head().getLong(0)
+    assert(out.map(_.getAs[Long]("docs")).sum === docs.count())
+    assert(out.map(_.getAs[Long]("tokens")).sum === tokens)
+    // every term's first occurrence lands in exactly one bucket
+    assert(out.map(_.getAs[Long]("new_terms")).sum === vocab)
+    // the cumulative column telescopes over the per-bucket news
+    var running = 0L
+    out.foreach { r =>
+      running += r.getAs[Long]("new_terms")
+      assert(r.getAs[Long]("cum_vocab") === running, r)
+    }
+    assert(out.last.getAs[Long]("cum_vocab") === vocab)
+  }
+
   test("ngram diversity equals brute-force distinct/total per source") {
     val out = TextOps.ngramDiversity(spark, sfDir).collect()
     val docs = spark.table("documents")
