@@ -1195,6 +1195,98 @@ object Similarity {
        GROUP BY e.qid""")
 
   // -------------------------------------------------------------------
+  // Matryoshka prefix-dimension recall sweep
+  // -------------------------------------------------------------------
+
+  /** Prefix widths evaluated by [[annRecallMatryoshka]]. */
+  private val matryoshkaWidths = Seq(8, 16, 32)
+
+  /** Recall@3 of brute-force search over PREFIX dimensions (8/16/32 of 64)
+    * vs the full-dimension exact top-3 — the Matryoshka/dimension-ablation
+    * evaluation (Kusupati et al. 2022): how much retrieval quality survives
+    * truncating the embedding, i.e. how far storage/bandwidth can be cut
+    * before recall pays. Each width is the same fixed-query-budget scan as
+    * the exact baseline (O(N·Q₀), widths fixed); a deployment would then
+    * index the chosen prefix with the LSH/IVF families above — this metric
+    * is what picks the width. Truncated vectors get their own norm guard
+    * (a vector can be healthy at 64 dims but all-zero in its first 8). */
+  def annRecallMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3)
+    matryoshkaWidths.map { w =>
+      val vw = spark.table("embeddings")
+        .select($"vec_id", expr(s"slice(embedding, 1, $w)").as("embedding"))
+        .withColumn("norm_sq", normSqExpr("embedding"))
+        .filter($"norm_sq" > 0d && !isnan($"norm_sq") &&
+          $"norm_sq" < Double.PositiveInfinity)
+      val qv = vw.filter(expr(queryFilter))
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+      val scored = vw.crossJoin(broadcast(qv))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id", dotExpr("embedding", "qemb").as("dot"),
+          $"qn", $"norm_sq")
+        .withColumn("cosine", cosineCol)
+      val wnd = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      val approx = scored.withColumn("rank", row_number().over(wnd))
+        .filter($"rank" <= 3)
+        .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"))
+      recallAgainst(exact, approx).withColumn("dims", lit(w.toLong))
+    }.reduce(_ unionByName _)
+      .select($"dims", $"query_id", $"hits", $"recall_at_3")
+  }
+
+  val annRecallMatryoshkaOracle: String = {
+    val widthCtes = matryoshkaWidths.map { w =>
+      s""", mat_nrm_$w AS (
+           SELECT vec_id, norm_sq
+           FROM (SELECT vec_id,
+                        ${DotProduct.duckDot(s"embedding[1:$w]", s"embedding[1:$w]")} AS norm_sq
+                 FROM embeddings) n
+           WHERE norm_sq > 0 AND isfinite(norm_sq)),
+         mat_rank_$w AS (
+           SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+           FROM (SELECT q.vec_id AS qid, d.vec_id,
+                        ${DotProduct.duckDot(s"d.embedding[1:$w]", s"q.embedding[1:$w]")}
+                          / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+                 FROM embeddings q
+                 JOIN mat_nrm_$w qn ON qn.vec_id = q.vec_id
+                 JOIN embeddings d ON d.vec_id != q.vec_id
+                 JOIN mat_nrm_$w vn ON vn.vec_id = d.vec_id
+                 WHERE ${queryPred("q.vec_id")}))"""
+    }.mkString
+    val arms = matryoshkaWidths.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS dims, e.qid AS query_id,
+             CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+             ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+          FROM exact_ranked e
+          LEFT JOIN mat_rank_$w l
+            ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+          WHERE e.rank <= 3
+          GROUP BY e.qid"""
+    }.mkString(" UNION ALL ")
+    Fixtures.oracle(
+      normCte("embeddings") +
+        s""", exact_dots AS (
+           SELECT q.vec_id AS qid, d.vec_id,
+                  ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+           FROM embeddings q
+           JOIN embeddings d ON d.vec_id != q.vec_id
+           WHERE ${queryPred("q.vec_id")}),
+         exact_ranked AS (
+           SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+           FROM (SELECT dots.qid, dots.vec_id,
+                        dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+                 FROM exact_dots dots
+                 JOIN nrm qn ON dots.qid = qn.vec_id
+                 JOIN nrm vn ON dots.vec_id = vn.vec_id))""" +
+        widthCtes + "\n" + arms)
+  }
+
+  // -------------------------------------------------------------------
   // Greedy k-center coreset selection (farthest-point traversal)
   // -------------------------------------------------------------------
 
@@ -1341,6 +1433,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_kcenter" -> (kcenterSelect _),
+    "sim_ann_recall_matryoshka" -> (annRecallMatryoshka _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_recall_pq" -> (annRecallPq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
@@ -1361,6 +1454,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sample_kcenter" -> kcenterOracle,
+    "sim_ann_recall_matryoshka" -> annRecallMatryoshkaOracle,
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_recall_pq" -> annRecallPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
