@@ -96,6 +96,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_langid_confusion" -> (n => n >= 1 && n <= 12),
     "corpus_heaps_curve" -> (n => n >= 1 && n <= 12),
     "sample_kcenter" -> (_ == 8),           // 55 valid vectors > k = 8
+    "sim_ann_recall_matryoshka" -> (_ >= 0), // truncated garbage re-guarded per width
     "corpus_curation" -> (_ <= 12),
     "dedup_exact" -> (_ >= 1),
     "dedup_minhash_lsh" -> (_ >= 0),
