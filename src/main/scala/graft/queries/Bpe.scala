@@ -139,7 +139,13 @@ object Bpe {
   // Oracles: the k rounds unrolled as chained MATERIALIZED CTE pairs
   // (pₜ = argmax over vₜ₋₁'s pair counts, vₜ = fold-update against pₜ).
   // vₜ₋₁ is referenced twice per round, so the states are pinned
-  // MATERIALIZED — inlining would double the plan per round.
+  // MATERIALIZED — inlining would double the plan per round. The vₜ
+  // update LEFT JOINs its (≤ 1-row) winner so that an EXHAUSTED round
+  // (no pairs left — every word a single token) preserves the state
+  // instead of collapsing it to empty: under exhaustion both engines
+  // then truncate the merge table identically and fertility still
+  // reflects the merges that did happen, exactly like the Spark side's
+  // collected-merge replay over vocab0.
   // -------------------------------------------------------------------
 
   private def duckMergeFold(toks: String, aRef: String, bRef: String): String =
@@ -157,8 +163,9 @@ object Bpe {
            ORDER BY pair_count DESC, a, b LIMIT 1),
          bpe_v$t AS MATERIALIZED (
            SELECT v.w, v.freq,
-                  ${duckMergeFold("v.toks", "p.a", "p.b")} AS toks
-           FROM bpe_v${t - 1} v, bpe_p$t p)"""
+                  CASE WHEN p.a IS NULL THEN v.toks
+                       ELSE ${duckMergeFold("v.toks", "p.a", "p.b")} END AS toks
+           FROM bpe_v${t - 1} v LEFT JOIN bpe_p$t p ON TRUE)"""
     }.mkString
     s""", bpe_w AS (
          SELECT w, COUNT(1) AS freq

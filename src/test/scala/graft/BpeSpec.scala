@@ -100,6 +100,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge exhaustion truncates the table and fertility reflects the merges that happened") {
+    val s = spark
+    import s.implicits._
+    // a corpus whose vocabulary runs out of pairs before the 12-round
+    // budget: two 2-char words = exactly 2 possible merges
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_exh")
+    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    }
+    Seq((1L, "ab cd ab", "en", "srcA", 8L), (2L, "cd", "en", "srcA", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+
+    val merges = graft.queries.Bpe.trainMerges(s, dir.toString)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right", $"pair_count")
+      .as[(String, String, Long)].collect().toVector
+    // ab occurs twice, cd twice: ties broken lexicographically — (a,b) wins
+    // round 1; after both merges every word is one token and rounds 3-12
+    // produce nothing
+    assert(merges === Vector(("a", "b", 2L), ("c", "d", 2L)),
+      s"exhaustion must truncate, got $merges")
+
+    val fert = graft.queries.Bpe.fertility(s, dir.toString)
+      .select($"lang", $"words", $"tokens").as[(String, Long, Long)].collect()
+    assert(fert.toSeq === Seq(("en", 4L, 4L)),
+      "after full merging every word is exactly one token")
+    graft.util.Memo.release(s, dir.toString)
+  }
+
   test("applying the merge table preserves every word's concatenated content") {
     val s = spark
     import s.implicits._
