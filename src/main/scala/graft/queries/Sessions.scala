@@ -740,7 +740,115 @@ object Sessions {
        WHERE c.cum * 100 >= q.q * c.total
        GROUP BY 1, 2""")
 
+  /** Association rules over purchase baskets (Agrawal et al., SIGMOD'93):
+    * support, confidence and lift for item PAIRS, in basis points by
+    * integer cross-multiplication — the co-purchase/recommendation miner,
+    * set-co-occurrence where [[clickFollow]] is temporal.
+    *
+    * Scale design, in order:
+    *  1. basket = DISTINCT (user, item) — one map-side-combined distinct.
+    *  2. APRIORI PRUNE before any pair work: only items bought by ≥ 0.5%
+    *     of purchasing users survive (corpus-RELATIVE threshold by
+    *     cross-multiplication — a fixed count would stop pruning at 100×;
+    *     the apriori property guarantees no frequent pair is lost). The
+    *     prune join keys on item and is NOT broadcast-hinted — an item
+    *     catalog grows with the corpus.
+    *  3. baskets above 64 pruned items are excluded (the bot/crawler
+    *     screen — [[botFlags]] is the upstream gate; a basket cap bounds
+    *     per-user pair fan-out at 64²/2, the standard frequent-itemset
+    *     mitigation), singleton baskets carry no pairs.
+    *  4. pair explode over the sorted basket array (a < b by
+    *     construction), ONE (a, b)-keyed map-side-combined count; pairs
+    *     kept at ≥ 0.1% of the basket population.
+    * All supports (n_a, n_b, N) are recomputed over the SAME capped
+    * population the pairs come from, so confidence/lift are internally
+    * consistent. Only the two 1-row totals broadcast. */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val ui = spark.table("events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast(LongType).as("item"))
+      .filter($"item".isNotNull)
+      .distinct()
+
+    val nRaw = ui.select($"user_id").distinct().agg(count(lit(1)).as("n_raw"))
+    val frequent = ui.groupBy($"item").agg(count(lit(1)).as("n_i"))
+      .crossJoin(broadcast(nRaw))
+      .filter($"n_i" * 200 >= $"n_raw")
+      .select($"item")
+
+    val baskets = ui.join(frequent, Seq("item"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_set($"item")).as("items"))
+      .filter(size($"items").between(2, 64))
+
+    val pop = baskets.select($"user_id", explode($"items").as("item"))
+    val itemSupp = pop.groupBy($"item").agg(count(lit(1)).as("n_i"))
+    val nUsers = baskets.agg(count(lit(1)).as("n_users"))
+
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(sequence(0, size(items) - 2),
+           i -> transform(sequence(i + 1, size(items) - 1),
+             j -> named_struct('a', element_at(items, i + 1),
+                               'b', element_at(items, j + 1)))))""")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+
+    pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(nUsers))
+      .filter($"n_ab" * 1000 >= $"n_users")
+      .join(itemSupp.select($"item".as("a"), $"n_i".as("n_a")), Seq("a"))
+      .join(itemSupp.select($"item".as("b"), $"n_i".as("n_b")), Seq("b"))
+      .select($"a", $"b", $"n_a", $"n_b", $"n_ab",
+        expr("n_ab * 10000 DIV n_a").as("conf_ab_bp"),
+        expr("n_ab * 10000 DIV n_b").as("conf_ba_bp"),
+        expr("(n_ab * n_users * 10000) DIV (n_a * n_b)").as("lift_bp"))
+  }
+
+  /** Oracle pairs come from a basket self-join (a < b) — the same unique
+    * unordered pairs the sorted-array explode produces. */
+  val basketRulesOracle: String = Fixtures.oracle(
+    """, br_ui AS (
+         SELECT DISTINCT user_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         FROM events
+         WHERE event_type = 'purchase'
+           AND json_extract_string(props, '$.k') IS NOT NULL),
+       br_nraw AS (SELECT COUNT(DISTINCT user_id) AS n_raw FROM br_ui),
+       br_freq AS (
+         SELECT item FROM br_ui, br_nraw
+         GROUP BY item, n_raw HAVING COUNT(1) * 200 >= n_raw),
+       br_basket AS (
+         SELECT u.user_id, COUNT(1) AS bn
+         FROM br_ui u JOIN br_freq f ON u.item = f.item
+         GROUP BY 1 HAVING COUNT(1) BETWEEN 2 AND 64),
+       br_pop AS (
+         SELECT u.user_id, u.item
+         FROM br_ui u
+         JOIN br_freq f ON u.item = f.item
+         JOIN br_basket b ON u.user_id = b.user_id),
+       br_supp AS (SELECT item, COUNT(1) AS n_i FROM br_pop GROUP BY 1),
+       br_n AS (SELECT COUNT(1) AS n_users FROM br_basket),
+       br_ps AS (
+         SELECT x.item AS a, y.item AS b, COUNT(1) AS n_ab
+         FROM br_pop x JOIN br_pop y
+           ON x.user_id = y.user_id AND x.item < y.item
+         GROUP BY 1, 2)
+       SELECT p.a, p.b, sa.n_i AS n_a, sb.n_i AS n_b,
+              CAST(p.n_ab AS BIGINT) AS n_ab,
+              CAST((p.n_ab * 10000) // sa.n_i AS BIGINT) AS conf_ab_bp,
+              CAST((p.n_ab * 10000) // sb.n_i AS BIGINT) AS conf_ba_bp,
+              CAST((p.n_ab * n.n_users * 10000) // (sa.n_i * sb.n_i) AS BIGINT)
+                AS lift_bp
+       FROM br_ps p
+       JOIN br_supp sa ON p.a = sa.item
+       JOIN br_supp sb ON p.b = sb.item
+       CROSS JOIN br_n n
+       WHERE p.n_ab * 1000 >= n.n_users""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_basket_rules" -> (basketRules _),
     "events_hist_quantiles" -> (histQuantiles _),
     "events_bot_flags" -> (botFlags _),
     "events_ewma_trend" -> (ewmaTrend _),
@@ -760,6 +868,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_basket_rules" -> basketRulesOracle,
     "events_hist_quantiles" -> histQuantilesOracle,
     "events_bot_flags" -> botFlagsOracle,
     "events_ewma_trend" -> ewmaTrendOracle,

@@ -296,6 +296,40 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("basket rules recompute from a driver-side apriori over raw purchases") {
+    val s = spark
+    import s.implicits._
+    val got = Sessions.basketRules(s, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+
+    val ui = s.table("events").filter($"event_type" === "purchase")
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull).distinct().as[(Long, Long)].collect()
+    val nRaw = ui.map(_._1).distinct.length
+    val freq = ui.groupBy(_._2)
+      .filter { case (_, rows) => rows.length * 200 >= nRaw }.keySet
+    val baskets = ui.filter(p => freq(p._2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+      .filter { case (_, its) => its.size >= 2 && its.size <= 64 }
+    val n = baskets.size.toLong
+    val supp = baskets.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { its =>
+      val v = its.toVector.sorted
+      for (i <- v.indices; j <- i + 1 until v.size)
+        pairCounts((v(i), v(j))) = pairCounts.getOrElse((v(i), v(j)), 0L) + 1
+    }
+    val want = pairCounts.filter(_._2 * 1000 >= n).map { case ((a, b), nab) =>
+      val (na, nb) = (supp(a), supp(b))
+      ((a, b), (na, nb, nab,
+        nab * 10000 / na, nab * 10000 / nb, nab * n * 10000 / (na * nb)))
+    }.toMap
+    assert(got.nonEmpty && got === want)
+  }
+
   test("heaps curve partitions the vocabulary and telescopes cumulatively") {
     val out = TextOps.heapsCurve(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("bucket"))
