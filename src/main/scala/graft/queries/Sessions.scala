@@ -779,10 +779,16 @@ object Sessions {
       .filter($"n_i" * 200 >= $"n_raw")
       .select($"item")
 
-    val baskets = ui.join(frequent, Seq("item"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_set($"item")).as("items"))
-      .filter(size($"items").between(2, 64))
+    // consumed by four downstream frames (population, supports, the 1-row
+    // total, pair explode) — memoized so the distinct→prune→cap chain and
+    // its 1-row broadcast build once (Memo discipline; without it the plan
+    // replicates the subtree per consumer)
+    val baskets = graft.util.Memo.cached(spark, sfDir, "basket_baskets") {
+      ui.join(frequent, Seq("item"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_set($"item")).as("items"))
+        .filter(size($"items").between(2, 64))
+    }
 
     val pop = baskets.select($"user_id", explode($"items").as("item"))
     val itemSupp = pop.groupBy($"item").agg(count(lit(1)).as("n_i"))

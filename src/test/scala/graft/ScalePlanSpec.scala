@@ -297,6 +297,20 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("basket rules: item-catalog joins shuffle; only the 1-row totals broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Sessions.basketRules(spark, sfDir))
+      assert(p.contains("SortMergeJoin"),
+        s"the apriori prune and support joins must shuffle on the item key:\n$p")
+      // the only broadcasts are the hinted 1-row totals, which plan as
+      // keyless BroadcastNestedLoopJoin cross joins (their subtrees print
+      // once per cached-plan consumer, so counting exchanges over-counts);
+      // no keyed join — prune, supports, pairs — may broadcast a side
+      assert(!p.contains("BroadcastHashJoin"),
+        s"no item-keyed join may broadcast the item catalog:\n$p")
+    }
+  }
+
   test("langid confusion: one scan-side agg; only the label-set totals broadcast") {
     withNoAutoBroadcast {
       val p = plan(TextOps.langIdConfusion(spark, sfDir))
