@@ -88,9 +88,12 @@ object Bpe {
           .localCheckpoint()
         merges = merges :+ top.select(lit(t.toLong).as("merge_rank"),
           $"a".as("pair_left"), $"b".as("pair_right"), $"pair_count")
-        v = v.crossJoin(broadcast(top.select($"a", $"b")))
-          .select($"w", $"freq", expr(mergeFoldSql("toks", "a", "b")).as("toks"))
-          .localCheckpoint()
+        // the round-k rewrite has no consumer (fertility replays the
+        // collected merges over vocab0) — skip the wasted vocab-sized job
+        if (t < bpeMerges)
+          v = v.crossJoin(broadcast(top.select($"a", $"b")))
+            .select($"w", $"freq", expr(mergeFoldSql("toks", "a", "b")).as("toks"))
+            .localCheckpoint()
       }
       merges.reduce(_ unionByName _)
     }
@@ -113,7 +116,11 @@ object Bpe {
       .select($"pair_left", $"pair_right")
       .as[(String, String)].collect()
 
-    def litStr(s: String): String = "'" + s.replace("'", "''") + "'"
+    // Spark SQL string literals are BACKSLASH-escaped (and adjacent
+    // literals concatenate, so SQL-standard '' doubling silently parses as
+    // two empty strings): escape backslash first, then the quote
+    def litStr(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val applied = merges.foldLeft("toks") { case (acc, (a, b)) =>
       mergeFoldSql(acc, litStr(a), litStr(b))
     }

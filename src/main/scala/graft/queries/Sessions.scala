@@ -140,6 +140,14 @@ object Sessions {
               CAST(c.n_users * 10000 // s.cohort_size AS BIGINT) AS retention_bp
        FROM ret_counts c JOIN ret_sizes s ON c.cohort_day = s.cohort_day""")
 
+  /** Funnel conversion window: a stage counts only within this many
+    * seq-div-[[funnelBucketWidth]] blocks of the previous stage. ONE
+    * definition shared by the batch operator, its oracle, the streaming
+    * twin ([[graft.streaming.StreamingFunnel]]) and the twin's spec — the
+    * four sites used to hardcode 150/8 independently. */
+  private[graft] val funnelWindowBuckets = 150L
+  private[graft] val funnelBucketWidth = 8L
+
   /** Ordered conversion funnel view → click → purchase: how many users
     * reach each stage, where a stage counts only if it happens strictly
     * after the previous stage (sequenced on the unique per-event `seq`, so
@@ -163,10 +171,12 @@ object Sessions {
     val s1 = e.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"seq").as("s1"))
     val s2 = e.filter($"event_type" === "click").join(s1, Seq("user_id"))
-      .filter($"seq" > $"s1" && expr("seq div 8 - s1 div 8 <= 150"))
+      .filter($"seq" > $"s1" && expr(
+        s"seq div $funnelBucketWidth - s1 div $funnelBucketWidth <= $funnelWindowBuckets"))
       .groupBy($"user_id").agg(min($"seq").as("s2"))
     val s3 = e.filter($"event_type" === "purchase").join(s2, Seq("user_id"))
-      .filter($"seq" > $"s2" && expr("seq div 8 - s2 div 8 <= 150"))
+      .filter($"seq" > $"s2" && expr(
+        s"seq div $funnelBucketWidth - s2 div $funnelBucketWidth <= $funnelWindowBuckets"))
       .groupBy($"user_id").agg(min($"seq").as("s3"))
 
     users
@@ -180,18 +190,18 @@ object Sessions {
   }
 
   val funnelOracle: String = Fixtures.oracle(
-    """, fun_s1 AS (
+    s""", fun_s1 AS (
          SELECT user_id, MIN(seq) AS s1 FROM ek WHERE event_type = 'view' GROUP BY 1),
        fun_s2 AS (
          SELECT e.user_id, MIN(e.seq) AS s2 FROM ek e
          JOIN fun_s1 f ON e.user_id = f.user_id
          WHERE e.event_type = 'click' AND e.seq > f.s1
-           AND e.seq // 8 - f.s1 // 8 <= 150 GROUP BY 1),
+           AND e.seq // $funnelBucketWidth - f.s1 // $funnelBucketWidth <= $funnelWindowBuckets GROUP BY 1),
        fun_s3 AS (
          SELECT e.user_id, MIN(e.seq) AS s3 FROM ek e
          JOIN fun_s2 f ON e.user_id = f.user_id
          WHERE e.event_type = 'purchase' AND e.seq > f.s2
-           AND e.seq // 8 - f.s2 // 8 <= 150 GROUP BY 1),
+           AND e.seq // $funnelBucketWidth - f.s2 // $funnelBucketWidth <= $funnelWindowBuckets GROUP BY 1),
        fun_stage AS (
          SELECT u.user_id,
                 CASE WHEN s3.user_id IS NOT NULL THEN 3

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -98,6 +98,26 @@ object TextOps {
                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
          FROM documents) t""")
 
+  /** The language detector, ONE definition per dialect: stop-ratio scoring
+    * and the threshold ladder are shared by [[langId]] and
+    * [[langIdConfusion]] (and their oracles), so the confusion matrix can
+    * never drift from the detector it audits. */
+  private def langStopRatioCol: Column =
+    expr(stopCountSpark("text")).cast(DoubleType) /
+      size(split(col("text"), " ")).cast(DoubleType)
+
+  private def langPredCol(r: Column): Column =
+    when(r >= 0.08, "en").when(r >= 0.04, "en_like").otherwise("other")
+
+  private val langStopRatioSql: String =
+    s"""CAST(${stopCountDuck("text")} AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE)"""
+
+  private val langPredSql: String =
+    """CASE WHEN stop_ratio >= 0.08 THEN 'en'
+            WHEN stop_ratio >= 0.04 THEN 'en_like'
+            ELSE 'other' END"""
+
   /** Language-ID heuristic: n-gram/stopword evidence → label. (The corpus is
     * synthetic, so this classifies by English-stopword density; the operator
     * shape — explode-free per-row scoring — is what matters at scale.) */
@@ -105,27 +125,19 @@ object TextOps {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     spark.table("documents")
-      .withColumn("stop_ratio",
-        expr(stopCountSpark("text")).cast(DoubleType) /
-          size(split($"text", " ")).cast(DoubleType))
+      .withColumn("stop_ratio", langStopRatioCol)
       .select(
         $"doc_id",
         round($"stop_ratio", 6).as("en_score"),
-        when($"stop_ratio" >= 0.08, "en")
-          .when($"stop_ratio" >= 0.04, "en_like")
-          .otherwise("other").as("lang_pred"))
+        langPredCol($"stop_ratio").as("lang_pred"))
   }
 
   val langIdOracle: String = Fixtures.oracle(
     s"""SELECT doc_id,
               ROUND(stop_ratio, 6) AS en_score,
-              CASE WHEN stop_ratio >= 0.08 THEN 'en'
-                   WHEN stop_ratio >= 0.04 THEN 'en_like'
-                   ELSE 'other' END AS lang_pred
+              $langPredSql AS lang_pred
        FROM (
-         SELECT doc_id,
-                CAST(${stopCountDuck("text")} AS DOUBLE)
-                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         SELECT doc_id, $langStopRatioSql AS stop_ratio
          FROM documents) t""")
 
   /** Language-ID confusion matrix: detector prediction vs the corpus's own
@@ -141,16 +153,17 @@ object TextOps {
   def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val cells = spark.table("documents")
-      .withColumn("stop_ratio",
-        expr(stopCountSpark("text")).cast(DoubleType) /
-          size(split($"text", " ")).cast(DoubleType))
-      .select(
-        coalesce($"lang", lit("unknown")).as("lang"),
-        when($"stop_ratio" >= 0.08, "en")
-          .when($"stop_ratio" >= 0.04, "en_like")
-          .otherwise("other").as("lang_pred"))
-      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("docs"))
+    // consumed twice below (totals + share join): memoized so the corpus
+    // scan with the stopword scoring runs once; the frame is
+    // (labels × 3 predictions)-sized
+    val cells = graft.util.Memo.cached(spark, sfDir, "langid_cells") {
+      spark.table("documents")
+        .withColumn("stop_ratio", langStopRatioCol)
+        .select(
+          coalesce($"lang", lit("unknown")).as("lang"),
+          langPredCol($"stop_ratio").as("lang_pred"))
+        .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("docs"))
+    }
     val totals = cells.groupBy($"lang").agg(sum($"docs").as("lang_docs"))
     cells.join(broadcast(totals), Seq("lang"))
       .select($"lang", $"lang_pred", $"docs",
@@ -160,14 +173,10 @@ object TextOps {
   val langIdConfusionOracle: String = Fixtures.oracle(
     s""", lc_cells AS (
          SELECT COALESCE(lang, 'unknown') AS lang,
-                CASE WHEN stop_ratio >= 0.08 THEN 'en'
-                     WHEN stop_ratio >= 0.04 THEN 'en_like'
-                     ELSE 'other' END AS lang_pred,
+                $langPredSql AS lang_pred,
                 COUNT(1) AS docs
          FROM (
-           SELECT lang,
-                  CAST(${stopCountDuck("text")} AS DOUBLE)
-                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+           SELECT lang, $langStopRatioSql AS stop_ratio
            FROM documents) t
          GROUP BY 1, 2),
        lc_tot AS (SELECT lang, SUM(docs) AS lang_docs FROM lc_cells GROUP BY 1)
@@ -1910,9 +1919,13 @@ object TextOps {
       .groupBy($"term").agg(min($"bucket").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("new_terms"))
 
+    // both sides of the triangular self-join read this ≤ 16-row frame;
+    // materialize it so the two corpus-sized aggregations behind it run
+    // once, not once per side
     val perBucket = docStats.join(newTerms, Seq("bucket"), "left")
       .select($"bucket", $"docs", $"tokens",
         coalesce($"new_terms", lit(0L)).as("new_terms"))
+      .localCheckpoint()
 
     perBucket
       .join(perBucket.select($"bucket".as("h_b"), $"new_terms".as("h_n")),

@@ -35,8 +35,10 @@ object StreamingFunnel {
     * latest row per user is the current stage). */
   case class UserStage(user_id: Long, stage: Long)
 
-  /** Window width in seq-div-8 buckets — the batch operator's constant. */
-  val windowBuckets = 150L
+  /** The batch operator's window constants — ONE shared definition
+    * (graft.queries.Sessions), so twin and batch can never drift. */
+  val windowBuckets: Long = graft.queries.Sessions.funnelWindowBuckets
+  val bucketWidth: Long = graft.queries.Sessions.funnelBucketWidth
 
   private def stageOf(st: FunnelState): Long =
     if (st.s3 >= 0) 3L else if (st.s2 >= 0) 2L else if (st.s1 >= 0) 1L else 0L
@@ -54,10 +56,10 @@ object StreamingFunnel {
               case "view" if st.s1 < 0 =>
                 st = st.copy(s1 = e.seq)
               case "click" if st.s2 < 0 && st.s1 >= 0 && e.seq > st.s1 &&
-                  e.seq / 8 - st.s1 / 8 <= windowBuckets =>
+                  e.seq / bucketWidth - st.s1 / bucketWidth <= windowBuckets =>
                 st = st.copy(s2 = e.seq)
               case "purchase" if st.s3 < 0 && st.s2 >= 0 && e.seq > st.s2 &&
-                  e.seq / 8 - st.s2 / 8 <= windowBuckets =>
+                  e.seq / bucketWidth - st.s2 / bucketWidth <= windowBuckets =>
                 st = st.copy(s3 = e.seq)
               case _ =>
             }

@@ -132,6 +132,41 @@ class BpeSpec extends SparkSpec {
     graft.util.Memo.release(s, dir.toString)
   }
 
+  test("merge tokens containing quotes or backslashes survive the literal replay") {
+    // real corpora learn merges like ("'", "s"); Spark SQL string literals
+    // are backslash-escaped and CONCATENATE adjacent literals, so the
+    // SQL-standard '' doubling silently produced a wrong (empty) literal —
+    // this corpus forces both a quote and a backslash into the merge table
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_esc")
+    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    }
+    Seq((1L, "'s 's 's a\\b a\\b", "en", "srcA", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+
+    val merges = graft.queries.Bpe.trainMerges(s, dir.toString)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right").as[(String, String)].collect().toVector
+    assert(merges.exists { case (a, b) => (a + b).contains("'") },
+      s"a quote merge must be learned: $merges")
+    assert(merges.exists { case (a, b) => (a + b).contains("\\") },
+      s"a backslash merge must be learned: $merges")
+
+    // fertility replays those merges as SQL literals; with broken escaping
+    // the quote merge silently never applies (tokens > words) or the
+    // backslash merge throws a ParseException
+    val fert = graft.queries.Bpe.fertility(s, dir.toString)
+      .select($"words", $"tokens").as[(Long, Long)].head()
+    assert(fert === ((5L, 5L)),
+      s"full merging must collapse every word to one token: $fert")
+    graft.util.Memo.release(s, dir.toString)
+  }
+
   test("applying the merge table preserves every word's concatenated content") {
     val s = spark
     import s.implicits._

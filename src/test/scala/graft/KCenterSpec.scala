@@ -86,8 +86,13 @@ class KCenterSpec extends SparkSpec {
     }
     assert(rows.map(_._2).distinct.length == rows.length, "centers must be distinct")
 
+    // the SAME triple guard as the operator's index boundary (vecs):
+    // NaN > 0 is TRUE under Spark's ordering and +Inf passes a plain
+    // positivity check, so either leg alone over-counts
     val n = s.table("embeddings")
-      .filter(expr("graft_dot(embedding, embedding) > 0"))
+      .filter(expr("""graft_dot(embedding, embedding) > 0
+                      AND NOT isnan(graft_dot(embedding, embedding))
+                      AND graft_dot(embedding, embedding) < double('Infinity')"""))
       .count()
     assert(rows.map(_._4).sum == n,
       s"coverage must partition the ${n} valid points, got ${rows.map(_._4).sum}")

@@ -31,10 +31,11 @@ class StreamingFunnelSpec extends SparkSpec {
     evs.groupBy(_.user_id).map { case (u, es) =>
       val s1 = es.filter(_.event_type == "view").map(_.seq)
         .minOption
+      val (wb, bw) = (StreamingFunnel.windowBuckets, StreamingFunnel.bucketWidth)
       val s2 = s1.flatMap(v => es.filter(e => e.event_type == "click" &&
-        e.seq > v && e.seq / 8 - v / 8 <= 150).map(_.seq).minOption)
+        e.seq > v && e.seq / bw - v / bw <= wb).map(_.seq).minOption)
       val s3 = s2.flatMap(c => es.filter(e => e.event_type == "purchase" &&
-        e.seq > c && e.seq / 8 - c / 8 <= 150).map(_.seq).minOption)
+        e.seq > c && e.seq / bw - c / bw <= wb).map(_.seq).minOption)
       u -> (if (s3.isDefined) 3L else if (s2.isDefined) 2L
             else if (s1.isDefined) 1L else 0L)
     }
