@@ -626,6 +626,66 @@ object Dedup {
        FROM lsh_pairs p
        JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b""")
 
+  /** Matches-count thresholds swept by [[thresholdCurve]] (est. Jaccard =
+    * m/16, so these are 0.5, 0.625, 0.75, 0.875, 1.0). Integer match
+    * counts, never the rounded double, so the cut is cross-engine exact. */
+  private val curveTaus = Seq(8L, 10L, 12L, 14L, 16L)
+
+  /** Dedup-rate-vs-threshold curve — the knob-picking table a dedup
+    * deployment reads before choosing its Jaccard cut (the dedup papers'
+    * removal-rate curve): for each threshold, the qualifying candidate
+    * pairs, the documents removed under the canonical-min rule (a doc is
+    * removed iff it has a qualifying near-dup with a SMALLER id — the same
+    * election [[dedupExact]]/[[minhashLsh]] use), and the removal share of
+    * the corpus in basis points. Rides entirely on the MEMOIZED
+    * [[minhashEstimate]] candidate frame — the band self-join and the
+    * signature folds never re-run, and the 5-row threshold sweep is one
+    * non-equi join against a candidate-pair-sized (bounded) frame plus a
+    * 1-row corpus total. */
+  def thresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val cand = minhashEstimate(spark, sfDir).select($"doc_b", $"matches")
+    val taus = curveTaus.toDF("m")
+    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
+
+    taus.join(cand, $"matches" >= $"m", "left")
+      .groupBy($"m")
+      .agg(count($"doc_b").as("n_pairs"),
+        countDistinct($"doc_b").as("docs_removed"))
+      .crossJoin(broadcast(nDocs))
+      .select($"m".as("tau_matches"),
+        ($"m" * 625L).as("tau_bp"),
+        $"n_pairs", $"docs_removed",
+        expr("docs_removed * 10000 DIV n_docs").as("removal_bp"))
+  }
+
+  val thresholdCurveOracle: String = Fixtures.oracle(
+    minhashPairCtes +
+      s""",
+       tc_matches AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
+         FROM minhashes a
+         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       tc_cand AS (
+         SELECT p.doc_b, m.matches
+         FROM lsh_pairs p
+         JOIN tc_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b),
+       tc_tau AS (SELECT CAST(t.m AS BIGINT) AS m
+                  FROM UNNEST([${curveTaus.mkString(", ")}]) AS t(m)),
+       tc_agg AS (
+         SELECT t.m, COUNT(c.doc_b) AS n_pairs,
+                COUNT(DISTINCT c.doc_b) AS docs_removed
+         FROM tc_tau t LEFT JOIN tc_cand c ON c.matches >= t.m
+         GROUP BY 1),
+       tc_n AS (SELECT COUNT(1) AS n_docs FROM documents)
+       SELECT a.m AS tau_matches, CAST(a.m * 625 AS BIGINT) AS tau_bp,
+              CAST(a.n_pairs AS BIGINT) AS n_pairs,
+              CAST(a.docs_removed AS BIGINT) AS docs_removed,
+              CAST((a.docs_removed * 10000) // n.n_docs AS BIGINT) AS removal_bp
+       FROM tc_agg a, tc_n n""")
+
   /** Estimator-quality harness for [[minhashEstimate]]: per LSH candidate
     * pair, the signature estimate `matches/16` NEXT TO the exact gram-set
     * Jaccard and their absolute error — the number a dedup deployment
@@ -997,6 +1057,7 @@ object Dedup {
        HAVING MAX(run_len) >= 2""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_threshold_curve" -> (thresholdCurve _),
     "dedup_substring_runs" -> (substringRuns _),
     "corpus_novelty_kmv" -> (corpusNoveltyKmv _),
     "dedup_containment" -> (containment _),
@@ -1013,6 +1074,7 @@ object Dedup {
     "dedup_cluster_components" -> (clusterComponents _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_threshold_curve" -> thresholdCurveOracle,
     "dedup_substring_runs" -> substringRunsOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_winnow" -> winnowOracle,

@@ -296,6 +296,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup threshold curve is monotone and consistent with the estimate frame") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.thresholdCurve(s, sfDir)
+      .orderBy($"tau_matches")
+      .select($"tau_matches", $"tau_bp", $"n_pairs", $"docs_removed", $"removal_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(8L, 10L, 12L, 14L, 16L))
+    rows.foreach { case (m, bp, _, _, _) => assert(bp === m * 625L) }
+    // tightening the threshold can only shrink pairs and removals
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._3 <= lo._3, s"pairs must be non-increasing: $lo -> $hi")
+        assert(hi._4 <= lo._4, s"removals must be non-increasing: $lo -> $hi")
+      case _ =>
+    }
+    // each row recomputes from the estimate frame under the canonical-min rule
+    val cand = Dedup.minhashEstimate(s, sfDir)
+      .select($"doc_b", $"matches").as[(Long, Long)].collect()
+    val nDocs = s.table("documents").count()
+    rows.foreach { case (m, _, nPairs, removed, remBp) =>
+      val q = cand.filter(_._2 >= m)
+      assert(nPairs === q.length.toLong, s"tau $m pairs")
+      assert(removed === q.map(_._1).distinct.length.toLong, s"tau $m removals")
+      assert(remBp === removed * 10000L / nDocs)
+    }
+  }
+
   test("basket rules recompute from a driver-side apriori over raw purchases") {
     val s = spark
     import s.implicits._
