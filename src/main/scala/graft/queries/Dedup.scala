@@ -163,8 +163,11 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
-  /** MinHash band + candidate-pair CTE chain, shared by the LSH oracle and
-    * the cluster-components oracle. */
+  /** MinHash band + candidate-pair CTE chain, shared by every
+    * minhash-family oracle. `sig_matches`/`cand_matches` carry the
+    * per-pair signature-agreement counts — ONE definition (four oracles
+    * used to repeat it verbatim); oracles that don't reference them pay
+    * nothing (unreferenced CTEs are never evaluated). */
   private val minhashPairCtes: String =
     s""", word_hashes AS (
          SELECT DISTINCT doc_id, ${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} AS wh
@@ -185,7 +188,16 @@ object Dedup {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_bands
          FROM bands a
          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)"""
+         GROUP BY 1, 2),
+       sig_matches AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
+         FROM minhashes a
+         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       cand_matches AS (
+         SELECT p.doc_a, p.doc_b, p.shared_bands, m.matches
+         FROM lsh_pairs p
+         JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b)"""
 
   val minhashLshOracle: String = Fixtures.oracle(
     minhashPairCtes + "\n       SELECT doc_a, doc_b, shared_bands FROM lsh_pairs")
@@ -222,19 +234,13 @@ object Dedup {
   val sourceOverlapOracle: String = Fixtures.oracle(
     minhashPairCtes +
       """,
-       so_m AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
-         FROM minhashes a
-         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
        so_s AS (
          SELECT LEAST(da.source, db.source) AS source_a,
                 GREATEST(da.source, db.source) AS source_b,
                 m.matches
-         FROM lsh_pairs p
-         JOIN so_m m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
-         JOIN documents da ON p.doc_a = da.doc_id
-         JOIN documents db ON p.doc_b = db.doc_id)
+         FROM cand_matches m
+         JOIN documents da ON m.doc_a = da.doc_id
+         JOIN documents db ON m.doc_b = db.doc_id)
        SELECT source_a, source_b, COUNT(1) AS n_pairs,
               CAST(SUM(CASE WHEN matches * 2 >= 16 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_strong,
@@ -615,16 +621,10 @@ object Dedup {
 
   val minhashEstimateOracle: String = Fixtures.oracle(
     minhashPairCtes +
-      """,
-       sig_matches AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
-         FROM minhashes a
-         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-       SELECT p.doc_a, p.doc_b, p.shared_bands, m.matches,
-              ROUND(CAST(m.matches AS DOUBLE) / 16.0, 6) AS est_jaccard
-       FROM lsh_pairs p
-       JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b""")
+      """
+       SELECT doc_a, doc_b, shared_bands, matches,
+              ROUND(CAST(matches AS DOUBLE) / 16.0, 6) AS est_jaccard
+       FROM cand_matches""")
 
   /** Matches-count thresholds swept by [[thresholdCurve]] (est. Jaccard =
     * m/16, so these are 0.5, 0.625, 0.75, 0.875, 1.0). Integer match
@@ -657,33 +657,30 @@ object Dedup {
       .select($"m".as("tau_matches"),
         ($"m" * 625L).as("tau_bp"),
         $"n_pairs", $"docs_removed",
-        expr("docs_removed * 10000 DIV n_docs").as("removal_bp"))
+        // empty-corpus guard: the tau frame still emits 5 rows, so the
+        // share must not divide by a zero doc count (DuckDB // by zero
+        // errors; the CASE twin is in the oracle)
+        expr("CASE WHEN n_docs = 0 THEN 0L ELSE docs_removed * 10000 DIV n_docs END")
+          .as("removal_bp"))
   }
 
   val thresholdCurveOracle: String = Fixtures.oracle(
     minhashPairCtes +
       s""",
-       tc_matches AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
-         FROM minhashes a
-         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       tc_cand AS (
-         SELECT p.doc_b, m.matches
-         FROM lsh_pairs p
-         JOIN tc_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b),
        tc_tau AS (SELECT CAST(t.m AS BIGINT) AS m
                   FROM UNNEST([${curveTaus.mkString(", ")}]) AS t(m)),
        tc_agg AS (
          SELECT t.m, COUNT(c.doc_b) AS n_pairs,
                 COUNT(DISTINCT c.doc_b) AS docs_removed
-         FROM tc_tau t LEFT JOIN tc_cand c ON c.matches >= t.m
+         FROM tc_tau t LEFT JOIN cand_matches c ON c.matches >= t.m
          GROUP BY 1),
        tc_n AS (SELECT COUNT(1) AS n_docs FROM documents)
        SELECT a.m AS tau_matches, CAST(a.m * 625 AS BIGINT) AS tau_bp,
               CAST(a.n_pairs AS BIGINT) AS n_pairs,
               CAST(a.docs_removed AS BIGINT) AS docs_removed,
-              CAST((a.docs_removed * 10000) // n.n_docs AS BIGINT) AS removal_bp
+              CAST(CASE WHEN n.n_docs = 0 THEN 0
+                        ELSE (a.docs_removed * 10000) // n.n_docs END AS BIGINT)
+                AS removal_bp
        FROM tc_agg a, tc_n n""")
 
   /** Estimator-quality harness for [[minhashEstimate]]: per LSH candidate
@@ -724,11 +721,6 @@ object Dedup {
   val minhashQualityOracle: String = Fixtures.oracle(
     minhashPairCtes +
       """,
-       mq_sig_matches AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS matches
-         FROM minhashes a
-         JOIN minhashes b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
        mq_grams AS (
          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
@@ -749,7 +741,7 @@ object Dedup {
                     - (CAST(COALESCE(i.inter, 0) AS DOUBLE)
                        / CAST(ca.n_grams + cb.n_grams - COALESCE(i.inter, 0) AS DOUBLE))), 6) AS abs_err
        FROM lsh_pairs p
-       JOIN mq_sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+       JOIN sig_matches m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
        LEFT JOIN mq_inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
        JOIN mq_counts ca ON p.doc_a = ca.doc_id
        JOIN mq_counts cb ON p.doc_b = cb.doc_id""")
