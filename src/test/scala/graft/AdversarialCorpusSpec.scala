@@ -100,6 +100,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "corpus_curation" -> (_ <= 12),
     "dedup_exact" -> (_ >= 1),
     "dedup_minhash_lsh" -> (_ >= 0),
+    "dedup_threshold_curve" -> (_ == 5),    // tau frame drives the output
     "dedup_ngram_jaccard" -> (_ >= 0),
     "sample_stratified" -> (_ <= 12),
     "split_train_holdout" -> (_ == 12),
