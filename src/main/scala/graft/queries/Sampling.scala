@@ -310,6 +310,81 @@ object Sampling {
           ON r.lang = d.lang
         WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
 
+  /** UniMax capped-uniform language sampling (Chung et al., 2023): spread
+    * a fixed budget (half the corpus, [[temperatureMix]]'s convention)
+    * UNIFORMLY across languages, except that a language smaller than its
+    * uniform share is taken whole and its slack re-spread over the rest —
+    * the water-filling allocation that avoids both temperature sampling's
+    * head-domination and epoch-repetition of tiny languages.
+    *
+    * The water level is found by the classic sorted sweep, all integer:
+    * rank languages by size ascending; at rank k the fair share of the
+    * remaining budget is `(B − cum) DIV (L − k + 1)` — the first rank whose
+    * size EXCEEDS its share fixes the cap c for every larger language
+    * (ascending order guarantees all later ranks overflow too). The sweep
+    * runs over the language-count frame — label-set-sized, the same
+    * bounded-window class as the other domain tables (never the corpus).
+    * Quotas convert to bp rates and apply with the shared deterministic
+    * hash decision; truncating DIV on both engines keeps every threshold
+    * bit-identical. */
+  def unimaxSample(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val docs = spark.table("documents")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_d"))
+    val tot = counts.agg(sum($"n_d").as("total"), count(lit(1)).as("n_langs"))
+
+    val w = Window.orderBy($"n_d", $"lang")
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("cum_excl", coalesce(
+        sum($"n_d").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("share", expr("((total DIV 2) - cum_excl) DIV (n_langs - k + 1)"))
+
+    // the first overflowing rank's share IS the water level; with budget
+    // < corpus at least one rank overflows, the left join is belt
+    val level = ranked.filter($"n_d" > $"share")
+      .orderBy($"k").limit(1).select($"share".as("c"))
+    val rates = ranked.join(broadcast(level), lit(true), "left")
+      .select($"lang",
+        when($"n_d" <= $"share", lit(10000L))
+          .otherwise(expr("(least(n_d, coalesce(c, 0L)) * 10000) DIV n_d"))
+          .as("rate_bp"))
+
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", (expr(bucketExprSql("doc_id")) % 10000L).cast(LongType))
+      .filter($"bucket" < $"rate_bp")
+      .select($"doc_id", $"lang", $"bucket", $"rate_bp")
+  }
+
+  val unimaxSampleOracle: String = Fixtures.oracle(
+    s""", um_c AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+       um_t AS (SELECT SUM(n_d) AS total, COUNT(*) AS n_langs FROM um_c),
+       um_s AS (
+         SELECT lang, n_d,
+                ((t.total // 2) - COALESCE(SUM(n_d) OVER (ORDER BY n_d, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                  // (t.n_langs - ROW_NUMBER() OVER (ORDER BY n_d, lang) + 1)
+                  AS share,
+                ROW_NUMBER() OVER (ORDER BY n_d, lang) AS k
+         FROM um_c, um_t t),
+       um_lvl AS (SELECT share AS c FROM um_s WHERE n_d > share
+                  ORDER BY k LIMIT 1),
+       um_rates AS (
+         SELECT s.lang,
+                CAST(CASE WHEN s.n_d <= s.share THEN 10000
+                          ELSE (LEAST(s.n_d, COALESCE(l.c, 0)) * 10000) // s.n_d
+                     END AS BIGINT) AS rate_bp
+         FROM um_s s LEFT JOIN um_lvl l ON TRUE)
+       SELECT d.doc_id, d.lang,
+              CAST(${bucketExprSql("d.doc_id")} % 10000 AS BIGINT) AS bucket,
+              r.rate_bp
+       FROM documents d JOIN um_rates r ON d.lang = r.lang
+       WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
+
   /** Importance (weighted) sampling: keep-probability proportional to a
     * per-document weight — here a length proxy capped at 95% — instead of
     * a per-stratum constant. Same deterministic-hash machinery as the
@@ -575,7 +650,8 @@ object Sampling {
     "embedding_quantize" -> (embeddingQuantize _),
     "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)),
     "sample_domain_mix" -> (domainMix _),
-    "sample_temperature_mix" -> (temperatureMix _))
+    "sample_temperature_mix" -> (temperatureMix _),
+    "sample_unimax" -> (unimaxSample _))
 
   val oracles: Map[String, String] = Map(
     "mix_doremi_weights" -> doremiWeightsOracle,
@@ -589,5 +665,6 @@ object Sampling {
     "embedding_quantize" -> embeddingQuantizeOracle,
     "pack_token_budget" -> packTokenBudgetOracle,
     "sample_domain_mix" -> domainMixOracle,
-    "sample_temperature_mix" -> temperatureMixOracle)
+    "sample_temperature_mix" -> temperatureMixOracle,
+    "sample_unimax" -> unimaxSampleOracle)
 }

@@ -296,6 +296,47 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("unimax water level is the maximal uniform cap within the half-corpus budget") {
+    val s = spark
+    import s.implicits._
+    val rates = Sampling.unimaxSample(s, sfDir)
+      .select($"lang", $"rate_bp").distinct().as[(String, Long)].collect().toMap
+    val counts = s.table("documents").groupBy($"lang")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val b = total / 2
+
+    // independent driver-side water-fill sweep: languages processed before
+    // the first overflow are taken whole; the overflow rank's share is the
+    // cap for everyone else
+    val sorted = counts.toSeq.sortBy { case (l, n) => (n, l) }
+    val L = sorted.length
+    var cum = 0L
+    var cap = -1L
+    val full = scala.collection.mutable.Set.empty[String]
+    sorted.zipWithIndex.foreach { case ((l, n), i) =>
+      if (cap < 0) {
+        val share = (b - cum) / (L - i)
+        if (n > share) cap = share else { full += l; cum += n }
+      }
+    }
+    assert(cap >= 0, "a half-corpus budget must cap at least one language")
+    val quota = counts.map { case (l, n) =>
+      l -> (if (full(l)) n else math.min(n, cap)) }
+
+    // operator rates equal the replayed quotas
+    counts.keys.foreach { l =>
+      val want = if (full(l)) 10000L else quota(l) * 10000L / counts(l)
+      assert(rates.get(l).contains(want), s"$l: ${rates.get(l)} vs $want")
+    }
+    // feasible and maximal: the quota fits the budget, a one-higher cap
+    // would not
+    assert(quota.values.sum <= b)
+    val bumped = counts.map { case (l, n) =>
+      if (full(l)) n else math.min(n, cap + 1) }.sum
+    assert(bumped > b, s"cap $cap must be maximal (bumped $bumped <= budget $b)")
+  }
+
   test("dedup threshold curve is monotone and consistent with the estimate frame") {
     val s = spark
     import s.implicits._
