@@ -103,6 +103,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "dedup_threshold_curve" -> (_ == 5),    // tau frame drives the output
     "dedup_ngram_jaccard" -> (_ >= 0),
     "sample_stratified" -> (_ <= 12),
+    "sample_unimax" -> (_ <= 12),
     "split_train_holdout" -> (_ == 12),
     "corpus_pretrain_funnel" -> (_ == 6),
     "sim_ann_lsh" -> (_ >= 0),
