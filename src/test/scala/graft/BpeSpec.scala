@@ -17,13 +17,9 @@ class BpeSpec extends SparkSpec {
 
   /** Driver-side reference trainer: greedy weighted pair counts over the
     * distinct-word vocabulary, ties by (a, b), left-to-right application. */
-  private def bruteTrain(k: Int): Vector[(String, String, Long)] = {
-    val s = spark
-    import s.implicits._
-    graft.fixtures.Fixtures.register(s, sfDir)
+  private def bruteTrain(words: Seq[String], k: Int): Vector[(String, String, Long)] = {
     val vocab = scala.collection.mutable.Map[Vector[String], Long]()
-    s.table("documents").select($"text").as[String].collect()
-      .flatMap(t => t.split(" ").filter(_.nonEmpty))
+    words
       .foreach { w =>
         val key = w.toCharArray.map(_.toString).toVector
         vocab(key) = vocab.getOrElse(key, 0L) + 1
@@ -60,7 +56,14 @@ class BpeSpec extends SparkSpec {
       .orderBy($"merge_rank")
       .select($"pair_left", $"pair_right", $"pair_count")
       .as[(String, String, Long)].collect().toVector
-    val want = bruteTrain(12)
+    val corpusWords = {
+      val sess = spark
+      import sess.implicits._
+      graft.fixtures.Fixtures.register(sess, sfDir)
+      sess.table("documents").select($"text").as[String].collect().toSeq
+        .flatMap(t => t.split(" ").filter(_.nonEmpty))
+    }
+    val want = bruteTrain(corpusWords, 12)
     assert(got == want, s"\nspark: $got\nbrute: $want")
   }
 
@@ -130,6 +133,38 @@ class BpeSpec extends SparkSpec {
     assert(fert.toSeq === Seq(("en", 4L, 4L)),
       "after full merging every word is exactly one token")
     graft.util.Memo.release(s, dir.toString)
+  }
+
+  test("randomized corpora: trainer equals the driver replay on seeded word soups") {
+    // small alphabet + short words force dense pair collisions and ties —
+    // the regimes where a tie-break or fold bug would show; three seeded
+    // corpora, each trained end-to-end and compared merge-for-merge
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector.fill(30 + rnd.nextInt(20)) {
+        (0 to rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val docs = words.grouped(8).map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "srcA", t.length.toLong) }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bpe_rnd$seed")
+      for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+          dir.resolve(s"$t.parquet"))
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+
+      val got = graft.queries.Bpe.trainMerges(s, dir.toString)
+        .orderBy($"merge_rank")
+        .select($"pair_left", $"pair_right", $"pair_count")
+        .as[(String, String, Long)].collect().toVector
+      val want = bruteTrain(words, 12)
+      assert(got === want, s"seed $seed:\nspark: $got\nbrute: $want")
+      graft.util.Memo.release(s, dir.toString)
+    }
   }
 
   test("merge tokens containing quotes or backslashes survive the literal replay") {

@@ -24,13 +24,16 @@ class KCenterSpec extends SparkSpec {
     acc
   }
 
-  private def bruteGreedy(k: Int): Vector[(Long, Double)] = {
+  private def fixturePoints(dir: String): Array[(Long, Array[Float])] = {
     val s = spark
     import s.implicits._
-    graft.fixtures.Fixtures.register(s, sfDir)
-    val pts = s.table("embeddings")
-      .select($"vec_id", $"embedding")
+    graft.fixtures.Fixtures.register(s, dir)
+    s.table("embeddings").select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect()
+  }
+
+  private def bruteGreedy(raw: Seq[(Long, Array[Float])], k: Int): Vector[(Long, Double)] = {
+    val pts = raw
       .map { case (id, e) => (id, e, dot(e, e)) }
       .filter { case (_, _, n2) => n2 > 0 && !n2.isNaN && n2 < Double.PositiveInfinity }
       .sortBy(_._1)
@@ -61,13 +64,50 @@ class KCenterSpec extends SparkSpec {
       .orderBy($"round")
       .select($"round", $"center_id", $"radius2")
       .as[(Long, Long, Double)].collect().toVector
-    val want = bruteGreedy(8)
+    val want = bruteGreedy(fixturePoints(sfDir), 8)
     assert(got.size == want.size, s"expected ${want.size} centers, got ${got.size}")
     got.zip(want).zipWithIndex.foreach { case (((r, id, rad), (wid, wrad)), i) =>
       assert(r == i + 1)
       assert(id == wid, s"round ${i + 1}: picked $id, brute force picked $wid")
       assert(math.abs(rad - BigDecimal(wrad).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
         s"round ${i + 1}: radius $rad vs brute ${wrad}")
+    }
+  }
+
+  test("randomized embeddings: selection equals the driver replay on seeded point sets") {
+    // clustered points + exact duplicates + a zero vector exercise the
+    // tie-breaks, the dup-exclusion (mind2 > 0) and the norm guard on
+    // inputs the fixture never produces; three seeded sets
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(5, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 40).map(i => (0 until 8).map(d =>
+        (math.sin(i * 31 + d * 7) + rnd.nextGaussian() * 0.1).toFloat).toArray)
+      val rows: Seq[(Long, Array[Float], Int)] = (0L until 40L).map {
+        case 7L  => (7L, Array.fill(8)(0f), 0)  // zero vector: guarded out
+        case 13L => (13L, base(1).clone, 0)     // exact duplicate of vec 1
+        case i   => (i, base(i.toInt), 0)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_kc_rnd$seed")
+      for (t <- graft.fixtures.Fixtures.baseTables if t != "embeddings") {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+          dir.resolve(s"$t.parquet"))
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+
+      val got = Similarity.kcenterSelect(s, dir.toString)
+        .orderBy($"round")
+        .select($"center_id", $"radius2").as[(Long, Double)].collect().toVector
+      val want = bruteGreedy(rows.map(r => (r._1, r._2)), 8)
+      assert(got.map(_._1) === want.map(_._1), s"seed $seed: $got vs $want")
+      got.zip(want).foreach { case ((_, rad), (_, wrad)) =>
+        assert(math.abs(rad - BigDecimal(wrad)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+      graft.util.Memo.release(s, dir.toString)
     }
   }
 
