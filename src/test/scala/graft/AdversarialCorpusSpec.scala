@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,14 +17,8 @@ import graft.queries.{Dedup, Sampling, TextOps}
 class AdversarialCorpusSpec extends SparkSpec {
 
   private lazy val advDir: String = {
-    val dir = Files.createTempDirectory("graft_adv")
     // reuse every well-formed table from the smallest fixture unchanged
-    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents" && t != "embeddings") {
-      Files.copy(
-        Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
-        dir.resolve(s"$t.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
+    val dir = SparkSpec.fixtureDirExcept("documents", "embeddings")
     writeAdversarialEmbeddings(dir.resolve("embeddings.parquet").toString)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -13,7 +13,7 @@ import graft.queries.{Bpe, TextOps}
   */
 class BpeSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = SparkSpec.fixtureSf
 
   /** Driver-side reference trainer: greedy weighted pair counts over the
     * distinct-word vocabulary, ties by (a, b), left-to-right application. */
@@ -56,13 +56,9 @@ class BpeSpec extends SparkSpec {
       .orderBy($"merge_rank")
       .select($"pair_left", $"pair_right", $"pair_count")
       .as[(String, String, Long)].collect().toVector
-    val corpusWords = {
-      val sess = spark
-      import sess.implicits._
-      graft.fixtures.Fixtures.register(sess, sfDir)
-      sess.table("documents").select($"text").as[String].collect().toSeq
-        .flatMap(t => t.split(" ").filter(_.nonEmpty))
-    }
+    graft.fixtures.Fixtures.register(s, sfDir)
+    val corpusWords = s.table("documents").select($"text").as[String].collect().toSeq
+      .flatMap(t => t.split(" ").filter(_.nonEmpty))
     val want = bruteTrain(corpusWords, 12)
     assert(got == want, s"\nspark: $got\nbrute: $want")
   }
@@ -108,12 +104,7 @@ class BpeSpec extends SparkSpec {
     import s.implicits._
     // a corpus whose vocabulary runs out of pairs before the 12-round
     // budget: two 2-char words = exactly 2 possible merges
-    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_exh")
-    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
-        dir.resolve(s"$t.parquet"))
-    }
+    val dir = SparkSpec.fixtureDirExcept("documents")
     Seq((1L, "ab cd ab", "en", "srcA", 8L), (2L, "cd", "en", "srcA", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
@@ -148,12 +139,7 @@ class BpeSpec extends SparkSpec {
       }
       val docs = words.grouped(8).map(_.mkString(" ")).toSeq.zipWithIndex
         .map { case (t, i) => (i.toLong, t, "en", "srcA", t.length.toLong) }
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_bpe_rnd$seed")
-      for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
-          dir.resolve(s"$t.parquet"))
-      }
+      val dir = SparkSpec.fixtureDirExcept("documents")
       docs.toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
 
@@ -174,12 +160,7 @@ class BpeSpec extends SparkSpec {
     // this corpus forces both a quote and a backslash into the merge table
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_esc")
-    for (t <- graft.fixtures.Fixtures.baseTables if t != "documents") {
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
-        dir.resolve(s"$t.parquet"))
-    }
+    val dir = SparkSpec.fixtureDirExcept("documents")
     Seq((1L, "'s 's 's a\\b a\\b", "en", "srcA", 18L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)

@@ -13,7 +13,7 @@ import graft.queries.Similarity
   */
 class KCenterSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = SparkSpec.fixtureSf
 
   /** The same strict left fold as graft_dot. */
   private def dot(a: Array[Float], b: Array[Float]): Double = {
@@ -89,12 +89,7 @@ class KCenterSpec extends SparkSpec {
         case 13L => (13L, base(1).clone, 0)     // exact duplicate of vec 1
         case i   => (i, base(i.toInt), 0)
       }
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_kc_rnd$seed")
-      for (t <- graft.fixtures.Fixtures.baseTables if t != "embeddings") {
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
-          dir.resolve(s"$t.parquet"))
-      }
+      val dir = SparkSpec.fixtureDirExcept("embeddings")
       rows.toDF("vec_id", "embedding", "label")
         .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
 
@@ -103,9 +98,10 @@ class KCenterSpec extends SparkSpec {
         .select($"center_id", $"radius2").as[(Long, Double)].collect().toVector
       val want = bruteGreedy(rows.map(r => (r._1, r._2)), 8)
       assert(got.map(_._1) === want.map(_._1), s"seed $seed: $got vs $want")
-      got.zip(want).foreach { case ((_, rad), (_, wrad)) =>
+      got.zip(want).zipWithIndex.foreach { case (((_, rad), (_, wrad)), i) =>
         assert(math.abs(rad - BigDecimal(wrad)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"seed $seed round ${i + 1}: radius $rad vs brute $wrad")
       }
       graft.util.Memo.release(s, dir.toString)
     }

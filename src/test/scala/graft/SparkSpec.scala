@@ -11,6 +11,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+
+  /** The smallest driver fixture — the default data for specs. */
+  val fixtureSf = "/root/testdata/sf0.001"
+
+  /** Temp fixture dir carrying every [[graft.fixtures.Fixtures.baseTables]]
+    * parquet from [[fixtureSf]] EXCEPT the named ones, which the caller
+    * writes itself — the shared setup for adversarial/synthetic-corpus
+    * specs (was copy-pasted per test before). */
+  def fixtureDirExcept(except: String*): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix")
+    for (t <- graft.fixtures.Fixtures.baseTables if !except.contains(t))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$fixtureSf/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    dir
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
