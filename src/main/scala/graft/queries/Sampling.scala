@@ -332,7 +332,12 @@ object Sampling {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val docs = spark.table("documents")
+    // unlabeled docs are excluded from a LANGUAGE-budget allocation up
+    // front (they could never be emitted through the lang join anyway, but
+    // counting them would still distort every quota) — and the exclusion
+    // also keeps the sweep's ORDER BY off NULL keys, where the engines
+    // disagree (Spark sorts NULLS FIRST, DuckDB NULLS LAST)
+    val docs = spark.table("documents").filter($"lang".isNotNull)
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_d"))
     val tot = counts.agg(sum($"n_d").as("total"), count(lit(1)).as("n_langs"))
 
@@ -361,7 +366,8 @@ object Sampling {
   }
 
   val unimaxSampleOracle: String = Fixtures.oracle(
-    s""", um_c AS (SELECT lang, COUNT(*) AS n_d FROM documents GROUP BY 1),
+    s""", um_c AS (SELECT lang, COUNT(*) AS n_d FROM documents
+                   WHERE lang IS NOT NULL GROUP BY 1),
        um_t AS (SELECT SUM(n_d) AS total, COUNT(*) AS n_langs FROM um_c),
        um_s AS (
          SELECT lang, n_d,

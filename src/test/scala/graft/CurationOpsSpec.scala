@@ -301,7 +301,8 @@ class CurationOpsSpec extends SparkSpec {
     import s.implicits._
     val rates = Sampling.unimaxSample(s, sfDir)
       .select($"lang", $"rate_bp").distinct().as[(String, Long)].collect().toMap
-    val counts = s.table("documents").groupBy($"lang")
+    // unlabeled docs are outside the allocation, mirroring the operator
+    val counts = s.table("documents").filter($"lang".isNotNull).groupBy($"lang")
       .agg(count(lit(1))).as[(String, Long)].collect().toMap
     val total = counts.values.sum
     val b = total / 2
