@@ -819,18 +819,22 @@ object Sessions {
       .select($"a", $"b", $"n_a", $"n_b", $"n_ab",
         expr("n_ab * 10000 DIV n_a").as("conf_ab_bp"),
         expr("n_ab * 10000 DIV n_b").as("conf_ba_bp"),
-        expr("(n_ab * n_users * 10000) DIV (n_a * n_b)").as("lift_bp"))
+        // lift numerator n_ab·n_users·10⁴ overflows Long once both factors
+        // pass ~10⁸ users — widen to DECIMAL(38) (HUGEINT on the oracle
+        // side) so the engines stay bit-exact instead of diverging on wrap
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_users * 10000)" +
+          " DIV (n_a * n_b) AS BIGINT)").as("lift_bp"))
   }
 
   /** Oracle pairs come from a basket self-join (a < b) — the same unique
     * unordered pairs the sorted-array explode produces. */
   val basketRulesOracle: String = Fixtures.oracle(
-    """, br_ui AS (
+    """, br_ui0 AS (
          SELECT DISTINCT user_id,
-                CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
          FROM events
-         WHERE event_type = 'purchase'
-           AND json_extract_string(props, '$.k') IS NOT NULL),
+         WHERE event_type = 'purchase'),
+       br_ui AS (SELECT user_id, item FROM br_ui0 WHERE item IS NOT NULL),
        br_nraw AS (SELECT COUNT(DISTINCT user_id) AS n_raw FROM br_ui),
        br_freq AS (
          SELECT item FROM br_ui, br_nraw
@@ -855,8 +859,8 @@ object Sessions {
               CAST(p.n_ab AS BIGINT) AS n_ab,
               CAST((p.n_ab * 10000) // sa.n_i AS BIGINT) AS conf_ab_bp,
               CAST((p.n_ab * 10000) // sb.n_i AS BIGINT) AS conf_ba_bp,
-              CAST((p.n_ab * n.n_users * 10000) // (sa.n_i * sb.n_i) AS BIGINT)
-                AS lift_bp
+              CAST((CAST(p.n_ab AS HUGEINT) * n.n_users * 10000)
+                   // (sa.n_i * sb.n_i) AS BIGINT) AS lift_bp
        FROM br_ps p
        JOIN br_supp sa ON p.a = sa.item
        JOIN br_supp sb ON p.b = sb.item
