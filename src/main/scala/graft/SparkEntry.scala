@@ -31,6 +31,7 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
+      (AnnIndex.queries, AnnIndex.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Sampling.queries, Sampling.oracles),
       (Classifier.queries, Classifier.oracles),

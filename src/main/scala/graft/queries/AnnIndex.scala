@@ -1,0 +1,406 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.fixtures.Fixtures
+import graft.plans.DotProduct
+import graft.util.Dirs
+
+/** Persisted ANN index lifecycle — the write-once / serve-many deployment
+  * model of the similarity family (Jégou et al. 2011's IVF×PQ as actually
+  * operated at 10⁹⁺ vectors; the batch twin of what
+  * [[Dedup.incrementalMinhash]] models for MinHash bands and
+  * [[graft.streaming.StreamingDedup]] models online).
+  *
+  * Why this exists: the fused catalog entries ([[Similarity.annIvfPq]] and
+  * friends) train the coarse quantizer and PQ codebooks inside the query
+  * session, memoized per session. At 100 TB that is the wrong lifecycle —
+  * a production deployment trains ONCE, writes versioned index artifacts,
+  * serves every query from them, and appends each day's vectors encoded
+  * against the FROZEN codebooks, never re-reading (let alone re-training
+  * on) the standing corpus.
+  *
+  * Artifact layout (all parquet, under one index root):
+  * {{{
+  *   root/delta=00001/            — the base build
+  *     _manifest.json               (format, kind, params; written LAST)
+  *     centroids/                   (cid, cemb, cnorm)      — IVF quantizer
+  *     pq_codebooks/                (m, cid, cvec)          — PQ quantizer
+  *     assignments/                 (vec_id, cluster)       — inverted lists
+  *     pq_codes/cluster=N/          (vec_id, m, cid)        — ADC codes
+  *     lsh_bands/                   (vec_id, bucket)        — LSH table
+  *   root/delta=00002/            — an incremental append: NO quantizers,
+  *     ...                          only the batch's assignments/codes/bands
+  * }}}
+  * Deltas are immutable and atomic: each is staged in a dot-prefixed temp
+  * dir and renamed into place after its manifest lands — a reader either
+  * sees a complete delta or none of it (the
+  * [[graft.sources.v2]] chunk-commit discipline). An append writes O(batch)
+  * bytes; the standing corpus is never rewritten — the LSM-ish shape every
+  * production index store (FAISS on object storage, Lucene segments) uses.
+  *
+  * The code table is PARTITIONED BY its IVF cell: an IVF probe reads only
+  * `nprobe × Q` cell directories out of `centroids-count` — at 100 TB the
+  * scoring scan is partition-pruned to ~nprobe/centroids of the code bytes
+  * (the broadcast probe join lets Spark's dynamic partition pruning narrow
+  * the scan; the layout guarantees prunability regardless).
+  *
+  * Scoring ([[scoreIvfPq]]) reads ONLY persisted frames + the query
+  * vectors; AnnIndexSpec pins that its plan contains no training operator
+  * (no collect_list codebook rebuild, no min_by encode) and scans the
+  * index directory.
+  */
+object AnnIndex {
+
+  private val formatVersion = 1
+
+  /** The loaded index: quantizers from the base delta, row-level artifacts
+    * unioned across all deltas. */
+  final case class Frames(centroids: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, assignments: DataFrame, bands: DataFrame)
+
+  /** Fixture split for the incremental entry: the standing corpus the index
+    * is trained+built on, and the incoming batch appended against frozen
+    * quantizers (same deterministic 1-in-7 split as
+    * [[Dedup.incrementalMinhash]]). */
+  private[queries] val standingPred = "vec_id % 7 != 0"
+  private[queries] val batchPred = "vec_id % 7 = 0"
+
+  // ---------------------------------------------------------------- build
+
+  /** IVF centroid frame (cid, cemb, cnorm) for a training population —
+    * every 97th non-degenerate vector, the seeded-sample stand-in for a
+    * trained coarse quantizer ([[Similarity.ivfAssignments]]'s contract). */
+  private def centsOf(spark: SparkSession, sfDir: String,
+      trainPred: String): DataFrame =
+    Similarity.vecs(spark, sfDir).filter(expr(trainPred))
+      .filter(col("vec_id") % 97 === 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm_sq").as("cnorm"))
+
+  /** Train quantizers on `trainPred`'s population and write the base delta
+    * (delta=00001): centroids, codebooks, and the training population's
+    * assignments, codes, and bands. */
+  def buildBase(spark: SparkSession, sfDir: String, root: String,
+      tag: String, trainPred: String): Unit = {
+    val cents = centsOf(spark, sfDir, trainPred)
+    val cb = Similarity.pqCodebooksTrained(spark, sfDir,
+      if (trainPred == "true") "sim_pq_cb" else s"ann_cb_$tag", trainPred)
+    val v = Similarity.vecs(spark, sfDir).filter(expr(trainPred))
+    val assigned = Similarity.assignTo(v, cents)
+    // inner join with the assignment drops degenerate vectors (no norm, no
+    // cell) from the code table — same population the fused path scores
+    val codes = Similarity
+      .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(trainPred)), cb)
+      .join(assigned, Seq("vec_id"))
+    val bands = Similarity.lshBuckets(spark, sfDir).filter(expr(trainPred))
+    writeDelta(root, 1, "base") { tmp =>
+      cents.write.parquet(s"$tmp/centroids")
+      cb.write.parquet(s"$tmp/pq_codebooks")
+      assigned.write.parquet(s"$tmp/assignments")
+      codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
+      bands.write.parquet(s"$tmp/lsh_bands")
+    }
+  }
+
+  /** Append `batchPred`'s vectors as the next delta: assign and encode them
+    * against the FROZEN persisted quantizers (read back from the base
+    * delta — the plan provably cannot retrain, there is nothing to train
+    * on), write O(batch) rows, touch nothing else. */
+  def appendBatch(spark: SparkSession, sfDir: String, root: String,
+      batchPred: String): Unit = {
+    val next = Dirs.numericSuffixes(root, "delta=").maxOption.getOrElse(0) + 1
+    require(next > 1, s"appendBatch needs a base delta under $root")
+    val base = deltaPath(root, 1)
+    val cents = spark.read.parquet(s"$base/centroids")
+    val cb = spark.read.parquet(s"$base/pq_codebooks")
+    val v = Similarity.vecs(spark, sfDir).filter(expr(batchPred))
+    val assigned = Similarity.assignTo(v, cents)
+    val codes = Similarity
+      .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(batchPred)), cb)
+      .join(assigned, Seq("vec_id"))
+    val bands = Similarity.lshBuckets(spark, sfDir).filter(expr(batchPred))
+    writeDelta(root, next, "append") { tmp =>
+      assigned.write.parquet(s"$tmp/assignments")
+      codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
+      bands.write.parquet(s"$tmp/lsh_bands")
+    }
+  }
+
+  private def deltaPath(root: String, n: Int): String =
+    s"$root/delta=${"%05d".format(n)}"
+
+  private def writeDelta(root: String, n: Int, kind: String)
+      (write: String => Unit): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, f".tmp-delta-$n%05d")
+    rmTree(tmp) // a crashed previous attempt must not poison the stage
+    Files.createDirectories(tmp)
+    write(tmp.toString)
+    // manifest is written LAST inside the staging dir, then one atomic
+    // rename publishes the whole delta
+    val manifest =
+      s"""{"format":$formatVersion,"delta":$n,"kind":"$kind",""" +
+        s""""pqM":${Similarity.pqM},"pqK":${Similarity.pqK}}"""
+    Files.write(tmp.resolve("_manifest.json"), manifest.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(deltaPath(root, n)),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def rmTree(p: Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+    f.delete(); ()
+  }
+
+  // ----------------------------------------------------------------- load
+
+  /** Load the index: quantizers from the base delta only (they are frozen
+    * — appends never carry them), row artifacts from every published
+    * delta. Incomplete deltas are invisible by construction (atomic
+    * rename), so a reader racing a writer sees a consistent prefix. */
+  def load(spark: SparkSession, root: String): Frames = {
+    val deltas = Dirs.numericSuffixes(root, "delta=").sorted
+    require(deltas.headOption.contains(1), s"no base delta under $root")
+    val base = deltaPath(root, 1)
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(base, "_manifest.json")), "UTF-8")
+    require(manifest.contains(s""""format":$formatVersion"""),
+      s"index format mismatch under $root: $manifest")
+    // one read per delta, unioned by name: a multi-path read would treat
+    // the delta=N dirs as one partitioned table and reject the layout
+    // (each delta is its own partitioned root)
+    def all(artifact: String): DataFrame =
+      deltas.map(d => spark.read.parquet(s"${deltaPath(root, d)}/$artifact"))
+        .reduce(_.unionByName(_))
+    Frames(
+      centroids = spark.read.parquet(s"$base/centroids"),
+      codebooks = spark.read.parquet(s"$base/pq_codebooks"),
+      // the partition-column reader infers small longs as ints — restore
+      // the cid domain's type before anything joins on it
+      codes = all("pq_codes").withColumn("cluster", col("cluster").cast(LongType)),
+      assignments = all("assignments"),
+      bands = all("lsh_bands"))
+  }
+
+  // ---------------------------------------------------------------- score
+
+  /** IVF×PQ scoring over a loaded index — [[Similarity.annIvfPq]]'s exact
+    * arithmetic, but every data-side frame is a parquet scan of the index:
+    * probes rank the persisted centroids (constant-size broadcast), the
+    * query distance table multiplies query subvectors by the persisted
+    * codebooks (constant-size broadcast), and the code scan is pruned to
+    * the probed cells by the broadcast join on the PARTITION column. No
+    * training operator can appear in this plan — the quantizers are data.
+    */
+  def scoreIvfPq(spark: SparkSession, sfDir: String, idx: Frames,
+      nprobe: Int): DataFrame = {
+    val probes = Similarity.probesTo(spark, sfDir, idx.centroids, nprobe)
+    val qdist = Similarity.pqSubvectors(spark, sfDir)
+      .filter(expr(Similarity.queryFilter))
+      .join(broadcast(idx.codebooks), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cid"),
+        Similarity.pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
+    idx.codes
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qdist), Seq("qid", "m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast(LongType).as("rank"),
+        round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
+  }
+
+  // -------------------------------------------------------------- entries
+
+  /** Build-once registry: the first call per (session, sfDir, tag) trains
+    * and writes the artifacts into a fresh per-session temp root; every
+    * later call — including the second half of the spec's
+    * build-once/query-twice contract — only reads. */
+  private val roots = TrieMap.empty[(SparkSession, String, String), String]
+
+  /** The session's built index root for a tag, if any (spec seam). */
+  private[queries] def rootOf(spark: SparkSession, sfDir: String,
+      tag: String): Option[String] =
+    roots.get((spark, sfDir, tag))
+
+  private def ensure(spark: SparkSession, sfDir: String, tag: String)
+      (build: String => Unit): String =
+    roots.getOrElseUpdate((spark, sfDir, tag), {
+      val root = Files.createTempDirectory(s"graft-ann-$tag-").toString
+      build(root)
+      root
+    })
+
+  /** IVF×PQ served from the persisted index — same result as the fused
+    * [[Similarity.annIvfPq]] (same oracle), but the scoring plan reads
+    * versioned parquet artifacts. */
+  def annIvfPqPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "full") { r =>
+      buildBase(spark, sfDir, r, "full", "true")
+    }
+    scoreIvfPq(spark, sfDir, load(spark, root), Similarity.ivfPqNprobe)
+  }
+
+  /** The daily-ingest lifecycle end to end: v1 trains quantizers on the
+    * standing corpus and indexes it; the incoming batch is encoded against
+    * the FROZEN persisted codebooks/centroids and appended as v2 (O(batch)
+    * work — the standing corpus is never re-read); queries then score the
+    * union. Recall drift under a frozen quantizer is what
+    * [[Similarity.annRecallIvfPq]]'s harness would watch in production —
+    * the re-train trigger. */
+  def annIvfPqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "incr") { r =>
+      buildBase(spark, sfDir, r, "incr", standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+    }
+    scoreIvfPq(spark, sfDir, load(spark, root), Similarity.ivfPqNprobe)
+  }
+
+  // -------------------------------------------------------------- oracles
+
+  /** Oracle twin of the incremental lifecycle: codebooks and centroids
+    * trained on the standing population only, ALL vectors encoded/assigned
+    * against them (build ∪ append ≡ the full population — the append's
+    * correctness contract), then the cell-restricted ADC ranking. Mirrors
+    * [[Similarity.annIvfPqOracle]]'s chain with the training predicates
+    * narrowed. */
+  val annIvfPqIncrementalOracle: String = {
+    def d2(sv: String, cv: String): String =
+      s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
+        s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
+    val m = Similarity.pqM
+    val sub = Similarity.pqSub
+    val stride = Similarity.pqSeedStride
+    val k = Similarity.pqK
+    val nprobe = Similarity.ivfPqNprobe
+    Fixtures.oracle(
+      s""", pq_nrm AS (
+         SELECT vec_id, embedding,
+                SQRT(${DotProduct.duckDot("embedding", "embedding")}) AS nrm
+         FROM embeddings),
+       pq_subs AS (
+         SELECT e.vec_id, CAST(t.m AS INT) AS m,
+                list_transform(
+                  e.embedding[(t.m * $sub + 1):(t.m * $sub + $sub)],
+                  x -> CAST(x AS DOUBLE) / e.nrm) AS sv
+         FROM pq_nrm e, UNNEST(range($m)) AS t(m)),
+       pq_cb0 AS (
+         SELECT m, vec_id AS cid, sv AS cvec FROM pq_subs
+         WHERE vec_id % $stride = 5 AND vec_id < ${stride * k}
+           AND ${standingPred}),
+       pq_enc0 AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM pq_subs s JOIN pq_cb0 b ON s.m = b.m
+           WHERE s.${standingPred})
+         WHERE rn = 1),
+       pq_el AS (
+         SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
+         FROM pq_subs, UNNEST(range($sub)) AS t(i)),
+       pq_sums AS (
+         SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
+                SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM pq_el el
+         JOIN pq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
+         GROUP BY 1, 2, 3),
+       pq_cb AS (
+         SELECT m, cid,
+                list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
+         FROM pq_sums GROUP BY 1, 2),
+       pq_enc AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM pq_subs s JOIN pq_cb b ON s.m = b.m)
+         WHERE rn = 1),
+       pq_qd AS (
+         SELECT s.vec_id AS qid, s.m, b.cid,
+                CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
+         FROM pq_subs s JOIN pq_cb b ON s.m = b.m
+         WHERE ${Similarity.queryPred("s.vec_id")}),
+       nrm AS (
+         SELECT vec_id, norm_sq
+         FROM (SELECT vec_id,
+                      ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+               FROM embeddings) n
+         WHERE norm_sq > 0 AND isfinite(norm_sq)),
+       cents AS (
+         SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         WHERE vec_id % 97 = 3 AND ${standingPred}),
+       cn AS (
+         SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
+         WHERE vec_id % 97 = 3 AND ${standingPred}),
+       cdots AS (
+         SELECT e.vec_id, c.cid,
+                ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
+         FROM embeddings e CROSS JOIN cents c),
+       assignments AS (
+         SELECT vec_id, cid AS cluster
+         FROM (SELECT d.vec_id, d.cid,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                        d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
+                        d.cid) AS rn
+               FROM cdots d
+               JOIN nrm n ON d.vec_id = n.vec_id
+               JOIN cn c ON d.cid = c.cid) t
+         WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS qid, cid AS cluster FROM (
+           SELECT d.vec_id, d.cid,
+                  ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                    d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
+                    d.cid) AS rn
+           FROM cdots d
+           JOIN nrm n ON d.vec_id = n.vec_id
+           JOIN cn c ON d.cid = c.cid
+           WHERE ${Similarity.queryPred("d.vec_id")}) t
+         WHERE rn <= $nprobe),
+       cand AS (
+         SELECT q.qid, a.vec_id
+         FROM probes q JOIN assignments a
+           ON q.cluster = a.cluster AND a.vec_id != q.qid),
+       adc AS (
+         SELECT cand.qid, c.vec_id, SUM(q.qd2) AS approx_d2
+         FROM cand
+         JOIN pq_enc c ON c.vec_id = cand.vec_id
+         JOIN pq_qd q ON q.qid = cand.qid AND c.m = q.m AND c.cid = q.cid
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM adc)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM ranked WHERE rank <= 3""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _))
+
+  val oracles: Map[String, String] = Map(
+    // identical semantics to the fused entry by construction — build-once /
+    // query-forever must not change a single ranked pair
+    "sim_ann_ivfpq_persisted" -> Similarity.annIvfPqOracle,
+    "sim_ann_ivfpq_incremental" -> annIvfPqIncrementalOracle)
+}

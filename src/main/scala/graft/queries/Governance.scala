@@ -345,6 +345,10 @@ object Governance {
       .withColumn("total_reward", $"tsr" + $"tdr")
       .filter($"total_reward" > 0)
 
+    // BOUNDED global window: `all` is the OUTPUT-sized reward table (one
+    // row per rewarded claimee, the reference's own global rank at
+    // dao.ts:1531). Pinned by ScalePlanSpec ("global windows are provably
+    // bounded").
     all.select(
       (row_number().over(Window.orderBy($"total_reward".desc, $"claimee")) - 1)
         .cast(LongType).as("id"),

@@ -341,6 +341,9 @@ object Sampling {
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_d"))
     val tot = counts.agg(sum($"n_d").as("total"), count(lit(1)).as("n_langs"))
 
+    // BOUNDED global window: `counts` has one row per LANGUAGE — label-set
+    // sized (~10² at web scale), never corpus-growing. Pinned by
+    // ScalePlanSpec ("global windows are provably bounded").
     val w = Window.orderBy($"n_d", $"lang")
     val ranked = counts.crossJoin(broadcast(tot))
       .withColumn("k", row_number().over(w).cast(LongType))

@@ -39,16 +39,16 @@ object Similarity {
 
   /** Queries = every 50th vector, capped at the first [[maxQueries]];
     * `ref` is the (possibly alias-qualified) vec_id column. */
-  private def queryPred(ref: String): String =
+  private[queries] def queryPred(ref: String): String =
     s"$ref % 50 = 0 AND $ref < ${50 * maxQueries}"
 
-  private val queryFilter = queryPred("vec_id")
+  private[queries] val queryFilter = queryPred("vec_id")
 
   /** Native codegen'd pair scorer (see [[graft.plans.DotProduct]]). */
-  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
+  private[queries] def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** Squared norm = dot of a vector with itself. */
-  private def normSqExpr(a: String): Column = expr(s"graft_dot($a, $a)")
+  private[queries] def normSqExpr(a: String): Column = expr(s"graft_dot($a, $a)")
 
   /** LSH plane count: candidates shrink by ~2^planes, so this must grow with
     * corpus size (≥ 20 planes / multi-table LSH at 10⁹ vectors — see
@@ -74,7 +74,7 @@ object Similarity {
     * every real number — one all-zeros crawl embedding would silently top
     * every top-k in the catalog. The oracle twin [[normCte]] carries the
     * same predicate. */
-  private def vecs(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
+  private[queries] def vecs(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
     graft.util.Memo.cached(spark, sfDir, s"sim_vecs_$table") {
       spark.table(table).select(col("vec_id"), col("embedding"),
         normSqExpr("embedding").as("norm_sq"))
@@ -87,7 +87,7 @@ object Similarity {
     }
 
   /** LSH bucket per vector — shared by ANN + near-dup. */
-  private def lshBuckets(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
+  private[queries] def lshBuckets(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
     graft.util.Memo.cached(spark, sfDir, s"sim_buckets_$table") {
       spark.table(table).select(col("vec_id"), bucketExpr("embedding").as("bucket"))
     }
@@ -100,7 +100,7 @@ object Similarity {
     * [[maxQueries]]-row set and candidates are bucket-bounded — and probe
     * the full vector set without a shuffle; one fold per pair, then top-k
     * per query. */
-  private def rerank(v: DataFrame, qv: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  private[queries] def rerank(v: DataFrame, qv: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val scored = v
       .join(broadcast(candidates.join(qv, Seq("qid"))), Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
@@ -366,15 +366,23 @@ object Similarity {
     graft.util.Memo.cached(spark, sfDir, s"sim_ivf_assign_$table") {
       val cents = v.filter($"vec_id" % 97 === 3)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
-      // min_by over (-cos, cid) ≡ ROW_NUMBER(ORDER BY cos DESC, cid) = 1,
-      // but aggregates with a map-side partial instead of a window sort
-      v.crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
-        .withColumn("cos", $"dot" / (sqrt($"norm_sq") * sqrt($"cnorm")))
-        .groupBy($"vec_id")
-        .agg(min_by($"cid", struct(negate($"cos"), $"cid")).as("cluster"))
+      assignTo(v, cents)
     }
   }
+
+  /** Top-1 centroid assignment of `v` against an explicit centroid frame
+    * (cid, cemb, cnorm) — the [[ivfAssignments]] kernel, exposed so
+    * [[AnnIndex]] can assign an incoming batch against FROZEN persisted
+    * centroids. min_by over (-cos, cid) ≡ ROW_NUMBER(ORDER BY cos DESC,
+    * cid) = 1, but aggregates with a map-side partial instead of a window
+    * sort. */
+  private[queries] def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dotExpr("embedding", "cemb").as("dot"),
+        col("norm_sq"), col("cnorm"))
+      .withColumn("cos", col("dot") / (sqrt(col("norm_sq")) * sqrt(col("cnorm"))))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cluster"))
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
@@ -407,8 +415,17 @@ object Similarity {
     val v = vecs(spark, sfDir)
     val cents = v.filter($"vec_id" % 97 === 3)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
+    probesTo(spark, sfDir, cents, p)
+  }
+
+  /** Top-`p` probe cells per query vector against an explicit centroid
+    * frame — the [[ivfQueryProbes]] kernel, exposed so [[AnnIndex]] can
+    * probe persisted centroids. */
+  private[queries] def probesTo(spark: SparkSession, sfDir: String,
+      cents: DataFrame, p: Int): DataFrame = {
+    import spark.implicits._
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    v.filter(expr(queryFilter))
+    vecs(spark, sfDir).filter(expr(queryFilter))
       .crossJoin(broadcast(cents))
       .select($"vec_id".as("qid"), $"cid",
         dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
@@ -855,10 +872,10 @@ object Similarity {
   // Product quantization (IVF-PQ's compression half; Jégou et al., 2011)
   // =====================================================================
 
-  private val pqM = 16 // subspaces
-  private val pqSub = 4 // dims per subspace (16×4 = the 64-dim embedding)
-  private val pqK = 32 // centroids per subspace codebook
-  private val pqSeedStride = 13 // pqK seed ids exist at every fixture scale
+  private[queries] val pqM = 16 // subspaces
+  private[queries] val pqSub = 4 // dims per subspace (16×4 = the 64-dim embedding)
+  private[queries] val pqK = 32 // centroids per subspace codebook
+  private[queries] val pqSeedStride = 13 // pqK seed ids exist at every fixture scale
 
   /** Per-subspace subvectors of the L2-NORMALIZED embeddings:
     * (vec_id, m, sv). Normalization first is what makes PQ's L2-based ADC
@@ -869,7 +886,7 @@ object Similarity {
     * Element arithmetic is one
     * exact-rounded division by the exact-rounded sqrt of the native-fold
     * norm, mirrored verbatim by the oracle. */
-  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.table("embeddings")
       .withColumn("nrm", sqrt(normSqExpr("embedding")))
@@ -884,17 +901,16 @@ object Similarity {
   /** Seed codebooks: the 16 seeded-sample vectors' subvectors (the
     * [[ivfAssignments]] contract). pqM × pqK rows: a genuinely
     * constant-size broadcast. */
-  private def pqCodebooks0(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    pqSubvectors(spark, sfDir)
-      .filter($"vec_id" % pqSeedStride === 5 && $"vec_id" < pqSeedStride * pqK)
-      .select($"m", $"vec_id".as("cid"), $"sv".as("cvec"))
-  }
+  private def pqCodebooks0For(subs: DataFrame): DataFrame =
+    subs
+      .filter(col("vec_id") % pqSeedStride === 5 &&
+        col("vec_id") < pqSeedStride * pqK)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cvec"))
 
   /** Nearest-codebook-centroid per (vector, subspace) — min_by with cid
     * tie-break, map-side combinable; the encode step shared by training,
     * indexing, and the query distance tables. */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[queries] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
       .withColumn("d2", pqD2("sv", "cvec"))
       .groupBy(col("vec_id"), col("m"))
@@ -909,11 +925,21 @@ object Similarity {
     * seed codebooks 0.17, +Lloyd 0.30 (pqK=16), +Lloyd pqK=32 0.43 —
     * approaching IVF-nprobe1's 0.47 while reading only codes. Quantizer
     * quality IS the PQ recall lever (pqK/pqM being the others). */
-  private def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodebooksTrained(spark, sfDir, "sim_pq_cb", "true")
+
+  /** [[pqCodebooks]] with the training POPULATION restricted to
+    * `trainPred` (a SQL predicate over vec_id) — the frozen-quantizer
+    * seam [[AnnIndex]] trains v1 codebooks on the standing corpus with,
+    * while later batches are only ever ENCODED. `trainPred = "true"` is
+    * the fused full-corpus instance (the literal folds away, so the plan
+    * is unchanged). */
+  private[queries] def pqCodebooksTrained(spark: SparkSession, sfDir: String,
+      memoKey: String, trainPred: String): DataFrame = {
     import spark.implicits._
-    graft.util.Memo.cached(spark, sfDir, "sim_pq_cb") {
-      val subs = pqSubvectors(spark, sfDir)
-      val codes0 = pqEncode(subs, pqCodebooks0(spark, sfDir))
+    graft.util.Memo.cached(spark, sfDir, memoKey) {
+      val subs = pqSubvectors(spark, sfDir).filter(expr(trainPred))
+      val codes0 = pqEncode(subs, pqCodebooks0For(subs))
       subs
         .select($"vec_id", $"m", posexplode($"sv"))
         .toDF("vec_id", "m", "idx", "x")
@@ -931,7 +957,7 @@ object Similarity {
   /** Squared L2 distance between two subvector columns, composed from three
     * native folds with FIXED operation order `(a·a + c·c) − (2·a·c)` so both
     * engines round identically at every step. */
-  private def pqD2(sv: String, cvec: String): Column =
+  private[queries] def pqD2(sv: String, cvec: String): Column =
     (expr(s"graft_dot($sv, $sv)") + expr(s"graft_dot($cvec, $cvec)")) -
       (lit(2.0) * expr(s"graft_dot($sv, $cvec)"))
 
@@ -1110,7 +1136,7 @@ object Similarity {
     * noisy far-away distractors ADC mis-ranks) while the scanned-code
     * fraction stays ~nprobe/centroids (~16% at sf0.1's 20 cells, shrinking
     * as the corpus grows centroids; IvfPqSpec pins both). */
-  private val ivfPqNprobe = 3
+  private[queries] val ivfPqNprobe = 3
 
   /** Cell-restricted ADC CTE chain shared by the IVF×PQ oracle pair. */
   private val ivfPqCtes: String =

@@ -1654,6 +1654,9 @@ object TextOps {
       .groupBy($"pair").agg(sum($"freq").as("pair_count"))
       .orderBy($"pair_count".desc, $"pair".asc)
       .limit(32)
+      // BOUNDED global window: input is the post-limit 32-row frame (a
+      // TakeOrderedAndProject), never the pair distribution. Pinned by
+      // ScalePlanSpec ("global windows are provably bounded").
       .withColumn("merge_rank", row_number().over(
         Window.orderBy($"pair_count".desc, $"pair".asc)))
   }

@@ -319,4 +319,36 @@ class ScalePlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"shares come from an agg join, not a window:\n$p")
     }
   }
+
+  /** The catalog's only three `Window.orderBy`-without-partition sites are
+    * all bounded by construction, but in a log they are indistinguishable
+    * from a real global-sort defect (Verify prints a WindowExec warning per
+    * occurrence). These pins prove the bound STRUCTURALLY: each global
+    * window must sit directly above the frame that bounds it — the 32-row
+    * TakeOrdered (bpeTopPairs), the language-label-set aggregate (unimax),
+    * the output-sized per-claimee aggregate (stakerRewards) — so a future
+    * edit that reorders one onto a corpus-sized frame fails here, not at
+    * 100 TB. */
+  test("global windows are provably bounded (post-limit / label-set / output-sized)") {
+    // bpeTopPairs: merge_rank windows over the post-limit 32-row frame
+    val bpe = plan(TextOps.bpeTopPairs(spark, sfDir))
+    val bw = bpe.indexOf("Window")
+    val bl = bpe.indexOf("TakeOrderedAndProject")
+    assert(bw >= 0 && bl > bw,
+      s"the global rank must consume the limit-32 frame, not the pair distribution:\n$bpe")
+
+    // unimax: the water-filling sweep windows over the per-LANGUAGE counts
+    val uni = plan(graft.queries.Sampling.unimaxSample(spark, sfDir))
+    val uw = uni.indexOf("Window")
+    assert(uw >= 0 &&
+      uni.indexOf("HashAggregate(keys=[lang", uw) > uw,
+      s"the sweep window must consume the label-set-sized language counts:\n$uni")
+
+    // stakerRewards: the id rank windows over the per-claimee reward agg
+    val gov = plan(graft.queries.Governance.stakerRewardsDefault(spark, sfDir))
+    val gw = gov.indexOf("Window")
+    assert(gw >= 0 &&
+      gov.indexOf("HashAggregate(keys=[claimee", gw) > gw,
+      s"the reward rank must consume the output-sized per-claimee aggregate:\n$gov")
+  }
 }
