@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 import graft.fixtures.Fixtures
 import graft.functions.TextHash
@@ -41,9 +41,10 @@ import graft.functions.TextHash
   * scan-side exploded tokens — feature hashing bounds the model at
   * [[nbBuckets]] rows regardless of corpus vocabulary (Heaps' law never
   * touches it), which is what makes the model table legitimately
-  * broadcastable at any corpus size. Long arithmetic holds while
-  * (pos_b+1)·(neg_total+B)·10⁴ < 2^63 — beyond ~10¹⁴ pos_b·neg_total,
-  * promote the ratio expression to DECIMAL(38,0) (same values, wider lanes).
+  * broadcastable at any corpus size. The ratio runs in DECIMAL(38,0)
+  * lanes ([[weightExpr]]) so no token-count product a real corpus can
+  * produce wraps; NbBoundarySpec pins the arithmetic at the former Long
+  * boundary and beyond.
   *
   * Reference scope note: the reference engine has no model-based filtering —
   * this family is part of the beyond-reference training-data surface the
@@ -93,10 +94,33 @@ object Classifier {
         sum($"pos_n").as("pos_total"), sum($"neg_n").as("neg_total"),
         count(lit(1)).as("v"))
       counts.crossJoin(broadcast(totals))
-        .select($"bucket", $"pos_n", $"neg_n", expr(
-          "((pos_n + 1) * (neg_total + v) * 10000) " +
-            "DIV ((neg_n + 1) * (pos_total + v))").as("weight_bp"))
+        .select($"bucket", $"pos_n", $"neg_n", expr(weightExpr).as("weight_bp"))
     }
+
+  /** The evidence-ratio expression in DECIMAL(38,0) lanes (HUGEINT on the
+    * oracle side): plain Long products wrap once pos_b·neg_total passes
+    * ~2⁶³/10⁴ ≈ 9·10¹⁴ — inside reach of a 100 TB token count — and the
+    * engines diverge on wrap (Spark non-ANSI wraps silently, DuckDB
+    * errors). Decimal lanes keep the products exact to 10³⁸ at every
+    * magnitude a real corpus can produce.
+    *
+    * The CASE guard handles the one residual ceiling: the QUOTIENT itself
+    * only fits a BIGINT while the class ratio is below ~8·10¹⁴ (a
+    * one-token-class pathology, not a corpus-size effect) — and on
+    * overflow Spark's decimal DIV WRAPS silently where DuckDB's
+    * HUGEINT→BIGINT cast errors. Both engines instead null it: the guard
+    * compares the IEEE-double estimate of the quotient (bit-identical
+    * cross-engine — nearest-double casts of exact integers, one division,
+    * one compare) against 8·10¹⁸, conservatively inside Long range so a
+    * guard-passing quotient (≤ estimate + ~10³ ulp error) can never wrap.
+    * NbBoundarySpec replays the whole expression against BigInt
+    * arithmetic at adversarial magnitudes. */
+  private[queries] val weightExpr: String = {
+    val num = "(CAST(pos_n + 1 AS DECIMAL(38,0)) * (neg_total + v)) * 10000"
+    val den = "CAST(neg_n + 1 AS DECIMAL(38,0)) * (pos_total + v)"
+    s"CASE WHEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) < 8.0e18 " +
+      s"THEN ($num) DIV ($den) ELSE CAST(NULL AS BIGINT) END"
+  }
 
   def nbTrain(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
@@ -119,8 +143,11 @@ object Classifier {
     nbTokens(spark, sfDir)
       .join(broadcast(w.select($"bucket", $"weight_bp")), Seq("bucket"))
       .groupBy($"doc_id")
+      // the margin sum promotes to DECIMAL(38,0) for the same reason as
+      // [[weightExpr]]: DuckDB's SUM(BIGINT) is already HUGEINT, so a Long
+      // sum on this side would wrap first and diverge at ~10¹⁵ doc tokens
       .agg(count(lit(1)).as("n_tokens"),
-        sum($"weight_bp" - lit(10000L)).as("m"))
+        sum(($"weight_bp" - lit(10000L)).cast(DecimalType(38, 0))).as("m"))
       .select($"doc_id", $"n_tokens",
         expr("m DIV n_tokens").as("margin_bp"),
         ($"m" > 0L).as("keep"))
@@ -141,10 +168,16 @@ object Classifier {
        nb_tot AS (SELECT SUM(pos_n) AS pos_total, SUM(neg_n) AS neg_total,
                          COUNT(1) AS v FROM nb_c),
        nb_w AS (
-         SELECT c.bucket, c.pos_n, c.neg_n,
-                ((c.pos_n + 1) * (t.neg_total + t.v) * 10000)
-                  // ((c.neg_n + 1) * (t.pos_total + t.v)) AS weight_bp
-         FROM nb_c c CROSS JOIN nb_tot t)"""
+         SELECT bucket, pos_n, neg_n,
+                CASE WHEN CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) < 8.0e18
+                     THEN CAST(w_num // w_den AS BIGINT) ELSE NULL END
+                  AS weight_bp
+         FROM (SELECT c.bucket, c.pos_n, c.neg_n,
+                      (CAST(c.pos_n + 1 AS HUGEINT) * (t.neg_total + t.v))
+                        * 10000 AS w_num,
+                      CAST(c.neg_n + 1 AS HUGEINT) * (t.pos_total + t.v)
+                        AS w_den
+               FROM nb_c c CROSS JOIN nb_tot t))"""
 
   val nbTrainOracle: String = Fixtures.oracle(nbCtes +
     """
