@@ -6,92 +6,142 @@ import java.nio.charset.StandardCharsets
 
 import scala.util.control.NonFatal
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.JsonNode
 
 import graft.sources.v2.{BlockFeedProvider, JsonBlockFeed}
 
-/** The network leg of the block feed: a resumable block-stream wire
-  * protocol plus the bridge process that drains it into the `graft-blocks`
-  * chunk-directory contract.
+/** The network leg of the block feed: the REFERENCE'S stream-message
+  * grammar served over a socket, plus the bridge process that drains it
+  * into the `graft-blocks` chunk-directory contract.
   *
-  * The reference consumes an Apibara gRPC subscription: connect with a
-  * cursor, receive an ordered message stream whose arms are
-  * `data | invalidate | heartbeat` (reference `src/index.ts:16-24,127-141`
-  * for the subscription, `:142-287` for the dispatch). This sandbox ships
-  * no gRPC/protobuf jars, so the transport is plain TCP with one JSON
-  * object per line — same message alphabet, same resume semantics, zero
-  * added dependencies (Jackson is Spark's own JSON library):
+  * The reference consumes an Apibara subscription: connect with a filter +
+  * starting cursor, then dispatch on the message tag
+  * `heartbeat | systemMessage | invalidate | data`
+  * (reference `src/index.ts:16-24,127-141` for the subscription,
+  * `:142-287` for the dispatch). This wire speaks that grammar — the same
+  * discriminated arms, the same nesting (`invalidate.cursor.orderKey`,
+  * `data.{production,finality,endCursor,data[].header/events[]}`), the
+  * same subscribe shape (`{filter, finality, startingCursor}`) — framed as
+  * one JSON object per line over plain TCP, because the sandbox ships no
+  * gRPC/protobuf jars (Jackson is Spark's own JSON library). What differs
+  * from the production protocol is ONLY the frame encoding, not the
+  * message schema the drainer must understand:
   *
-  *   client → server  `{"cursor": N}`             subscribe from message N
-  *   server → client  `{"t":"data","rows":[{...scalar row...}, ...]}`
-  *                    `{"t":"invalidate","from": B}`
-  *                    `{"t":"heartbeat"}`
-  *                    `{"t":"end"}`               script exhausted (finite
-  *                                                replay servers only; a
-  *                                                live node never sends it)
+  *   client → server  {"filter":[{"events":[...]}],"finality":"pending",
+  *                     "startingCursor":{"orderKey":N}}
+  *   server → client  {"_tag":"data","data":{"production":"live",
+  *                     "finality":"accepted","endCursor":{"orderKey":B},
+  *                     "data":[{"header":{"blockNumber":B,"blockHash":"0xb..",
+  *                     "timestamp":T},"events":[{"transactionIndex":i,
+  *                     "eventIndexInTransaction":j,"address":"0x..",
+  *                     "transactionHash":"0x..","filterIds":[..]}]}]}}
+  *                    {"_tag":"invalidate","invalidate":{"cursor":{"orderKey":B}}}
+  *                    {"_tag":"heartbeat"}
+  *                    {"_tag":"systemMessage","systemMessage":{"output":
+  *                     {"_tag":"stdout","stdout":"..."}}}
   *
-  * The drainer maps messages 1:1 onto committed chunks (`data` → a data
-  * chunk, `invalidate`/`heartbeat` → control marker chunks), which makes
-  * the chunk DIRECTORY the drainer's durable cursor: on restart it
-  * subscribes from `committed-chunk count`, so a crash between socket read
-  * and chunk commit replays exactly the uncommitted message. Chunk commit
-  * is an atomic rename, so the feed never exposes a torn message — the
-  * drainer inherits exactly-once hand-off to Spark from the connector's
-  * offset contract without any state of its own.
+  * Replay-harness extension (a live node never sends it): a finite replay
+  * server terminates with a systemMessage whose stdout is
+  * `end-of-script`; the drainer completes on it without committing a
+  * chunk. The subscribe `startingCursor.orderKey` is the replay MESSAGE
+  * index (the drainer's committed-chunk count) — a chain node's orderKey
+  * is a block number, but the resume contract is identical: serve
+  * everything after the cursor, exactly once.
+  *
+  * The drainer maps chunk-producing messages 1:1 onto committed chunks
+  * (`data` → a data chunk; `invalidate` → a retract marker at
+  * `cursor.orderKey + 1`, the reference's `deleteOldBlockNumbers(orderKey
+  * + 1)`; `heartbeat` and non-terminal `systemMessage` → liveness marker
+  * chunks), which makes the chunk DIRECTORY the drainer's durable cursor:
+  * on restart it subscribes from `committed-chunk count`, so a crash
+  * between socket read and chunk commit replays exactly the uncommitted
+  * message. Chunk commit is an atomic rename, so the feed never exposes a
+  * torn message — the drainer inherits exactly-once hand-off to Spark
+  * from the connector's offset contract without any state of its own.
   */
 object BlockStreamWire {
-  val mapper = new ObjectMapper()
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def data(rows: Seq[Map[String, Any]]): String = {
-    val o = mapper.createObjectNode()
-    o.put("t", "data")
-    val arr = o.putArray("rows")
-    rows.foreach { r =>
-      val ro = arr.addObject()
-      r.foreach {
-        case (k, v: Long) => ro.put(k, v)
-        case (k, v: Int) => ro.put(k, v.toLong)
-        case (k, v: Double) => ro.put(k, v)
-        case (k, v: Boolean) => ro.put(k, v)
-        case (k, v: String) => ro.put(k, v)
-        case (k, v) => throw new IllegalArgumentException(s"unsupported $k=$v")
+  /** One block's worth of wire events: (transactionIndex,
+    * eventIndexInTransaction) pairs — the key fields the chunk contract
+    * consumes; address/transactionHash/filterIds are carried for grammar
+    * fidelity ([[BlockStreamDrainer]] parses, validates arm shape, and
+    * forwards the key fields). */
+  final case class WireBlock(blockNumber: Long, timestamp: Long,
+      events: Seq[(Long, Long)])
+
+  /** A reference-shaped `data` message: one chunk's worth of blocks under
+    * one (production, finality) pair. `finality = "pending"` marks every
+    * contained block as the pending head — the reference's per-message
+    * finality (`index.ts:240,270`). */
+  def data(blocks: Seq[WireBlock], finality: String = "accepted",
+      production: String = "live"): String = {
+    val root = mapper.createObjectNode()
+    root.put("_tag", "data")
+    val d = root.putObject("data")
+    d.put("production", production)
+    d.put("finality", finality)
+    d.putObject("endCursor").put("orderKey",
+      blocks.lastOption.map(_.blockNumber).getOrElse(0L))
+    val arr = d.putArray("data")
+    blocks.foreach { b =>
+      val bo = arr.addObject()
+      val h = bo.putObject("header")
+      h.put("blockNumber", b.blockNumber)
+      h.put("blockHash", s"0xb${b.blockNumber}")
+      h.put("timestamp", b.timestamp)
+      val evs = bo.putArray("events")
+      b.events.foreach { case (ti, ei) =>
+        val eo = evs.addObject()
+        eo.put("transactionIndex", ti)
+        eo.put("eventIndexInTransaction", ei)
+        eo.put("address", "0xcore")
+        eo.put("transactionHash", s"0xtx${b.blockNumber}_$ti")
+        eo.putArray("filterIds").add(1L)
       }
     }
-    o.toString
+    root.toString
   }
 
-  def invalidate(fromBlock: Long): String =
-    s"""{"t":"invalidate","from":$fromBlock}"""
+  /** `invalidate`: everything AFTER `cursor.orderKey` is no longer
+    * canonical — the receiver deletes block numbers ≥ orderKey + 1
+    * (reference `index.ts:175-178`). */
+  def invalidate(orderKey: Long): String =
+    s"""{"_tag":"invalidate","invalidate":{"cursor":{"orderKey":$orderKey}}}"""
 
-  val heartbeat: String = """{"t":"heartbeat"}"""
+  val heartbeat: String = """{"_tag":"heartbeat"}"""
 
-  val end: String = """{"t":"end"}"""
+  def systemMessage(text: String, stderr: Boolean = false): String = {
+    val root = mapper.createObjectNode()
+    root.put("_tag", "systemMessage")
+    val out = root.putObject("systemMessage").putObject("output")
+    out.put("_tag", if (stderr) "stderr" else "stdout")
+    out.put(if (stderr) "stderr" else "stdout", text)
+    root.toString
+  }
 
-  /** One wire row back to the scalar map [[JsonBlockFeed.emit]] takes.
-    * Integral JSON numbers become Long, floating become Double — the only
-    * numeric shapes the chunk contract admits. */
-  def rowToMap(node: JsonNode): Map[String, Any] = {
-    val it = node.fields()
-    val b = Map.newBuilder[String, Any]
-    while (it.hasNext) {
-      val e = it.next()
-      val v = e.getValue
-      b += e.getKey -> (
-        if (v.isIntegralNumber) v.asLong()
-        else if (v.isFloatingPointNumber) v.asDouble()
-        else if (v.isBoolean) v.asBoolean()
-        else v.asText())
-    }
-    b.result()
+  /** The finite-replay terminator (see the object Scaladoc). */
+  val endOfScript: String = systemMessage("end-of-script")
+
+  /** The reference's subscribe shape (`index.ts:127-141`): the event
+    * filter, pending finality, and the resume cursor. */
+  def subscribe(cursor: Long): String = {
+    val root = mapper.createObjectNode()
+    val f = root.putArray("filter").addObject().putArray("events")
+    val e = f.addObject()
+    e.put("id", 1L); e.put("address", "0xcore"); e.putArray("keys")
+    root.put("finality", "pending")
+    root.putObject("startingCursor").put("orderKey", cursor)
+    root.toString
   }
 }
 
 /** A finite replay server: serves the scripted message sequence to every
-  * connection, starting at the cursor the client subscribes with — the
-  * deterministic-replay behavior a chain node's cursor subscription gives
-  * the reference (`index.ts:16-24`). Connections are accepted sequentially
-  * (the drainer is a single bridge process); the server lives until
-  * [[close]] or process exit.
+  * connection, starting at the `startingCursor.orderKey` the client
+  * subscribes with — the deterministic-replay behavior a chain node's
+  * cursor subscription gives the reference (`index.ts:16-24`). Connections
+  * are accepted sequentially (the drainer is a single bridge process); the
+  * server lives until [[close]] or process exit.
   *
   * As a standalone process: `graft.sources.net.BlockStreamServer <port>
   * [blocks] [reorgAt]` serves [[BlockStreamScenario.chainWithReorg]] and
@@ -119,9 +169,9 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0) {
     val out = new PrintWriter(
       new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
     val sub = BlockStreamWire.mapper.readTree(in.readLine())
-    val cursor = Option(sub.get("cursor")).map(_.asInt()).getOrElse(0)
+    val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
     script.drop(cursor).foreach { msg => out.println(msg); out.flush() }
-    out.println(BlockStreamWire.end)
+    out.println(BlockStreamWire.endOfScript)
     out.flush()
   }
 
@@ -143,14 +193,41 @@ object BlockStreamServer {
 }
 
 /** The bridge process ("the gRPC drainer" of the connector's Scaladoc):
-  * subscribes at the feed directory's committed-chunk count and appends
-  * each received message as one committed chunk. Restart-safe and
-  * duplicate-free by construction — see [[BlockStreamWire]]. */
+  * subscribes at the feed directory's committed-chunk count and dispatches
+  * each received message on its `_tag` exactly as the reference's consumer
+  * loop does (`index.ts:142-287`), appending one committed chunk per
+  * chunk-producing message. Restart-safe and duplicate-free by
+  * construction — see [[BlockStreamWire]]. */
 object BlockStreamDrainer {
 
+  /** `data` arm → the chunk contract's scalar rows: per (block, event),
+    * the block header's number plus the event's position, with the
+    * MESSAGE-level finality deciding `is_pending` (the reference treats a
+    * pending-finality data message as the head, `index.ts:240,270`). */
+  private def dataRows(d: JsonNode): Seq[Map[String, Any]] = {
+    val pending = d.path("finality").asText() == "pending"
+    val blocks = d.path("data")
+    (0 until blocks.size()).flatMap { bi =>
+      val block = blocks.get(bi)
+      val header = block.path("header")
+      require(header.has("blockNumber"), s"data block without a header: $block")
+      val bn = header.path("blockNumber").asLong()
+      val events = block.path("events")
+      (0 until events.size()).map { ei =>
+        val ev = events.get(ei)
+        Map[String, Any](
+          "block_number" -> bn,
+          "transaction_index" -> ev.path("transactionIndex").asLong(),
+          "event_index" -> ev.path("eventIndexInTransaction").asLong(),
+          "is_pending" -> pending)
+      }
+    }
+  }
+
   /** One connection: subscribe at the current chunk count, drain until the
-    * server's `end`, EOF, or `maxMessages` chunks this call. Returns the
-    * number of chunks committed; `completed` is true iff `end` was seen. */
+    * terminal system message, EOF, or `maxMessages` chunks this call.
+    * Returns the number of chunks committed; `completed` is true iff the
+    * end-of-script message was seen. */
   def drainOnce(host: String, port: Int, dir: String,
       maxMessages: Long = Long.MaxValue): (Long, Boolean) = {
     val feed = new JsonBlockFeed(dir)
@@ -159,7 +236,7 @@ object BlockStreamDrainer {
     try {
       val out = new PrintWriter(
         new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-      out.println(s"""{"cursor":$cursor}"""); out.flush()
+      out.println(BlockStreamWire.subscribe(cursor)); out.flush()
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
       var n = 0L
@@ -167,17 +244,26 @@ object BlockStreamDrainer {
       var line = if (n < maxMessages) in.readLine() else null
       while (line != null && !completed) {
         val msg = BlockStreamWire.mapper.readTree(line)
-        msg.get("t").asText() match {
+        msg.path("_tag").asText() match {
           case "data" =>
-            val rows = msg.get("rows")
-            feed.emit((0 until rows.size()).map(i =>
-              BlockStreamWire.rowToMap(rows.get(i))))
+            feed.emit(dataRows(msg.path("data")))
             n += 1
           case "invalidate" =>
-            feed.emitInvalidate(msg.get("from").asLong()); n += 1
+            // cursor.orderKey is the last VALID block; the chunk marker
+            // carries the first block to retract (orderKey + 1), the
+            // reference's deleteOldBlockNumbers(orderKey + 1)
+            feed.emitInvalidate(
+              msg.path("invalidate").path("cursor").path("orderKey").asLong() + 1)
+            n += 1
           case "heartbeat" =>
             feed.emitHeartbeat(); n += 1
-          case "end" => completed = true
+          case "systemMessage" =>
+            val o = msg.path("systemMessage").path("output")
+            if (o.path("_tag").asText() == "stdout" &&
+                o.path("stdout").asText() == "end-of-script") completed = true
+            // any other system message is a log/liveness signal (the
+            // reference only logs it); its durable form is a heartbeat
+            else { feed.emitHeartbeat(); n += 1 }
           case other => throw new IllegalStateException(s"unknown message arm: $other")
         }
         line = if (!completed && n < maxMessages) in.readLine() else null
@@ -221,28 +307,28 @@ object BlockStreamDrainer {
 
 /** Deterministic wire scripts shared by the server main and the specs. */
 object BlockStreamScenario {
+  import BlockStreamWire.WireBlock
 
-  private def rows(blocks: Seq[Long], pending: Boolean): Seq[Map[String, Any]] =
-    blocks.map(b => Map[String, Any]("block_number" -> b,
-      "transaction_index" -> 0L, "event_index" -> 0L, "is_pending" -> pending))
+  private def blocksOf(range: Seq[Long]): Seq[WireBlock] =
+    range.map(b => WireBlock(b, 1704067200L + b * 120L, events = Seq((0L, 0L))))
 
-  /** The T3/T4 chain shape: finalized 1..`blocks` plus a pending head,
-    * a heartbeat, then a reorg to `reorgAt` re-emitting a shorter new
-    * chain `reorgAt..reorgAt+10` with its own pending head. After a full
-    * drain + ingest the canonical table holds `reorgAt + 10` blocks and
-    * the pending head is `reorgAt + 11`. */
+  /** The T3/T4 chain shape in reference grammar: a backfill data message
+    * (1..mid), a live data message to the tip, the pending head as its own
+    * pending-finality message, a heartbeat, the reorg (`invalidate` at
+    * orderKey = reorgAt − 1, so reorgAt.. is retracted), then the new
+    * shorter chain `reorgAt..reorgAt+10` with its own pending head. After
+    * a full drain + ingest the canonical table holds `reorgAt + 10` blocks
+    * and the pending head is `reorgAt + 11`. */
   def chainWithReorg(blocks: Long, reorgAt: Long): Seq[String] = {
     require(blocks >= 2 && reorgAt >= 1 && reorgAt <= blocks)
     val mid = (blocks / 2).max(1L)
     Seq(
-      BlockStreamWire.data(rows(1L to mid, pending = false)),
-      BlockStreamWire.data(
-        rows((mid + 1) to blocks, pending = false) ++
-          rows(Seq(blocks + 1), pending = true)),
+      BlockStreamWire.data(blocksOf(1L to mid), production = "backfill"),
+      BlockStreamWire.data(blocksOf((mid + 1) to blocks)),
+      BlockStreamWire.data(blocksOf(Seq(blocks + 1)), finality = "pending"),
       BlockStreamWire.heartbeat,
-      BlockStreamWire.invalidate(reorgAt),
-      BlockStreamWire.data(
-        rows(reorgAt to (reorgAt + 10), pending = false) ++
-          rows(Seq(reorgAt + 11), pending = true)))
+      BlockStreamWire.invalidate(reorgAt - 1),
+      BlockStreamWire.data(blocksOf(reorgAt to (reorgAt + 10))),
+      BlockStreamWire.data(blocksOf(Seq(reorgAt + 11)), finality = "pending"))
   }
 }

@@ -7,17 +7,55 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.sources.FeedBlockSource
-import graft.sources.net.{BlockStreamDrainer, BlockStreamScenario, BlockStreamServer}
+import graft.sources.net.{BlockStreamDrainer, BlockStreamScenario, BlockStreamServer, BlockStreamWire}
 import graft.sources.v2.BlockFeedProvider
 import graft.streaming.StreamDriver
 
 /** The network leg end-to-end: a block-stream server speaking the
-  * line-framed wire protocol over a real TCP socket, the drainer bridging
-  * it into the chunk-directory contract, and Spark ingesting the result
-  * through the `graft-blocks` connector + StreamDriver — the full path the
-  * reference runs as gRPC subscription → dispatch → Postgres
-  * (index.ts:16-24,142-287). */
+  * REFERENCE'S message grammar (`_tag`-discriminated heartbeat /
+  * systemMessage / invalidate / data with block headers + events, JSON
+  * line framing in place of protobuf) over a real TCP socket, the drainer
+  * dispatching it into the chunk-directory contract, and Spark ingesting
+  * the result through the `graft-blocks` connector + StreamDriver — the
+  * full path the reference runs as gRPC subscription → dispatch →
+  * Postgres (index.ts:16-24,142-287). */
 class NetFeedSpec extends SparkSpec {
+
+  test("the wire speaks the reference's message grammar") {
+    val m = BlockStreamWire.mapper
+    val script = BlockStreamScenario.chainWithReorg(blocks = 80L, reorgAt = 50L)
+    val tags = script.map(s => m.readTree(s).path("_tag").asText())
+    assert(tags.forall(Set("data", "invalidate", "heartbeat", "systemMessage")),
+      s"only the reference's four arms may appear: $tags")
+
+    // data arm: production/finality/endCursor plus header+events nesting
+    val d = m.readTree(script.head).path("data")
+    assert(d.has("production") && d.has("finality") &&
+      d.path("endCursor").has("orderKey"))
+    val block = d.path("data").get(0)
+    assert(block.path("header").has("blockNumber") &&
+      block.path("header").has("blockHash") &&
+      block.path("header").has("timestamp"))
+    val ev = block.path("events").get(0)
+    assert(ev.has("transactionIndex") && ev.has("eventIndexInTransaction") &&
+      ev.has("address") && ev.has("transactionHash") && ev.has("filterIds"))
+
+    // the pending head rides a pending-finality data message of its own
+    assert(script.map(m.readTree).count(n =>
+      n.path("_tag").asText() == "data" &&
+        n.path("data").path("finality").asText() == "pending") == 2)
+
+    // invalidate arm: cursor.orderKey = last VALID block (reorgAt - 1)
+    val inv = script.map(m.readTree)
+      .find(_.path("_tag").asText() == "invalidate").get
+    assert(inv.path("invalidate").path("cursor").path("orderKey").asLong() == 49L)
+
+    // subscribe shape: filter + finality + startingCursor
+    val sub = m.readTree(BlockStreamWire.subscribe(7))
+    assert(sub.path("filter").get(0).path("events").get(0).has("address"))
+    assert(sub.path("finality").asText() == "pending")
+    assert(sub.path("startingCursor").path("orderKey").asLong() == 7L)
+  }
 
   private val schema = StructType(Seq(
     StructField("block_number", LongType),
