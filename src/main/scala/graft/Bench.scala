@@ -153,8 +153,42 @@ object Bench {
     val slowest = slowestN
       .map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size},"failures":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    // Second parallelism point (VERDICT r10 #8): rerun the slowest queries
+    // (by min-wall — the contention-free ranking) in a fresh local[8]
+    // session with shuffle.partitions=8. A plan whose health depends on the
+    // parallelism knob (AQE coalescing differences, partition-count
+    // assumptions, skew that 32 slots hide) shows up as a local8/local32
+    // ratio far above the ~4× slot ratio. One cold pass per query: the
+    // JVM-global codegen cache is already warm, so this measures the plan
+    // under 8 slots, not janino. Gated by SPARK_GRAFT_LOCAL8=0 for quick
+    // local iteration.
+    val local8: Option[Seq[(String, Double)]] =
+      if (sys.env.getOrElse("SPARK_GRAFT_LOCAL8", "1") == "1") {
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s8 = SparkSession.builder().master("local[8]")
+          .config("spark.sql.shuffle.partitions", "8")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        s8.sparkContext.setLogLevel("WARN")
+        graft.fixtures.Fixtures.register(s8, sfDir)
+        val subset = results.sortBy { case (k, _, _, _) => -minWall(k) }.take(12).map(_._1)
+        val timed = subset.map { name =>
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(s8, sfDir).count() catch { case e: Throwable =>
+            failures ::= s"local8:$name"
+            System.err.println(s"[bench] local8 $name FAILED: $e")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        s8.stop()
+        Some(timed)
+      } else { spark.stop(); None }
+    val l8json = local8.map { timed =>
+      val qs = timed.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      s""","local8_queries":$qs,"local8_total":${r3(timed.map(_._2).sum)}"""
+    }.getOrElse("")
+    val failed2 = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size}$l8json,"failures":$failed2,"sf":"$sfDir"}""")
     if (failures.nonEmpty) sys.exit(1)
   }
 }
