@@ -76,14 +76,13 @@ object AnnIndex {
   // ---------------------------------------------------------------- build
 
   /** IVF centroid frame (cid, cemb, cnorm) for a training population —
-    * every 97th non-degenerate vector, the seeded-sample stand-in for a
-    * trained coarse quantizer ([[Similarity.ivfAssignments]]'s contract). */
+    * the sqrt-law seeded sample over the non-degenerate vectors
+    * ([[Similarity.centroidsOf]]'s contract: cell count ~ sqrt of the
+    * TRAINING population, frozen thereafter — appends never re-derive
+    * the stride). */
   private def centsOf(spark: SparkSession, sfDir: String,
       trainPred: String): DataFrame =
-    Similarity.vecs(spark, sfDir).filter(expr(trainPred))
-      .filter(col("vec_id") % 97 === 3)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
-        col("norm_sq").as("cnorm"))
+    Similarity.centroidsOf(Similarity.vecs(spark, sfDir).filter(expr(trainPred)))
 
   /** Train quantizers on `trainPred`'s population and write the base delta
     * (delta=00001): centroids, codebooks, and the training population's
@@ -343,12 +342,15 @@ object AnnIndex {
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM embeddings) n
          WHERE norm_sq > 0 AND isfinite(norm_sq)),
+       ${Similarity.centStrideCte(standingPred)},
        cents AS (
          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-         WHERE vec_id % 97 = 3 AND ${standingPred}),
+         WHERE vec_id % (SELECT stride FROM cstride)
+             = 3 % (SELECT stride FROM cstride) AND ${standingPred}),
        cn AS (
          SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
-         WHERE vec_id % 97 = 3 AND ${standingPred}),
+         WHERE vec_id % (SELECT stride FROM cstride)
+             = 3 % (SELECT stride FROM cstride) AND ${standingPred}),
        cdots AS (
          SELECT e.vec_id, c.cid,
                 ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot

@@ -356,17 +356,49 @@ object Similarity {
     * ARRAYS (not exploded elements) against the vector scan — a fold per
     * (vector, centroid) — followed by a map-side-combined min_by, so the
     * only shuffle is centroid-count-deep. */
+  /** sqrt-law coarse-quantizer stride: the largest power of two whose
+    * square is <= the non-degenerate vector count — a 1-row (stride) frame.
+    * Cell count AND cell size then both grow as Theta(sqrt n), the standard
+    * IVF balance (Jegou et al., "Product Quantization", TPAMI 2011, SV-A:
+    * k' ~ sqrt(n) balances assignment and scan cost). The round-11 100x
+    * soak exposed the previous FIXED stride (every 97th vector): centroid
+    * count grew linearly with the corpus and index-build cost
+    * quadratically (39 s at 200k vectors, 0.6 s at 2k). Pure integer
+    * arithmetic (shift + compare, no log/sqrt doubles — bit-identical in
+    * the oracle's CTE twin), broadcast to the scan, no driver action. */
+  private[queries] def centStrideOf(v: DataFrame): DataFrame =
+    v.agg(count(lit(1)).as("n_vec")).select(expr(
+      "array_max(filter(transform(sequence(0, 30), " +
+        "i -> shiftleft(CAST(1 AS BIGINT), i)), p -> p * p <= n_vec))")
+      .as("stride"))
+
+  /** Centroid seed frame (cid, cemb, cnorm): every stride-th vector of `v`
+    * under the sqrt-law [[centStrideOf]]. `3 % stride` keeps the selection
+    * total even on degenerate tiny populations (stride 1 or 2). */
+  private[queries] def centroidsOf(v: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centStrideOf(v)))
+      .filter(pmod(col("vec_id"), col("stride")) === pmod(lit(3L), col("stride")))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("norm_sq").as("cnorm"))
+
+  /** Oracle twin of [[centStrideOf]] — a `cstride` CTE over the `nrm`
+    * population (optionally narrowed by `pred`, AnnIndex's standing
+    * split). Same integer shift arithmetic, same result. */
+  private[queries] def centStrideCte(pred: String = "TRUE"): String =
+    s"""cstride AS (
+         SELECT MAX(1::BIGINT << t.i) AS stride
+         FROM range(0, 31) t(i)
+         WHERE ((1::BIGINT << t.i) * (1::BIGINT << t.i)) <=
+               (SELECT COUNT(*) FROM nrm WHERE $pred))"""
+
   /** Max-cosine centroid per vector (shared by [[annIvf]] and
-    * [[kmeansRefine]]); centroids = every 97th vector, the seeded-sample
-    * stand-in for a trained quantizer. */
+    * [[kmeansRefine]]); centroids = the sqrt-law seeded sample
+    * ([[centroidsOf]]), the stand-in for a trained quantizer. */
   private[graft] def ivfAssignments(spark: SparkSession, sfDir: String,
       table: String = "embeddings"): DataFrame = {
-    import spark.implicits._
     val v = vecs(spark, sfDir, table)
     graft.util.Memo.cached(spark, sfDir, s"sim_ivf_assign_$table") {
-      val cents = v.filter($"vec_id" % 97 === 3)
-        .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
-      assignTo(v, cents)
+      assignTo(v, centroidsOf(v))
     }
   }
 
@@ -413,9 +445,7 @@ object Similarity {
   private def ivfQueryProbes(spark: SparkSession, sfDir: String, p: Int): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val cents = v.filter($"vec_id" % 97 === 3)
-      .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
-    probesTo(spark, sfDir, cents, p)
+    probesTo(spark, sfDir, centroidsOf(v), p)
   }
 
   /** Top-`p` probe cells per query vector against an explicit centroid
@@ -461,10 +491,13 @@ object Similarity {
     * refinement, and semantic dedup). */
   private[queries] def assignmentCtesFor(table: String): String =
     normCte(table) +
-      s""", cents AS (
-         SELECT vec_id AS cid, embedding AS cemb FROM $table WHERE vec_id % 97 = 3),
+      s""", ${centStrideCte()},
+       cents AS (
+         SELECT vec_id AS cid, embedding AS cemb FROM $table
+         WHERE vec_id % (SELECT stride FROM cstride) = 3 % (SELECT stride FROM cstride)),
        cn AS (
-         SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm WHERE vec_id % 97 = 3),
+         SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
+         WHERE vec_id % (SELECT stride FROM cstride) = 3 % (SELECT stride FROM cstride)),
        cdots AS (
          SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM $table e CROSS JOIN cents c),
@@ -727,10 +760,7 @@ object Similarity {
     DotProduct.register(spark)
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val cents = v.filter($"vec_id" % 97 === 3)
-      .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
-
-    v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(centroidsOf(v)))
       .select($"vec_id", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
       .withColumn("cos", $"dot" / (sqrt($"norm_sq") * sqrt($"cnorm")))
       .groupBy($"vec_id")
@@ -742,12 +772,15 @@ object Similarity {
 
   val outlierReportOracle: String = Fixtures.oracle(
     normCte("embeddings") +
-      s""", out_cd AS (
+      s""", ${centStrideCte()},
+       out_cd AS (
          SELECT e.vec_id, c.cid,
                 ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM embeddings e
          CROSS JOIN (SELECT vec_id AS cid, embedding AS cemb
-                     FROM embeddings WHERE vec_id % 97 = 3) c),
+                     FROM embeddings
+                     WHERE vec_id % (SELECT stride FROM cstride)
+                         = 3 % (SELECT stride FROM cstride)) c),
        out_best AS (
          SELECT d.vec_id, MAX(d.dot / (SQRT(n.norm_sq) * SQRT(cn.norm_sq))) AS best_cos
          FROM out_cd d

@@ -18,9 +18,10 @@ class IvfPqSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // sf0.1, not the suite default: the pruned fraction is ~nprobe/centroids
-    // and centroids grow with the corpus (every 97th vector) — the
-    // 500-vector sf0.001/sf0.01 fixtures have only ~5 cells, so 3-of-5
-    // probing cannot demonstrate pruning; sf0.1's 2000 vectors give 20
+    // and centroids follow the sqrt-law seed (largest power-of-two stride
+    // with stride^2 <= n) — sf0.1's 2000 vectors give ~62 cells, so
+    // 3-of-62 probing demonstrates a deep cut; the 500-vector sf0.001/
+    // sf0.01 fixtures have 31 smaller cells
     val sfDir = "/root/testdata/sf0.1"
     val df = Similarity.annIvfPq(s, sfDir)
     df.collect()
@@ -35,19 +36,24 @@ class IvfPqSpec extends SparkSpec {
     val fullScanRows = q * (n - 1) * 16L // pqM = 16
     assert(adcRows > 0, "pruned ADC must still read candidate codes")
     assert(adcRows < fullScanRows / 4,
-      s"nprobe=3 over ~${n / 97} cells must prune: read $adcRows of $fullScanRows")
+      s"nprobe=3 over ~sqrt(n) cells must prune: read $adcRows of $fullScanRows")
   }
 
-  test("composition keeps (here: beats) full-scan PQ recall — pruning drops ADC's noisy distractors") {
+  test("composition trades bounded recall for the ADC cut; both stay above the floor") {
     val s = spark
     val pq = Similarity.annRecallPq(s, sfDir)
       .agg(sum("hits"), avg("recall_at_3")).head()
     val ivfpq = Similarity.annRecallIvfPq(s, sfDir)
       .agg(sum("hits"), avg("recall_at_3")).head()
-    // fully deterministic pipeline → these are regression pins, not
-    // statistical bounds (measured at sf0.01: PQ 13 hits, IVF×PQ 14)
-    assert(ivfpq.getDouble(1) >= pq.getDouble(1),
-      s"IVF×PQ recall ${ivfpq.getDouble(1)} must not fall below full-scan PQ ${pq.getDouble(1)}")
-    assert(ivfpq.getDouble(1) > 0.15, s"recall floor: ${ivfpq.getDouble(1)}")
+    // fully deterministic pipeline → regression pins, not statistical
+    // bounds. Under the sqrt-law quantizer the sf0.01 fixture has 31 cells
+    // of ~16 vectors, so nprobe=3 reads ~10% of the corpus — the honest
+    // IVF tradeoff (measured: full-scan PQ 0.433, IVF×PQ 0.300; before
+    // r11's sqrt-law fix the fixture had 5 corpus-sized cells and the
+    // "pruned" scan was nearly a full scan, which is why IVF×PQ used to
+    // match full-scan recall here). nprobe is the deployment's recall
+    // lever — IvfNprobeSpec pins its monotonicity.
+    assert(pq.getDouble(1) > 0.4, s"full-scan PQ recall floor: ${pq.getDouble(1)}")
+    assert(ivfpq.getDouble(1) > 0.25, s"IVF×PQ recall floor: ${ivfpq.getDouble(1)}")
   }
 }
