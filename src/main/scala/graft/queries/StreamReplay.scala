@@ -9,14 +9,16 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.fixtures.Fixtures
-import graft.streaming.{StreamingHist, StreamingTopK}
+import graft.functions.TextHash
+import graft.streaming.{StreamingCms, StreamingHist, StreamingKmv, StreamingTopK}
 
 /** Driver-checkable batch replays of the streaming sketch twins.
   *
-  * StreamingHist and StreamingTopK carry a bit-exactness contract: because
-  * their state merges are order-free (additive counters; order-statistic
-  * selection), the state after ANY micro-batch split of a dataset equals
-  * the batch sketch of the same rows. The specs assert that against the
+  * StreamingHist, StreamingTopK, StreamingCms, and StreamingKmv all carry a
+  * bit-exactness contract: because their state merges are order-free
+  * (additive counters; order-statistic selection; k-min set union), the
+  * state after ANY micro-batch split of a dataset equals the batch sketch
+  * of the same rows. The specs assert that against the
   * batch operators in-JVM; these entries put the SAME contract under the
   * driver's DuckDB differential gate — each runs the real streaming
   * operator (MemoryStream → flatMapGroupsWithState → memory sink) over a
@@ -50,6 +52,34 @@ object StreamReplay {
       .as[(String, Long, Long)].collect()
     (0 until numBatches).map(i =>
       rows.iterator.filter(_._3 == i).map(r => (r._1, r._2)).toSeq)
+  }
+
+  /** (lang, doc_id, text) document rows split deterministically by
+    * doc_id % 3 — the document-fed twins' micro-batch boundaries (same
+    * arbitrary-split contract as [[batches]]). */
+  private def docBatches(spark: SparkSession, sfDir: String): IndexedSeq[Seq[(String, Long, String)]] = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val rows = spark.table("documents")
+      .select($"lang", $"doc_id", $"text")
+      .as[(String, Long, String)].collect()
+    (0 until numBatches).map(i =>
+      rows.iterator.filter(_._2 % numBatches == i).toSeq)
+  }
+
+  /** [[replay]] for document-fed pipelines (snapshot, doc_id, text). */
+  private def replayDocs[O](spark: SparkSession, sfDir: String, tag: String)
+      (pipe: org.apache.spark.sql.Dataset[(String, Long, String)] => org.apache.spark.sql.Dataset[O]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val name = s"${tag}_${ids.incrementAndGet()}"
+    val q = pipe(in.toDS()).toDF().writeStream.format("memory")
+      .queryName(name).outputMode(OutputMode.Update).start()
+    try docBatches(spark, sfDir).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
   }
 
   /** Run a streaming pipeline over the replay batches and return the full
@@ -122,11 +152,98 @@ object StreamReplay {
          WHERE cents IS NOT NULL AND event_type IS NOT NULL)
        WHERE rn <= 5""")
 
+  /** Final streaming count-min state per language snapshot, probed for the
+    * batch operator's probe words — oracle: the per-snapshot count-min
+    * sketch computed in SQL (the `text_count_min` arithmetic, partitioned
+    * by lang). The final state per (snapshot, word) is the max estimate:
+    * counters are additive, so every probe's estimate is non-decreasing
+    * across batches. */
+  def cmsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val log = replayDocs(spark, sfDir, "cms_replay") { ds =>
+      StreamingCms.estimates(
+        ds.map { case (s, id, t) => StreamingCms.DocIn(s, id, t) },
+        TextOps.cmsProbes)
+    }
+    log.groupBy($"snapshot", $"word")
+      .agg(max($"cm_estimate").as("cm_estimate"))
+      .select($"snapshot".as("lang"), $"word", $"cm_estimate")
+  }
+
+  val cmsReplayOracle: String = {
+    def bucketOf(wh: String, i: String): String =
+      s"(($wh * (97 + 31 * $i) + (13 + 17 * $i)) % ${TextHash.P}) % ${TextOps.cmsW}"
+    val probeValues = TextOps.cmsProbes.map(p => s"('$p')").mkString(", ")
+    Fixtures.oracle(
+      s""", scr_words AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+       scr_counters AS (
+         SELECT lang, i, bucket, COUNT(1) AS cnt FROM (
+           SELECT w.lang, CAST(t.i AS INT) AS i,
+                  ${bucketOf(TextHash.duckWordHash("w.word"), "t.i")} AS bucket
+           FROM scr_words w, UNNEST(range(${TextOps.cmsD})) AS t(i))
+         GROUP BY 1, 2, 3),
+       scr_probes(word) AS (VALUES $probeValues),
+       scr_pb AS (
+         SELECT l.lang, p.word, CAST(t.i AS INT) AS i,
+                ${bucketOf(TextHash.duckWordHash("p.word"), "t.i")} AS bucket
+         FROM (SELECT DISTINCT lang FROM documents) l
+         CROSS JOIN scr_probes p, UNNEST(range(${TextOps.cmsD})) AS t(i))
+       SELECT p.lang, p.word, MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+       FROM scr_pb p
+       LEFT JOIN scr_counters c
+         ON p.lang = c.lang AND p.i = c.i AND p.bucket = c.bucket
+       GROUP BY 1, 2""")
+  }
+
+  /** Final streaming KMV state per language snapshot — oracle: the batch
+    * k-minimum-values sketch of the same shingle space
+    * (`corpus_overlap_kmv`'s per-snapshot CTE) with the same estimator.
+    * Final-state selection: k_eff only grows, and once the sketch is full
+    * tau only shrinks, so the final emission is argmax of
+    * (k_eff, −tau) — while below k the hash SET only grows (no eviction),
+    * so equal k_eff implies an identical sketch. */
+  def kmvReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val log = replayDocs(spark, sfDir, "kmv_replay") { ds =>
+      StreamingKmv.estimates(
+        ds.map { case (s, id, t) => StreamingKmv.DocIn(s, id, t) }, k)
+    }
+    log.groupBy($"snapshot")
+      .agg(max_by(struct($"k_eff", $"tau", $"est_distinct"),
+        struct($"k_eff", -$"tau")).as("s"))
+      .select($"snapshot".as("lang"), $"s.k_eff", $"s.tau",
+        round($"s.est_distinct", 3).as("est_distinct"))
+  }
+
+  val kmvReplayOracle: String = Fixtures.oracle(
+    s""", skr_h AS (
+         SELECT DISTINCT lang,
+                (${TextHash.duckWordHash("d.words[t.i+1] || ' ' || d.words[t.i+2] || ' ' || d.words[t.i+3]")} * 2654435761) % 4294967296 AS h
+         FROM (SELECT lang, string_split(text, ' ') AS words FROM documents) d,
+              UNNEST(range(len(d.words) - 2)) AS t(i)
+         WHERE len(d.words) >= 3),
+       skr_sk AS (
+         SELECT lang, list_sort(list(h ORDER BY h))[1:256] AS sk
+         FROM skr_h GROUP BY 1)
+       SELECT lang,
+              CAST(len(sk) AS BIGINT) AS k_eff,
+              CASE WHEN len(sk) > 0 THEN sk[len(sk)] ELSE 0 END AS tau,
+              ROUND(CASE WHEN len(sk) = 256
+                    THEN CAST(255 AS DOUBLE) * 4294967296.0 / CAST(sk[len(sk)] AS DOUBLE)
+                    ELSE CAST(len(sk) AS DOUBLE) END, 3) AS est_distinct
+       FROM skr_sk""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_hist_replay" -> (histReplay _),
-    "streaming_topk_replay" -> (topkReplay _))
+    "streaming_topk_replay" -> (topkReplay _),
+    "streaming_cms_replay" -> (cmsReplay _),
+    "streaming_kmv_replay" -> (kmvReplay _))
 
   val oracles: Map[String, String] = Map(
     "streaming_hist_replay" -> histReplayOracle,
-    "streaming_topk_replay" -> topkReplayOracle)
+    "streaming_topk_replay" -> topkReplayOracle,
+    "streaming_cms_replay" -> cmsReplayOracle,
+    "streaming_kmv_replay" -> kmvReplayOracle)
 }

@@ -377,9 +377,11 @@ object TextOps {
               (n_hit * 10000) // n_grams >= 1000 AS flagged
        FROM co""")
 
-  private val cmsD = 4 // hash rows
-  private val cmsW = 1024 // buckets per row
-  private val cmsProbes = Seq("the", "key", "order", "sort", "batch", "window",
+  // shared with StreamReplay's count-min twin (StreamingCms pins D/W to the
+  // same values; its spec asserts the stream/batch counter agreement)
+  private[queries] val cmsD = 4 // hash rows
+  private[queries] val cmsW = 1024 // buckets per row
+  private[queries] val cmsProbes = Seq("the", "key", "order", "sort", "batch", "window",
     "hash", "stream", "spark", "scan", "merge", "zzz_absent_zzz")
 
   /** Count-min sketch term-frequency estimation (Cormode & Muthukrishnan,

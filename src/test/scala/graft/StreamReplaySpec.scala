@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.StreamReplay
+import graft.streaming.{StreamingCms, StreamingKmv}
+
+/** The document-fed replay entries (streaming_cms_replay /
+  * streaming_kmv_replay): the final streaming state surfaced through the
+  * catalog must equal a driver-side recomputation from the operators' own
+  * primitives — an independent path (JVM counter loops / TreeSet merge vs
+  * the distributed flatMapGroupsWithState pipeline plus the final-state
+  * argmax selection). */
+class StreamReplaySpec extends SparkSpec {
+
+  private def docs: Seq[(String, String)] = {
+    graft.fixtures.Fixtures.register(spark, SparkSpec.fixtureSf)
+    import spark.implicits._
+    spark.table("documents").select($"lang", $"text")
+      .as[(String, String)].collect().toSeq
+  }
+
+  test("cms replay equals driver-side per-snapshot counters") {
+    val probes = Seq("the", "key", "order", "sort", "batch", "window",
+      "hash", "stream", "spark", "scan", "merge", "zzz_absent_zzz")
+    val counters = scala.collection.mutable.Map[String, Array[Long]]()
+    docs.foreach { case (lang, text) =>
+      val c = counters.getOrElseUpdate(lang,
+        new Array[Long](StreamingCms.D * StreamingCms.W))
+      text.split(" ", -1).foreach { w =>
+        val wh = StreamingCms.wordHash(w)
+        for (i <- 0 until StreamingCms.D)
+          c(i * StreamingCms.W + StreamingCms.bucket(wh, i)) += 1
+      }
+    }
+    val rows = StreamReplay.cmsReplay(spark, SparkSpec.fixtureSf).collect()
+    assert(rows.length == counters.size * probes.size)
+    rows.foreach { r =>
+      val expected = StreamingCms.estimate(
+        counters(r.getAs[String]("lang")), r.getAs[String]("word"))
+      assert(r.getAs[Long]("cm_estimate") == expected,
+        s"${r.getAs[String]("lang")}/${r.getAs[String]("word")}")
+    }
+  }
+
+  test("kmv replay equals driver-side per-snapshot sketch merge") {
+    val k = 256
+    val sets = scala.collection.mutable.Map[String, java.util.TreeSet[java.lang.Long]]()
+    docs.foreach { case (lang, text) =>
+      val set = sets.getOrElseUpdate(lang, new java.util.TreeSet[java.lang.Long]())
+      StreamingKmv.docSketch(text, k).foreach { h =>
+        if (set.size < k || h < set.last) {
+          set.add(h)
+          if (set.size > k) set.pollLast()
+        }
+      }
+    }
+    val rows = StreamReplay.kmvReplay(spark, SparkSpec.fixtureSf).collect()
+    val nonEmpty = sets.filter(_._2.size > 0)
+    assert(rows.length == nonEmpty.size)
+    rows.foreach { r =>
+      val set = sets(r.getAs[String]("lang"))
+      val sketch = {
+        val a = new Array[Long](set.size)
+        val it = set.iterator(); var i = 0
+        while (it.hasNext) { a(i) = it.next().longValue(); i += 1 }
+        a
+      }
+      val est = StreamingKmv.estimate(sketch, k)
+      assert(r.getAs[Long]("k_eff") == est.k_eff, s"k_eff of ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("tau") == est.tau, s"tau of ${r.getAs[String]("lang")}")
+      assert(math.abs(r.getAs[Double]("est_distinct") -
+        BigDecimal(est.est_distinct).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"estimate of ${r.getAs[String]("lang")}")
+    }
+  }
+}
