@@ -867,7 +867,367 @@ object Sessions {
        CROSS JOIN br_n n
        WHERE p.n_ab * 1000 >= n.n_users""")
 
+  /** k-anonymity release gate over the event log (Sweeney, 2002; Samarati's
+    * generalization step) — the privacy pass a training-data release runs
+    * before shipping interaction logs: a quasi-identifier combination seen
+    * for fewer than k DISTINCT users re-identifies; the cell must be
+    * generalized (coarsen the value axis one level) or suppressed.
+    *
+    * Quasi-identifiers here: (event_type, hour-of-day, log₂ value bin) —
+    * the [[Log2Bin]] contract shared with `events_hist_quantiles`, so the
+    * generalization ladder "bin → bin DIV 2" is the histogram's own
+    * coarsening. Per level-0 cell the release decision is
+    *   0 (publish as-is)   if n_users ≥ k,
+    *   1 (publish coarse)  else if the bin DIV 2 cell reaches k users,
+    *   2 (suppress)        otherwise.
+    *
+    * Scale shape: the QI space is bounded (|event_type| × 24 × ≤63 bins),
+    * so both aggregates are map-side-combined shuffles whose OUTPUT is
+    * cell-count-sized; the distinct-user count shuffles (QI, user_id)
+    * pairs — corpus-sized in, cell-sized out, the same shape as every
+    * rollup. The coarse frame joins back on its bounded cell key. Pure
+    * integer arithmetic throughout — bit-identical across engines. */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val k = 8
+    val rec = spark.table("ek")
+      .filter($"cents".isNotNull && $"cents" >= 1L && $"event_type".isNotNull)
+      .select($"event_type", (($"btime" / 3600L).cast(LongType) % 24L).as("hour"),
+        expr(graft.functions.Log2Bin.binSql("cents")).as("bin"), $"user_id")
+    val l0 = rec.groupBy($"event_type", $"hour", $"bin")
+      .agg(count(lit(1)).as("n_records"), countDistinct($"user_id").as("n_users"))
+    val l1 = rec.groupBy($"event_type", $"hour", expr("bin DIV 2").as("coarse_bin"))
+      .agg(countDistinct($"user_id").as("coarse_users"))
+    l0.withColumn("coarse_bin", expr("bin DIV 2"))
+      .join(l1, Seq("event_type", "hour", "coarse_bin"))
+      .select($"event_type", $"hour", $"bin", $"n_records", $"n_users",
+        $"coarse_users",
+        when($"n_users" >= k, 0L)
+          .when($"coarse_users" >= k, 1L)
+          .otherwise(2L).as("release_level"))
+  }
+
+  val kAnonymityOracle: String = Fixtures.oracle(
+    s""", ka_rec AS (
+         SELECT event_type,
+                CAST(FLOOR(btime / 3600) AS BIGINT) % 24 AS hour,
+                ${graft.functions.Log2Bin.binSql("cents")} AS bin,
+                user_id
+         FROM ek
+         WHERE cents IS NOT NULL AND cents >= 1 AND event_type IS NOT NULL),
+       ka_l0 AS (
+         SELECT event_type, hour, bin, COUNT(1) AS n_records,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM ka_rec GROUP BY 1, 2, 3),
+       ka_l1 AS (
+         SELECT event_type, hour, bin // 2 AS coarse_bin,
+                COUNT(DISTINCT user_id) AS coarse_users
+         FROM ka_rec GROUP BY 1, 2, 3)
+       SELECT a.event_type, a.hour, a.bin, a.n_records, a.n_users,
+              b.coarse_users,
+              CAST(CASE WHEN a.n_users >= 8 THEN 0
+                        WHEN b.coarse_users >= 8 THEN 1
+                        ELSE 2 END AS BIGINT) AS release_level
+       FROM ka_l0 a
+       JOIN ka_l1 b ON a.event_type = b.event_type AND a.hour = b.hour
+                   AND a.bin // 2 = b.coarse_bin""")
+
+  /** Triangle counting + local clustering coefficient over the purchase→
+    * click influence graph (same edge set as [[userPagerank]]) via
+    * degree-ordered edge orientation — the MapReduce-era standard for
+    * at-scale triangle enumeration (Suri & Vassilvitskii, WWW'11; Cohen's
+    * MapReduce graph kit): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, so each triangle is
+    * generated by exactly ONE wedge at its lowest-ranked apex and
+    * out-degrees are O(√m)-bounded — the wedge explosion a hub vertex
+    * would cause under naive adjacency joins cannot happen.
+    *
+    * Plan shape: edges come from the binned range join (never all-pairs);
+    * degree and orientation are node-/edge-sized shuffles; the wedge build
+    * is a self-equi-join of the oriented adjacency on its apex and the
+    * closing check is an equi-join on (b, c) — three shuffle joins total,
+    * every key a real hash key. Per-node credit explodes each triangle to
+    * its 3 corners, then one map-side-combined count; the clustering
+    * coefficient 2·t·10⁴ DIV (deg·(deg−1)) stays integer basis points. */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val ev = spark.table("ek")
+      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("src"), $"t")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("dst_user"), $"t".as("ct"))
+    val und = graft.operators.BinnedRange
+      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
+      .filter($"src" =!= $"dst_user")
+      .select(least($"src", $"dst_user").as("u"), greatest($"src", $"dst_user").as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+
+    // orientation: lower (deg, id) endpoint → higher; keep the head's rank
+    // so wedges can order their two spokes without re-joining degrees
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("db"))
+
+    val wedges = oriented.as("x").join(oriented.as("y"), $"x.a" === $"y.a" &&
+        ($"x.db" < $"y.db" || ($"x.db" === $"y.db" && $"x.b" < $"y.b")))
+      .select($"x.a".as("a"), $"x.b".as("b"), $"y.b".as("c"))
+
+    val triangles = wedges
+      .join(oriented.select($"a".as("b"), $"b".as("c")), Seq("b", "c"))
+      .localCheckpoint()
+
+    val credit = triangles.select(explode(array($"a", $"b", $"c")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("n_triangles"))
+
+    deg.join(credit, Seq("n"), "left")
+      .select($"n".as("user_id"), $"deg".as("degree"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        when($"deg" >= 2L,
+          expr("(2 * coalesce(n_triangles, CAST(0 AS BIGINT)) * 10000) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_bp"))
+  }
+
+  val triangleCountOracle: String = Fixtures.oracle(
+    """, tc_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
+       tc_dir AS (
+         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
+         FROM tc_ev p JOIN tc_ev c
+           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
+         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+       tc_und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM tc_dir),
+       tc_deg AS (SELECT n, COUNT(1) AS deg FROM (
+                    SELECT u AS n FROM tc_und UNION ALL SELECT v FROM tc_und)
+                  GROUP BY 1),
+       tc_or AS (
+         SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                     THEN e.u ELSE e.v END AS a,
+                CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                     THEN e.v ELSE e.u END AS b,
+                CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                     THEN dv.deg ELSE du.deg END AS db
+         FROM tc_und e
+         JOIN tc_deg du ON du.n = e.u
+         JOIN tc_deg dv ON dv.n = e.v),
+       tc_tri AS (
+         SELECT x.a, x.b, y.b AS c
+         FROM tc_or x
+         JOIN tc_or y ON x.a = y.a
+                     AND (x.db < y.db OR (x.db = y.db AND x.b < y.b))
+         JOIN tc_or z ON z.a = x.b AND z.b = y.b),
+       tc_credit AS (
+         SELECT n, COUNT(1) AS n_triangles FROM (
+           SELECT a AS n FROM tc_tri
+           UNION ALL SELECT b FROM tc_tri
+           UNION ALL SELECT c FROM tc_tri)
+         GROUP BY 1)
+       SELECT d.n AS user_id, d.deg AS degree,
+              COALESCE(c.n_triangles, 0) AS n_triangles,
+              CAST(CASE WHEN d.deg >= 2
+                   THEN (2 * COALESCE(c.n_triangles, 0) * 10000) // (d.deg * (d.deg - 1))
+                   ELSE 0 END AS BIGINT) AS lcc_bp
+       FROM tc_deg d LEFT JOIN tc_credit c ON c.n = d.n""")
+
+  /** HyperLogLog distinct-user estimation per event type (Flajolet,
+    * Fusy, Gandouet & Meunier, AofA'07) — the third cardinality sketch
+    * next to KMV (`corpus_overlap_kmv`) and exact distinct: m = 256
+    * registers of 5 bits each (160 B per group, forever), where register
+    * j keeps max ρ(w) over the users hashing to it (ρ = leading-zero
+    * rank of the remaining 24 hash bits). Registers merge by MAX — like
+    * every sketch here, order-free and union-composable across
+    * partitions, days, and streams — and duplicate users land on the
+    * same (j, ρ) so the sketch counts DISTINCT by construction with no
+    * distinct shuffle.
+    *
+    * Determinism discipline: the Knuth multiplicative hash
+    * ([[Sampling.bucketExprSql]] — shared SQL text in both engines)
+    * replaces the engine hash; the harmonic mean Z = Σ 2^(−Mⱼ) is held
+    * EXACT as the integer S = Σ 2^(25−Mⱼ) (common denominator 2²⁵), so
+    * the only float op is the final α·m²·2²⁵/S — literal-arithmetic
+    * constants and one correctly-rounded division, bit-identical across
+    * engines. The raw estimator is reported next to the exact count and
+    * the zero-register count V (the small-range-correction trigger a
+    * consumer applies); err_bp makes the sketch error observable per
+    * group, the count-min discipline.
+    *
+    * Scale shape: ONE map-side-combined (event_type, j) MAX aggregate —
+    * corpus-sized scan in, ≤ |types|·256 rows out; the register grid
+    * completion is a bounded broadcast cross join; the exact side (for
+    * the error column) is the only distinct-sized exchange, and a
+    * production run at 10¹¹ users would simply drop it — the sketch side
+    * never materializes user-count state. */
+  def distinctHll(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val m = 256
+
+    val hashed = spark.table("raw")
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .select($"event_type",
+        expr(Sampling.bucketExprSql("user_id")).as("h"))
+      .select($"event_type", ($"h" % m).as("j"), expr("h DIV 256").as("w"))
+      .select($"event_type", $"j",
+        when($"w" === 0L, lit(25L))
+          .otherwise(lit(25L) - length(expr("bin(w)"))).as("rho"))
+
+    val regs = hashed.groupBy($"event_type", $"j").agg(max($"rho").as("mj"))
+
+    val grid = spark.table("raw").filter($"event_type".isNotNull)
+      .select($"event_type").distinct()
+      .crossJoin(spark.range(m).select($"id".as("j")))
+
+    val sketch = grid.join(regs, Seq("event_type", "j"), "left")
+      .withColumn("mj", coalesce($"mj", lit(0L)))
+      .groupBy($"event_type")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mj AS INT))")).as("s2"),
+        sum(when($"mj" === 0L, 1L).otherwise(0L)).as("v_zero"))
+
+    val exact = spark.table("raw")
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("exact_distinct"))
+
+    sketch.join(exact, Seq("event_type"))
+      .withColumn("hll_raw", round(
+        expr(s"((0.7213 / (1.0 + 1.079 / $m.0)) * ${m * m}.0 * 33554432.0) / CAST(s2 AS DOUBLE)"), 3))
+      // the error stays DOUBLE end-to-end: a double→int cast here would
+      // diverge (Spark truncates, DuckDB rounds-to-nearest)
+      .select($"event_type", $"exact_distinct", $"v_zero", $"s2",
+        $"hll_raw",
+        round($"hll_raw" / $"exact_distinct".cast(DoubleType), 6).as("est_over_exact"))
+  }
+
+  val distinctHllOracle: String = Fixtures.oracle(
+    s""", hll_h AS (
+         SELECT event_type, ${Sampling.bucketExprSql("user_id")} AS h
+         FROM raw WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       hll_rho AS (
+         SELECT event_type, h % 256 AS j,
+                CASE WHEN h // 256 = 0 THEN 25
+                     ELSE 25 - len(bin(h // 256)) END AS rho
+         FROM hll_h),
+       hll_regs AS (
+         SELECT event_type, j, MAX(rho) AS mj FROM hll_rho GROUP BY 1, 2),
+       hll_grid AS (
+         SELECT t.event_type, CAST(s.j AS BIGINT) AS j
+         FROM (SELECT DISTINCT event_type FROM raw WHERE event_type IS NOT NULL) t,
+              UNNEST(range(256)) AS s(j)),
+       hll_sk AS (
+         SELECT g.event_type,
+                SUM(CAST(1 AS BIGINT) << CAST(25 - COALESCE(r.mj, 0) AS INT)) AS s2,
+                SUM(CASE WHEN COALESCE(r.mj, 0) = 0 THEN 1 ELSE 0 END) AS v_zero
+         FROM hll_grid g
+         LEFT JOIN hll_regs r ON g.event_type = r.event_type AND g.j = r.j
+         GROUP BY 1),
+       hll_ex AS (
+         SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+         FROM raw WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1)
+       SELECT s.event_type, e.exact_distinct,
+              CAST(s.v_zero AS BIGINT) AS v_zero, CAST(s.s2 AS BIGINT) AS s2,
+              ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0)
+                    / CAST(s.s2 AS DOUBLE), 3) AS hll_raw,
+              ROUND(ROUND(((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0)
+                          / CAST(s.s2 AS DOUBLE), 3)
+                    / CAST(e.exact_distinct AS DOUBLE), 6) AS est_over_exact
+       FROM hll_sk s JOIN hll_ex e ON s.event_type = e.event_type""")
+
+  /** Community detection over the influence graph by synchronous label
+    * propagation (Raghavan, Albert & Kumara, 2007) — the near-linear-time
+    * community primitive next to [[userPagerank]] (centrality) and
+    * `dedup_cluster_components` (connectivity): every node starts as its
+    * own label and, for 4 synchronized rounds, adopts the most frequent
+    * label among its neighbors (ties to the SMALLEST label — the
+    * deterministic tie-break that replaces the published random one, same
+    * discipline as every hash-for-rand substitution here).
+    *
+    * Scale shape: per round, ONE shuffle join (labels ⋈ adjacency on the
+    * neighbor end) and ONE map-side-combined (node, label) count; the
+    * per-node argmax is a bounded aggregate (candidate labels ≤ degree),
+    * via max_by on Spark and a degree-bounded ROW_NUMBER partition on the
+    * oracle — never a corpus-wide window. localCheckpoint truncates the
+    * per-round lineage exactly like PageRank. Output: each node's final
+    * community and the community size. */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val ev = spark.table("ek")
+      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("src"), $"t")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("dst_user"), $"t".as("ct"))
+    val und = graft.operators.BinnedRange
+      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
+      .filter($"src" =!= $"dst_user")
+      .select(least($"src", $"dst_user").as("u"), greatest($"src", $"dst_user").as("v"))
+      .distinct()
+    val adj = und.select($"u".as("n"), $"v".as("nbr"))
+      .union(und.select($"v".as("n"), $"u".as("nbr")))
+      .localCheckpoint()
+
+    var labels = adj.select($"n").distinct().select($"n", $"n".as("lbl"))
+    for (_ <- 1 to 4) {
+      labels = adj
+        .join(labels.select($"n".as("nbr"), $"lbl"), Seq("nbr"))
+        .groupBy($"n", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"n")
+        .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.join(labels.groupBy($"lbl").agg(count(lit(1)).as("community_size")), Seq("lbl"))
+      .select($"n".as("user_id"), $"lbl".as("community"), $"community_size")
+  }
+
+  private def lpaIterCte(n: Int): String = {
+    val (prev, cur) = (s"lpa_l${n - 1}", s"lpa_l$n")
+    s""", lpa_c$n AS MATERIALIZED (
+         SELECT a.n, p.lbl, COUNT(1) AS cnt
+         FROM lpa_adj a JOIN $prev p ON p.n = a.nbr
+         GROUP BY 1, 2),
+       $cur AS MATERIALIZED (
+         SELECT n, lbl FROM (
+           SELECT n, lbl,
+                  ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, lbl ASC) AS rk
+           FROM lpa_c$n)
+         WHERE rk = 1)"""
+  }
+
+  val labelPropagationOracle: String = Fixtures.oracle(
+    """, lpa_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
+       lpa_und AS (
+         SELECT DISTINCT least(p.user_id, c.user_id) AS u,
+                         greatest(p.user_id, c.user_id) AS v
+         FROM lpa_ev p JOIN lpa_ev c
+           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
+         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+       lpa_adj AS MATERIALIZED (
+         SELECT u AS n, v AS nbr FROM lpa_und
+         UNION ALL SELECT v, u FROM lpa_und),
+       lpa_l0 AS (SELECT DISTINCT n, n AS lbl FROM lpa_adj)""" +
+      (1 to 4).map(lpaIterCte).mkString("\n") +
+      """
+       SELECT l.n AS user_id, l.lbl AS community, s.community_size
+       FROM lpa_l4 l
+       JOIN (SELECT lbl, COUNT(1) AS community_size FROM lpa_l4 GROUP BY 1) s
+         ON l.lbl = s.lbl""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_distinct_hll" -> (distinctHll _),
+    "events_label_propagation" -> (labelPropagation _),
+    "privacy_k_anon" -> (kAnonymity _),
+    "events_triangle_count" -> (triangleCount _),
     "events_basket_rules" -> (basketRules _),
     "events_hist_quantiles" -> (histQuantiles _),
     "events_bot_flags" -> (botFlags _),
@@ -888,6 +1248,10 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_distinct_hll" -> distinctHllOracle,
+    "events_label_propagation" -> labelPropagationOracle,
+    "privacy_k_anon" -> kAnonymityOracle,
+    "events_triangle_count" -> triangleCountOracle,
     "events_basket_rules" -> basketRulesOracle,
     "events_hist_quantiles" -> histQuantilesOracle,
     "events_bot_flags" -> botFlagsOracle,
