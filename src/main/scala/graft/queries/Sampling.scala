@@ -647,7 +647,115 @@ object Sampling {
                 AS weight_bp
        FROM dm_scored s CROSS JOIN dm_tot t""")
 
+  /** RHO-loss data selection (Mindermann et al., ICML'22 "Prioritized
+    * training on points that are learnable, worth learning, and not yet
+    * learnt"): score every training document by
+    *
+    *   excess = reducible_holdout_loss_proxy = L_train(x) − L_holdout(x)
+    *
+    * where L_train is the loss proxy under a model of the TRAIN split and
+    * L_holdout under a model trained on the held-out split (which never saw
+    * x). High-excess points are learnable (the holdout model predicts them
+    * fine) but not yet learnt (the train-split model does not) — noise
+    * scores low on both, memorized boilerplate scores low excess. The loss
+    * proxy is the [[TextOps.lmFluency]] corpus-bigram-LM score negated:
+    * fluency is a predictability score, so excess loss = ref_fluency −
+    * self_fluency, both integer by the fluency discipline.
+    *
+    * The split is the content-hash [[splitCol]] — the SAME assignment
+    * `split_train_holdout` exports, so the selection is consistent with the
+    * pipeline's own holdout. Documents whose bigrams/heads the holdout LM
+    * never saw contribute 0 for those grams (add-zero: an unseen gram has
+    * frequency 0, not a smoothing constant — keeps every value integer and
+    * engine-exact).
+    *
+    * Scale shape: two vocabulary-sized count frames per LM (bigram + head),
+    * each a map-side-combined shuffle over the split-filtered gram stream;
+    * scoring is two LEFT shuffle joins on the gram/head keys (vocabulary
+    * frames never broadcast — Heaps' law) and one per-doc aggregate; the
+    * top-64 selection is orderBy+limit = TakeOrderedAndProject (per-
+    * partition top-64, single 64-row merge — never a global sort). */
+  def rhoLossSelect(spark: SparkSession, sfDir: String, topK: Int = 64): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+
+    val grams = spark.table("documents")
+      .withColumn("split", splitCol(sha2($"text", 256)))
+      .withColumn("words", split($"text", " "))
+      .filter(size($"words") >= 2)
+      .select($"doc_id", $"split", explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> struct(words[i] AS head, concat(words[i], ' ', words[i+1]) AS gram))"))
+        .as("g"))
+      .select($"doc_id", $"split", $"g.head", $"g.gram")
+
+    def lm(split: String): (DataFrame, DataFrame) = {
+      val s = grams.filter($"split" === split)
+      (s.groupBy($"gram").agg(count(lit(1)).as("big_n")),
+        s.groupBy($"head").agg(count(lit(1)).as("head_n")))
+    }
+    val (trainBig, trainHead) = lm("train")
+    val (refBig, refHead) = lm("holdout")
+
+    def score(big: DataFrame, head: DataFrame, out: String): DataFrame =
+      grams.filter($"split" === "train")
+        .join(big, Seq("gram"), "left")
+        .join(head, Seq("head"), "left")
+        .select($"doc_id",
+          coalesce(expr("(big_n * 1000000L) DIV head_n"), lit(0L)).as("g_score"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum($"g_score").as("total"))
+        .select($"doc_id", $"n_grams", expr("total DIV n_grams").as(out))
+
+    score(trainBig, trainHead, "self_fluency")
+      .join(score(refBig, refHead, "ref_fluency").drop("n_grams"), Seq("doc_id"))
+      .withColumn("excess", $"ref_fluency" - $"self_fluency")
+      .orderBy($"excess".desc, $"doc_id")
+      .limit(topK)
+  }
+
+  val rhoLossSelectOracle: String = Fixtures.oracle(
+    """, rho_grams AS (
+         SELECT doc_id,
+                CASE WHEN substr(sha256(text), 1, 1) <= 'c'
+                     THEN 'train' ELSE 'holdout' END AS split,
+                words[i+1] AS head, words[i+1] || ' ' || words[i+2] AS gram
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 2) dw,
+              UNNEST(range(len(words) - 1)) AS t(i)),
+       rho_tb AS (SELECT gram, COUNT(1) AS big_n FROM rho_grams
+                  WHERE split = 'train' GROUP BY 1),
+       rho_th AS (SELECT head, COUNT(1) AS head_n FROM rho_grams
+                  WHERE split = 'train' GROUP BY 1),
+       rho_rb AS (SELECT gram, COUNT(1) AS big_n FROM rho_grams
+                  WHERE split = 'holdout' GROUP BY 1),
+       rho_rh AS (SELECT head, COUNT(1) AS head_n FROM rho_grams
+                  WHERE split = 'holdout' GROUP BY 1),
+       rho_self AS (
+         SELECT g.doc_id, COUNT(1) AS n_grams,
+                CAST(SUM(COALESCE((b.big_n * 1000000) // h.head_n, 0)) // COUNT(1) AS BIGINT)
+                  AS self_fluency
+         FROM rho_grams g
+         LEFT JOIN rho_tb b ON g.gram = b.gram
+         LEFT JOIN rho_th h ON g.head = h.head
+         WHERE g.split = 'train' GROUP BY 1),
+       rho_ref AS (
+         SELECT g.doc_id,
+                CAST(SUM(COALESCE((b.big_n * 1000000) // h.head_n, 0)) // COUNT(1) AS BIGINT)
+                  AS ref_fluency
+         FROM rho_grams g
+         LEFT JOIN rho_rb b ON g.gram = b.gram
+         LEFT JOIN rho_rh h ON g.head = h.head
+         WHERE g.split = 'train' GROUP BY 1)
+       SELECT s.doc_id, s.n_grams, s.self_fluency, r.ref_fluency,
+              r.ref_fluency - s.self_fluency AS excess
+       FROM rho_self s JOIN rho_ref r ON s.doc_id = r.doc_id
+       ORDER BY excess DESC, s.doc_id
+       LIMIT 64""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_rho_loss" -> ((s: SparkSession, d: String) => rhoLossSelect(s, d)),
     "mix_doremi_weights" -> (doremiWeights _),
     "sample_dsir" -> (dsirSample _),
     "sample_class_balanced" -> (classBalanced _),
@@ -663,6 +771,7 @@ object Sampling {
     "sample_unimax" -> (unimaxSample _))
 
   val oracles: Map[String, String] = Map(
+    "sample_rho_loss" -> rhoLossSelectOracle,
     "mix_doremi_weights" -> doremiWeightsOracle,
     "sample_dsir" -> dsirSampleOracle,
     "sample_class_balanced" -> classBalancedOracle,
