@@ -36,7 +36,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Sampling.queries, Sampling.oracles),
       (Classifier.queries, Classifier.oracles),
-      (Bpe.queries, Bpe.oracles))
+      (Bpe.queries, Bpe.oracles),
+      (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

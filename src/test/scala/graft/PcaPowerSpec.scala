@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Pca
+
+/** embedding_pca_power: the integer fixed-point power iteration must land
+  * on the SAME dominant direction as a driver-side double-precision
+  * reference (independent path: dense double matvec + L2 normalization vs
+  * the distributed integer pipeline), with its normalization, eigenvalue,
+  * and variance-share invariants intact. */
+class PcaPowerSpec extends SparkSpec {
+
+  private lazy val rows = Pca.pcaPower(spark, SparkSpec.fixtureSf).collect()
+    .sortBy(_.getAs[Long]("dim"))
+
+  /** Dense double-precision reference on the same corpus: Gram from the
+    * RAW floats (no fixed-point quantization), 200 power-iteration rounds
+    * with L2 normalization. */
+  private lazy val reference: (Array[Double], Double) = {
+    graft.fixtures.Fixtures.register(spark, SparkSpec.fixtureSf)
+    import spark.implicits._
+    val vecs = spark.table("embeddings").select($"embedding")
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val g = Array.ofDim[Double](d, d)
+    for (x <- vecs; i <- 0 until d; j <- 0 until d) g(i)(j) += x(i) * x(j)
+    var v = Array.fill(d)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      lambda = (0 until d).map(i => v(i) * w(i)).sum // Rayleigh quotient of prev v
+      v = w.map(_ / n)
+    }
+    (v, lambda)
+  }
+
+  test("all 64 dims, L-inf normalization exact, one lambda/share value") {
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (0L until 64L))
+    assert(rows.map(r => math.abs(r.getAs[Long]("v_e6"))).max == 1000000L)
+    assert(rows.map(_.getAs[Long]("lambda_e6")).distinct.length == 1)
+    val share = rows.head.getAs[Long]("var_share_bp")
+    assert(share > 0 && share <= 10000, s"var_share_bp $share")
+  }
+
+  test("projection entry applies exactly the component the power entry reports") {
+    import spark.implicits._
+    val v = rows.map(_.getAs[Long]("v_e6"))
+    val vn = v.map(x => BigInt(x) * BigInt(x)).sum
+    val proj = graft.queries.Pca.pcaProject(spark, SparkSpec.fixtureSf).collect()
+    val vecs = spark.table("embeddings").select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(proj.length == vecs.size)
+    proj.foreach { r =>
+      val x = vecs(r.getAs[Long]("vec_id"))
+      val q = x.map(f => math.floor(f.toDouble * 1e6).toLong)
+      val expProj = q.zip(v).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      assert(BigInt(r.getAs[Long]("proj_e12")) == expProj)
+      val normQ = q.map(a => BigInt(a) * BigInt(a)).sum
+      val expShare = if (normQ == 0) BigInt(0) else (expProj * expProj * 10000) / (normQ * vn)
+      assert(BigInt(r.getAs[Long]("share_bp")) == expShare)
+      // integer Cauchy-Schwarz: the share is a true fraction of 10^4
+      assert(r.getAs[Long]("share_bp") >= 0 && r.getAs[Long]("share_bp") <= 10000)
+    }
+  }
+
+  test("fixed-point eigenvector aligns with the double-precision reference") {
+    val (refV, refLambda) = reference
+    val fp = rows.map(_.getAs[Long]("v_e6").toDouble / 1e6)
+    val cos = {
+      val dot = fp.zip(refV).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(fp.map(x => x * x).sum) * math.sqrt(refV.map(x => x * x).sum))
+    }
+    assert(math.abs(cos) > 0.999, s"direction cosine $cos")
+    val lambdaFp = rows.head.getAs[Long]("lambda_e6").toDouble / 1e6
+    assert(math.abs(lambdaFp - refLambda) / refLambda < 0.05,
+      s"lambda $lambdaFp vs reference $refLambda")
+  }
+}
