@@ -754,7 +754,86 @@ object Sampling {
        ORDER BY excess DESC, s.doc_id
        LIMIT 64""")
 
+  /** Data-constrained epoch scheduling (Muennighoff et al., NeurIPS'23
+    * "Scaling data-constrained language models"): when the training budget
+    * exceeds the corpus, data must REPEAT — and repeated tokens decay in
+    * value, worthless past ~4 epochs. Allocate a token budget B = 2×corpus
+    * across sources by water-filling a per-source level L with each source
+    * capped at 4 epochs of itself: Σ min(cap_s, L) = B, cap_s = 4·n_s —
+    * the [[unimaxSample]] sweep with the published repetition ceiling as
+    * the cap instead of the corpus itself. Sources at cap repeat 4×;
+    * everything else sits at the shared level (≥ 1 epoch by construction
+    * at B = 2×corpus since L ≥ B/k ≥ smallest caps… the spec asserts the
+    * fixture exercises both sides).
+    *
+    * Output per source: tokens, cap, allocation, epochs in bp
+    * (10⁴ = one epoch), at_cap. Integer throughout — the level sweep runs
+    * over the SOURCE-set-sized frame (bounded global window, the unimax
+    * class), allocation is exact floor division; the ≤(k−1)-token sweep
+    * remainder stays unallocated, documented, identically in both
+    * engines. */
+  def epochSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val counts = spark.table("documents").filter($"source".isNotNull)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast(LongType)).as("n_tok"))
+      .withColumn("cap", $"n_tok" * 4L)
+    val tot = counts.agg(sum($"n_tok").as("total"), count(lit(1)).as("n_src"))
+
+    // BOUNDED global window: one row per SOURCE (label-set sized)
+    val w = Window.orderBy($"cap", $"source")
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(w).cast(LongType))
+      .withColumn("cum_excl", coalesce(
+        sum($"cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("level", expr("((total * 2) - cum_excl) DIV (n_src - k + 1)"))
+
+    val level = ranked.filter($"cap" > $"level")
+      .orderBy($"k").limit(1).select($"level".as("lv"))
+    ranked.join(broadcast(level), lit(true), "left")
+      .select($"source", $"n_tok", $"cap",
+        when($"cap" <= $"level", $"cap")
+          .otherwise(least($"cap", coalesce($"lv", lit(0L)))).as("alloc"))
+      .select($"source", $"n_tok", $"cap", $"alloc",
+        expr("(alloc * 10000) DIV n_tok").as("epochs_bp"),
+        ($"alloc" === $"cap").as("at_cap"))
+  }
+
+  val epochScheduleOracle: String = Fixtures.oracle(
+    """, eps_c AS (
+         SELECT source,
+                SUM(len(string_split(text, ' '))) AS n_tok,
+                SUM(len(string_split(text, ' '))) * 4 AS cap
+         FROM documents WHERE source IS NOT NULL GROUP BY 1),
+       eps_t AS (SELECT SUM(n_tok) AS total, COUNT(1) AS n_src FROM eps_c),
+       eps_r AS (
+         SELECT c.source, c.n_tok, c.cap,
+                ROW_NUMBER() OVER (ORDER BY c.cap, c.source) AS k,
+                COALESCE(SUM(c.cap) OVER (ORDER BY c.cap, c.source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+                t.total, t.n_src
+         FROM eps_c c CROSS JOIN eps_t t),
+       eps_r2 AS (
+         SELECT *, ((total * 2) - cum_excl) // (n_src - k + 1) AS level
+         FROM eps_r),
+       eps_lv AS (
+         SELECT level AS lv FROM eps_r2 WHERE cap > level ORDER BY k LIMIT 1),
+       eps_a AS (
+         SELECT r.source, r.n_tok, r.cap,
+                CASE WHEN r.cap <= r.level THEN r.cap
+                     ELSE LEAST(r.cap, COALESCE(l.lv, 0)) END AS alloc
+         FROM eps_r2 r LEFT JOIN eps_lv l ON TRUE)
+       SELECT source, CAST(n_tok AS BIGINT) AS n_tok, CAST(cap AS BIGINT) AS cap,
+              CAST(alloc AS BIGINT) AS alloc,
+              CAST((alloc * 10000) // n_tok AS BIGINT) AS epochs_bp,
+              alloc = cap AS at_cap
+       FROM eps_a""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_epoch_schedule" -> (epochSchedule _),
     "sample_rho_loss" -> ((s: SparkSession, d: String) => rhoLossSelect(s, d)),
     "mix_doremi_weights" -> (doremiWeights _),
     "sample_dsir" -> (dsirSample _),
@@ -771,6 +850,7 @@ object Sampling {
     "sample_unimax" -> (unimaxSample _))
 
   val oracles: Map[String, String] = Map(
+    "mix_epoch_schedule" -> epochScheduleOracle,
     "sample_rho_loss" -> rhoLossSelectOracle,
     "mix_doremi_weights" -> doremiWeightsOracle,
     "sample_dsir" -> dsirSampleOracle,

@@ -1223,7 +1223,116 @@ object Sessions {
        JOIN (SELECT lbl, COUNT(1) AS community_size FROM lpa_l4 GROUP BY 1) s
          ON l.lbl = s.lbl""")
 
+  /** HITS hubs and authorities (Kleinberg, JACM 1999) over the DIRECTED
+    * purchase→click influence graph — the fourth graph-centrality lens
+    * next to PageRank (undirected prestige), connected components
+    * (reachability), and label propagation (communities): a node is a
+    * good AUTHORITY if many good hubs point at it, a good HUB if it
+    * points at good authorities — the two-sided fixed point PageRank's
+    * single score cannot express (here: users whose purchases trigger
+    * clicks vs users whose clicks follow purchases).
+    *
+    * Determinism discipline: both scores are integers at 10⁻⁶ scale; each
+    * half-round is one integer sum over in-/out-neighbors and an L∞
+    * normalization by the round's max (truncating division, both
+    * engines) — the [[Pca]] iteration's arithmetic on a graph instead of
+    * a matrix, so 4 rounds are bit-identical and the oracle unrolls them
+    * as MATERIALIZED CTEs.
+    *
+    * Scale shape: per round TWO shuffle joins (scores ⋈ edges on the
+    * source end, then on the destination end) and two map-side-combined
+    * sums — output-sized exchanges at any corpus size, PageRank's
+    * iterate-and-truncate pattern (localCheckpoint per round). */
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val S = 1000000L
+
+    val ev = spark.table("ek")
+      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("src"), $"t")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("dst_user"), $"t".as("ct"))
+    val edges = graft.operators.BinnedRange
+      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
+      .filter($"src" =!= $"dst_user")
+      .select($"src", $"dst_user".as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    val nodes = edges.select($"src".as("u")).union(edges.select($"dst".as("u")))
+      .distinct().localCheckpoint()
+
+    var scores = nodes.select($"u", lit(S).as("a"), lit(S).as("h"))
+    for (_ <- 1 to 4) {
+      val aRaw = nodes
+        .join(edges.join(scores.select($"u".as("src"), $"h"), Seq("src"))
+          .groupBy($"dst".as("u")).agg(sum($"h").as("raw")), Seq("u"), "left")
+        .select($"u", coalesce($"raw", lit(0L)).as("raw"))
+      val aMax = aRaw.agg(max($"raw").as("m"))
+      val aNew = aRaw.crossJoin(broadcast(aMax))
+        .select($"u", when($"m" === 0L, 0L)
+          .otherwise(expr(s"(raw * $S) DIV m")).as("a"))
+      val hRaw = nodes
+        .join(edges.join(aNew.select($"u".as("dst"), $"a".as("na")), Seq("dst"))
+          .groupBy($"src".as("u")).agg(sum($"na").as("raw")), Seq("u"), "left")
+        .select($"u", coalesce($"raw", lit(0L)).as("raw"))
+      val hMax = hRaw.agg(max($"raw").as("m"))
+      val hNew = hRaw.crossJoin(broadcast(hMax))
+        .select($"u", when($"m" === 0L, 0L)
+          .otherwise(expr(s"(raw * $S) DIV m")).as("h"))
+      scores = aNew.join(hNew, Seq("u")).localCheckpoint()
+    }
+    scores.select($"u".as("user_id"), $"a".as("authority_e6"), $"h".as("hub_e6"))
+  }
+
+  private def hitsIterCte(n: Int): String = {
+    val prev = if (n == 1) "hits_s0" else s"hits_s${n - 1}"
+    s""", hits_ar$n AS MATERIALIZED (
+         SELECT nd.u, COALESCE(SUM(pv.h), 0) AS raw
+         FROM hits_nodes nd
+         LEFT JOIN hits_e e ON e.dst = nd.u
+         LEFT JOIN $prev pv ON pv.u = e.src
+         GROUP BY nd.u),
+       hits_am$n AS (SELECT MAX(raw) AS m FROM hits_ar$n),
+       hits_an$n AS MATERIALIZED (
+         SELECT r.u, CASE WHEN m.m = 0 THEN 0
+                          ELSE CAST((r.raw * 1000000) // m.m AS BIGINT) END AS a
+         FROM hits_ar$n r CROSS JOIN hits_am$n m),
+       hits_hr$n AS MATERIALIZED (
+         SELECT nd.u, COALESCE(SUM(av.a), 0) AS raw
+         FROM hits_nodes nd
+         LEFT JOIN hits_e e ON e.src = nd.u
+         LEFT JOIN hits_an$n av ON av.u = e.dst
+         GROUP BY nd.u),
+       hits_hm$n AS (SELECT MAX(raw) AS m FROM hits_hr$n),
+       hits_s$n AS MATERIALIZED (
+         SELECT a.u, a.a,
+                CASE WHEN m.m = 0 THEN 0
+                     ELSE CAST((h.raw * 1000000) // m.m AS BIGINT) END AS h
+         FROM hits_an$n a
+         JOIN hits_hr$n h ON h.u = a.u
+         CROSS JOIN hits_hm$n m)"""
+  }
+
+  val hitsScoresOracle: String = Fixtures.oracle(
+    """, hits_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
+       hits_e AS MATERIALIZED (
+         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
+         FROM hits_ev p JOIN hits_ev c
+           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
+         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+       hits_nodes AS (SELECT src AS u FROM hits_e UNION SELECT dst FROM hits_e),
+       hits_s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS a,
+                          CAST(1000000 AS BIGINT) AS h
+                   FROM hits_nodes)""" +
+      (1 to 4).map(hitsIterCte).mkString("\n") +
+      """
+       SELECT u AS user_id, a AS authority_e6, h AS hub_e6 FROM hits_s4""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hits_scores" -> (hitsScores _),
     "events_distinct_hll" -> (distinctHll _),
     "events_label_propagation" -> (labelPropagation _),
     "privacy_k_anon" -> (kAnonymity _),
@@ -1248,6 +1357,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_hits_scores" -> hitsScoresOracle,
     "events_distinct_hll" -> distinctHllOracle,
     "events_label_propagation" -> labelPropagationOracle,
     "privacy_k_anon" -> kAnonymityOracle,

@@ -2069,7 +2069,56 @@ object TextOps {
        ORDER BY lift_ratio DESC, sw.source, sw.word
        LIMIT 200""")
 
+  /** Source-concentration report per language — the Herfindahl–Hirschman
+    * index (HHI, the antitrust concentration measure) of token mass across
+    * sources, the "is this language's data one scraper in a trench coat"
+    * diagnostic a datacard publishes next to composition shares: a
+    * language fed by one dominant domain inherits that domain's biases and
+    * dedup blind spots however many documents it has.
+    *
+    * Exactness: HHI = Σ share² needs NO floats — report
+    * hhi_e8 = ⌊Σ tok_s² · 10⁸ / T²⌋ (one floor division at the end; 10⁸ =
+    * monopoly) with Σ tok_s² carried in DECIMAL(38,0)/HUGEINT lanes (a
+    * Long wraps at ~3·10⁹ tokens in one source). Alongside: the top
+    * source's share in bp (max_by, no window) and the source count — the
+    * three numbers a mixture rebalance reads.
+    *
+    * Scale shape: one (lang, source) map-side-combined token sum (bounded
+    * output: label-set × domain-set), then one lang-keyed fold — no
+    * corpus-sized exchange after the scan. */
+  def hhiConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    spark.table("documents")
+      .filter($"lang".isNotNull && $"source".isNotNull)
+      .groupBy($"lang", $"source")
+      .agg(sum(size(split($"text", " ")).cast(LongType)).as("tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum($"tok").as("total_tok"),
+        sum($"tok".cast(DecimalType(38, 0)) * $"tok").as("sq"),
+        max($"tok").as("top_tok"))
+      .select($"lang", $"n_sources", $"total_tok",
+        expr("CAST((sq * 100000000) DIV (CAST(total_tok AS DECIMAL(38,0)) * total_tok) AS BIGINT)")
+          .as("hhi_e8"),
+        expr("(top_tok * 10000) DIV total_tok").as("top_share_bp"))
+  }
+
+  val hhiConcentrationOracle: String = Fixtures.oracle(
+    """, hhi_st AS (
+         SELECT lang, source, SUM(len(string_split(text, ' '))) AS tok
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL
+         GROUP BY 1, 2)
+       SELECT lang, COUNT(1) AS n_sources,
+              CAST(SUM(tok) AS BIGINT) AS total_tok,
+              CAST((SUM(CAST(tok AS HUGEINT) * tok) * 100000000)
+                   // (CAST(SUM(tok) AS HUGEINT) * SUM(tok)) AS BIGINT) AS hhi_e8,
+              CAST((MAX(tok) * 10000) // SUM(tok) AS BIGINT) AS top_share_bp
+       FROM hhi_st GROUP BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_hhi_concentration" -> (hhiConcentration _),
     "corpus_datacard" -> (dataCard _),
     "text_zipf_spectrum" -> (zipfSpectrum _),
     "corpus_heaps_curve" -> (heapsCurve _),
@@ -2107,6 +2156,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_hhi_concentration" -> hhiConcentrationOracle,
     "corpus_datacard" -> dataCardOracle,
     "text_zipf_spectrum" -> zipfSpectrumOracle,
     "corpus_heaps_curve" -> heapsCurveOracle,
