@@ -350,5 +350,47 @@ class ScalePlanSpec extends SparkSpec {
     assert(gw >= 0 &&
       gov.indexOf("HashAggregate(keys=[claimee", gw) > gw,
       s"the reward rank must consume the output-sized per-claimee aggregate:\n$gov")
+
+    // epochSchedule: the water-filling sweep windows over per-SOURCE counts
+    val eps = plan(graft.queries.Sampling.epochSchedule(spark, sfDir))
+    val ew = eps.indexOf("Window")
+    assert(ew >= 0 &&
+      eps.indexOf("HashAggregate(keys=[source", ew) > ew,
+      s"the sweep window must consume the source-set-sized counts:\n$eps")
+  }
+
+  test("pcaProject is a pure scan-side projection: zero exchanges, zero joins") {
+    // the trained component rides the plan as a literal — applying the
+    // model must not shuffle, join, or broadcast ANYTHING at any corpus
+    // size (the model collect happened at train time, driver-side)
+    val p = plan(graft.queries.Pca.pcaProject(spark, sfDir))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+  }
+
+  test("triangleCount closes wedges with equi-joins, never a cartesian product") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Sessions.triangleCount(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"wedge build and closing check must stay equi-joins:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"adjacency joins must shuffle on their keys without auto-broadcast:\n$p")
+    }
+  }
+
+  test("rhoLoss: LM count frames shuffle, selection is TakeOrdered (no global sort)") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Sampling.rhoLossSelect(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"),
+        s"the vocabulary-sized bigram/head count frames may never broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-64 must be a bounded TakeOrdered, not Sort+Limit:\n$p")
+    }
+  }
+
+  test("distinctHll register aggregate map-side combines") {
+    val p = plan(graft.queries.Sessions.distinctHll(spark, sfDir))
+    assert(p.contains("partial_max"),
+      s"the (group, register) MAX must partial-aggregate before the exchange:\n$p")
   }
 }
