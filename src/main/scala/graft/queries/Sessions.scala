@@ -1331,7 +1331,52 @@ object Sessions {
       """
        SELECT u AS user_id, a AS authority_e6, h AS hub_e6 FROM hits_s4""")
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model counterpart of the bigram LM ([[TextOps
+    * .lmFluency]] on events instead of words): P(next event type | current)
+    * estimated from every consecutive pair in each user's seq-ordered
+    * stream, in exact basis points. The table a funnel designer or a
+    * bot-detector reads (a user stream whose transitions diverge from this
+    * matrix is [[botFlags]]' statistical cousin).
+    *
+    * Scale shape: ONE per-user window pass for the lag (bounded by a
+    * single user's history — the EWMA class, never a global partition),
+    * then a map-side-combined (prev, next) count on a |types|²-bounded key
+    * space; row-normalization joins on the |types|-bounded prev key.
+    * Integer everywhere: p_bp = cnt·10⁴ DIV row_total. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"seq")
+    val pairs = spark.table("raw")
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .select($"user_id", $"seq", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val counts = pairs.groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = counts.groupBy($"prev_type").agg(sum($"n").as("row_n"))
+    counts.join(rowTot, Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n",
+        expr("(n * 10000) DIV row_n").as("p_bp"))
+  }
+
+  val markovTransitionsOracle: String = Fixtures.oracle(
+    """, mkv_p AS (
+         SELECT user_id, seq, event_type,
+                LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY seq)
+                  AS prev_type
+         FROM raw WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       mkv_c AS (
+         SELECT prev_type, event_type AS next_type, COUNT(1) AS n
+         FROM mkv_p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       mkv_t AS (SELECT prev_type, SUM(n) AS row_n FROM mkv_c GROUP BY 1)
+       SELECT c.prev_type, c.next_type, c.n,
+              CAST((c.n * 10000) // t.row_n AS BIGINT) AS p_bp
+       FROM mkv_c c JOIN mkv_t t ON c.prev_type = t.prev_type""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov_transitions" -> (markovTransitions _),
     "events_hits_scores" -> (hitsScores _),
     "events_distinct_hll" -> (distinctHll _),
     "events_label_propagation" -> (labelPropagation _),
@@ -1357,6 +1402,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_markov_transitions" -> markovTransitionsOracle,
     "events_hits_scores" -> hitsScoresOracle,
     "events_distinct_hll" -> distinctHllOracle,
     "events_label_propagation" -> labelPropagationOracle,

@@ -717,10 +717,10 @@ object TextOps {
     bm25(spark.table("documents"), bm25Terms)
   }
 
-  /** The scoring pipeline itself, factored for spec-level testing on
-    * hand-built frames: (doc_id, text) + query terms → top-20 (doc_id,
-    * score). */
-  def bm25(documents: DataFrame, terms: Seq[String]): DataFrame = {
+  /** The per-(doc, term) BM25 score frame, shared by the sum-combined
+    * ranking ([[bm25]]) and the rank-fused one ([[rrfFusion]]) — one
+    * definition of the scoring arithmetic. */
+  private[queries] def bm25Scored(documents: DataFrame, terms: Seq[String]): DataFrame = {
     import documents.sparkSession.implicits._
     val docs = documents
       .select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
@@ -733,7 +733,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
 
-    val scored = tf
+    tf
       .join(broadcast(df), Seq("word"))
       .join(docs, Seq("doc_id"))
       .join(broadcast(stats))
@@ -744,6 +744,14 @@ object TextOps {
         $"idf" * ($"tf".cast(DoubleType) * lit(2.2)) /
           ($"tf".cast(DoubleType) +
             lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast(DoubleType) / $"avgdl"))))
+  }
+
+  /** The scoring pipeline itself, factored for spec-level testing on
+    * hand-built frames: (doc_id, text) + query terms → top-20 (doc_id,
+    * score). */
+  def bm25(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    import documents.sparkSession.implicits._
+    val scored = bm25Scored(documents, terms)
 
     // per-term sums see at most ONE row each ((doc, word) is unique after
     // the tf aggregate), so the only true addition is the fixed-order
@@ -760,36 +768,104 @@ object TextOps {
       .select($"doc_id", round($"score", 6).as("score"))
   }
 
-  val bm25SearchOracle: String = {
+  /** The per-(doc, term) BM25 score CTE chain ending at
+    * `scored(doc_id, word, sc)` — the oracle twin of [[bm25Scored]], shared
+    * by the sum-combined and rank-fused oracles. */
+  private def bm25ScoredCtes: String = {
     val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s""", dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                  FROM documents),
+        stats AS (SELECT COUNT(1) AS n, SUM(dl) AS total_dl FROM dls),
+        tf AS (SELECT doc_id, word, COUNT(1) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+               WHERE word IN ($terms)
+               GROUP BY 1, 2),
+        df AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT t.doc_id, t.word,
+                 ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * 2.2)
+                   / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                              / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS sc
+          FROM tf t
+          JOIN df d ON t.word = d.word
+          JOIN dls l ON t.doc_id = l.doc_id
+          CROSS JOIN stats s)"""
+  }
+
+  val bm25SearchOracle: String = {
     val caseSums = bm25Terms.zipWithIndex
       .map { case (t, i) => s"SUM(CASE WHEN word = '$t' THEN sc END) AS s_$i" }
       .mkString(", ")
     val total = bm25Terms.indices.map(i => s"COALESCE(s_$i, 0.0)").mkString(" + ")
-    Fixtures.oracle(
-      s""", dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                    FROM documents),
-          stats AS (SELECT COUNT(1) AS n, SUM(dl) AS total_dl FROM dls),
-          tf AS (SELECT doc_id, word, COUNT(1) AS tf
-                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-                 WHERE word IN ($terms)
-                 GROUP BY 1, 2),
-          df AS (SELECT word, COUNT(1) AS df FROM tf GROUP BY 1),
-          scored AS (
-            SELECT t.doc_id, t.word,
-                   ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-                     * (CAST(t.tf AS DOUBLE) * 2.2)
-                     / (CAST(t.tf AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
-                                                / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS sc
-            FROM tf t
-            JOIN df d ON t.word = d.word
-            JOIN dls l ON t.doc_id = l.doc_id
-            CROSS JOIN stats s),
+    Fixtures.oracle(bm25ScoredCtes +
+      s""",
           combined AS (SELECT doc_id, $caseSums FROM scored GROUP BY 1)
        SELECT doc_id, ROUND($total, 6) AS score
        FROM combined
        ORDER BY $total DESC, doc_id
+       LIMIT 20""")
+  }
+
+  /** Reciprocal-rank fusion of the per-term result lists (Cormack, Clarke
+    * & Büttcher, SIGIR'09): each query term produces its own top-20
+    * ranking by single-term BM25 score, and the fused score of a document
+    * is Σ_lists ⌊10⁶/(60 + rank)⌋ — the k=60 RRF constant, integerized so
+    * the fusion is bit-exact (score-sum combination, [[bm25]], is the
+    * thing RRF was published to beat: ranks are comparable across lists,
+    * raw scores are not).
+    *
+    * Scale shape: the scored frame is the shared [[bm25Scored]] posting
+    * computation; each per-term top-20 is ONE filter + TakeOrdered pass —
+    * the per-list cost is bounded by the FIXED query budget (|terms|
+    * passes), never a per-term corpus-sized window (a ranking window
+    * partitioned by term would inherit the full posting list of a
+    * frequent term — the r4 WindowExec class). The rank window that does
+    * run sits above a ≤20-row post-limit frame (the bpeTopPairs bounded
+    * class). Fusion itself is a ≤|terms|·20-row integer aggregate. */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(spark.table("documents"), bm25Terms)
+
+    val perTerm = bm25Terms.map { t =>
+      scored.filter($"word" === t)
+        .orderBy($"sc".desc, $"doc_id")
+        .limit(20)
+        // BOUNDED global window: the frame above is post-limit (≤ 20 rows)
+        .withColumn("rank", row_number().over(Window.orderBy($"sc".desc, $"doc_id"))
+          .cast(LongType))
+        .select($"doc_id", lit(t).as("term"), $"rank")
+    }.reduce(_ union _)
+
+    perTerm
+      .withColumn("rr", expr("CAST(1000000 AS BIGINT) DIV (60 + rank)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum($"rr").as("rrf_e6"))
+      .orderBy($"rrf_e6".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val rrfFusionOracle: String = {
+    val lists = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s""", rrf_l$i AS (
+           SELECT doc_id, '$t' AS term,
+                  ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+           FROM scored WHERE word = '$t'
+           ORDER BY sc DESC, doc_id LIMIT 20)"""
+    }.mkString("\n")
+    val union = bm25Terms.indices.map(i => s"SELECT * FROM rrf_l$i")
+      .mkString(" UNION ALL ")
+    Fixtures.oracle(bm25ScoredCtes + lists +
+      s""",
+         rrf_all AS ($union)
+       SELECT doc_id, COUNT(1) AS n_lists,
+              CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_e6
+       FROM rrf_all
+       GROUP BY 1
+       ORDER BY rrf_e6 DESC, doc_id
        LIMIT 20""")
   }
 
@@ -2118,6 +2194,7 @@ object TextOps {
        FROM hhi_st GROUP BY 1""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rrf_fusion" -> (rrfFusion _),
     "corpus_hhi_concentration" -> (hhiConcentration _),
     "corpus_datacard" -> (dataCard _),
     "text_zipf_spectrum" -> (zipfSpectrum _),
@@ -2156,6 +2233,7 @@ object TextOps {
     "corpus_pretrain_funnel" -> (pretrainFunnel _))
 
   val oracles: Map[String, String] = Map(
+    "text_rrf_fusion" -> rrfFusionOracle,
     "corpus_hhi_concentration" -> hhiConcentrationOracle,
     "corpus_datacard" -> dataCardOracle,
     "text_zipf_spectrum" -> zipfSpectrumOracle,
