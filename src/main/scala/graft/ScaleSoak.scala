@@ -49,7 +49,14 @@ object ScaleSoak {
     "twamm_proceeds_by_owner",  // lateral pipeline
     "token_pair_realized_volatility", // decorrelated window analytics
     "text_vocab_coverage",      // 3-level partitioned prefix-sum hierarchy
-    "text_bpe_train")           // 12 sequential distributed rounds
+    "text_bpe_train",           // 12 sequential distributed rounds
+    // round-11 additions with a scale story worth sampling:
+    "embedding_pca_power",      // per-partition Gram kernel + driver rounds
+    "events_triangle_count",    // degree-oriented wedge joins
+    "events_label_propagation", // 4 sync LPA rounds, 1 join/round
+    "events_hits_scores",       // 4 two-sided integer rounds
+    "privacy_k_anon",           // bounded-QI distinct aggregation
+    "text_rrf_fusion")          // shared posting frame + fixed-budget lists
 
   // ---------------------------------------------------------------- synth
 

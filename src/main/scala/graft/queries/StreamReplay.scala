@@ -235,13 +235,81 @@ object StreamReplay {
                     ELSE CAST(len(sk) AS DOUBLE) END, 3) AS est_distinct
        FROM skr_sk""")
 
+  /** Final streaming funnel state replayed IN ORDER — unlike the sketch
+    * twins, the funnel's state transition is order-SENSITIVE (a click only
+    * counts after the first view), so its replay contract is the in-order
+    * prefix one its spec pins: batches are contiguous seq ranges. The
+    * final stage per user is the max emission (stages only ratchet up);
+    * the oracle is the batch funnel's own SQL, verbatim. */
+  def funnelReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = spark.table("ek")
+      .select($"user_id", $"event_type", $"seq")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val per = (rows.length + numBatches - 1) / numBatches
+    val in = MemoryStream[graft.streaming.StreamingFunnel.EventIn]
+    val name = s"funnel_replay_${ids.incrementAndGet()}"
+    val q = graft.streaming.StreamingFunnel.stages(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try rows.grouped(per).foreach { b =>
+      in.addData(b.map(r =>
+        graft.streaming.StreamingFunnel.EventIn(r._1, r._2, r._3)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .groupBy($"user_id").agg(max($"stage").as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Final streaming exact-dedup verdicts replayed in doc-id order: the
+    * canonical election is first-arrival, so an id-ordered replay's
+    * verdicts equal the batch MIN(doc_id)-per-content election — each doc
+    * emits exactly one Append-mode verdict, no final-state selection
+    * needed. */
+  def dedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = spark.table("documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val per = (rows.length + numBatches - 1) / numBatches
+    val in = MemoryStream[graft.streaming.StreamingDedup.DocIn]
+    val name = s"dedup_replay_${ids.incrementAndGet()}"
+    val q = graft.streaming.StreamingDedup.exactDedup(in.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try rows.grouped(per).foreach { b =>
+      in.addData(b.map(r =>
+        graft.streaming.StreamingDedup.DocIn(r._1, r._2)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .select($"doc_id", $"canonical_doc_id", $"is_duplicate")
+  }
+
+  val dedupReplayOracle: String = Fixtures.oracle(
+    """, sdr_c AS (
+         SELECT doc_id,
+                MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_doc_id
+         FROM documents)
+       SELECT doc_id, canonical_doc_id,
+              doc_id <> canonical_doc_id AS is_duplicate
+       FROM sdr_c""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_funnel_replay" -> (funnelReplay _),
+    "streaming_dedup_replay" -> (dedupReplay _),
     "streaming_hist_replay" -> (histReplay _),
     "streaming_topk_replay" -> (topkReplay _),
     "streaming_cms_replay" -> (cmsReplay _),
     "streaming_kmv_replay" -> (kmvReplay _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_funnel_replay" -> graft.queries.Sessions.funnelOracle,
+    "streaming_dedup_replay" -> dedupReplayOracle,
     "streaming_hist_replay" -> histReplayOracle,
     "streaming_topk_replay" -> topkReplayOracle,
     "streaming_cms_replay" -> cmsReplayOracle,

@@ -41,6 +41,31 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("funnel replay histogram equals the batch funnel") {
+    val streamed = StreamReplay.funnelReplay(spark, SparkSpec.fixtureSf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    val batch = graft.queries.Sessions.funnel(spark, SparkSpec.fixtureSf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(streamed == batch)
+  }
+
+  test("dedup replay verdicts equal the min-id-per-content election") {
+    graft.fixtures.Fixtures.register(spark, SparkSpec.fixtureSf)
+    import spark.implicits._
+    val bySha = spark.table("documents").select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .groupBy(d => graft.streaming.StreamingDedup.textSha(d._2))
+      .map { case (_, ds) => ds.map(_._1).toSet -> ds.map(_._1).min }
+    val expected = bySha.flatMap { case (ids, canon) => ids.map(_ -> canon) }
+    val got = StreamReplay.dedupReplay(spark, SparkSpec.fixtureSf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("canonical_doc_id") == expected(id), s"canonical of $id")
+      assert(r.getAs[Boolean]("is_duplicate") == (id != expected(id)))
+    }
+  }
+
   test("kmv replay equals driver-side per-snapshot sketch merge") {
     val k = 256
     val sets = scala.collection.mutable.Map[String, java.util.TreeSet[java.lang.Long]]()
