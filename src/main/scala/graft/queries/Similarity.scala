@@ -302,6 +302,30 @@ object Similarity {
          JOIN embeddings d ON d.vec_id = c.vec_id)""" +
       rankedTail(3))
 
+  /** Recall@3 of the multi-table LSH candidate path — the missing cell of
+    * the recall matrix (every other candidate family already reports one):
+    * table union is THE recall lever of the LSH scale path, and this entry
+    * measures exactly what the second table buys over [[annRecall]]'s
+    * single-table number (candidates are a superset, so per-query recall
+    * can only rise). Same memoized exact side, output-sized join. */
+  def annRecallLshMulti(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annLshMultitable(spark, sfDir))
+
+  val annRecallLshMultiOracle: String = recallOracle(
+    elementCtes("embeddings") +
+      bucketCteFor("buckets_t0", graft.plans.LshBucket.multipliers(0)) +
+      bucketCteFor("buckets_t1", graft.plans.LshBucket.multipliers(1)) +
+      normCte("embeddings"),
+    s"""SELECT DISTINCT qid, vec_id FROM (
+          SELECT q.vec_id AS qid, b.vec_id
+          FROM buckets_t0 q JOIN buckets_t0 b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+          WHERE ${queryPred("q.vec_id")}
+          UNION ALL
+          SELECT q.vec_id AS qid, b.vec_id
+          FROM buckets_t1 q JOIN buckets_t1 b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
+          WHERE ${queryPred("q.vec_id")})""")
+
   /** Embedding-cosine near-duplicate pairs: same LSH bucketing as [[annLsh]]
     * but symmetric (a < b) with a 0.99 cosine threshold — the embedding
     * counterpart of MinHash near-dup detection. Reads `embeddings_aug` (the
@@ -1513,6 +1537,7 @@ object Similarity {
     "sim_kmeans_refine" -> (kmeansRefine _),
     "sim_semantic_dedup" -> (semanticDedup _),
     "sim_ann_recall" -> (annRecall _),
+    "sim_ann_recall_lsh_multi" -> (annRecallLshMulti _),
     "sim_ann_recall_ivf" -> (annRecallIvf _),
     "sim_ann_recall_ivf_nprobe2" -> (annRecallIvfNprobe2 _),
     "sim_outlier_report" -> (outlierReport _))
@@ -1534,6 +1559,7 @@ object Similarity {
     "sim_kmeans_refine" -> kmeansRefineOracle,
     "sim_semantic_dedup" -> semanticDedupOracle,
     "sim_ann_recall" -> annRecallOracle,
+    "sim_ann_recall_lsh_multi" -> annRecallLshMultiOracle,
     "sim_ann_recall_ivf" -> annRecallIvfOracle,
     "sim_ann_recall_ivf_nprobe2" -> annRecallIvfNprobe2Oracle,
     "sim_outlier_report" -> outlierReportOracle)

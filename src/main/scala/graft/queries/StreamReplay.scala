@@ -54,6 +54,21 @@ object StreamReplay {
       rows.iterator.filter(_._3 == i).map(r => (r._1, r._2)).toSeq)
   }
 
+  /** Run `body` with the session's shuffle-partition count pinned to 4:
+    * a streaming query snapshots spark.sql.shuffle.partitions at START as
+    * its state-store dimensionality, and the replay twins keep state for a
+    * handful of groups (languages / event types) — 32 state partitions is
+    * pure per-batch task overhead in the correctness gate (~2 s per entry,
+    * measured). Production sizes this knob for throughput; the gate sizes
+    * it for its state cardinality. Restored in finally; the catalog runs
+    * queries sequentially, so nothing else observes the narrowed conf. */
+  private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** (lang, doc_id, text) document rows split deterministically by
     * doc_id % 3 — the document-fed twins' micro-batch boundaries (same
     * arbitrary-split contract as [[batches]]). */
@@ -74,11 +89,13 @@ object StreamReplay {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(String, Long, String)]
     val name = s"${tag}_${ids.incrementAndGet()}"
-    val q = pipe(in.toDS()).toDF().writeStream.format("memory")
-      .queryName(name).outputMode(OutputMode.Update).start()
-    try docBatches(spark, sfDir).foreach { b =>
-      in.addData(b: _*); q.processAllAvailable()
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val q = pipe(in.toDS()).toDF().writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Update).start()
+      try docBatches(spark, sfDir).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -90,11 +107,13 @@ object StreamReplay {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(String, Long)]
     val name = s"${tag}_${ids.incrementAndGet()}"
-    val q = pipe(in.toDS()).toDF().writeStream.format("memory")
-      .queryName(name).outputMode(OutputMode.Update).start()
-    try batches(spark, sfDir).foreach { b =>
-      in.addData(b: _*); q.processAllAvailable()
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val q = pipe(in.toDS()).toDF().writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Update).start()
+      try batches(spark, sfDir).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -251,14 +270,16 @@ object StreamReplay {
     val per = (rows.length + numBatches - 1) / numBatches
     val in = MemoryStream[graft.streaming.StreamingFunnel.EventIn]
     val name = s"funnel_replay_${ids.incrementAndGet()}"
-    val q = graft.streaming.StreamingFunnel.stages(in.toDS()).toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update).start()
-    try rows.grouped(per).foreach { b =>
-      in.addData(b.map(r =>
-        graft.streaming.StreamingFunnel.EventIn(r._1, r._2, r._3)).toSeq: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val q = graft.streaming.StreamingFunnel.stages(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try rows.grouped(per).foreach { b =>
+        in.addData(b.map(r =>
+          graft.streaming.StreamingFunnel.EventIn(r._1, r._2, r._3)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(name)
       .groupBy($"user_id").agg(max($"stage").as("stage"))
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
@@ -278,14 +299,16 @@ object StreamReplay {
     val per = (rows.length + numBatches - 1) / numBatches
     val in = MemoryStream[graft.streaming.StreamingDedup.DocIn]
     val name = s"dedup_replay_${ids.incrementAndGet()}"
-    val q = graft.streaming.StreamingDedup.exactDedup(in.toDS()).toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try rows.grouped(per).foreach { b =>
-      in.addData(b.map(r =>
-        graft.streaming.StreamingDedup.DocIn(r._1, r._2)).toSeq: _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val q = graft.streaming.StreamingDedup.exactDedup(in.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try rows.grouped(per).foreach { b =>
+        in.addData(b.map(r =>
+          graft.streaming.StreamingDedup.DocIn(r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     spark.table(name)
       .select($"doc_id", $"canonical_doc_id", $"is_duplicate")
   }
