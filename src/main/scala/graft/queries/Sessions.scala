@@ -491,24 +491,60 @@ object Sessions {
     * round so the plan stays iteration-depth-free — the same iterate +
     * truncate pattern as dedup_cluster_components. Cost is
     * iterations × output-sized shuffles at any corpus size. */
+  /** The SHARED directed purchase→click influence-edge set — one
+    * definition for the whole graph family (PageRank, HITS, triangles,
+    * label propagation): purchases influence clicks landing 1-240 s later
+    * via the equi-joinable binned range join (never all-pairs), self-loops
+    * dropped, distinct. Memo.checkpointed: the corpus-sized join runs once
+    * per (session, sfDir) however many graph entries consume it, and every
+    * consumer gets a lineage-truncated leaf (the iterate-and-truncate
+    * precondition). An edit to the window constants or the synthetic clock
+    * now changes every graph operator — and every oracle, via the equally
+    * shared [[influenceEdgeCtes]] — together. */
+  private[queries] def influenceEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "influence_edges") {
+      import spark.implicits._
+      val ev = spark.table("ek")
+        .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("src"), $"t")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("dst_user"), $"t".as("ct"))
+      graft.operators.BinnedRange
+        .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
+        .filter($"src" =!= $"dst_user")
+        .select($"src", $"dst_user".as("dst"))
+        .distinct()
+    }
+
+  /** Undirected view of [[influenceEdges]] (u < v, distinct) — the
+    * triangle/LPA base. */
+  private[queries] def influenceUndirected(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "influence_und") {
+      import spark.implicits._
+      influenceEdges(spark, sfDir)
+        .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct()
+    }
+
+  /** The oracle twin of [[influenceEdges]], prefix-parameterized so every
+    * graph oracle asserts the SAME edge SQL: emits `${p}ev` and
+    * `${p}edges(src, dst)`; MATERIALIZED because iterative oracles
+    * reference the edge CTE once per unrolled round. */
+  private def influenceEdgeCtes(p: String): String =
+    s""", ${p}ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
+       ${p}edges AS MATERIALIZED (
+         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
+         FROM ${p}ev p JOIN ${p}ev c
+           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
+         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id)"""
+
   def userPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val S = 1000000000000L
 
-    val ev = spark.table("ek")
-      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id".as("src"), $"t")
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("dst_user"), $"t".as("ct"))
-
-    val edges = graft.operators.BinnedRange
-      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
-      .filter($"src" =!= $"dst_user")
-      .select($"src", $"dst_user".as("dst"))
-      .distinct()
-      .localCheckpoint()
+    val edges = influenceEdges(spark, sfDir)
 
     val nodes = edges.select($"src".as("u")).union(edges.select($"dst".as("u"))).distinct()
     val outDeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -544,12 +580,8 @@ object Sessions {
          GROUP BY nd.u, pb.b)"""
 
   val userPagerankOracle: String = Fixtures.oracle(
-    """, pr_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
-       pr_edges AS (
-         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
-         FROM pr_ev p JOIN pr_ev c
-           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
-         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+    influenceEdgeCtes("pr_") +
+    """,
        pr_nodes AS (SELECT src AS u FROM pr_edges UNION SELECT dst FROM pr_edges),
        pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
        pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY 1),
@@ -819,11 +851,12 @@ object Sessions {
       .select($"a", $"b", $"n_a", $"n_b", $"n_ab",
         expr("n_ab * 10000 DIV n_a").as("conf_ab_bp"),
         expr("n_ab * 10000 DIV n_b").as("conf_ba_bp"),
-        // lift numerator n_ab·n_users·10⁴ overflows Long once both factors
-        // pass ~10⁸ users — widen to DECIMAL(38) (HUGEINT on the oracle
-        // side) so the engines stay bit-exact instead of diverging on wrap
+        // BOTH lift operands widen to DECIMAL(38) (HUGEINT on the oracle
+        // side): the numerator n_ab·n_users·10⁴ overflows Long past ~10⁸
+        // users, and the denominator n_a·n_b past ~3·10⁹ per item — either
+        // wrap silently in non-ANSI Spark while DuckDB errors
         expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_users * 10000)" +
-          " DIV (n_a * n_b) AS BIGINT)").as("lift_bp"))
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_bp"))
   }
 
   /** Oracle pairs come from a basket self-join (a < b) — the same unique
@@ -860,7 +893,7 @@ object Sessions {
               CAST((p.n_ab * 10000) // sa.n_i AS BIGINT) AS conf_ab_bp,
               CAST((p.n_ab * 10000) // sb.n_i AS BIGINT) AS conf_ba_bp,
               CAST((CAST(p.n_ab AS HUGEINT) * n.n_users * 10000)
-                   // (sa.n_i * sb.n_i) AS BIGINT) AS lift_bp
+                   // (CAST(sa.n_i AS HUGEINT) * sb.n_i) AS BIGINT) AS lift_bp
        FROM br_ps p
        JOIN br_supp sa ON p.a = sa.item
        JOIN br_supp sb ON p.b = sb.item
@@ -954,18 +987,7 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val ev = spark.table("ek")
-      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id".as("src"), $"t")
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("dst_user"), $"t".as("ct"))
-    val und = graft.operators.BinnedRange
-      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
-      .filter($"src" =!= $"dst_user")
-      .select(least($"src", $"dst_user").as("u"), greatest($"src", $"dst_user").as("v"))
-      .distinct()
-      .localCheckpoint()
+    val und = influenceUndirected(spark, sfDir)
 
     val deg = und.select($"u".as("n")).union(und.select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -1000,13 +1022,9 @@ object Sessions {
   }
 
   val triangleCountOracle: String = Fixtures.oracle(
-    """, tc_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
-       tc_dir AS (
-         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
-         FROM tc_ev p JOIN tc_ev c
-           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
-         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
-       tc_und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM tc_dir),
+    influenceEdgeCtes("tc_") +
+    """,
+       tc_und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM tc_edges),
        tc_deg AS (SELECT n, COUNT(1) AS deg FROM (
                     SELECT u AS n FROM tc_und UNION ALL SELECT v FROM tc_und)
                   GROUP BY 1),
@@ -1162,17 +1180,7 @@ object Sessions {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val ev = spark.table("ek")
-      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id".as("src"), $"t")
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("dst_user"), $"t".as("ct"))
-    val und = graft.operators.BinnedRange
-      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
-      .filter($"src" =!= $"dst_user")
-      .select(least($"src", $"dst_user").as("u"), greatest($"src", $"dst_user").as("v"))
-      .distinct()
+    val und = influenceUndirected(spark, sfDir)
     val adj = und.select($"u".as("n"), $"v".as("nbr"))
       .union(und.select($"v".as("n"), $"u".as("nbr")))
       .localCheckpoint()
@@ -1205,13 +1213,10 @@ object Sessions {
   }
 
   val labelPropagationOracle: String = Fixtures.oracle(
-    """, lpa_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
-       lpa_und AS (
-         SELECT DISTINCT least(p.user_id, c.user_id) AS u,
-                         greatest(p.user_id, c.user_id) AS v
-         FROM lpa_ev p JOIN lpa_ev c
-           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
-         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
+    influenceEdgeCtes("lpa_") +
+    """,
+       lpa_und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                   FROM lpa_edges),
        lpa_adj AS MATERIALIZED (
          SELECT u AS n, v AS nbr FROM lpa_und
          UNION ALL SELECT v, u FROM lpa_und),
@@ -1248,18 +1253,7 @@ object Sessions {
     import spark.implicits._
     val S = 1000000L
 
-    val ev = spark.table("ek")
-      .select($"user_id", $"seq", $"event_type", ($"btime" + ($"seq" % 8) * 15).as("t"))
-    val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id".as("src"), $"t")
-    val clicks = ev.filter($"event_type" === "click")
-      .select($"user_id".as("dst_user"), $"t".as("ct"))
-    val edges = graft.operators.BinnedRange
-      .pointsInWindow(purchases, clicks, "t", "ct", 1, 240, Seq("dst_user"))
-      .filter($"src" =!= $"dst_user")
-      .select($"src", $"dst_user".as("dst"))
-      .distinct()
-      .localCheckpoint()
+    val edges = influenceEdges(spark, sfDir)
 
     val nodes = edges.select($"src".as("u")).union(edges.select($"dst".as("u")))
       .distinct().localCheckpoint()
@@ -1292,7 +1286,7 @@ object Sessions {
     s""", hits_ar$n AS MATERIALIZED (
          SELECT nd.u, COALESCE(SUM(pv.h), 0) AS raw
          FROM hits_nodes nd
-         LEFT JOIN hits_e e ON e.dst = nd.u
+         LEFT JOIN hits_edges e ON e.dst = nd.u
          LEFT JOIN $prev pv ON pv.u = e.src
          GROUP BY nd.u),
        hits_am$n AS (SELECT MAX(raw) AS m FROM hits_ar$n),
@@ -1303,7 +1297,7 @@ object Sessions {
        hits_hr$n AS MATERIALIZED (
          SELECT nd.u, COALESCE(SUM(av.a), 0) AS raw
          FROM hits_nodes nd
-         LEFT JOIN hits_e e ON e.src = nd.u
+         LEFT JOIN hits_edges e ON e.src = nd.u
          LEFT JOIN hits_an$n av ON av.u = e.dst
          GROUP BY nd.u),
        hits_hm$n AS (SELECT MAX(raw) AS m FROM hits_hr$n),
@@ -1317,13 +1311,9 @@ object Sessions {
   }
 
   val hitsScoresOracle: String = Fixtures.oracle(
-    """, hits_ev AS (SELECT user_id, seq, event_type, btime + (seq % 8) * 15 AS t FROM ek),
-       hits_e AS MATERIALIZED (
-         SELECT DISTINCT p.user_id AS src, c.user_id AS dst
-         FROM hits_ev p JOIN hits_ev c
-           ON c.event_type = 'click' AND c.t >= p.t + 1 AND c.t <= p.t + 240
-         WHERE p.event_type = 'purchase' AND p.user_id <> c.user_id),
-       hits_nodes AS (SELECT src AS u FROM hits_e UNION SELECT dst FROM hits_e),
+    influenceEdgeCtes("hits_") +
+    """,
+       hits_nodes AS (SELECT src AS u FROM hits_edges UNION SELECT dst FROM hits_edges),
        hits_s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS a,
                           CAST(1000000 AS BIGINT) AS h
                    FROM hits_nodes)""" +
