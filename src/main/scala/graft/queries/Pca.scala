@@ -47,8 +47,19 @@ import graft.fixtures.Fixtures
   * dimensionality decision reads. */
 object Pca {
 
-  /** Embedding width of the driver corpus. */
-  private val D = 64
+  /** Valid-vector predicate (SQL, shared wording with the oracle): a real
+    * crawl's embedding column carries encoder failures — NULLs, truncated
+    * rows, NaN/Inf elements, blown-up magnitudes — and every one of them
+    * would either crash the kernel (short row), poison the Gram (NaN), or
+    * overflow the fixed-point cell (|x| ≥ 10³ ⇒ x²·10⁹ ≥ 10¹⁵ per cell and
+    * floor() diverges cross-engine at the Long edge). Same spirit as
+    * [[Similarity.vecs]]' norm guard. `d` is inferred from the corpus: the
+    * width of the lowest-id non-null vector (deterministic, oracle-
+    * mirrored), so the operator follows the corpus schema instead of
+    * assuming the driver fixture's 64. */
+  private def validPred(d: Int): String =
+    s"embedding IS NOT NULL AND size(embedding) = $d AND " +
+      "NOT exists(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 1000.0)"
 
   /** Power-iteration rounds (see convergence note in the scaladoc). */
   private val Rounds = 128
@@ -62,11 +73,24 @@ object Pca {
     * the same component the power entry reports, without re-running the
     * Gram pass. */
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Array[BigInt], BigInt, BigInt)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Int, Array[BigInt], BigInt, BigInt)]()
 
-  private def component(spark: SparkSession, sfDir: String): (Array[BigInt], BigInt, BigInt) =
+  /** Returns (d, v, m, trace); d = 0 means no valid vectors (empty model). */
+  private def component(spark: SparkSession, sfDir: String): (Int, Array[BigInt], BigInt, BigInt) =
     modelCache.computeIfAbsent((spark, sfDir), { _ =>
       Fixtures.register(spark, sfDir)
+      import spark.implicits._
+
+      val dOpt = spark.table("embeddings").filter($"embedding".isNotNull)
+        .orderBy($"vec_id").limit(1)
+        .select(size($"embedding")).as[Int].collect().headOption
+      dOpt match {
+        case None    => (0, Array.empty[BigInt], BigInt(0), BigInt(0))
+        case Some(dd) => buildModel(spark, dd)
+      }
+    })
+
+  private def buildModel(spark: SparkSession, D: Int): (Int, Array[BigInt], BigInt, BigInt) = {
       import spark.implicits._
 
       // Typed per-partition kernel, not an exploded-cell HOF pipeline: the
@@ -79,6 +103,7 @@ object Pca {
       // 3.7·10¹⁰ rows PER PARTITION — unreachable), one 4096-long partial
       // per partition on the wire.
       val gramRows = spark.table("embeddings")
+      .filter(expr(validPred(D)))
       .select($"embedding").as[Seq[Float]]
       .mapPartitions { it =>
         val acc = new Array[Long](D * D)
@@ -111,25 +136,31 @@ object Pca {
 
     var v = Array.fill(D)(BigInt(VScale))
     var m = BigInt(0)
-    for (_ <- 1 to Rounds) {
+    var round = 0
+    while (round < Rounds && (round == 0 || m != 0)) {
       val w = Array.tabulate(D)(i =>
         (0 until D).map(j => g(i)(j) * v(j)).sum)
       m = w.map(_.abs).max
-      // BigInt `/` truncates toward zero — the DIV / HUGEINT // contract
-      v = w.map(wi => (wi * VScale) / m)
+      // degenerate all-zero Gram (only zero vectors survive the filter):
+      // converge to the zero model instead of dividing by zero — the
+      // oracle's CASE m = 0 guard mirrors this fixpoint exactly
+      v = if (m == 0) Array.fill(D)(BigInt(0))
+          else w.map(wi => (wi * VScale) / m) // BigInt `/` truncates toward zero — the DIV / HUGEINT // contract
+      round += 1
     }
-      (v, m, trace)
-    })
+    (D, v, m, trace)
+  }
 
   /** Distributed Gram accumulation, then 128 exact integer
     * power-iteration rounds on the collected constant-size matrix. */
   def pcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val (v, m, trace) = component(spark, sfDir)
+    val (d, v, m, trace) = component(spark, sfDir)
     val lambdaE6 = (m / GScale).toLong
-    val shareBp = ((m * 10000) / (trace * VScale)).toLong
-    (0 until D).map(i => (i.toLong, v(i).toLong, lambdaE6, shareBp))
+    val shareBp =
+      if (trace == 0) 0L else ((m * 10000) / (trace * VScale)).toLong
+    (0 until d).map(i => (i.toLong, v(i).toLong, lambdaE6, shareBp))
       .toDF("dim", "v_e6", "lambda_e6", "var_share_bp")
   }
 
@@ -149,21 +180,30 @@ object Pca {
   def pcaProject(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val (v, _, _) = component(spark, sfDir)
+    val (d, v, _, _) = component(spark, sfDir)
+    val base = spark.table("embeddings")
+    if (d == 0)
+      // no vectors at all: empty result with the stable schema
+      return base.limit(0).select($"vec_id", $"label".cast("bigint").as("label"),
+        lit(0L).as("proj_e12"), lit(0L).as("share_bp"))
     val vLit = v.map(_.toLong).mkString("array(", "L, ", "L)")
     val vNormSq = v.map(x => x * x).sum.toLong
 
     val q = s"CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) * ${VScale}.0) AS BIGINT)"
-    spark.table("embeddings")
+    base
+      .filter(expr(validPred(d)))
       .select($"vec_id", $"label".cast("bigint").as("label"),
-        expr(s"aggregate(sequence(0, ${D - 1}), CAST(0 AS BIGINT), " +
+        expr(s"aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), " +
           s"(acc, i) -> acc + $q * element_at($vLit, i + 1))").as("proj_e12"),
-        expr(s"aggregate(sequence(0, ${D - 1}), CAST(0 AS BIGINT), " +
+        expr(s"aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), " +
           s"(acc, i) -> acc + $q * $q)").as("norm_q"))
       .select($"vec_id", $"label", $"proj_e12",
-        expr(("CASE WHEN norm_q = 0 THEN CAST(0 AS BIGINT) ELSE " +
-          "CAST((CAST(proj_e12 AS DECIMAL(38,0)) * proj_e12 * 10000) " +
-          s"DIV (CAST(norm_q AS DECIMAL(38,0)) * $vNormSq) AS BIGINT) END")).as("share_bp"))
+        // a degenerate zero component (all-zero Gram) scores share 0 for
+        // every vector — guarded driver-side since vNormSq is a constant
+        (if (vNormSq == 0) expr("CAST(0 AS BIGINT)")
+         else expr("CASE WHEN norm_q = 0 THEN CAST(0 AS BIGINT) ELSE " +
+           "CAST((CAST(proj_e12 AS DECIMAL(38,0)) * proj_e12 * 10000) " +
+           s"DIV (CAST(norm_q AS DECIMAL(38,0)) * $vNormSq) AS BIGINT) END")).as("share_bp"))
   }
 
   /** One unrolled oracle iteration `prev → next`, mirroring the integer
@@ -175,7 +215,8 @@ object Pca {
          FROM pca_gram g JOIN $prev v ON g.j = v.i GROUP BY 1),
        pca_m$n AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM pca_w$n),
        $cur AS MATERIALIZED (
-         SELECT w.i, (w.w * $VScale) // m.m AS v
+         SELECT w.i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+                          ELSE (w.w * $VScale) // m.m END AS v
          FROM pca_w$n w CROSS JOIN pca_m$n m)"""
   }
 
@@ -183,22 +224,31 @@ object Pca {
     * `pca_trace` — ONE definition feeds both the power and the projection
     * oracle, so an edit to the iteration cannot desync them. */
   private def pcaChainCtes: String =
-    s""", pca_cells AS (
+    s""", pca_d AS (SELECT len(embedding) AS d FROM embeddings
+                    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1),
+       pca_valid AS (
+         SELECT e.vec_id, e.label, e.embedding
+         FROM embeddings e, pca_d
+         WHERE e.embedding IS NOT NULL AND len(e.embedding) = pca_d.d
+           AND len(list_filter(e.embedding,
+                 x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 1000.0)) = 0),
+       pca_cells AS (
          SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
                 CAST(FLOOR((CAST(e.embedding[ti.i + 1] AS DOUBLE)
                             * CAST(e.embedding[tj.j + 1] AS DOUBLE)) * ${GScale}.0) AS BIGINT) AS q
-         FROM embeddings e, UNNEST(range($D)) AS ti(i), UNNEST(range($D)) AS tj(j)),
+         FROM pca_valid e, pca_d, UNNEST(range(pca_d.d)) AS ti(i), UNNEST(range(pca_d.d)) AS tj(j)),
        pca_gram AS MATERIALIZED (SELECT i, j, SUM(q) AS g FROM pca_cells GROUP BY 1, 2),
        pca_trace AS (SELECT SUM(g) AS trace FROM pca_gram WHERE i = j),
        pca_v0 AS (SELECT CAST(t.i AS INT) AS i, CAST($VScale AS HUGEINT) AS v
-                  FROM UNNEST(range($D)) AS t(i))""" +
+                  FROM pca_d, UNNEST(range(pca_d.d)) AS t(i))""" +
       (1 to Rounds).map(iterCte).mkString("\n")
 
   val pcaPowerOracle: String = Fixtures.oracle(pcaChainCtes +
     s"""
        SELECT CAST(v.i AS BIGINT) AS dim, CAST(v.v AS BIGINT) AS v_e6,
               CAST(m.m // $GScale AS BIGINT) AS lambda_e6,
-              CAST((m.m * 10000) // (CAST(t.trace AS HUGEINT) * $VScale) AS BIGINT)
+              CASE WHEN t.trace = 0 THEN CAST(0 AS BIGINT)
+                   ELSE CAST((m.m * 10000) // (CAST(t.trace AS HUGEINT) * $VScale) AS BIGINT) END
                 AS var_share_bp
        FROM pca_v$Rounds v
        CROSS JOIN pca_m$Rounds m
@@ -210,7 +260,7 @@ object Pca {
          SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, v.i,
                 CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE) * ${VScale}.0) AS BIGINT) AS q,
                 v.v
-         FROM embeddings e, UNNEST(range($D)) AS t(i)
+         FROM pca_valid e, pca_d, UNNEST(range(pca_d.d)) AS t(i)
          JOIN pca_v$Rounds v ON v.i = t.i),
        pca_proj AS (
          SELECT vec_id, label,
@@ -219,7 +269,7 @@ object Pca {
          FROM pca_q GROUP BY 1, 2),
        pca_vn AS (SELECT SUM(v * v) AS vn FROM pca_v$Rounds)
        SELECT p.vec_id, p.label, p.proj_e12,
-              CASE WHEN p.norm_q = 0 THEN 0
+              CASE WHEN p.norm_q = 0 OR n.vn = 0 THEN 0
                    ELSE CAST((CAST(p.proj_e12 AS HUGEINT) * p.proj_e12 * 10000)
                              // (CAST(p.norm_q AS HUGEINT) * n.vn) AS BIGINT) END
                 AS share_bp

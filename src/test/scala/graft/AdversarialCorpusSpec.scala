@@ -103,7 +103,13 @@ class AdversarialCorpusSpec extends SparkSpec {
     "sim_outlier_report" -> (_ >= 0),
     "sim_kmeans_refine" -> (_ >= 0),
     "embedding_quantize" -> (_ >= 0),
-    "sample_class_balanced" -> (_ >= 0))
+    "sample_class_balanced" -> (_ >= 0),
+    "embedding_pca_power" -> (_ == 8),      // d inferred from the 8-wide corpus
+    "embedding_pca_project" -> (_ == 55),   // only the valid vectors score
+    "sample_rho_loss" -> (n => n >= 0 && n <= 12),
+    "mix_epoch_schedule" -> (n => n >= 1 && n <= 4),
+    "corpus_hhi_concentration" -> (n => n >= 1 && n <= 4),
+    "text_rrf_fusion" -> (n => n >= 0 && n <= 20))
 
   test("every probed operator survives the adversarial corpus") {
     graft.fixtures.Fixtures.register(spark, advDir)
@@ -137,6 +143,19 @@ class AdversarialCorpusSpec extends SparkSpec {
     // survivors are real documents, never invented ids
     val ids = spark.table("documents").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(build.forall(r => ids.contains(r.getAs[Long]("doc_id"))))
+  }
+
+  test("PCA infers the corpus width and scores only valid vectors") {
+    graft.fixtures.Fixtures.register(spark, advDir)
+    val comp = graft.queries.Pca.pcaPower(spark, advDir).collect()
+    assert(comp.map(_.getAs[Long]("dim")).toSeq == (0L until 8L), "d must follow the corpus")
+    assert(comp.map(r => math.abs(r.getAs[Long]("v_e6"))).max == 1000000L)
+    val proj = graft.queries.Pca.pcaProject(spark, advDir).collect()
+    val excluded = Set(13L, 23L, 31L, 41L, 43L) // null/truncated/overflow/NaN/Inf
+    assert(proj.map(_.getAs[Long]("vec_id")).toSet.intersect(excluded).isEmpty,
+      "encoder failures must never be scored")
+    proj.foreach(r => assert(r.getAs[Long]("share_bp") >= 0 &&
+      r.getAs[Long]("share_bp") <= 10000))
   }
 
   test("degenerate embeddings never reach a cosine ranking") {
