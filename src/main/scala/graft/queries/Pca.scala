@@ -59,7 +59,18 @@ object Pca {
     * assuming the driver fixture's 64. */
   private def validPred(d: Int): String =
     s"embedding IS NOT NULL AND size(embedding) = $d AND " +
-      "NOT exists(embedding, x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 1000.0)"
+      // the lambda must be TRUE (never NULL) for a bad element: `x IS
+      // NULL` first, because Spark's three-valued `exists` would turn a
+      // NULL lambda into a dropped row while DuckDB's list_filter drops
+      // the ELEMENT and keeps the row — opposite verdicts on the same
+      // vector. |x| < 4: embeddings are unit-normalized (fixture max
+      // ~0.5); 4 keeps every fixed-point lane provably in range — Gram
+      // cell ≤ 1.6e10 (Long-safe past 5·10⁸ rows/partition, orders beyond
+      // any real split), q² ≤ 1.6e13 and q·v ≤ 4e12 (Long-safe to
+      // d ≈ 4·10⁵) — where the previous 10³ cap let near-threshold
+      // vectors wrap Spark's Long lanes while DuckDB's HUGEINT stayed
+      // exact
+      "NOT exists(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 4.0)"
 
   /** Power-iteration rounds (see convergence note in the scaladoc). */
   private val Rounds = 128
@@ -81,9 +92,14 @@ object Pca {
       Fixtures.register(spark, sfDir)
       import spark.implicits._
 
+      // MODAL width, not the lowest-id row's: the first vector could
+      // itself be a truncated encoder failure, which would reject the
+      // whole healthy corpus; the most frequent width (ties to the
+      // smaller) is robust and oracle-mirrorable
       val dOpt = spark.table("embeddings").filter($"embedding".isNotNull)
-        .orderBy($"vec_id").limit(1)
-        .select(size($"embedding")).as[Int].collect().headOption
+        .groupBy(size($"embedding").as("w")).count()
+        .orderBy($"count".desc, $"w").limit(1)
+        .select($"w").as[Int].collect().headOption
       dOpt match {
         case None    => (0, Array.empty[BigInt], BigInt(0), BigInt(0))
         case Some(dd) => buildModel(spark, dd)
@@ -99,15 +115,18 @@ object Pca {
       // loop) — a Gram accumulation is the textbook case for the
       // mapPartitions escape hatch (MLlib's computeGramianMatrix makes the
       // same call). Arithmetic is IDENTICAL: floor(xᵢ·xⱼ·10⁹) per
-      // (vector, i, j), summed in Long per partition (wraps only past
-      // 3.7·10¹⁰ rows PER PARTITION — unreachable), one 4096-long partial
-      // per partition on the wire.
+      // (vector, i, j), summed in Long per partition (the |x| < 4 gate in
+      // validPred keeps each cell ≤ 1.6·10¹⁰, Long-safe far beyond any
+      // real partition size), one d²-long partial per partition on the
+      // wire.
       val gramRows = spark.table("embeddings")
       .filter(expr(validPred(D)))
       .select($"embedding").as[Seq[Float]]
       .mapPartitions { it =>
+        var seen = false
         val acc = new Array[Long](D * D)
         it.foreach { e =>
+          seen = true
           var i = 0
           while (i < D) {
             val xi = e(i).toDouble
@@ -119,7 +138,11 @@ object Pca {
             i += 1
           }
         }
-        Iterator.single(acc)
+        // an empty partition contributes NOTHING (not a zero partial):
+        // with no valid vectors anywhere the collected Gram must be EMPTY
+        // so the model is empty like the oracle's empty CTE chain — d rows
+        // of zeros here vs 0 oracle rows was a differential break
+        if (seen) Iterator.single(acc) else Iterator.empty
       }
       // DECIMAL(38,0) lanes for the cross-partition merge, not SUM(BIGINT):
       // a Long total wraps at ~3.7·10¹⁰ vectors while DuckDB's SUM is
@@ -130,6 +153,7 @@ object Pca {
       .agg(sum($"q".cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("g"))
       .as[(Int, java.math.BigDecimal)].collect() // bounded: exactly d² = 4096 rows
 
+    if (gramRows.isEmpty) return (0, Array.empty[BigInt], BigInt(0), BigInt(0))
     val g = Array.ofDim[BigInt](D, D)
     gramRows.foreach { case (idx, q) => g(idx / D)(idx % D) = BigInt(q.toBigInteger) }
     val trace = (0 until D).map(i => g(i)(i)).sum
@@ -225,13 +249,14 @@ object Pca {
     * oracle, so an edit to the iteration cannot desync them. */
   private def pcaChainCtes: String =
     s""", pca_d AS (SELECT len(embedding) AS d FROM embeddings
-                    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1),
+                    WHERE embedding IS NOT NULL
+                    GROUP BY 1 ORDER BY COUNT(1) DESC, d LIMIT 1),
        pca_valid AS (
          SELECT e.vec_id, e.label, e.embedding
          FROM embeddings e, pca_d
          WHERE e.embedding IS NOT NULL AND len(e.embedding) = pca_d.d
            AND len(list_filter(e.embedding,
-                 x -> isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 1000.0)) = 0),
+                 x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR abs(CAST(x AS DOUBLE)) >= 4.0)) = 0),
        pca_cells AS (
          SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
                 CAST(FLOOR((CAST(e.embedding[ti.i + 1] AS DOUBLE)
