@@ -187,8 +187,29 @@ object Bench {
       val qs = timed.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       s""","local8_queries":$qs,"local8_total":${r3(timed.map(_._2).sum)}"""
     }.getOrElse("")
+    // Ingest-throughput section (VERDICT r11 #1): the reference's headline
+    // job is ETL, and until r12 the bench timed only the query catalog.
+    // Runs the full wire → drainer → DSv2 → StreamDriver → JDBC chain at
+    // sf0.1-equivalent event volume in a fresh session (the catalog session
+    // is stopped by the local[8] pass above). An ingest failure is a bench
+    // FAILURE, not a silent omission.
+    val ingestJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_INGEST", "1") == "1") {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val si = SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", "8")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        si.sparkContext.setLogLevel("WARN")
+        val j = try s""","ingest":${IngestBench.run(si).json}"""
+          catch { case e: Throwable =>
+            failures ::= "ingest"
+            System.err.println(s"[bench] ingest FAILED: $e")
+            ""
+          } finally si.stop()
+        j
+      } else ""
     val failed2 = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size}$l8json,"failures":$failed2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size}$l8json$ingestJson,"failures":$failed2,"sf":"$sfDir"}""")
     if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.sources.BlockSource
+import graft.sources.net.{BlockStreamDrainer, BlockStreamServer, BlockStreamWire}
+import graft.sources.v2.BlockFeedProvider
+import graft.streaming.{JdbcMultiTableSink, StreamDriver}
+
+/** Ingest-throughput harness — the measured half of the reference's actual
+  * job. The query catalog benchmarks the ANALYTICAL surface; the reference,
+  * however, is first an ETL system whose only published performance anchors
+  * are cadence anchors: one block every ~30 s live, "weeks" to backfill the
+  * chain (reference `src/index.ts:71-102,259-269`, `README.md:11-15`). This
+  * harness drives the engine's full ingest chain —
+  *
+  *   TCP server speaking the reference message grammar
+  *     → [[BlockStreamDrainer]] → chunk directory
+  *     → `graft-blocks` DSv2 connector → [[StreamDriver]]
+  *     → canonical parquet (+ optionally [[JdbcMultiTableSink]])
+  *
+  * — over a deterministic block replay at sf0.1-equivalent event volume
+  * (100k events = the sf0.1 `events` table row count) and reports:
+  *
+  *   - `drain`: wire → committed chunks (the bridge leg alone);
+  *   - `backfill`: chunks → canonical parquet via bounded AvailableNow
+  *     micro-batches (the "weeks to sync" anchor; no relational leg);
+  *   - `full`: the same backlog with the multi-table JDBC sink attached —
+  *     the complete reference deployment shape;
+  *   - `jdbc`: the sink leg alone (one batch, all rows), with the
+  *     batch-size knob recorded;
+  *   - `live`: a PACED producer (one single-block message per `paceMs`)
+  *     against a continuously-triggered driver, measuring per-block
+  *     end-to-end lag (chunk-commit mtime → operational visibility) as
+  *     p50/p95/max — the number to hold against the reference's 30 s/block
+  *     cadence.
+  *
+  * Scale note: every leg is the production path — no harness-only collect
+  * touches a corpus-sized frame (the live phase collects per-batch DISTINCT
+  * block numbers, bounded by blocks-per-trigger; the lag map is
+  * live-block-count-sized).
+  */
+object IngestBench {
+
+  private val schema = StructType(Seq(
+    StructField("block_number", LongType),
+    StructField("transaction_index", LongType),
+    StructField("event_index", LongType),
+    StructField("is_pending", BooleanType)))
+  private val ctl = BlockFeedProvider.withControlColumns(schema)
+
+  /** FeedBlockSource with the backpressure knob: bounded micro-batches so
+    * the backfill measures the per-batch machinery (the reference ingests
+    * per-block-batch transactions), not one giant catch-up batch. */
+  private final case class CappedFeedSource(dir: String, cap: Int) extends BlockSource {
+    override def schema: StructType = ctl
+    override def stream(spark: SparkSession): DataFrame =
+      spark.readStream.format("graft-blocks").schema(ctl)
+        .option("path", dir).option("maxChunksPerTrigger", cap.toString).load()
+  }
+
+  /** `blocks` wire blocks of `eventsPerBlock` events each, `perMessage`
+    * blocks per data message, numbered from `firstBlock`. */
+  private def script(blocks: Int, eventsPerBlock: Int, perMessage: Int,
+      firstBlock: Long = 1L): Seq[String] = {
+    val txs = 8.min(eventsPerBlock)
+    val evs = (0 until eventsPerBlock)
+      .map(e => ((e % txs).toLong, (e / txs).toLong))
+    (firstBlock until (firstBlock + blocks)).grouped(perMessage).map { range =>
+      BlockStreamWire.data(range.map(b =>
+        BlockStreamWire.WireBlock(b, 1704067200L + b * 30L, evs)))
+    }.toSeq
+  }
+
+  final case class Result(
+      blocks: Int, events: Long,
+      drainSec: Double, backfillSec: Double, fullSec: Double,
+      jdbcSec: Double, jdbcRows: Long, jdbcBatchSize: Int,
+      liveBlocks: Int, livePaceMs: Long,
+      lagP50Ms: Long, lagP95Ms: Long, lagMaxMs: Long) {
+    private def r1(x: Double): Double = math.rint(x * 10) / 10
+    def json: String = {
+      val evps = (n: Double) => if (n > 0) r1(events / n) else 0.0
+      s"""{"blocks":$blocks,"events":$events,""" +
+        s""""drain_sec":${r1(drainSec)},"drain_evps":${evps(drainSec)},""" +
+        s""""backfill_sec":${r1(backfillSec)},"backfill_evps":${evps(backfillSec)},""" +
+        s""""backfill_bps":${if (backfillSec > 0) r1(blocks / backfillSec) else 0.0},""" +
+        s""""full_sec":${r1(fullSec)},"full_evps":${evps(fullSec)},""" +
+        s""""jdbc_rows":$jdbcRows,"jdbc_sec":${r1(jdbcSec)},""" +
+        s""""jdbc_rps":${if (jdbcSec > 0) r1(jdbcRows / jdbcSec) else 0.0},""" +
+        s""""jdbc_batchsize":$jdbcBatchSize,""" +
+        s""""live_blocks":$liveBlocks,"live_pace_ms":$livePaceMs,""" +
+        s""""lag_p50_ms":$lagP50Ms,"lag_p95_ms":$lagP95Ms,"lag_max_ms":$lagMaxMs,""" +
+        s""""ref_block_interval_s":30}"""
+    }
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run every phase; sizes are parameters so the spec runs a small
+    * instance of the same code the bench runs at full volume.
+    *
+    * `livePaceMs` must exceed the per-micro-batch cost or the lag numbers
+    * measure backlog growth instead of steady-state latency — 750 ms is
+    * ~2× the measured per-batch cost of the full chain on this harness
+    * (still 40× the reference's 30 s cadence); the saturated-throughput
+    * number is what `backfill`/`full` report. */
+  def run(spark: SparkSession,
+      blocks: Int = 2500, eventsPerBlock: Int = 40, perMessage: Int = 25,
+      chunksPerTrigger: Int = 10,
+      liveBlocks: Int = 20, livePaceMs: Long = 750L): Result = {
+    val root = Files.createTempDirectory("graft-ingest-bench").toString
+    val events = blocks.toLong * eventsPerBlock
+
+    // ---- pilot: untimed mini-run of both driver shapes ----------------
+    // One-time costs (streaming machinery init, Derby engine boot, JDBC
+    // writer codegen) land here instead of inflating whichever timed phase
+    // runs first — the Bench warmup discipline applied to the ingest legs.
+    locally {
+      val pdir = s"$root/pilot_feed"
+      val psrv = new BlockStreamServer(script(12, eventsPerBlock, 4))
+      try BlockStreamDrainer.drain("127.0.0.1", psrv.boundPort, pdir)
+      finally psrv.close()
+      val pprops = new java.util.Properties
+      val psink = new JdbcMultiTableSink(s"jdbc:derby:$root/db_pilot;create=true",
+        Seq("ing_even", "ing_odd"), connectionProperties = pprops)
+      val proute = (b: DataFrame) => Map(
+        "ing_even" -> b.filter(col("block_number") % 2 === 0),
+        "ing_odd" -> b.filter(col("block_number") % 2 === 1))
+      new StreamDriver(spark, s"$root/facts_pilot", s"$root/ckpt_pilot",
+        multiTableSink = Some((psink, proute)))
+        .start(CappedFeedSource(pdir, chunksPerTrigger), Trigger.AvailableNow())
+        .awaitTermination()
+    }
+
+    // ---- drain: wire → chunk directory --------------------------------
+    val srv = new BlockStreamServer(script(blocks, eventsPerBlock, perMessage))
+    val drainSec = try {
+      val dir = s"$root/feed"
+      val (_, t) = timed(BlockStreamDrainer.drain("127.0.0.1", srv.boundPort, dir))
+      t
+    } finally srv.close()
+
+    // ---- backfill: chunks → canonical parquet (no relational leg) ------
+    def runDriver(tag: String, sink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])]): Double = {
+      val d = new StreamDriver(spark, s"$root/facts_$tag", s"$root/ckpt_$tag",
+        multiTableSink = sink)
+      val (_, t) = timed {
+        d.start(CappedFeedSource(s"$root/feed", chunksPerTrigger),
+          Trigger.AvailableNow()).awaitTermination()
+      }
+      val n = spark.read.parquet(s"$root/facts_$tag/raw_events").count()
+      require(n == events, s"ingest $tag row count $n != $events")
+      t
+    }
+    val backfillSec = runDriver("backfill", None)
+
+    // ---- full: same backlog with the multi-table JDBC leg attached -----
+    val jdbcBatchSize = 1000 // Spark JDBC writer default, recorded explicitly
+    def mkSink(db: String): (JdbcMultiTableSink, DataFrame => Map[String, DataFrame]) = {
+      val props = new java.util.Properties
+      props.setProperty("batchsize", jdbcBatchSize.toString)
+      val sink = new JdbcMultiTableSink(s"jdbc:derby:$root/$db;create=true",
+        Seq("ing_even", "ing_odd"), connectionProperties = props)
+      val route = (b: DataFrame) => Map(
+        "ing_even" -> b.filter(col("block_number") % 2 === 0),
+        "ing_odd" -> b.filter(col("block_number") % 2 === 1))
+      (sink, route)
+    }
+    val fullSec = runDriver("full", Some(mkSink("db_full")))
+
+    // ---- jdbc: the sink leg alone, one batch, all rows -----------------
+    val (sinkOnly, routeOnly) = mkSink("db_only")
+    val batch = spark.read.parquet(s"$root/facts_backfill/raw_events")
+      .select("block_number", "transaction_index", "event_index", "event_id")
+      .persist()
+    val jdbcRows = batch.count()
+    val (_, jdbcSec) = timed(sinkOnly.write(routeOnly(batch), 0L, blocks.toLong))
+    batch.unpersist()
+
+    // ---- live: paced producer, per-block end-to-end lag ----------------
+    val liveDir = s"$root/live_feed"
+    val liveSrv = new BlockStreamServer(
+      script(liveBlocks, eventsPerBlock, perMessage = 1), paceMs = livePaceMs)
+    val done = new ConcurrentHashMap[Long, Long]()
+    val lags = try {
+      val driver = new StreamDriver(spark, s"$root/facts_live", s"$root/ckpt_live",
+        multiTableSink = Some(mkSink("db_live")),
+        onOperationalRefresh = { df =>
+          if (df.columns.contains("block_number")) {
+            val t = System.currentTimeMillis()
+            df.select("block_number").distinct().collect()
+              .foreach(r => if (!r.isNullAt(0)) done.putIfAbsent(r.getLong(0), t))
+          }
+        })
+      val q = driver.start(CappedFeedSource(liveDir, chunksPerTrigger),
+        Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        BlockStreamDrainer.drain("127.0.0.1", liveSrv.boundPort, liveDir)
+        val deadline = System.currentTimeMillis() + 120000L
+        while (done.size < liveBlocks && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        require(done.size == liveBlocks,
+          s"live phase saw ${done.size}/$liveBlocks blocks before timeout")
+      } finally q.stop()
+      // block b rides chunk b (single-block messages, no control chunks):
+      // lag = operational visibility − chunk-commit mtime
+      (1 to liveBlocks).map { b =>
+        val committed = Files.getLastModifiedTime(
+          Paths.get(liveDir, f"chunk-$b%012d.jsonl")).toMillis
+        math.max(0L, done.get(b.toLong) - committed)
+      }.sorted
+    } finally liveSrv.close()
+
+    def pct(p: Int): Long = lags((lags.size * p / 100).min(lags.size - 1))
+    Result(blocks, events, drainSec, backfillSec, fullSec,
+      jdbcSec, jdbcRows, jdbcBatchSize,
+      liveBlocks, livePaceMs, pct(50), pct(95), lags.last)
+  }
+
+  /** Standalone run at bench volume: prints the JSON fragment alone. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark).json) finally spark.stop()
+  }
+}

@@ -143,11 +143,18 @@ object BlockStreamWire {
   * are accepted sequentially (the drainer is a single bridge process); the
   * server lives until [[close]] or process exit.
   *
+  * `paceMs` > 0 sleeps between messages — the cadence knob the ingest
+  * throughput bench uses to emulate a chain producing one block per
+  * interval (the reference's anchor is one block / ~30 s,
+  * `index.ts:259-269`), so end-to-end lag is measured against a live
+  * producer instead of a pre-drained backlog.
+  *
   * As a standalone process: `graft.sources.net.BlockStreamServer <port>
   * [blocks] [reorgAt]` serves [[BlockStreamScenario.chainWithReorg]] and
   * prints `PORT=<actual>` on stdout (pass port 0 for an ephemeral pick).
   */
-final class BlockStreamServer(script: Seq[String], port: Int = 0) {
+final class BlockStreamServer(script: Seq[String], port: Int = 0,
+    paceMs: Long = 0L) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
@@ -170,7 +177,10 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0) {
       new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
     val sub = BlockStreamWire.mapper.readTree(in.readLine())
     val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
-    script.drop(cursor).foreach { msg => out.println(msg); out.flush() }
+    script.drop(cursor).foreach { msg =>
+      if (paceMs > 0) Thread.sleep(paceMs)
+      out.println(msg); out.flush()
+    }
     out.println(BlockStreamWire.endOfScript)
     out.flush()
   }
