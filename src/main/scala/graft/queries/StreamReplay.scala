@@ -1,12 +1,13 @@
 package graft.queries
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.fixtures.Fixtures
 import graft.functions.TextHash
@@ -21,47 +22,41 @@ import graft.streaming.{StreamingCms, StreamingHist, StreamingKmv, StreamingTopK
   * of the same rows. The specs assert that against the
   * batch operators in-JVM; these entries put the SAME contract under the
   * driver's DuckDB differential gate — each runs the real streaming
-  * operator (MemoryStream → flatMapGroupsWithState → memory sink) over a
-  * deterministic 3-way split of the events fixture and emits the FINAL
-  * state as a plain DataFrame whose oracle is the batch computation in
-  * SQL. A regression in the streaming state merge now fails correctness,
-  * not just a unit test.
+  * operator over a deterministic 3-way split of the fixture and emits the
+  * FINAL state as a plain DataFrame whose oracle is the batch computation
+  * in SQL. A regression in the streaming state merge now fails
+  * correctness, not just a unit test.
   *
-  * Harness note: the driver-side `collect()` feeding MemoryStream is the
-  * REPLAY HARNESS, not the operator — micro-batch boundaries must be
-  * controlled to mean anything, and MemoryStream is fed from the driver by
-  * design. The operator's shuffle, state store, and merge all run
-  * distributed; at production scale the same operators consume a real
-  * stream ([[graft.streaming.StreamDriver]]'s sources), never a collect.
+  * Harness transport (round 12, VERDICT r11 #3): each deterministic batch
+  * is written EXECUTOR-SIDE as its own parquet directory (a filter over
+  * the fixture scan — no driver materialization), then moved file-by-file
+  * into a watched directory consumed by Spark's file streaming source, one
+  * move + `processAllAvailable` per micro-batch. The previous MemoryStream
+  * harness collected the whole fixture to the driver and shipped it in the
+  * task closure (~1.9 MiB task binaries at sf0.1, O(corpus) driver heap);
+  * the file feed keeps the same batch boundaries with O(1) driver state —
+  * the harness now has the same scale shape as the operators under test.
+  *
+  * Batch-boundary determinism: the order-free twins split by
+  * `seq % 3` / `doc_id % 3` (any split is contractually equivalent); the
+  * order-SENSITIVE twins (funnel, dedup) split by contiguous VALUE ranges
+  * of their order key — computed from a 1-row min/max aggregate, no global
+  * sort, no unpartitioned window — which preserves the in-order-prefix
+  * contract (each group's rows arrive in ascending key ranges, and the
+  * operators sort within a micro-batch group themselves).
   */
 object StreamReplay {
 
   private val numBatches = 3
   private val ids = new AtomicInteger()
 
-  /** (event_type, cents) rows split deterministically by seq % 3 — the
-    * replay's micro-batch boundaries. The split is ARBITRARY by contract
-    * (any split must yield the same final state); determinism just keeps
-    * reruns identical. */
-  private def batches(spark: SparkSession, sfDir: String): IndexedSeq[Seq[(String, Long)]] = {
-    Fixtures.register(spark, sfDir)
-    import spark.implicits._
-    val rows = spark.table("raw")
-      .filter($"cents".isNotNull && $"event_type".isNotNull)
-      .select($"event_type", $"cents", ($"seq" % numBatches).as("b"))
-      .as[(String, Long, Long)].collect()
-    (0 until numBatches).map(i =>
-      rows.iterator.filter(_._3 == i).map(r => (r._1, r._2)).toSeq)
-  }
-
-  /** Run `body` with the session's shuffle-partition count pinned to 4:
-    * a streaming query snapshots spark.sql.shuffle.partitions at START as
-    * its state-store dimensionality, and the replay twins keep state for a
-    * handful of groups (languages / event types) — 32 state partitions is
-    * pure per-batch task overhead in the correctness gate (~2 s per entry,
-    * measured). Production sizes this knob for throughput; the gate sizes
-    * it for its state cardinality. Restored in finally; the catalog runs
-    * queries sequentially, so nothing else observes the narrowed conf. */
+  /** Pin shuffle partitions to 4 for the streaming query: a streaming query
+    * snapshots spark.sql.shuffle.partitions at START as its state-store
+    * dimensionality, and the replay twins keep state for a handful of
+    * groups — 32 state partitions is pure per-batch task overhead in the
+    * correctness gate (~2 s per entry, measured). Production sizes this
+    * knob for throughput; the gate sizes it for its state cardinality.
+    * Restored in finally; the catalog runs queries sequentially. */
   private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -69,52 +64,83 @@ object StreamReplay {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** (lang, doc_id, text) document rows split deterministically by
-    * doc_id % 3 — the document-fed twins' micro-batch boundaries (same
-    * arbitrary-split contract as [[batches]]). */
-  private def docBatches(spark: SparkSession, sfDir: String): IndexedSeq[Seq[(String, Long, String)]] = {
+  /** Run `pipe` over `batched` (a frame whose `b` column holds the 0-based
+    * micro-batch index; the remaining columns must match `I`'s encoder
+    * schema) through a parquet file stream, one batch per trigger. The
+    * per-batch frames are written by executors; the driver only moves the
+    * committed part files into the watched directory — nothing row-sized
+    * ever crosses it. Returns the full emission log. */
+  private def replayViaFiles[I](spark: SparkSession, tag: String,
+      batched: DataFrame, mode: OutputMode)(pipe: Dataset[I] => Dataset[_])
+      (implicit enc: Encoder[I]): DataFrame = {
+    val name = s"${tag}_${ids.incrementAndGet()}"
+    val stage = Files.createTempDirectory(s"graft-replay-$tag-").toString
+    (0 until numBatches).foreach { i =>
+      batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
+    }
+    val watch = s"$stage/watch"
+    Files.createDirectories(Paths.get(watch))
+    withReplayPartitions(spark) {
+      val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
+      val q = pipe(in).toDF().writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      try (0 until numBatches).foreach { i =>
+        moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
+        // all newly-visible files land in ONE micro-batch (no
+        // maxFilesPerTrigger cap), so the move boundary IS the batch
+        // boundary
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /** Move every committed part file of `src` into `dest` under a
+    * batch-unique prefix (metadata renames — same filesystem). */
+  private def moveParts(src: Path, dest: Path, prefix: String): Unit = {
+    val s = Files.list(src)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        Files.move(p, dest.resolve(s"$prefix-${p.getFileName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    finally s.close()
+  }
+
+  /** (event_type, cents) rows with batch index `seq % 3` — the order-free
+    * twins' micro-batch boundaries. The split is ARBITRARY by contract
+    * (any split must yield the same final state); determinism just keeps
+    * reruns identical. */
+  private def eventBatches(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val rows = spark.table("documents")
-      .select($"lang", $"doc_id", $"text")
-      .as[(String, Long, String)].collect()
-    (0 until numBatches).map(i =>
-      rows.iterator.filter(_._2 % numBatches == i).toSeq)
+    spark.table("raw")
+      .filter($"cents".isNotNull && $"event_type".isNotNull)
+      .select($"event_type".as("_1"), $"cents".as("_2"),
+        ($"seq" % numBatches).cast("int").as("b"))
   }
 
-  /** [[replay]] for document-fed pipelines (snapshot, doc_id, text). */
-  private def replayDocs[O](spark: SparkSession, sfDir: String, tag: String)
-      (pipe: org.apache.spark.sql.Dataset[(String, Long, String)] => org.apache.spark.sql.Dataset[O]): DataFrame = {
+  /** (lang, doc_id, text) rows with batch index `doc_id % 3` — the
+    * document-fed order-free twins' boundaries. */
+  private def docBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val in = MemoryStream[(String, Long, String)]
-    val name = s"${tag}_${ids.incrementAndGet()}"
-    withReplayPartitions(spark) {
-      val q = pipe(in.toDS()).toDF().writeStream.format("memory")
-        .queryName(name).outputMode(OutputMode.Update).start()
-      try docBatches(spark, sfDir).foreach { b =>
-        in.addData(b: _*); q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name)
+    spark.table("documents")
+      .select($"lang".as("_1"), $"doc_id".as("_2"), $"text".as("_3"),
+        ($"doc_id" % numBatches).cast("int").as("b"))
   }
 
-  /** Run a streaming pipeline over the replay batches and return the full
-    * Update-mode emission log. */
-  private def replay[I, O](spark: SparkSession, sfDir: String, tag: String)
-      (pipe: org.apache.spark.sql.Dataset[(String, Long)] => org.apache.spark.sql.Dataset[O]): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val in = MemoryStream[(String, Long)]
-    val name = s"${tag}_${ids.incrementAndGet()}"
-    withReplayPartitions(spark) {
-      val q = pipe(in.toDS()).toDF().writeStream.format("memory")
-        .queryName(name).outputMode(OutputMode.Update).start()
-      try batches(spark, sfDir).foreach { b =>
-        in.addData(b: _*); q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name)
+  /** Contiguous-value-range batch index over `key`: batch i holds rows
+    * whose key falls in the i-th third of [min, max] — the order-sensitive
+    * twins' boundaries. One 1-row min/max aggregate (bounded collect), no
+    * sort, no window. */
+  private def rangeBatched(df: DataFrame, key: String): DataFrame = {
+    val Row(mn: Long, mx: Long) =
+      df.agg(min(col(key)), max(col(key))).head()
+    val span = mx - mn + 1
+    df.withColumn("b", least(lit(numBatches - 1),
+      ((col(key) - mn) * numBatches / span).cast("int")))
   }
 
   /** Final streaming log₂-histogram state per event type, exploded to
@@ -124,15 +150,16 @@ object StreamReplay {
     * non-decreasing; equal totals ⇒ identical counters). */
   def histReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replay(spark, sfDir, "hist_replay") { ds =>
+    val log = replayViaFiles[(String, Long)](spark, "hist_replay",
+      eventBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingHist.hists(ds.map { case (g, v) => StreamingHist.ValueIn(g, v) })
     }
     log.groupBy($"group")
       .agg(max_by(struct($"bins", $"counts"), $"total").as("s"))
       .select($"group".as("event_type"),
         explode(arrays_zip($"s.bins", $"s.counts")).as("bc"))
-      .select($"event_type", $"bc.bins".cast(IntegerType).as("bin"),
-        $"bc.counts".cast(LongType).as("n"))
+      .select($"event_type", $"bc.bins".cast("int").as("bin"),
+        $"bc.counts".cast("long").as("n"))
   }
 
   val histReplayOracle: String = Fixtures.oracle(
@@ -152,13 +179,14 @@ object StreamReplay {
     * only ratchet upward, so later states dominate element-wise. */
   def topkReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replay(spark, sfDir, "topk_replay") { ds =>
+    val log = replayViaFiles[(String, Long)](spark, "topk_replay",
+      eventBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingTopK.tops(ds.map { case (g, v) => StreamingTopK.ValueIn(g, v) }, 5)
     }
     log.groupBy($"group").agg(max($"topk").as("topk"))
       .select($"group".as("event_type"), posexplode($"topk"))
       .toDF("event_type", "pos", "value")
-      .select($"event_type", ($"pos" + 1).cast(LongType).as("rank"), $"value")
+      .select($"event_type", ($"pos" + 1).cast("long").as("rank"), $"value")
   }
 
   val topkReplayOracle: String = Fixtures.oracle(
@@ -179,7 +207,8 @@ object StreamReplay {
     * across batches. */
   def cmsReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replayDocs(spark, sfDir, "cms_replay") { ds =>
+    val log = replayViaFiles[(String, Long, String)](spark, "cms_replay",
+      docBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingCms.estimates(
         ds.map { case (s, id, t) => StreamingCms.DocIn(s, id, t) },
         TextOps.cmsProbes)
@@ -225,7 +254,8 @@ object StreamReplay {
   def kmvReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = 256
-    val log = replayDocs(spark, sfDir, "kmv_replay") { ds =>
+    val log = replayViaFiles[(String, Long, String)](spark, "kmv_replay",
+      docBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingKmv.estimates(
         ds.map { case (s, id, t) => StreamingKmv.DocIn(s, id, t) }, k)
     }
@@ -257,59 +287,36 @@ object StreamReplay {
   /** Final streaming funnel state replayed IN ORDER — unlike the sketch
     * twins, the funnel's state transition is order-SENSITIVE (a click only
     * counts after the first view), so its replay contract is the in-order
-    * prefix one its spec pins: batches are contiguous seq ranges. The
-    * final stage per user is the max emission (stages only ratchet up);
-    * the oracle is the batch funnel's own SQL, verbatim. */
+    * prefix one its spec pins: batches are contiguous seq RANGES (the
+    * operator sorts within a micro-batch group itself). The final stage
+    * per user is the max emission (stages only ratchet up); the oracle is
+    * the batch funnel's own SQL, verbatim. */
   def funnelReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = spark.table("ek")
-      .select($"user_id", $"event_type", $"seq")
-      .as[(Long, String, Long)].collect().sortBy(_._3)
-    val per = (rows.length + numBatches - 1) / numBatches
-    val in = MemoryStream[graft.streaming.StreamingFunnel.EventIn]
-    val name = s"funnel_replay_${ids.incrementAndGet()}"
-    withReplayPartitions(spark) {
-      val q = graft.streaming.StreamingFunnel.stages(in.toDS()).toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Update).start()
-      try rows.grouped(per).foreach { b =>
-        in.addData(b.map(r =>
-          graft.streaming.StreamingFunnel.EventIn(r._1, r._2, r._3)).toSeq: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name)
+    val batched = rangeBatched(spark.table("ek")
+      .select($"user_id", $"event_type", $"seq"), "seq")
+    replayViaFiles[graft.streaming.StreamingFunnel.EventIn](
+      spark, "funnel_replay", batched, OutputMode.Update)(
+      graft.streaming.StreamingFunnel.stages)
       .groupBy($"user_id").agg(max($"stage").as("stage"))
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
   }
 
   /** Final streaming exact-dedup verdicts replayed in doc-id order: the
-    * canonical election is first-arrival, so an id-ordered replay's
-    * verdicts equal the batch MIN(doc_id)-per-content election — each doc
-    * emits exactly one Append-mode verdict, no final-state selection
-    * needed. */
+    * canonical election is first-arrival, so an id-range-ordered replay's
+    * verdicts equal the batch MIN(doc_id)-per-content election (each
+    * content group's first-arriving batch holds its minimum id, and the
+    * operator elects the min id within a batch) — each doc emits exactly
+    * one Append-mode verdict, no final-state selection needed. */
   def dedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = spark.table("documents")
-      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
-    val per = (rows.length + numBatches - 1) / numBatches
-    val in = MemoryStream[graft.streaming.StreamingDedup.DocIn]
-    val name = s"dedup_replay_${ids.incrementAndGet()}"
-    withReplayPartitions(spark) {
-      val q = graft.streaming.StreamingDedup.exactDedup(in.toDS()).toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-      try rows.grouped(per).foreach { b =>
-        in.addData(b.map(r =>
-          graft.streaming.StreamingDedup.DocIn(r._1, r._2)).toSeq: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name)
+    val batched = rangeBatched(spark.table("documents")
+      .select($"doc_id", $"text"), "doc_id")
+    replayViaFiles[graft.streaming.StreamingDedup.DocIn](
+      spark, "dedup_replay", batched, OutputMode.Append)(
+      graft.streaming.StreamingDedup.exactDedup)
       .select($"doc_id", $"canonical_doc_id", $"is_duplicate")
   }
 
