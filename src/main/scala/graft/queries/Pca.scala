@@ -79,16 +79,15 @@ object Pca {
   private val GScale = 1000000000L
   private val VScale = 1000000L
 
-  /** The computed model: eigenvector (fixed point), last max|G·v|, trace.
-    * Driver-side memo per (session, sfDir): the projection entry applies
-    * the same component the power entry reports, without re-running the
-    * Gram pass. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Int, Array[BigInt], BigInt, BigInt)]()
+  /** The collected corpus Gram — the one distributed pass, memoized per
+    * (session, sfDir) so the power entry, the projection entry, the top-k
+    * deflation chain, and the OPQ allocation all consume one accumulation.
+    * d = 0 means no valid vectors (empty model). */
+  private val gramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Int, Array[Array[BigInt]])]()
 
-  /** Returns (d, v, m, trace); d = 0 means no valid vectors (empty model). */
-  private def component(spark: SparkSession, sfDir: String): (Int, Array[BigInt], BigInt, BigInt) =
-    modelCache.computeIfAbsent((spark, sfDir), { _ =>
+  private[queries] def gram(spark: SparkSession, sfDir: String): (Int, Array[Array[BigInt]]) =
+    gramCache.computeIfAbsent((spark, sfDir), { _ =>
       Fixtures.register(spark, sfDir)
       import spark.implicits._
 
@@ -101,12 +100,30 @@ object Pca {
         .orderBy($"count".desc, $"w").limit(1)
         .select($"w").as[Int].collect().headOption
       dOpt match {
-        case None    => (0, Array.empty[BigInt], BigInt(0), BigInt(0))
-        case Some(dd) => buildModel(spark, dd)
+        case None    => (0, Array.empty[Array[BigInt]])
+        case Some(dd) => collectGram(spark, dd)
       }
     })
 
-  private def buildModel(spark: SparkSession, D: Int): (Int, Array[BigInt], BigInt, BigInt) = {
+  /** The Gram diagonal — per-dimension fixed-point second moments, the
+    * variance statistic [[Similarity]]'s OPQ-lite subspace allocation
+    * consumes (exact integers, so the allocation ordering is
+    * oracle-reproducible). */
+  private[queries] def gramDiag(spark: SparkSession, sfDir: String): (Int, Array[BigInt]) = {
+    val (d, g) = gram(spark, sfDir)
+    (d, Array.tabulate(d)(i => g(i)(i)))
+  }
+
+  /** Returns (d, v, m, trace) for the dominant component. */
+  private def component(spark: SparkSession, sfDir: String): (Int, Array[BigInt], BigInt, BigInt) = {
+    val (d, g) = gram(spark, sfDir)
+    if (d == 0) return (0, Array.empty[BigInt], BigInt(0), BigInt(0))
+    val trace = (0 until d).map(i => g(i)(i)).sum
+    val (v, m) = powerIterate(g, d)
+    (d, v, m, trace)
+  }
+
+  private def collectGram(spark: SparkSession, D: Int): (Int, Array[Array[BigInt]]) = {
       import spark.implicits._
 
       // Typed per-partition kernel, not an exploded-cell HOF pipeline: the
@@ -153,15 +170,20 @@ object Pca {
       .agg(sum($"q".cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("g"))
       .as[(Int, java.math.BigDecimal)].collect() // bounded: exactly d² = 4096 rows
 
-    if (gramRows.isEmpty) return (0, Array.empty[BigInt], BigInt(0), BigInt(0))
+    if (gramRows.isEmpty) return (0, Array.empty[Array[BigInt]])
     val g = Array.ofDim[BigInt](D, D)
     gramRows.foreach { case (idx, q) => g(idx / D)(idx % D) = BigInt(q.toBigInteger) }
-    val trace = (0 until D).map(i => g(i)(i)).sum
+    (D, g)
+  }
 
+  /** Exact integer power rounds over a collected Gram: matvec, L∞
+    * normalization (max-abs, truncating division in both engines). */
+  private def powerIterate(g: Array[Array[BigInt]], D: Int,
+      rounds: Int = Rounds): (Array[BigInt], BigInt) = {
     var v = Array.fill(D)(BigInt(VScale))
     var m = BigInt(0)
     var round = 0
-    while (round < Rounds && (round == 0 || m != 0)) {
+    while (round < rounds && (round == 0 || m != 0)) {
       val w = Array.tabulate(D)(i =>
         (0 until D).map(j => g(i)(j) * v(j)).sum)
       m = w.map(_.abs).max
@@ -172,7 +194,49 @@ object Pca {
           else w.map(wi => (wi * VScale) / m) // BigInt `/` truncates toward zero — the DIV / HUGEINT // contract
       round += 1
     }
-    (D, v, m, trace)
+    (v, m)
+  }
+
+  /** Hotelling deflation in the SAME fixed-point scale, exact and
+    * HUGEINT-safe: with num = vᵀGv and den = vᵀv, the deflated matrix is
+    * G' = G − λ·vvᵀ/den (λ = num/den) computed as two truncating integer
+    * steps — t_i = (num·v_i) div den, then G'_ij = G_ij − (t_i·v_j) div
+    * den — so every intermediate stays below ~10³⁷ (inside the oracle's
+    * HUGEINT lanes; a single-step num·v_i·v_j product would overflow
+    * them). The two per-cell truncations are the identical arithmetic in
+    * both engines, so the deflated matrix — and every later component —
+    * is bit-exact cross-engine; the ~1-ulp deflation residue only
+    * perturbs WHICH matrix both engines iterate, never their agreement. */
+  private def deflate(g: Array[Array[BigInt]], v: Array[BigInt], D: Int): Array[Array[BigInt]] = {
+    val den = v.map(x => x * x).sum
+    if (den == 0) return g // zero component: nothing to remove
+    val num = (0 until D).map(i =>
+      v(i) * (0 until D).map(j => g(i)(j) * v(j)).sum).sum
+    val t = Array.tabulate(D)(i => (num * v(i)) / den)
+    Array.tabulate(D, D)((i, j) => g(i)(j) - (t(i) * v(j)) / den)
+  }
+
+  /** Top-k components by repeated power-iteration + deflation. Returns
+    * (d, trace, per-component (v, m)). Deflated components run fewer
+    * rounds ([[TopkRounds]]) than the dominant one: the unrolled oracle
+    * chain for k components otherwise exceeds DuckDB's binder depth limit
+    * (max_expression_depth 1000 at k×128×3 chained CTEs). Both engines
+    * run the identical round counts, so the contract is unchanged —
+    * rounds are a knob, the gate pins whatever they compute. */
+  private val topkK = 3
+  private val TopkRounds = 48
+  private def components(spark: SparkSession, sfDir: String): (Int, BigInt, Seq[(Array[BigInt], BigInt)]) = {
+    val (d, g0) = gram(spark, sfDir)
+    if (d == 0) return (0, BigInt(0), Seq.empty)
+    val trace = (0 until d).map(i => g0(i)(i)).sum
+    var g = g0
+    val out = Seq.newBuilder[(Array[BigInt], BigInt)]
+    for (c <- 1 to topkK) {
+      val (v, m) = powerIterate(g, d, if (c == 1) Rounds else TopkRounds)
+      out += ((v, m))
+      if (c < topkK) g = deflate(g, v, d)
+    }
+    (d, trace, out.result())
   }
 
   /** Distributed Gram accumulation, then 128 exact integer
@@ -230,24 +294,58 @@ object Pca {
            s"DIV (CAST(norm_q AS DECIMAL(38,0)) * $vNormSq) AS BIGINT) END")).as("share_bp"))
   }
 
-  /** One unrolled oracle iteration `prev → next`, mirroring the integer
-    * matvec + L∞ normalization (HUGEINT lanes). */
-  private def iterCte(n: Int): String = {
-    val (prev, cur) = (s"pca_v${n - 1}", s"pca_v$n")
-    s""", pca_w$n AS MATERIALIZED (
+  /** One unrolled oracle iteration `prev → next` over gram CTE `gramCte`
+    * with name prefix `prefix`, mirroring the integer matvec + L∞
+    * normalization (HUGEINT lanes). */
+  private def iterCteFor(prefix: String, gramCte: String)(n: Int): String = {
+    val (prev, cur) = (s"${prefix}v${n - 1}", s"${prefix}v$n")
+    s""", ${prefix}w$n AS MATERIALIZED (
          SELECT g.i, SUM(CAST(g.g AS HUGEINT) * v.v) AS w
-         FROM pca_gram g JOIN $prev v ON g.j = v.i GROUP BY 1),
-       pca_m$n AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM pca_w$n),
+         FROM $gramCte g JOIN $prev v ON g.j = v.i GROUP BY 1),
+       ${prefix}m$n AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM ${prefix}w$n),
        $cur AS MATERIALIZED (
          SELECT w.i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
                           ELSE (w.w * $VScale) // m.m END AS v
-         FROM pca_w$n w CROSS JOIN pca_m$n m)"""
+         FROM ${prefix}w$n w CROSS JOIN ${prefix}m$n m)"""
   }
 
-  /** Shared oracle chain ending at `pca_v$Rounds` / `pca_m$Rounds` /
-    * `pca_trace` — ONE definition feeds both the power and the projection
-    * oracle, so an edit to the iteration cannot desync them. */
-  private def pcaChainCtes: String =
+  private def iterCte(n: Int): String = iterCteFor("pca_", "pca_gram")(n)
+
+  /** Oracle twin of [[deflate]]: the two-step truncating Hotelling update
+    * producing `$out` from `$gramCte` and `$prefix`'s converged vector
+    * (`${prefix}v$prevRounds`) — exact same intermediate magnitudes, so
+    * every lane stays inside HUGEINT. The den = 0 (zero component) guard
+    * mirrors the Scala early-return. */
+  private def deflateCtes(prefix: String, prevRounds: Int, gramCte: String,
+      out: String): String =
+    s""", ${out}_den AS MATERIALIZED (
+         SELECT SUM(v * v) AS den FROM ${prefix}v$prevRounds),
+       ${out}_num AS MATERIALIZED (
+         SELECT SUM(CAST(g.g AS HUGEINT) * vi.v * vj.v) AS num
+         FROM $gramCte g
+         JOIN ${prefix}v$prevRounds vi ON g.i = vi.i
+         JOIN ${prefix}v$prevRounds vj ON g.j = vj.i),
+       ${out}_t AS MATERIALIZED (
+         SELECT vi.i,
+                CASE WHEN d.den = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (n.num * vi.v) // d.den END AS t
+         FROM ${prefix}v$prevRounds vi
+         CROSS JOIN ${out}_num n CROSS JOIN ${out}_den d),
+       $out AS MATERIALIZED (
+         SELECT g.i, g.j,
+                CAST(g.g AS HUGEINT) -
+                CASE WHEN d.den = 0 THEN CAST(0 AS HUGEINT)
+                     ELSE (t.t * vj.v) // d.den END AS g
+         FROM $gramCte g
+         JOIN ${out}_t t ON g.i = t.i
+         JOIN ${prefix}v$prevRounds vj ON g.j = vj.i
+         CROSS JOIN ${out}_den d)"""
+
+  /** The Gram-accumulation half of the oracle chain (valid-vector filter,
+    * fixed-point cells, `pca_gram`, `pca_trace`) — shared by the power/
+    * projection/top-k oracles AND [[Similarity]]'s OPQ allocation oracle,
+    * which consumes only the diagonal. */
+  private[queries] def pcaGramCtes: String =
     s""", pca_d AS (SELECT len(embedding) AS d FROM embeddings
                     WHERE embedding IS NOT NULL
                     GROUP BY 1 ORDER BY COUNT(1) DESC, d LIMIT 1),
@@ -263,10 +361,114 @@ object Pca {
                             * CAST(e.embedding[tj.j + 1] AS DOUBLE)) * ${GScale}.0) AS BIGINT) AS q
          FROM pca_valid e, pca_d, UNNEST(range(pca_d.d)) AS ti(i), UNNEST(range(pca_d.d)) AS tj(j)),
        pca_gram AS MATERIALIZED (SELECT i, j, SUM(q) AS g FROM pca_cells GROUP BY 1, 2),
-       pca_trace AS (SELECT SUM(g) AS trace FROM pca_gram WHERE i = j),
+       pca_trace AS (SELECT SUM(g) AS trace FROM pca_gram WHERE i = j)"""
+
+  /** Shared oracle chain ending at `pca_v$Rounds` / `pca_m$Rounds` /
+    * `pca_trace` — ONE definition feeds both the power and the projection
+    * oracle, so an edit to the iteration cannot desync them. */
+  private def pcaChainCtes: String =
+    pcaGramCtes +
+      s""",
        pca_v0 AS (SELECT CAST(t.i AS INT) AS i, CAST($VScale AS HUGEINT) AS v
                   FROM pca_d, UNNEST(range(pca_d.d)) AS t(i))""" +
       (1 to Rounds).map(iterCte).mkString("\n")
+
+  /** Component (prefix, rounds) pairs of the top-k oracle chain:
+    * component 1 reuses the `pca_` chain verbatim; deflated components
+    * get their own prefix and the shorter [[TopkRounds]] unroll. */
+  private val topkPrefixes: Seq[(String, Int)] =
+    (Seq(("pca_", Rounds)) ++ Seq(("pcb_", TopkRounds), ("pcc_", TopkRounds)))
+      .take(topkK)
+
+  /** Full top-k chain: component 1's converged vector, then per further
+    * component a deflation + a fresh unroll over the deflated gram. */
+  private def topkChainCtes: String =
+    pcaChainCtes + topkPrefixes.sliding(2).collect {
+      case Seq((prev, prevRounds), (cur, curRounds)) =>
+        val prevGram = if (prev == "pca_") "pca_gram" else s"${prev}gram"
+        deflateCtes(prev, prevRounds, prevGram, s"${cur}gram") +
+          s""",
+           ${cur}v0 AS (SELECT i, v FROM pca_v0)""" +
+          (1 to curRounds).map(iterCteFor(cur, s"${cur}gram")).mkString("\n")
+    }.mkString
+
+  /** Top-k principal components by power iteration + exact Hotelling
+    * deflation (the r11 "PCA stops at one component" gap): component c+1
+    * is the dominant eigenvector of the deflated Gram G − λvvᵀ/(vᵀv),
+    * computed in the same fixed-point integer lanes ([[deflate]]'s
+    * two-step truncation keeps every oracle intermediate inside HUGEINT).
+    * Output: (comp, dim, v_e6, lambda_e6, var_share_bp) — the top-k
+    * spectrum a truncation/whitening decision reads (shares against the
+    * ORIGINAL trace, so they are comparable across components and sum
+    * toward the explained-variance budget). Distribution shape: the only
+    * corpus pass is the one shared Gram accumulation ([[gram]]); the
+    * k×128 rounds are driver arithmetic on the collected 64×64 matrix. */
+  def pcaTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val (d, trace, comps) = components(spark, sfDir)
+    comps.zipWithIndex.flatMap { case ((v, m), c) =>
+      val lambdaE6 = (m / GScale).toLong
+      val shareBp = if (trace == 0) 0L else ((m * 10000) / (trace * VScale)).toLong
+      (0 until d).map(i => ((c + 1).toLong, i.toLong, v(i).toLong, lambdaE6, shareBp))
+    }.toDF("comp", "dim", "v_e6", "lambda_e6", "var_share_bp")
+  }
+
+  /** Per-vector projections onto the top-k subspace — the compression/
+    * truncation payload ([[pcaProject]] generalized to k components): one
+    * scan, k codegen'd integer-dot aggregates per row, exploded to
+    * (vec_id, label, comp, proj_e12). No join, no shuffle: the k
+    * component vectors ride the plan as literals. */
+  def pcaTopkProject(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val (d, _, comps) = components(spark, sfDir)
+    val base = spark.table("embeddings")
+    if (d == 0)
+      return base.limit(0).select($"vec_id", $"label".cast("bigint").as("label"),
+        lit(0L).as("comp"), lit(0L).as("proj_e12"))
+    val q = s"CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE) * ${VScale}.0) AS BIGINT)"
+    val arms = comps.zipWithIndex.map { case ((v, _), c) =>
+      val vLit = v.map(_.toLong).mkString("array(", "L, ", "L)")
+      expr(s"named_struct('comp', CAST(${c + 1} AS BIGINT), " +
+        s"'proj_e12', aggregate(sequence(0, ${d - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, i) -> acc + $q * element_at($vLit, i + 1)))")
+    }
+    base
+      .filter(expr(validPred(d)))
+      .select($"vec_id", $"label".cast("bigint").as("label"),
+        explode(array(arms: _*)).as("p"))
+      .select($"vec_id", $"label", $"p.comp".as("comp"), $"p.proj_e12".as("proj_e12"))
+  }
+
+  val pcaTopkOracle: String = {
+    val arms = topkPrefixes.zipWithIndex.map { case ((p, r), c) =>
+      s"""SELECT CAST(${c + 1} AS BIGINT) AS comp, CAST(v.i AS BIGINT) AS dim,
+             CAST(v.v AS BIGINT) AS v_e6,
+             CAST(m.m // $GScale AS BIGINT) AS lambda_e6,
+             CASE WHEN t.trace = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((m.m * 10000) // (CAST(t.trace AS HUGEINT) * $VScale) AS BIGINT) END
+               AS var_share_bp
+          FROM ${p}v$r v
+          CROSS JOIN ${p}m$r m
+          CROSS JOIN pca_trace t"""
+    }.mkString(" UNION ALL ")
+    Fixtures.oracle(topkChainCtes + "\n" + arms)
+  }
+
+  val pcaTopkProjectOracle: String = {
+    val arms = topkPrefixes.zipWithIndex.map { case ((p, r), c) =>
+      s"""SELECT vec_id, label, CAST(${c + 1} AS BIGINT) AS comp,
+             CAST(SUM(q * v) AS BIGINT) AS proj_e12
+          FROM (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                       CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE) * ${VScale}.0) AS BIGINT) AS q,
+                       v.v
+                FROM pca_valid e, pca_d, UNNEST(range(pca_d.d)) AS t(i)
+                JOIN ${p}v$r v ON v.i = t.i)
+          GROUP BY 1, 2"""
+    }.mkString(" UNION ALL ")
+    Fixtures.oracle(topkChainCtes + "\n" + arms)
+  }
 
   val pcaPowerOracle: String = Fixtures.oracle(pcaChainCtes +
     s"""
@@ -302,9 +504,13 @@ object Pca {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_pca_power" -> (pcaPower _),
-    "embedding_pca_project" -> (pcaProject _))
+    "embedding_pca_project" -> (pcaProject _),
+    "embedding_pca_topk" -> (pcaTopk _),
+    "embedding_pca_topk_project" -> (pcaTopkProject _))
 
   val oracles: Map[String, String] = Map(
     "embedding_pca_power" -> pcaPowerOracle,
-    "embedding_pca_project" -> pcaProjectOracle)
+    "embedding_pca_project" -> pcaProjectOracle,
+    "embedding_pca_topk" -> pcaTopkOracle,
+    "embedding_pca_topk_project" -> pcaTopkProjectOracle)
 }

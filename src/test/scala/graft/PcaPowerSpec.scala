@@ -75,4 +75,52 @@ class PcaPowerSpec extends SparkSpec {
     assert(math.abs(lambdaFp - refLambda) / refLambda < 0.05,
       s"lambda $lambdaFp vs reference $refLambda")
   }
+
+  test("top-k deflation: k near-orthogonal components, dominant first, comp1 = power entry") {
+    val tk = Pca.pcaTopk(spark, SparkSpec.fixtureSf).collect()
+    val byComp = tk.groupBy(_.getAs[Long]("comp")).view
+      .mapValues(_.sortBy(_.getAs[Long]("dim"))).toMap
+    assert(byComp.keySet == Set(1L, 2L, 3L))
+    byComp.values.foreach(c => assert(c.length == 64))
+
+    // component 1 IS the single-component entry (shared model, same rounds)
+    val v1 = byComp(1L).map(_.getAs[Long]("v_e6"))
+    assert(v1.toSeq == rows.map(_.getAs[Long]("v_e6")).toSeq,
+      "comp 1 must equal embedding_pca_power's eigenvector")
+
+    // the dominant eigenvalue dominates every deflated one. λ2 vs λ3 are
+    // NOT pinned ordered: the fixture spectrum is nearly flat and the
+    // shorter deflated unroll under-converges their estimates — the
+    // direction structure (orthogonality below) is the invariant.
+    val lam = (1L to 3L).map(c => byComp(c).head.getAs[Long]("lambda_e6"))
+    assert(lam(0) >= lam(1) && lam(0) >= lam(2), s"λ ordering violated: $lam")
+
+    // pairwise near-orthogonality — what deflation is FOR
+    val vs = (1L to 3L).map(c => byComp(c).map(_.getAs[Long]("v_e6").toDouble))
+    for (a <- 0 until 3; b <- (a + 1) until 3) {
+      val cos = vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum /
+        (math.sqrt(vs(a).map(x => x * x).sum) * math.sqrt(vs(b).map(x => x * x).sum))
+      assert(math.abs(cos) < 0.05, s"components ${a + 1},${b + 1} not orthogonal: $cos")
+    }
+  }
+
+  test("top-k projection applies exactly the components the top-k entry reports") {
+    import org.apache.spark.sql.functions._
+    val tk = Pca.pcaTopk(spark, SparkSpec.fixtureSf).collect()
+    val comps = tk.groupBy(_.getAs[Long]("comp")).view
+      .mapValues(_.sortBy(_.getAs[Long]("dim")).map(r => BigInt(r.getAs[Long]("v_e6"))))
+      .toMap
+    val s = spark
+    import s.implicits._
+    val vecs = spark.table("embeddings").select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val proj = Pca.pcaTopkProject(spark, SparkSpec.fixtureSf).collect()
+    assert(proj.length == vecs.size * 3)
+    proj.foreach { r =>
+      val x = vecs(r.getAs[Long]("vec_id"))
+      val q = x.map(f => BigInt(math.floor(f.toDouble * 1e6).toLong))
+      val v = comps(r.getAs[Long]("comp"))
+      assert(BigInt(r.getAs[Long]("proj_e12")) == q.zip(v).map { case (a, b) => a * b }.sum)
+    }
+  }
 }
