@@ -343,9 +343,11 @@ object AnnIndex {
     val nprobe = Similarity.ivfPqNprobe
     Fixtures.oracle(
       s""", pq_nrm AS (
-         SELECT vec_id, embedding,
-                SQRT(${DotProduct.duckDot("embedding", "embedding")}) AS nrm
-         FROM embeddings),
+         SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
+         FROM (SELECT vec_id, embedding,
+                      ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+               FROM embeddings)
+         WHERE norm_sq > 0 AND isfinite(norm_sq)),
        pq_subs AS (
          SELECT e.vec_id, CAST(t.m AS INT) AS m,
                 list_transform(

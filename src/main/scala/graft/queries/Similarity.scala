@@ -943,8 +943,16 @@ object Similarity {
     * norm, mirrored verbatim by the oracle. */
   private[queries] def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.table("embeddings")
-      .withColumn("nrm", sqrt(normSqExpr("embedding")))
+    // built over [[vecs]], not the raw table: a zero/NaN/Inf-norm vector
+    // cannot be L2-normalized (under ANSI the division THROWS on a
+    // zero-norm crawl vector and kills the whole index build — surfaced by
+    // the adversarial corpus once every family entry routed through the
+    // persisted index). Degenerate vectors are already excluded from every
+    // ranking by the same guard, so the encode population is unchanged on
+    // any corpus the rankings serve; the oracle's pq_nrm carries the twin
+    // predicate.
+    vecs(spark, sfDir)
+      .withColumn("nrm", sqrt($"norm_sq"))
       .select($"vec_id", explode(expr(
         s"transform(sequence(0, ${pqM - 1}), " +
           s"m -> named_struct('m', m, 'sv', transform(" +
@@ -991,9 +999,14 @@ object Similarity {
     * 0.43 — approaching IVF-nprobe1's 0.47 while reading only codes.
     * Quantizer quality IS the PQ recall lever (pqK/pqM being the others). */
   private[queries] def pqCodebooksTrained(spark: SparkSession, sfDir: String,
-      trainPred: String): DataFrame = {
+      trainPred: String): DataFrame =
+    trainCodebooks(spark, pqSubvectors(spark, sfDir).filter(expr(trainPred)))
+
+  /** The Lloyd training step over ANY (vec_id, m, sv) subvector frame —
+    * shared by the contiguous-slice PQ ([[pqCodebooksTrained]]) and the
+    * OPQ-lite variance-allocated variant ([[opqSubvectors]]). */
+  private def trainCodebooks(spark: SparkSession, subs: DataFrame): DataFrame = {
     import spark.implicits._
-    val subs = pqSubvectors(spark, sfDir).filter(expr(trainPred))
     val codes0 = pqEncode(subs, pqCodebooks0For(subs))
     subs
       .select($"vec_id", $"m", posexplode($"sv"))
@@ -1069,9 +1082,11 @@ object Similarity {
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
     s""", pq_nrm AS (
-         SELECT vec_id, embedding,
-                SQRT(${DotProduct.duckDot("embedding", "embedding")}) AS nrm
-         FROM embeddings),
+         SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
+         FROM (SELECT vec_id, embedding,
+                      ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+               FROM embeddings)
+         WHERE norm_sq > 0 AND isfinite(norm_sq)),
        pq_subs AS (
          SELECT e.vec_id, CAST(t.m AS INT) AS m,
                 list_transform(
@@ -1247,6 +1262,217 @@ object Similarity {
               ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
        FROM exact_ranked e
        LEFT JOIN pq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
+  // =====================================================================
+  // OPQ-lite: variance-balanced subspace allocation ahead of PQ
+  // (the PCA → PQ composition; Ge et al., "Optimized Product
+  // Quantization", CVPR 2013 — the non-parametric eigenvalue-allocation
+  // half, driven by the exact integer Gram diagonal the PCA pass already
+  // accumulates)
+  // =====================================================================
+
+  /** Dimension → (subspace, slot) allocation: dims sorted by per-dimension
+    * second moment (the [[Pca.gramDiag]] integers — exact, so the ordering
+    * is oracle-reproducible), snake-dealt across the pqM subspaces so
+    * per-subspace energy is balanced. Contiguous-slice PQ puts correlated
+    * neighboring dims in one subspace and lets high-variance dims
+    * concentrate; balancing is the standard pre-rotation cheap enough to
+    * run corpus-wide. None when the corpus' modal width is not the
+    * pqM×pqSub grid — the allocation follows the standard shape, and the
+    * oracle's `pca_d.d = ${pqM * pqSub}` gate mirrors the None arm as an
+    * empty result. */
+  private def opqAllocation(spark: SparkSession, sfDir: String): Option[IndexedSeq[IndexedSeq[Int]]] = {
+    val (d, diag) = Pca.gramDiag(spark, sfDir)
+    if (d != pqM * pqSub) return None
+    val order = (0 until d).sortWith((a, b) =>
+      diag(a) > diag(b) || (diag(a) == diag(b) && a < b))
+    val dims = Array.fill(pqM)(Vector.newBuilder[Int])
+    order.zipWithIndex.foreach { case (dim, p) =>
+      val r = p / pqM
+      val m = if (r % 2 == 0) p % pqM else pqM - 1 - (p % pqM)
+      dims(m) += dim
+    }
+    Some(dims.toIndexedSeq.map(_.result()))
+  }
+
+  /** [[pqSubvectors]] under the OPQ allocation: the permutation rides the
+    * plan as element_at literals — a pure scan projection exactly like the
+    * contiguous-slice version, no join, no explode-shuffle. */
+  private def opqSubvectors(spark: SparkSession, sfDir: String): Option[DataFrame] =
+    opqAllocation(spark, sfDir).map { alloc =>
+      import spark.implicits._
+      val arms = alloc.zipWithIndex.map { case (dims, m) =>
+        s"named_struct('m', $m, 'sv', array(" +
+          dims.map(dim =>
+            s"CAST(element_at(embedding, ${dim + 1}) AS DOUBLE) / nrm").mkString(", ") +
+          "))"
+      }
+      // over [[vecs]] for the same zero-norm guard as [[pqSubvectors]]
+      vecs(spark, sfDir)
+        .withColumn("nrm", sqrt($"norm_sq"))
+        .select($"vec_id", explode(expr(arms.mkString("array(", ", ", ")"))).as("s"))
+        .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+    }
+
+  /** OPQ codebooks + codes, memoized per session: these are EVALUATION
+    * frames (the entry measures what the allocation buys over raw PQ —
+    * the number that decides whether a deployment adopts the permuted
+    * layout), not a serving path; the serving index stays [[AnnIndex]]. */
+  private def opqCodes(spark: SparkSession, sfDir: String): Option[(DataFrame, DataFrame)] =
+    opqSubvectors(spark, sfDir).map { subs =>
+      val cb = graft.util.Memo.cached(spark, sfDir, "sim_opq_cb") {
+        trainCodebooks(spark, subs)
+      }
+      (cb, graft.util.Memo.cached(spark, sfDir, "sim_opq_codes") {
+        pqEncode(subs, cb)
+      })
+    }
+
+  /** Full-scan ADC over the OPQ-allocated codes — [[annPq]]'s exact
+    * arithmetic on the permuted subspaces (L2 norms are
+    * permutation-invariant, so normalization and the d² = 2−2cos
+    * monotonicity argument carry over verbatim). */
+  def annOpq(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    opqCodes(spark, sfDir) match {
+      case None =>
+        spark.range(0).select($"id".as("query_id"), $"id".as("neighbor_id"),
+          $"id".as("rank"), $"id".cast(DoubleType).as("approx_d2"))
+      case Some((cb, codes)) =>
+        val qdist = opqSubvectors(spark, sfDir).get
+          .filter(expr(queryFilter))
+          .join(broadcast(cb), Seq("m"))
+          .select($"vec_id".as("qid"), $"m", $"cid",
+            pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
+        codes
+          .join(broadcast(qdist), Seq("m", "cid"))
+          .filter($"vec_id" =!= $"qid")
+          .groupBy($"qid", $"vec_id")
+          .agg(sum($"qd2").as("approx_d2"))
+          .withColumn("rank",
+            row_number().over(Window.partitionBy($"qid").orderBy($"approx_d2", $"vec_id")))
+          .filter($"rank" <= 3)
+          .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"),
+            $"rank".cast(LongType).as("rank"),
+            round($"approx_d2", 6).cast(DoubleType).as("approx_d2"))
+    }
+  }
+
+  /** Recall@3 of the OPQ-allocated ADC vs exact cosine — read against
+    * [[annRecallPq]]'s number: the measured value of balancing subspace
+    * energy before quantizing, at identical code budget (same pqM/pqK). */
+  def annRecallOpq(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annOpq(spark, sfDir))
+
+  /** Oracle chain: the PCA gram CTEs feed the diagonal ranking; the
+    * allocation, permuted subvectors, and the PQ training/encode/ADC
+    * chain mirror the Spark side CTE-for-CTE (`pq_*` arithmetic on
+    * `opq_*` names). `pca_d.d = ${pqM * pqSub}` gates the whole chain —
+    * the oracle twin of [[opqAllocation]]'s None arm. */
+  private val opqCtes: String = {
+    def d2(sv: String, cv: String): String =
+      s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
+        s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
+    Pca.pcaGramCtes +
+      s""", opq_rank AS (
+         SELECT i AS dim, ROW_NUMBER() OVER (ORDER BY g DESC, i) - 1 AS p
+         FROM pca_gram, pca_d
+         WHERE i = j AND pca_d.d = ${pqM * pqSub}),
+       opq_slot AS (
+         SELECT dim,
+                CAST(CASE WHEN (p // $pqM) % 2 = 0 THEN p % $pqM
+                          ELSE ${pqM - 1} - (p % $pqM) END AS INT) AS m,
+                CAST(p // $pqM AS INT) AS r
+         FROM opq_rank),
+       opq_nrm AS (
+         SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
+         FROM (SELECT vec_id, embedding,
+                      ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
+               FROM embeddings)
+         WHERE norm_sq > 0 AND isfinite(norm_sq)),
+       opq_subs AS (
+         SELECT e.vec_id, s.m,
+                list(CAST(e.embedding[s.dim + 1] AS DOUBLE) / e.nrm ORDER BY s.r) AS sv
+         FROM opq_nrm e, opq_slot s GROUP BY 1, 2),
+       opq_cb0 AS (
+         SELECT m, vec_id AS cid, sv AS cvec FROM opq_subs
+         WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
+       opq_enc0 AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM opq_subs s JOIN opq_cb0 b ON s.m = b.m)
+         WHERE rn = 1),
+       opq_el AS (
+         SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
+         FROM opq_subs, UNNEST(range($pqSub)) AS t(i)),
+       opq_sums AS (
+         SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
+                SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM opq_el el
+         JOIN opq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
+         GROUP BY 1, 2, 3),
+       opq_cb AS (
+         SELECT m, cid,
+                list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
+         FROM opq_sums GROUP BY 1, 2),
+       opq_enc AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM opq_subs s JOIN opq_cb b ON s.m = b.m)
+         WHERE rn = 1),
+       opq_qd AS (
+         SELECT s.vec_id AS qid, s.m, b.cid,
+                CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
+         FROM opq_subs s JOIN opq_cb b ON s.m = b.m
+         WHERE ${queryPred("s.vec_id")}),
+       opq_adc AS (
+         SELECT q.qid, c.vec_id, SUM(q.qd2) AS approx_d2
+         FROM opq_enc c JOIN opq_qd q ON c.m = q.m AND c.cid = q.cid
+         WHERE c.vec_id != q.qid
+         GROUP BY 1, 2),
+       opq_ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM opq_adc)"""
+  }
+
+  val annOpqOracle: String = Fixtures.oracle(opqCtes +
+    """
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM opq_ranked WHERE rank <= 3""")
+
+  val annRecallOpqOracle: String = Fixtures.oracle(opqCtes + normCte("embeddings") +
+    s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN opq_ranked l
          ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
        WHERE e.rank <= 3
        GROUP BY e.qid""")
@@ -1499,6 +1725,8 @@ object Similarity {
     "sim_ann_recall_matryoshka" -> (annRecallMatryoshka _),
     "sim_ann_pq" -> (annPq _),
     "sim_ann_recall_pq" -> (annRecallPq _),
+    "sim_ann_opq" -> (annOpq _),
+    "sim_ann_recall_opq" -> (annRecallOpq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_recall_ivfpq" -> (annRecallIvfPq _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -1521,6 +1749,8 @@ object Similarity {
     "sim_ann_recall_matryoshka" -> annRecallMatryoshkaOracle,
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_recall_pq" -> annRecallPqOracle,
+    "sim_ann_opq" -> annOpqOracle,
+    "sim_ann_recall_opq" -> annRecallOpqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
     "sim_ann_recall_ivfpq" -> annRecallIvfPqOracle,
     "sim_cosine_topk" -> cosineTopKOracle,
