@@ -71,11 +71,12 @@ object StreamReplay {
     * committed part files into the watched directory — nothing row-sized
     * ever crosses it. Returns the full emission log. */
   private def replayViaFiles[I](spark: SparkSession, tag: String,
-      batched: DataFrame, mode: OutputMode)(pipe: Dataset[I] => Dataset[_])
+      batched: DataFrame, mode: OutputMode, nb: Int = numBatches)
+      (pipe: Dataset[I] => Dataset[_])
       (implicit enc: Encoder[I]): DataFrame = {
     val name = s"${tag}_${ids.incrementAndGet()}"
     val stage = Files.createTempDirectory(s"graft-replay-$tag-").toString
-    (0 until numBatches).foreach { i =>
+    (0 until nb).foreach { i =>
       batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
     }
     val watch = s"$stage/watch"
@@ -84,7 +85,7 @@ object StreamReplay {
       val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
       val q = pipe(in).toDF().writeStream.format("memory")
         .queryName(name).outputMode(mode).start()
-      try (0 until numBatches).foreach { i =>
+      try (0 until nb).foreach { i =>
         moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
         // all newly-visible files land in ONE micro-batch (no
         // maxFilesPerTrigger cap), so the move boundary IS the batch
@@ -329,7 +330,110 @@ object StreamReplay {
               doc_id <> canonical_doc_id AS is_duplicate
        FROM sdr_c""")
 
+  /** Streaming z-score anomaly replay — the PREFIX contract its spec pins
+    * (a detector cannot consult the future), now under the differential
+    * gate: with contiguous seq-range batches every event is scored against
+    * the exact moments of the user's strictly-earlier events, regardless
+    * of where the batch boundaries fall. The oracle is the prefix
+    * computation as a window — deliberately NOT the batch
+    * `events_anomaly_zscore` oracle, whose full-history moments are a
+    * different (and for a live detector, unimplementable) estimator.
+    * Double arithmetic mirrors the operator's op order exactly
+    * (double×double products, one division, one sqrt — each correctly
+    * rounded, so cross-engine identical). */
+  def anomalyReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val batched = rangeBatched(spark.table("raw")
+      .filter($"user_id".isNotNull && $"cents".isNotNull)
+      .select($"user_id", $"seq", $"cents"), "seq")
+    replayViaFiles[graft.streaming.StreamingAnomaly.EventIn](
+      spark, "anomaly_replay", batched, OutputMode.Append) { ds =>
+      graft.streaming.StreamingAnomaly.detect(ds)
+    }
+      .select($"user_id", $"seq", $"cents", round($"z", 6).as("z"))
+  }
+
+  val anomalyReplayOracle: String = Fixtures.oracle(
+    s""", sar_r AS (
+         SELECT user_id, seq, cents FROM raw
+         WHERE user_id IS NOT NULL AND cents IS NOT NULL),
+       sar_p AS (
+         SELECT user_id, seq, cents,
+                COUNT(1) OVER w AS n,
+                COALESCE(SUM(cents) OVER w, 0) AS s,
+                COALESCE(SUM(cents * cents) OVER w, 0) AS s2
+         FROM sar_r
+         WINDOW w AS (PARTITION BY user_id ORDER BY seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       sar_z AS (
+         SELECT user_id, seq, cents, n,
+                (CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) AS num,
+                SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS den
+         FROM sar_p)
+       SELECT user_id, seq, cents, ROUND(num / den, 6) AS z
+       FROM sar_z
+       WHERE n >= ${graft.streaming.StreamingAnomaly.minN}
+         AND den > 0 AND ABS(num / den) >= 3.0""")
+
+  /** Streaming gap-sessionization replay: the native `session_window`
+    * operator over TIME-ORDERED batches (contiguous btime ranges — with
+    * no late data the watermark never drops an event), flushed by two
+    * far-future sentinel batches that push the watermark past every real
+    * session's close so the Append-mode emission set is total and
+    * deterministic. The final emission then equals the BATCH gap
+    * sessionization of the same rows — the oracle is
+    * `events_sessionization`'s CTE chain reshaped to the streaming
+    * output's columns (window end − gap = last event time). */
+  def sessionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val ev = spark.table("ek")
+      .filter($"user_id".isNotNull && $"btime".isNotNull && $"cents".isNotNull)
+      .select($"user_id", $"btime", $"cents")
+    val Row(maxT: Long) = ev.agg(max($"btime")).head()
+    val real = rangeBatched(ev, "btime")
+    val sentinels = spark.range(2).select(
+      lit(-1L).as("user_id"),
+      (lit(maxT + 10000L) + $"id" * 10000L).as("btime"),
+      lit(0L).as("cents"),
+      ($"id" + numBatches).cast("int").as("b"))
+    val batched = real.unionByName(sentinels)
+      .select($"user_id", to_timestamp($"btime").as("ts"), $"cents", $"b")
+    replayViaFiles[graft.streaming.StreamingSessions.SessionEvent](
+      spark, "sessions_replay", batched, OutputMode.Append, nb = numBatches + 2)(
+      graft.streaming.StreamingSessions.sessionize(_))
+      .filter($"user_id" >= 0L)
+      .select($"user_id",
+        unix_seconds($"session_start").as("session_start"),
+        (unix_seconds($"session_end") - 1800L).as("session_end"),
+        $"n_events", $"total_cents")
+  }
+
+  val sessionsReplayOracle: String = Fixtures.oracle(
+    """, ssr_e AS (
+         SELECT user_id, seq, btime AS t, cents FROM ek
+         WHERE user_id IS NOT NULL AND btime IS NOT NULL AND cents IS NOT NULL),
+       ssr_s AS (
+         SELECT user_id, seq, t, cents,
+                CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, seq) IS NULL
+                       OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, seq) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+         FROM ssr_e),
+       ssr_n AS (
+         SELECT user_id, t, cents,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, seq
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM ssr_s)
+       SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+              COUNT(1) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+       FROM ssr_n
+       GROUP BY user_id, session_no""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_anomaly_replay" -> (anomalyReplay _),
+    "streaming_sessions_replay" -> (sessionsReplay _),
     "streaming_funnel_replay" -> (funnelReplay _),
     "streaming_dedup_replay" -> (dedupReplay _),
     "streaming_hist_replay" -> (histReplay _),
@@ -338,6 +442,8 @@ object StreamReplay {
     "streaming_kmv_replay" -> (kmvReplay _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_anomaly_replay" -> anomalyReplayOracle,
+    "streaming_sessions_replay" -> sessionsReplayOracle,
     "streaming_funnel_replay" -> graft.queries.Sessions.funnelOracle,
     "streaming_dedup_replay" -> dedupReplayOracle,
     "streaming_hist_replay" -> histReplayOracle,

@@ -97,4 +97,49 @@ class StreamReplaySpec extends SparkSpec {
         s"estimate of ${r.getAs[String]("lang")}")
     }
   }
+
+  test("anomaly replay flags exactly the prefix-scored events") {
+    graft.fixtures.Fixtures.register(spark, SparkSpec.fixtureSf)
+    import spark.implicits._
+    // independent path: driver loop over per-user seq-ordered events with
+    // the operator's own double arithmetic
+    val byUser = spark.table("raw")
+      .filter($"user_id".isNotNull && $"cents".isNotNull)
+      .select($"user_id", $"seq", $"cents")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expected = byUser.toSeq.flatMap { case (u, evs) =>
+      var (n, s, s2) = (0L, 0L, 0L)
+      evs.toIndexedSeq.flatMap { case (_, seq, c) =>
+        val out =
+          if (n >= graft.streaming.StreamingAnomaly.minN) {
+            val num = c.toDouble * n - s.toDouble
+            val den = math.sqrt((n.toDouble * s2) - (s.toDouble * s))
+            if (den > 0 && math.abs(num / den) >= 3.0)
+              Some((u, seq, c, math.rint(num / den * 1e6) / 1e6))
+            else None
+          } else None
+        n += 1; s += c; s2 += c * c
+        out
+      }
+    }.toSet
+    val got = StreamReplay.anomalyReplay(spark, SparkSpec.fixtureSf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq"),
+        r.getAs[Long]("cents"), r.getAs[Double]("z"))).toSet
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+  }
+
+  test("sessions replay emission equals batch gap sessionization, totally flushed") {
+    graft.fixtures.Fixtures.register(spark, SparkSpec.fixtureSf)
+    import spark.implicits._
+    val batch = graft.queries.Sessions.sessionize(spark, SparkSpec.fixtureSf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_cents")
+      .collect().map(_.toSeq).toSet
+    val got = StreamReplay.sessionsReplay(spark, SparkSpec.fixtureSf)
+      .collect().map(_.toSeq).toSet
+    // the watermark sentinel must have flushed EVERY session — equality,
+    // not subset
+    assert(got == batch,
+      s"streaming emitted ${got.size} sessions vs batch ${batch.size}")
+  }
 }
