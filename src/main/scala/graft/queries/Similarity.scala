@@ -827,6 +827,135 @@ object Similarity {
        FROM qprobes q JOIN assignments a
          ON q.cluster = a.cluster AND a.vec_id != q.qid""")
 
+  /** The pre-r11 FIXED coarse-quantizer stride, kept as the comparison
+    * arm of [[annRecallIvfCells]]: every 97th vector, i.e. a cell count
+    * that grows LINEARLY with the corpus (the regime whose O(n²) index
+    * build the 100× soak exposed; f9b61bb replaced it with the sqrt law). */
+  private val legacyStride = 97
+
+  /** The sqrt-law quantizer's recall trade, as a number (VERDICT r11 #8):
+    * recall@3 of nprobe=1 IVF under the CURRENT sqrt-law cell count vs
+    * the pre-r11 fixed-stride count, on the same fixture, same exact
+    * side, same re-rank. The sqrt law buys Θ(n·√n) index build (vs the
+    * measured O(n²)) by making cells smaller — fewer candidates per
+    * probe, so recall can only drop at nprobe=1; this entry prices that
+    * drop next to the build-cost win, and `n_cells` carries the knob's
+    * value in-row so the trade reads off one frame. Evaluation-only (the
+    * serving path stays the persisted index): the fixed-stride arm
+    * trains in-plan like the other what-if arms (OPQ, Matryoshka). */
+  def annRecallIvfCells(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3).localCheckpoint()
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    val legacyCents = v.filter(pmod($"vec_id", lit(legacyStride.toLong)) === 3L)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"), $"norm_sq".as("cnorm"))
+    val variants = Seq(
+      ("sqrt_law", ivfAssignments(spark, sfDir)),
+      ("fixed_97", assignTo(v, legacyCents)))
+    variants.map { case (tag, assign) =>
+      val qa = assign.filter(expr(queryFilter)).select($"vec_id".as("qid"), $"cluster")
+      val candidates = qa.join(assign, Seq("cluster"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id")
+      recallAgainst(exact, rerank(v, qv, candidates, 3))
+        .crossJoin(broadcast(assign.agg(countDistinct($"cluster").as("n_cells"))))
+        .withColumn("variant", lit(tag))
+    }.reduce(_ unionByName _)
+      .select($"variant", $"n_cells", $"query_id", $"hits", $"recall_at_3")
+  }
+
+  val annRecallIvfCellsOracle: String = Fixtures.oracle(
+    assignmentCtes +
+      s""", lc_cents AS (
+         SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         WHERE vec_id % $legacyStride = 3),
+       lc_cn AS (
+         SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
+         WHERE vec_id % $legacyStride = 3),
+       lc_assign AS (
+         SELECT vec_id, cid AS cluster
+         FROM (SELECT d.vec_id, d.cid,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                        d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
+                        d.cid) AS rn
+               FROM (SELECT e.vec_id, c.cid,
+                            ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
+                     FROM embeddings e CROSS JOIN lc_cents c) d
+               JOIN nrm n ON d.vec_id = n.vec_id
+               JOIN lc_cn c ON d.cid = c.cid) t
+         WHERE rn = 1),
+       cc_exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       cc_exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM cc_exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id)),
+       cc_cand_s AS (
+         SELECT q.vec_id AS qid, a.vec_id
+         FROM assignments q JOIN assignments a
+           ON q.cluster = a.cluster AND a.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       cc_cand_l AS (
+         SELECT q.vec_id AS qid, a.vec_id
+         FROM lc_assign q JOIN lc_assign a
+           ON q.cluster = a.cluster AND a.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       cc_rank_s AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT c.qid, c.vec_id,
+                      ${DotProduct.duckDot("d.embedding", "q.embedding")}
+                        / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM cc_cand_s c
+               JOIN embeddings q ON q.vec_id = c.qid
+               JOIN embeddings d ON d.vec_id = c.vec_id
+               JOIN nrm qn ON c.qid = qn.vec_id
+               JOIN nrm vn ON c.vec_id = vn.vec_id)),
+       cc_rank_l AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT c.qid, c.vec_id,
+                      ${DotProduct.duckDot("d.embedding", "q.embedding")}
+                        / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM cc_cand_l c
+               JOIN embeddings q ON q.vec_id = c.qid
+               JOIN embeddings d ON d.vec_id = c.vec_id
+               JOIN nrm qn ON c.qid = qn.vec_id
+               JOIN nrm vn ON c.vec_id = vn.vec_id)),
+       cc_nc_s AS (SELECT COUNT(DISTINCT cluster) AS n_cells FROM assignments),
+       cc_nc_l AS (SELECT COUNT(DISTINCT cluster) AS n_cells FROM lc_assign)
+       SELECT 'sqrt_law' AS variant, n.n_cells, e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM cc_exact_ranked e
+       LEFT JOIN cc_rank_s l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       CROSS JOIN cc_nc_s n
+       WHERE e.rank <= 3
+       GROUP BY e.qid, n.n_cells
+       UNION ALL
+       SELECT 'fixed_97' AS variant, n.n_cells, e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM cc_exact_ranked e
+       LEFT JOIN cc_rank_l l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       CROSS JOIN cc_nc_l n
+       WHERE e.rank <= 3
+       GROUP BY e.qid, n.n_cells""")
+
   /** One Lloyd refinement ITERATION over the IVF quantizer — the training
     * loop the deterministic seeded-sample centroids were standing in for:
     * per-cluster sum vectors from the current assignment, reassign every
@@ -1742,6 +1871,7 @@ object Similarity {
     "sim_ann_recall_lsh_multi" -> (annRecallLshMulti _),
     "sim_ann_recall_ivf" -> (annRecallIvf _),
     "sim_ann_recall_ivf_nprobe2" -> (annRecallIvfNprobe2 _),
+    "sim_ann_recall_ivf_cells" -> (annRecallIvfCells _),
     "sim_outlier_report" -> (outlierReport _))
 
   val oracles: Map[String, String] = Map(
@@ -1766,5 +1896,6 @@ object Similarity {
     "sim_ann_recall_lsh_multi" -> annRecallLshMultiOracle,
     "sim_ann_recall_ivf" -> annRecallIvfOracle,
     "sim_ann_recall_ivf_nprobe2" -> annRecallIvfNprobe2Oracle,
+    "sim_ann_recall_ivf_cells" -> annRecallIvfCellsOracle,
     "sim_outlier_report" -> outlierReportOracle)
 }

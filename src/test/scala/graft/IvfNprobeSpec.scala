@@ -61,4 +61,24 @@ class IvfNprobeSpec extends SparkSpec {
     assert(drifts.sliding(2).forall(w => w.length < 2 || w(1) < w(0)),
       s"drift must strictly decrease until the stopping rule fires, got $drifts")
   }
+
+  test("the sqrt-law quantizer's recall trade is priced (cells up, nprobe=1 recall down)") {
+    // sf0.01 fixture (500 vectors): the pre-r11 fixed-97 stride gives 6
+    // corpus-fraction cells, the sqrt law 32 small ones. Bigger cells mean
+    // more candidates per single-cell probe, so the legacy arm's recall is
+    // higher HERE — the entry prices what the Θ(n·√n) build (vs the
+    // measured O(n²)) costs at nprobe=1, which is exactly the gap nprobe
+    // (IvfNprobeSpec above) and IVF×PQ's nprobe=3 buy back.
+    val rows = graft.queries.Similarity
+      .annRecallIvfCells(spark, "/root/testdata/sf0.01").collect()
+    val byVariant = rows.groupBy(_.getAs[String]("variant"))
+    assert(byVariant.keySet == Set("sqrt_law", "fixed_97"))
+    val cells = byVariant.view.mapValues(_.head.getAs[Long]("n_cells")).toMap
+    assert(cells("sqrt_law") > cells("fixed_97"),
+      s"sqrt law must give more cells below n=97²: $cells")
+    val hits = byVariant.view.mapValues(_.map(_.getAs[Long]("hits")).sum).toMap
+    assert(hits("fixed_97") > hits("sqrt_law"),
+      s"the trade must be visible: bigger cells recall more at nprobe=1, got $hits")
+    assert(hits("sqrt_law") > 0, "sqrt-law recall must stay above zero")
+  }
 }
