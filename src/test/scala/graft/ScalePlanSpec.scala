@@ -119,27 +119,26 @@ class ScalePlanSpec extends SparkSpec {
     assert(own.contains("Project"), s"expected a bare projection:\n$p")
   }
 
-  test("PQ: only the hinted constant-size codebook/distance frames broadcast") {
+  test("PQ: served from the index; only the hinted constant-size frames broadcast") {
     withNoAutoBroadcast {
       val p = plan(graft.queries.Similarity.annPq(spark, sfDir))
-      // hinted broadcasts are allowed (codebook = pqM×pqK rows, distance
-      // table = Q₀×pqM×pqK rows — both corpus-independent); what must NOT
-      // appear is a shuffle-free plan degenerating into a broadcast of the
-      // corpus-sized subvector or code frames, which only AQE could pick
+      // hinted broadcasts are allowed (persisted codebook = pqM×pqK rows,
+      // distance table = Q₀×pqM×pqK rows — both corpus-independent); what
+      // must NOT appear is a shuffle-free plan degenerating into a
+      // broadcast of the corpus-sized code scan, which only AQE could pick
       // here and auto-broadcast is off
       val broadcasts = p.split("BroadcastExchange").length - 1
-      assert(broadcasts >= 2, s"codebook + distance-table hints expected:\n$p")
-      // upper bound too — the regression class this suite exists for is a
-      // hint creeping onto a corpus-sized frame (subvectors/codes); the
-      // legitimate hinted subtrees are codebook, distance table, and the
-      // codebook re-appearing inside the memoized codes/training builds
-      // observed legitimate count is 5 (codebook hint re-expanded inside
-      // the memoized codes/training subtrees + the distance table); a hint
-      // creeping onto the corpus-sized subvector/code frames adds at least
-      // two more expansions and trips this
-      assert(broadcasts <= 6, s"a corpus-sized frame gained a broadcast:\n$p")
-      assert(p.contains("partial_min_by") || p.contains("min_by"),
-        s"encode step must aggregate with a partial:\n$p")
+      assert(broadcasts >= 1, s"distance-table hint expected:\n$p")
+      // upper bound — the regression class this suite exists for is a hint
+      // creeping onto a corpus-sized frame; legitimate hinted subtrees are
+      // the codebook (inside the distance table) and the distance table
+      assert(broadcasts <= 3, s"a corpus-sized frame gained a broadcast:\n$p")
+      // since the r12 unification the serving plan READS persisted codes:
+      // the encode min_by lives in AnnIndex.buildBase, never in a query
+      assert(p.contains("delta=00001"),
+        s"annPq must scan the persisted index:\n$p")
+      assert(!p.contains("min_by"),
+        s"encode/training leaked back into the serving plan:\n$p")
     }
   }
 
