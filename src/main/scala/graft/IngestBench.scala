@@ -120,6 +120,19 @@ object IngestBench {
       chunksPerTrigger: Int = 10,
       liveBlocks: Int = 20, livePaceMs: Long = 750L): Result = {
     val root = Files.createTempDirectory("graft-ingest-bench").toString
+    try runPhases(spark, root, blocks, eventsPerBlock, perMessage,
+      chunksPerTrigger, liveBlocks, livePaceMs)
+    finally rmTree(new java.io.File(root)) // feed + 4 fact trees + 4 Derby DBs: ~100s of MB per run
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  private def runPhases(spark: SparkSession, root: String,
+      blocks: Int, eventsPerBlock: Int, perMessage: Int,
+      chunksPerTrigger: Int, liveBlocks: Int, livePaceMs: Long): Result = {
     val events = blocks.toLong * eventsPerBlock
 
     // ---- pilot: untimed mini-run of both driver shapes ----------------

@@ -56,7 +56,13 @@ object ScaleSoak {
     "events_label_propagation", // 4 sync LPA rounds, 1 join/round
     "events_hits_scores",       // 4 two-sided integer rounds
     "privacy_k_anon",           // bounded-QI distinct aggregation
-    "text_rrf_fusion")          // shared posting frame + fixed-budget lists
+    "text_rrf_fusion",          // shared posting frame + fixed-budget lists
+    // round-12 additions with a scale story worth sampling:
+    "sim_ann_opq",              // full-scan ADC on variance-allocated codes
+    "embedding_pca_topk",       // shared Gram pass + driver deflation rounds
+    "sim_ann_recall_ivf_cells", // two quantizer builds + shared exact side
+    "streaming_sessions_replay",// file-fed harness: must stay O(1) driver
+    "streaming_anomaly_replay") // prefix contract at 10× the state volume
 
   // ---------------------------------------------------------------- synth
 

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -75,25 +75,38 @@ object StreamReplay {
       (pipe: Dataset[I] => Dataset[_])
       (implicit enc: Encoder[I]): DataFrame = {
     val name = s"${tag}_${ids.incrementAndGet()}"
-    val stage = Files.createTempDirectory(s"graft-replay-$tag-").toString
-    (0 until nb).foreach { i =>
-      batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
+    val stage = Files.createTempDirectory(s"graft-replay-$tag-")
+    try {
+      (0 until nb).foreach { i =>
+        batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
+      }
+      val watch = s"$stage/watch"
+      Files.createDirectories(Paths.get(watch))
+      withReplayPartitions(spark) {
+        val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
+        val q = pipe(in).toDF().writeStream.format("memory")
+          .queryName(name).outputMode(mode).start()
+        try (0 until nb).foreach { i =>
+          moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
+          // all newly-visible files land in ONE micro-batch (no
+          // maxFilesPerTrigger cap), so the move boundary IS the batch
+          // boundary
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      spark.table(name)
+    } finally {
+      // the memory sink holds the emission log in driver memory — the
+      // staged corpus copy is dead weight the moment the query stops, and
+      // leaking one per entry per run fills tmp under the bench/soak loops
+      rmTree(stage)
     }
-    val watch = s"$stage/watch"
-    Files.createDirectories(Paths.get(watch))
-    withReplayPartitions(spark) {
-      val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
-      val q = pipe(in).toDF().writeStream.format("memory")
-        .queryName(name).outputMode(mode).start()
-      try (0 until nb).foreach { i =>
-        moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
-        // all newly-visible files land in ONE micro-batch (no
-        // maxFilesPerTrigger cap), so the move boundary IS the batch
-        // boundary
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    spark.table(name)
+  }
+
+  private def rmTree(p: Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+    f.delete(); ()
   }
 
   /** Move every committed part file of `src` into `dest` under a
@@ -137,8 +150,13 @@ object StreamReplay {
     * twins' boundaries. One 1-row min/max aggregate (bounded collect), no
     * sort, no window. */
   private def rangeBatched(df: DataFrame, key: String): DataFrame = {
-    val Row(mn: Long, mx: Long) =
-      df.agg(min(col(key)), max(col(key))).head()
+    val bounds = df.agg(min(col(key)), max(col(key))).head()
+    // empty (or all-null-keyed) input: no rows to split — any constant
+    // batch index works, and the oracle's empty result is matched by the
+    // operator seeing zero rows (a typed Row match would MatchError here)
+    if (bounds.isNullAt(0))
+      return df.withColumn("b", lit(0).cast("int"))
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val span = mx - mn + 1
     df.withColumn("b", least(lit(numBatches - 1),
       ((col(key) - mn) * numBatches / span).cast("int")))
@@ -392,7 +410,10 @@ object StreamReplay {
     val ev = spark.table("ek")
       .filter($"user_id".isNotNull && $"btime".isNotNull && $"cents".isNotNull)
       .select($"user_id", $"btime", $"cents")
-    val Row(maxT: Long) = ev.agg(max($"btime")).head()
+    // empty input: any sentinel base works (sentinels are filtered out of
+    // the result; they exist only to close the watermark)
+    val maxT = Option(ev.agg(max($"btime")).head())
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
     val real = rangeBatched(ev, "btime")
     val sentinels = spark.range(2).select(
       lit(-1L).as("user_id"),
