@@ -324,6 +324,42 @@ object AnnIndex {
       loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
   }
 
+  /** LSH candidate generation + exact re-rank over a loaded index's bands
+    * — [[Similarity.annLsh]]'s arithmetic with the band table read from
+    * the index artifacts. */
+  private def scoreLsh(spark: SparkSession, sfDir: String, bands: DataFrame): DataFrame = {
+    import spark.implicits._
+    val v = Similarity.vecs(spark, sfDir)
+    val qb = bands.filter(expr(Similarity.queryFilter))
+      .select($"vec_id".as("qid"), $"bucket")
+    val candidates = qb.join(bands, Seq("bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+    val qv = v.filter(expr(Similarity.queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    Similarity.rerank(v, qv, candidates, 3)
+  }
+
+  /** The LSH half of the daily-ingest lifecycle: the incremental index's
+    * band table is the standing corpus' bands PLUS the batch delta's —
+    * and because the hyperplane family is a pure function of the vector
+    * (no trained state to freeze), append ∪ base is EXACTLY the
+    * full-corpus band table, so this scores identically to the fused
+    * [[Similarity.annLsh]] (same oracle, by construction). The entry pins
+    * that the append path cannot drift the LSH serving surface — the
+    * band-table twin of [[annIvfPqIncremental]]'s frozen-quantizer
+    * contract. */
+  def annLshIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "incr") { r =>
+      buildBase(spark, sfDir, r, standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+    }
+    scoreLsh(spark, sfDir,
+      loadedFrames.getOrElseUpdate(root, load(spark, root)).bands)
+  }
+
   // -------------------------------------------------------------- oracles
 
   /** Oracle twin of the incremental lifecycle: codebooks and centroids
@@ -453,11 +489,15 @@ object AnnIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
-    "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _))
+    "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _),
+    "sim_ann_lsh_incremental" -> (annLshIncremental _))
 
   val oracles: Map[String, String] = Map(
     // identical semantics to the fused entry by construction — build-once /
     // query-forever must not change a single ranked pair
     "sim_ann_ivfpq_persisted" -> Similarity.annIvfPqOracle,
-    "sim_ann_ivfpq_incremental" -> annIvfPqIncrementalOracle)
+    "sim_ann_ivfpq_incremental" -> annIvfPqIncrementalOracle,
+    // base ∪ append ≡ the full band table (no trained state in LSH), so
+    // the incremental serving surface shares the fused entry's oracle
+    "sim_ann_lsh_incremental" -> Similarity.annLshOracle)
 }

@@ -842,7 +842,11 @@ object Similarity {
     * drop next to the build-cost win, and `n_cells` carries the knob's
     * value in-row so the trade reads off one frame. Evaluation-only (the
     * serving path stays the persisted index): the fixed-stride arm
-    * trains in-plan like the other what-if arms (OPQ, Matryoshka). */
+    * trains in-plan like the other what-if arms (OPQ, Matryoshka) — and
+    * its assignment cost deliberately grows O(n²/97) with the corpus
+    * (linear centroid count × corpus scan; measured dominating the 100×
+    * soak's cold pass): that growth IS the regime being priced, so the
+    * entry runs at evaluation scale, never as a serving path. */
   def annRecallIvfCells(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)

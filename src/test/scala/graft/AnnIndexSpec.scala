@@ -116,6 +116,15 @@ class AnnIndexSpec extends SparkSpec {
       "append assigned batch vectors to different cells than the frozen centroids give")
   }
 
+  test("incremental LSH: base ∪ append serves identically to the fused scorer") {
+    // LSH has no trained state to freeze, so the appended band table must
+    // be EXACTLY the full-corpus one — any drift means the append path
+    // computed different planes
+    val fused = rows(Similarity.annLsh(spark, sfDir))
+    val incr = rows(AnnIndex.annLshIncremental(spark, sfDir))
+    assert(incr == fused, "incremental band serving diverged from the fused scorer")
+  }
+
   test("appends are quantizer-free deltas; the base is immutable") {
     AnnIndex.annIvfPqIncremental(spark, sfDir)
     val root = AnnIndex.rootOf(spark, sfDir, "incr").get
