@@ -241,12 +241,15 @@ object IngestBench {
       liveBlocks, livePaceMs, pct(50), pct(95), lags.last)
   }
 
-  /** Standalone run at bench volume: prints the JSON fragment alone. */
+  /** Standalone run: prints the JSON fragment alone. Volume overridable
+    * via SPARK_GRAFT_INGEST_BLOCKS for scale points beyond the bench's
+    * default (the bench itself always runs the sf0.1-equivalent volume). */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(run(spark).json) finally spark.stop()
+    val blocks = sys.env.getOrElse("SPARK_GRAFT_INGEST_BLOCKS", "2500").toInt
+    try println(run(spark, blocks = blocks).json) finally spark.stop()
   }
 }
