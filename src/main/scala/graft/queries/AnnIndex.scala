@@ -166,6 +166,78 @@ object AnnIndex {
     f.delete(); ()
   }
 
+  // -------------------------------------------------------------- compact
+
+  private val CompactMarker = ".compact_swap"
+  private val CompactTmp = ".tmp-compact"
+
+  /** Fold every published delta into a single fresh base — the LSM
+    * compaction of the index lifecycle ([[graft.streaming.StreamDriver.compact]]'s
+    * discipline applied to the index store): after many daily appends the
+    * per-delta directory listing and the per-artifact union grow with
+    * append count, so a deployment periodically quiesces and folds.
+    * Quantizers are FROZEN — compaction rewrites only the row tables
+    * (assignments/codes/bands), so serving before and after is
+    * bit-identical (AnnIndexSpec pins it).
+    *
+    * Crash-safe, one marker: the folded base is fully staged under
+    * `.tmp-compact` (manifest last), the marker commits, the old deltas
+    * are deleted, the staged dir renames to `delta=00001`, the marker
+    * clears. [[recoverCompact]] completes either half; [[load]] calls it
+    * first, so a reader never observes the torn middle. Quiesced-only
+    * like the StreamDriver twin: no concurrent append. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    recoverCompact(root)
+    val deltas = Dirs.numericSuffixes(root, "delta=").sorted
+    if (deltas.size <= 1) return
+    val idx = load(spark, root)
+    val tmp = Paths.get(root, CompactTmp)
+    rmTree(tmp)
+    Files.createDirectories(tmp)
+    // full materialization BEFORE any delete: these frames read the very
+    // directories the swap removes
+    idx.centroids.write.parquet(s"$tmp/centroids")
+    idx.codebooks.foreach(_.write.parquet(s"$tmp/pq_codebooks"))
+    idx.assignments.write.parquet(s"$tmp/assignments")
+    idx.codes.foreach(_.write.partitionBy("cluster").parquet(s"$tmp/pq_codes"))
+    idx.bands.write.parquet(s"$tmp/lsh_bands")
+    idx.bandsT1.foreach(_.write.parquet(s"$tmp/lsh_bands_t1"))
+    val manifest =
+      s"""{"format":$formatVersion,"delta":1,"kind":"base",""" +
+        s""""compactedFrom":${deltas.max},""" +
+        s""""pqM":${Similarity.pqM},"pqK":${Similarity.pqK}}"""
+    Files.write(tmp.resolve("_manifest.json"), manifest.getBytes("UTF-8"))
+    // commit point: from here the fold WILL complete (here or on recovery)
+    Files.createFile(Paths.get(root, CompactMarker))
+    swapCompact(root)
+    loadedFrames.remove(root) // cached Frames hold pre-fold file listings
+    ()
+  }
+
+  /** Complete a compaction that died after its commit point; discard a
+    * stage that never committed. Idempotent. */
+  def recoverCompact(root: String): Unit = {
+    val marker = Paths.get(root, CompactMarker)
+    val tmp = Paths.get(root, CompactTmp)
+    if (Files.exists(marker)) { swapCompact(root); loadedFrames.remove(root); () }
+    else if (Files.exists(tmp)) rmTree(tmp) // pre-commit crash: base intact
+  }
+
+  private def swapCompact(root: String): Unit = {
+    val tmp = Paths.get(root, CompactTmp)
+    // tmp still present = the old deltas are the PRE-fold ones: delete
+    // them and move the staged base in. tmp gone = the rename already
+    // happened (a crash between move and marker delete) — delta=00001 IS
+    // the folded base, touch nothing but the marker.
+    if (Files.exists(tmp)) {
+      Dirs.numericSuffixes(root, "delta=")
+        .foreach(d => rmTree(Paths.get(deltaPath(root, d))))
+      Files.move(tmp, Paths.get(deltaPath(root, 1)), StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(Paths.get(root, CompactMarker))
+    ()
+  }
+
   // ----------------------------------------------------------------- load
 
   /** Load the index: quantizers from the base delta only (they are frozen
@@ -173,6 +245,7 @@ object AnnIndex {
     * delta. Incomplete deltas are invisible by construction (atomic
     * rename), so a reader racing a writer sees a consistent prefix. */
   def load(spark: SparkSession, root: String): Frames = {
+    recoverCompact(root) // a reader must never observe a torn fold
     val deltas = Dirs.numericSuffixes(root, "delta=").sorted
     require(deltas.headOption.contains(1), s"no base delta under $root")
     val base = deltaPath(root, 1)
@@ -187,7 +260,12 @@ object AnnIndex {
     // directory check, never a read error.
     def all(artifact: String): Option[DataFrame] = {
       val present = deltas.map(d => s"${deltaPath(root, d)}/$artifact")
-        .filter(p => Files.isDirectory(Paths.get(p)))
+        // a dir with no data files (an EMPTY append batch — a day with no
+        // new vectors writes zero rows) is schemaless: reading it throws
+        // UNABLE_TO_INFER_SCHEMA, so it contributes nothing instead. The
+        // check recurses: partitioned artifacts (pq_codes) keep their data
+        // files under cluster=*/ subdirs.
+        .filter(Dirs.hasFileWithSuffix(_, ".parquet"))
       present.map(spark.read.parquet(_)).reduceOption(_.unionByName(_))
     }
     Frames(
@@ -340,6 +418,23 @@ object AnnIndex {
     Similarity.rerank(v, qv, candidates, 3)
   }
 
+  /** The fold half of the lifecycle under the driver's differential gate:
+    * base + append + COMPACT, then serve. Compaction rewrites only the row
+    * tables against frozen quantizers, so the entry shares
+    * [[annIvfPqIncrementalOracle]] verbatim — a fold that moves one ranked
+    * pair is a gate failure, not merely a spec failure. */
+  def annIvfPqCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "compacted") { r =>
+      buildBase(spark, sfDir, r, standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+      compact(spark, r)
+    }
+    scoreIvfPq(spark, sfDir,
+      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
+  }
+
   /** The LSH half of the daily-ingest lifecycle: the incremental index's
     * band table is the standing corpus' bands PLUS the batch delta's —
     * and because the hyperplane family is a pure function of the vector
@@ -490,6 +585,7 @@ object AnnIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _),
+    "sim_ann_ivfpq_compacted" -> (annIvfPqCompacted _),
     "sim_ann_lsh_incremental" -> (annLshIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +593,9 @@ object AnnIndex {
     // query-forever must not change a single ranked pair
     "sim_ann_ivfpq_persisted" -> Similarity.annIvfPqOracle,
     "sim_ann_ivfpq_incremental" -> annIvfPqIncrementalOracle,
+    // a fold rewrites row tables only; serving must be bit-identical to
+    // the unfolded incremental index
+    "sim_ann_ivfpq_compacted" -> annIvfPqIncrementalOracle,
     // base ∪ append ≡ the full band table (no trained state in LSH), so
     // the incremental serving surface shares the fused entry's oracle
     "sim_ann_lsh_incremental" -> Similarity.annLshOracle)

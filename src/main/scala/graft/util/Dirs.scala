@@ -23,6 +23,20 @@ object Dirs {
     }
   }
 
+  /** True iff any file under `dir` (recursively — partitioned writes put
+    * data files under `col=value/` subdirs) ends with `suffix`. */
+  def hasFileWithSuffix(dir: String, suffix: String): Boolean = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) false
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.exists { f =>
+        Files.isRegularFile(f) && f.getFileName.toString.endsWith(suffix)
+      }
+      finally s.close()
+    }
+  }
+
   /** The numeric suffixes of entries named `<prefix><digits>`, e.g.
     * `chunk=17` → 17 for prefix "chunk=". Entries that are not a valid Int
     * suffix are SKIPPED, not parse errors — including all-digit suffixes

@@ -125,6 +125,90 @@ class AnnIndexSpec extends SparkSpec {
     assert(incr == fused, "incremental band serving diverged from the fused scorer")
   }
 
+  test("compaction folds deltas; serving is bit-identical before and after") {
+    // fresh root (the shared "incr" root must stay two-delta for the other
+    // pins): base on the standing corpus, append the batch, then fold
+    val root = Files.createTempDirectory("graft-ann-compact-").toString
+    AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
+    AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
+    val before = rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3))
+
+    AnnIndex.compact(spark, root)
+    val names = graft.util.Dirs.listNames(root)
+    assert(names.count(_.startsWith("delta=")) == 1,
+      s"fold must leave exactly one delta: $names")
+    assert(!names.contains(".tmp-compact") && !names.contains(".compact_swap"),
+      s"staging residue after a clean fold: $names")
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/delta=00001/_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"kind\":\"base\"") &&
+      manifest.contains("\"compactedFrom\":2"), manifest)
+
+    val after = rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3))
+    assert(after == before, "compaction changed the serving surface")
+
+    // the lifecycle continues past a fold: an EMPTY append (a day with no
+    // new vectors) lands as delta 2 with zero-row artifacts, and load
+    // skips its schemaless dirs instead of failing — serving unchanged
+    AnnIndex.appendBatch(spark, sfDir, root, "vec_id % 7 = 999")
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1, 2))
+    assert(rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3)) == before)
+  }
+
+  test("compaction recovers from a crash in every window of its protocol") {
+    val root = Files.createTempDirectory("graft-ann-crash-").toString
+    AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
+    AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
+    val before = rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3))
+
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).forEach { c =>
+        if (Files.isDirectory(c)) copyTree(c, dst.resolve(c.getFileName))
+        else { Files.copy(c, dst.resolve(c.getFileName)); () }
+      }
+    }
+
+    // window 1 — pre-commit crash: a staged-but-unmarked tmp must be
+    // discarded and the two deltas stay authoritative
+    val tmp = java.nio.file.Paths.get(root, ".tmp-compact")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("garbage"), "torn".getBytes("UTF-8"))
+    assert(rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3)) == before)
+    assert(!Files.exists(tmp), "unmarked stage must be discarded by recovery")
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1, 2))
+
+    // window 2 — post-commit crash before the swap: fold fully staged +
+    // marker written, old deltas untouched. Manufacture it from a real
+    // fold on a sibling root (identical input ⇒ identical staged bytes
+    // shape), then recovery must COMPLETE the fold.
+    val sib = Files.createTempDirectory("graft-ann-crash-sib-").toString
+    AnnIndex.buildBase(spark, sfDir, sib, AnnIndex.standingPred)
+    AnnIndex.appendBatch(spark, sfDir, sib, AnnIndex.batchPred)
+    AnnIndex.compact(spark, sib)
+    copyTree(java.nio.file.Paths.get(s"$sib/delta=00001"), tmp)
+    Files.createFile(java.nio.file.Paths.get(root, ".compact_swap"))
+    assert(rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3)) == before,
+      "recovery must complete a committed fold")
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1),
+      "the committed fold must leave exactly the folded base")
+
+    // window 3 — crash between the rename and the marker delete: marker
+    // present, no stage. Recovery must clear ONLY the marker — deleting
+    // delta=00001 here would destroy the just-folded base.
+    Files.createFile(java.nio.file.Paths.get(root, ".compact_swap"))
+    assert(rows(AnnIndex.scoreIvfPq(spark, sfDir,
+      AnnIndex.load(spark, root), 3)) == before)
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1))
+    assert(!Files.exists(java.nio.file.Paths.get(root, ".compact_swap")))
+  }
+
   test("appends are quantizer-free deltas; the base is immutable") {
     AnnIndex.annIvfPqIncremental(spark, sfDir)
     val root = AnnIndex.rootOf(spark, sfDir, "incr").get
