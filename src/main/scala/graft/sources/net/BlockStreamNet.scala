@@ -21,11 +21,15 @@ import graft.sources.v2.{BlockFeedProvider, JsonBlockFeed}
   * `:142-287` for the dispatch). This wire speaks that grammar — the same
   * discriminated arms, the same nesting (`invalidate.cursor.orderKey`,
   * `data.{production,finality,endCursor,data[].header/events[]}`), the
-  * same subscribe shape (`{filter, finality, startingCursor}`) — framed as
-  * one JSON object per line over plain TCP, because the sandbox ships no
-  * gRPC/protobuf jars (Jackson is Spark's own JSON library). What differs
-  * from the production protocol is ONLY the frame encoding, not the
-  * message schema the drainer must understand:
+  * same subscribe shape (`{filter, finality, startingCursor}`) — under
+  * either of two framings selected per connection mode: one JSON object
+  * per line (Jackson is Spark's own JSON library), or protobuf messages
+  * in gRPC length-prefixed envelopes via the hand-rolled [[ProtoWire]] /
+  * [[BlockProtoCodec]] (the sandbox ships no protobuf jar, so the wire
+  * format is implemented from its published spec). With the binary
+  * framing the remaining delta to the reference's production protocol
+  * (`@apibara/protocol` over gRPC) is the HTTP/2 transport alone. The
+  * JSON rendering of the grammar:
   *
   *   client → server  {"filter":[{"events":[...]}],"finality":"pending",
   *                     "startingCursor":{"orderKey":N}}
@@ -154,7 +158,7 @@ object BlockStreamWire {
   * prints `PORT=<actual>` on stdout (pass port 0 for an ephemeral pick).
   */
 final class BlockStreamServer(script: Seq[String], port: Int = 0,
-    paceMs: Long = 0L) {
+    paceMs: Long = 0L, binary: Boolean = false) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
@@ -170,7 +174,10 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
       finally sock.close()
     } catch { case NonFatal(_) => () } // server closed
 
-  private def serveOne(sock: Socket): Unit = {
+  private def serveOne(sock: Socket): Unit =
+    if (binary) serveBinary(sock) else serveJson(sock)
+
+  private def serveJson(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(
@@ -185,6 +192,28 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     out.flush()
   }
 
+  /** The same subscription contract under protobuf framing: one
+    * length-prefixed StreamDataRequest in, length-prefixed
+    * StreamDataResponse frames out ([[BlockProtoCodec]]). The script stays
+    * authored as JSON grammar lines — each is encoded on the way out, so
+    * both framings serve ONE scenario definition. */
+  private def serveBinary(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    val out = sock.getOutputStream
+    val sub = BlockProtoCodec.decodeRequest(ProtoWire.readFrame(in).getOrElse(
+      throw new IllegalStateException("client closed before subscribing")))
+    val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
+    script.drop(cursor).foreach { msg =>
+      if (paceMs > 0) Thread.sleep(paceMs)
+      ProtoWire.writeFrame(out,
+        BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
+      out.flush()
+    }
+    ProtoWire.writeFrame(out, BlockProtoCodec.encodeResponse(
+      BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
+    out.flush()
+  }
+
   def close(): Unit = server.close()
 }
 
@@ -194,7 +223,8 @@ object BlockStreamServer {
     val blocks = args.lift(1).map(_.toLong).getOrElse(80L)
     val reorgAt = args.lift(2).map(_.toLong).getOrElse(50L)
     val srv = new BlockStreamServer(
-      BlockStreamScenario.chainWithReorg(blocks, reorgAt), port)
+      BlockStreamScenario.chainWithReorg(blocks, reorgAt), port,
+      binary = args.lift(3).contains("proto"))
     // the parent process reads the ephemeral port from this line
     println(s"PORT=${srv.boundPort}")
     Console.out.flush()
@@ -239,21 +269,33 @@ object BlockStreamDrainer {
     * Returns the number of chunks committed; `completed` is true iff the
     * end-of-script message was seen. */
   def drainOnce(host: String, port: Int, dir: String,
-      maxMessages: Long = Long.MaxValue): (Long, Boolean) = {
+      maxMessages: Long = Long.MaxValue, binary: Boolean = false): (Long, Boolean) = {
     val feed = new JsonBlockFeed(dir)
     val cursor = BlockFeedProvider.listChunks(dir).length
     val sock = new Socket(host, port)
     try {
-      val out = new PrintWriter(
-        new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-      out.println(BlockStreamWire.subscribe(cursor)); out.flush()
-      val in = new BufferedReader(
-        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      // subscribe + message pull under the chosen framing; the dispatch
+      // below sees only the grammar tree and cannot tell the framings apart
+      val nextMessage: () => JsonNode =
+        if (binary) {
+          val out = sock.getOutputStream
+          ProtoWire.writeFrame(out, BlockProtoCodec.encodeRequest(
+            BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))))
+          out.flush()
+          val in = sock.getInputStream
+          () => ProtoWire.readFrame(in).map(BlockProtoCodec.decodeResponse).orNull
+        } else {
+          val out = new PrintWriter(
+            new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+          out.println(BlockStreamWire.subscribe(cursor)); out.flush()
+          val in = new BufferedReader(
+            new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+          () => Option(in.readLine()).map(BlockStreamWire.mapper.readTree).orNull
+        }
       var n = 0L
       var completed = false
-      var line = if (n < maxMessages) in.readLine() else null
-      while (line != null && !completed) {
-        val msg = BlockStreamWire.mapper.readTree(line)
+      var msg = if (n < maxMessages) nextMessage() else null
+      while (msg != null && !completed) {
         msg.path("_tag").asText() match {
           case "data" =>
             feed.emit(dataRows(msg.path("data")))
@@ -276,7 +318,7 @@ object BlockStreamDrainer {
             else { feed.emitHeartbeat(); n += 1 }
           case other => throw new IllegalStateException(s"unknown message arm: $other")
         }
-        line = if (!completed && n < maxMessages) in.readLine() else null
+        msg = if (!completed && n < maxMessages) nextMessage() else null
       }
       (n, completed)
     } finally sock.close()
@@ -287,13 +329,14 @@ object BlockStreamDrainer {
     * `index.ts:127-141`); `maxRetries` bounds consecutive FAILED attempts
     * (any progress resets the counter). Returns total chunks committed. */
   def drain(host: String, port: Int, dir: String,
-      maxRetries: Int = 5, backoffMs: Long = 200L): Long = {
+      maxRetries: Int = 5, backoffMs: Long = 200L,
+      binary: Boolean = false): Long = {
     var total = 0L
     var failures = 0
     var completed = false
     while (!completed && failures <= maxRetries) {
       try {
-        val (n, done) = drainOnce(host, port, dir)
+        val (n, done) = drainOnce(host, port, dir, binary = binary)
         total += n
         completed = done
         if (n > 0) failures = 0
@@ -310,7 +353,7 @@ object BlockStreamDrainer {
 
   def main(args: Array[String]): Unit = {
     val Array(host, port, dir) = args.take(3)
-    val n = drain(host, port.toInt, dir)
+    val n = drain(host, port.toInt, dir, binary = args.lift(3).contains("proto"))
     println(s"DRAINED=$n")
   }
 }
