@@ -28,7 +28,9 @@ import graft.streaming.{JdbcMultiTableSink, StreamDriver}
   * — over a deterministic block replay at sf0.1-equivalent event volume
   * (100k events = the sf0.1 `events` table row count) and reports:
   *
-  *   - `drain`: wire → committed chunks (the bridge leg alone);
+  *   - `drain`: wire → committed chunks (the bridge leg alone), measured
+  *     under BOTH framings — JSON lines and gRPC length-prefixed protobuf
+  *     ([[graft.sources.net.BlockProtoCodec]]) — so the codec has a price;
   *   - `backfill`: chunks → canonical parquet via bounded AvailableNow
   *     micro-batches (the "weeks to sync" anchor; no relational leg);
   *   - `full`: the same backlog with the multi-table JDBC sink attached —
@@ -80,7 +82,7 @@ object IngestBench {
 
   final case class Result(
       blocks: Int, events: Long,
-      drainSec: Double, backfillSec: Double, fullSec: Double,
+      drainSec: Double, drainProtoSec: Double, backfillSec: Double, fullSec: Double,
       jdbcSec: Double, jdbcRows: Long, jdbcBatchSize: Int,
       liveBlocks: Int, livePaceMs: Long,
       lagP50Ms: Long, lagP95Ms: Long, lagMaxMs: Long) {
@@ -89,6 +91,7 @@ object IngestBench {
       val evps = (n: Double) => if (n > 0) r1(events / n) else 0.0
       s"""{"blocks":$blocks,"events":$events,""" +
         s""""drain_sec":${r1(drainSec)},"drain_evps":${evps(drainSec)},""" +
+        s""""drain_proto_sec":${r1(drainProtoSec)},"drain_proto_evps":${evps(drainProtoSec)},""" +
         s""""backfill_sec":${r1(backfillSec)},"backfill_evps":${evps(backfillSec)},""" +
         s""""backfill_bps":${if (backfillSec > 0) r1(blocks / backfillSec) else 0.0},""" +
         s""""full_sec":${r1(fullSec)},"full_evps":${evps(fullSec)},""" +
@@ -164,6 +167,17 @@ object IngestBench {
       t
     } finally srv.close()
 
+    // ---- drain under protobuf framing: the same script binary-framed ----
+    // (gRPC length-prefixed protobuf vs JSON lines — prices the codec; the
+    // chunks land in a scratch dir, the relational legs read the JSON run's)
+    val psrv = new BlockStreamServer(
+      script(blocks, eventsPerBlock, perMessage), binary = true)
+    val drainProtoSec = try {
+      val (_, t) = timed(BlockStreamDrainer.drain(
+        "127.0.0.1", psrv.boundPort, s"$root/feed_proto", binary = true))
+      t
+    } finally psrv.close()
+
     // ---- backfill: chunks → canonical parquet (no relational leg) ------
     def runDriver(tag: String, sink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])]): Double = {
       val d = new StreamDriver(spark, s"$root/facts_$tag", s"$root/ckpt_$tag",
@@ -236,7 +250,7 @@ object IngestBench {
     } finally liveSrv.close()
 
     def pct(p: Int): Long = lags((lags.size * p / 100).min(lags.size - 1))
-    Result(blocks, events, drainSec, backfillSec, fullSec,
+    Result(blocks, events, drainSec, drainProtoSec, backfillSec, fullSec,
       jdbcSec, jdbcRows, jdbcBatchSize,
       liveBlocks, livePaceMs, pct(50), pct(95), lags.last)
   }

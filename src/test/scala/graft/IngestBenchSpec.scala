@@ -1,10 +1,11 @@
 package graft
 
 /** Small instance of the exact code path [[IngestBench]] runs at full
-  * volume in the bench: all five phases (drain, backfill, full-with-JDBC,
-  * sink-alone, paced live lag) must complete with consistent counts and a
-  * well-formed JSON fragment. Volume knobs are the only difference from
-  * the bench run — the chain, triggers, and measurements are identical. */
+  * volume in the bench: all six phases (drain under both framings,
+  * backfill, full-with-JDBC, sink-alone, paced live lag) must complete
+  * with consistent counts and a well-formed JSON fragment. Volume knobs
+  * are the only difference from the bench run — the chain, triggers, and
+  * measurements are identical. */
 class IngestBenchSpec extends SparkSpec {
 
   test("ingest harness: every phase completes and counts reconcile") {
@@ -13,7 +14,8 @@ class IngestBenchSpec extends SparkSpec {
       chunksPerTrigger = 3, liveBlocks = 8, livePaceMs = 5L)
     assert(r.events == 300L)
     assert(r.jdbcRows == 300L)
-    assert(r.drainSec > 0 && r.backfillSec > 0 && r.fullSec > 0 && r.jdbcSec > 0)
+    assert(r.drainSec > 0 && r.drainProtoSec > 0 &&
+      r.backfillSec > 0 && r.fullSec > 0 && r.jdbcSec > 0)
     assert(r.lagP50Ms <= r.lagP95Ms && r.lagP95Ms <= r.lagMaxMs)
     // the fragment must stay parseable (it rides the bench's tail line)
     val json = r.json
