@@ -405,7 +405,7 @@ object AnnIndex {
   /** LSH candidate generation + exact re-rank over a loaded index's bands
     * — [[Similarity.annLsh]]'s arithmetic with the band table read from
     * the index artifacts. */
-  private def scoreLsh(spark: SparkSession, sfDir: String, bands: DataFrame): DataFrame = {
+  private[queries] def scoreLsh(spark: SparkSession, sfDir: String, bands: DataFrame): DataFrame = {
     import spark.implicits._
     val v = Similarity.vecs(spark, sfDir)
     val qb = bands.filter(expr(Similarity.queryFilter))

@@ -133,6 +133,8 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
     val before = rows(AnnIndex.scoreIvfPq(spark, sfDir,
       AnnIndex.load(spark, root), 3))
+    val lshBefore = rows(AnnIndex.scoreLsh(spark, sfDir,
+      AnnIndex.load(spark, root).bands))
 
     AnnIndex.compact(spark, root)
     val names = graft.util.Dirs.listNames(root)
@@ -148,6 +150,9 @@ class AnnIndexSpec extends SparkSpec {
     val after = rows(AnnIndex.scoreIvfPq(spark, sfDir,
       AnnIndex.load(spark, root), 3))
     assert(after == before, "compaction changed the serving surface")
+    assert(rows(AnnIndex.scoreLsh(spark, sfDir,
+      AnnIndex.load(spark, root).bands)) == lshBefore,
+      "compaction changed the LSH serving surface")
 
     // the lifecycle continues past a fold: an EMPTY append (a day with no
     // new vectors) lands as delta 2 with zero-row artifacts, and load
