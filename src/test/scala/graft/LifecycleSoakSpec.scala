@@ -47,8 +47,12 @@ class LifecycleSoakSpec extends SparkSpec {
 
     // scenario: finalized 1..80 (+ pending 81), reorg to a 50..60 chain
     // (+ pending 61); final canonical = 1..49 survivors + 50..60 = 60 blocks
+    // the soak runs the BINARY framing (gRPC length-prefixed protobuf,
+    // BlockProtoCodec) so the codec is certified under reorg + restart +
+    // mid-script resume; NetFeedSpec keeps the JSON framing covered, and
+    // ProtoWireSpec pins the two framings chunk-identical
     val script = BlockStreamScenario.chainWithReorg(blocks = 80L, reorgAt = 50L)
-    val srv = new BlockStreamServer(script)
+    val srv = new BlockStreamServer(script, binary = true)
 
     val url = s"jdbc:derby:$root/db;create=true"
     val factTables = Seq("soak_even", "soak_odd")
@@ -84,7 +88,7 @@ class LifecycleSoakSpec extends SparkSpec {
       // ---- phase 1: the pre-reorg prefix crosses the wire --------------
       // 3 data messages (1..40, 41..80, pending 81) + the heartbeat
       val (n1, done1) = BlockStreamDrainer.drainOnce(
-        "127.0.0.1", srv.boundPort, dir, maxMessages = 4)
+        "127.0.0.1", srv.boundPort, dir, maxMessages = 4, binary = true)
       assert(n1 == 4 && !done1)
       mkDriver().start(FeedBlockSource(dir, ctl), Trigger.AvailableNow())
         .awaitTermination()
@@ -104,7 +108,7 @@ class LifecycleSoakSpec extends SparkSpec {
       Files.deleteIfExists(commitsDir.resolve(s".$last.crc"))
 
       // ---- phase 2: the reorg + new chain arrive; restarted driver -----
-      BlockStreamDrainer.drain("127.0.0.1", srv.boundPort, dir)
+      BlockStreamDrainer.drain("127.0.0.1", srv.boundPort, dir, binary = true)
       mkDriver().start(FeedBlockSource(dir, ctl), Trigger.AvailableNow())
         .awaitTermination()
 
