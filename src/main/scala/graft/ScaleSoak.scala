@@ -62,7 +62,9 @@ object ScaleSoak {
     "embedding_pca_topk",       // shared Gram pass + driver deflation rounds
     "sim_ann_recall_ivf_cells", // two quantizer builds + shared exact side
     "streaming_sessions_replay",// file-fed harness: must stay O(1) driver
-    "streaming_anomaly_replay") // prefix contract at 10× the state volume
+    "streaming_anomaly_replay", // prefix contract at 10× the state volume
+    "sim_ann_ivfpq_compacted",  // build + append + FOLD: O(n) rewrite leg
+    "sim_ann_ivfpq_residual")   // nprobe-fold distance tables + refined cells
 
   // ---------------------------------------------------------------- synth
 

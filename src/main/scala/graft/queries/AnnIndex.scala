@@ -140,6 +140,50 @@ object AnnIndex {
     }
   }
 
+  /** Base build for the RESIDUAL-encoded index (IVFADC as Jégou et al.
+    * 2011 publish it): the PQ trains and encodes over r = v̂ − ĉ (the
+    * vector's normalized residual against its assigned centroid) instead
+    * of the raw normalized vector, with the coarse quantizer refined by
+    * ONE Lloyd step first — residual encoding only pays under a TIGHT
+    * quantizer, and the measured ladder
+    * ([[Similarity.annRecallIvfPqResidual]]) shows the seeded quantizer
+    * alone flips the trade negative. The refined centroid is the exact
+    * per-cluster SUM vector ([[Similarity.ivfLloyd]]'s decimal trick —
+    * sum/‖sum‖ ≡ mean/‖mean‖, so no division enters the artifact).
+    * One shared codebook set across cells — the standard IVFADC layout.
+    * Same artifact names and delta protocol as [[buildBase]], so
+    * [[load]]/[[compact]]/[[recoverCompact]] apply unchanged; only the
+    * subvector population and the scorer differ ([[scoreIvfPqResidual]]
+    * builds one distance table per probed cell). */
+  def buildResidualBase(spark: SparkSession, sfDir: String, root: String): Unit = {
+    import spark.implicits._
+    val v = Similarity.vecs(spark, sfDir)
+    val a0 = Similarity.assignTo(v, Similarity.centroidsOf(v))
+    val el = spark.table("embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("idx", "x")))
+    val cents = el.join(a0, Seq("vec_id"))
+      .groupBy($"cluster", $"idx")
+      .agg(sum(expr("TRY_CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))")).as("sx"))
+      .groupBy($"cluster")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(idx, sx))), p -> CAST(p.sx AS DOUBLE))")
+        .as("cemb"))
+      .select($"cluster".as("cid"), $"cemb",
+        expr("graft_dot(cemb, cemb)").as("cnorm"))
+    val assigned = Similarity.assignTo(v, cents)
+    val rsubs = Similarity.residualSubvectors(v, assigned, cents)
+    val cb = Similarity.trainCodebooks(spark, rsubs)
+    val codes = Similarity.pqEncode(rsubs, cb).join(assigned, Seq("vec_id"))
+    val bands = Similarity.computeLshBuckets(spark, "embeddings")
+    writeDelta(root, 1, "base") { tmp =>
+      cents.write.parquet(s"$tmp/centroids")
+      cb.write.parquet(s"$tmp/pq_codebooks")
+      codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
+      assigned.write.parquet(s"$tmp/assignments")
+      bands.write.parquet(s"$tmp/lsh_bands")
+    }
+  }
+
   private def deltaPath(root: String, n: Int): String =
     s"$root/delta=${"%05d".format(n)}"
 
@@ -317,6 +361,35 @@ object AnnIndex {
         round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
   }
 
+  /** Residual-ADC scoring over a residual index ([[buildResidualBase]]):
+    * [[scoreIvfPq]]'s plan shape with ONE distance table per (query,
+    * probed cell) — the query's residual differs per probed centroid, so
+    * qdist keys on (qid, cluster, m, cid) and the ADC join carries the
+    * cluster. The table stays a broadcast: Q₀ × nprobe × pqM × pqK rows,
+    * corpus-size-free. Like the raw scorer, every data-side frame is a
+    * parquet scan of the index — no training operator can appear. */
+  def scoreIvfPqResidual(spark: SparkSession, sfDir: String, idx: Frames,
+      nprobe: Int): DataFrame = {
+    val probes = Similarity.probesTo(spark, sfDir, idx.centroids, nprobe)
+    val qdist = Similarity
+      .queryResidualSubvectors(spark, sfDir, idx.centroids, probes)
+      .join(broadcast(codebooksOf(idx)), Seq("m"))
+      .select(col("qid"), col("cluster"), col("m"), col("cid"),
+        Similarity.pqD2("sv", "cvec").cast(DecimalType(25, 12)).as("qd2"))
+    codesOf(idx)
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qdist), Seq("qid", "cluster", "m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast(LongType).as("rank"),
+        round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
+  }
+
   private[queries] def codebooksOf(idx: Frames): DataFrame =
     idx.codebooks.getOrElse(
       throw new IllegalStateException("index carries no PQ codebooks"))
@@ -432,6 +505,19 @@ object AnnIndex {
       compact(spark, r)
     }
     scoreIvfPq(spark, sfDir,
+      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
+  }
+
+  /** Residual-encoded IVF×PQ, served from its own persisted index root
+    * (tag "resid"): the IVFADC composition as published — coarse-quantize,
+    * PQ-encode the residual, rank by per-probed-cell distance tables.
+    * Recall gain over raw encoding is gated next door
+    * ([[Similarity.annRecallIvfPqResidual]]). */
+  def annIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "resid")(r => buildResidualBase(spark, sfDir, r))
+    scoreIvfPqResidual(spark, sfDir,
       loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
   }
 
@@ -586,6 +672,7 @@ object AnnIndex {
     "sim_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _),
     "sim_ann_ivfpq_compacted" -> (annIvfPqCompacted _),
+    "sim_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "sim_ann_lsh_incremental" -> (annLshIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -596,6 +683,7 @@ object AnnIndex {
     // a fold rewrites row tables only; serving must be bit-identical to
     // the unfolded incremental index
     "sim_ann_ivfpq_compacted" -> annIvfPqIncrementalOracle,
+    "sim_ann_ivfpq_residual" -> Similarity.annIvfPqResidualOracle,
     // base ∪ append ≡ the full band table (no trained state in LSH), so
     // the incremental serving surface shares the fused entry's oracle
     "sim_ann_lsh_incremental" -> Similarity.annLshOracle)

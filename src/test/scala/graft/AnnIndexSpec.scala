@@ -214,6 +214,23 @@ class AnnIndexSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, ".compact_swap")))
   }
 
+  test("residual serving is pure: persisted scan, no training operator") {
+    AnnIndex.annIvfPqResidual(spark, sfDir) // ensure built
+    val plan = AnnIndex.annIvfPqResidual(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("delta=00001"),
+      "residual scoring must scan its persisted base delta")
+    assert(!plan.contains("collect_list"),
+      "quantizer training (collect_list) leaked into the residual serving plan")
+    assert(!plan.contains("min_by"),
+      "code encoding (min_by) leaked into the residual serving plan")
+    // and the two encodings genuinely serve different indexes: the resid
+    // root is distinct from the full root
+    val rr = AnnIndex.rootOf(spark, sfDir, "resid")
+    val fr = AnnIndex.rootOf(spark, sfDir, "full")
+    assert(rr.isDefined && rr != fr)
+  }
+
   test("appends are quantizer-free deltas; the base is immutable") {
     AnnIndex.annIvfPqIncremental(spark, sfDir)
     val root = AnnIndex.rootOf(spark, sfDir, "incr").get
