@@ -339,7 +339,7 @@ object AnnIndex {
     * training operator can appear in this plan — the quantizers are data.
     */
   def scoreIvfPq(spark: SparkSession, sfDir: String, idx: Frames,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, k: Int = 3): DataFrame = {
     val probes = Similarity.probesTo(spark, sfDir, idx.centroids, nprobe)
     val qdist = Similarity.pqSubvectors(spark, sfDir)
       .filter(expr(Similarity.queryFilter))
@@ -355,7 +355,7 @@ object AnnIndex {
       .agg(sum(col("qd2")).as("approx_d2"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("approx_d2"), col("vec_id"))))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast(LongType).as("rank"),
         round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))

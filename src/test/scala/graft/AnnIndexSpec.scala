@@ -214,6 +214,25 @@ class AnnIndexSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, ".compact_swap")))
   }
 
+  test("two-stage rerank: exact stage strictly refines the ADC shortlist, plan stays pure") {
+    val reranked = Similarity.annIvfPqRerank(spark, sfDir)
+    val plan = reranked.queryExecution.executedPlan.toString()
+    assert(plan.contains("delta=00001"),
+      "the candidate stage must scan the persisted index")
+    assert(!plan.contains("collect_list") && !plan.contains("min_by"),
+      "training leaked into the two-stage serving plan")
+    // the refine guarantee: every (query, neighbor) the ADC top-3 got right
+    // survives the exact re-rank (a true neighbor in the shortlist can only
+    // be out-ranked by the true top-2)
+    val exact = rows(Similarity.cosineTopK(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")))
+    val adcHits = rows(Similarity.annIvfPq(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))).intersect(exact)
+    val rrHits = rows(reranked.select(col("query_id"), col("neighbor_id"))).intersect(exact)
+    assert(adcHits.subsetOf(rrHits),
+      s"re-ranking lost true neighbors the ADC stage had: ${adcHits.diff(rrHits)}")
+  }
+
   test("residual serving is pure: persisted scan, no training operator") {
     AnnIndex.annIvfPqResidual(spark, sfDir) // ensure built
     val plan = AnnIndex.annIvfPqResidual(spark, sfDir)
