@@ -69,7 +69,8 @@ object AnnIndex {
     * carries neither. */
   final case class Frames(centroids: DataFrame, codebooks: Option[DataFrame],
       codes: Option[DataFrame], assignments: DataFrame, bands: DataFrame,
-      bandsT1: Option[DataFrame])
+      bandsT1: Option[DataFrame], sq8Ranges: Option[DataFrame] = None,
+      sq8Codes: Option[DataFrame] = None)
 
   /** Fixture split for the incremental entry: the standing corpus the index
     * is trained+built on, and the incoming batch appended against frozen
@@ -88,7 +89,8 @@ object AnnIndex {
     * serves from artifacts too. */
   def buildBase(spark: SparkSession, sfDir: String, root: String,
       trainPred: String, table: String = "embeddings",
-      withPq: Boolean = true, withT1: Boolean = false): Unit = {
+      withPq: Boolean = true, withT1: Boolean = false,
+      withSq8: Boolean = false): Unit = {
     val v = Similarity.vecs(spark, sfDir, table).filter(expr(trainPred))
     val cents = Similarity.centroidsOf(v)
     val assigned = Similarity.assignTo(v, cents)
@@ -104,6 +106,7 @@ object AnnIndex {
     val bandsT1 =
       if (withT1) Some(Similarity.computeLshBuckets(spark, table, 1).filter(expr(trainPred)))
       else None
+    val sq8 = if (withSq8) Some(Similarity.sq8Quantize(v)) else None
     writeDelta(root, 1, "base") { tmp =>
       cents.write.parquet(s"$tmp/centroids")
       codes.foreach { case (cb, cd) =>
@@ -113,6 +116,10 @@ object AnnIndex {
       assigned.write.parquet(s"$tmp/assignments")
       bands.write.parquet(s"$tmp/lsh_bands")
       bandsT1.foreach(_.write.parquet(s"$tmp/lsh_bands_t1"))
+      sq8.foreach { case (ranges, cds) =>
+        ranges.write.parquet(s"$tmp/sq8_ranges")
+        cds.write.parquet(s"$tmp/sq8_codes")
+      }
     }
   }
 
@@ -325,7 +332,12 @@ object AnnIndex {
         throw new IllegalStateException(s"index $root has no assignments")),
       bands = all("lsh_bands").getOrElse(
         throw new IllegalStateException(s"index $root has no lsh_bands")),
-      bandsT1 = all("lsh_bands_t1"))
+      bandsT1 = all("lsh_bands_t1"),
+      sq8Ranges =
+        if (Files.isDirectory(Paths.get(s"$base/sq8_ranges")))
+          Some(spark.read.parquet(s"$base/sq8_ranges"))
+        else None,
+      sq8Codes = all("sq8_codes"))
   }
 
   // ---------------------------------------------------------------- score
@@ -390,6 +402,52 @@ object AnnIndex {
         round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
   }
 
+  /** SQ8 asymmetric scoring: reconstruct each candidate from its persisted
+    * 8-bit codes + the 1-row range table (recon_i = mn_i + code_i·(mx_i −
+    * mn_i)/255) and rank by squared L2 of the EXACT normalized query
+    * against the reconstruction. Both artifact frames are parquet scans of
+    * the index; the query side is the usual Q₀-row broadcast; the d² fold
+    * is one [[graft.plans.DotProduct]] call over the per-pair diff. This is
+    * the faiss ScalarQuantizer(QT_8bit) arm of the encoding ladder: no
+    * cell pruning at all (full scan, like the flat PQ arm) but the corpus
+    * is touched through 1 byte/dim instead of 8 — the 8× scan-byte saving
+    * with near-exact recall ([[Similarity.annRecallSq8]] gates it). */
+  def scoreSq8(spark: SparkSession, sfDir: String, idx: Frames): DataFrame = {
+    val qn = Similarity.vecs(spark, sfDir).filter(expr(Similarity.queryFilter))
+      .withColumn("nrm", sqrt(col("norm_sq")))
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("qembn"))
+    sq8CodesOf(idx)
+      .crossJoin(broadcast(sq8RangesOf(idx)))
+      .crossJoin(broadcast(qn))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("recon", expr(
+        "transform(arrays_zip(codes, mns, mxs), " +
+          "s -> s.mns + (CAST(s.codes AS DOUBLE) * (s.mxs - s.mns)) / 255.0)"))
+      .withColumn("diff", expr("zip_with(qembn, recon, (a, b) -> a - b)"))
+      .select(col("qid"), col("vec_id"), expr("graft_dot(diff, diff)").as("approx_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast(LongType).as("rank"),
+        round(col("approx_d2"), 6).cast(DoubleType).as("approx_d2"))
+  }
+
+  /** SQ8 served from the shared "full" index — the same root every other
+    * fused similarity entry scores from; the sq8 artifacts ride the same
+    * delta protocol. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame =
+    scoreSq8(spark, sfDir, served(spark, sfDir))
+
+  private[queries] def sq8RangesOf(idx: Frames): DataFrame =
+    idx.sq8Ranges.getOrElse(
+      throw new IllegalStateException("index carries no SQ8 range table"))
+
+  private[queries] def sq8CodesOf(idx: Frames): DataFrame =
+    idx.sq8Codes.getOrElse(
+      throw new IllegalStateException("index carries no SQ8 codes"))
+
   private[queries] def codebooksOf(idx: Frames): DataFrame =
     idx.codebooks.getOrElse(
       throw new IllegalStateException("index carries no PQ codebooks"))
@@ -437,7 +495,7 @@ object AnnIndex {
     val root = table match {
       case "embeddings" =>
         ensure(spark, sfDir, "full")(r =>
-          buildBase(spark, sfDir, r, "true", withT1 = true))
+          buildBase(spark, sfDir, r, "true", withT1 = true, withSq8 = true))
       case "embeddings_aug" =>
         // the near-dup/semantic-dedup fixture corpus: IVF + LSH only (no
         // PQ consumer exists on this table)

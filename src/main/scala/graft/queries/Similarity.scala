@@ -1474,6 +1474,135 @@ object Similarity {
        WHERE e.rank <= 3
        GROUP BY e.qid""")
 
+  // =====================================================================
+  // SQ8: per-dimension 8-bit scalar quantization (faiss ScalarQuantizer)
+  // =====================================================================
+
+  /** SQ8 quantization of a vector population: per-dimension [min, max]
+    * over the NORMALIZED elements, then each element to an 8-bit level —
+    * code = floor((x̂ − mn)·255/(mx − mn) + 0.5). Returns the 1-row range
+    * table (mns/mxs as position-aligned arrays) and the per-vector code
+    * arrays — the two artifacts [[AnnIndex.buildBase]] persists. floor(t
+    * + 0.5) rather than round(): both engines floor the same IEEE double,
+    * so the half-up boundary cannot diverge on engine rounding
+    * conventions (Spark HALF_UP via BigDecimal vs DuckDB's
+    * half-away-from-zero). Flat dimensions (mx = mn) code to 0 and
+    * reconstruct to mn exactly. */
+  private[queries] def sq8Quantize(v: DataFrame): (DataFrame, DataFrame) = {
+    val eln = v
+      .select(col("vec_id"), col("norm_sq"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx"),
+        (col("x").cast(DoubleType) / sqrt(col("norm_sq"))).as("xh"))
+    val ranges = eln.groupBy(col("idx"))
+      .agg(min(col("xh")).as("mn"), max(col("xh")).as("mx"))
+    val ranges1 = ranges.groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(idx, mn))), p -> p.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(idx, mx))), p -> p.mx)").as("mxs"))
+    val codes = eln.join(broadcast(ranges), Seq("idx"))
+      .select(col("vec_id"), col("idx"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor(((col("xh") - col("mn")) * 255.0) / (col("mx") - col("mn")) + 0.5))
+          .cast(IntegerType).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, code))), p -> p.code)").as("codes"))
+    (ranges1, codes)
+  }
+
+  /** The SQ8 arm of the encoding ladder, served from the shared index. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame =
+    AnnIndex.annSq8(spark, sfDir)
+
+  /** Oracle twin of the SQ8 chain: normalized per-dim ranges, floor(+0.5)
+    * level codes, reconstruction, and the exact-query-vs-reconstruction
+    * d² as the same index-ordered fold ([[graft.plans.DotProduct]]'s
+    * list_reduce shape) the Spark side runs. */
+  private val sq8Ctes: String = {
+    elementCtes("embeddings") + normCte("embeddings") +
+      s""", sq_ranges AS (
+         SELECT el.idx,
+                MIN(el.v / SQRT(n.norm_sq)) AS mn,
+                MAX(el.v / SQRT(n.norm_sq)) AS mx
+         FROM el JOIN nrm n ON el.vec_id = n.vec_id
+         GROUP BY el.idx),
+       sq_codes AS (
+         SELECT el.vec_id, el.idx,
+                CASE WHEN r.mx = r.mn THEN 0
+                     ELSE CAST(FLOOR(((el.v / SQRT(n.norm_sq) - r.mn) * 255.0)
+                                     / (r.mx - r.mn) + 0.5) AS INT)
+                END AS code
+         FROM el
+         JOIN nrm n ON el.vec_id = n.vec_id
+         JOIN sq_ranges r ON el.idx = r.idx),
+       sq_recon AS (
+         SELECT c.vec_id,
+                list(r.mn + (CAST(c.code AS DOUBLE) * (r.mx - r.mn)) / 255.0
+                     ORDER BY c.idx) AS recon
+         FROM sq_codes c JOIN sq_ranges r ON c.idx = r.idx
+         GROUP BY c.vec_id),
+       sq_q AS (
+         SELECT n.vec_id AS qid,
+                list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) / SQRT(n.norm_sq)) AS qembn
+         FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+         WHERE ${queryPred("n.vec_id")}),
+       sq_diff AS (
+         SELECT q.qid, c.vec_id,
+                list_transform(q.qembn, (a, i) -> a - c.recon[i]) AS diff
+         FROM sq_q q JOIN sq_recon c ON c.vec_id != q.qid),
+       sq_d2 AS (
+         SELECT qid, vec_id,
+                ${DotProduct.duckDot("diff", "diff")} AS approx_d2
+         FROM sq_diff),
+       sq_ranked AS (
+         SELECT qid, vec_id, approx_d2,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_d2, vec_id) AS rank
+         FROM sq_d2)"""
+  }
+
+  val annSq8Oracle: String = Fixtures.oracle(
+    sq8Ctes +
+      """
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank,
+              CAST(ROUND(approx_d2, 6) AS DOUBLE) AS approx_d2
+       FROM sq_ranked WHERE rank <= 3""")
+
+  /** Recall@3 of SQ8 — the near-exact end of the encoding ladder: 8 bits
+    * per dimension keeps the full geometry, so this reads far above the
+    * sub-byte PQ arms at 8× the code bytes (measured 1.000 at sf0.01 vs
+    * full-scan PQ 0.433 at 2 bytes/vector-subspace — the ladder's two
+    * endpoints a deployment interpolates between). */
+  def annRecallSq8(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annSq8(spark, sfDir))
+
+  val annRecallSq8Oracle: String = Fixtures.oracle(
+    sq8Ctes +
+      s""", exact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d ON d.vec_id != q.vec_id
+         WHERE ${queryPred("q.vec_id")}),
+       exact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM exact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))
+       SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN sq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
     s""", exact_dots AS (
          SELECT q.vec_id AS qid, d.vec_id,
@@ -2184,6 +2313,8 @@ object Similarity {
     "sim_ann_recall_ivfpq_residual" -> (annRecallIvfPqResidual _),
     "sim_ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "sim_ann_recall_ivfpq_rerank" -> (annRecallIvfPqRerank _),
+    "sim_ann_sq8" -> (annSq8 _),
+    "sim_ann_recall_sq8" -> (annRecallSq8 _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -2212,6 +2343,8 @@ object Similarity {
     "sim_ann_recall_ivfpq_residual" -> annRecallIvfPqResidualOracle,
     "sim_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
     "sim_ann_recall_ivfpq_rerank" -> annRecallIvfPqRerankOracle,
+    "sim_ann_sq8" -> annSq8Oracle,
+    "sim_ann_recall_sq8" -> annRecallSq8Oracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_lsh_multitable" -> annLshMultitableOracle,

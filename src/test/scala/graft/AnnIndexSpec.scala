@@ -233,6 +233,17 @@ class AnnIndexSpec extends SparkSpec {
       s"re-ranking lost true neighbors the ADC stage had: ${adcHits.diff(rrHits)}")
   }
 
+  test("SQ8 serves from the shared index: persisted codes + ranges, no quantization operator") {
+    val plan = Similarity.annSq8(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("delta=00001"),
+      "SQ8 scoring must scan the shared index's persisted artifacts")
+    assert(!plan.contains("collect_list"),
+      "range/code building (collect_list) leaked into the SQ8 serving plan")
+    assert(!plan.contains("posexplode"),
+      "element-level quantization (posexplode) leaked into the SQ8 serving plan")
+  }
+
   test("residual serving is pure: persisted scan, no training operator") {
     AnnIndex.annIvfPqResidual(spark, sfDir) // ensure built
     val plan = AnnIndex.annIvfPqResidual(spark, sfDir)
