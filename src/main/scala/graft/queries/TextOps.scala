@@ -526,6 +526,127 @@ object TextOps {
               array_to_string(words[st+1:st+50], ' ') AS chunk_text
        FROM ch_words, UNNEST(range(0, len(words), 40)) AS t(st)""")
 
+  // =====================================================================
+  // Cross-document sequence packing (concat-and-chunk, the GPT-style
+  // loader manifest; Brown et al. 2020 appendix B / Raffel et al. 2020
+  // "packing" — documents concatenated per source stream and cut into
+  // fixed token windows)
+  // =====================================================================
+
+  private val packWindow = 256L // tokens per training sequence
+  private val packBlock = 4096L // prefix-sum fan-out per level
+
+  /** Per-doc EXCLUSIVE token prefix within its source stream — the one
+    * number packing needs — computed as a hierarchical prefix sum so no
+    * window ever runs unpartitioned over the corpus (the vocabCoverage
+    * discipline, positional flavor): level 0 runs inside a 4096-doc block,
+    * level 1 across the ≤4096 blocks of a superblock, level 2 across
+    * superblocks — exact for ≤ 4096³ ≈ 6.9·10¹⁰ docs per source (≳100 TB
+    * at 1.5 kB/doc; a 4th level extends it mechanically). Long addition is
+    * associative, so the decomposition is bit-identical to the one-shot
+    * running sum the oracle computes. NULL-source/NULL-text rows are
+    * outside any pack stream and are dropped on both sides. */
+  private def packPrefix(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.table("documents")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .withColumn("block", expr(s"doc_id DIV $packBlock"))
+      .withColumn("sblock", expr(s"block DIV $packBlock"))
+    val wL0 = Window.partitionBy(col("source"), col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = base.groupBy(col("source"), col("block"))
+      .agg(sum(col("tok")).as("bt"))
+      .withColumn("sblock", expr(s"block DIV $packBlock"))
+    val wL1 = Window.partitionBy(col("source"), col("sblock")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bt.withColumn("boff", coalesce(sum(col("bt")).over(wL1), lit(0L)))
+      .select(col("source"), col("block"), col("boff"))
+    val st = bt.groupBy(col("source"), col("sblock")).agg(sum(col("bt")).as("st"))
+    val wL2 = Window.partitionBy(col("source")).orderBy(col("sblock"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = st.withColumn("soff", coalesce(sum(col("st")).over(wL2), lit(0L)))
+      .select(col("source"), col("sblock"), col("soff"))
+    base
+      .withColumn("cum0", coalesce(sum(col("tok")).over(wL0), lit(0L)))
+      .join(boff, Seq("source", "block"))
+      .join(soff, Seq("source", "sblock"))
+      .withColumn("cum_before", col("soff") + col("boff") + col("cum0"))
+      .select(col("doc_id"), col("source"), col("tok"), col("cum_before"))
+  }
+
+  /** The packing manifest a training loader reads: for every document, the
+    * first fixed-size token window it lands in (per source stream, window
+    * ids source-local) and how many windows it spans. Pure integer
+    * arithmetic on the exclusive prefix — window = cum DIV 256 — so both
+    * engines agree bit-for-bit. */
+  def packManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    packPrefix(spark)
+      .select(col("doc_id"), col("source"), col("tok").as("tok_count"),
+        expr(s"cum_before DIV $packWindow").as("first_window"),
+        (expr(s"(cum_before + tok - 1) DIV $packWindow")
+          - expr(s"cum_before DIV $packWindow") + lit(1L)).as("windows_spanned"))
+  }
+
+  val packManifestOracle: String = Fixtures.oracle(
+    s""", pk AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM documents
+         WHERE source IS NOT NULL AND text IS NOT NULL)
+       SELECT doc_id, source, tok AS tok_count,
+              CAST(cum_before // $packWindow AS BIGINT) AS first_window,
+              CAST(((cum_before + tok - 1) // $packWindow)
+                   - (cum_before // $packWindow) + 1 AS BIGINT) AS windows_spanned
+       FROM pk""")
+
+  /** Packing efficiency — the number a data team actually tracks: per
+    * source stream, how many training windows the corpus fills, how many
+    * documents straddle a window boundary (attention-mask overhead), and
+    * the padding wasted in the final partial window. */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    packPrefix(spark)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        sum(when(expr(s"(cum_before + tok - 1) DIV $packWindow")
+          > expr(s"cum_before DIV $packWindow"), 1L).otherwise(0L)).as("crossing_docs"))
+      .withColumn("n_windows", expr(s"(total_tokens + ${packWindow - 1}) DIV $packWindow"))
+      .withColumn("pad_waste", col("n_windows") * packWindow - col("total_tokens"))
+      .withColumn("docs_per_window",
+        round(col("n_docs").cast(DoubleType) / col("n_windows").cast(DoubleType), 6))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_windows"),
+        col("crossing_docs"), col("pad_waste"), col("docs_per_window"))
+  }
+
+  val packStatsOracle: String = Fixtures.oracle(
+    s""", pk AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+                COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM documents
+         WHERE source IS NOT NULL AND text IS NOT NULL)
+       SELECT source, CAST(COUNT(1) AS BIGINT) AS n_docs,
+              CAST(SUM(tok) AS BIGINT) AS total_tokens,
+              CAST((SUM(tok) + ${packWindow - 1}) // $packWindow AS BIGINT) AS n_windows,
+              CAST(SUM(CASE WHEN ((cum_before + tok - 1) // $packWindow)
+                                 > (cum_before // $packWindow)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs,
+              CAST(((SUM(tok) + ${packWindow - 1}) // $packWindow) * $packWindow
+                   - SUM(tok) AS BIGINT) AS pad_waste,
+              ROUND(CAST(COUNT(1) AS DOUBLE)
+                    / CAST((SUM(tok) + ${packWindow - 1}) // $packWindow AS DOUBLE), 6)
+                AS docs_per_window
+       FROM pk GROUP BY source""")
+
   /** Table-backed decontamination with a bloom pre-filter: probe n-grams
     * come from a TABLE (here the `src0` slice of the corpus standing in for
     * an eval suite), not a literal list — the realistic shape once the eval
@@ -2217,6 +2338,8 @@ object TextOps {
     "text_doc_fingerprint" -> (docFingerprint _),
     "corpus_curation" -> (corpusCuration _),
     "text_chunk" -> (chunk _),
+    "corpus_pack_manifest" -> (packManifest _),
+    "corpus_pack_stats" -> (packStats _),
     "text_length_percentiles" -> (lengthPercentiles _),
     "text_contamination" -> (contamination _),
     "text_contamination_overlap" -> (contaminationOverlap _),
@@ -2256,6 +2379,8 @@ object TextOps {
     "text_doc_fingerprint" -> docFingerprintOracle,
     "corpus_curation" -> corpusCurationOracle,
     "text_chunk" -> chunkOracle,
+    "corpus_pack_manifest" -> packManifestOracle,
+    "corpus_pack_stats" -> packStatsOracle,
     "text_length_percentiles" -> lengthPercentilesOracle,
     "text_contamination" -> contaminationOracle,
     "text_contamination_overlap" -> contaminationOverlapOracle,

@@ -155,6 +155,25 @@ class ScalePlanSpec extends SparkSpec {
       s"lag chain must share one window node:\n$p")
   }
 
+  test("packing: the token prefix sum is hierarchical — every window partitioned") {
+    // the packing prefix is a POSITIONAL running sum over the whole corpus;
+    // the one-shot form would be a global (source-only at best) window over
+    // n rows. The decomposed form must keep every WindowExec partitioned,
+    // and the leaf level must partition by (source, block) so no partition
+    // outgrows the 4096-doc block.
+    for (df <- Seq(TextOps.packManifest(spark, sfDir), TextOps.packStats(spark, sfDir))) {
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"corpus-sized packing window must be partitioned:\n${df.queryExecution.executedPlan}")
+      val p = plan(df)
+      assert("""\], \[source#\d+, block#\d+L?\], \[doc_id#\d+""".r.findFirstIn(p).isDefined,
+        s"leaf prefix window must partition by (source, block):\n$p")
+    }
+  }
+
   test("vocabCoverage: every window is partitioned; vocab offset joins shuffle") {
     withNoAutoBroadcast {
       val df = TextOps.vocabCoverage(spark, sfDir)
