@@ -64,7 +64,10 @@ object ScaleSoak {
     "streaming_sessions_replay",// file-fed harness: must stay O(1) driver
     "streaming_anomaly_replay", // prefix contract at 10× the state volume
     "sim_ann_ivfpq_compacted",  // build + append + FOLD: O(n) rewrite leg
-    "sim_ann_ivfpq_residual")   // nprobe-fold distance tables + refined cells
+    "sim_ann_ivfpq_residual",   // nprobe-fold distance tables + refined cells
+    "sim_ann_sq8",              // full-scan 1-byte/dim reconstruction ADC
+    "sim_ann_ivfpq_rerank",     // ADC shortlist + output-sized exact refine
+    "corpus_pack_stats")        // hierarchical positional prefix sum
 
   // ---------------------------------------------------------------- synth
 

@@ -140,10 +140,18 @@ object AnnIndex {
       .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(batchPred)), cb)
       .join(assigned, Seq("vec_id"))
     val bands = Similarity.computeLshBuckets(spark, "embeddings").filter(expr(batchPred))
+    // sq8 leg of the append: encode the batch against the FROZEN persisted
+    // range table (no retrain — the exact analogue of the frozen PQ
+    // codebooks above). Skipped when the base carries no sq8 artifacts.
+    val sq8Delta =
+      if (Files.isDirectory(Paths.get(s"$base/sq8_ranges")))
+        Some(Similarity.sq8EncodeAgainst(v, spark.read.parquet(s"$base/sq8_ranges")))
+      else None
     writeDelta(root, next, "append") { tmp =>
       assigned.write.parquet(s"$tmp/assignments")
       codes.write.partitionBy("cluster").parquet(s"$tmp/pq_codes")
       bands.write.parquet(s"$tmp/lsh_bands")
+      sq8Delta.foreach(_.write.parquet(s"$tmp/sq8_codes"))
     }
   }
 
@@ -253,6 +261,10 @@ object AnnIndex {
     idx.codes.foreach(_.write.partitionBy("cluster").parquet(s"$tmp/pq_codes"))
     idx.bands.write.parquet(s"$tmp/lsh_bands")
     idx.bandsT1.foreach(_.write.parquet(s"$tmp/lsh_bands_t1"))
+    // sq8 artifacts ride the fold too — a compaction that enumerated only
+    // the PQ/LSH tables would silently DROP them from an sq8-carrying root
+    idx.sq8Ranges.foreach(_.write.parquet(s"$tmp/sq8_ranges"))
+    idx.sq8Codes.foreach(_.write.parquet(s"$tmp/sq8_codes"))
     val manifest =
       s"""{"format":$formatVersion,"delta":1,"kind":"base",""" +
         s""""compactedFrom":${deltas.max},""" +

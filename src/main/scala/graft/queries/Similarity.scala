@@ -1489,25 +1489,44 @@ object Similarity {
     * half-away-from-zero). Flat dimensions (mx = mn) code to 0 and
     * reconstruct to mn exactly. */
   private[queries] def sq8Quantize(v: DataFrame): (DataFrame, DataFrame) = {
-    val eln = v
-      .select(col("vec_id"), col("norm_sq"),
-        posexplode(col("embedding")).as(Seq("idx", "x")))
-      .select(col("vec_id"), col("idx"),
-        (col("x").cast(DoubleType) / sqrt(col("norm_sq"))).as("xh"))
+    val eln = sq8Eln(v)
     val ranges = eln.groupBy(col("idx"))
       .agg(min(col("xh")).as("mn"), max(col("xh")).as("mx"))
     val ranges1 = ranges.groupBy()
       .agg(
         expr("transform(array_sort(collect_list(struct(idx, mn))), p -> p.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(idx, mx))), p -> p.mx)").as("mxs"))
-    val codes = eln.join(broadcast(ranges), Seq("idx"))
+    (ranges1, sq8CodesFor(eln, ranges))
+  }
+
+  /** Normalized elements of a vector population — the SQ8 working frame. */
+  private def sq8Eln(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), col("norm_sq"),
+        posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx"),
+        (col("x").cast(DoubleType) / sqrt(col("norm_sq"))).as("xh"))
+
+  /** Level codes against a GIVEN (idx, mn, mx) range frame — shared by the
+    * base build and the frozen-ranges append path. */
+  private def sq8CodesFor(eln: DataFrame, ranges: DataFrame): DataFrame =
+    eln.join(broadcast(ranges), Seq("idx"))
       .select(col("vec_id"), col("idx"),
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(floor(((col("xh") - col("mn")) * 255.0) / (col("mx") - col("mn")) + 0.5))
           .cast(IntegerType).as("code"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, code))), p -> p.code)").as("codes"))
-    (ranges1, codes)
+
+  /** Encode a batch against the FROZEN persisted range table (the 1-row
+    * mns/mxs artifact) — O(batch) work, the sq8 leg of the incremental
+    * lifecycle: like PQ codebooks, the quantizer never retrains on append,
+    * so the batch's codes are a pure function of the published artifact. */
+  private[queries] def sq8EncodeAgainst(v: DataFrame, ranges1: DataFrame): DataFrame = {
+    val perIdx = ranges1
+      .select(posexplode(expr("arrays_zip(mns, mxs)")).as(Seq("idx", "r")))
+      .select(col("idx").cast(IntegerType).as("idx"),
+        col("r.mns").as("mn"), col("r.mxs").as("mx"))
+    sq8CodesFor(sq8Eln(v), perIdx)
   }
 
   /** The SQ8 arm of the encoding ladder, served from the shared index. */

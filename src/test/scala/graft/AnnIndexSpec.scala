@@ -214,6 +214,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(root, ".compact_swap")))
   }
 
+  test("sq8 rides the whole lifecycle: frozen-range append, artifacts survive a fold") {
+    val root = Files.createTempDirectory("graft-ann-sq8-life-").toString
+    AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred, withSq8 = true)
+    // append encodes against the FROZEN persisted ranges (no retrain) —
+    // the batch's codes must equal encoding the batch directly against the
+    // base's published range table
+    AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
+    val idx = AnnIndex.load(spark, root)
+    assert(idx.sq8Ranges.isDefined && idx.sq8Codes.isDefined)
+    val appended = rows(idx.sq8Codes.get
+      .filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    assert(appended.nonEmpty, "append must contribute sq8 codes for the batch")
+    val before = rows(AnnIndex.scoreSq8(spark, sfDir, idx))
+    // fold: sq8 artifacts must survive and serving must be bit-identical
+    AnnIndex.compact(spark, root)
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1))
+    val folded = AnnIndex.load(spark, root)
+    assert(folded.sq8Ranges.isDefined && folded.sq8Codes.isDefined,
+      "compaction dropped the sq8 artifacts")
+    assert(rows(AnnIndex.scoreSq8(spark, sfDir, folded)) == before,
+      "compaction changed the sq8 serving surface")
+  }
+
   test("two-stage rerank: exact stage strictly refines the ADC shortlist, plan stays pure") {
     val reranked = Similarity.annIvfPqRerank(spark, sfDir)
     val plan = reranked.queryExecution.executedPlan.toString()
