@@ -433,6 +433,13 @@ object AnnIndex {
       .crossJoin(broadcast(sq8RangesOf(idx)))
       .crossJoin(broadcast(qn))
       .filter(col("vec_id") =!= col("qid"))
+      // only same-width pairs live in one metric space. Without this, a
+      // TRUNCATED vector (encoder failure) zip_with-pads to NULL, its d²
+      // goes NULL, and Spark's NULLS-FIRST ascending rank would put the
+      // garbage vector at the TOP of every query (DuckDB sorts NULLS
+      // LAST — a silent cross-engine divergence the equal-width fixture
+      // corpus never exercises; the adversarial spec does)
+      .filter(size(col("codes")) === size(col("qembn")))
       .withColumn("recon", expr(
         "transform(arrays_zip(codes, mns, mxs), " +
           "s -> s.mns + (CAST(s.codes AS DOUBLE) * (s.mxs - s.mns)) / 255.0)"))

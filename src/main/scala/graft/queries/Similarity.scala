@@ -1569,7 +1569,8 @@ object Similarity {
        sq_diff AS (
          SELECT q.qid, c.vec_id,
                 list_transform(q.qembn, (a, i) -> a - c.recon[i]) AS diff
-         FROM sq_q q JOIN sq_recon c ON c.vec_id != q.qid),
+         FROM sq_q q JOIN sq_recon c
+           ON c.vec_id != q.qid AND len(c.recon) = len(q.qembn)),
        sq_d2 AS (
          SELECT qid, vec_id,
                 ${DotProduct.duckDot("diff", "diff")} AS approx_d2

@@ -108,6 +108,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "embedding_pca_project" -> (_ == 55),   // only the valid vectors score
     "embedding_pca_topk" -> (_ == 24),      // 3 components × the 8-wide corpus
     "embedding_pca_topk_project" -> (_ == 165), // 3 × the 55 valid vectors
+    "sim_ann_sq8" -> (_ >= 0),              // width guard drops truncated pairs
     "sim_ann_opq" -> (_ == 0),              // allocation undefined off the 64-grid
     "sim_ann_recall_opq" -> (_ >= 0),       // exact side drives rows, hits = 0
     "sample_rho_loss" -> (n => n >= 0 && n <= 12),
