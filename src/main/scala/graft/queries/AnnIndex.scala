@@ -185,6 +185,12 @@ object AnnIndex {
         .as("cemb"))
       .select($"cluster".as("cid"), $"cemb",
         expr("graft_dot(cemb, cemb)").as("cnorm"))
+      // a refined centroid whose sum vector cancels (or TRY_CASTs) to zero
+      // norm defines no direction: under ANSI mode the assignment's cosine
+      // would DIVIDE_BY_ZERO on it (the adversarial corpus does this).
+      // Drop it — its members re-assign to the surviving centroids — with
+      // the same guard the oracle's r2cn CTE carries.
+      .filter($"cnorm" > 0d && !isnan($"cnorm") && $"cnorm" < Double.PositiveInfinity)
     val assigned = Similarity.assignTo(v, cents)
     val rsubs = Similarity.residualSubvectors(v, assigned, cents)
     val cb = Similarity.trainCodebooks(spark, rsubs)

@@ -1716,8 +1716,10 @@ object Similarity {
          SELECT cluster AS cid, list(CAST(sx AS DOUBLE) ORDER BY idx) AS cemb
          FROM r2sum GROUP BY cluster),
        r2cn AS (
-         SELECT cid, ${DotProduct.duckDot("cemb", "cemb")} AS cnorm
-         FROM r2cent),
+         SELECT cid, cnorm
+         FROM (SELECT cid, ${DotProduct.duckDot("cemb", "cemb")} AS cnorm
+               FROM r2cent)
+         WHERE cnorm > 0 AND isfinite(cnorm)),
        r2dots AS (
          SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM embeddings e CROSS JOIN r2cent c),

@@ -109,6 +109,10 @@ class AdversarialCorpusSpec extends SparkSpec {
     "embedding_pca_topk" -> (_ == 24),      // 3 components × the 8-wide corpus
     "embedding_pca_topk_project" -> (_ == 165), // 3 × the 55 valid vectors
     "sim_ann_sq8" -> (_ >= 0),              // width guard drops truncated pairs
+    "sim_ann_ivfpq_rerank" -> (_ >= 0),     // exact refine of whatever ADC yields
+    "sim_ann_ivfpq_residual" -> (_ >= 0),   // TRY_CAST lanes absorb NaN/Inf/NULL
+    "corpus_pack_manifest" -> (_ <= 12),    // NULL-source/text rows outside streams
+    "corpus_pack_stats" -> (n => n >= 1 && n <= 12),
     "sim_ann_opq" -> (_ == 0),              // allocation undefined off the 64-grid
     "sim_ann_recall_opq" -> (_ >= 0),       // exact side drives rows, hits = 0
     "sample_rho_loss" -> (n => n >= 0 && n <= 12),
