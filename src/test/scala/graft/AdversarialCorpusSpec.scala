@@ -115,6 +115,9 @@ class AdversarialCorpusSpec extends SparkSpec {
     "corpus_pack_stats" -> (n => n >= 1 && n <= 12),
     "sim_ann_opq" -> (_ == 0),              // allocation undefined off the 64-grid
     "sim_ann_recall_opq" -> (_ >= 0),       // exact side drives rows, hits = 0
+    "sim_ann_recall_nprobe_curve" -> (_ == 4),  // one row per nprobe level
+    "sim_ann_filtered" -> (_ >= 0),             // label join drops garbage rows
+    "sim_ann_recall_filtered" -> (_ >= 0),
     "sample_rho_loss" -> (n => n >= 0 && n <= 12),
     "mix_epoch_schedule" -> (n => n >= 1 && n <= 4),
     "corpus_hhi_concentration" -> (n => n >= 1 && n <= 4),

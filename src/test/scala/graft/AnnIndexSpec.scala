@@ -63,6 +63,7 @@ class AnnIndexSpec extends SparkSpec {
       ("annIvfNprobe2", Similarity.annIvfNprobe2(spark, sfDir), true),
       ("semanticDedup", Similarity.semanticDedup(spark, sfDir), false),
       ("embeddingNearDup", Similarity.embeddingNearDup(spark, sfDir), true),
+      ("annFiltered", Similarity.annFiltered(spark, sfDir), true),
       ("outlierReport", Similarity.outlierReport(spark, sfDir), false))
     pinned.foreach { case (name, df, noMinBy) =>
       val plan = df.queryExecution.executedPlan.toString()

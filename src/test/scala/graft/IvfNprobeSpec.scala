@@ -62,6 +62,36 @@ class IvfNprobeSpec extends SparkSpec {
       s"drift must strictly decrease until the stopping rule fires, got $drifts")
   }
 
+  test("the nprobe curve is monotone and anchored to the per-query entries") {
+    val curve = Similarity.annRecallNprobeCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("hits_total")).toMap
+    assert(curve.keySet == Set(1L, 2L, 4L, 8L))
+    // candidate sets nest (top-p cells ⊂ top-(p+1)) → recall is monotone
+    assert(curve(1) <= curve(2) && curve(2) <= curve(4) && curve(4) <= curve(8),
+      s"curve must be non-decreasing in nprobe, got $curve")
+    // p=1 from the PERSISTED index == the in-session nprobe=1 entry: the
+    // artifact path and the fused path are the same math
+    assert(curve(1) == hits(Similarity.annRecallIvf(spark, sfDir)),
+      "persisted p=1 must equal the in-session nprobe=1 recall")
+    assert(curve(2) == hits(Similarity.annRecallIvfNprobe2(spark, sfDir)),
+      "persisted p=2 must equal the in-session nprobe=2 recall")
+  }
+
+  test("filtered ANN returns only same-label neighbors, graded against the filtered truth") {
+    import spark.implicits._
+    graft.fixtures.Fixtures.register(spark, sfDir)
+    val labels = spark.table("embeddings").select($"vec_id", $"label")
+    val res = Similarity.annFiltered(spark, sfDir)
+      .join(labels.select($"vec_id".as("query_id"), $"label".as("qlabel")), Seq("query_id"))
+      .join(labels.select($"vec_id".as("neighbor_id"), $"label".as("nlabel")), Seq("neighbor_id"))
+    assert(res.filter($"qlabel" =!= $"nlabel").isEmpty,
+      "every served neighbor must carry the query's label")
+    assert(res.count() > 0, "the fixture must exercise the filtered path")
+    // recall rows exist for every query whose label has another member
+    val rec = Similarity.annRecallFiltered(spark, sfDir)
+    assert(rec.agg(max($"recall_at_3")).collect().head.getDouble(0) <= 1.0)
+  }
+
   test("the sqrt-law quantizer's recall trade is priced (cells up, nprobe=1 recall down)") {
     // sf0.01 fixture (500 vectors): the pre-r11 fixed-97 stride gives 6
     // corpus-fraction cells, the sqrt law 32 small ones. Bigger cells mean
