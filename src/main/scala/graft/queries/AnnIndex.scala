@@ -70,7 +70,8 @@ object AnnIndex {
   final case class Frames(centroids: DataFrame, codebooks: Option[DataFrame],
       codes: Option[DataFrame], assignments: DataFrame, bands: DataFrame,
       bandsT1: Option[DataFrame], sq8Ranges: Option[DataFrame] = None,
-      sq8Codes: Option[DataFrame] = None)
+      sq8Codes: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None)
 
   /** Fixture split for the incremental entry: the standing corpus the index
     * is trained+built on, and the incoming batch appended against frozen
@@ -153,6 +154,45 @@ object AnnIndex {
       bands.write.parquet(s"$tmp/lsh_bands")
       sq8Delta.foreach(_.write.parquet(s"$tmp/sq8_codes"))
     }
+  }
+
+  /** Delete `ids` (a one-column `vec_id` frame) from the index by writing
+    * a TOMBSTONE delta — the third leg of the lifecycle (build / append /
+    * delete), and the one every serving deployment with GDPR erasure or
+    * content takedowns needs. Like an append it is O(batch): one
+    * `tombstones/` table in a fresh immutable delta, the standing
+    * artifacts untouched. Serving masks tombstoned ids out of every row
+    * table ([[masked]]); [[compact]] makes the deletion PHYSICAL — the
+    * fold drops the rows and clears the tombstones, after which the bytes
+    * are actually gone (the erasure guarantee compaction exists to give).
+    *
+    * Contract: `vec_id`s are immutable content ids and are never reused —
+    * a tombstone masks the id across ALL deltas, earlier and later (id-
+    * level, not sequence-level, semantics; re-inserting a deleted id is
+    * out of contract until a compaction has cleared the tombstone). */
+  def deleteIds(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val next = Dirs.numericSuffixes(root, "delta=").maxOption.getOrElse(0) + 1
+    require(next > 1, s"deleteIds needs a base delta under $root")
+    writeDelta(root, next, "delete") { tmp =>
+      ids.select(col("vec_id")).distinct().write.parquet(s"$tmp/tombstones")
+    }
+  }
+
+  /** The serving view of an index with tombstones: every row-level
+    * artifact anti-joined against the tombstone set, quantizers untouched
+    * (they are frozen statistics, not rows — a deletion does not retrain).
+    * Identity when no tombstones exist. The anti-join's build side is the
+    * tombstone table — bounded by deletions-since-last-compaction, so at
+    * serving scale it broadcasts (AQE picks that up from parquet stats;
+    * the layout guarantees it stays small because compaction clears it). */
+  private[queries] def masked(idx: Frames): Frames = idx.tombstones match {
+    case None => idx
+    case Some(ts) =>
+      val t = ts.select(col("vec_id")).distinct()
+      def drop(df: DataFrame): DataFrame = df.join(t, Seq("vec_id"), "left_anti")
+      idx.copy(codes = idx.codes.map(drop), assignments = drop(idx.assignments),
+        bands = drop(idx.bands), bandsT1 = idx.bandsT1.map(drop),
+        sq8Codes = idx.sq8Codes.map(drop), tombstones = None)
   }
 
   /** Base build for the RESIDUAL-encoded index (IVFADC as Jégou et al.
@@ -255,7 +295,11 @@ object AnnIndex {
     recoverCompact(root)
     val deltas = Dirs.numericSuffixes(root, "delta=").sorted
     if (deltas.size <= 1) return
-    val idx = load(spark, root)
+    // the fold writes the MASKED view: tombstoned rows are physically
+    // dropped from every row table and the tombstone set is cleared —
+    // deletion becomes erasure here, and serving stays bit-identical
+    // because readers were already masking
+    val idx = masked(load(spark, root))
     val tmp = Paths.get(root, CompactTmp)
     rmTree(tmp)
     Files.createDirectories(tmp)
@@ -355,8 +399,15 @@ object AnnIndex {
         if (Files.isDirectory(Paths.get(s"$base/sq8_ranges")))
           Some(spark.read.parquet(s"$base/sq8_ranges"))
         else None,
-      sq8Codes = all("sq8_codes"))
+      sq8Codes = all("sq8_codes"),
+      tombstones = all("tombstones"))
   }
+
+  /** Loaded + masked frames for a root, cached once (deltas are immutable
+    * while a session serves). Every entry scores through this, so a root
+    * carrying tombstones can never leak a deleted row into serving. */
+  private def frames(spark: SparkSession, root: String): Frames =
+    masked(loadedFrames.getOrElseUpdate(root, load(spark, root)))
 
   // ---------------------------------------------------------------- score
 
@@ -529,7 +580,7 @@ object AnnIndex {
       case other =>
         throw new IllegalArgumentException(s"no serving index for table $other")
     }
-    loadedFrames.getOrElseUpdate(root, load(spark, root))
+    frames(spark, root)
   }
 
   /** IVF×PQ served from the persisted index. Since round 12 the fused
@@ -555,7 +606,7 @@ object AnnIndex {
       appendBatch(spark, sfDir, r, batchPred)
     }
     scoreIvfPq(spark, sfDir,
-      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
+      frames(spark, root), Similarity.ivfPqNprobe)
   }
 
   /** LSH candidate generation + exact re-rank over a loaded index's bands
@@ -588,7 +639,7 @@ object AnnIndex {
       compact(spark, r)
     }
     scoreIvfPq(spark, sfDir,
-      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
+      frames(spark, root), Similarity.ivfPqNprobe)
   }
 
   /** Residual-encoded IVF×PQ, served from its own persisted index root
@@ -601,7 +652,7 @@ object AnnIndex {
     DotProduct.register(spark)
     val root = ensure(spark, sfDir, "resid")(r => buildResidualBase(spark, sfDir, r))
     scoreIvfPqResidual(spark, sfDir,
-      loadedFrames.getOrElseUpdate(root, load(spark, root)), Similarity.ivfPqNprobe)
+      frames(spark, root), Similarity.ivfPqNprobe)
   }
 
   /** The LSH half of the daily-ingest lifecycle: the incremental index's
@@ -621,7 +672,7 @@ object AnnIndex {
       appendBatch(spark, sfDir, r, batchPred)
     }
     scoreLsh(spark, sfDir,
-      loadedFrames.getOrElseUpdate(root, load(spark, root)).bands)
+      frames(spark, root).bands)
   }
 
   // -------------------------------------------------------------- oracles
@@ -631,8 +682,11 @@ object AnnIndex {
     * against them (build ∪ append ≡ the full population — the append's
     * correctness contract), then the cell-restricted ADC ranking. Mirrors
     * [[Similarity.annIvfPqOracle]]'s chain with the training predicates
-    * narrowed. */
-  val annIvfPqIncrementalOracle: String = {
+    * narrowed. `candPred` restricts the candidate population (the deleted
+    * lifecycle's tombstone mask; `TRUE` for the plain incremental index —
+    * deletion touches ONLY candidate membership, never the frozen
+    * quantizers, and the oracle says so structurally). */
+  private def incrementalOracle(candPred: String): String = {
     def d2(sv: String, cv: String): String =
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
@@ -734,7 +788,8 @@ object AnnIndex {
        cand AS (
          SELECT q.qid, a.vec_id
          FROM probes q JOIN assignments a
-           ON q.cluster = a.cluster AND a.vec_id != q.qid),
+           ON q.cluster = a.cluster AND a.vec_id != q.qid
+         WHERE $candPred),
        adc AS (
          SELECT cand.qid, c.vec_id, SUM(q.qd2) AS approx_d2
          FROM cand
@@ -751,12 +806,63 @@ object AnnIndex {
        FROM ranked WHERE rank <= 3""")
   }
 
+  val annIvfPqIncrementalOracle: String = incrementalOracle("TRUE")
+
+  /** The erasure set of the deleted/vacuumed entries: a deterministic
+    * 1-in-11 slice that hits BOTH index populations (standing `%7!=0` and
+    * appended `%7=0` ids), so the tombstone mask is exercised across
+    * deltas, and overlaps the query set (`%50=0`), pinning the external-
+    * query semantic: a deleted vector stops being a CANDIDATE but an
+    * incoming query equal to it still gets answered. */
+  private[queries] val deletedPred = "vec_id % 11 = 3"
+
+  val annIvfPqDeletedOracle: String = incrementalOracle(s"NOT (a.$deletedPred)")
+
+  /** The deletion leg of the lifecycle under the differential gate:
+    * build(standing) → append(batch) → delete(1-in-11) → serve. The oracle
+    * is the incremental oracle with ONLY the candidate population masked —
+    * quantizers, probes, and distance tables are structurally identical,
+    * which is the whole deletion contract (tombstones remove rows, not
+    * statistics). */
+  def annIvfPqDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "del") { r =>
+      buildBase(spark, sfDir, r, standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+      deleteIds(spark, r,
+        spark.table("embeddings").filter(expr(deletedPred)).select("vec_id"))
+    }
+    scoreIvfPq(spark, sfDir, frames(spark, root), Similarity.ivfPqNprobe)
+  }
+
+  /** The vacuum: delete then COMPACT, so the tombstoned rows are
+    * physically gone from the folded base (the erasure guarantee — after
+    * the fold no artifact byte of the deleted vectors exists on disk;
+    * AnnIndexSpec pins it by reading the folded tables raw). Shares
+    * [[annIvfPqDeletedOracle]] verbatim: physical removal must not move a
+    * single ranked pair relative to the masked view. */
+  def annIvfPqVacuumed(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val root = ensure(spark, sfDir, "vac") { r =>
+      buildBase(spark, sfDir, r, standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+      deleteIds(spark, r,
+        spark.table("embeddings").filter(expr(deletedPred)).select("vec_id"))
+      compact(spark, r)
+    }
+    scoreIvfPq(spark, sfDir, frames(spark, root), Similarity.ivfPqNprobe)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "sim_ann_ivfpq_incremental" -> (annIvfPqIncremental _),
     "sim_ann_ivfpq_compacted" -> (annIvfPqCompacted _),
     "sim_ann_ivfpq_residual" -> (annIvfPqResidual _),
-    "sim_ann_lsh_incremental" -> (annLshIncremental _))
+    "sim_ann_lsh_incremental" -> (annLshIncremental _),
+    "sim_ann_ivfpq_deleted" -> (annIvfPqDeleted _),
+    "sim_ann_ivfpq_vacuumed" -> (annIvfPqVacuumed _))
 
   val oracles: Map[String, String] = Map(
     // identical semantics to the fused entry by construction — build-once /
@@ -769,5 +875,8 @@ object AnnIndex {
     "sim_ann_ivfpq_residual" -> Similarity.annIvfPqResidualOracle,
     // base ∪ append ≡ the full band table (no trained state in LSH), so
     // the incremental serving surface shares the fused entry's oracle
-    "sim_ann_lsh_incremental" -> Similarity.annLshOracle)
+    "sim_ann_lsh_incremental" -> Similarity.annLshOracle,
+    "sim_ann_ivfpq_deleted" -> annIvfPqDeletedOracle,
+    // physical removal at the fold must serve bit-identically to the mask
+    "sim_ann_ivfpq_vacuumed" -> annIvfPqDeletedOracle)
 }

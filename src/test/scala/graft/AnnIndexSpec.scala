@@ -64,6 +64,7 @@ class AnnIndexSpec extends SparkSpec {
       ("semanticDedup", Similarity.semanticDedup(spark, sfDir), false),
       ("embeddingNearDup", Similarity.embeddingNearDup(spark, sfDir), true),
       ("annFiltered", Similarity.annFiltered(spark, sfDir), true),
+      ("annIvfPqDeleted", AnnIndex.annIvfPqDeleted(spark, sfDir), true),
       ("outlierReport", Similarity.outlierReport(spark, sfDir), false))
     pinned.foreach { case (name, df, noMinBy) =>
       val plan = df.queryExecution.executedPlan.toString()
@@ -162,6 +163,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1, 2))
     assert(rows(AnnIndex.scoreIvfPq(spark, sfDir,
       AnnIndex.load(spark, root), 3)) == before)
+  }
+
+  test("deletion lifecycle: tombstones mask serving, the vacuum makes erasure physical") {
+    val root = Files.createTempDirectory("graft-ann-delete-").toString
+    AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
+    AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
+    val full = AnnIndex.load(spark, root)
+    val liveBefore = full.assignments.count()
+    val codesBefore = full.codes.get.count()
+    val doomed = full.assignments.filter(expr(AnnIndex.deletedPred)).select("vec_id")
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0, "fixture must exercise the tombstone mask")
+
+    AnnIndex.deleteIds(spark, root, doomed)
+    // the delete is a pure delta: base artifacts untouched, one new delta
+    assert(graft.util.Dirs.numericSuffixes(root, "delta=").sorted == Seq(1, 2, 3))
+    val masked = AnnIndex.masked(AnnIndex.load(spark, root))
+    assert(masked.assignments.filter(expr(AnnIndex.deletedPred)).isEmpty,
+      "a tombstoned id survived the assignment mask")
+    assert(masked.codes.get.filter(expr(AnnIndex.deletedPred)).isEmpty,
+      "a tombstoned id survived the code mask")
+    assert(masked.bands.filter(expr(AnnIndex.deletedPred)).isEmpty,
+      "a tombstoned id survived the band mask")
+    val servedMasked = rows(AnnIndex.scoreIvfPq(spark, sfDir, masked, 3))
+    assert(servedMasked.nonEmpty)
+
+    // vacuum: the fold drops the rows PHYSICALLY and clears the tombstones
+    AnnIndex.compact(spark, root)
+    val folded = AnnIndex.load(spark, root)
+    assert(folded.tombstones.isEmpty, "the fold must clear the tombstone set")
+    assert(folded.assignments.count() == liveBefore - nDoomed,
+      "the fold must physically drop exactly the tombstoned assignment rows")
+    assert(folded.codes.get.count() < codesBefore &&
+      folded.codes.get.filter(expr(AnnIndex.deletedPred)).isEmpty,
+      "deleted code rows must be gone from the folded artifacts on disk")
+    assert(rows(AnnIndex.scoreIvfPq(spark, sfDir, folded, 3)) == servedMasked,
+      "physical erasure changed the serving surface relative to the mask")
   }
 
   test("compaction recovers from a crash in every window of its protocol") {
