@@ -534,7 +534,7 @@ object Similarity {
                JOIN cn c ON d.cid = c.cid) t
          WHERE rn = 1)"""
 
-  private def assignmentCtes: String = assignmentCtesFor("embeddings")
+  private[queries] def assignmentCtes: String = assignmentCtesFor("embeddings")
 
   /** SemDeDup-style semantic deduplication (cluster → within-cell cosine →
     * drop toward the lowest id): assign every vector of `embeddings_aug`
@@ -1411,7 +1411,7 @@ object Similarity {
 
   /** Shared PQ CTE chain: codebooks, codes, query distance tables, ADC
     * ranking — the oracle twin of [[annPq]]'s pipeline. */
-  private val pqCtes: String = {
+  private[queries] val pqCtes: String = {
     def d2(sv: String, cv: String): String =
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
@@ -1519,7 +1519,7 @@ object Similarity {
   private[queries] val ivfPqNprobe = 3
 
   /** Cell-restricted ADC CTE chain shared by the IVF×PQ oracle pair. */
-  private val ivfPqCtes: String =
+  private[queries] val ivfPqCtes: String =
     qprobesCteFor("ivfpq_probes", ivfPqNprobe) +
     s""", ivfpq_cand AS (
          SELECT q.qid, a.vec_id
@@ -1618,7 +1618,7 @@ object Similarity {
   /** Shared CTE: the ADC shortlist re-scored by exact cosine — the oracle
     * twin of [[rerank]] over the ivfpq chain ([[ivfPqCtes]]), division
     * and fold order identical to [[cosineCol]]. */
-  private val rerankCtes: String =
+  private[queries] val rerankCtes: String =
     s""", rr_cand AS (
          SELECT qid, vec_id FROM ivfpq_ranked WHERE rank <= $rerankBudget),
        rr_scored AS (

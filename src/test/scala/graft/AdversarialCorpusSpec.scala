@@ -118,6 +118,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "sim_ann_recall_nprobe_curve" -> (_ == 4),  // one row per nprobe level
     "sim_ann_filtered" -> (_ >= 0),             // label join drops garbage rows
     "sim_ann_recall_filtered" -> (_ >= 0),
+    "sim_ann_ivfpq_deleted" -> (_ >= 0),        // mask over whatever survives
+    "retrieval_hybrid_rrf" -> (_ >= 0),         // arms may both come up empty
     "sample_rho_loss" -> (n => n >= 0 && n <= 12),
     "mix_epoch_schedule" -> (n => n >= 1 && n <= 4),
     "corpus_hhi_concentration" -> (n => n >= 1 && n <= 4),
