@@ -67,7 +67,12 @@ object ScaleSoak {
     "sim_ann_ivfpq_residual",   // nprobe-fold distance tables + refined cells
     "sim_ann_sq8",              // full-scan 1-byte/dim reconstruction ADC
     "sim_ann_ivfpq_rerank",     // ADC shortlist + output-sized exact refine
-    "corpus_pack_stats")        // hierarchical positional prefix sum
+    "corpus_pack_stats",        // hierarchical positional prefix sum
+    // round-12 extension (this session):
+    "sim_ann_recall_nprobe_curve", // 4-level probe sweep over one index
+    "sim_ann_filtered",         // corpus-sized label join + bounded probes
+    "sim_ann_ivfpq_vacuumed",   // delete + FOLD: the physical-erasure leg
+    "retrieval_hybrid_rrf")     // inverted-index build + posting-mass joins
 
   // ---------------------------------------------------------------- synth
 
