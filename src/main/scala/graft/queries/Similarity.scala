@@ -1674,6 +1674,81 @@ object Similarity {
        WHERE e.rank <= 3
        GROUP BY e.qid""")
 
+  /** Over-fetch sweep for [[annRecallRerankCurve]]: 1× → 8× the final k.
+    * 3 is "no over-fetch" (the refine stage only reorders the ADC top-3),
+    * 12 is [[rerankBudget]] (the production default), 24 caps where the
+    * exact stage's per-query read (budget full vectors) stops being
+    * negligible next to the code scan. */
+  private[queries] val rerankBudgets = Seq(3, 6, 12, 24)
+
+  /** The over-fetch→recall curve — the refine stage's own knob table,
+    * completing the serving-knob pair with [[annRecallNprobeCurve]]:
+    * nprobe buys back UNPROBED-CELL loss, the rerank budget buys back
+    * IN-CELL RANKING loss (quantization error inside the probed cells),
+    * and a deployment reads both curves before spending either scan bytes
+    * (nprobe) or full-vector reads (budget). ONE ADC ranking at the max
+    * budget is computed off the persisted index ([[AnnIndex.scoreIvfPq]],
+    * nprobe = [[ivfPqNprobe]]); each level is a rank cut of that shared
+    * shortlist, exact-re-ranked to top-3 and aggregated to macro recall.
+    *
+    * Monotone by dominance: shortlists nest as the budget grows, and a
+    * true top-3 neighbor in the shortlist can only be out-ranked in the
+    * exact stage by the global top-2 — which are themselves hits — so
+    * per-query hits are non-decreasing in the budget (RerankCurveSpec
+    * pins it, plus the b=12 row agreeing with the gated
+    * [[annRecallIvfPqRerank]] entry).
+    *
+    * Scale shape: one cell-pruned ADC pass (the same plan every ivfpq
+    * entry serves), a 4-level rank cut of a Q₀×24 frame, and exact folds
+    * bounded by Q₀×24 — the sweep adds NO corpus-sized work beyond the
+    * single shared shortlist. */
+  def annRecallRerankCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val exact = cosineTopK(spark, sfDir).filter(col("rank") <= 3).localCheckpoint()
+    val shortlist = AnnIndex
+      .scoreIvfPq(spark, sfDir, AnnIndex.served(spark, sfDir), ivfPqNprobe,
+        k = rerankBudgets.max)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("vec_id"),
+        col("rank"))
+      .localCheckpoint()
+    val qv = v.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    rerankBudgets.map { b =>
+      val cands = shortlist.filter($"rank" <= b).select($"qid", $"vec_id")
+      recallAgainst(exact, rerank(v, qv, cands, 3))
+        .agg(count(lit(1)).as("n_queries"),
+          coalesce(sum($"hits"), lit(0L)).as("hits_total"))
+        .select(lit(b.toLong).as("rerank_budget"), $"n_queries", $"hits_total",
+          round($"hits_total" / (greatest($"n_queries", lit(1L)) * lit(3.0)), 6)
+            .as("macro_recall_at_3"))
+    }.reduce(_ unionByName _)
+  }
+
+  val annRecallRerankCurveOracle: String = Fixtures.oracle(
+    pqCtes + assignmentCtes + ivfPqCtes + exactSideCtes +
+      rerankBudgets.map { b =>
+        candRankedCtes(s"b$b",
+          s"SELECT qid, vec_id FROM ivfpq_ranked WHERE rank <= $b") +
+          s""", rec_b$b AS (
+             SELECT e.qid, COUNT(l.vec_id) AS hits
+             FROM exact_ranked e
+             LEFT JOIN cand_ranked_b$b l
+               ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+             WHERE e.rank <= 3
+             GROUP BY e.qid)"""
+      }.mkString +
+      rerankBudgets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS rerank_budget,
+                  CAST(COUNT(1) AS BIGINT) AS n_queries,
+                  CAST(COALESCE(SUM(hits), 0) AS BIGINT) AS hits_total,
+                  ROUND(COALESCE(SUM(hits), 0)
+                        / (GREATEST(COUNT(1), 1) * 3.0), 6) AS macro_recall_at_3
+           FROM rec_b$b"""
+      }.mkString(" UNION ALL "))
+
   // =====================================================================
   // SQ8: per-dimension 8-bit scalar quantization (faiss ScalarQuantizer)
   // =====================================================================
@@ -2552,6 +2627,7 @@ object Similarity {
     "sim_ann_recall_ivf_nprobe2" -> (annRecallIvfNprobe2 _),
     "sim_ann_recall_ivf_cells" -> (annRecallIvfCells _),
     "sim_ann_recall_nprobe_curve" -> (annRecallNprobeCurve _),
+    "sim_ann_recall_rerank_curve" -> (annRecallRerankCurve _),
     "sim_ann_filtered" -> (annFiltered _),
     "sim_ann_recall_filtered" -> (annRecallFiltered _),
     "sim_outlier_report" -> (outlierReport _))
@@ -2585,6 +2661,7 @@ object Similarity {
     "sim_ann_recall_ivf_nprobe2" -> annRecallIvfNprobe2Oracle,
     "sim_ann_recall_ivf_cells" -> annRecallIvfCellsOracle,
     "sim_ann_recall_nprobe_curve" -> annRecallNprobeCurveOracle,
+    "sim_ann_recall_rerank_curve" -> annRecallRerankCurveOracle,
     "sim_ann_filtered" -> annFilteredOracle,
     "sim_ann_recall_filtered" -> annRecallFilteredOracle,
     "sim_outlier_report" -> outlierReportOracle)
