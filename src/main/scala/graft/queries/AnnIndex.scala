@@ -553,6 +553,11 @@ object AnnIndex {
       (build: String => Unit): String =
     roots.getOrElseUpdate((spark, sfDir, tag), {
       val root = Files.createTempDirectory(s"graft-ann-$tag-").toString
+      // the temp root stands in for a durable index path: it must outlive
+      // every consumer in this session, but not the JVM — without this
+      // hook each Verify/Bench/test run leaves its indexes in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        rmTree(Paths.get(root))))
       build(root)
       root
     })

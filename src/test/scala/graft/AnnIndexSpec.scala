@@ -130,7 +130,7 @@ class AnnIndexSpec extends SparkSpec {
   test("compaction folds deltas; serving is bit-identical before and after") {
     // fresh root (the shared "incr" root must stay two-delta for the other
     // pins): base on the standing corpus, append the batch, then fold
-    val root = Files.createTempDirectory("graft-ann-compact-").toString
+    val root = SparkSpec.tempDir("graft-ann-compact-").toString
     AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
     AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
     val before = rows(AnnIndex.scoreIvfPq(spark, sfDir,
@@ -166,7 +166,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("deletion lifecycle: tombstones mask serving, the vacuum makes erasure physical") {
-    val root = Files.createTempDirectory("graft-ann-delete-").toString
+    val root = SparkSpec.tempDir("graft-ann-delete-").toString
     AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
     AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
     val full = AnnIndex.load(spark, root)
@@ -203,7 +203,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("compaction recovers from a crash in every window of its protocol") {
-    val root = Files.createTempDirectory("graft-ann-crash-").toString
+    val root = SparkSpec.tempDir("graft-ann-crash-").toString
     AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred)
     AnnIndex.appendBatch(spark, sfDir, root, AnnIndex.batchPred)
     val before = rows(AnnIndex.scoreIvfPq(spark, sfDir,
@@ -231,7 +231,7 @@ class AnnIndexSpec extends SparkSpec {
     // marker written, old deltas untouched. Manufacture it from a real
     // fold on a sibling root (identical input ⇒ identical staged bytes
     // shape), then recovery must COMPLETE the fold.
-    val sib = Files.createTempDirectory("graft-ann-crash-sib-").toString
+    val sib = SparkSpec.tempDir("graft-ann-crash-sib-").toString
     AnnIndex.buildBase(spark, sfDir, sib, AnnIndex.standingPred)
     AnnIndex.appendBatch(spark, sfDir, sib, AnnIndex.batchPred)
     AnnIndex.compact(spark, sib)
@@ -254,7 +254,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("sq8 rides the whole lifecycle: frozen-range append, artifacts survive a fold") {
-    val root = Files.createTempDirectory("graft-ann-sq8-life-").toString
+    val root = SparkSpec.tempDir("graft-ann-sq8-life-").toString
     AnnIndex.buildBase(spark, sfDir, root, AnnIndex.standingPred, withSq8 = true)
     // append encodes against the FROZEN persisted ranges (no retrain) —
     // the batch's codes must equal encoding the batch directly against the

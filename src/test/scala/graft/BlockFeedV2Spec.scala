@@ -25,12 +25,12 @@ class BlockFeedV2Spec extends SparkSpec {
       "block_number" -> b.toLong, "transaction_index" -> 0L, "event_index" -> 0L))
 
   test("streaming read: offsets advance per committed chunk, AvailableNow drains") {
-    val dir = Files.createTempDirectory("graft-feed-v2").toString + "/feed"
+    val dir = SparkSpec.tempDir("graft-feed-v2").toString + "/feed"
     val feed = new JsonBlockFeed(dir)
     feed.emit(chunk(1 to 50))
     feed.emit(chunk(51 to 80))
 
-    val out = Files.createTempDirectory("graft-feed-v2-out").toString
+    val out = SparkSpec.tempDir("graft-feed-v2-out").toString
     val q = spark.readStream.format("graft-blocks").schema(schema)
       .option("path", dir).load()
       .writeStream.trigger(Trigger.AvailableNow())
@@ -56,7 +56,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("batch backfill scans every committed chunk with one partition per chunk") {
-    val dir = Files.createTempDirectory("graft-feed-v2b").toString + "/feed"
+    val dir = SparkSpec.tempDir("graft-feed-v2b").toString + "/feed"
     val feed = new JsonBlockFeed(dir)
     (1 to 4).foreach(i => feed.emit(chunk(i * 10 until i * 10 + 5)))
 
@@ -70,7 +70,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("end-to-end: StreamDriver ingests through the v2 seam") {
-    val root = Files.createTempDirectory("graft-feed-v2e").toString
+    val root = SparkSpec.tempDir("graft-feed-v2e").toString
     val dir = s"$root/feed"
     val feed = new JsonBlockFeed(dir)
     feed.emit(chunk(1 to 100))
@@ -85,11 +85,11 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("maxChunksPerTrigger drains a backlog in bounded micro-batches") {
-    val dir = Files.createTempDirectory("graft-feed-v2a").toString + "/feed"
+    val dir = SparkSpec.tempDir("graft-feed-v2a").toString + "/feed"
     val feed = new JsonBlockFeed(dir)
     (1 to 3).foreach(i => feed.emit(chunk(i * 100 until i * 100 + 10)))
 
-    val out = Files.createTempDirectory("graft-feed-v2a-out").toString
+    val out = SparkSpec.tempDir("graft-feed-v2a-out").toString
     val q = spark.readStream.format("graft-blocks").schema(schema)
       .option("path", dir).option("maxChunksPerTrigger", "1").load()
       .writeStream.trigger(Trigger.ProcessingTime("50 milliseconds"))
@@ -106,7 +106,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("a control marker always rides alone in its micro-batch") {
-    val dir = Files.createTempDirectory("graft-feed-v2c").toString + "/feed"
+    val dir = SparkSpec.tempDir("graft-feed-v2c").toString + "/feed"
     val feed = new JsonBlockFeed(dir)
     val ctl = BlockFeedProvider.withControlColumns(schema)
     feed.emit(chunk(1 to 5))
@@ -115,7 +115,7 @@ class BlockFeedV2Spec extends SparkSpec {
     feed.emit(chunk(1 to 4))
     feed.emit(chunk(5 to 8))
 
-    val out = Files.createTempDirectory("graft-feed-v2c-out").toString
+    val out = SparkSpec.tempDir("graft-feed-v2c-out").toString
     val q = spark.readStream.format("graft-blocks").schema(ctl)
       .option("path", dir).load()
       .writeStream.trigger(Trigger.ProcessingTime("50 milliseconds"))
@@ -132,7 +132,7 @@ class BlockFeedV2Spec extends SparkSpec {
 
   test("reorg invalidation + pending head drive through the connector (T3/T4 on the v2 leg)") {
     import org.apache.spark.sql.functions.col
-    val root = Files.createTempDirectory("graft-feed-v2r").toString
+    val root = SparkSpec.tempDir("graft-feed-v2r").toString
     val dir = s"$root/feed"
     val feed = new JsonBlockFeed(dir)
     val pendingSchema = StructType(schema.fields :+ StructField("is_pending", BooleanType))
@@ -197,7 +197,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("an invalidate before any canonical write is a clean no-op retraction") {
-    val root = Files.createTempDirectory("graft-feed-v2i").toString
+    val root = SparkSpec.tempDir("graft-feed-v2i").toString
     val dir = s"$root/feed"
     val feed = new JsonBlockFeed(dir)
     val ctl = BlockFeedProvider.withControlColumns(schema)
@@ -209,7 +209,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("producer restart tolerates foreign files and resumes numbering (ADVICE r8)") {
-    val dir = Files.createTempDirectory("graft-feed-v2f").toString
+    val dir = SparkSpec.tempDir("graft-feed-v2f").toString
     val feed = new JsonBlockFeed(dir)
     feed.emit(chunk(1 to 3))
     feed.emit(chunk(4 to 6))
@@ -229,7 +229,7 @@ class BlockFeedV2Spec extends SparkSpec {
   }
 
   test("chunk listing ignores uncommitted temp files") {
-    val dir = Files.createTempDirectory("graft-feed-v2t").toString
+    val dir = SparkSpec.tempDir("graft-feed-v2t").toString
     val feed = new JsonBlockFeed(dir)
     feed.emit(chunk(1 to 3))
     // a producer mid-write: temp file present, not yet renamed

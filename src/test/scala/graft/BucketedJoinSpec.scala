@@ -13,7 +13,7 @@ class BucketedJoinSpec extends SparkSpec {
   test("same-bucketing join: sort-merge with zero exchanges; groupBy reuses the layout") {
     val s = spark
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("bucketspec").toString
+    val tmp = SparkSpec.tempDir("bucketspec").toString
     s.sql(s"CREATE DATABASE IF NOT EXISTS bucketspec LOCATION '$tmp'")
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -88,7 +88,7 @@ class CmsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
 
     val probes = Seq("key", "stream")
-    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toString
+    val ckpt = SparkSpec.tempDir("cms_ckpt").toString
     val in = MemoryStream[DocIn]
     val got = scala.collection.mutable.ArrayBuffer.empty[CmsEstimate]
     def start() = StreamingCms.estimates(in.toDS(), probes)

@@ -71,7 +71,7 @@ class IngestSpec extends SparkSpec {
 
   test("streaming retract rewrites only affected buckets (T3)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
 
     val batch = (1L to 9000L).map(b => (b, 0L, 0L))
@@ -90,7 +90,7 @@ class IngestSpec extends SparkSpec {
 
   test("retract crash recovery: committed-but-unswapped survivors are not lost (T3)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
 
     val batch = (1L to 9000L).map(b => (b, 0L, 0L))
@@ -131,7 +131,7 @@ class IngestSpec extends SparkSpec {
 
   test("checkpoint replay after retract does not resurrect retracted blocks (T2/T3)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
 
     val preReorg = (1L to 9000L).map(b => (b, 0L, 0L))
@@ -159,7 +159,7 @@ class IngestSpec extends SparkSpec {
 
   test("rows without a block number are dropped at the ingest boundary") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     val batch = Seq((Option(7L), 0L, 0L), (Option.empty[Long], 0L, 1L))
       .toDF("block_number", "transaction_index", "event_index")
@@ -179,7 +179,7 @@ class IngestSpec extends SparkSpec {
 
   test("compact folds old batches into the archive partition losslessly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     def batchDf(lo: Long, hi: Long) = (lo to hi).map(b => (b, 0L, 0L))
       .toDF("block_number", "transaction_index", "event_index")
@@ -210,7 +210,7 @@ class IngestSpec extends SparkSpec {
 
   test("checkpoint replay of a compacted batch does not duplicate its rows") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     val b0 = (1L to 100L).map(b => (b, 0L, 0L))
       .toDF("block_number", "transaction_index", "event_index")
@@ -228,7 +228,7 @@ class IngestSpec extends SparkSpec {
 
   test("retract over the archive partition prunes and rewrites correctly") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     driver.processBatch((1L to 9000L).map(b => (b, 0L, 0L))
       .toDF("block_number", "transaction_index", "event_index"), 0L)
@@ -242,7 +242,7 @@ class IngestSpec extends SparkSpec {
 
   test("compact clamps an over-large bound so future batches are not skipped") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     driver.processBatch((1L to 100L).map(b => (b, 0L, 0L))
       .toDF("block_number", "transaction_index", "event_index"), 0L)
@@ -259,7 +259,7 @@ class IngestSpec extends SparkSpec {
 
   test("compact recovery completes a fold that crashed before its deletes") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val dir = SparkSpec.tempDir("graft-stream").toString
     val driver = new graft.streaming.StreamDriver(spark, dir, s"$dir/ckpt")
     def batchDf(lo: Long, hi: Long) = (lo to hi).map(b => (b, 0L, 0L))
       .toDF("block_number", "transaction_index", "event_index")

@@ -24,7 +24,7 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
   }
 
   private def mkSink(): (JdbcMultiTableSink, String) = {
-    val root = Files.createTempDirectory("graft-mtsink").toString
+    val root = SparkSpec.tempDir("graft-mtsink").toString
     val url = s"jdbc:derby:$root/db;create=true"
     (new JdbcMultiTableSink(url, factTables), url)
   }
@@ -95,7 +95,7 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     import spark.implicits._
 
-    val root = Files.createTempDirectory("graft-mtsink-e2e").toString
+    val root = SparkSpec.tempDir("graft-mtsink-e2e").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
     val url = s"jdbc:derby:$root/db;create=true"

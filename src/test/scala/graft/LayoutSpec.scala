@@ -83,7 +83,7 @@ class LayoutSpec extends SparkSpec {
     val events = s.table("ek")
       .select(($"user_id" * 8).as("u"), expr("(btime - 1704067200) div 120").as("t"))
 
-    val base = Files.createTempDirectory("graft_layout").toString
+    val base = SparkSpec.tempDir("graft_layout").toString
     val n = 8
     Layout.writeZOrdered(events, "u", "t", s"$base/z", n)
     events.repartitionByRange(n, $"u").sortWithinPartitions("u")
@@ -111,7 +111,7 @@ class LayoutSpec extends SparkSpec {
     graft.fixtures.Fixtures.register(s, "/root/testdata/sf0.001")
     val docs = s.table("documents").select($"doc_id", $"lang", $"n_chars")
 
-    val base = Files.createTempDirectory("graft_shards").toString
+    val base = SparkSpec.tempDir("graft_shards").toString
     val counts1 = Layout.writeSharded(docs, "doc_id", s"$base/a", 4)
     val counts2 = Layout.writeSharded(docs, "doc_id", s"$base/b", 4)
     assert(counts1 == counts2, "membership must be reproducible")

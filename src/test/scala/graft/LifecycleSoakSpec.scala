@@ -40,7 +40,7 @@ class LifecycleSoakSpec extends SparkSpec {
   private val ctl = BlockFeedProvider.withControlColumns(schema)
 
   test("wire → drainer → connector → driver → JDBC + rollups survives reorg AND restart") {
-    val root = Files.createTempDirectory("graft-soak").toString
+    val root = SparkSpec.tempDir("graft-soak").toString
     val dir = s"$root/feed"
     val sfDir = SparkSpec.fixtureSf
     Fixtures.register(spark, sfDir)

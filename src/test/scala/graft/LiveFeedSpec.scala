@@ -40,7 +40,7 @@ class LiveFeedSpec extends SparkSpec {
   }
 
   test("racing live feed: pending head swap and mid-stream reorg (S1/T3/T4)") {
-    val root = Files.createTempDirectory("graft-live").toString
+    val root = SparkSpec.tempDir("graft-live").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -117,7 +117,7 @@ class LiveFeedSpec extends SparkSpec {
   }
 
   test("a restarted producer resumes chunk numbering, never clobbering committed chunks") {
-    val dir = Files.createTempDirectory("graft-live-restart").toString
+    val dir = SparkSpec.tempDir("graft-live-restart").toString
     val feed1 = new LiveBlockFeed(dir, schema)
     feed1.emit(rows(1 to 3, pending = false))
     feed1.emit(rows(4 to 6, pending = false))

@@ -65,7 +65,7 @@ class NetFeedSpec extends SparkSpec {
   private val ctl = BlockFeedProvider.withControlColumns(schema)
 
   test("socket → drainer → connector → StreamDriver: reorg + pending survive the wire") {
-    val root = Files.createTempDirectory("graft-net-e2e").toString
+    val root = SparkSpec.tempDir("graft-net-e2e").toString
     val dir = s"$root/feed"
     val script = BlockStreamScenario.chainWithReorg(blocks = 80L, reorgAt = 50L)
     val srv = new BlockStreamServer(script)
@@ -89,7 +89,7 @@ class NetFeedSpec extends SparkSpec {
   }
 
   test("drainer crash mid-stream resumes from the chunk count, no dup no gap") {
-    val root = Files.createTempDirectory("graft-net-resume").toString
+    val root = SparkSpec.tempDir("graft-net-resume").toString
     val dir = s"$root/feed"
     val script = BlockStreamScenario.chainWithReorg(blocks = 40L, reorgAt = 20L)
     val srv = new BlockStreamServer(script)
@@ -120,7 +120,7 @@ class NetFeedSpec extends SparkSpec {
   }
 
   test("a separate server process serves the stream over a real socket") {
-    val root = Files.createTempDirectory("graft-net-proc").toString
+    val root = SparkSpec.tempDir("graft-net-proc").toString
     val dir = s"$root/feed"
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val proc = new ProcessBuilder(

@@ -145,7 +145,7 @@ class ProtoWireSpec extends AnyFunSuite {
   test("binary framing ≡ JSON framing through a real socket + drainer") {
     val script = BlockStreamScenario.chainWithReorg(blocks = 40L, reorgAt = 20L)
     def drained(binary: Boolean): (Long, Seq[String]) = {
-      val dir = Files.createTempDirectory(s"graft-proto-e2e-$binary").toString
+      val dir = SparkSpec.tempDir(s"graft-proto-e2e-$binary").toString
       val srv = new BlockStreamServer(script, binary = binary)
       try {
         val n = BlockStreamDrainer.drain(
@@ -165,7 +165,7 @@ class ProtoWireSpec extends AnyFunSuite {
 
   test("binary drainer resumes from the chunk count like the JSON one") {
     val script = BlockStreamScenario.chainWithReorg(blocks = 40L, reorgAt = 20L)
-    val dir = Files.createTempDirectory("graft-proto-resume").toString
+    val dir = SparkSpec.tempDir("graft-proto-resume").toString
     val srv = new BlockStreamServer(script, binary = true)
     try {
       val (n1, done1) = BlockStreamDrainer.drainOnce(

@@ -34,7 +34,7 @@ class RollupIncrementalSpec extends SparkSpec {
 
   test("refresh tick rewrites only hour >= since partitions, result equals full recompute") {
     graft.fixtures.Fixtures.register(spark, sfDir)
-    val outRoot = Files.createTempDirectory("graft-rollups").toString
+    val outRoot = SparkSpec.tempDir("graft-rollups").toString
     val refresher = new RollupRefresher(spark, sfDir, outRoot, lookBackHours = 2L)
 
     // tick 1: no watermark -> full materialization
@@ -80,7 +80,7 @@ class RollupIncrementalSpec extends SparkSpec {
 
   test("refresher plugs into StreamDriver's analytical tier") {
     graft.fixtures.Fixtures.register(spark, sfDir)
-    val outRoot = Files.createTempDirectory("graft-rollups-hook").toString
+    val outRoot = SparkSpec.tempDir("graft-rollups-hook").toString
     val refresher = new RollupRefresher(spark, sfDir, outRoot)
     val hook: Long => Unit = refresher.hook // the onAnalyticalRefresh slot
     hook(0L)

@@ -19,8 +19,24 @@ object SparkSpec {
     * parquet from [[fixtureSf]] EXCEPT the named ones, which the caller
     * writes itself — the shared setup for adversarial/synthetic-corpus
     * specs (was copy-pasted per test before). */
+  /** Temp dir deleted at JVM exit — specs use this instead of a bare
+    * Files.createTempDirectory so test runs don't accrete /tmp (dirs may
+    * be read lazily until the shared session dies, so per-test deletion
+    * is not safe; JVM exit is). */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
   def fixtureDirExcept(except: String*): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_fix")
+    val dir = tempDir("graft_fix")
     for (t <- graft.fixtures.Fixtures.baseTables if !except.contains(t))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$fixtureSf/$t.parquet"),

@@ -65,7 +65,7 @@ class StreamingAnomalySpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val ckpt = java.nio.file.Files.createTempDirectory("anomaly_ckpt").toString
+    val ckpt = SparkSpec.tempDir("anomaly_ckpt").toString
     val in = MemoryStream[EventIn]
     // the memory sink rejects checkpoint recovery; collect via foreachBatch
     // (the same sink shape StreamDriver uses)

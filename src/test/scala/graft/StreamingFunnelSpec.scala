@@ -85,7 +85,7 @@ class StreamingFunnelSpec extends SparkSpec {
 
     val evs = allEvents
     val half = evs.length / 2
-    val ckpt = java.nio.file.Files.createTempDirectory("funnel_ckpt").toString
+    val ckpt = SparkSpec.tempDir("funnel_ckpt").toString
     val latest = scala.collection.mutable.Map.empty[Long, Long]
 
     val in = MemoryStream[EventIn]

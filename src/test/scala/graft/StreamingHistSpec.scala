@@ -90,7 +90,7 @@ class StreamingHistSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val ckpt = java.nio.file.Files.createTempDirectory("hist_ckpt").toString
+    val ckpt = SparkSpec.tempDir("hist_ckpt").toString
     val in = MemoryStream[ValueIn]
     val got = scala.collection.mutable.ArrayBuffer.empty[HistOut]
     def start() = StreamingHist.hists(in.toDS())

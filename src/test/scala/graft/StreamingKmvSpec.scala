@@ -69,7 +69,7 @@ class StreamingKmvSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val ckpt = java.nio.file.Files.createTempDirectory("kmv_ckpt").toString
+    val ckpt = SparkSpec.tempDir("kmv_ckpt").toString
     val in = MemoryStream[DocIn]
     val got = scala.collection.mutable.ArrayBuffer.empty[KmvEstimate]
     def start() = StreamingKmv.estimates(in.toDS(), k)

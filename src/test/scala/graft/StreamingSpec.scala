@@ -19,7 +19,7 @@ class StreamingSpec extends SparkSpec {
 
   test("ingest, checkpoint-resume, and two-tier refresh cadence (T1/T2/T5)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -63,7 +63,7 @@ class StreamingSpec extends SparkSpec {
 
   test("real checkpoint replay after retract does not resurrect retracted blocks (T2/T3)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
 
   test("pending blocks are served operationally but never committed as canonical (T4)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -149,7 +149,7 @@ class StreamingSpec extends SparkSpec {
 
   test("checkpoint replay after retract does not repopulate the pending store (T3 ∩ T4)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpec {
 
   test("operationalEvents serves the pending head (or nothing) before any canonical data") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 
@@ -208,7 +208,7 @@ class StreamingSpec extends SparkSpec {
 
   test("a custom (non-file) BlockSource drives the same ingestion pipeline") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
 
     // an in-memory stream standing in for a network source (Kafka / gRPC
     // bridge): proves the BlockSource seam, not just the bundled file impl
@@ -234,7 +234,7 @@ class StreamingSpec extends SparkSpec {
 
   test("JDBC sink leg: idempotent batch writes, replay convergence, reorg deletes") {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-streaming").toString
+    val root = SparkSpec.tempDir("graft-streaming").toString
     val rawDir = s"$root/raw"
     Files.createDirectories(java.nio.file.Paths.get(rawDir))
 

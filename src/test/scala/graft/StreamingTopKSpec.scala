@@ -61,7 +61,7 @@ class StreamingTopKSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val ckpt = java.nio.file.Files.createTempDirectory("topk_ckpt").toString
+    val ckpt = SparkSpec.tempDir("topk_ckpt").toString
     val in = MemoryStream[ValueIn]
     val got = scala.collection.mutable.ArrayBuffer.empty[TopKOut]
     def start() = StreamingTopK.tops(in.toDS(), k)
