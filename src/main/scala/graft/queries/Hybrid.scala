@@ -193,9 +193,261 @@ object Hybrid {
              FROM hy_fused)
        WHERE rk <= 3""")
 
+  // =====================================================================
+  // RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 relevance
+  // models; the RM3 interpolation of Abdul-Jaleel et al., TREC 2004)
+  // =====================================================================
+
+  /** Feedback depth: top-N first-pass documents feed the relevance model
+    * (TREC-standard ballpark; bounded so every model frame is N-doc-sized). */
+  private[queries] val rm3FbDocs = 5
+
+  /** Expansion budget: top-E relevance-model terms join the query. */
+  private[queries] val rm3ExpTerms = 5
+
+  /** Interpolation weight λ of the ORIGINAL query (RM3's one knob). Each
+    * original term carries λ·P(t|Q) = λ/|Q|, written as a single literal
+    * division so both engines fold the identical IEEE constant. */
+  private def rm3OrigWeight = lit(0.5) / lit(3.0)
+
+  /** RM3 query expansion, the classic retrieval quality lever: first-pass
+    * BM25 ([[TextOps.bm25Scored]]'s arithmetic, the gated `text_bm25_search`
+    * chain) retrieves a feedback set of [[rm3FbDocs]] docs; the relevance
+    * model weighs each feedback-doc term by rm(w) = Σ_d s(d)·P(w|d)
+    * (P(w|d) = tf/dl — Lavrenko & Croft's eq. 9 with the BM25 score as the
+    * doc posterior); the top [[rm3ExpTerms]] terms (original query terms
+    * excluded) join the query with weight (1−λ)·rm(w)/Σrm, originals keep
+    * λ/|Q|; the second pass ranks the corpus by the weighted BM25 sum.
+    *
+    * Cross-engine determinism (the [[hybridRrf]] lanes, uniformly): every
+    * variable-addend sum — rm(w) over ≤N feedback docs, the normalizer Σrm
+    * over the feedback vocabulary, the second-pass per-doc weighted sum —
+    * is a DECIMAL(25,12) lane (exact, fold-order-free); ranking compares
+    * decimals (exact), ties break on word/doc_id; the only doubles are
+    * single fixed-shape expression trees mirrored token-for-token in the
+    * oracle.
+    *
+    * Scale shape: tf/df/dl/stats are the once-per-snapshot inverted-index
+    * build (one corpus-sized shuffle each, shared with [[hybridRrf]]'s
+    * sparse arm at a deployment's layout). Everything model-side is
+    * feedback-bounded: rm aggregates the N feedback docs' tokens, the
+    * expansion cut is a ≤vocab(N docs) TakeOrdered. The second pass probes
+    * the posting lists with a BROADCAST of |Q|+E ≤ 8 (term, weight) rows,
+    * so its volume is those terms' posting mass — the same bound as the
+    * first pass, never O(corpus × vocab). No corpus-sized window anywhere
+    * (the rank window sits post-limit, ≤10 rows). */
+  def rm3Search(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    // ≤ |Q|+E = 8 rows: materialize once so the expansion pipeline (first
+    // pass + relevance model) runs once, not once per consumer below
+    val w8 = rm3Weights(spark).localCheckpoint()
+    rm3Score(spark, w8)
+      .orderBy($"ssum".desc, $"doc_id")
+      .limit(10)
+      // BOUNDED global window: post-limit frame (≤ 10 rows)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"ssum".desc, $"doc_id")).cast(LongType))
+      .select($"doc_id", round($"ssum".cast(DoubleType), 6).as("score"), $"rank")
+  }
+
+  /** The weighted-BM25 second pass, factored for spec-level pinning on an
+    * arbitrary (word, w) table: (doc_id, ssum DECIMAL). */
+  private[queries] def rm3Score(spark: SparkSession, weights: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (tf, dfAll, dls, stats) = invertedIndex(spark)
+    tf.join(broadcast(weights), Seq("word"))
+      .join(broadcast(dfAll.join(weights.select($"word"), Seq("word"))), Seq("word"))
+      .join(dls, Seq("doc_id"))
+      .join(broadcast(stats))
+      .withColumn("avgdl", $"total_dl".cast(DoubleType) / $"n".cast(DoubleType))
+      .withColumn("idf",
+        (($"n" - $"df").cast(DoubleType) + lit(0.5)) / ($"df".cast(DoubleType) + lit(0.5)))
+      .withColumn("sc",
+        $"idf" * ($"tf".cast(DoubleType) * lit(2.2)) /
+          ($"tf".cast(DoubleType) +
+            lit(1.2) * (lit(0.25) + lit(0.75) * ($"dl".cast(DoubleType) / $"avgdl"))))
+      .withColumn("wsc", ($"w" * $"sc").cast(DecimalType(25, 12)))
+      .groupBy($"doc_id")
+      .agg(sum($"wsc").as("ssum"))
+  }
+
+  /** The expansion-term table alone — RM3's explainability surface (what
+    * the model added and at what weight), the frame a relevance engineer
+    * reads before shipping the λ. */
+  def rm3Terms(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    rm3Expansion(spark)
+      .select($"word".as("term"), $"trank",
+        round($"rm".cast(DoubleType), 6).as("rm_w"),
+        round($"w", 6).as("weight"))
+  }
+
+  /** The corpus inverted index: (doc,word) tf, per-word df, doc lengths,
+    * 1-row corpus stats — the once-per-snapshot frames every sparse arm
+    * shares. */
+  private def invertedIndex(spark: SparkSession)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = spark.table("documents")
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val dls = docs.select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
+    (tf, df, dls, stats)
+  }
+
+  /** Expansion terms with their relevance-model mass and final RM3 weight:
+    * (word, rm DECIMAL, trank, w DOUBLE). */
+  private def rm3Expansion(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (tf, _, dls, _) = invertedIndex(spark)
+    // first pass: the gated bm25 chain — fixed-order 3-term combine, so
+    // the feedback scores are bit-identical to text_bm25_search's
+    val scored = TextOps.bm25Scored(spark.table("documents"), TextOps.bm25Terms)
+    val perTerm = TextOps.bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when($"word" === t, $"sc")).as(s"s_$i")
+    }
+    val fb = scored.groupBy($"doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        TextOps.bm25Terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0))).reduce(_ + _))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(rm3FbDocs)
+      .select($"doc_id", $"score")
+    // relevance model over the feedback docs' vocabulary (minus the
+    // original terms, which RM3 re-weights separately); score and dl ride
+    // the N-row broadcast so the corpus-sized dls frame is never joined
+    val rm = tf.join(broadcast(fb.join(dls, Seq("doc_id"))), Seq("doc_id"))
+      .filter(!$"word".isin(TextOps.bm25Terms: _*))
+      .withColumn("addend",
+        ($"score" * ($"tf".cast(DoubleType) / $"dl".cast(DoubleType)))
+          .cast(DecimalType(25, 12)))
+      .groupBy($"word")
+      .agg(sum($"addend").as("rm"))
+    val rmTotal = rm.agg(sum($"rm").as("rm_total"))
+    rm
+      .orderBy($"rm".desc, $"word")
+      .limit(rm3ExpTerms)
+      // BOUNDED global window: post-limit frame (≤ rm3ExpTerms rows)
+      .withColumn("trank", row_number().over(
+        Window.orderBy($"rm".desc, $"word")).cast(LongType))
+      .crossJoin(broadcast(rmTotal))
+      .withColumn("w",
+        lit(0.5) * ($"rm".cast(DoubleType) / $"rm_total".cast(DoubleType)))
+      .select($"word", $"rm", $"trank", $"w")
+  }
+
+  /** The final |Q|+E term/weight broadcast: originals at λ/|Q|, expansion
+    * at (1−λ)·rm/Σrm. */
+  private def rm3Weights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val orig = TextOps.bm25Terms.toDF("word").withColumn("w", rm3OrigWeight)
+    orig.unionByName(rm3Expansion(spark).select($"word", $"w"))
+  }
+
+  /** Shared oracle CTE chain ending at `rm3_exp(word, rm, trank, w)` —
+    * the DuckDB twin of [[rm3Expansion]], token-for-token. */
+  private def rm3ExpCtes: String = {
+    val terms = TextOps.bm25Terms.map(t => s"'$t'").mkString(", ")
+    val caseSums = TextOps.bm25Terms.zipWithIndex
+      .map { case (t, i) => s"SUM(CASE WHEN word = '$t' THEN sc END) AS s_$i" }
+      .mkString(", ")
+    val total = TextOps.bm25Terms.indices.map(i => s"COALESCE(s_$i, 0.0)").mkString(" + ")
+    s""", rm3_tf AS (
+         SELECT doc_id, word, COUNT(1) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1, 2),
+       rm3_df AS (SELECT word, COUNT(1) AS df FROM rm3_tf GROUP BY 1),
+       rm3_dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+       rm3_stats AS (SELECT COUNT(1) AS n, SUM(dl) AS total_dl FROM rm3_dls),
+       rm3_qtf AS (SELECT doc_id, word, tf FROM rm3_tf WHERE word IN ($terms)),
+       rm3_qdf AS (SELECT word, COUNT(1) AS df FROM rm3_qtf GROUP BY 1),
+       rm3_p1 AS (
+         SELECT t.doc_id, t.word,
+                ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                  * (CAST(t.tf AS DOUBLE) * 2.2)
+                  / (CAST(t.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                             / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))) AS sc
+         FROM rm3_qtf t
+         JOIN rm3_qdf d ON t.word = d.word
+         JOIN rm3_dls l ON t.doc_id = l.doc_id
+         CROSS JOIN rm3_stats s),
+       rm3_fb AS (
+         SELECT doc_id, $total AS score
+         FROM (SELECT doc_id, $caseSums FROM rm3_p1 GROUP BY 1)
+         ORDER BY $total DESC, doc_id
+         LIMIT $rm3FbDocs),
+       rm3_rm AS (
+         SELECT t.word,
+                SUM(CAST(CAST(f.score * (CAST(t.tf AS DOUBLE) / CAST(l.dl AS DOUBLE))
+                         AS VARCHAR) AS DECIMAL(25,12))) AS rm
+         FROM rm3_fb f
+         JOIN rm3_tf t ON t.doc_id = f.doc_id
+         JOIN rm3_dls l ON l.doc_id = f.doc_id
+         WHERE t.word NOT IN ($terms)
+         GROUP BY 1),
+       rm3_tot AS (SELECT SUM(rm) AS rm_total FROM rm3_rm),
+       rm3_exp AS (
+         SELECT word, rm,
+                ROW_NUMBER() OVER (ORDER BY rm DESC, word) AS trank,
+                0.5 * (CAST(rm AS DOUBLE) / CAST((SELECT rm_total FROM rm3_tot) AS DOUBLE)) AS w
+         FROM rm3_rm
+         ORDER BY rm DESC, word
+         LIMIT $rm3ExpTerms)"""
+  }
+
+  val rm3TermsOracle: String = Fixtures.oracle(rm3ExpCtes +
+    """
+     SELECT word AS term, CAST(trank AS BIGINT) AS trank,
+            ROUND(CAST(rm AS DOUBLE), 6) AS rm_w,
+            ROUND(w, 6) AS weight
+     FROM rm3_exp""")
+
+  val rm3SearchOracle: String = {
+    val origRows = TextOps.bm25Terms
+      .map(t => s"SELECT '$t' AS word, 0.5 / 3.0 AS w")
+      .mkString(" UNION ALL ")
+    Fixtures.oracle(rm3ExpCtes +
+      s""", rm3_w8 AS ($origRows UNION ALL SELECT word, w FROM rm3_exp),
+         rm3_p2 AS (
+           SELECT t.doc_id,
+                  CAST(CAST(
+                    q.w * (((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                      * (CAST(t.tf AS DOUBLE) * 2.2)
+                      / (CAST(t.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                                 / (CAST(s.total_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+                    AS VARCHAR) AS DECIMAL(25,12)) AS wsc
+           FROM rm3_w8 q
+           JOIN rm3_tf t ON t.word = q.word
+           JOIN rm3_df d ON d.word = q.word
+           JOIN rm3_dls l ON l.doc_id = t.doc_id
+           CROSS JOIN rm3_stats s),
+         rm3_ranked AS (
+           SELECT doc_id, ssum,
+                  ROW_NUMBER() OVER (ORDER BY ssum DESC, doc_id) AS rank
+           FROM (SELECT doc_id, SUM(wsc) AS ssum FROM rm3_p2 GROUP BY 1)
+           ORDER BY ssum DESC, doc_id
+           LIMIT 10)
+       SELECT doc_id, ROUND(CAST(ssum AS DOUBLE), 6) AS score,
+              CAST(rank AS BIGINT) AS rank
+       FROM rm3_ranked""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "retrieval_hybrid_rrf" -> (hybridRrf _))
+    "retrieval_hybrid_rrf" -> (hybridRrf _),
+    "retrieval_rm3_terms" -> (rm3Terms _),
+    "retrieval_rm3_search" -> (rm3Search _))
 
   val oracles: Map[String, String] = Map(
-    "retrieval_hybrid_rrf" -> hybridRrfOracle)
+    "retrieval_hybrid_rrf" -> hybridRrfOracle,
+    "retrieval_rm3_terms" -> rm3TermsOracle,
+    "retrieval_rm3_search" -> rm3SearchOracle)
 }
