@@ -194,11 +194,306 @@ object Classifier {
        FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
        GROUP BY 1""")
 
+  // =====================================================================
+  // Class-balanced batch perceptron: the OPTIMIZING counterpart of the
+  // counting NB (Rosenblatt's rule in the full-batch form of Duda–Hart
+  // §5.5 — every round computes one gradient of the perceptron criterion
+  // over the whole corpus and applies it once, which is what makes the
+  // loop distributable: per-example sequential updates don't shard,
+  // full-batch sums do. The same shape McDonald et al. (NAACL 2010)
+  // distribute by parameter mixing; here each round IS one exact global
+  // batch). Updates are CLASS-BALANCED — each error doc's contribution is
+  // scaled by the OTHER class's doc count (the integer form of the
+  // standard 1/class-frequency cost reweighting): measured unbalanced on
+  // the fixture (50 pos / 450 neg), the raw batch overshoots into an
+  // all-negative limit cycle (curve: 50 → 450 → 50 → … errors, every
+  // final margin ≤ 0); cross-scaling makes the two classes' gradient
+  // mass comparable and the model actually separates. Both scalings are
+  // exact integers, so the entries stay hash-gateable.
+  // =====================================================================
+
+  /** Fixed round budget: training cost is pcpRounds × 2 corpus passes by
+    * construction, never data-dependent (a convergence test would make
+    * the plan shape — and the oracle — corpus-dependent). */
+  private[queries] val pcpRounds = 12
+
+  /** Fixed-point scale of the L1-normalized features: x̂ = (tf·pcpF) DIV dl,
+    * so every document is a length-free composition vector with mass
+    * ≈ pcpF. Without this, margins are dominated by document LENGTH (all
+    * docs share one vocabulary, so Σ tf·w ≈ dl·mean(w)) and the batch
+    * update can only swing global polarity — measured as a 50 ↔ 450
+    * error limit cycle that no step schedule tamed. dl ≤ a few hundred,
+    * so 10⁴ resolves every tf/dl ratio the fixture (or any real page-
+    * length corpus) produces. */
+  private[queries] val pcpF = 10000L
+
+  /** Balanced-update quantum: negative-class errors step ×pcpQ, positive
+    * ×(n_neg·pcpQ) DIV n_pos — the class-imbalance ratio as a BOUNDED
+    * integer (raw cross-mass scaling n_neg/n_pos·n_pos kept magnitudes
+    * proportional to corpus size; the ratio keeps them proportional to
+    * imbalance only). */
+  private[queries] val pcpQ = 100L
+
+  /** (doc_id, bucket, tf, y): hashed-unigram counts with the ±1 label —
+    * the design matrix, one corpus-sized aggregate over the shared
+    * [[nbTokens]] stream (the label rides `max()` over the per-doc
+    * constant so no join against `documents` is needed) — plus the BIAS
+    * feature (bucket −1, tf 1, per doc): without an intercept every
+    * balanced batch update shifts the whole weight vector by a class's
+    * gradient mass, so the model's POLARITY oscillates and the
+    * discriminative per-bucket contrast never surfaces (measured: the
+    * biasless curve swings 50 ↔ 450 errors with no usable round); with
+    * it, the class-imbalance mass concentrates in the 1-D bias weight and
+    * the token weights accumulate the error-set contrast. */
+  private[queries] def pcpFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    pcpTf(spark, sfDir)
+
+  private def pcpTf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "pcp_tf") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = nbTokens(spark, sfDir)
+        .groupBy($"doc_id", $"bucket")
+        .agg(count(lit(1)).as("tf"),
+          max(when(expr(nbPosPred), 1L).otherwise(-1L)).as("y"))
+      val normed = base
+        // PARTITIONED window (doc-keyed — the bounded class)
+        .withColumn("dl", sum($"tf").over(Window.partitionBy($"doc_id")))
+        .select($"doc_id", $"bucket",
+          expr(s"(tf * $pcpF) DIV dl").as("xf"), $"y")
+      normed.unionByName(base.select($"doc_id", $"y").distinct()
+        .select($"doc_id", lit(-1L).as("bucket"), lit(pcpF).as("xf"), $"y"))
+    }
+
+  private val decZero = lit(0).cast(DecimalType(38, 0))
+
+  /** One batch-perceptron training run per (session, corpus): K rounds of
+    * score → error set → gradient → additive update, all integer (the
+    * perceptron has no learning-rate rational to truncate — update = raw
+    * count sums), DECIMAL(38,0)/HUGEINT lanes so no 100 TB token count can
+    * wrap ([[weightExpr]]'s argument). Every round's weight table and
+    * error set is localCheckpoint-ed: rounds chain from materialized
+    * leaves, not a 6-deep replay ([[graft.util.Memo.checkpointed]]'s
+    * task-binary argument). Returns (final weights, per-round curve).
+    *
+    * Scale shape: each round is exactly two corpus-sized passes (the
+    * full-batch gradient's floor) — a doc-partitioned margin aggregate
+    * against a ≤[[nbBuckets]]-row BROADCAST model, then a bucket-keyed
+    * gradient over the error docs; weights/gradients stay model-sized
+    * (≤4096 rows) at any corpus size. */
+  private val pcpCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def pcpModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    pcpCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      val tf = pcpTf(spark, sfDir)
+      // per-class doc counts + the bounded imbalance ratio (1-row broadcast)
+      val cls = tf.select($"doc_id", $"y").distinct()
+        .agg(sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos"),
+          sum(when($"y" === 1L, 0L).otherwise(1L)).as("n_neg"))
+        .withColumn("r", expr(
+          s"CASE WHEN n_pos = 0 THEN 0 ELSE (n_neg * $pcpQ) DIV n_pos END"))
+        .localCheckpoint()
+      val Array(nPos, nNeg) = cls.collect().head match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      // w₀ = 0, as an empty model-schema frame: round 1's margins coalesce
+      // to 0, so its error set is every positive doc (sign(0) = −1)
+      val ws = scala.collection.mutable.ArrayBuffer(
+        tf.limit(0).select($"bucket", decZero.as("wgt")))
+      val curve = Seq.newBuilder[DataFrame]
+      // per-round balanced error mass ep·n_neg + en·n_pos, the pocket key
+      val bmass = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+      for (k <- 1 to pcpRounds) {
+        val errs = tf.join(broadcast(ws.last), Seq("bucket"), "left_outer")
+          .withColumn("contrib",
+            $"xf".cast(DecimalType(38, 0)) * coalesce($"wgt", decZero))
+          .groupBy($"doc_id", $"y")
+          .agg(sum($"contrib").as("m"))
+          .filter(($"y" === 1L && $"m" <= 0) || ($"y" === -1L && $"m" > 0))
+          .select($"doc_id", $"y")
+          .localCheckpoint()
+        val grad = tf.join(errs.select($"doc_id"), Seq("doc_id"))
+          .crossJoin(broadcast(cls))
+          .groupBy($"bucket")
+          .agg(sum(($"y" * $"xf" *
+            when($"y" === 1L, $"r").otherwise(lit(pcpQ)))
+            .cast(DecimalType(38, 0))).as("g"))
+          .localCheckpoint() // ≤ nbBuckets rows
+        ws += ws.last.join(grad, Seq("bucket"), "full_outer")
+          .select($"bucket",
+            (coalesce($"wgt", decZero) + coalesce($"g", decZero)).as("wgt"))
+          .localCheckpoint()
+        // 1-row bounded collects per round (the Bpe merge-table class):
+        // the pocket needs the per-class error counts ON THE DRIVER to
+        // pick which round's frame the train/score entries serve
+        val Array(ep, en) = errs
+          .agg(coalesce(sum(when($"y" === 1L, 1L).otherwise(0L)), lit(0L)).as("ep"),
+            coalesce(sum(when($"y" === 1L, 0L).otherwise(1L)), lit(0L)).as("en"))
+          .collect().head match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        bmass += BigInt(ep) * BigInt(nNeg) + BigInt(en) * BigInt(nPos)
+        curve += Seq((k.toLong, ep + en, ep, en, grad.count()))
+          .toDF("round", "errors", "errors_pos", "errors_neg", "updated")
+      }
+      // pocket (Gallant 1990): serve the round with the smallest BALANCED
+      // error mass (ties → earliest). er_k scored w_{k-1}, so the winner
+      // is ws(k*−1); plain error count would pick the degenerate
+      // all-negative model whenever the classes are this imbalanced
+      val kStar = bmass.zipWithIndex.minBy { case (b, i) => (b, i) }._2 + 1
+      (ws(kStar - 1), curve.result().reduce(_ unionByName _))
+    })
+
+  /** The trained linear model — the POCKET round's weight table (Gallant,
+    * IEEE TNN 1990: on non-separable data the raw perceptron ends wherever
+    * its limit cycle happens to stop, so serve the best round instead).
+    * "Best" is the smallest balanced error mass ep·n_neg + en·n_pos — the
+    * integer cross-multiplied form of the balanced error rate, which under
+    * class imbalance is the criterion that does NOT hand the win to the
+    * degenerate all-negative model (measured: plain error count does). */
+  def pcpTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    pcpModel(spark, sfDir)._1
+      .select($"bucket", $"wgt".cast(LongType).as("wgt"))
+  }
+
+  /** The training curve: per round, how many documents the CURRENT model
+    * misclassifies and how many buckets the batch update touches — the
+    * table a curation run reads to size [[pcpRounds]] (and to see
+    * non-separable oscillation instead of guessing at it). */
+  def pcpCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    pcpModel(spark, sfDir)._2
+  }
+
+  /** Apply the trained model: per-doc margin Σ x̂·w and the keep gate
+    * (margin > 0 — the training rule's own sign convention, so "keep"
+    * means "the model calls it a positive exemplar"). Same broadcast-join
+    * + map-side fold plan as [[nbScore]]. The BIGINT margin wraps only
+    * past ~10¹¹ docs × full imbalance — the [[weightExpr]] ceiling class,
+    * same guard story. */
+  def pcpScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val w = pcpModel(spark, sfDir)._1
+    pcpTf(spark, sfDir)
+      .join(broadcast(w), Seq("bucket"), "left_outer")
+      .withColumn("contrib",
+        $"xf".cast(DecimalType(38, 0)) * coalesce($"wgt", decZero))
+      .groupBy($"doc_id")
+      .agg(sum($"contrib").as("m"))
+      .select($"doc_id", $"m".cast(LongType).as("margin"), ($"m" > 0).as("keep"))
+  }
+
+  /** Oracle CTE chain: `pcp_tf`, then K unrolled MATERIALIZED rounds
+    * (errors → gradient → weights; MATERIALIZED because each CTE is
+    * consumed twice — inlining would replay the whole prefix 2^K times),
+    * ending at `pcp_w$pcpRounds`. */
+  private def pcpCtes: String = {
+    val rounds = (1 to pcpRounds).map { k =>
+      s""", pcp_er$k AS MATERIALIZED (
+           SELECT doc_id, y FROM (
+             SELECT t.doc_id, t.y,
+                    SUM(CAST(t.xf AS HUGEINT) * COALESCE(w.wgt, 0)) AS m
+             FROM pcp_tf t LEFT JOIN pcp_w${k - 1} w ON t.bucket = w.bucket
+             GROUP BY 1, 2)
+           WHERE (y = 1 AND m <= 0) OR (y = -1 AND m > 0)),
+         pcp_gr$k AS MATERIALIZED (
+           SELECT t.bucket,
+                  SUM(CAST(t.y AS HUGEINT) * t.xf *
+                      (CASE WHEN t.y = 1 THEN c.r ELSE $pcpQ END)) AS g
+           FROM pcp_tf t JOIN pcp_er$k e ON t.doc_id = e.doc_id
+           CROSS JOIN pcp_cls c
+           GROUP BY 1),
+         pcp_w$k AS MATERIALIZED (
+           SELECT COALESCE(w.bucket, g.bucket) AS bucket,
+                  COALESCE(w.wgt, 0) + COALESCE(g.g, 0) AS wgt
+           FROM pcp_w${k - 1} w FULL OUTER JOIN pcp_gr$k g ON w.bucket = g.bucket)"""
+    }.mkString
+    val berRows = (1 to pcpRounds).map { k =>
+      s"""SELECT $k AS k,
+                 COALESCE(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END), 0) AS ep,
+                 COALESCE(SUM(CASE WHEN y = 1 THEN 0 ELSE 1 END), 0) AS en
+          FROM pcp_er$k"""
+    }.mkString(" UNION ALL ")
+    // the pocket winner serves w_{k*−1} (er_k scored w_{k-1}); each arm is
+    // guarded by the scalar pick so exactly one branch survives
+    val pocketArms = (1 to pcpRounds).map { k =>
+      s"""SELECT bucket, wgt FROM pcp_w${k - 1}
+          WHERE (SELECT k FROM pcp_pick) = $k"""
+    }.mkString(" UNION ALL ")
+    s""", pcp_tf0 AS MATERIALIZED (
+         SELECT doc_id, bucket, COUNT(1) AS tf,
+                MAX(CASE WHEN $nbPosPred THEN 1 ELSE -1 END) AS y
+         FROM nb_t GROUP BY 1, 2),
+       pcp_tf AS MATERIALIZED (
+         SELECT doc_id, bucket,
+                (tf * $pcpF) // SUM(tf) OVER (PARTITION BY doc_id) AS xf, y
+         FROM pcp_tf0
+         UNION ALL
+         SELECT DISTINCT doc_id, CAST(-1 AS BIGINT) AS bucket,
+                CAST($pcpF AS BIGINT) AS xf, y
+         FROM pcp_tf0),
+       pcp_cls AS MATERIALIZED (
+         SELECT n_pos, n_neg,
+                CASE WHEN n_pos = 0 THEN 0
+                     ELSE (n_neg * $pcpQ) // n_pos END AS r
+         FROM (SELECT SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_pos,
+                      SUM(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS n_neg
+               FROM (SELECT DISTINCT doc_id, y FROM pcp_tf))),
+       pcp_w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                         CAST(0 AS HUGEINT) AS wgt WHERE FALSE)""" + rounds +
+      s""", pcp_ber AS MATERIALIZED (
+         SELECT b.k, b.ep, b.en,
+                CAST(b.ep AS HUGEINT) * c.n_neg
+                  + CAST(b.en AS HUGEINT) * c.n_pos AS bmass
+         FROM ($berRows) b CROSS JOIN pcp_cls c),
+       pcp_pick AS MATERIALIZED (
+         SELECT k FROM pcp_ber ORDER BY bmass, k LIMIT 1),
+       pcp_wbest AS MATERIALIZED ($pocketArms)"""
+  }
+
+  val pcpTrainOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
+    """
+     SELECT bucket, CAST(wgt AS BIGINT) AS wgt FROM pcp_wbest""")
+
+  val pcpCurveOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
+    """
+     SELECT CAST(k AS BIGINT) AS round,
+            CAST(ep + en AS BIGINT) AS errors,
+            CAST(ep AS BIGINT) AS errors_pos,
+            CAST(en AS BIGINT) AS errors_neg,
+            CASE k """ +
+    (1 to pcpRounds).map { k =>
+      s"WHEN $k THEN (SELECT COUNT(1) FROM pcp_gr$k)"
+    }.mkString(" ") +
+    """ END AS updated
+     FROM pcp_ber""")
+
+  val pcpScoreOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
+    """
+     SELECT t.doc_id,
+            CAST(SUM(CAST(t.xf AS HUGEINT) * COALESCE(w.wgt, 0)) AS BIGINT)
+              AS margin,
+            SUM(CAST(t.xf AS HUGEINT) * COALESCE(w.wgt, 0)) > 0 AS keep
+     FROM pcp_tf t LEFT JOIN pcp_wbest w ON t.bucket = w.bucket
+     GROUP BY 1""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_nb_train" -> (nbTrain _),
-    "classifier_nb_score" -> (nbScore _))
+    "classifier_nb_score" -> (nbScore _),
+    "classifier_percep_train" -> (pcpTrain _),
+    "classifier_percep_curve" -> (pcpCurve _),
+    "classifier_percep_score" -> (pcpScore _))
 
   val oracles: Map[String, String] = Map(
     "classifier_nb_train" -> nbTrainOracle,
-    "classifier_nb_score" -> nbScoreOracle)
+    "classifier_nb_score" -> nbScoreOracle,
+    "classifier_percep_train" -> pcpTrainOracle,
+    "classifier_percep_curve" -> pcpCurveOracle,
+    "classifier_percep_score" -> pcpScoreOracle)
 }
