@@ -72,7 +72,10 @@ object ScaleSoak {
     "sim_ann_recall_nprobe_curve", // 4-level probe sweep over one index
     "sim_ann_filtered",         // corpus-sized label join + bounded probes
     "sim_ann_ivfpq_vacuumed",   // delete + FOLD: the physical-erasure leg
-    "retrieval_hybrid_rrf")     // inverted-index build + posting-mass joins
+    "retrieval_hybrid_rrf",     // inverted-index build + posting-mass joins
+    "sim_ann_recall_rerank_curve", // shared shortlist + 4 bounded rank cuts
+    "retrieval_rm3_search",     // feedback-bounded model + 8-term posting probe
+    "classifier_percep_train")  // 12 x 2 corpus passes, model-sized state
 
   // ---------------------------------------------------------------- synth
 
