@@ -105,5 +105,8 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1)))),
     (FunctionIdentifier("parse_short_string_native"),
       new ExpressionInfo(classOf[ParseShortString].getName, "parse_short_string_native"),
-      arity("parse_short_string_native", 1)(c => ParseShortString(c.head))))
+      arity("parse_short_string_native", 1)(c => ParseShortString(c.head))),
+    (FunctionIdentifier("graft_jl"),
+      new ExpressionInfo(classOf[JlProject].getName, "graft_jl"),
+      arity("graft_jl", 2)(c => JlProject(c.head, c(1)))))
 }

@@ -1750,6 +1750,203 @@ object Similarity {
       }.mkString(" UNION ALL "))
 
   // =====================================================================
+  // JL: oblivious ±1 random projection (Achlioptas 2003), the zero-
+  // training dimensionality reduction next to the trained PCA rotation
+  // =====================================================================
+
+  /** JL output width: 64 → 16 dims, the same 4× budget the PCA→PQ
+    * composition studies. */
+  private[queries] val jlK = 16
+
+  /** (vec_id, p ARRAY<DOUBLE>): the JL projection of the NORMALIZED
+    * vector — by linearity jl(x/‖x‖) = jl(x)/‖x‖, so the native
+    * [[graft.plans.JlProject]] kernel runs on the raw array (one codegen'd
+    * d×k loop per vector, zero joins/shuffles — a pure projection over
+    * the scan) and the 16 outputs divide by √norm_sq afterwards. */
+  private def jlVecs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "jl_vecs") {
+      vecs(spark, sfDir).select(col("vec_id"),
+        expr(s"transform(graft_jl(embedding, $jlK), p -> p / sqrt(norm_sq))")
+          .as("p"))
+    }
+
+  /** The projection table itself (long form, the [[Pca]] convention):
+    * the entry a deployment materializes once per snapshot and serves
+    * every JL consumer from. THE scale argument for JL over PCA: the
+    * "matrix" is a pure function of (i, j) — no training pass, no stored
+    * artifact, no fit-serve skew; reducing 100 TB is exactly one scan. */
+  def jlProject(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    jlVecs(spark, sfDir)
+      .select($"vec_id", posexplode($"p").as(Seq("dim", "y")))
+      .select($"vec_id", $"dim".cast(LongType).as("dim"),
+        round($"y", 6).as("y"))
+  }
+
+  /** Oracle twin of [[graft.plans.JlProject]]: `jl_s` replays the fmix32
+    * sign chain in HUGEINT SQL (BIGINT would overflow at the second
+    * multiply: 2³²·0xc2b2ae35 > 2⁶³), `jl_long` folds sign·element in
+    * ascending element order via an ORDER BY list aggregate — the same
+    * left fold as the native kernel — and `jl` pivots the k outputs wide
+    * so downstream distance expressions can add them in literal order. */
+  private def jlCte: String =
+    s"""${elementCtes("embeddings")},
+       jl_s AS MATERIALIZED (
+         SELECT i, j,
+                CASE WHEN xor(h2, h2 // 65536) < 2147483648
+                     THEN 1.0 ELSE -1.0 END AS s
+         FROM (
+           SELECT i, j, CAST((CAST(xor(h1, h1 // 8192) AS HUGEINT)
+                              * 3266489909) % 4294967296 AS BIGINT) AS h2
+           FROM (
+             SELECT i, j, CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT)
+                                * 2246822507) % 4294967296 AS BIGINT) AS h1
+             FROM (
+               SELECT d.idx AS i, u.j AS j,
+                      (d.idx * 2654435761 + u.j * 2246822519)
+                        % 4294967296 AS h0
+               FROM (SELECT DISTINCT idx FROM el) d,
+                    UNNEST(range($jlK)) AS u(j))))),
+       jl_long AS MATERIALIZED (
+         SELECT e.vec_id, s.j,
+                list_reduce(list_prepend(0.0, list(s.s * e.v ORDER BY e.idx)),
+                            (p, q) -> p + q) / SQRT(n.norm_sq) AS y
+         FROM el e
+         JOIN jl_s s ON s.i = e.idx
+         JOIN nrm n ON n.vec_id = e.vec_id
+         GROUP BY e.vec_id, s.j, n.norm_sq),
+       jl AS MATERIALIZED (
+         SELECT vec_id,
+                ${(0 until jlK).map(j =>
+      s"MAX(CASE WHEN j = $j THEN y END) AS y$j").mkString(",\n                ")}
+         FROM jl_long GROUP BY 1)"""
+
+  val jlProjectOracle: String = Fixtures.oracle(
+    normCte("embeddings") + jlCte +
+      """
+       SELECT vec_id, CAST(j AS BIGINT) AS dim, ROUND(y, 6) AS y
+       FROM jl_long""")
+
+  /** Recall@3 of brute-force top-3 in the 16-dim JL space vs the exact
+    * 64-dim ranking — the gauge that prices the oblivious projection
+    * against the trained ones on the SAME fixture (PCA-subspace, OPQ,
+    * PQ). Distance is squared L2 over the normalized projections
+    * (= 2−2cos estimate, the family's metric), computed as the FIXED
+    * 16-term literal sum so both engines add in one order.
+    *
+    * Measured 0.200 at k=16 on this fixture vs PQ 0.433 / OPQ 0.533 at
+    * the same 4× budget — the oblivious/trained gap in one row: JL's
+    * √(ln n / k) distortion eats most of the isotropic corpus's
+    * noise-margin neighbor gaps, where the trained reductions spend the
+    * corpus to adapt to exactly that structure. [[jlDistortion]] is the
+    * same projection's guarantee gauge (unbiased distance preservation,
+    * ≈1.0); the pair prices when JL applies (bulk geometry: clustering,
+    * dedup blocking, outlier scoring — zero training passes) and what
+    * top-k recall it costs. The sign mix matters measurably: the first
+    * cut used a linear cell mix and scored recall 0.000 with distance
+    * ratios 0.47–1.76 (near-identical sign columns); the fmix32
+    * avalanche in [[graft.plans.JlProject.sign]] is what makes the
+    * estimator honest. */
+  def annRecallJl(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = jlVecs(spark, sfDir)
+    val q = p.filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"p".as("qp"))
+    val d2 = (0 until jlK).map { j =>
+      val diff = element_at($"qp", j + 1) - element_at($"p", j + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val cands = p.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("d2", d2)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2".asc, $"vec_id")))
+      .filter($"r" <= 3)
+      .select($"qid".as("query_id"), $"vec_id".as("neighbor_id"))
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3), cands)
+  }
+
+  val annRecallJlOracle: String = {
+    val d2 = (0 until jlK).map(j =>
+      s"(q.y$j - d.y$j) * (q.y$j - d.y$j)").mkString(" + ")
+    recallOracle(normCte("embeddings") + jlCte,
+      s"""SELECT qid, vec_id FROM (
+           SELECT q.vec_id AS qid, d.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY $d2 ASC, d.vec_id) AS r
+           FROM jl q JOIN jl d ON d.vec_id != q.vec_id
+           WHERE ${queryPred("q.vec_id")})
+         WHERE r <= 3""")
+  }
+
+  /** The guarantee JL DOES make, as a number: per query, the ratio of
+    * summed JL-space squared distances to k× the summed true squared
+    * distances over every corpus pair — E[‖jl(x)−jl(y)‖²] = k·‖x−y‖²
+    * for ±1 entries, so an unbiased projection reads ≈ 1.0. Ratio of
+    * sums (not mean of ratios): a single near-duplicate pair with true
+    * d² ≈ 0 would blow a per-pair ratio up without bounds. Both pair
+    * sums are variable-addend double folds → DECIMAL(25,12) lanes (the
+    * [[Hybrid]] discipline); the final ratio is one double division of
+    * two exactly-determined decimals. */
+  def jlDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    val p = jlVecs(spark, sfDir)
+    val v = vecs(spark, sfDir)
+    val q = p.join(v, Seq("vec_id")).filter(expr(queryFilter))
+      .select($"vec_id".as("qid"), $"p".as("qp"),
+        $"embedding".as("qemb"), $"norm_sq".as("qn"))
+    val d2jl = (0 until jlK).map { j =>
+      val diff = element_at($"qp", j + 1) - element_at($"p", j + 1)
+      diff * diff
+    }.reduce(_ + _)
+    val d2t = lit(2.0) - lit(2.0) *
+      (expr("graft_dot(qemb, embedding)") / (sqrt($"qn") * sqrt($"norm_sq")))
+    p.join(v, Seq("vec_id"))
+      .join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid",
+        d2jl.cast(DecimalType(25, 12)).as("jd"),
+        d2t.cast(DecimalType(25, 12)).as("td"))
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_pairs"), sum($"jd").as("js"), sum($"td").as("ts"))
+      .select($"qid".as("query_id"), $"n_pairs",
+        round($"js".cast(DoubleType) /
+          (lit(jlK.toDouble) * $"ts".cast(DoubleType)), 6)
+          .as("distortion_ratio"))
+  }
+
+  val jlDistortionOracle: String = {
+    val d2 = (0 until jlK).map(j =>
+      s"(q.y$j - d.y$j) * (q.y$j - d.y$j)").mkString(" + ")
+    Fixtures.oracle(normCte("embeddings") + jlCte +
+      s""", jld_pairs AS (
+         SELECT q.vec_id AS qid,
+                CAST(CAST(($d2) AS VARCHAR) AS DECIMAL(25,12)) AS jd,
+                CAST(CAST(
+                  (2.0 - 2.0 * (${DotProduct.duckDot("eq.embedding", "ed.embedding")}
+                    / (SQRT(nq.norm_sq) * SQRT(nd.norm_sq))))
+                  AS VARCHAR) AS DECIMAL(25,12)) AS td
+         FROM jl q
+         JOIN jl d ON d.vec_id != q.vec_id
+         JOIN embeddings eq ON eq.vec_id = q.vec_id
+         JOIN embeddings ed ON ed.vec_id = d.vec_id
+         JOIN nrm nq ON nq.vec_id = q.vec_id
+         JOIN nrm nd ON nd.vec_id = d.vec_id
+         WHERE ${queryPred("q.vec_id")})
+       SELECT qid AS query_id, CAST(COUNT(1) AS BIGINT) AS n_pairs,
+              ROUND(CAST(SUM(jd) AS DOUBLE)
+                    / ($jlK.0 * CAST(SUM(td) AS DOUBLE)), 6)
+                AS distortion_ratio
+       FROM jld_pairs
+       GROUP BY 1""")
+  }
+
+  // =====================================================================
   // SQ8: per-dimension 8-bit scalar quantization (faiss ScalarQuantizer)
   // =====================================================================
 
@@ -2628,6 +2825,9 @@ object Similarity {
     "sim_ann_recall_ivf_cells" -> (annRecallIvfCells _),
     "sim_ann_recall_nprobe_curve" -> (annRecallNprobeCurve _),
     "sim_ann_recall_rerank_curve" -> (annRecallRerankCurve _),
+    "embedding_jl_project" -> (jlProject _),
+    "embedding_jl_distortion" -> (jlDistortion _),
+    "sim_ann_recall_jl" -> (annRecallJl _),
     "sim_ann_filtered" -> (annFiltered _),
     "sim_ann_recall_filtered" -> (annRecallFiltered _),
     "sim_outlier_report" -> (outlierReport _))
@@ -2662,6 +2862,9 @@ object Similarity {
     "sim_ann_recall_ivf_cells" -> annRecallIvfCellsOracle,
     "sim_ann_recall_nprobe_curve" -> annRecallNprobeCurveOracle,
     "sim_ann_recall_rerank_curve" -> annRecallRerankCurveOracle,
+    "embedding_jl_project" -> jlProjectOracle,
+    "embedding_jl_distortion" -> jlDistortionOracle,
+    "sim_ann_recall_jl" -> annRecallJlOracle,
     "sim_ann_filtered" -> annFilteredOracle,
     "sim_ann_recall_filtered" -> annRecallFilteredOracle,
     "sim_outlier_report" -> outlierReportOracle)
