@@ -75,7 +75,9 @@ object ScaleSoak {
     "retrieval_hybrid_rrf",     // inverted-index build + posting-mass joins
     "sim_ann_recall_rerank_curve", // shared shortlist + 4 bounded rank cuts
     "retrieval_rm3_search",     // feedback-bounded model + 8-term posting probe
-    "classifier_percep_train")  // 12 x 2 corpus passes, model-sized state
+    "classifier_percep_train",  // 12 x 2 corpus passes, model-sized state
+    "embedding_jl_project",     // pure scan-side native kernel, zero shuffles
+    "embedding_jl_distortion")  // Q0-broadcast all-pairs, decimal-lane folds
 
   // ---------------------------------------------------------------- synth
 

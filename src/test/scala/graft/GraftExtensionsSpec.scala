@@ -49,7 +49,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(names == Set("graft_dot", "graft_simhash32", "graft_minhash_bands",
       "graft_simhash64_bands", "graft_lsh_bucket", "graft_topk",
       "graft_kmv_sketch", "graft_minhash_sig", "graft_bloom_agg",
-      "graft_might_contain", "parse_short_string_native"))
+      "graft_might_contain", "parse_short_string_native", "graft_jl"))
   }
 
   test("wrong-arity SQL calls fail analysis cleanly, not with IndexOutOfBounds") {
