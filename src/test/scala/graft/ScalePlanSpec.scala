@@ -411,4 +411,37 @@ class ScalePlanSpec extends SparkSpec {
     assert(p.contains("partial_max"),
       s"the (group, register) MAX must partial-aggregate before the exchange:\n$p")
   }
+
+  test("rm3: posting probes ride bounded broadcasts; no unpartitioned corpus window") {
+    withNoAutoBroadcast {
+      val df = graft.queries.Hybrid.rm3Search(spark, sfDir)
+      val p = plan(df)
+      // the (term, weight) probe and the 8-term df slice are hinted
+      // broadcasts — Q-bounded by construction; the corpus-sized tf
+      // aggregate must shuffle
+      assert(p.contains("BroadcastHashJoin"),
+        s"the 8-row weight table must broadcast into the posting scan:\n$p")
+      // the only global window is the post-limit top-10 rank (≤10 rows);
+      // any other unpartitioned WindowExec is the corpus-sort defect class
+      val unpartitioned = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.length <= 1,
+        s"rm3 may carry only the post-limit rank window:\n$p")
+    }
+  }
+
+  test("perceptron margin pass: the model broadcasts, the corpus never shuffles against it") {
+    withNoAutoBroadcast {
+      val p = plan(Classifier.pcpScore(spark, sfDir))
+      // the ≤4097-row weight table is hinted — it broadcasts into the
+      // margin fold even with auto-conversion off; the corpus-sized
+      // (doc, bucket) frame must never meet it by shuffle join
+      assert(p.contains("BroadcastHashJoin"),
+        s"the model table must broadcast into the margin fold:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"scoring must not shuffle the corpus against the model:\n$p")
+    }
+  }
 }
