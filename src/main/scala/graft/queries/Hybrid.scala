@@ -241,7 +241,7 @@ object Hybrid {
     import spark.implicits._
     // ≤ |Q|+E = 8 rows: materialize once so the expansion pipeline (first
     // pass + relevance model) runs once, not once per consumer below
-    val w8 = rm3Weights(spark).localCheckpoint()
+    val w8 = rm3Weights(spark, sfDir).localCheckpoint()
     rm3Score(spark, w8)
       .orderBy($"ssum".desc, $"doc_id")
       .limit(10)
@@ -278,7 +278,7 @@ object Hybrid {
   def rm3Terms(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    rm3Expansion(spark)
+    rm3Expansion(spark, sfDir)
       .select($"word".as("term"), $"trank",
         round($"rm".cast(DoubleType), 6).as("rm_w"),
         round($"w", 6).as("weight"))
@@ -302,8 +302,15 @@ object Hybrid {
   }
 
   /** Expansion terms with their relevance-model mass and final RM3 weight:
-    * (word, rm DECIMAL, trank, w DOUBLE). */
-  private def rm3Expansion(spark: SparkSession): DataFrame = {
+    * (word, rm DECIMAL, trank, w DOUBLE). Memo-checkpointed: the terms
+    * entry and the search entry consume the same ≤5-row model, so the
+    * first pass + relevance model run once per (session, corpus). */
+  private def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "rm3_expansion") {
+      rm3ExpansionBuild(spark)
+    }
+
+  private def rm3ExpansionBuild(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val (tf, _, dls, _) = invertedIndex(spark)
     // first pass: the gated bm25 chain — fixed-order 3-term combine, so
@@ -344,10 +351,10 @@ object Hybrid {
 
   /** The final |Q|+E term/weight broadcast: originals at λ/|Q|, expansion
     * at (1−λ)·rm/Σrm. */
-  private def rm3Weights(spark: SparkSession): DataFrame = {
+  private def rm3Weights(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orig = TextOps.bm25Terms.toDF("word").withColumn("w", rm3OrigWeight)
-    orig.unionByName(rm3Expansion(spark).select($"word", $"w"))
+    orig.unionByName(rm3Expansion(spark, sfDir).select($"word", $"w"))
   }
 
   /** Shared oracle CTE chain ending at `rm3_exp(word, rm, trank, w)` —
