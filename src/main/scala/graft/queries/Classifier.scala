@@ -483,17 +483,118 @@ object Classifier {
      FROM pcp_tf t LEFT JOIN pcp_wbest w ON t.bucket = w.bucket
      GROUP BY 1""")
 
+  // =====================================================================
+  // Evaluation surface: threshold sweep over both models' margins
+  // =====================================================================
+
+  /** Threshold count for the PR sweep: the margin range splits into
+    * prThresholds integer levels (min + i·(max−min) DIV prThresholds). */
+  private[queries] val prThresholds = 8
+
+  /** Precision/recall table over margin thresholds for BOTH trained
+    * models, against the training supervision — the operating-point
+    * picker a curation run reads instead of shipping the models' default
+    * `margin > 0` gate blind (under 9:1 imbalance the default sits at
+    * wildly different precision for the two models; this table makes the
+    * trade a number at 8 operating points each).
+    *
+    * Everything is exact integer arithmetic: thresholds are integer
+    * splits of the [min, max] margin range (1-row broadcast), the
+    * confusion counts are integer aggregates, precision/recall are
+    * basis-point cross-multiplications with zero-denominator guards —
+    * so the sweep is hash-gateable like everything else in the family.
+    *
+    * Scale shape: each model contributes one margins frame (the same
+    * broadcast-join plan its score entry runs), a 1-row min/max
+    * aggregate, and ONE pass over docs × prThresholds broadcast
+    * threshold rows folded by a map-side-combined aggregate — O(corpus)
+    * per model, threshold count fixed. */
+  def marginPr(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val labels = spark.table("documents")
+      .select($"doc_id", expr(nbPosPred).as("pos"))
+    def sweep(tag: String, margins: DataFrame): DataFrame = {
+      val m = margins.join(labels, Seq("doc_id"))
+      val mm = m.agg(min($"margin").as("mn"), max($"margin").as("mx"))
+      val thr = mm.select(explode(sequence(lit(0), lit(prThresholds - 1))).as("i"),
+        $"mn", $"mx")
+        .select($"i".cast(LongType).as("i"),
+          expr(s"mn + i * (mx - mn) DIV $prThresholds").as("t"))
+      m.crossJoin(broadcast(thr))
+        .groupBy($"i", $"t")
+        .agg(
+          sum(when($"margin" > $"t" && $"pos", 1L).otherwise(0L)).as("tp"),
+          sum(when($"margin" > $"t" && !$"pos", 1L).otherwise(0L)).as("fp"),
+          sum(when($"margin" <= $"t" && $"pos", 1L).otherwise(0L)).as("fn"),
+          sum(when($"margin" <= $"t" && !$"pos", 1L).otherwise(0L)).as("tn"))
+        .select(lit(tag).as("model"), $"i".as("level"), $"t".as("threshold"),
+          $"tp", $"fp", $"fn", $"tn",
+          expr("CASE WHEN tp + fp = 0 THEN NULL ELSE tp * 10000 DIV (tp + fp) END")
+            .as("precision_bp"),
+          expr("CASE WHEN tp + fn = 0 THEN NULL ELSE tp * 10000 DIV (tp + fn) END")
+            .as("recall_bp"))
+    }
+    sweep("nb", nbScore(spark, sfDir).select($"doc_id", $"margin_bp".as("margin")))
+      .unionByName(sweep("percep",
+        pcpScore(spark, sfDir).select($"doc_id", $"margin")))
+  }
+
+  /** One PR-sweep oracle arm over a margins CTE `(doc_id, margin)`. */
+  private def prArmCtes(tag: String, marginsCte: String): String =
+    s""", pr_m_$tag AS MATERIALIZED (
+         SELECT m.doc_id, m.margin, $nbPosPred AS pos
+         FROM ($marginsCte) m
+         JOIN documents d ON d.doc_id = m.doc_id),
+       pr_mm_$tag AS (SELECT MIN(margin) AS mn, MAX(margin) AS mx FROM pr_m_$tag),
+       pr_thr_$tag AS (
+         SELECT CAST(u.i AS BIGINT) AS i,
+                mm.mn + u.i * (mm.mx - mm.mn) // $prThresholds AS t
+         FROM pr_mm_$tag mm, UNNEST(range($prThresholds)) AS u(i)),
+       pr_$tag AS (
+         SELECT '$tag' AS model, th.i AS level, th.t AS threshold,
+                SUM(CASE WHEN m.margin > th.t AND m.pos THEN 1 ELSE 0 END) AS tp,
+                SUM(CASE WHEN m.margin > th.t AND NOT m.pos THEN 1 ELSE 0 END) AS fp,
+                SUM(CASE WHEN m.margin <= th.t AND m.pos THEN 1 ELSE 0 END) AS fn,
+                SUM(CASE WHEN m.margin <= th.t AND NOT m.pos THEN 1 ELSE 0 END) AS tn
+         FROM pr_m_$tag m CROSS JOIN pr_thr_$tag th
+         GROUP BY 1, 2, 3)"""
+
+  val marginPrOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
+    prArmCtes("nb",
+      s"""SELECT g.doc_id, SUM(w.weight_bp - 10000) // COUNT(1) AS margin
+          FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
+          GROUP BY 1""") +
+    prArmCtes("percep",
+      s"""SELECT t.doc_id,
+                 CAST(SUM(CAST(t.xf AS HUGEINT) * COALESCE(w.wgt, 0)) AS BIGINT)
+                   AS margin
+          FROM pcp_tf t LEFT JOIN pcp_wbest w ON t.bucket = w.bucket
+          GROUP BY 1""") +
+    """
+     SELECT model, CAST(level AS BIGINT) AS level,
+            CAST(threshold AS BIGINT) AS threshold,
+            CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+            CAST(CASE WHEN tp + fp = 0 THEN NULL
+                      ELSE tp * 10000 // (tp + fp) END AS BIGINT) AS precision_bp,
+            CAST(CASE WHEN tp + fn = 0 THEN NULL
+                      ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_bp
+     FROM (SELECT * FROM pr_nb UNION ALL SELECT * FROM pr_percep)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_nb_train" -> (nbTrain _),
     "classifier_nb_score" -> (nbScore _),
     "classifier_percep_train" -> (pcpTrain _),
     "classifier_percep_curve" -> (pcpCurve _),
-    "classifier_percep_score" -> (pcpScore _))
+    "classifier_percep_score" -> (pcpScore _),
+    "classifier_margin_pr" -> (marginPr _))
 
   val oracles: Map[String, String] = Map(
     "classifier_nb_train" -> nbTrainOracle,
     "classifier_nb_score" -> nbScoreOracle,
     "classifier_percep_train" -> pcpTrainOracle,
     "classifier_percep_curve" -> pcpCurveOracle,
-    "classifier_percep_score" -> pcpScoreOracle)
+    "classifier_percep_score" -> pcpScoreOracle,
+    "classifier_margin_pr" -> marginPrOracle)
 }

@@ -57,6 +57,28 @@ class PerceptronSpec extends SparkSpec {
       s"served mass $servedMass must beat the zero model's ${BigInt(nPos) * nNeg}")
   }
 
+  test("margin PR sweep: confusion conserves the corpus, recall falls as the gate tightens") {
+    val nDocs = labels.count()
+    val rows = Classifier.marginPr(spark, sfDir).collect()
+    assert(rows.length == 2 * Classifier.prThresholds)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn")
+      assert(total == nDocs, s"confusion must partition the corpus: $r")
+    }
+    for (model <- Seq("nb", "percep")) {
+      val arm = rows.filter(_.getAs[String]("model") == model)
+        .sortBy(_.getAs[Long]("level"))
+      // margin > t is monotone in t: a tighter gate can only lose recall
+      val recalls = arm.map(_.getAs[Long]("recall_bp"))
+      assert(recalls.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+        s"$model recall must be non-increasing in the threshold: ${recalls.toSeq}")
+      val thr = arm.map(_.getAs[Long]("threshold"))
+      assert(thr.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+        s"$model thresholds must be non-decreasing: ${thr.toSeq}")
+    }
+  }
+
   test("train/score consistency: published weights reproduce published margins") {
     import spark.implicits._
     val w = Classifier.pcpTrain(spark, sfDir)
