@@ -123,7 +123,17 @@ class AdversarialCorpusSpec extends SparkSpec {
     "sample_rho_loss" -> (n => n >= 0 && n <= 12),
     "mix_epoch_schedule" -> (n => n >= 1 && n <= 4),
     "corpus_hhi_concentration" -> (n => n >= 1 && n <= 4),
-    "text_rrf_fusion" -> (n => n >= 0 && n <= 20))
+    "text_rrf_fusion" -> (n => n >= 0 && n <= 20),
+    "sim_ann_recall_rerank_curve" -> (_ == 4),  // one row per budget level
+    "retrieval_rm3_terms" -> (n => n >= 0 && n <= 5),
+    "retrieval_rm3_search" -> (n => n >= 0 && n <= 10),
+    "classifier_percep_train" -> (_ >= 0),      // pocket may serve w0 = empty
+    "classifier_percep_curve" -> (_ == 12),     // one row per round, always
+    "classifier_percep_score" -> (_ >= 0),
+    "classifier_margin_pr" -> (n => n >= 0 && n <= 16),
+    "embedding_jl_project" -> (_ >= 0),         // only finite-norm vectors
+    "embedding_jl_distortion" -> (_ >= 0),
+    "sim_ann_recall_jl" -> (_ >= 0))
 
   test("every probed operator survives the adversarial corpus") {
     graft.fixtures.Fixtures.register(spark, advDir)
