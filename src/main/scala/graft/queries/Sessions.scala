@@ -1365,7 +1365,74 @@ object Sessions {
               CAST((c.n * 10000) // t.row_n AS BIGINT) AS p_bp
        FROM mkv_c c JOIN mkv_t t ON c.prev_type = t.prev_type""")
 
+  /** k-core peeling threshold and fixed round budget. 8 rounds reach the
+    * 3-core fixpoint on every fixture scale (KcoreSpec pins it: every
+    * survivor's in-core degree ≥ k, so a 9th peel would remove nothing);
+    * a fixed budget keeps the plan — and the unrolled oracle — corpus-
+    * independent, the same convention as every iterative entry here. */
+  private[queries] val kcoreK = 3
+  private[queries] val kcoreRounds = 8
+
+  /** k-core decomposition of the undirected influence graph (Seidman's
+    * coreness, Matula–Beck peeling): [[kcoreRounds]] synchronous rounds,
+    * each dropping every node whose CURRENT degree < [[kcoreK]] and the
+    * edges touching it. The 3-core is the densely-interconnected
+    * community skeleton — the graph-analytics counterpart of the
+    * clustering coefficient ([[triangleCount]]'s lcc), and the standard
+    * preprocessing cut before expensive per-node algorithms.
+    *
+    * Scale shape: per round, one node-keyed degree aggregate and two
+    * edge×survivor equi-joins — all hash-keyed shuffles on real keys,
+    * frames monotonically SHRINK (peeling only deletes), and each round
+    * chains from a localCheckpoint leaf (the iterate-and-truncate
+    * discipline every graph entry here shares). */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    var e = influenceUndirected(spark, sfDir)
+    for (_ <- 1 to kcoreRounds) {
+      val keep = e.select($"u".as("n")).union(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= kcoreK)
+        .select($"n")
+        .localCheckpoint() // node-sized; consumed by BOTH endpoint joins
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+        .select($"u", $"v")
+        .localCheckpoint()
+    }
+    e.select($"u".as("n")).union(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("core_degree"))
+      .select($"n".as("user_id"), $"core_degree")
+  }
+
+  val kcoreOracle: String = {
+    val rounds = (1 to kcoreRounds).map { r =>
+      s""", kc_k$r AS MATERIALIZED (
+           SELECT n FROM (
+             SELECT n, COUNT(1) AS deg FROM (
+               SELECT u AS n FROM kc_e${r - 1} UNION ALL SELECT v FROM kc_e${r - 1})
+             GROUP BY 1)
+           WHERE deg >= $kcoreK),
+         kc_e$r AS MATERIALIZED (
+           SELECT e.u, e.v FROM kc_e${r - 1} e
+           JOIN kc_k$r a ON a.n = e.u
+           JOIN kc_k$r b ON b.n = e.v)"""
+    }.mkString
+    Fixtures.oracle(influenceEdgeCtes("kc_") +
+      s""",
+       kc_e0 AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM kc_edges)""" + rounds +
+      s"""
+       SELECT n AS user_id, CAST(COUNT(1) AS BIGINT) AS core_degree
+       FROM (SELECT u AS n FROM kc_e$kcoreRounds
+             UNION ALL SELECT v FROM kc_e$kcoreRounds)
+       GROUP BY 1""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_kcore" -> (kcore _),
     "events_markov_transitions" -> (markovTransitions _),
     "events_hits_scores" -> (hitsScores _),
     "events_distinct_hll" -> (distinctHll _),
@@ -1392,6 +1459,7 @@ object Sessions {
     "events_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "events_kcore" -> kcoreOracle,
     "events_markov_transitions" -> markovTransitionsOracle,
     "events_hits_scores" -> hitsScoresOracle,
     "events_distinct_hll" -> distinctHllOracle,
