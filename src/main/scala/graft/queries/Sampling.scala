@@ -310,6 +310,66 @@ object Sampling {
           ON r.lang = d.lang
         WHERE ${bucketExprSql("d.doc_id")} % 10000 < r.rate_bp""")
 
+  /** Exact integer sqrt of a nonneg integer SQL expression: floor(√x)
+    * guarded against double rounding in BOTH directions — the
+    * [[temperatureMix]] correction chain, factored so it can be ITERATED
+    * (n^(1/4) = isqrt(isqrt(n))) without copy-paste drift. Same text runs
+    * on both engines (FLOOR/SQRT/CASE only). */
+  private def isqrtSql(x: String): String = {
+    val s0 = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
+    val s1 = s"($s0 - CASE WHEN $s0 * $s0 > ($x) THEN 1 ELSE 0 END)"
+    s"($s1 + CASE WHEN ($s1 + 1) * ($s1 + 1) <= ($x) THEN 1 ELSE 0 END)"
+  }
+
+  /** Temperature-mixing knob table (the [[temperatureMix]] sweep, same
+    * convention as the ANN family's nprobe/rerank curves): per-language
+    * budget share in bp at sampling exponents 1 (raw), 1/2 (the shipped
+    * τ=2), 1/4 (τ=4), and 0 (uniform, τ→∞) — every weight an EXACT
+    * integer (w = n, isqrt(n), isqrt(isqrt(n)), 1; iterated exact integer
+    * sqrt, no pow()/libm anywhere), so the whole flattening ladder is
+    * hash-gateable. A mixture designer reads the ladder before picking τ:
+    * shares majorize monotonically toward uniform as the exponent falls
+    * (spec-pinned).
+    *
+    * Scale shape: one label-set-sized count aggregate feeds all four
+    * arms; totals are 1-row broadcasts; output is 4·|langs| rows. */
+  def temperatureCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val counts = spark.table("documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n_d"))
+      .localCheckpoint() // label-set-sized; feeds all four arms
+    val arms = Seq(
+      "1" -> "n_d",
+      "2" -> isqrtSql("n_d"),
+      "4" -> isqrtSql(isqrtSql("n_d")),
+      "inf" -> "CAST(1 AS BIGINT)")
+    arms.map { case (tau, wExpr) =>
+      val w = counts.withColumn("w", expr(wExpr))
+      val tot = w.agg(sum($"w").as("w_total"))
+      w.crossJoin(broadcast(tot))
+        .select(lit(tau).as("tau"), $"lang", $"n_d", $"w",
+          expr("(w * 10000) DIV w_total").as("share_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  val temperatureCurveOracle: String = {
+    val arms = Seq(
+      "1" -> "n_d",
+      "2" -> isqrtSql("n_d"),
+      "4" -> isqrtSql(isqrtSql("n_d")),
+      "inf" -> "CAST(1 AS BIGINT)").map { case (tau, wExpr) =>
+      s"""SELECT '$tau' AS tau, lang, n_d, CAST(w AS BIGINT) AS w,
+                 CAST((w * 10000) // (SELECT SUM(($wExpr)) FROM mtc_counts)
+                   AS BIGINT) AS share_bp
+          FROM (SELECT lang, n_d, ($wExpr) AS w FROM mtc_counts)"""
+    }.mkString(" UNION ALL ")
+    Fixtures.oracle(
+      s""", mtc_counts AS MATERIALIZED (
+           SELECT lang, COUNT(1) AS n_d FROM documents GROUP BY 1)
+         $arms""")
+  }
+
   /** UniMax capped-uniform language sampling (Chung et al., 2023): spread
     * a fixed budget (half the corpus, [[temperatureMix]]'s convention)
     * UNIFORMLY across languages, except that a language smaller than its
@@ -847,6 +907,7 @@ object Sampling {
     "pack_token_budget" -> ((s: SparkSession, d: String) => packTokenBudget(s, d)),
     "sample_domain_mix" -> (domainMix _),
     "sample_temperature_mix" -> (temperatureMix _),
+    "mix_temperature_curve" -> (temperatureCurve _),
     "sample_unimax" -> (unimaxSample _))
 
   val oracles: Map[String, String] = Map(
@@ -864,5 +925,6 @@ object Sampling {
     "pack_token_budget" -> packTokenBudgetOracle,
     "sample_domain_mix" -> domainMixOracle,
     "sample_temperature_mix" -> temperatureMixOracle,
+    "mix_temperature_curve" -> temperatureCurveOracle,
     "sample_unimax" -> unimaxSampleOracle)
 }

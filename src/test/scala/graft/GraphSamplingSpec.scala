@@ -12,6 +12,26 @@ class GraphSamplingSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("temperature curve: head share falls monotonically toward uniform; weights are exact isqrt") {
+    val rows = Sampling.temperatureCurve(spark, sfDir).collect()
+    val byTau = rows.groupBy(_.getAs[String]("tau"))
+    assert(byTau.keySet == Set("1", "2", "4", "inf"))
+    // flattening ladder: the LARGEST language's share is non-increasing
+    // as the exponent falls (per-language mins are not monotone — integer
+    // quantization at single-digit weights — but the head always flattens)
+    val maxShare = Seq("1", "2", "4", "inf")
+      .map(t => byTau(t).map(_.getAs[Long]("share_bp")).max)
+    assert(maxShare.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      s"head share must flatten with the exponent, got $maxShare")
+    // uniform arm is exactly uniform
+    assert(byTau("inf").map(_.getAs[Long]("share_bp")).distinct.length == 1)
+    // τ=2 weights are the EXACT integer sqrt: w² ≤ n < (w+1)²
+    byTau("2").foreach { r =>
+      val n = r.getAs[Long]("n_d"); val w = r.getAs[Long]("w")
+      assert(w * w <= n && n < (w + 1) * (w + 1), s"inexact isqrt: $r")
+    }
+  }
+
   test("temperature mix downsamples the head to a share between raw and uniform") {
     val kept = Sampling.temperatureMix(spark, sfDir)
       .groupBy(col("lang")).agg(count(lit(1)).as("k")).collect()
