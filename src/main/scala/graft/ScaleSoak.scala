@@ -77,7 +77,8 @@ object ScaleSoak {
     "retrieval_rm3_search",     // feedback-bounded model + 8-term posting probe
     "classifier_percep_train",  // 12 x 2 corpus passes, model-sized state
     "embedding_jl_project",     // pure scan-side native kernel, zero shuffles
-    "embedding_jl_distortion")  // Q0-broadcast all-pairs, decimal-lane folds
+    "embedding_jl_distortion",  // Q0-broadcast all-pairs, decimal-lane folds
+    "events_kcore")             // 8 peel rounds, monotonically shrinking frames
 
   // ---------------------------------------------------------------- synth
 
