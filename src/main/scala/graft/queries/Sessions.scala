@@ -1373,6 +1373,12 @@ object Sessions {
   private[queries] val kcoreK = 3
   private[queries] val kcoreRounds = 8
 
+  /** Ladder levels spanning the degree scale geometrically — adjacent
+    * small k are indistinguishable on a graph whose core is dense (the
+    * fixture's 3-core is a near-clique of min degree 32; a 2/3/4 ladder
+    * read three identical rows). */
+  private[queries] val kcoreCurveKs = Seq(2, 16, 64)
+
   /** k-core decomposition of the undirected influence graph (Seidman's
     * coreness, Matula–Beck peeling): [[kcoreRounds]] synchronous rounds,
     * each dropping every node whose CURRENT degree < [[kcoreK]] and the
@@ -1386,24 +1392,89 @@ object Sessions {
     * frames monotonically SHRINK (peeling only deletes), and each round
     * chains from a localCheckpoint leaf (the iterate-and-truncate
     * discipline every graph entry here shares). */
+  /** The peeled k-core edge set — Memo-shared so the per-node entry and
+    * the ladder reuse each k's chain instead of re-peeling. */
+  private def kcorePeel(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, s"kcore_e_$k") {
+      import spark.implicits._
+      var e = influenceUndirected(spark, sfDir)
+      for (_ <- 1 to kcoreRounds) {
+        val keep = e.select($"u".as("n")).union(e.select($"v".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k)
+          .select($"n")
+          .localCheckpoint() // node-sized; consumed by BOTH endpoint joins
+        e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+          .select($"u", $"v")
+          .localCheckpoint()
+      }
+      e
+    }
+
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    var e = influenceUndirected(spark, sfDir)
-    for (_ <- 1 to kcoreRounds) {
-      val keep = e.select($"u".as("n")).union(e.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= kcoreK)
-        .select($"n")
-        .localCheckpoint() // node-sized; consumed by BOTH endpoint joins
-      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"))
-        .select($"u", $"v")
-        .localCheckpoint()
-    }
-    e.select($"u".as("n")).union(e.select($"v".as("n")))
+    kcorePeel(spark, sfDir, kcoreK)
+      .select($"u".as("n")).union(
+        kcorePeel(spark, sfDir, kcoreK).select($"v".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("core_degree"))
       .select($"n".as("user_id"), $"core_degree")
+  }
+
+  /** Coreness ladder k = 2/3/4: per level, the surviving core's node and
+    * edge counts plus its minimum in-core degree — the graph's density
+    * profile in three numbers per level (the knob-table convention:
+    * nprobe/rerank/temperature curves, now for the peeling threshold).
+    * Cores NEST (the 4-core is a subgraph of the 3-core is a subgraph of
+    * the 2-core) and every min degree reads ≥ its k — both spec-pinned. */
+  def kcoreCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    kcoreCurveKs.map { k =>
+      val e = kcorePeel(spark, sfDir, k)
+      val deg = e.select($"u".as("n")).union(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+        coalesce(min($"deg"), lit(0L)).as("min_core_degree"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(k.toLong).as("k"), $"n_nodes", $"n_edges", $"min_core_degree")
+    }.reduce(_ unionByName _)
+  }
+
+  val kcoreCurveOracle: String = {
+    def chain(k: Int): String = {
+      val p = s"kc$k"
+      (1 to kcoreRounds).map { r =>
+        s""", ${p}_k$r AS MATERIALIZED (
+             SELECT n FROM (
+               SELECT n, COUNT(1) AS deg FROM (
+                 SELECT u AS n FROM ${p}_e${r - 1} UNION ALL SELECT v FROM ${p}_e${r - 1})
+               GROUP BY 1)
+             WHERE deg >= $k),
+           ${p}_e$r AS MATERIALIZED (
+             SELECT e.u, e.v FROM ${p}_e${r - 1} e
+             JOIN ${p}_k$r a ON a.n = e.u
+             JOIN ${p}_k$r b ON b.n = e.v)"""
+      }.mkString(s""", ${p}_e0 AS MATERIALIZED (
+           SELECT u, v FROM kcc_und)""", "", "")
+    }
+    def stats(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+                CAST(COUNT(1) AS BIGINT) AS n_nodes,
+                (SELECT CAST(COUNT(1) AS BIGINT) FROM kc${k}_e$kcoreRounds) AS n_edges,
+                CAST(COALESCE(MIN(deg), 0) AS BIGINT) AS min_core_degree
+         FROM (SELECT n, COUNT(1) AS deg FROM (
+                 SELECT u AS n FROM kc${k}_e$kcoreRounds
+                 UNION ALL SELECT v FROM kc${k}_e$kcoreRounds)
+               GROUP BY 1)"""
+    Fixtures.oracle(influenceEdgeCtes("kcc_") +
+      s""",
+       kcc_und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM kcc_edges)""" +
+      kcoreCurveKs.map(chain).mkString +
+      kcoreCurveKs.map(stats).mkString(" UNION ALL "))
   }
 
   val kcoreOracle: String = {
@@ -1433,6 +1504,7 @@ object Sessions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_kcore" -> (kcore _),
+    "events_kcore_curve" -> (kcoreCurve _),
     "events_markov_transitions" -> (markovTransitions _),
     "events_hits_scores" -> (hitsScores _),
     "events_distinct_hll" -> (distinctHll _),
@@ -1460,6 +1532,7 @@ object Sessions {
 
   val oracles: Map[String, String] = Map(
     "events_kcore" -> kcoreOracle,
+    "events_kcore_curve" -> kcoreCurveOracle,
     "events_markov_transitions" -> markovTransitionsOracle,
     "events_hits_scores" -> hitsScoresOracle,
     "events_distinct_hll" -> distinctHllOracle,

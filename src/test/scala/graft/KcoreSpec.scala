@@ -14,6 +14,27 @@ class KcoreSpec extends SparkSpec {
 
   private val sfDir = SparkSpec.fixtureSf
 
+  test("the coreness ladder nests and every non-empty level is a fixpoint") {
+    graft.fixtures.Fixtures.register(spark, sfDir)
+    val rows = Sessions.kcoreCurve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 16L, 64L))
+    // cores nest: a higher threshold can only shrink the surviving core
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(nodes.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      s"node counts must be non-increasing in k: ${nodes.toSeq}")
+    assert(edges.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      s"edge counts must be non-increasing in k: ${edges.toSeq}")
+    // fixpoint per level: min in-core degree ≥ k wherever the core survives
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_nodes") > 0)
+        assert(r.getAs[Long]("min_core_degree") >= r.getAs[Long]("k"),
+          s"non-empty level below its own threshold: $r")
+    }
+    assert(nodes.head > 0, "the fixture must have a non-trivial 2-core")
+  }
+
   test("the 8-round output is a k-core fixpoint, nested in the full graph") {
     graft.fixtures.Fixtures.register(spark, sfDir)
     val core = Sessions.kcore(spark, sfDir).collect()
