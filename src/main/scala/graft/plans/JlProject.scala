@@ -42,14 +42,20 @@ case class JlProject(child: Expression, kExpr: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
         if kExpr.dataType == IntegerType && kExpr.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // k is foldable: reject null/negative widths at ANALYSIS time —
+      // new Array[Double](-4) would otherwise throw mid-query
+      kExpr.eval() match {
+        case k: Int if k >= 0 => TypeCheckResult.TypeCheckSuccess
+        case bad => TypeCheckResult.TypeCheckFailure(
+          s"graft_jl output width must be a non-negative INT literal, got $bad")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_jl requires (ARRAY<FLOAT|DOUBLE>, INT literal), got " +
         s"${child.dataType.simpleString}, ${kExpr.dataType.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || kExpr.nullable
 
   override protected def nullSafeEval(a: Any, k: Any): Any =
     JlProject.project(a.asInstanceOf[ArrayData], k.asInstanceOf[Int], elemFloat)

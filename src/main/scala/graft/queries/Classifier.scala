@@ -290,9 +290,12 @@ object Classifier {
       import spark.implicits._
       val tf = pcpTf(spark, sfDir)
       // per-class doc counts + the bounded imbalance ratio (1-row broadcast)
+      // coalesce: sum() over an EMPTY corpus is NULL, and the driver
+      // collect below must read zeros there (empty-vs-empty gate contract),
+      // not NPE
       val cls = tf.select($"doc_id", $"y").distinct()
-        .agg(sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos"),
-          sum(when($"y" === 1L, 0L).otherwise(1L)).as("n_neg"))
+        .agg(coalesce(sum(when($"y" === 1L, 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+          coalesce(sum(when($"y" === 1L, 0L).otherwise(1L)), lit(0L)).as("n_neg"))
         .withColumn("r", expr(
           s"CASE WHEN n_pos = 0 THEN 0 ELSE (n_neg * $pcpQ) DIV n_pos END"))
         .localCheckpoint()
@@ -315,12 +318,15 @@ object Classifier {
           .filter(($"y" === 1L && $"m" <= 0) || ($"y" === -1L && $"m" > 0))
           .select($"doc_id", $"y")
           .localCheckpoint()
+        // the y factor casts to DECIMAL FIRST so the per-row product runs
+        // in decimal like the oracle's HUGEINT — a Long product of
+        // xf(≤10⁴)·r would wrap silently past a ~10¹³:1 class imbalance
+        // (the weightExpr ceiling class)
         val grad = tf.join(errs.select($"doc_id"), Seq("doc_id"))
           .crossJoin(broadcast(cls))
           .groupBy($"bucket")
-          .agg(sum(($"y" * $"xf" *
-            when($"y" === 1L, $"r").otherwise(lit(pcpQ)))
-            .cast(DecimalType(38, 0))).as("g"))
+          .agg(sum($"y".cast(DecimalType(38, 0)) * $"xf" *
+            when($"y" === 1L, $"r").otherwise(lit(pcpQ))).as("g"))
           .localCheckpoint() // ≤ nbBuckets rows
         ws += ws.last.join(grad, Seq("bucket"), "full_outer")
           .select($"bucket",

@@ -59,14 +59,7 @@ object Hybrid {
   /** The sparse arm alone: (qid, doc_id, rank ≤ sparseK). */
   private def sparseRanked(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val docs = spark.table("documents")
-    val tf = docs
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-    val dls = docs.select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
+    val (tf, df, dls, stats) = invertedIndex(spark)
 
     // term selection: the query docs' vocabularies (Q₀-bounded) ranked
     // rarest-first; df rides along so the scorer needs no vocab-sized join
@@ -208,7 +201,7 @@ object Hybrid {
   /** Interpolation weight λ of the ORIGINAL query (RM3's one knob). Each
     * original term carries λ·P(t|Q) = λ/|Q|, written as a single literal
     * division so both engines fold the identical IEEE constant. */
-  private def rm3OrigWeight = lit(0.5) / lit(3.0)
+  private def rm3OrigWeight = lit(0.5) / lit(TextOps.bm25Terms.length.toDouble)
 
   /** RM3 query expansion, the classic retrieval quality lever: first-pass
     * BM25 ([[TextOps.bm25Scored]]'s arithmetic, the gated `text_bm25_search`
@@ -419,7 +412,7 @@ object Hybrid {
 
   val rm3SearchOracle: String = {
     val origRows = TextOps.bm25Terms
-      .map(t => s"SELECT '$t' AS word, 0.5 / 3.0 AS w")
+      .map(t => s"SELECT '$t' AS word, 0.5 / ${TextOps.bm25Terms.length}.0 AS w")
       .mkString(" UNION ALL ")
     Fixtures.oracle(rm3ExpCtes +
       s""", rm3_w8 AS ($origRows UNION ALL SELECT word, w FROM rm3_exp),

@@ -1422,12 +1422,13 @@ object Sessions {
       .select($"n".as("user_id"), $"core_degree")
   }
 
-  /** Coreness ladder k = 2/3/4: per level, the surviving core's node and
-    * edge counts plus its minimum in-core degree — the graph's density
-    * profile in three numbers per level (the knob-table convention:
-    * nprobe/rerank/temperature curves, now for the peeling threshold).
-    * Cores NEST (the 4-core is a subgraph of the 3-core is a subgraph of
-    * the 2-core) and every min degree reads ≥ its k — both spec-pinned. */
+  /** Coreness ladder over [[kcoreCurveKs]] (k = 2/16/64): per level, the
+    * surviving core's node and edge counts plus its minimum in-core
+    * degree — the graph's density profile in three numbers per level
+    * (the knob-table convention: nprobe/rerank/temperature curves, now
+    * for the peeling threshold). Cores NEST (a higher-k core is a
+    * subgraph of every lower-k core) and every non-empty level's min
+    * degree reads ≥ its k — both spec-pinned. */
   def kcoreCurve(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
