@@ -1,93 +1,180 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.fixtures.Fixtures
 
-/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
-  * processed by a batched per-partition decode stage.
+/** Multimodal-column processing over REAL image codecs (`javax.imageio`,
+  * shipped in the JDK — PNG and BMP, both lossless for 24-bit RGB).
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * DETERMINISTIC FAKE (clearly marked below) — what is real and tested is
-  * the Spark-side shape a 100 TB media pipeline needs:
-  *   - blobs as `BinaryType` columns co-partitioned with their metadata;
-  *   - decode/feature-extract as `mapPartitions` over a typed Dataset
-  *     (one JVM-side batch per partition — the Scala analogue of an arrow
-  *     batch UDF: amortized setup, no per-row closure dispatch);
-  *   - narrow output schema so column pruning drops the blob when only
-  *     metadata is read downstream.
+  * The corpus has no media files, so each entry SYNTHESIZES its images from
+  * an exact integer pixel formula over the driver tables, then runs the real
+  * pipeline a 100 TB media corpus needs:
   *
-  * The blob here is the UTF-8 encoding of `documents.text` (the corpus has
-  * no real media), which also makes the metadata oracle-checkable: the fake
-  * decode is pure arithmetic on byte length and first/last byte.
+  *   encode (ImageIO.write → PNG/BMP bytes)      — stands in for storage
+  *     → blob as a `BinaryType` column across a shuffle boundary
+  *   decode (ImageIO.read, format auto-sniffed)  — the codec under test
+  *     → per-partition batched feature stage (`mapPartitions` over a typed
+  *       Dataset: amortized setup, tight int loops, no per-row dispatch)
+  *
+  * Differential testing without a codec in the oracle: the pixel formula is
+  * dialect-common integer SQL, and PNG/BMP round-trip 24-bit RGB LOSSLESSLY,
+  * so the DuckDB oracle replays the formula directly — any deviation in the
+  * encode or decode path (wrong channel order, palette quantization, stride
+  * bugs) changes the decoded pixels and fails the hash match. The Scala
+  * formula helpers below and the SQL fragments MUST stay in lockstep.
+  *
+  * Scale notes: blobs stay in executors end-to-end (no driver collect); the
+  * decode stage is a narrow map over the blob column, so column pruning
+  * drops the payload wherever only metadata flows downstream; the pHash
+  * dedup blocks candidates through the same salted band join as the text
+  * dedup family (graft.util.Salted).
   */
 object Multimodal {
 
-  /** Decoded-media metadata row (what a real image decode would yield). */
-  case class MediaMeta(doc_id: Long, byte_len: Long, format: String,
-      width: Long, height: Long, n_frames: Long, mean_byte: Long)
+  // ------------------------------------------------------------------
+  // Pixel formulas (MUST match the SQL fragments in the oracles below).
+  // Per-document image: even dims 8..32 from doc_id; RGB from (d, x, y).
+  private def dimW(d: Long): Int = (8 + 2 * (d % 13)).toInt
+  private def dimH(d: Long): Int = (8 + 2 * ((d * 3) % 13)).toInt
+  private def chanR(d: Long, x: Int, y: Int): Int = ((d * 7 + x * 13 + y * 17) % 256).toInt
+  private def chanG(d: Long, x: Int, y: Int): Int = ((d * 11 + x * 3 + y * 5) % 256).toInt
+  private def chanB(d: Long, x: Int, y: Int): Int = ((d * 13 + x * 19 + y * 23) % 256).toInt
+  /** ITU-R 601 integer luma: exact in Int (max 255000). */
+  private[graft] def luma(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** SQL twins of the formula (DuckDB oracle side). */
+  private val sqlW = "8 + 2*(doc_id % 13)"
+  private val sqlH = "8 + 2*((doc_id*3) % 13)"
+  private def sqlR(x: String, y: String) = s"(doc_id*7 + ($x)*13 + ($y)*17) % 256"
+  private def sqlG(x: String, y: String) = s"(doc_id*11 + ($x)*3 + ($y)*5) % 256"
+  private def sqlB(x: String, y: String) = s"(doc_id*13 + ($x)*19 + ($y)*23) % 256"
+  private def sqlLuma(x: String, y: String) =
+    s"(299*(${sqlR(x, y)}) + 587*(${sqlG(x, y)}) + 114*(${sqlB(x, y)})) // 1000"
+
+  // ------------------------------------------------------------------
+  // Codec plumbing (executor-side; ImageIO is headless-safe).
+
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = encode(img, "png")
+  private[graft] def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, fmt, bos)) sys.error(s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+  private[graft] def decode(blob: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(blob))
+
+  /** Container format from the blob's magic bytes, via ImageIO's reader
+    * registry — real sniffing, not an echo of the writer's choice. */
+  private[graft] def sniffFormat(blob: Array[Byte]): String = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+    try {
+      val rs = ImageIO.getImageReaders(iis)
+      if (rs.hasNext) rs.next().getFormatName.toLowerCase else "unknown"
+    } finally iis.close()
+  }
+
+  private[graft] def synthDocImage(d: Long): BufferedImage = {
+    val (w, h) = (dimW(d), dimH(d))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (chanR(d, x, y) << 16) | (chanG(d, x, y) << 8) | chanB(d, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** (doc_id, blob) with REAL encoded bytes — PNG, except every third doc
+    * as BMP so the decode stage's format sniffing does real work. The
+    * repartition forces the binary column through shuffle serialization:
+    * in production the blob arrives from storage; here the encode stage
+    * stands in for it, and fusing encode+decode into one task would test
+    * nothing about blobs as first-class columns. */
+  private def docBlobs(spark: SparkSession): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    val ids = spark.table("documents").select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      it.map { d =>
+        (d, encode(synthDocImage(d), if (d % 3 == 0) "bmp" else "png"))
+      }
+    }.toDF("doc_id", "blob").repartition(col("doc_id")).as[(Long, Array[Byte])]
+  }
+
+  // ------------------------------------------------------------------
+  // multimodal_media_meta — decode-derived metadata.
+
+  case class MediaMeta(doc_id: Long, format: String, width: Long, height: Long,
+      n_pixels: Long, mean_luma: Long)
 
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-
-    val blobs = spark.table("documents")
-      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
-
-    blobs.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // --- STUB DECODE (no codecs in this container) ---------------
-        // A real implementation would decode `bytes` with a codec here;
-        // the replacement is deterministic arithmetic so the pipeline
-        // stays differentially testable end-to-end.
-        val len = bytes.length.toLong
-        val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
-        val last = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xffL else 0L
-        MediaMeta(
-          doc_id = id,
-          byte_len = len,
-          format = if (len % 2 == 0) "png" else "jpeg",
-          width = 64 + (len * 7 + first) % 512,
-          height = 64 + (len * 13 + last) % 512,
-          n_frames = 1 + len % 30,
-          mean_byte = (first + last) / 2)
-        // ----------------------------------------------------------------
+    docBlobs(spark).mapPartitions { it =>
+      it.map { case (d, blob) =>
+        val fmt = sniffFormat(blob)
+        val img = decode(blob)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaMeta(d, fmt, w, h, w.toLong * h, sum / (w.toLong * h))
       }
     }.toDF()
   }
 
-  /** The fake decode is arithmetic on byte length / boundary bytes, so the
-    * oracle replays it in SQL (corpus is ASCII: strlen = bytes). */
+  /** Oracle replays the pixel formula — valid because PNG/BMP are lossless:
+    * decoded pixels == synthesized pixels iff both codec legs are correct. */
   val mediaMetaOracle: String = Fixtures.oracle(
-    """SELECT doc_id,
-              CAST(strlen(text) AS BIGINT) AS byte_len,
-              CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-              CAST(64 + (strlen(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS BIGINT) AS width,
-              CAST(64 + (strlen(text) * 13 + ascii(substr(text, strlen(text), 1))) % 512 AS BIGINT) AS height,
-              CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames,
-              CAST((ascii(substr(text, 1, 1)) + ascii(substr(text, strlen(text), 1))) // 2 AS BIGINT) AS mean_byte
-       FROM documents""")
+    s""", mm AS (SELECT doc_id, $sqlW AS w, $sqlH AS h FROM documents),
+       px AS (
+         SELECT m.doc_id, m.w, m.h, ${sqlLuma("gx.x", "gy.y")} AS lum
+         FROM mm m, UNNEST(range(m.w)) AS gx(x), UNNEST(range(m.h)) AS gy(y))
+       SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS format,
+              CAST(MAX(w) AS BIGINT) AS width,
+              CAST(MAX(h) AS BIGINT) AS height,
+              CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+              CAST(SUM(lum) // (MAX(w) * MAX(h)) AS BIGINT) AS mean_luma
+       FROM px GROUP BY doc_id""")
 
-  /** Frame sampling plan: one row per sampled frame index (every k-th frame
-    * of the fake stream) — the explode pattern a video pipeline uses to fan
-    * a blob out to per-frame work items, with the blob itself pruned. */
+  // ------------------------------------------------------------------
+  // multimodal_frame_sample — explode decoded metadata to per-frame work
+  // items (every 5th frame), blob pruned after the decode stage.
+
   def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     mediaMeta(spark, sfDir)
+      .select($"doc_id", (lit(1L) + ($"width" * $"height") % 30).as("n_frames"))
       .filter($"n_frames" > 1)
-      .select($"doc_id", $"n_frames",
+      .select($"doc_id",
         explode(expr("sequence(0, CAST(n_frames - 1 AS INT), 5)")).as("frame_idx"))
       .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
         ($"doc_id" * 1000 + $"frame_idx").as("frame_key"))
   }
 
   val frameSampleOracle: String = Fixtures.oracle(
-    """, meta AS (
-         SELECT doc_id, CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+    s""", meta AS (
+         SELECT doc_id, 1 + (($sqlW) * ($sqlH)) % 30 AS n_frames
          FROM documents)
        SELECT doc_id,
               CAST(t.f AS BIGINT) AS frame_idx,
@@ -95,153 +182,245 @@ object Multimodal {
        FROM meta, UNNEST(range(0, n_frames, 5)) AS t(f)
        WHERE n_frames > 1""")
 
-  /** Resize row: target dims fit into a 224-box preserving aspect, plus a
-    * strided checksum standing in for the resampled payload. */
-  case class Resized(doc_id: Long, width: Long, height: Long,
-      out_width: Long, out_height: Long, resized_checksum: Long)
+  // ------------------------------------------------------------------
+  // multimodal_resize — decode, exact 2×2 integer box downsample, RE-ENCODE
+  // (PNG), decode AGAIN, then summarize the resized pixels. Both codec
+  // directions are in the measured path twice.
 
-  /** Resize stage: compute aspect-preserving target dimensions (fit into
-    * 224×224) and produce the "resampled" payload — STUBBED as a strided
-    * byte checksum (stride = len/64 source bytes per output unit), because
-    * the container has no codecs. The plumbing is the real part: a typed
-    * per-partition batch stage whose byte loop touches the blob with the
-    * same access pattern a downsampler would, while the target-dim
-    * arithmetic is pure projection the optimizer can reorder. */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+      out_width: Long, out_height: Long, resized_luma_sum: Long)
+
+  private[graft] def boxHalf(img: BufferedImage): BufferedImage = {
+    val (ow, oh) = (img.getWidth / 2, img.getHeight / 2)
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val p00 = img.getRGB(2 * x, 2 * y); val p10 = img.getRGB(2 * x + 1, 2 * y)
+        val p01 = img.getRGB(2 * x, 2 * y + 1); val p11 = img.getRGB(2 * x + 1, 2 * y + 1)
+        def ch(sh: Int) =
+          (((p00 >> sh) & 0xff) + ((p10 >> sh) & 0xff) + ((p01 >> sh) & 0xff) + ((p11 >> sh) & 0xff)) / 4
+        out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def resize(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-
-    val blobs = spark.table("documents")
-      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
-
-    blobs.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val len = bytes.length.toLong
-        val first = if (bytes.nonEmpty) bytes(0) & 0xffL else 0L
-        val last = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xffL else 0L
-        // same fake dims as mediaMeta — one decode, many consumers
-        val w = 64 + (len * 7 + first) % 512
-        val h = 64 + (len * 13 + last) % 512
-        val longSide = math.max(w, h)
-        // --- STUB RESAMPLE (no codecs): strided byte checksum ----------
-        val stride = math.max(1L, len / 64L).toInt
+    docBlobs(spark).mapPartitions { it =>
+      it.map { case (d, blob) =>
+        val img = decode(blob)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val small = decode(encodePng(boxHalf(img))) // re-encode + second decode
         var sum = 0L
-        var i = 0
-        while (i < bytes.length) { sum += bytes(i) & 0xffL; i += stride }
-        // ----------------------------------------------------------------
-        Resized(id, w, h, w * 224 / longSide, h * 224 / longSide, sum)
+        var y = 0
+        while (y < small.getHeight) {
+          var x = 0
+          while (x < small.getWidth) {
+            val p = small.getRGB(x, y)
+            sum += luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Resized(d, w, h, small.getWidth.toLong, small.getHeight.toLong, sum)
       }
     }.toDF()
   }
 
-  val resizeOracle: String = Fixtures.oracle(
-    """, rmeta AS (
-         SELECT doc_id, strlen(text) AS len,
-                64 + (strlen(text) * 7 + ascii(substr(text, 1, 1))) % 512 AS w,
-                64 + (strlen(text) * 13 + ascii(substr(text, strlen(text), 1))) % 512 AS h
-         FROM documents)
-       SELECT m.doc_id,
-              CAST(m.w AS BIGINT) AS width,
-              CAST(m.h AS BIGINT) AS height,
-              CAST(m.w * 224 // greatest(m.w, m.h) AS BIGINT) AS out_width,
-              CAST(m.h * 224 // greatest(m.w, m.h) AS BIGINT) AS out_height,
-              CAST((SELECT COALESCE(SUM(ascii(substr(d.text, CAST(t.i AS INT) + 1, 1))), 0)
-                    FROM UNNEST(range(0, m.len, greatest(1, m.len // 64))) AS t(i)) AS BIGINT)
-                AS resized_checksum
-       FROM rmeta m JOIN documents d ON d.doc_id = m.doc_id""")
+  /** Pooled-channel replay: floor-average each 2×2 block per channel, then
+    * luma — matches [[boxHalf]] exactly in integer arithmetic. */
+  val resizeOracle: String = {
+    def pooled(c: (String, String) => String) =
+      s"(${c("2*gx.x", "2*gy.y")} + ${c("2*gx.x+1", "2*gy.y")} + ${c("2*gx.x", "2*gy.y+1")} + ${c("2*gx.x+1", "2*gy.y+1")}) // 4"
+    Fixtures.oracle(
+      s""", mm AS (SELECT doc_id, $sqlW AS w, $sqlH AS h FROM documents),
+         rp AS (
+           SELECT m.doc_id, m.w, m.h,
+                  (299*(${pooled(sqlR)}) + 587*(${pooled(sqlG)}) + 114*(${pooled(sqlB)})) // 1000 AS lum
+           FROM mm m, UNNEST(range(m.w // 2)) AS gx(x), UNNEST(range(m.h // 2)) AS gy(y))
+         SELECT doc_id,
+                CAST(MAX(w) AS BIGINT) AS width,
+                CAST(MAX(h) AS BIGINT) AS height,
+                CAST(MAX(w) // 2 AS BIGINT) AS out_width,
+                CAST(MAX(h) // 2 AS BIGINT) AS out_height,
+                CAST(SUM(lum) AS BIGINT) AS resized_luma_sum
+         FROM rp GROUP BY doc_id""")
+  }
 
-  /** Feature-extraction stage: an 8-bin byte histogram per blob — the exact
-    * shape of a per-item embedding/feature pass (one JVM batch per
-    * partition, tight loop over the payload, small fixed-width output).
-    * Emitted exploded (doc_id, bin, n) so the oracle checks every bin and
-    * the driver's hash never sees an array column. */
+  // ------------------------------------------------------------------
+  // multimodal_feature_extract — 8-bin luma histogram over decoded pixels,
+  // exploded (doc_id, bin, n) with zero bins present.
+
   def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-
-    val blobs = spark.table("documents")
-      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
-
-    blobs.mapPartitions { it =>
-      it.flatMap { case (id, bytes) =>
+    docBlobs(spark).mapPartitions { it =>
+      it.flatMap { case (d, blob) =>
+        val img = decode(blob)
         val hist = new Array[Long](8)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1; i += 1 }
-        (0 until 8).iterator.map(b => (id, b.toLong, hist(b)))
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            hist(luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 8).iterator.map(b => (d, b.toLong, hist(b)))
       }
     }.toDF("doc_id", "bin", "n")
   }
 
   val featureExtractOracle: String = Fixtures.oracle(
-    """, chars AS (
-         SELECT doc_id, ascii(substr(text, CAST(t.i AS INT) + 1, 1)) // 32 AS bin
-         FROM documents, UNNEST(range(strlen(text))) AS t(i)),
+    s""", mm AS (SELECT doc_id, $sqlW AS w, $sqlH AS h FROM documents),
+       px AS (
+         SELECT m.doc_id, (${sqlLuma("gx.x", "gy.y")}) // 32 AS bin
+         FROM mm m, UNNEST(range(m.w)) AS gx(x), UNNEST(range(m.h)) AS gy(y)),
        grid AS (
-         SELECT d.doc_id, b.bin
-         FROM documents d, UNNEST(range(8)) AS b(bin))
+         SELECT d.doc_id, b.bin FROM documents d, UNNEST(range(8)) AS b(bin))
        SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin,
               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
        FROM grid g
-       LEFT JOIN (SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY 1, 2) c
+       LEFT JOIN (SELECT doc_id, bin, COUNT(*) AS n FROM px GROUP BY 1, 2) c
          ON c.doc_id = g.doc_id AND c.bin = g.bin""")
 
-  /** Per-band polynomial multipliers for the stub perceptual hash. */
-  private val phashMults = Seq(131L, 137L, 139L, 149L)
+  // ------------------------------------------------------------------
+  // multimodal_phash_dedup — REAL perceptual hash over media_aug:
+  // text → 16×16 grayscale image → real PNG round-trip → decoded luma →
+  // 2×2 box pool to 8×8 → 2-D DCT-II in fixed point (table below, scale
+  // 2^14, exact BIGINT — no float anywhere, so the oracle replays it) →
+  // 63 AC coefficients thresholded at their median → 63-bit hash in 4
+  // bands (16/16/16/15) → banded candidate join → Hamming verify ≤ 8.
+  // This is the standard DCT pHash construction (Zauner 2010, "Implementation
+  // and Benchmarking of Perceptual Image Hash Functions"), in integer form.
 
-  /** (doc_id, 4 × 16-bit fingerprint bands) over a blob column. Public like
-    * [[MediaMeta]]: Janino-generated encoder code cannot touch a private
-    * class, and the silent fallback is the interpreted row path. */
+  /** round(cos((2x+1)·u·π/16) · 2^14), u = row, x = col — DCT-II basis.
+    * Overflow headroom: pooled ≤ 255 → stage-1 ≤ 8·255·2^14 ≈ 3.3e7 →
+    * stage-2 ≤ 8·3.3e7·2^14 ≈ 4.4e12, comfortably inside Long/BIGINT. */
+  private[graft] val DctC: Array[Array[Long]] = Array(
+    Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  private val dctSqlValues: String =
+    (for (u <- 0 until 8; x <- 0 until 8) yield s"($u,$x,${DctC(u)(x)})").mkString(", ")
+
+  /** 16×16 grayscale "image" of a text: pixel (x,y) = codepoint at index
+    * (y·16+x) mod length, mod 256. Content-derived (NOT id-derived), so
+    * byte-identical blobs hash identically — what a duplicate detector is
+    * for. Grayscale r=g=b=v makes integer luma exactly v. */
+  private[graft] def synthTextImage(text: String): BufferedImage = {
+    val cps = text.codePoints().toArray
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v = if (cps.isEmpty) 0 else cps(((y * 16 + x) % cps.length)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** 4 × 16-bit pHash bands of a decoded 16×16 image (bits 48..62 use 15).
+    * Public nested case class: Janino encoder codegen cannot touch private
+    * classes (silent interpreted-path fallback otherwise). */
   case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
-  /** Image near-duplicate detection by banded perceptual hash — the media
-    * analogue of dedup_simhash: 64-bit fingerprint split into 4 × 16-bit
-    * bands, candidates = pairs sharing ≥ 1 band (equi-join on the band
-    * value, blocking-based like every dedup here), verified by Hamming
-    * distance over the full fingerprint.
-    *
-    * The hash itself is a STUB like every decode in this module (a real
-    * pHash needs an image codec: DCT over downsampled luma); the blob is
-    * DECODED first (UTF-8 → codepoints — the decode IS the stub codec
-    * step) and each band is a per-multiplier polynomial over the decoded
-    * codepoints, looped in the same typed mapPartitions batch shape a
-    * codec stage uses. Folding codepoints, not raw bytes, is what keeps
-    * the oracle's per-character `ascii()` fold equivalent for ANY text,
-    * not just the ASCII corpus. Only content-identical blobs collide under
-    * the stub — the seeded `media_aug` copies (and the corpus's organic
-    * duplicate texts at sf0.1) make the pipeline fire deterministically.
-    * The Hamming verify never overflows: per-band XOR of 16-bit values,
-    * popcounts summed — no 64-bit shift whose sign bit the two engines
-    * could treat differently. */
+  private[graft] def phashOf(img: BufferedImage): Array[Long] = {
+    // decoded luma: grayscale round-trip, so luma(v,v,v) == v
+    val pooled = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val p = img.getRGB(2 * x + dx, 2 * y + dy)
+            s += luma((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        pooled(x)(y) = s / 4
+        x += 1
+      }
+      y += 1
+    }
+    // separable fixed-point DCT-II: t(u,y) = Σ_x pooled(x,y)·C(u,x);
+    // coef(u,v) = Σ_y t(u,y)·C(v,y). No intermediate truncation.
+    val t = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 8) { s += pooled(x)(yy) * DctC(u)(x); x += 1 }
+        t(u)(yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L
+          var yy = 0
+          while (yy < 8) { s += t(u)(yy) * DctC(v)(yy); yy += 1 }
+          ac(u * 8 + v - 1) = s
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val med = ac.sorted.apply(31) // median of 63 = 32nd smallest, tie-stable
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > med) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
   def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
+    // encode stage: content → image → REAL PNG bytes; shuffle boundary;
+    // decode stage: REAL PNG decode → fixed-point DCT hash
     val blobs = spark.table("media_aug")
-      .select($"doc_id", $"text".cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.map { case (d, text) => (d, encodePng(synthTextImage(text))) })
+      .toDF("doc_id", "blob").repartition(col("doc_id")).as[(Long, Array[Byte])]
 
-    val bands = blobs.mapPartitions { it =>
-      val ms = phashMults
-      it.map { case (id, bytes) =>
-        // --- STUB PHASH (no codecs in this container) -----------------
-        // the "decode" step: bytes -> codepoints (a real codec would
-        // yield pixels here); the fold then runs over decoded units so
-        // the oracle's per-character ascii() fold matches for ANY text
-        val cps = new String(bytes, "UTF-8").codePoints().toArray
-        val h = Array.fill(4)(0L)
-        var i = 0
-        while (i < cps.length) {
-          val x = cps(i).toLong
-          var b = 0
-          while (b < 4) { h(b) = (h(b) * ms(b) + x) % 65536L; b += 1 }
-          i += 1
-        }
-        // ---------------------------------------------------------------
-        PhashBands(id, h(0), h(1), h(2), h(3))
-      }
-    }.toDF()
+    val bands = blobs.mapPartitions(_.map { case (d, blob) =>
+      val h = phashOf(decode(blob))
+      PhashBands(d, h(0), h(1), h(2), h(3))
+    }).toDF()
 
     val expl = bands.select($"doc_id",
       explode(array(
@@ -251,9 +430,8 @@ object Multimodal {
         struct(lit(3).as("bi"), $"b3".as("bv")))).as("band"))
       .select($"doc_id", $"band.bi", $"band.bv")
 
-    // candidate pairs through the salt gate (uniform with the text band
-    // joins), then one hamming computation per DISTINCT pair against the
-    // per-doc band frame
+    // candidate pairs through the shared salt gate, one Hamming verify per
+    // DISTINCT pair against the per-doc band frame
     graft.util.Salted.pairSelfJoin(expl, Seq("bi", "bv"), "doc_id")
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
       .distinct()
@@ -269,17 +447,50 @@ object Multimodal {
       .filter($"hamming" <= 8)
   }
 
-  private def duckBand(m: Long): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, x) -> (a * $m + x) % 65536)"
-
+  /** Full integer replay of the pHash pipeline (formula pixels stand in for
+    * the lossless PNG round-trip; everything after is the same exact-BIGINT
+    * algorithm both engines run). */
   val phashDedupOracle: String = Fixtures.oracle(
-    s""", ph AS (
+    s""", ctab(u, x, c) AS (SELECT * FROM (VALUES $dctSqlValues) AS t(u, x, c)),
+       lum AS (
+         SELECT doc_id, gx.x AS x, gy.y AS y,
+                CASE WHEN strlen(text) = 0 THEN 0
+                     ELSE ascii(substr(text, CAST((gy.y*16 + gx.x) % strlen(text) AS INT) + 1, 1)) % 256
+                END AS v
+         FROM media_aug, UNNEST(range(16)) AS gx(x), UNNEST(range(16)) AS gy(y)),
+       pooled AS (
+         SELECT doc_id, x // 2 AS x, y // 2 AS y, SUM(v) // 4 AS p
+         FROM lum GROUP BY doc_id, x // 2, y // 2),
+       t1 AS (
+         SELECT l.doc_id, ct.u AS u, l.y AS y, SUM(l.p * ct.c) AS t
+         FROM pooled l JOIN ctab ct ON ct.x = l.x
+         GROUP BY l.doc_id, ct.u, l.y),
+       coef AS (
+         SELECT t1.doc_id, t1.u AS u, ct.u AS v, SUM(t1.t * ct.c) AS coef
+         FROM t1 JOIN ctab ct ON ct.x = t1.y
+         GROUP BY t1.doc_id, t1.u, ct.u),
+       ac AS (
+         SELECT doc_id, coef, u*8 + v - 1 AS i FROM coef
+         WHERE NOT (u = 0 AND v = 0)),
+       med AS (
+         SELECT doc_id, coef AS med FROM (
+           SELECT doc_id, coef,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+           FROM ac) WHERE rn = 32),
+       bandrows AS (
+         SELECT a.doc_id, CAST(a.i // 16 AS INT) AS bi,
+                SUM(CASE WHEN a.coef > m.med
+                         THEN CAST(1 AS BIGINT) << CAST(a.i % 16 AS INT)
+                         ELSE CAST(0 AS BIGINT) END) AS bv
+         FROM ac a JOIN med m ON m.doc_id = a.doc_id
+         GROUP BY a.doc_id, a.i // 16),
+       ph AS (
          SELECT doc_id,
-                ${duckBand(131L)} AS b0, ${duckBand(137L)} AS b1,
-                ${duckBand(139L)} AS b2, ${duckBand(149L)} AS b3
-         FROM media_aug),
+                MAX(CASE WHEN bi = 0 THEN bv END) AS b0,
+                MAX(CASE WHEN bi = 1 THEN bv END) AS b1,
+                MAX(CASE WHEN bi = 2 THEN bv END) AS b2,
+                MAX(CASE WHEN bi = 3 THEN bv END) AS b3
+         FROM bandrows GROUP BY doc_id),
        pbands AS (
          SELECT doc_id, 0 AS bi, b0 AS bv, b0, b1, b2, b3 FROM ph
          UNION ALL SELECT doc_id, 1, b1, b0, b1, b2, b3 FROM ph
