@@ -32,6 +32,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (AnnIndex.queries, AnnIndex.oracles),
+      (GraphAnn.queries, GraphAnn.oracles),
       (Hybrid.queries, Hybrid.oracles),
       (StreamReplay.queries, StreamReplay.oracles),
       (Multimodal.queries, Multimodal.oracles),

@@ -245,10 +245,10 @@ object AnnIndex {
     }
   }
 
-  private def deltaPath(root: String, n: Int): String =
+  private[queries] def deltaPath(root: String, n: Int): String =
     s"$root/delta=${"%05d".format(n)}"
 
-  private def writeDelta(root: String, n: Int, kind: String)
+  private[queries] def writeDelta(root: String, n: Int, kind: String)
       (write: String => Unit): Unit = {
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, f".tmp-delta-$n%05d")
@@ -265,7 +265,7 @@ object AnnIndex {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def rmTree(p: Path): Unit = {
+  private[queries] def rmTree(p: Path): Unit = {
     val f = p.toFile
     if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
     f.delete(); ()

@@ -143,14 +143,14 @@ object Similarity {
   /** Exploded-element CTE (oracle side): only the LSH bucket computation
     * still consumes per-element rows — pair scoring folds arrays directly
     * via [[DotProduct.duckDot]]. */
-  private def elementCtes(table: String): String =
+  private[queries] def elementCtes(table: String): String =
     s""", el AS (
          SELECT e.vec_id, CAST(t.i AS INT) AS idx,
                 CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
          FROM $table e, UNNEST(range(len(e.embedding))) AS t(i))"""
 
   /** Squared norms via the same left fold as the Spark side. */
-  private def normCte(table: String): String =
+  private[queries] def normCte(table: String): String =
     s""", nrm AS (
          SELECT vec_id, norm_sq
          FROM (SELECT vec_id,
@@ -171,7 +171,7 @@ object Similarity {
     * pinned Spark-side by AdversarialCorpusSpec.
     * `mult` is the table's j-multiplier ([[graft.plans.LshBucket.multipliers]]);
     * `name` lets multi-table oracles emit one CTE per plane family. */
-  private def bucketCteFor(name: String, mult: Int): String =
+  private[queries] def bucketCteFor(name: String, mult: Int): String =
     s""", $name AS (
          SELECT vec_id,
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
@@ -187,7 +187,7 @@ object Similarity {
 
   /** Shared oracle tail: score candidate pairs by the array fold, rank,
     * cut at k. */
-  private def rankedTail(k: Int): String =
+  private[queries] def rankedTail(k: Int): String =
     s""",
        scored AS (
          SELECT dots.qid, dots.vec_id,
@@ -685,7 +685,7 @@ object Similarity {
   /** Shared recall@3 harness: exact top-3 vs any candidate path's top-3.
     * ONE definition for every index family so the metric (k, tie-breaks,
     * rank guard) can never diverge between them. */
-  private def recallAgainst(exact: DataFrame, approx: DataFrame): DataFrame =
+  private[queries] def recallAgainst(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.as("e")
       .join(approx.as("l"),
         col("e.query_id") === col("l.query_id") &&
@@ -744,7 +744,7 @@ object Similarity {
     * path's CTEs (buckets / assignments, plus nrm), `candidates` the
     * (qid, vec_id) candidate query. The exact side and the LEFT JOIN tail
     * are written ONCE for every index family. */
-  private def recallOracle(prefix: String, candidates: String): String =
+  private[queries] def recallOracle(prefix: String, candidates: String): String =
     Fixtures.oracle(prefix + exactSideCtes + candRankedCtes("l", candidates) +
       """ SELECT e.qid AS query_id,
               CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
