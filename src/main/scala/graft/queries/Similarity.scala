@@ -703,7 +703,7 @@ object Similarity {
     * corpus, ranked per query. Written once so the ground truth can never
     * drift between index families. (`lazy`: oracle vals earlier in the
     * object's init order consume this via [[recallOracle]].) */
-  private lazy val exactSideCtes: String =
+  private[queries] lazy val exactSideCtes: String =
     s""", exact_dots AS (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
@@ -723,7 +723,7 @@ object Similarity {
     * (qid, vec_id) list from `candidates`) scored and ranked per query —
     * the exact-re-rank twin, name-prefixed so one oracle can carry several
     * candidate paths (the nprobe sweep). */
-  private def candRankedCtes(tag: String, candidates: String): String =
+  private[queries] def candRankedCtes(tag: String, candidates: String): String =
     s""", cand_$tag AS ($candidates),
        cand_dots_$tag AS (
          SELECT c.qid, c.vec_id,
