@@ -229,8 +229,62 @@ object Bench {
           } finally si.stop()
         j
       } else ""
+    // sf1 leg (VERDICT r12 #8 / r13 #9): one committed data point where the
+    // CORPUS grows 10×, so the 2× bar tracks data growth instead of host
+    // noise. Synthesizes the deterministic ScaleSoak sf1 corpus (skipped if
+    // already built), runs the slowest-30 (by min-wall — the contention-free
+    // ranking) cold in a fresh session, and writes the per-query detail +
+    // alpha-vs-sf0.1 to BENCH_sf1_latest.json in the working directory: the
+    // driver's capture keeps only the final ~2 KB of output, so the compact
+    // line carries a 4-field summary and the file carries the evidence.
+    // Per-entry failures are recorded in the file, not escalated — the sf1
+    // leg is supplementary evidence, and one OOM must not turn a clean
+    // sf0.1 bench into a driver-visible failure.
+    val sf1Json: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s1 = SparkSession.builder().master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false").getOrCreate()
+        s1.sparkContext.setLogLevel("WARN")
+        try {
+          val dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+          ScaleSoak.synth(s1, dir, 10)
+          graft.fixtures.Fixtures.register(s1, dir)
+          val subset = results.sortBy { case (k, _, _, _) => -minWall(k) }
+            .take(30).map(_._1)
+          var sf1Failed = List.empty[String]
+          val timed = subset.map { name =>
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(s1, dir).count() catch { case e: Throwable =>
+              sf1Failed ::= name
+              System.err.println(s"[bench] sf1 $name FAILED: $e")
+            }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+          val ok = timed.filterNot { case (k, _) => sf1Failed.contains(k) }
+          def alpha(name: String, t1: Double): Double = {
+            val t0 = minWall.getOrElse(name, 0.0)
+            if (t0 <= 0 || t1 <= 0) Double.NaN
+            else math.rint(math.log(t1 / t0) / math.log(10.0) * 100) / 100
+          }
+          val detail = timed.map { case (k, v) =>
+            s""""$k":{"wall":${r3(v)},"sf01_min2":${r3(minWall.getOrElse(k, 0.0))},"alpha":${alpha(k, v)}}""" }
+            .mkString("{", ",", "}")
+          val fj = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val fileJson = s"""{"dir":"$dir","scale":10,"n_queries":${timed.size},""" +
+            s""""total":${r3(ok.map(_._2).sum)},"failures":$fj,""" +
+            s""""loadavg":$loadStart,"queries":$detail}"""
+          java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_latest.json"),
+            fileJson.getBytes("UTF-8"))
+          s""","sf1":{"total":${r3(ok.map(_._2).sum)},"n":${timed.size},"failed":${sf1Failed.size},"file":"BENCH_sf1_latest.json"}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 leg skipped: $e")
+          ""
+        } finally s1.stop()
+      } else ""
     val failed2 = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size},"slowest_min2":$slowestMin2,"loadavg_start":$loadStart,"loadavg_end":${loadavg()}$l8json$ingestJson,"failures":$failed2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_min2":${r3(totalMin)},"queries":$slowest,"queries_are_slowest":${slowestN.size},"slowest_min2":$slowestMin2,"loadavg_start":$loadStart,"loadavg_end":${loadavg()}$l8json$ingestJson$sf1Json,"failures":$failed2,"sf":"$sfDir"}""")
     if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -78,7 +78,17 @@ object ScaleSoak {
     "classifier_percep_train",  // 12 x 2 corpus passes, model-sized state
     "embedding_jl_project",     // pure scan-side native kernel, zero shuffles
     "embedding_jl_distortion",  // Q0-broadcast all-pairs, decimal-lane folds
-    "events_kcore")             // 8 peel rounds, monotonically shrinking frames
+    "events_kcore",             // 8 peel rounds, monotonically shrinking frames
+    // round-13 entries (soak rows backfilled in round 14):
+    "multimodal_media_meta",    // encode→shuffle→decode codec chain
+    "multimodal_frame_sample",  // memo-shared decode + frame explode
+    "multimodal_resize",        // decode→box-downsample→re-encode→decode
+    "multimodal_feature_extract", // decode + per-pixel moment scan
+    "multimodal_phash_dedup",   // DCT pHash + salted band join
+    // round-14 graph-ANN rework:
+    "sim_ann_graph_build",      // NN-descent, ρK-capped expansion rounds
+    "sim_ann_graph_search",     // seeded beam search over the persisted graph
+    "sim_ann_recall_graph_curve") // rounds→recall sweep, shared search chain
 
   // ---------------------------------------------------------------- synth
 
