@@ -29,8 +29,11 @@ import graft.streaming.{JdbcMultiTableSink, StreamDriver}
   * (100k events = the sf0.1 `events` table row count) and reports:
   *
   *   - `drain`: wire → committed chunks (the bridge leg alone), measured
-  *     under BOTH framings — JSON lines and gRPC length-prefixed protobuf
-  *     ([[graft.sources.net.BlockProtoCodec]]) — so the codec has a price;
+  *     under ALL THREE framings — JSON lines, gRPC length-prefixed
+  *     protobuf ([[graft.sources.net.BlockProtoCodec]]) on the raw socket,
+  *     and the same LPM frames as a gRPC RPC over HTTP/2 cleartext
+  *     ([[graft.sources.net.Http2Wire]]) — so the codec AND the transport
+  *     each have a price;
   *   - `backfill`: chunks → canonical parquet via bounded AvailableNow
   *     micro-batches (the "weeks to sync" anchor; no relational leg);
   *   - `full`: the same backlog with the multi-table JDBC sink attached —
@@ -82,7 +85,8 @@ object IngestBench {
 
   final case class Result(
       blocks: Int, events: Long,
-      drainSec: Double, drainProtoSec: Double, backfillSec: Double, fullSec: Double,
+      drainSec: Double, drainProtoSec: Double, drainH2cSec: Double,
+      backfillSec: Double, fullSec: Double,
       jdbcSec: Double, jdbcRows: Long, jdbcBatchSize: Int,
       liveBlocks: Int, livePaceMs: Long,
       lagP50Ms: Long, lagP95Ms: Long, lagMaxMs: Long) {
@@ -92,6 +96,7 @@ object IngestBench {
       s"""{"blocks":$blocks,"events":$events,""" +
         s""""drain_sec":${r1(drainSec)},"drain_evps":${evps(drainSec)},""" +
         s""""drain_proto_sec":${r1(drainProtoSec)},"drain_proto_evps":${evps(drainProtoSec)},""" +
+        s""""drain_h2c_sec":${r1(drainH2cSec)},"drain_h2c_evps":${evps(drainH2cSec)},""" +
         s""""backfill_sec":${r1(backfillSec)},"backfill_evps":${evps(backfillSec)},""" +
         s""""backfill_bps":${if (backfillSec > 0) r1(blocks / backfillSec) else 0.0},""" +
         s""""full_sec":${r1(fullSec)},"full_evps":${evps(fullSec)},""" +
@@ -178,6 +183,16 @@ object IngestBench {
       t
     } finally psrv.close()
 
+    // ---- drain over h2c: the same LPM frames as a gRPC RPC over HTTP/2 --
+    // (prices the transport layer alone against the raw-socket proto leg)
+    val hsrv = new BlockStreamServer(
+      script(blocks, eventsPerBlock, perMessage), binary = true, h2c = true)
+    val drainH2cSec = try {
+      val (_, t) = timed(BlockStreamDrainer.drain(
+        "127.0.0.1", hsrv.boundPort, s"$root/feed_h2c", binary = true, h2c = true))
+      t
+    } finally hsrv.close()
+
     // ---- backfill: chunks → canonical parquet (no relational leg) ------
     def runDriver(tag: String, sink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])]): Double = {
       val d = new StreamDriver(spark, s"$root/facts_$tag", s"$root/ckpt_$tag",
@@ -250,7 +265,7 @@ object IngestBench {
     } finally liveSrv.close()
 
     def pct(p: Int): Long = lags((lags.size * p / 100).min(lags.size - 1))
-    Result(blocks, events, drainSec, drainProtoSec, backfillSec, fullSec,
+    Result(blocks, events, drainSec, drainProtoSec, drainH2cSec, backfillSec, fullSec,
       jdbcSec, jdbcRows, jdbcBatchSize,
       liveBlocks, livePaceMs, pct(50), pct(95), lags.last)
   }

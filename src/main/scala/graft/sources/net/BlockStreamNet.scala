@@ -26,9 +26,10 @@ import graft.sources.v2.{BlockFeedProvider, JsonBlockFeed}
   * per line (Jackson is Spark's own JSON library), or protobuf messages
   * in gRPC length-prefixed envelopes via the hand-rolled [[ProtoWire]] /
   * [[BlockProtoCodec]] (the sandbox ships no protobuf jar, so the wire
-  * format is implemented from its published spec). With the binary
-  * framing the remaining delta to the reference's production protocol
-  * (`@apibara/protocol` over gRPC) is the HTTP/2 transport alone. The
+  * format is implemented from its published spec) — optionally carried as
+  * a real gRPC server-streaming RPC over HTTP/2 cleartext via
+  * [[Http2Wire]], the reference's production transport shape
+  * (`@apibara/protocol` over gRPC) at every layer. The
   * JSON rendering of the grammar:
   *
   *   client → server  {"filter":[{"events":[...]}],"finality":"pending",
@@ -158,7 +159,7 @@ object BlockStreamWire {
   * prints `PORT=<actual>` on stdout (pass port 0 for an ephemeral pick).
   */
 final class BlockStreamServer(script: Seq[String], port: Int = 0,
-    paceMs: Long = 0L, binary: Boolean = false) {
+    paceMs: Long = 0L, binary: Boolean = false, h2c: Boolean = false) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
@@ -175,7 +176,9 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     } catch { case NonFatal(_) => () } // server closed
 
   private def serveOne(sock: Socket): Unit =
-    if (binary) serveBinary(sock) else serveJson(sock)
+    if (h2c) serveH2c(sock)
+    else if (binary) serveBinary(sock)
+    else serveJson(sock)
 
   private def serveJson(sock: Socket): Unit = {
     val in = new BufferedReader(
@@ -214,6 +217,23 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     out.flush()
   }
 
+  /** The reference's actual transport shape: the same protobuf messages
+    * carried as a gRPC server-streaming RPC over HTTP/2 cleartext —
+    * request headers + LPM subscribe in, response DATA frames out,
+    * `grpc-status: 0` trailers on completion ([[Http2Wire]]). */
+  private def serveH2c(sock: Socket): Unit = {
+    val (reqBytes, call) = Http2Wire.serverAccept(sock.getInputStream, sock.getOutputStream)
+    val sub = BlockProtoCodec.decodeRequest(reqBytes)
+    val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
+    script.drop(cursor).foreach { msg =>
+      if (paceMs > 0) Thread.sleep(paceMs)
+      call.send(BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
+    }
+    call.send(BlockProtoCodec.encodeResponse(
+      BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
+    call.finish()
+  }
+
   def close(): Unit = server.close()
 }
 
@@ -224,7 +244,8 @@ object BlockStreamServer {
     val reorgAt = args.lift(2).map(_.toLong).getOrElse(50L)
     val srv = new BlockStreamServer(
       BlockStreamScenario.chainWithReorg(blocks, reorgAt), port,
-      binary = args.lift(3).contains("proto"))
+      binary = args.lift(3).contains("proto"),
+      h2c = args.lift(3).contains("h2c"))
     // the parent process reads the ephemeral port from this line
     println(s"PORT=${srv.boundPort}")
     Console.out.flush()
@@ -269,7 +290,8 @@ object BlockStreamDrainer {
     * Returns the number of chunks committed; `completed` is true iff the
     * end-of-script message was seen. */
   def drainOnce(host: String, port: Int, dir: String,
-      maxMessages: Long = Long.MaxValue, binary: Boolean = false): (Long, Boolean) = {
+      maxMessages: Long = Long.MaxValue, binary: Boolean = false,
+      h2c: Boolean = false): (Long, Boolean) = {
     val feed = new JsonBlockFeed(dir)
     val cursor = BlockFeedProvider.listChunks(dir).length
     val sock = new Socket(host, port)
@@ -277,7 +299,14 @@ object BlockStreamDrainer {
       // subscribe + message pull under the chosen framing; the dispatch
       // below sees only the grammar tree and cannot tell the framings apart
       val nextMessage: () => JsonNode =
-        if (binary) {
+        if (h2c) {
+          // the reference's production shape: gRPC server-streaming over
+          // HTTP/2 — LPM frames ride DATA frames instead of the raw socket
+          val body = Http2Wire.clientCall(sock.getInputStream, sock.getOutputStream,
+            s"$host:$port", BlockProtoCodec.encodeRequest(
+              BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))))
+          () => ProtoWire.readFrame(body).map(BlockProtoCodec.decodeResponse).orNull
+        } else if (binary) {
           val out = sock.getOutputStream
           ProtoWire.writeFrame(out, BlockProtoCodec.encodeRequest(
             BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))))
@@ -330,13 +359,13 @@ object BlockStreamDrainer {
     * (any progress resets the counter). Returns total chunks committed. */
   def drain(host: String, port: Int, dir: String,
       maxRetries: Int = 5, backoffMs: Long = 200L,
-      binary: Boolean = false): Long = {
+      binary: Boolean = false, h2c: Boolean = false): Long = {
     var total = 0L
     var failures = 0
     var completed = false
     while (!completed && failures <= maxRetries) {
       try {
-        val (n, done) = drainOnce(host, port, dir, binary = binary)
+        val (n, done) = drainOnce(host, port, dir, binary = binary, h2c = h2c)
         total += n
         completed = done
         if (n > 0) failures = 0
@@ -353,7 +382,9 @@ object BlockStreamDrainer {
 
   def main(args: Array[String]): Unit = {
     val Array(host, port, dir) = args.take(3)
-    val n = drain(host, port.toInt, dir, binary = args.lift(3).contains("proto"))
+    val n = drain(host, port.toInt, dir,
+      binary = args.lift(3).contains("proto"),
+      h2c = args.lift(3).contains("h2c"))
     println(s"DRAINED=$n")
   }
 }

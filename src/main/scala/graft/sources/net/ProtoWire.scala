@@ -15,11 +15,12 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *
   * This is the binary half of the S1 frame story: [[BlockStreamWire]]
   * carries the reference's message GRAMMAR, and until round 12 it was
-  * framed as JSON lines only. [[BlockProtoCodec]] now frames the same
-  * grammar as protobuf messages inside gRPC's Length-Prefixed-Message
-  * envelope, so the remaining delta to the reference's production protocol
-  * (`@apibara/protocol`, a gRPC stream) is the HTTP/2 transport alone —
-  * not the framing, not the schema.
+  * framed as JSON lines only. [[BlockProtoCodec]] frames the same grammar
+  * as protobuf messages inside gRPC's Length-Prefixed-Message envelope,
+  * and since round 14 [[Http2Wire]] carries those envelopes as a real
+  * gRPC server-streaming RPC over HTTP/2 cleartext (h2c) — the reference's
+  * production transport shape (`@apibara/protocol`, a gRPC stream) at
+  * every layer: grammar, schema, framing, and transport.
   *
   * Field numbers are this repo's own (documented on [[BlockProtoCodec]]):
   * the reference does not vendor its `.proto` (it lives in the npm dep),
