@@ -6,6 +6,53 @@ import java.util.Properties
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** SQL-dialect seam for the sink's single-statement upserts. The embedded
+  * spec database (Derby, bundled with Spark) and the reference's production
+  * target (Postgres, BASELINE's `pg` section; dao.ts:1840-1851 writes the
+  * cursor as `INSERT ... ON CONFLICT ... DO UPDATE`) spell the same upsert
+  * differently — Derby has no ON CONFLICT and uses SQL:2003 MERGE; Postgres
+  * has both. The dialect is selected from the JDBC url, the generated SQL
+  * for BOTH dialects is pinned verbatim in JdbcMultiTableSinkSpec, and the
+  * Derby form is exercised live by every sink spec and the ingest bench. */
+sealed abstract class JdbcUpsertDialect(val name: String) {
+  /** The commit-marker table: one row, PRIMARY KEY so the upsert has a
+    * conflict target. */
+  def cursorCreate(table: String): String =
+    s"CREATE TABLE $table (id INT PRIMARY KEY, batch_id BIGINT, block_number BIGINT)"
+
+  /** Single-statement cursor upsert — insert the marker or advance it in
+    * place. One statement ⇒ atomic under autocommit on both databases, so
+    * the sink never needs the DELETE+INSERT window it used before. */
+  def cursorUpsert(table: String, batchId: Long, endBlock: Long): String
+}
+
+object JdbcUpsertDialect {
+
+  /** The reference's production dialect (dao.ts:1840-1851, 1869-1893). */
+  case object Postgres extends JdbcUpsertDialect("postgres") {
+    def cursorUpsert(table: String, batchId: Long, endBlock: Long): String =
+      s"INSERT INTO $table (id, batch_id, block_number) VALUES (0, $batchId, $endBlock) " +
+        s"ON CONFLICT (id) DO UPDATE SET batch_id = EXCLUDED.batch_id, " +
+        s"block_number = EXCLUDED.block_number"
+  }
+
+  /** The embedded spec database: same upsert as SQL:2003 MERGE against the
+    * one-row SYSIBM.SYSDUMMY1 source. */
+  case object Derby extends JdbcUpsertDialect("derby") {
+    def cursorUpsert(table: String, batchId: Long, endBlock: Long): String =
+      s"MERGE INTO $table c USING SYSIBM.SYSDUMMY1 s ON c.id = 0 " +
+        s"WHEN MATCHED THEN UPDATE SET batch_id = $batchId, block_number = $endBlock " +
+        s"WHEN NOT MATCHED THEN INSERT (id, batch_id, block_number) " +
+        s"VALUES (0, $batchId, $endBlock)"
+  }
+
+  /** Url-based selection, the standard JDBC convention. Anything that is
+    * not Postgres falls back to the SQL:2003 MERGE form (Derby, DB2, and
+    * the other MERGE-speaking databases). */
+  def of(url: String): JdbcUpsertDialect =
+    if (url.startsWith("jdbc:postgresql:")) Postgres else Derby
+}
+
 /** Multi-table transactional JDBC sink — the drop-in analogue of the
   * reference's per-block DAO transaction, which writes ~24 fact tables plus
   * the cursor inside ONE Postgres transaction per block batch
@@ -51,6 +98,9 @@ final class JdbcMultiTableSink(
 
   require(tables.nonEmpty, "sink needs at least one fact table")
 
+  /** Url-selected upsert dialect (spec seam). */
+  val dialect: JdbcUpsertDialect = JdbcUpsertDialect.of(url)
+
   /** Crash-consistent multi-table batch write. `frames` must cover exactly
     * the configured tables; each frame gains a `batch_id` column. `endBlock`
     * is the batch's high block number, recorded on the cursor. */
@@ -75,14 +125,13 @@ final class JdbcMultiTableSink(
         .write.mode("append").jdbc(url, t, connectionProperties)
     }
 
-    // 3. the commit marker, last: batch is now fully present everywhere
+    // 3. the commit marker, last: batch is now fully present everywhere.
+    // One dialect-selected upsert statement (the reference's writeCursor
+    // shape, dao.ts:1840-1851) — atomic on its own, no delete window.
     withConnection { conn =>
-      conn.setAutoCommit(false)
       ensureCursorTable(conn)
-      executeIgnoringMissing(conn, s"DELETE FROM $cursorTable")
       executeIgnoringMissing(conn,
-        s"INSERT INTO $cursorTable VALUES ($batchId, $endBlock)")
-      conn.commit()
+        dialect.cursorUpsert(cursorTable, batchId, endBlock))
     }
   }
 
@@ -142,8 +191,7 @@ final class JdbcMultiTableSink(
   private def ensureCursorTable(conn: Connection): Unit =
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $cursorTable (batch_id BIGINT, block_number BIGINT)")
+      try st.executeUpdate(dialect.cursorCreate(cursorTable))
       finally st.close()
     } catch {
       // X0Y32 = Derby "already exists"; 42P07 = Postgres duplicate_table

@@ -142,4 +142,41 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
     assert(sink.cursor().contains((1L, 7L)),
       "cursor must roll back with the facts, atomically")
   }
+
+  test("upsert dialect is selected from the JDBC url") {
+    import graft.streaming.JdbcUpsertDialect
+    assert(JdbcUpsertDialect.of("jdbc:postgresql://db:5432/graft")
+      == JdbcUpsertDialect.Postgres)
+    assert(JdbcUpsertDialect.of("jdbc:derby:/tmp/x;create=true")
+      == JdbcUpsertDialect.Derby)
+    val (sink, url) = mkSink()
+    assert(sink.dialect == JdbcUpsertDialect.Derby)
+  }
+
+  test("both dialects generate the reference-shaped cursor upsert SQL") {
+    import graft.streaming.JdbcUpsertDialect._
+    // the reference's writeCursor form (dao.ts:1840-1851): one statement,
+    // conflict-target on the marker's key, update-in-place on conflict
+    assert(Postgres.cursorUpsert("graft_cursor", 7L, 1234L) ==
+      "INSERT INTO graft_cursor (id, batch_id, block_number) VALUES (0, 7, 1234) " +
+        "ON CONFLICT (id) DO UPDATE SET batch_id = EXCLUDED.batch_id, " +
+        "block_number = EXCLUDED.block_number")
+    assert(Derby.cursorUpsert("graft_cursor", 7L, 1234L) ==
+      "MERGE INTO graft_cursor c USING SYSIBM.SYSDUMMY1 s ON c.id = 0 " +
+        "WHEN MATCHED THEN UPDATE SET batch_id = 7, block_number = 1234 " +
+        "WHEN NOT MATCHED THEN INSERT (id, batch_id, block_number) " +
+        "VALUES (0, 7, 1234)")
+    assert(Postgres.cursorCreate("c") == Derby.cursorCreate("c"),
+      "only the upsert differs between dialects; DDL is common SQL")
+  }
+
+  test("the Derby MERGE leg: repeated writes keep ONE cursor row, updated in place") {
+    val (sink, url) = mkSink()
+    sink.write(frames(1 to 5, cents = 5L), batchId = 0L, endBlock = 5L)   // NOT MATCHED
+    sink.write(frames(6 to 10, cents = 5L), batchId = 1L, endBlock = 10L) // MATCHED
+    sink.write(frames(11 to 15, cents = 5L), batchId = 2L, endBlock = 15L)
+    val cur = rows(url, "graft_cursor")
+    assert(cur.count() == 1L, "the upsert must never grow the marker table")
+    assert(sink.cursor().contains((2L, 15L)))
+  }
 }
