@@ -236,41 +236,57 @@ object GraphAnn {
   /** Batch-synchronous beam search, returning each round's
     * (visited, scored-visited) pair — round r's scored frame is what both
     * [[graphSearch]] (last round) and [[recallGraphCurve]] (every round)
-    * rank. All per-round frames are O(queries·beam·(K+ρK)). */
+    * rank. All per-round frames are O(queries·beam·(K+ρK)).
+    *
+    * The frames CARRIED ACROSS rounds (frontier, visited) are eagerly
+    * localCheckpoint'd: round r references round r−1 through two paths, so
+    * un-truncated lineage re-derives the whole chain ~2^rounds times —
+    * measured 12–22 s per serving entry at sf0.1 before the fix. The
+    * RETURNED scored frame is built lazily from the checkpointed inputs
+    * plus a LIVE `edges` join, so every serving plan still scans the
+    * persisted graph artifact (the purity property GraphAnnSpec pins).
+    * States are memoized per (session, sfDir): the three serving entries
+    * share one search execution, like every other index family shares its
+    * [[AnnIndex.served]] artifacts. */
+  private val states = new ConcurrentHashMap[(SparkSession, String),
+    Seq[(DataFrame, DataFrame)]]()
+
   private def searchStates(spark: SparkSession, sfDir: String)
-      : Seq[(DataFrame, DataFrame)] = {
-    val edges = serveAdj(spark, sfDir)
-    val v = Similarity.vecs(spark, sfDir)
-    val qv = v.filter(expr(Similarity.queryFilter))
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-        col("norm_sq").as("qn"))
+      : Seq[(DataFrame, DataFrame)] =
+    states.computeIfAbsent((spark, sfDir), _ => {
+      val edges = serveAdj(spark, sfDir)
+      val v = Similarity.vecs(spark, sfDir)
+      val qv = v.filter(expr(Similarity.queryFilter))
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("norm_sq").as("qn"))
 
-    // score a (qid, vec_id) candidate frame: broadcast candidates×queries,
-    // probe the vector frame — the same shuffle-free rerank shape as
-    // Similarity.rerank
-    def score(cand: DataFrame): DataFrame =
-      v.join(broadcast(cand.join(qv, Seq("qid"))), Seq("vec_id"))
-        .select(col("qid"), col("vec_id"),
-          (Similarity.dotExpr("embedding", "qemb") /
-            (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
+      // score a (qid, vec_id) candidate frame: broadcast candidates×queries,
+      // probe the vector frame — the same shuffle-free rerank shape as
+      // Similarity.rerank
+      def score(cand: DataFrame): DataFrame =
+        v.join(broadcast(cand.join(qv, Seq("qid"))), Seq("vec_id"))
+          .select(col("qid"), col("vec_id"),
+            (Similarity.dotExpr("embedding", "qemb") /
+              (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
 
-    var frontier = seeds(spark, sfDir, qv)
-    var visited = frontier
-    (1 to searchRounds).map { _ =>
-      val expand = frontier.as("f").join(edges.as("e"),
-          col("f.vec_id") === col("e.src"))
-        .select(col("f.qid").as("qid"), col("e.dst").as("vec_id"))
-      val cand = visited.union(expand).distinct()
-      val scored = score(cand)
-      frontier = scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
-        .filter(col("rn") <= beam)
-        .select(col("qid"), col("vec_id"))
-      visited = cand
-      (visited, scored)
-    }
-  }
+      var frontier = seeds(spark, sfDir, qv).localCheckpoint()
+      var visited = frontier
+      (1 to searchRounds).map { _ =>
+        val expand = frontier.as("f").join(edges.as("e"),
+            col("f.vec_id") === col("e.src"))
+          .select(col("f.qid").as("qid"), col("e.dst").as("vec_id"))
+        val cand = visited.union(expand).distinct()
+        val scored = score(cand)
+        frontier = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rn") <= beam)
+          .select(col("qid"), col("vec_id"))
+          .localCheckpoint()
+        visited = cand.localCheckpoint()
+        (visited, scored)
+      }
+    })
 
   /** Top-3 answer frame from a scored-visited frame. */
   private def top3(scored: DataFrame): DataFrame =

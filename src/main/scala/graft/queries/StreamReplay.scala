@@ -1,7 +1,6 @@
 package graft.queries
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
 
@@ -48,7 +47,6 @@ import graft.streaming.{StreamingCms, StreamingHist, StreamingKmv, StreamingTopK
 object StreamReplay {
 
   private val numBatches = 3
-  private val ids = new AtomicInteger()
 
   /** Pin shuffle partitions to 4 for the streaming query: a streaming query
     * snapshots spark.sql.shuffle.partitions at START as its state-store
@@ -69,23 +67,37 @@ object StreamReplay {
     * schema) through a parquet file stream, one batch per trigger. The
     * per-batch frames are written by executors; the driver only moves the
     * committed part files into the watched directory — nothing row-sized
-    * ever crosses it. Returns the full emission log. */
+    * ever crosses it. Returns the full emission log.
+    *
+    * The emission log is a parquet FILE sink too (via foreachBatch, which
+    * unlike the built-in file sink accepts Update mode): each micro-batch's
+    * emissions are appended by executor tasks, so the log never lands on
+    * the driver — the round-12 memory sink held it in driver memory,
+    * O(output) heap and the documented ~20 MB task binaries at the 100×
+    * soak. The read-back is eagerly localCheckpoint'd (block-manager
+    * storage, disk-spillable) so the whole staging directory can be
+    * deleted before the entry's downstream aggregation runs — same tmp
+    * hygiene as before, same O(1) driver state as the operators under
+    * test. */
   private def replayViaFiles[I](spark: SparkSession, tag: String,
       batched: DataFrame, mode: OutputMode, nb: Int = numBatches)
       (pipe: Dataset[I] => Dataset[_])
       (implicit enc: Encoder[I]): DataFrame = {
-    val name = s"${tag}_${ids.incrementAndGet()}"
     val stage = Files.createTempDirectory(s"graft-replay-$tag-")
     try {
       (0 until nb).foreach { i =>
         batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
       }
       val watch = s"$stage/watch"
+      val sink = s"$stage/sink"
       Files.createDirectories(Paths.get(watch))
-      withReplayPartitions(spark) {
+      Files.createDirectories(Paths.get(sink))
+      val outSchema = withReplayPartitions(spark) {
         val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
-        val q = pipe(in).toDF().writeStream.format("memory")
-          .queryName(name).outputMode(mode).start()
+        val piped = pipe(in).toDF()
+        val emit: (DataFrame, Long) => Unit =
+          (batch, _) => batch.write.mode("append").parquet(sink)
+        val q = piped.writeStream.outputMode(mode).foreachBatch(emit).start()
         try (0 until nb).foreach { i =>
           moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
           // all newly-visible files land in ONE micro-batch (no
@@ -93,12 +105,15 @@ object StreamReplay {
           // boundary
           q.processAllAvailable()
         } finally q.stop()
+        piped.schema
       }
-      spark.table(name)
+      // explicit schema: a replay with zero emissions must read back as an
+      // EMPTY frame of the right shape, not an inference error
+      spark.read.schema(outSchema).parquet(sink).localCheckpoint(true)
     } finally {
-      // the memory sink holds the emission log in driver memory — the
-      // staged corpus copy is dead weight the moment the query stops, and
-      // leaking one per entry per run fills tmp under the bench/soak loops
+      // the staged corpus copy AND the emission log are dead weight once
+      // the checkpoint is materialized; leaking one per entry per run
+      // fills tmp under the bench/soak loops
       rmTree(stage)
     }
   }
