@@ -24,6 +24,15 @@ sealed abstract class JdbcUpsertDialect(val name: String) {
     * place. One statement ⇒ atomic under autocommit on both databases, so
     * the sink never needs the DELETE+INSERT window it used before. */
   def cursorUpsert(table: String, batchId: Long, endBlock: Long): String
+
+  /** Prepared-statement insert that silently skips rows whose key already
+    * exists — the reference's dimension upsert (`insertPoolKeyHash`,
+    * dao.ts:1869-1893: `INSERT ... ON CONFLICT DO NOTHING`). Returns the
+    * SQL and the bind order (column names, in `?` position order): the two
+    * dialects place the key parameters differently, so callers bind by
+    * this list, never by assumption. */
+  def insertIgnore(table: String, cols: Seq[String], keyCols: Seq[String])
+      : (String, Seq[String])
 }
 
 object JdbcUpsertDialect {
@@ -34,6 +43,13 @@ object JdbcUpsertDialect {
       s"INSERT INTO $table (id, batch_id, block_number) VALUES (0, $batchId, $endBlock) " +
         s"ON CONFLICT (id) DO UPDATE SET batch_id = EXCLUDED.batch_id, " +
         s"block_number = EXCLUDED.block_number"
+
+    def insertIgnore(table: String, cols: Seq[String], keyCols: Seq[String])
+        : (String, Seq[String]) = (
+      s"INSERT INTO $table (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING",
+      cols)
   }
 
   /** The embedded spec database: same upsert as SQL:2003 MERGE against the
@@ -44,6 +60,14 @@ object JdbcUpsertDialect {
         s"WHEN MATCHED THEN UPDATE SET batch_id = $batchId, block_number = $endBlock " +
         s"WHEN NOT MATCHED THEN INSERT (id, batch_id, block_number) " +
         s"VALUES (0, $batchId, $endBlock)"
+
+    def insertIgnore(table: String, cols: Seq[String], keyCols: Seq[String])
+        : (String, Seq[String]) = (
+      s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 s " +
+        s"ON ${keyCols.map(k => s"t.$k = ?").mkString(" AND ")} " +
+        s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})",
+      keyCols ++ cols)
   }
 
   /** Url-based selection, the standard JDBC convention. Anything that is
@@ -134,6 +158,68 @@ final class JdbcMultiTableSink(
         dialect.cursorUpsert(cursorTable, batchId, endBlock))
     }
   }
+
+  /** Dimension upsert — the other half of the reference's upsert surface
+    * (`insertPoolKeyHash`, dao.ts:1869-1893: `INSERT ... ON CONFLICT DO
+    * NOTHING` into `pool_keys`). The ingest pipeline already dedups
+    * dimension rows Spark-side (S10's anti-join against the current dim),
+    * but that read-then-write is only safe for a single writer; the
+    * reference instead lets the DATABASE arbitrate, which stays correct
+    * under batch replays and concurrent writers without re-reading the
+    * dim. This write is distributed: each partition binds the dialect's
+    * prepared insert-ignore (bind ORDER comes from the dialect — the two
+    * dialects place the key parameters differently) and executes it in
+    * JDBC batches. The dim table must exist with a unique/PK constraint on
+    * `keyCols` ([[ensureDimTable]]): Postgres's ON CONFLICT needs the
+    * conflict target to be backed by one, so requiring it keeps the two
+    * dialects semantically identical rather than Derby-MERGE-lenient. */
+  def writeDim(table: String, frame: DataFrame, keyCols: Seq[String],
+      batchSize: Int = 1000): Unit = {
+    val cols = frame.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"keyCols $keyCols must be columns of the frame (${cols.mkString(",")})")
+    val (sql, bindOrder) = dialect.insertIgnore(table, cols, keyCols)
+    val bindIdx = bindOrder.map(cols.indexOf)
+    val (u, p, bs) = (url, connectionProperties, batchSize)
+    frame.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(u, p)
+        try {
+          val st = conn.prepareStatement(sql)
+          try {
+            var pending = 0
+            rows.foreach { r =>
+              bindIdx.zipWithIndex.foreach { case (src, i) =>
+                st.setObject(i + 1, r.get(src))
+              }
+              st.addBatch()
+              pending += 1
+              if (pending >= bs) { st.executeBatch(); pending = 0 }
+            }
+            if (pending > 0) { st.executeBatch(); () }
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Create the dim table if missing: common-SQL DDL (both dialects) with
+    * the PRIMARY KEY the insert-ignore's conflict target resolves against.
+    * `cols` are (name, SQL type) pairs in table order. */
+  def ensureDimTable(table: String, cols: Seq[(String, String)],
+      keyCols: Seq[String]): Unit =
+    withConnection { conn =>
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $table (${cols.map { case (n, t) => s"$n $t" }.mkString(", ")}, " +
+            s"PRIMARY KEY (${keyCols.mkString(", ")}))")
+        finally st.close()
+      } catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" => ()
+      }
+    }
 
   /** The last fully-committed (batchId, endBlock), if any batch completed. */
   def cursor(): Option[(Long, Long)] =

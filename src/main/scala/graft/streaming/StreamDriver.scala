@@ -53,7 +53,8 @@ final class StreamDriver(
     onOperationalRefresh: DataFrame => Unit = _ => (),
     onAnalyticalRefresh: Long => Unit = _ => (),
     jdbcSink: Option[JdbcBatchSink] = None,
-    multiTableSink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])] = None) {
+    multiTableSink: Option[(JdbcMultiTableSink, DataFrame => Map[String, DataFrame])] = None,
+    multiTableDims: Seq[(String, Seq[String], DataFrame => DataFrame)] = Nil) {
 
   /** Partition column: coarse block bucket so a reorg delete prunes to a
     * bounded set of partitions (4096 blocks per bucket). */
@@ -213,8 +214,18 @@ final class StreamDriver(
       // leg alone re-reads the batch ~25× otherwise.
       multiTableSink.foreach { case (sink, route) =>
         val endBlock = replaySafe.agg(max(col("block_number"))).collect().head
-        if (!endBlock.isNullAt(0)) // an all-filtered replay batch moves no cursor
+        if (!endBlock.isNullAt(0)) { // an all-filtered replay batch moves no cursor
+          // dimension legs FIRST (the reference inserts pool_keys rows as it
+          // meets them, before the cursor advance, dao.ts:1869-1893): the
+          // database-side insert-ignore makes this idempotent under batch
+          // replay, so dims need no delete-own-batch protocol of their own —
+          // a dim row, once present, is correct forever (keys are
+          // content-addressed, never reorged)
+          multiTableDims.foreach { case (table, keyCols, derive) =>
+            sink.writeDim(table, derive(replaySafe), keyCols)
+          }
           sink.write(route(replaySafe), batchId, endBlock.getLong(0))
+        }
       }
 
       val keyedPending = pending.map { p =>

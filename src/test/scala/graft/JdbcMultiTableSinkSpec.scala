@@ -111,8 +111,16 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
       StructField("block_number", LongType),
       StructField("transaction_index", LongType),
       StructField("event_index", LongType)))
+    // dimension leg riding the same driver: the pool_keys analogue — one
+    // content-addressed key per 10-block family, insert-ignore on the DB
+    sink.ensureDimTable("mt_dim_keys",
+      Seq("key_hash" -> "BIGINT", "first_block" -> "BIGINT"), Seq("key_hash"))
+    val dimOf = (batch: DataFrame) => batch
+      .groupBy((col("block_number") / 10).cast("long").as("key_hash"))
+      .agg(min(col("block_number")).as("first_block"))
     val driver = new graft.streaming.StreamDriver(spark, s"$root/facts",
-      s"$root/ckpt", multiTableSink = Some((sink, route)))
+      s"$root/ckpt", multiTableSink = Some((sink, route)),
+      multiTableDims = Seq(("mt_dim_keys", Seq("key_hash"), dimOf)))
 
     (1L to 100L).map(b => (b, 0L, 0L)).toDF("block_number", "transaction_index", "event_index")
       .write.mode("overwrite").parquet(s"$rawDir/chunk=1")
@@ -121,6 +129,8 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
     assert(rows(url, "mt_even").count() == 50L)
     assert(rows(url, "mt_odd").count() == 50L)
     assert(sink.cursor().map(_._2).contains(100L))
+    assert(rows(url, "mt_dim_keys").count() == 11L,
+      "one dim row per key family, duplicates skipped database-side")
 
     // reorg: both tables lose the suffix, cursor rolls back atomically
     driver.retract(61L)
@@ -168,6 +178,52 @@ class JdbcMultiTableSinkSpec extends SparkSpec {
         "VALUES (0, 7, 1234)")
     assert(Postgres.cursorCreate("c") == Derby.cursorCreate("c"),
       "only the upsert differs between dialects; DDL is common SQL")
+  }
+
+  test("both dialects generate the reference-shaped dimension insert-ignore") {
+    import graft.streaming.JdbcUpsertDialect._
+    // the reference's insertPoolKeyHash form (dao.ts:1869-1893): insert the
+    // dimension row, let the DATABASE skip existing keys
+    assert(Postgres.insertIgnore("pool_keys",
+      Seq("key_hash", "token0", "token1"), Seq("key_hash")) ==
+      ("INSERT INTO pool_keys (key_hash, token0, token1) VALUES (?, ?, ?) " +
+        "ON CONFLICT (key_hash) DO NOTHING",
+        Seq("key_hash", "token0", "token1")))
+    assert(Derby.insertIgnore("pool_keys",
+      Seq("key_hash", "token0", "token1"), Seq("key_hash")) ==
+      ("MERGE INTO pool_keys t USING SYSIBM.SYSDUMMY1 s ON t.key_hash = ? " +
+        "WHEN NOT MATCHED THEN INSERT (key_hash, token0, token1) " +
+        "VALUES (?, ?, ?)",
+        Seq("key_hash", "key_hash", "token0", "token1")))
+    // composite key: Postgres widens the conflict target, Derby the ON chain
+    assert(Postgres.insertIgnore("d", Seq("a", "b", "v"), Seq("a", "b"))._1
+      .contains("ON CONFLICT (a, b) DO NOTHING"))
+    assert(Derby.insertIgnore("d", Seq("a", "b", "v"), Seq("a", "b"))._1
+      .contains("ON t.a = ? AND t.b = ?"))
+  }
+
+  test("writeDim skips existing keys: replays and overlapping batches never dup or fail") {
+    import spark.implicits._
+    val (sink, url) = mkSink()
+    sink.ensureDimTable("mt_pool_keys",
+      Seq("key_hash" -> "BIGINT", "token0" -> "BIGINT", "token1" -> "BIGINT"),
+      Seq("key_hash"))
+    val dim1 = (1 to 50).map(k => (k.toLong, k * 10L, k * 11L))
+      .toDF("key_hash", "token0", "token1").repartition(4)
+    sink.writeDim("mt_pool_keys", dim1, Seq("key_hash"))
+    assert(rows(url, "mt_pool_keys").count() == 50L)
+    // replay of the same frame + an overlapping batch: only new keys land,
+    // existing rows keep their ORIGINAL values (DO NOTHING, not update)
+    val dim2 = (26 to 75).map(k => (k.toLong, -1L, -1L))
+      .toDF("key_hash", "token0", "token1").repartition(4)
+    sink.writeDim("mt_pool_keys", dim1, Seq("key_hash"))
+    sink.writeDim("mt_pool_keys", dim2, Seq("key_hash"))
+    val got = rows(url, "mt_pool_keys")
+    assert(got.count() == 75L)
+    assert(got.filter(col("key_hash") === 30L).select("token0").head.getLong(0)
+      == 300L, "an existing key's row must be left untouched")
+    assert(got.filter(col("key_hash") === 60L).select("token0").head.getLong(0)
+      == -1L, "a new key from the overlapping batch must land")
   }
 
   test("the Derby MERGE leg: repeated writes keep ONE cursor row, updated in place") {
