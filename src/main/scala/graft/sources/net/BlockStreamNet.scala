@@ -159,7 +159,8 @@ object BlockStreamWire {
   * prints `PORT=<actual>` on stdout (pass port 0 for an ephemeral pick).
   */
 final class BlockStreamServer(script: Seq[String], port: Int = 0,
-    paceMs: Long = 0L, binary: Boolean = false, h2c: Boolean = false) {
+    paceMs: Long = 0L, binary: Boolean = false, h2c: Boolean = false,
+    h2cWindow: Int = Http2Wire.TunedWindow) {
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
@@ -222,7 +223,8 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     * request headers + LPM subscribe in, response DATA frames out,
     * `grpc-status: 0` trailers on completion ([[Http2Wire]]). */
   private def serveH2c(sock: Socket): Unit = {
-    val (reqBytes, call) = Http2Wire.serverAccept(sock.getInputStream, sock.getOutputStream)
+    val (reqBytes, call) = Http2Wire.serverAccept(
+      sock.getInputStream, sock.getOutputStream, h2cWindow)
     val sub = BlockProtoCodec.decodeRequest(reqBytes)
     val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
     script.drop(cursor).foreach { msg =>
@@ -291,7 +293,8 @@ object BlockStreamDrainer {
     * end-of-script message was seen. */
   def drainOnce(host: String, port: Int, dir: String,
       maxMessages: Long = Long.MaxValue, binary: Boolean = false,
-      h2c: Boolean = false): (Long, Boolean) = {
+      h2c: Boolean = false,
+      h2cWindow: Int = Http2Wire.TunedWindow): (Long, Boolean) = {
     val feed = new JsonBlockFeed(dir)
     val cursor = BlockFeedProvider.listChunks(dir).length
     val sock = new Socket(host, port)
@@ -304,7 +307,8 @@ object BlockStreamDrainer {
           // HTTP/2 — LPM frames ride DATA frames instead of the raw socket
           val body = Http2Wire.clientCall(sock.getInputStream, sock.getOutputStream,
             s"$host:$port", BlockProtoCodec.encodeRequest(
-              BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))))
+              BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))),
+            recvWindow = h2cWindow)
           () => ProtoWire.readFrame(body).map(BlockProtoCodec.decodeResponse).orNull
         } else if (binary) {
           val out = sock.getOutputStream
@@ -359,13 +363,15 @@ object BlockStreamDrainer {
     * (any progress resets the counter). Returns total chunks committed. */
   def drain(host: String, port: Int, dir: String,
       maxRetries: Int = 5, backoffMs: Long = 200L,
-      binary: Boolean = false, h2c: Boolean = false): Long = {
+      binary: Boolean = false, h2c: Boolean = false,
+      h2cWindow: Int = Http2Wire.TunedWindow): Long = {
     var total = 0L
     var failures = 0
     var completed = false
     while (!completed && failures <= maxRetries) {
       try {
-        val (n, done) = drainOnce(host, port, dir, binary = binary, h2c = h2c)
+        val (n, done) = drainOnce(host, port, dir, binary = binary, h2c = h2c,
+          h2cWindow = h2cWindow)
         total += n
         completed = done
         if (n > 0) failures = 0

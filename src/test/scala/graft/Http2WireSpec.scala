@@ -85,11 +85,37 @@ class Http2WireSpec extends AnyFunSuite {
   }
 
   test("flow control: a DATA volume past the 65535-octet windows still drains") {
-    // one data message with 6000 events is ~200 KB of protobuf — more than
-    // three times the default connection/stream windows, so the server MUST
-    // block on the drainer's WINDOW_UPDATEs (and split to 16 KB frames) to
-    // finish; a missing credit grant on either side deadlocks this test.
+    // BOTH ends pinned to the RFC default window: one data message with
+    // 6000 events is ~200 KB of protobuf — more than three times the
+    // 65535-octet connection/stream windows, so the server MUST block on
+    // the drainer's WINDOW_UPDATEs (and split to 16 KB frames) to finish;
+    // a missing credit grant on either side deadlocks this test. The
+    // production default (TunedWindow) would mask the blocking path here,
+    // which is exactly why the knob is explicit.
     val root = SparkSpec.tempDir("graft-h2c-flow").toString
+    val big = BlockStreamWire.data(Seq(BlockStreamWire.WireBlock(
+      1L, 1704067200L, events = (0L until 6000L).map(i => (i / 50, i % 50)))))
+    val srv = new BlockStreamServer(Seq(big), binary = true, h2c = true,
+      h2cWindow = DefaultWindow)
+    try {
+      val n = BlockStreamDrainer.drain(
+        "127.0.0.1", srv.boundPort, s"$root/feed", binary = true, h2c = true,
+        h2cWindow = DefaultWindow)
+      assert(n == 1L)
+      val chunk = BlockFeedProvider.listChunks(s"$root/feed").head
+      val rows = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(chunk)), "UTF-8").linesIterator.size
+      assert(rows >= 6000, s"all 6000 events must cross the transport, got $rows")
+    } finally srv.close()
+  }
+
+  test("tuned windows: the same oversized volume drains at the production default") {
+    // the 4 MiB TunedWindow + batched half-window grants: same payload,
+    // default knobs — covers the SETTINGS id-4 advertisement, the
+    // connection-level top-up WINDOW_UPDATE, and the batched grant path
+    // (200 KB < 4 MiB, so the sender never blocks; credit frames go out
+    // at half-window, not per 16 KB frame)
+    val root = SparkSpec.tempDir("graft-h2c-tuned").toString
     val big = BlockStreamWire.data(Seq(BlockStreamWire.WireBlock(
       1L, 1704067200L, events = (0L until 6000L).map(i => (i / 50, i % 50)))))
     val srv = new BlockStreamServer(Seq(big), binary = true, h2c = true)
@@ -97,10 +123,6 @@ class Http2WireSpec extends AnyFunSuite {
       val n = BlockStreamDrainer.drain(
         "127.0.0.1", srv.boundPort, s"$root/feed", binary = true, h2c = true)
       assert(n == 1L)
-      val chunk = BlockFeedProvider.listChunks(s"$root/feed").head
-      val rows = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(chunk)), "UTF-8").linesIterator.size
-      assert(rows >= 6000, s"all 6000 events must cross the transport, got $rows")
     } finally srv.close()
   }
 }
