@@ -41,7 +41,7 @@ import graft.plans.DotProduct
   *    landmarks — a flat graph has no HNSW hierarchy to funnel a single
   *    global entry toward the query's region, so seeding diversity is what
   *    buys convergence (the round-13 single-`MIN(vec_id)` entry measured
-  *    recall@3 0.05 at sf0.1; this seeding measures 0.63 at beam=12 — see
+  *    recall@3 0.05 at sf0.1; this seeding measures 0.65 at beam=12 — see
   *    [[recallGraphCurve]] for the published knob curve). Per query the
   *    work is O(rounds·beam·(K+ρK)) dot products; the corpus is never
   *    scanned.
@@ -69,10 +69,22 @@ object GraphAnn {
     * knob of the family (HNSW's M). */
   private val K = 8
 
-  /** NN-descent refinement rounds after the LSH+ring seed. Swept at sf0.1:
-    * recall@3 at the serving config is 0.54 after 3 rounds, 0.63 after 4,
-    * 0.63 after 5 — the graph converges here. */
-  private val rounds = 4
+  /** NN-descent refinement rounds after the LSH+ring seed. Swept at sf0.1
+    * under the bucket-ring init: recall@3 at the serving config is 0.62
+    * after 4 rounds, 0.65 after 5 — one more round than the clique init
+    * needed, buying back (and passing) the clique's 0.63 with a linear
+    * candidate volume. */
+  private val rounds = 5
+
+  /** Per-node co-bucket seed span: inside each LSH bucket (members ordered
+    * by vec_id) every node pairs with its next `bucketRingCap` bucket
+    * mates instead of the whole bucket. The clique init was the build's
+    * quadratic pocket: plane count is fixed, so bucket occupancy grows
+    * linearly with the corpus and clique pairs quadratically — measured
+    * α_shuf 1.56 on the 10× soak. The ring is Θ(N·cap) at every scale and
+    * NN-descent's transitive expansion recovers (then beats) the clique's
+    * recall with one extra round. */
+  private val bucketRingCap = 8
 
   /** Reverse-neighbor sample cap (the paper's ρK, ρ=1): each node
     * contributes at most this many incoming edges to the expansion, both
@@ -82,9 +94,9 @@ object GraphAnn {
   /** Beam width and round count of the serving search. Swept at sf0.1
     * (beam 8/10/12/16 × rounds 3..6): recall flattens at rounds=5 for
     * every beam; beam=12 is the knee of the recall-vs-candidates curve
-    * (0.63 at ~340 candidates/query of a 2000-vector corpus — vs the PQ
-    * arm's 0.43 and plain LSH's 0.07). [[recallGraphCurve]] gates the
-    * rounds axis of that sweep. */
+    * (0.65 at ~340 candidates/query of a 2000-vector corpus under the
+    * bucket-ring init — vs the PQ arm's 0.43 and plain LSH's 0.07).
+    * [[recallGraphCurve]] gates the rounds axis of that sweep. */
   private val beam = 12
   private val searchRounds = 5
 
@@ -147,13 +159,23 @@ object GraphAnn {
       .select(col("src"), (col("src") + col("off")).as("dst"))
       .join(v.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
 
-    // co-bucket pairs from BOTH persisted LSH plane families, through the
-    // shared salt gate (a boilerplate-hot bucket is the same skew story as
-    // every band join in the repo)
+    // co-bucket RING pairs from BOTH persisted LSH plane families: rank
+    // members inside each bucket by vec_id, then pair each with its next
+    // [[bucketRingCap]] mates via an exploded-offset EQUI-join on
+    // (bucket, pos) — output AND join work are Θ(N·cap); the bucket-clique
+    // self-join this replaces was Θ(Σ n_b²), quadratic once occupancy
+    // outgrows the fixed plane count (α_shuf 1.56 on the 10× soak)
     def coBucket(bands: DataFrame): DataFrame = {
-      val p = graft.util.Salted.pairSelfJoin(bands, "bucket", "vec_id")
-      p.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val pos = bands.withColumn("pos", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      val probes = pos.select(col("bucket"), col("vec_id").as("src"),
+          explode(expr(s"sequence(1, $bucketRingCap)")).as("off"), col("pos"))
+        .select(col("bucket"), col("src"), (col("pos") + col("off")).as("pos"))
+      val fwd = probes.join(
+          pos.select(col("bucket"), col("pos"), col("vec_id").as("dst")),
+          Seq("bucket", "pos"))
+        .select(col("src"), col("dst"))
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     }
     val init = ring
       .union(coBucket(idx.bands))
@@ -394,6 +416,21 @@ object GraphAnn {
          SELECT x.src, y.dst FROM und$i x
          JOIN und$i y ON x.dst = y.src AND x.src != y.dst)"""
 
+  /** The forward bucket-ring pairs of one plane family: bucket members
+    * ranked by vec_id, each paired with its next [[bucketRingCap]] mates
+    * (the Spark side reverses them too; the caller unions both
+    * directions). */
+  private def bucketRingCte(name: String, gb: String): String =
+    s""", ${name}_pos AS MATERIALIZED (
+         SELECT bucket, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS pos
+         FROM $gb),
+       $name AS MATERIALIZED (
+         SELECT a.vec_id AS src, b.vec_id AS dst
+         FROM ${name}_pos a JOIN ${name}_pos b
+           ON b.bucket = a.bucket
+          AND b.pos BETWEEN a.pos + 1 AND a.pos + $bucketRingCap)"""
+
   /** The full build chain ending in g$rounds. */
   private val buildCtes: String =
     Similarity.elementCtes("embeddings") +
@@ -404,15 +441,15 @@ object GraphAnn {
          SELECT a.vec_id AS src, b.vec_id AS dst
          FROM nrm a JOIN nrm b
            ON b.vec_id BETWEEN a.vec_id - 3 AND a.vec_id + 3
-          AND b.vec_id != a.vec_id),
-       cand0 AS MATERIALIZED (
+          AND b.vec_id != a.vec_id)""" +
+      bucketRingCte("brg0", "gb0") +
+      bucketRingCte("brg1", "gb1") +
+      s""", cand0 AS MATERIALIZED (
          SELECT src, dst FROM ring
-         UNION
-         SELECT a.vec_id, b.vec_id FROM gb0 a
-         JOIN gb0 b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-         UNION
-         SELECT a.vec_id, b.vec_id FROM gb1 a
-         JOIN gb1 b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)""" +
+         UNION SELECT src, dst FROM brg0
+         UNION SELECT dst AS src, src AS dst FROM brg0
+         UNION SELECT src, dst FROM brg1
+         UNION SELECT dst AS src, src AS dst FROM brg1)""" +
       (0 to rounds).map(i =>
         gRound(i) + (if (i < rounds) expandRound(i) else "")).mkString
 

@@ -10,8 +10,8 @@ import graft.SparkSpec
   *
   *  1. serving plans are pure: search/recall/curve scan the persisted
   *     `graph_edges` artifact and contain no NN-descent build operator —
-  *     the build's signature generators (the ±3 id-ring `sequence`
-  *     explode, the salted co-bucket self-join) must never appear in a
+  *     the build's signature generators (the ±3 id-ring and bucket-ring
+  *     `sequence` explodes, any salted self-join) must never appear in a
   *     serve plan;
   *  2. build-once / serve-many: repeated serves reuse the one published
   *     root and return identical rows;
@@ -43,7 +43,7 @@ class GraphAnnSpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("sequence("),
         s"$name: the build's id-ring generator leaked into the serving plan")
       assert(!plan.contains("salt"),
-        s"$name: the build's salted co-bucket self-join leaked into the serving plan")
+        s"$name: a salted self-join (no build or dedup stage) leaked into the serving plan")
     }
   }
 
