@@ -486,8 +486,17 @@ object AnnIndex {
       .withColumn("nrm", sqrt(col("norm_sq")))
       .select(col("vec_id").as("qid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").as("qembn"))
+    // reconstruction depends on the VECTOR alone: hoist it above the
+    // query cross-join or every query re-pays the 64-element zip+transform
+    // per vector (nqueries× redundant — the gap between a 40-query fixture
+    // and a production query stream). Values are bit-identical either way,
+    // so the oracle replay is untouched.
     sq8CodesOf(idx)
       .crossJoin(broadcast(sq8RangesOf(idx)))
+      .withColumn("recon", expr(
+        "transform(arrays_zip(codes, mns, mxs), " +
+          "s -> s.mns + (CAST(s.codes AS DOUBLE) * (s.mxs - s.mns)) / 255.0)"))
+      .select(col("vec_id"), col("codes"), col("recon"))
       .crossJoin(broadcast(qn))
       .filter(col("vec_id") =!= col("qid"))
       // only same-width pairs live in one metric space. Without this, a
@@ -497,9 +506,6 @@ object AnnIndex {
       // LAST — a silent cross-engine divergence the equal-width fixture
       // corpus never exercises; the adversarial spec does)
       .filter(size(col("codes")) === size(col("qembn")))
-      .withColumn("recon", expr(
-        "transform(arrays_zip(codes, mns, mxs), " +
-          "s -> s.mns + (CAST(s.codes AS DOUBLE) * (s.mxs - s.mns)) / 255.0)"))
       .withColumn("diff", expr("zip_with(qembn, recon, (a, b) -> a - b)"))
       .select(col("qid"), col("vec_id"), expr("graft_dot(diff, diff)").as("approx_d2"))
       .withColumn("rank", row_number().over(

@@ -432,6 +432,27 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("sq8 serving: reconstruction is computed per VECTOR, below the query join") {
+    // the recon transform depends on codes+ranges alone; evaluated above
+    // the query join it re-runs per (query, vector) pair — nqueries×
+    // redundant array work (measured 3.4× at sf0.1, 17× at sf1 on 40
+    // queries; worse at production query counts). The query join is the
+    // TOPMOST join in the plan (Catalyst keys it on the size-equality
+    // filter, so it may print as BroadcastHashJoin rather than the nested
+    // loop); recon's arrays_zip must appear BELOW (after) it, while the
+    // per-pair diff (zip_with) stays above.
+    val p = plan(graft.queries.Similarity.annSq8(spark, sfDir))
+    val join = Seq(p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastNestedLoopJoin"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
+    val recon = p.indexOf("arrays_zip")
+    val diff = p.indexOf("zip_with")
+    assert(join >= 0 && recon >= 0 && diff >= 0, s"expected shapes missing:\n$p")
+    assert(recon > join,
+      s"recon (arrays_zip) must sit below the query cross-join, not above it:\n$p")
+    assert(diff < join,
+      s"the per-pair diff must stay above the query join (it needs qembn):\n$p")
+  }
+
   test("perceptron margin pass: the model broadcasts, the corpus never shuffles against it") {
     withNoAutoBroadcast {
       val p = plan(Classifier.pcpScore(spark, sfDir))
