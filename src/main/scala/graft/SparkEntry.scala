@@ -39,6 +39,7 @@ object SparkEntry {
       (Sampling.queries, Sampling.oracles),
       (Classifier.queries, Classifier.oracles),
       (Bpe.queries, Bpe.oracles),
+      (WordPiece.queries, WordPiece.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -45,7 +45,7 @@ object Bpe {
     * token array: fold each token into the accumulator, replacing a trailing
     * `a` when the incoming token is `b`. `aRef`/`bRef` are SQL expressions
     * (column references or literals) visible in the enclosing row scope. */
-  private def mergeFoldSql(toks: String, aRef: String, bRef: String): String =
+  private[queries] def mergeFoldSql(toks: String, aRef: String, bRef: String): String =
     s"""aggregate($toks, CAST(array() AS array<string>), (acc, x) ->
           CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $aRef AND x = $bRef
                THEN concat(slice(acc, 1, size(acc) - 1), array(concat($aRef, $bRef)))
@@ -54,7 +54,7 @@ object Bpe {
   /** Adjacent (a, b) token pairs of a word's current token array; empty for
     * single-token words. The size guard matters: Spark's `sequence(0, -1)`
     * generates a DESCENDING sequence, not an empty one. */
-  private val pairsCol: Column = expr(
+  private[queries] val pairsCol: Column = expr(
     """CASE WHEN size(toks) > 1
             THEN transform(sequence(0, size(toks) - 2),
                    i -> named_struct('a', element_at(toks, i + 1),
@@ -63,7 +63,7 @@ object Bpe {
 
   /** (word, freq, toks) start state: distinct words with corpus frequencies,
     * split into single-character tokens. */
-  private def vocab0(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def vocab0(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.cached(spark, sfDir, "bpe_vocab0") { spark.table("documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -155,14 +155,27 @@ object Bpe {
   // collected-merge replay over vocab0.
   // -------------------------------------------------------------------
 
-  private def duckMergeFold(toks: String, aRef: String, bRef: String): String =
+  private[queries] def duckMergeFold(toks: String, aRef: String, bRef: String): String =
     s"""list_reduce(list_transform($toks, s -> [s]),
           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $aRef AND x[1] = $bRef
                            THEN list_slice(acc, 1, len(acc) - 1) || [$aRef || $bRef]
                            ELSE acc || x END)"""
 
-  private val trainCtes: String = {
-    val rounds = (1 to bpeMerges).map { t =>
+  /** The (word, freq, char-toks) start state shared with [[WordPiece]]'s
+    * oracle chain: bpe_w is the distinct-word frequency table, bpe_v0 its
+    * single-character tokenization. */
+  private[queries] val vocabCtes: String =
+    s""", bpe_w AS (
+         SELECT w, COUNT(1) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1),
+       bpe_v0 AS MATERIALIZED (
+         SELECT w, freq,
+                list_transform(range(length(w)), i -> substring(w, i + 1, 1)) AS toks
+         FROM bpe_w)"""
+
+  private val trainCtes: String =
+    vocabCtes + (1 to bpeMerges).map { t =>
       s""", bpe_p$t AS MATERIALIZED (
            SELECT toks[t.i] AS a, toks[t.i + 1] AS b, SUM(freq) AS pair_count
            FROM bpe_v${t - 1}, UNNEST(range(1, len(toks))) AS t(i)
@@ -174,15 +187,32 @@ object Bpe {
                        ELSE ${duckMergeFold("v.toks", "p.a", "p.b")} END AS toks
            FROM bpe_v${t - 1} v LEFT JOIN bpe_p$t p ON TRUE)"""
     }.mkString
-    s""", bpe_w AS (
-         SELECT w, COUNT(1) AS freq
-         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         WHERE w <> '' GROUP BY 1),
-       bpe_v0 AS MATERIALIZED (
-         SELECT w, freq,
-                list_transform(range(length(w)), i -> substring(w, i + 1, 1)) AS toks
-         FROM bpe_w)""" + rounds
-  }
+
+  /** Per-(lang, word) frequency CTE — the fertility tail input shared with
+    * [[WordPiece]] (depends only on bpe_w's corpus split, not on training). */
+  private[queries] val langWordCte: String =
+    s""", bpe_lw AS (
+         SELECT lang, w, COUNT(1) AS freq
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1, 2)"""
+
+  /** The tokenized-vocabulary frame of the trained BPE (word → token count),
+    * reused by the cross-tokenizer comparison oracle. */
+  private[queries] val bpeVtCte: String =
+    s", bpe_vt AS (SELECT w, len(toks) AS n_toks FROM bpe_v$bpeMerges)"
+
+  /** Per-lang fertility SELECT over a (w, n_toks) CTE named `vt` joined to
+    * bpe_lw — the exact arithmetic both tokenizer families publish. */
+  private[queries] def fertilitySelect(vt: String): String =
+    s""" SELECT l.lang,
+              CAST(SUM(l.freq) AS BIGINT) AS words,
+              CAST(SUM(l.freq * v.n_toks) AS BIGINT) AS tokens,
+              CAST((SUM(l.freq * v.n_toks) * 10000) // SUM(l.freq) AS BIGINT)
+                AS fertility_bp,
+              CAST((SUM(l.freq * length(l.w)) * 10000) // SUM(l.freq * v.n_toks) AS BIGINT)
+                AS chars_per_token_bp
+       FROM bpe_lw l JOIN $vt v ON l.w = v.w
+       GROUP BY 1"""
 
   val trainMergesOracle: String = Fixtures.oracle(trainCtes +
     (1 to bpeMerges).map(t =>
@@ -190,21 +220,13 @@ object Bpe {
              b AS pair_right, CAST(pair_count AS BIGINT) AS pair_count
           FROM bpe_p$t""").mkString("\n", " UNION ALL ", ""))
 
-  val fertilityOracle: String = Fixtures.oracle(trainCtes +
-    s""", bpe_vt AS (SELECT w, len(toks) AS n_toks FROM bpe_v$bpeMerges),
-       bpe_lw AS (
-         SELECT lang, w, COUNT(1) AS freq
-         FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
-         WHERE w <> '' GROUP BY 1, 2)
-       SELECT l.lang,
-              CAST(SUM(l.freq) AS BIGINT) AS words,
-              CAST(SUM(l.freq * v.n_toks) AS BIGINT) AS tokens,
-              CAST((SUM(l.freq * v.n_toks) * 10000) // SUM(l.freq) AS BIGINT)
-                AS fertility_bp,
-              CAST((SUM(l.freq * length(l.w)) * 10000) // SUM(l.freq * v.n_toks) AS BIGINT)
-                AS chars_per_token_bp
-       FROM bpe_lw l JOIN bpe_vt v ON l.w = v.w
-       GROUP BY 1""")
+  val fertilityOracle: String = Fixtures.oracle(
+    trainCtes + bpeVtCte + langWordCte + fertilitySelect("bpe_vt"))
+
+  /** Build-chain CTEs for the comparison oracle (train + tokenized vocab),
+    * kept private-to-queries so [[WordPiece.compareOracle]] can replay both
+    * tokenizers over one shared corpus prelude. */
+  private[queries] val compareSideCtes: String = trainCtes + bpeVtCte
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (trainMerges _),
