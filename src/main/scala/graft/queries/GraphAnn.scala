@@ -144,13 +144,18 @@ object GraphAnn {
       .filter(col("rrn") <= cap)
       .select(col("dst").as("src"), col("src").as("dst"))
 
-  /** NN-descent over the session corpus; returns (src, dst, cosine, rn).
+  /** NN-descent over the session corpus (restricted to `pred`'s vectors
+    * for the incremental base); returns (src, dst, cosine, rn).
     * Each round is localCheckpoint'd: the expansion references the previous
     * graph three times, so un-truncated lineage would re-derive it
     * exponentially — the build is one-shot and immediately persisted, so
-    * truncation costs nothing downstream. */
-  private def buildGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = Similarity.vecs(spark, sfDir)
+    * truncation costs nothing downstream. The LSH artifacts are per-vector
+    * (a vector's bucket does not depend on the rest of the corpus), so
+    * filtering the served full-corpus bands by `pred` IS the standing
+    * corpus's index — no second LSH build. */
+  private def buildGraph(spark: SparkSession, sfDir: String,
+      pred: String = "TRUE"): DataFrame = {
+    val v = Similarity.vecs(spark, sfDir).filter(expr(pred))
     val idx = AnnIndex.served(spark, sfDir)
 
     val ring = v.select(col("vec_id").as("src"),
@@ -165,7 +170,8 @@ object GraphAnn {
     // (bucket, pos) — output AND join work are Θ(N·cap); the bucket-clique
     // self-join this replaces was Θ(Σ n_b²), quadratic once occupancy
     // outgrows the fixed plane count (α_shuf 1.56 on the 10× soak)
-    def coBucket(bands: DataFrame): DataFrame = {
+    def coBucket(allBands: DataFrame): DataFrame = {
+      val bands = allBands.filter(expr(pred))
       val pos = bands.withColumn("pos", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
       val probes = pos.select(col("bucket"), col("vec_id").as("src"),
@@ -222,32 +228,98 @@ object GraphAnn {
   }
 
   // ------------------------------------------------------------------
+  // incremental lifecycle (the append leg the other index families gate
+  // via sim_ann_*_incremental): base graph over the standing corpus, new
+  // vectors inserted WITHOUT a rebuild by searching the base graph —
+  // HNSW-style search-based insertion (each new node's edges are its
+  // beam-search top-K), published as an append delta under the same
+  // protocol. The base's NN-descent never re-runs: insertion work is
+  // O(batch · rounds·beam·(K+ρK)) dot products, independent of the
+  // standing corpus size — the property that makes the graph family
+  // maintainable online at 100 TB.
+
+  private val incrRoots = new ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The incremental root's published delta chain (spec seam). */
+  private[queries] def incrRootOf(spark: SparkSession, sfDir: String): Option[String] =
+    Option(incrRoots.get((spark, sfDir)))
+
+  private def incrRoot(spark: SparkSession, sfDir: String): String = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    incrRoots.computeIfAbsent((spark, sfDir), _ => {
+      val r = Files.createTempDirectory("graft-ann-graph-incr-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        AnnIndex.rmTree(Paths.get(r))))
+      AnnIndex.writeDelta(r, 1, "base") { tmp =>
+        buildGraph(spark, sfDir, AnnIndex.standingPred)
+          .write.parquet(s"$tmp/graph_edges")
+      }
+      // insertion search: batch vectors probe the PERSISTED base graph,
+      // seeded from their own LSH co-bucket mates among the standing
+      // corpus + the standing landmarks
+      val base = spark.read.parquet(s"${AnnIndex.deltaPath(r, 1)}/graph_edges")
+      val v = Similarity.vecs(spark, sfDir)
+      val qv = v.filter(expr(AnnIndex.batchPred))
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("norm_sq").as("qn"))
+      val scored = searchChain(v, undirectedAdj(base), qv,
+        seeds(spark, sfDir, qv, AnnIndex.batchPred, AnnIndex.standingPred))
+        .last._2
+      val inserted = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rn") <= K)
+        .select(col("qid").as("src"), col("vec_id").as("dst"),
+          col("cosine"), col("rn"))
+      AnnIndex.writeDelta(r, 2, "append") { tmp =>
+        inserted.write.parquet(s"$tmp/graph_edges")
+      }
+      r
+    })
+  }
+
+  /** All published edges of the incremental root (base ∪ append). */
+  private def incrEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = incrRoot(spark, sfDir)
+    spark.read.parquet(s"${AnnIndex.deltaPath(root, 1)}/graph_edges")
+      .unionByName(
+        spark.read.parquet(s"${AnnIndex.deltaPath(root, 2)}/graph_edges"))
+  }
+
+  // ------------------------------------------------------------------
   // serving internals
 
-  /** Undirected serving adjacency: the persisted forward edges plus the
-    * same ρK-capped reverse sample the build uses — degree ≤ K+ρK per
-    * node, so every frontier expansion is O(frontier·(K+ρK)). */
-  private def serveAdj(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = graphEdges(spark, sfDir)
+  /** Undirected serving adjacency over an edge frame: the forward edges
+    * plus the same ρK-capped reverse sample the build uses — degree ≤ K+ρK
+    * per node, so every frontier expansion is O(frontier·(K+ρK)). */
+  private def undirectedAdj(e: DataFrame): DataFrame =
     e.select(col("src"), col("dst")).union(revCapped(e, rhoCap))
-  }
+
+  private def serveAdj(spark: SparkSession, sfDir: String): DataFrame =
+    undirectedAdj(graphEdges(spark, sfDir))
 
   /** Per-query seeds: own co-bucket mates from both persisted LSH plane
     * families (best [[lshSeedCap]] by vec_id — deterministic, and buckets
-    * are tiny) ∪ the global landmark set, deduped. */
-  private def seeds(spark: SparkSession, sfDir: String, qv: DataFrame): DataFrame = {
+    * are tiny) ∪ the global landmark set, deduped. `qidPred` selects the
+    * searching vectors; `poolPred` restricts mates AND landmarks to the
+    * graph's population (the standing corpus during an insertion search,
+    * everything otherwise). */
+  private def seeds(spark: SparkSession, sfDir: String, qv: DataFrame,
+      qidPred: String, poolPred: String): DataFrame = {
     val idx = AnnIndex.served(spark, sfDir)
     val v = Similarity.vecs(spark, sfDir)
     def mates(bands: DataFrame): DataFrame =
-      bands.filter(expr(Similarity.queryFilter))
+      bands.filter(expr(qidPred))
         .select(col("vec_id").as("qid"), col("bucket"))
-        .join(bands, Seq("bucket"))
+        .join(bands.filter(expr(poolPred)), Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("mrn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("vec_id"))))
         .filter(col("mrn") <= lshSeedCap)
         .select(col("qid"), col("vec_id"))
-    val landmarks = v.orderBy(col("vec_id")).limit(nLandmarks).select(col("vec_id"))
+    val landmarks = v.filter(expr(poolPred))
+      .orderBy(col("vec_id")).limit(nLandmarks).select(col("vec_id"))
     qv.select(col("qid")).crossJoin(landmarks)
       .union(mates(idx.bands))
       .union(mates(idx.bandsT1.getOrElse(sys.error(
@@ -270,44 +342,55 @@ object GraphAnn {
     * States are memoized per (session, sfDir): the three serving entries
     * share one search execution, like every other index family shares its
     * [[AnnIndex.served]] artifacts. */
-  private val states = new ConcurrentHashMap[(SparkSession, String),
+  private val states = new ConcurrentHashMap[(SparkSession, String, String),
     Seq[(DataFrame, DataFrame)]]()
+
+  /** The generic batch-synchronous beam search over `edges` for the query
+    * frame `qv` from `seedFrame` — shared verbatim by the main serving
+    * entries, the incremental lifecycle's insertion search, and the
+    * post-append recall search. */
+  private def searchChain(v: DataFrame, edges: DataFrame, qv: DataFrame,
+      seedFrame: DataFrame): Seq[(DataFrame, DataFrame)] = {
+    // score a (qid, vec_id) candidate frame: broadcast candidates×queries,
+    // probe the vector frame — the same shuffle-free rerank shape as
+    // Similarity.rerank
+    def score(cand: DataFrame): DataFrame =
+      v.join(broadcast(cand.join(qv, Seq("qid"))), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (Similarity.dotExpr("embedding", "qemb") /
+            (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
+
+    var frontier = seedFrame.localCheckpoint()
+    var visited = frontier
+    (1 to searchRounds).map { _ =>
+      val expand = frontier.as("f").join(edges.as("e"),
+          col("f.vec_id") === col("e.src"))
+        .select(col("f.qid").as("qid"), col("e.dst").as("vec_id"))
+      val cand = visited.union(expand).distinct()
+      val scored = score(cand)
+      frontier = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint()
+      visited = cand.localCheckpoint()
+      (visited, scored)
+    }
+  }
+
+  /** The standard query set (every 50th vector) as a scoring frame. */
+  private def queryFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.vecs(spark, sfDir).filter(expr(Similarity.queryFilter))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm_sq").as("qn"))
 
   private def searchStates(spark: SparkSession, sfDir: String)
       : Seq[(DataFrame, DataFrame)] =
-    states.computeIfAbsent((spark, sfDir), _ => {
-      val edges = serveAdj(spark, sfDir)
-      val v = Similarity.vecs(spark, sfDir)
-      val qv = v.filter(expr(Similarity.queryFilter))
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
-          col("norm_sq").as("qn"))
-
-      // score a (qid, vec_id) candidate frame: broadcast candidates×queries,
-      // probe the vector frame — the same shuffle-free rerank shape as
-      // Similarity.rerank
-      def score(cand: DataFrame): DataFrame =
-        v.join(broadcast(cand.join(qv, Seq("qid"))), Seq("vec_id"))
-          .select(col("qid"), col("vec_id"),
-            (Similarity.dotExpr("embedding", "qemb") /
-              (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
-
-      var frontier = seeds(spark, sfDir, qv).localCheckpoint()
-      var visited = frontier
-      (1 to searchRounds).map { _ =>
-        val expand = frontier.as("f").join(edges.as("e"),
-            col("f.vec_id") === col("e.src"))
-          .select(col("f.qid").as("qid"), col("e.dst").as("vec_id"))
-        val cand = visited.union(expand).distinct()
-        val scored = score(cand)
-        frontier = scored
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
-          .filter(col("rn") <= beam)
-          .select(col("qid"), col("vec_id"))
-          .localCheckpoint()
-        visited = cand.localCheckpoint()
-        (visited, scored)
-      }
+    states.computeIfAbsent((spark, sfDir, "main"), _ => {
+      val qv = queryFrame(spark, sfDir)
+      searchChain(Similarity.vecs(spark, sfDir), serveAdj(spark, sfDir), qv,
+        seeds(spark, sfDir, qv, Similarity.queryFilter, "TRUE"))
     })
 
   /** Top-3 answer frame from a scored-visited frame. */
@@ -370,6 +453,33 @@ object GraphAnn {
     }.reduce(_ unionByName _)
   }
 
+  /** The append leg's published artifact: each inserted (batch) node's
+    * K nearest among the standing corpus, found by searching the persisted
+    * base graph — no NN-descent re-run (the plan reads delta=00002's
+    * parquet only; GraphAnnSpec pins it). */
+  def graphIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = incrRoot(spark, sfDir)
+    spark.read.parquet(s"${AnnIndex.deltaPath(root, 2)}/graph_edges")
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+        col("rn").cast(LongType).as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Recall@3 of the standard query set over the POST-APPEND graph (base ∪
+    * inserted edges) against the exact top-3 over the FULL corpus — the
+    * gate that proves appended vectors are retrievable through the ρK
+    * reverse sample of their inserted forward edges, without any rebuild. */
+  def recallGraphIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val chain = states.computeIfAbsent((spark, sfDir, "incr"), _ => {
+      val qv = queryFrame(spark, sfDir)
+      searchChain(Similarity.vecs(spark, sfDir),
+        undirectedAdj(incrEdges(spark, sfDir)), qv,
+        seeds(spark, sfDir, qv, Similarity.queryFilter, "TRUE"))
+    })
+    Similarity.recallAgainst(
+      Similarity.cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      top3(chain.last._2))
+  }
+
   // ------------------------------------------------------------------
   // oracles — unrolled replay of build + search. Every iterative frame is
   // AS MATERIALIZED: DuckDB inlines plain CTEs, and both the build and the
@@ -378,22 +488,25 @@ object GraphAnn {
 
   private def mult(i: Int) = graft.plans.LshBucket.multipliers(i)
 
-  /** One scored-candidates → top-K round: cand$i → g$i. */
-  private def gRound(i: Int): String =
-    s""", sc$i AS MATERIALIZED (
+  /** One scored-candidates → top-K round: ${p}cand$i → ${p}g$i. The `p`
+    * prefix namespaces a whole chain so one oracle can carry several
+    * (the incremental entries replay a standing build "s", an insertion
+    * search "i", and a post-append query search "q" in one statement). */
+  private def gRound(i: Int, p: String = ""): String =
+    s""", ${p}sc$i AS MATERIALIZED (
          SELECT c.src, c.dst,
                 ${DotProduct.duckDot("a.embedding", "b.embedding")}
                   / (SQRT(sn.norm_sq) * SQRT(dn.norm_sq)) AS cosine
-         FROM cand$i c
+         FROM ${p}cand$i c
          JOIN embeddings a ON a.vec_id = c.src
          JOIN embeddings b ON b.vec_id = c.dst
          JOIN nrm sn ON sn.vec_id = c.src
          JOIN nrm dn ON dn.vec_id = c.dst),
-       g$i AS MATERIALIZED (
+       ${p}g$i AS MATERIALIZED (
          SELECT src, dst, cosine, rn FROM (
            SELECT src, dst, cosine,
                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
-           FROM sc$i) WHERE rn <= $K)"""
+           FROM ${p}sc$i) WHERE rn <= $K)"""
 
   /** The ρK-capped undirected edge set of g$i (build expansion + serving
     * adjacency share this shape). */
@@ -406,15 +519,15 @@ object GraphAnn {
                   ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cosine DESC, src) AS rrn
            FROM $g) WHERE rrn <= $rhoCap)"""
 
-  /** g$i → cand${i+1} (current edges ∪ neighbors-of-neighbors over the
-    * capped undirected set). */
-  private def expandRound(i: Int): String =
-    undCte(s"und$i", s"g$i") +
-      s""", cand${i + 1} AS MATERIALIZED (
-         SELECT src, dst FROM g$i
+  /** ${p}g$i → ${p}cand${i+1} (current edges ∪ neighbors-of-neighbors over
+    * the capped undirected set). */
+  private def expandRound(i: Int, p: String = ""): String =
+    undCte(s"${p}und$i", s"${p}g$i") +
+      s""", ${p}cand${i + 1} AS MATERIALIZED (
+         SELECT src, dst FROM ${p}g$i
          UNION
-         SELECT x.src, y.dst FROM und$i x
-         JOIN und$i y ON x.dst = y.src AND x.src != y.dst)"""
+         SELECT x.src, y.dst FROM ${p}und$i x
+         JOIN ${p}und$i y ON x.dst = y.src AND x.src != y.dst)"""
 
   /** The forward bucket-ring pairs of one plane family: bucket members
     * ranked by vec_id, each paired with its next [[bucketRingCap]] mates
@@ -458,51 +571,55 @@ object GraphAnn {
               CAST(rn AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
        FROM g$rounds""")
 
-  /** Per-query co-bucket seed mates from one plane family's bucket CTE. */
-  private def matesCte(name: String, gb: String): String =
+  /** Per-query co-bucket seed mates from one plane family's bucket CTE;
+    * `qPred` selects the searching side, `matePred` restricts the mate
+    * pool (the standing corpus during an insertion search). */
+  private def matesCte(name: String, gb: String, qPred: String,
+      matePred: String = "TRUE"): String =
     s""", $name AS MATERIALIZED (
          SELECT qid, vec_id FROM (
            SELECT q.vec_id AS qid, b.vec_id,
                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY b.vec_id) AS mrn
            FROM $gb q JOIN $gb b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
-           WHERE ${Similarity.queryPred("q.vec_id")}) WHERE mrn <= $lshSeedCap)"""
+           WHERE ($qPred) AND ($matePred)) WHERE mrn <= $lshSeedCap)"""
 
-  /** One search round: f${r-1}/v${r-1} → vcand$r, vsc$r, f$r, v$r. */
-  private def searchRound(r: Int): String =
-    s""", exp$r AS (
+  /** One search round: ${p}f${r-1}/${p}v${r-1} → ${p}vcand$r, ${p}vsc$r,
+    * ${p}f$r, ${p}v$r, expanding along ${p}sadj. */
+  private def searchRound(r: Int, p: String = ""): String =
+    s""", ${p}exp$r AS (
          SELECT f.qid, g.dst AS vec_id
-         FROM f${r - 1} f JOIN sadj g ON g.src = f.vec_id),
-       vcand$r AS MATERIALIZED (
-         SELECT qid, vec_id FROM v${r - 1}
-         UNION SELECT qid, vec_id FROM exp$r),
-       vsc$r AS MATERIALIZED (
+         FROM ${p}f${r - 1} f JOIN ${p}sadj g ON g.src = f.vec_id),
+       ${p}vcand$r AS MATERIALIZED (
+         SELECT qid, vec_id FROM ${p}v${r - 1}
+         UNION SELECT qid, vec_id FROM ${p}exp$r),
+       ${p}vsc$r AS MATERIALIZED (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")}
                   / (SQRT(qn.norm_sq) * SQRT(dn.norm_sq)) AS cosine
-         FROM vcand$r c
+         FROM ${p}vcand$r c
          JOIN embeddings q ON q.vec_id = c.qid
          JOIN embeddings d ON d.vec_id = c.vec_id
          JOIN nrm qn ON qn.vec_id = c.qid
          JOIN nrm dn ON dn.vec_id = c.vec_id),
-       f$r AS MATERIALIZED (
+       ${p}f$r AS MATERIALIZED (
          SELECT qid, vec_id FROM (
            SELECT qid, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-           FROM vsc$r) WHERE rn <= $beam),
-       v$r AS (SELECT qid, vec_id FROM vcand$r)"""
+           FROM ${p}vsc$r) WHERE rn <= $beam),
+       ${p}v$r AS (SELECT qid, vec_id FROM ${p}vcand$r)"""
 
   private val searchCtes: String = buildCtes +
     undCte("sadj", s"g$rounds") +
     s""", qset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        lmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
-    matesCte("mates0", "gb0") +
-    matesCte("mates1", "gb1") +
+    matesCte("mates0", "gb0", Similarity.queryPred("q.vec_id")) +
+    matesCte("mates1", "gb1", Similarity.queryPred("q.vec_id")) +
     s""", f0 AS MATERIALIZED (
          SELECT q.qid, l.vec_id FROM qset q CROSS JOIN lmk l
          UNION SELECT qid, vec_id FROM mates0
          UNION SELECT qid, vec_id FROM mates1),
        v0 AS (SELECT qid, vec_id FROM f0)""" +
-    (1 to searchRounds).map(searchRound).mkString
+    (1 to searchRounds).map(searchRound(_)).mkString
 
   val graphSearchOracle: String = Fixtures.oracle(searchCtes +
     s""" SELECT qid AS query_id, vec_id AS neighbor_id,
@@ -541,15 +658,103 @@ object GraphAnn {
          FROM rec_r$r"""
     }.mkString(" UNION ALL "))
 
+  // ------------------------------------------------------------------
+  // incremental-lifecycle oracles: one statement replays the standing
+  // build ("s" chain), the batch insertion search ("i" chain), and — for
+  // the recall entry — the post-append query search ("q" chain).
+
+  /** `pred` with its vec_id reference alias-qualified for a joined scope. */
+  private def predFor(ref: String, pred: String): String =
+    pred.replace("vec_id", ref)
+
+  /** Standing-corpus build chain ending in sg$rounds: the full-corpus
+    * el/gb/nrm prelude plus standing-filtered views (buckets and norms are
+    * per-vector, so a WHERE is the standing index). */
+  private val incrBuildCtes: String =
+    Similarity.elementCtes("embeddings") +
+      Similarity.bucketCteFor("gb0", mult(0)) +
+      Similarity.bucketCteFor("gb1", mult(1)) +
+      Similarity.normCte("embeddings") +
+      s""", sgb0 AS (SELECT * FROM gb0 WHERE ${AnnIndex.standingPred}),
+         sgb1 AS (SELECT * FROM gb1 WHERE ${AnnIndex.standingPred}),
+         snrm AS (SELECT * FROM nrm WHERE ${AnnIndex.standingPred}),
+         sring AS MATERIALIZED (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM snrm a JOIN snrm b
+             ON b.vec_id BETWEEN a.vec_id - 3 AND a.vec_id + 3
+            AND b.vec_id != a.vec_id)""" +
+      bucketRingCte("sbrg0", "sgb0") +
+      bucketRingCte("sbrg1", "sgb1") +
+      s""", scand0 AS MATERIALIZED (
+         SELECT src, dst FROM sring
+         UNION SELECT src, dst FROM sbrg0
+         UNION SELECT dst AS src, src AS dst FROM sbrg0
+         UNION SELECT src, dst FROM sbrg1
+         UNION SELECT dst AS src, src AS dst FROM sbrg1)""" +
+      (0 to rounds).map(i =>
+        gRound(i, "s") + (if (i < rounds) expandRound(i, "s") else "")).mkString
+
+  /** Insertion search for the batch vectors over the standing graph,
+    * ending in ins_edges (each batch node's K nearest standing vectors). */
+  private val insertCtes: String = incrBuildCtes +
+    undCte("isadj", s"sg$rounds") +
+    s""", iqset AS (SELECT vec_id AS qid FROM nrm WHERE ${AnnIndex.batchPred}),
+       ilmk AS MATERIALIZED (SELECT vec_id FROM snrm ORDER BY vec_id LIMIT $nLandmarks)""" +
+    matesCte("imates0", "gb0", predFor("q.vec_id", AnnIndex.batchPred),
+      predFor("b.vec_id", AnnIndex.standingPred)) +
+    matesCte("imates1", "gb1", predFor("q.vec_id", AnnIndex.batchPred),
+      predFor("b.vec_id", AnnIndex.standingPred)) +
+    s""", if0 AS MATERIALIZED (
+         SELECT q.qid, l.vec_id FROM iqset q CROSS JOIN ilmk l
+         UNION SELECT qid, vec_id FROM imates0
+         UNION SELECT qid, vec_id FROM imates1),
+       iv0 AS (SELECT qid, vec_id FROM if0)""" +
+    (1 to searchRounds).map(searchRound(_, "i")).mkString +
+    s""", ins_edges AS MATERIALIZED (
+         SELECT qid AS src, vec_id AS dst, cosine, rn
+         FROM (SELECT qid, vec_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+               FROM ivsc$searchRounds)
+         WHERE rn <= $K)"""
+
+  val graphIncrementalOracle: String = Fixtures.oracle(insertCtes +
+    s""" SELECT src AS vec_id, dst AS neighbor_id,
+              CAST(rn AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM ins_edges""")
+
+  /** Post-append query search over base ∪ inserted edges. */
+  private val incrSearchCtes: String = insertCtes +
+    s""", all_e AS (
+         SELECT src, dst, cosine FROM sg$rounds
+         UNION ALL SELECT src, dst, cosine FROM ins_edges)""" +
+    undCte("qsadj", "all_e") +
+    s""", qqset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
+       qlmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
+    matesCte("qmates0", "gb0", Similarity.queryPred("q.vec_id")) +
+    matesCte("qmates1", "gb1", Similarity.queryPred("q.vec_id")) +
+    s""", qf0 AS MATERIALIZED (
+         SELECT q.qid, l.vec_id FROM qqset q CROSS JOIN qlmk l
+         UNION SELECT qid, vec_id FROM qmates0
+         UNION SELECT qid, vec_id FROM qmates1),
+       qv0 AS (SELECT qid, vec_id FROM qf0)""" +
+    (1 to searchRounds).map(searchRound(_, "q")).mkString
+
+  val recallGraphIncrementalOracle: String = Similarity.recallOracle(incrSearchCtes,
+    s"SELECT qid, vec_id FROM qvcand$searchRounds WHERE vec_id != qid")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_graph_build" -> (graphBuild _),
     "sim_ann_graph_search" -> (graphSearch _),
     "sim_ann_recall_graph" -> (recallGraph _),
-    "sim_ann_recall_graph_curve" -> (recallGraphCurve _))
+    "sim_ann_recall_graph_curve" -> (recallGraphCurve _),
+    "sim_ann_graph_incremental" -> (graphIncremental _),
+    "sim_ann_recall_graph_incremental" -> (recallGraphIncremental _))
 
   val oracles: Map[String, String] = Map(
     "sim_ann_graph_build" -> graphBuildOracle,
     "sim_ann_graph_search" -> graphSearchOracle,
     "sim_ann_recall_graph" -> recallGraphOracle,
-    "sim_ann_recall_graph_curve" -> recallGraphCurveOracle)
+    "sim_ann_recall_graph_curve" -> recallGraphCurveOracle,
+    "sim_ann_graph_incremental" -> graphIncrementalOracle,
+    "sim_ann_recall_graph_incremental" -> recallGraphIncrementalOracle)
 }

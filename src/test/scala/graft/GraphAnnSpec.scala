@@ -71,6 +71,50 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("incremental lifecycle: insertion is search-based (no rebuild) and published as an append delta") {
+    val ins = GraphAnn.graphIncremental(spark, sfDir)
+    val plan = ins.queryExecution.executedPlan.toString()
+    assert(plan.contains("delta=00002"),
+      "the inserted edges must serve from the append delta")
+    assert(!plan.toLowerCase.contains("sequence("),
+      "the build's id-ring generator leaked into the append serve plan")
+    val root1 = GraphAnn.incrRootOf(spark, sfDir)
+    assert(root1.isDefined, "no incremental root after a serve")
+
+    val rows1 = rows(ins)
+    assert(rows(GraphAnn.graphIncremental(spark, sfDir)) == rows1,
+      "second incremental serve diverged")
+    assert(GraphAnn.incrRootOf(spark, sfDir) == root1,
+      "a second serve re-published the incremental root")
+  }
+
+  test("inserted edges are well-formed: batch→standing only, degree ≤ K, dense cosine-ordered ranks") {
+    val g = GraphAnn.graphIncremental(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    assert(g.forall(_.getLong(0) % 7 == 0), "an inserted source is not a batch vector")
+    assert(g.forall(_.getLong(1) % 7 != 0), "an inserted edge points at a batch vector")
+    for ((src, edges) <- g.groupBy(_.getLong(0))) {
+      assert(edges.length <= 8, s"inserted node $src exceeds degree K")
+      val sorted = edges.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq,
+        s"inserted node $src: ranks not dense from 1")
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"inserted node $src: edges not cosine-ordered")
+    }
+  }
+
+  test("post-append recall: queries retrieve through the incremental graph without a rebuild") {
+    val rec = GraphAnn.recallGraphIncremental(spark, sfDir)
+      .agg(avg(col("recall_at_3"))).head().getDouble(0)
+    assert(rec >= 0.8,
+      s"post-append recall $rec below the fixture floor — inserted nodes unreachable?")
+    val plan = GraphAnn.recallGraphIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("delta=00001") && plan.contains("delta=00002"),
+      "the post-append search must read base AND append deltas")
+  }
+
   test("knob curve is monotone in rounds and the search retrieves (final ≫ seed-only)") {
     val curve = GraphAnn.recallGraphCurve(spark, sfDir)
       .orderBy(col("search_rounds")).collect()
