@@ -88,7 +88,15 @@ object ScaleSoak {
     // round-14 graph-ANN rework:
     "sim_ann_graph_build",      // NN-descent, ρK-capped expansion rounds
     "sim_ann_graph_search",     // seeded beam search over the persisted graph
-    "sim_ann_recall_graph_curve") // rounds→recall sweep, shared search chain
+    "sim_ann_recall_graph_curve", // rounds→recall sweep, shared search chain
+    // round-14 additions: tokenizer family + graph append leg
+    "text_wordpiece_train",     // 12 rounds, ratio argmax (2 aggs/round)
+    "text_wordpiece_fertility", // (word × pos) ⋈ pieces + greedy fold walk
+    "text_tokenizer_compare",   // both tokenizer pipelines, shared memos
+    "sim_ann_graph_incremental", // standing build + search-based insertion
+    "sim_ann_recall_graph_incremental", // post-append beam search, 2 deltas
+    "sim_ann_bq",               // 1-bit full scan: 2 popcounts/pair
+    "sim_ann_bq_rerank")        // Hamming shortlist + output-sized rerank
 
   // ---------------------------------------------------------------- synth
 

@@ -2009,7 +2009,10 @@ object Similarity {
     * level codes, reconstruction, and the exact-query-vs-reconstruction
     * d² as the same index-ordered fold ([[graft.plans.DotProduct]]'s
     * list_reduce shape) the Spark side runs. */
-  private val sq8Ctes: String = {
+  /** The code-producing half of the SQ8 replay (ranges + level codes) —
+    * shared with the binary-quantization rung, whose bits are the codes'
+    * top bit. */
+  private val sq8CodeCtes: String = {
     elementCtes("embeddings") + normCte("embeddings") +
       s""", sq_ranges AS (
          SELECT el.idx,
@@ -2025,8 +2028,12 @@ object Similarity {
                 END AS code
          FROM el
          JOIN nrm n ON el.vec_id = n.vec_id
-         JOIN sq_ranges r ON el.idx = r.idx),
-       sq_recon AS (
+         JOIN sq_ranges r ON el.idx = r.idx)"""
+  }
+
+  private val sq8Ctes: String = {
+    sq8CodeCtes +
+      s""", sq_recon AS (
          SELECT c.vec_id,
                 list(r.mn + (CAST(c.code AS DOUBLE) * (r.mx - r.mn)) / 255.0
                      ORDER BY c.idx) AS recon
@@ -2094,6 +2101,142 @@ object Similarity {
          ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
        WHERE e.rank <= 3
        GROUP BY e.qid""")
+
+  // -------------------------------------------------------------------
+  // Binary quantization — the 1-bit end of the scalar-quantization ladder
+  // (production "BQ": 1 sign bit per dimension, Hamming-distance scan,
+  // optional exact rerank; the rung below SQ8's 8 bits). The bit is the
+  // PERSISTED SQ8 code's top bit: code ≥ 128 ⇔ the normalized element
+  // clears its dimension's range midpoint (mn+mx)/2 — so the rung trains
+  // NOTHING of its own and serves from the same published artifact as SQ8
+  // (flat dimensions code to 0 on every vector and cancel in the XOR).
+  // 64 dims pack into two 32-bit half-words (sign-bit-free in a BIGINT on
+  // both engines; d dims generalize to ceil(d/64) words), scored by
+  // bit_count(xor) — 16 bytes and two popcounts per pair vs 64 float
+  // multiplies, the memory-bandwidth pitch that makes BQ the first-pass
+  // filter at 10⁹ vectors. Integer end to end: both engines agree on the
+  // Hamming ranking bit-for-bit, no FP replay risk.
+
+  /** MSB-first pack of one 32-code half-word ([from, from+31], 1-based). */
+  private def bqPackSql(from: Int): String =
+    s"""aggregate(slice(codes, $from, 32), 0L,
+          (acc, c) -> acc * 2L + IF(c >= 128, 1L, 0L))"""
+
+  /** (vec_id, w0, w1) sign-bit words from the served SQ8 codes; memoized —
+    * all four BQ entries share one packing pass. */
+  private def bqWords(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "bq_words") {
+      AnnIndex.sq8CodesOf(AnnIndex.served(spark, sfDir))
+        .select(col("vec_id"),
+          expr(bqPackSql(1)).as("w0"), expr(bqPackSql(33)).as("w1"))
+    }
+
+  /** Every (query, vector) pair Hamming-ranked: the BQ scan. The query
+    * side is a broadcast (maxQueries rows × 2 longs); the corpus side
+    * streams — no shuffle, the same scan shape as the other full-scan
+    * ladder rungs. */
+  private def bqRanked(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = bqWords(spark, sfDir)
+    val q = w.filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
+    w.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))))
+  }
+
+  /** Raw BQ top-3 by Hamming distance. */
+  def annBq(spark: SparkSession, sfDir: String): DataFrame =
+    bqRanked(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast(LongType).as("rank"), col("hamming"))
+
+  /** Two-stage BQ: Hamming shortlist of [[rerankBudget]], exact cosine
+    * re-rank — the deployment shape (the bit scan prices admission, the
+    * few surviving vectors pay the full-precision read). */
+  def annBqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val qv = v.filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm_sq").as("qn"))
+    rerank(v, qv,
+      bqRanked(spark, sfDir).filter(col("rank") <= rerankBudget)
+        .select(col("qid"), col("vec_id")),
+      k = 3)
+  }
+
+  /** Recall@3 of the raw Hamming top-3 — what one bit per dimension buys
+    * before any exact read. */
+  def annRecallBq(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annBq(spark, sfDir))
+
+  /** Recall@3 after the exact rerank of the Hamming shortlist. */
+  def annRecallBqRerank(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annBqRerank(spark, sfDir))
+
+  private def duckBqPack(from: Int): String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(codes[$from:${from + 31}],
+              c -> CAST(CASE WHEN c >= 128 THEN 1 ELSE 0 END AS BIGINT))),
+          (acc, x) -> acc * 2 + x)"""
+
+  private val bqCtes: String = sq8CodeCtes +
+    s""", bq_codes AS (
+         SELECT vec_id, list(code ORDER BY idx) AS codes
+         FROM sq_codes GROUP BY vec_id),
+       bq_words AS (
+         SELECT vec_id, ${duckBqPack(1)} AS w0, ${duckBqPack(33)} AS w1
+         FROM bq_codes),
+       bq_ranked AS (
+         SELECT qid, vec_id, hamming,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rank
+         FROM (
+           SELECT q.vec_id AS qid, d.vec_id,
+                  CAST(bit_count(xor(q.w0, d.w0))
+                       + bit_count(xor(q.w1, d.w1)) AS BIGINT) AS hamming
+           FROM bq_words q JOIN bq_words d ON d.vec_id != q.vec_id
+           WHERE ${queryPred("q.vec_id")}))"""
+
+  val annBqOracle: String = Fixtures.oracle(bqCtes +
+    """ SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, hamming
+       FROM bq_ranked WHERE rank <= 3""")
+
+  val annBqRerankOracle: String = Fixtures.oracle(bqCtes +
+    s""", bq_rr AS (
+         SELECT b.qid, b.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")}
+                  / (SQRT(qn.norm_sq) * SQRT(dn.norm_sq)) AS cosine
+         FROM bq_ranked b
+         JOIN embeddings q ON q.vec_id = b.qid
+         JOIN embeddings d ON d.vec_id = b.vec_id
+         JOIN nrm qn ON qn.vec_id = b.qid
+         JOIN nrm dn ON dn.vec_id = b.vec_id
+         WHERE b.rank <= $rerankBudget)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM (SELECT qid, vec_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+             FROM bq_rr)
+       WHERE rank <= 3""")
+
+  val annRecallBqOracle: String = Fixtures.oracle(bqCtes + exactSideCtes +
+    """ SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM exact_ranked e
+       LEFT JOIN bq_ranked l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
+  val annRecallBqRerankOracle: String = recallOracle(bqCtes,
+    s"SELECT qid, vec_id FROM bq_ranked WHERE rank <= $rerankBudget")
 
   val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
     s""", exact_dots AS (
@@ -2809,6 +2952,10 @@ object Similarity {
     "sim_ann_recall_ivfpq_rerank" -> (annRecallIvfPqRerank _),
     "sim_ann_sq8" -> (annSq8 _),
     "sim_ann_recall_sq8" -> (annRecallSq8 _),
+    "sim_ann_bq" -> (annBq _),
+    "sim_ann_bq_rerank" -> (annBqRerank _),
+    "sim_ann_recall_bq" -> (annRecallBq _),
+    "sim_ann_recall_bq_rerank" -> (annRecallBqRerank _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -2845,6 +2992,10 @@ object Similarity {
     "sim_ann_ivfpq_rerank" -> annIvfPqRerankOracle,
     "sim_ann_recall_ivfpq_rerank" -> annRecallIvfPqRerankOracle,
     "sim_ann_sq8" -> annSq8Oracle,
+    "sim_ann_bq" -> annBqOracle,
+    "sim_ann_bq_rerank" -> annBqRerankOracle,
+    "sim_ann_recall_bq" -> annRecallBqOracle,
+    "sim_ann_recall_bq_rerank" -> annRecallBqRerankOracle,
     "sim_ann_recall_sq8" -> annRecallSq8Oracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,

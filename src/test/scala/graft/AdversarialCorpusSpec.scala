@@ -133,7 +133,15 @@ class AdversarialCorpusSpec extends SparkSpec {
     "classifier_margin_pr" -> (n => n >= 0 && n <= 16),
     "embedding_jl_project" -> (_ >= 0),         // only finite-norm vectors
     "embedding_jl_distortion" -> (_ >= 0),
-    "sim_ann_recall_jl" -> (_ >= 0))
+    "sim_ann_recall_jl" -> (_ >= 0),
+    "text_wordpiece_train" -> (_ == 12),        // pairs never exhaust here
+    "text_wordpiece_fertility" -> (n => n >= 1 && n <= 4),
+    "text_tokenizer_compare" -> (n => n >= 1 && n <= 4),
+    "sim_ann_bq" -> (_ >= 0),                   // 8-dim corpus: w1 packs empty
+    "sim_ann_bq_rerank" -> (_ >= 0),
+    "sim_ann_recall_bq" -> (_ >= 0),
+    "sim_ann_graph_incremental" -> (_ >= 0),    // degenerate batch rows drop
+    "sim_ann_recall_graph_incremental" -> (_ >= 0))
 
   test("every probed operator survives the adversarial corpus") {
     graft.fixtures.Fixtures.register(spark, advDir)
