@@ -2012,9 +2012,10 @@ object Similarity {
   /** The code-producing half of the SQ8 replay (ranges + level codes) —
     * shared with the binary-quantization rung, whose bits are the codes'
     * top bit. */
-  private val sq8CodeCtes: String = {
-    elementCtes("embeddings") + normCte("embeddings") +
-      s""", sq_ranges AS (
+  /** The range/code CTEs alone (caller supplies `el` + `nrm`) — the
+    * composed IVF×BQ oracle shares one prelude with the assignment chain. */
+  private val sq8CodeBodyCtes: String = {
+    s""", sq_ranges AS (
          SELECT el.idx,
                 MIN(el.v / SQRT(n.norm_sq)) AS mn,
                 MAX(el.v / SQRT(n.norm_sq)) AS mx
@@ -2030,6 +2031,9 @@ object Similarity {
          JOIN nrm n ON el.vec_id = n.vec_id
          JOIN sq_ranges r ON el.idx = r.idx)"""
   }
+
+  private val sq8CodeCtes: String =
+    elementCtes("embeddings") + normCte("embeddings") + sq8CodeBodyCtes
 
   private val sq8Ctes: String = {
     sq8CodeCtes +
@@ -2185,14 +2189,17 @@ object Similarity {
               c -> CAST(CASE WHEN c >= 128 THEN 1 ELSE 0 END AS BIGINT))),
           (acc, x) -> acc * 2 + x)"""
 
-  private val bqCtes: String = sq8CodeCtes +
+  /** bq_words from sq_codes (caller supplies the code chain). */
+  private val bqWordsCtes: String =
     s""", bq_codes AS (
          SELECT vec_id, list(code ORDER BY idx) AS codes
          FROM sq_codes GROUP BY vec_id),
        bq_words AS (
          SELECT vec_id, ${duckBqPack(1)} AS w0, ${duckBqPack(33)} AS w1
-         FROM bq_codes),
-       bq_ranked AS (
+         FROM bq_codes)"""
+
+  private val bqCtes: String = sq8CodeCtes + bqWordsCtes +
+    s""", bq_ranked AS (
          SELECT qid, vec_id, hamming,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rank
          FROM (
@@ -2237,6 +2244,88 @@ object Similarity {
 
   val annRecallBqRerankOracle: String = recallOracle(bqCtes,
     s"SELECT qid, vec_id FROM bq_ranked WHERE rank <= $rerankBudget")
+
+  // -------------------------------------------------------------------
+  // IVF×BQ — the composed rung that is BQ's actual scale path: the full
+  // Hamming scan above touches every code; at 10⁹ vectors the deployment
+  // shape is cell admission first (probe [[ivfPqNprobe]] IVF cells, the
+  // same artifact the PQ arms probe), a bit-scan over only the probed
+  // cells' words, then the exact rerank of the shortlist. Cost per query:
+  // nprobe/cells of the corpus in 16-byte reads + [[rerankBudget]] full
+  // vectors — every stage an artifact scan, nothing trains.
+
+  /** IVF-admitted, Hamming-ranked, exact-reranked top-3. The candidate
+    * frame is (probes ⋈ assignments) — bounded by the probed cells — and
+    * rides a broadcast into the words scan, the family's shuffle-free
+    * rerank shape; a production layout co-partitions words with the cell
+    * assignment so the admission join is storage-local. */
+  def annIvfBq(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = AnnIndex.served(spark, sfDir)
+    val probes = probesTo(spark, sfDir, idx.centroids, ivfPqNprobe)
+    val words = bqWords(spark, sfDir)
+    val qw = words.filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
+    val cand = idx.assignments.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val ranked = words
+      .join(broadcast(cand.join(qw, Seq("qid"))), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming"), col("vec_id"))))
+    val v = vecs(spark, sfDir)
+    val qv = v.filter(expr(queryFilter))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("norm_sq").as("qn"))
+    rerank(v, qv,
+      ranked.filter(col("rank") <= rerankBudget).select(col("qid"), col("vec_id")),
+      k = 3)
+  }
+
+  /** Recall@3 of the composed rung — what cell admission costs on top of
+    * the full bit scan's rerank recall. */
+  def annRecallIvfBq(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainst(cosineTopK(spark, sfDir).filter(col("rank") <= 3),
+      annIvfBq(spark, sfDir))
+
+  /** One prelude: assignment chain (nrm, assignments), element CTE, SQ8
+    * codes, bq words, query probes, then the cell-restricted Hamming rank. */
+  private val ivfBqCtes: String = assignmentCtes + elementCtes("embeddings") +
+    sq8CodeBodyCtes + bqWordsCtes +
+    qprobesCteFor("ivfbq_probes", ivfPqNprobe) +
+    s""", ivfbq_ranked AS (
+         SELECT qid, vec_id, hamming,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rank
+         FROM (
+           SELECT p.qid, a.vec_id,
+                  CAST(bit_count(xor(q.w0, d.w0))
+                       + bit_count(xor(q.w1, d.w1)) AS BIGINT) AS hamming
+           FROM ivfbq_probes p
+           JOIN assignments a ON a.cluster = p.cluster AND a.vec_id != p.qid
+           JOIN bq_words d ON d.vec_id = a.vec_id
+           JOIN bq_words q ON q.vec_id = p.qid))"""
+
+  val annIvfBqOracle: String = Fixtures.oracle(ivfBqCtes +
+    s""", ivfbq_rr AS (
+         SELECT b.qid, b.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")}
+                  / (SQRT(qn.norm_sq) * SQRT(dn.norm_sq)) AS cosine
+         FROM ivfbq_ranked b
+         JOIN embeddings q ON q.vec_id = b.qid
+         JOIN embeddings d ON d.vec_id = b.vec_id
+         JOIN nrm qn ON qn.vec_id = b.qid
+         JOIN nrm dn ON dn.vec_id = b.vec_id
+         WHERE b.rank <= $rerankBudget)
+       SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rank AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM (SELECT qid, vec_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+             FROM ivfbq_rr)
+       WHERE rank <= 3""")
+
+  val annRecallIvfBqOracle: String = recallOracle(ivfBqCtes,
+    s"SELECT qid, vec_id FROM ivfbq_ranked WHERE rank <= $rerankBudget")
 
   val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
     s""", exact_dots AS (
@@ -2956,6 +3045,8 @@ object Similarity {
     "sim_ann_bq_rerank" -> (annBqRerank _),
     "sim_ann_recall_bq" -> (annRecallBq _),
     "sim_ann_recall_bq_rerank" -> (annRecallBqRerank _),
+    "sim_ann_ivfbq" -> (annIvfBq _),
+    "sim_ann_recall_ivfbq" -> (annRecallIvfBq _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multitable" -> (annLshMultitable _),
@@ -2996,6 +3087,8 @@ object Similarity {
     "sim_ann_bq_rerank" -> annBqRerankOracle,
     "sim_ann_recall_bq" -> annRecallBqOracle,
     "sim_ann_recall_bq_rerank" -> annRecallBqRerankOracle,
+    "sim_ann_ivfbq" -> annIvfBqOracle,
+    "sim_ann_recall_ivfbq" -> annRecallIvfBqOracle,
     "sim_ann_recall_sq8" -> annRecallSq8Oracle,
     "sim_cosine_topk" -> cosineTopKOracle,
     "sim_ann_lsh" -> annLshOracle,

@@ -140,6 +140,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "sim_ann_bq" -> (_ >= 0),                   // 8-dim corpus: w1 packs empty
     "sim_ann_bq_rerank" -> (_ >= 0),
     "sim_ann_recall_bq" -> (_ >= 0),
+    "sim_ann_ivfbq" -> (_ >= 0),
+    "sim_ann_recall_ivfbq" -> (_ >= 0),
     "sim_ann_graph_incremental" -> (_ >= 0),    // degenerate batch rows drop
     "sim_ann_recall_graph_incremental" -> (_ >= 0))
 

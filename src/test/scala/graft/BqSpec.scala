@@ -86,10 +86,28 @@ class BqSpec extends SparkSpec {
       "the rerank must add hits somewhere on the fixture")
   }
 
+  test("IVF admission: every composed-rung answer lies in one of the query's probed cells") {
+    val s = spark
+    import s.implicits._
+    val idx = AnnIndex.served(s, sfDir)
+    val probed = Similarity.probesTo(s, sfDir, idx.centroids, 3)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cells = idx.assignments
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val out = Similarity.annIvfBq(s, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, n) =>
+      assert(probed(q).contains(cells(n)),
+        s"query $q answered with $n from unprobed cell ${cells(n)}")
+    }
+  }
+
   test("serving purity: BQ plans read the published sq8_codes artifact, no quantizer build") {
     for ((name, df) <- Seq(
         "bq" -> Similarity.annBq(spark, sfDir),
-        "bq_rerank" -> Similarity.annBqRerank(spark, sfDir))) {
+        "bq_rerank" -> Similarity.annBqRerank(spark, sfDir),
+        "ivfbq" -> Similarity.annIvfBq(spark, sfDir))) {
       val plan = df.queryExecution.executedPlan.toString()
       assert(plan.contains("sq8_codes"),
         s"$name: plan does not scan the persisted code artifact")
