@@ -92,7 +92,8 @@ object ScaleSoak {
     // round-14 additions: tokenizer family + graph append leg
     "text_wordpiece_train",     // 12 rounds, ratio argmax (2 aggs/round)
     "text_wordpiece_fertility", // (word × pos) ⋈ pieces + greedy fold walk
-    "text_tokenizer_compare",   // both tokenizer pipelines, shared memos
+    "text_tokenizer_compare",   // all three tokenizer pipelines, shared memos
+    "text_unigram_fertility",   // inventory seed + per-word Viterbi DP fold
     "sim_ann_graph_incremental", // standing build + search-based insertion
     "sim_ann_recall_graph_incremental", // post-append beam search, 2 deltas
     "sim_ann_bq",               // 1-bit full scan: 2 popcounts/pair

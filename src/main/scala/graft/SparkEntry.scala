@@ -40,6 +40,7 @@ object SparkEntry {
       (Classifier.queries, Classifier.oracles),
       (Bpe.queries, Bpe.oracles),
       (WordPiece.queries, WordPiece.oracles),
+      (Unigram.queries, Unigram.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -147,18 +147,7 @@ object WordPiece {
         expr("chars * 10000 DIV tokens").as("chars_per_token_bp"))
   }
 
-  /** The cross-tokenizer release table: per-lang fertility of BPE vs
-    * WordPiece at equal merge budgets, and the gap in basis points — the
-    * number a tokenizer bake-off publishes. */
-  def compare(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = Bpe.fertility(spark, sfDir)
-      .select(col("lang"), col("fertility_bp").as("bpe_fertility_bp"))
-    val w = fertility(spark, sfDir)
-      .select(col("lang"), col("fertility_bp").as("wordpiece_fertility_bp"))
-    b.join(w, Seq("lang"))
-      .select(col("lang"), col("bpe_fertility_bp"), col("wordpiece_fertility_bp"),
-        (col("wordpiece_fertility_bp") - col("bpe_fertility_bp")).as("delta_bp"))
-  }
+  // the cross-tokenizer comparison entry lives in [[Unigram]] (3-way).
 
   // -------------------------------------------------------------------
   // Oracles — the training rounds unrolled as MATERIALIZED CTE triples
@@ -188,9 +177,15 @@ object WordPiece {
                      ELSE ${Bpe.duckMergeFold("v.toks", "p.a", "p.b")} END AS toks
          FROM wp_v${t - 1} v LEFT JOIN wp_p$t p ON TRUE)"""
 
-  private val trainCtes: String =
+  private[queries] val trainCtes: String =
     Bpe.vocabCtes +
       ", wp_v0 AS (SELECT w, freq, toks FROM bpe_v0)" +
+      (1 to wpMerges).map(wpRound).mkString
+
+  /** The WP rounds + inference chain WITHOUT the corpus prelude — for the
+    * cross-tokenizer comparison oracle, which shares one bpe_w/bpe_v0. */
+  private[queries] val chainAfterVocabCtes: String =
+    ", wp_v0 AS (SELECT w, freq, toks FROM bpe_v0)" +
       (1 to wpMerges).map(wpRound).mkString
 
   val trainMergesOracle: String = Fixtures.oracle(trainCtes +
@@ -212,7 +207,7 @@ object WordPiece {
 
   /** Pieces table + per-word match-length arrays + the greedy walk → the
     * (w, n_toks) vocabulary CTE `wp_vt`. */
-  private val inferCtes: String =
+  private[queries] val inferCtes: String =
     s""", wp_pieces AS MATERIALIZED (
          SELECT DISTINCT piece FROM (${(1 to wpMerges)
       .map(t => s"SELECT a || b AS piece FROM wp_p$t").mkString(" UNION ALL ")})),
@@ -232,32 +227,11 @@ object WordPiece {
   val fertilityOracle: String = Fixtures.oracle(
     trainCtes + inferCtes + Bpe.langWordCte + Bpe.fertilitySelect("wp_vt"))
 
-  val compareOracle: String = Fixtures.oracle(
-    Bpe.compareSideCtes +
-      ", wp_v0 AS (SELECT w, freq, toks FROM bpe_v0)" +
-      (1 to wpMerges).map(wpRound).mkString +
-      inferCtes + Bpe.langWordCte +
-      s""", bpe_fert AS (
-           SELECT l.lang,
-                  CAST((SUM(l.freq * v.n_toks) * 10000) // SUM(l.freq) AS BIGINT)
-                    AS bpe_fertility_bp
-           FROM bpe_lw l JOIN bpe_vt v ON l.w = v.w GROUP BY 1),
-         wp_fert AS (
-           SELECT l.lang,
-                  CAST((SUM(l.freq * v.n_toks) * 10000) // SUM(l.freq) AS BIGINT)
-                    AS wordpiece_fertility_bp
-           FROM bpe_lw l JOIN wp_vt v ON l.w = v.w GROUP BY 1)
-         SELECT b.lang, b.bpe_fertility_bp, w.wordpiece_fertility_bp,
-                w.wordpiece_fertility_bp - b.bpe_fertility_bp AS delta_bp
-         FROM bpe_fert b JOIN wp_fert w ON b.lang = w.lang""")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordpiece_train" -> (trainMerges _),
-    "text_wordpiece_fertility" -> (fertility _),
-    "text_tokenizer_compare" -> (compare _))
+    "text_wordpiece_fertility" -> (fertility _))
 
   val oracles: Map[String, String] = Map(
     "text_wordpiece_train" -> trainMergesOracle,
-    "text_wordpiece_fertility" -> fertilityOracle,
-    "text_tokenizer_compare" -> compareOracle)
+    "text_wordpiece_fertility" -> fertilityOracle)
 }

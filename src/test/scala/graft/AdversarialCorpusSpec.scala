@@ -137,6 +137,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_wordpiece_train" -> (_ == 12),        // pairs never exhaust here
     "text_wordpiece_fertility" -> (n => n >= 1 && n <= 4),
     "text_tokenizer_compare" -> (n => n >= 1 && n <= 4),
+    "text_unigram_inventory" -> (_ >= 1),       // chars + up to 48 substrings
+    "text_unigram_fertility" -> (n => n >= 1 && n <= 4),
     "sim_ann_bq" -> (_ >= 0),                   // 8-dim corpus: w1 packs empty
     "sim_ann_bq_rerank" -> (_ >= 0),
     "sim_ann_recall_bq" -> (_ >= 0),

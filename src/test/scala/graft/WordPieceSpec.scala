@@ -176,16 +176,17 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
-  test("compare table: delta is exactly wordpiece minus bpe, all langs present") {
+  test("compare table: all langs present, every tokenizer at >= 1 token/word") {
     val s = spark
     import s.implicits._
-    val rows = WordPiece.compare(s, sfDir)
-      .select($"lang", $"bpe_fertility_bp", $"wordpiece_fertility_bp", $"delta_bp")
+    val rows = graft.queries.Unigram.compare(s, sfDir)
+      .select($"lang", $"bpe_fertility_bp", $"wordpiece_fertility_bp",
+        $"unigram_fertility_bp")
       .as[(String, Long, Long, Long)].collect()
     assert(rows.length == 5, s"one row per fixture lang: ${rows.toSeq}")
-    rows.foreach { case (lang, b, w, d) =>
-      assert(d == w - b, s"$lang delta")
-      assert(b >= 10000L && w >= 10000L, s"$lang fertility below 1 token/word")
+    rows.foreach { case (lang, b, w, u) =>
+      assert(b >= 10000L && w >= 10000L && u >= 10000L,
+        s"$lang fertility below 1 token/word: ($b, $w, $u)")
     }
   }
 }
