@@ -111,21 +111,25 @@ object Bpe {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val merges = trainMerges(spark, sfDir)
-      .orderBy($"merge_rank")
-      .select($"pair_left", $"pair_right")
-      .as[(String, String)].collect()
+    // memoized: the 12 chained folds are the entry's whole cost, and the
+    // cross-tokenizer comparison replays this exact frame
+    val vocabTok = graft.util.Memo.cached(spark, sfDir, "bpe_vtok") {
+      val merges = trainMerges(spark, sfDir)
+        .orderBy($"merge_rank")
+        .select($"pair_left", $"pair_right")
+        .as[(String, String)].collect()
 
-    // Spark SQL string literals are BACKSLASH-escaped (and adjacent
-    // literals concatenate, so SQL-standard '' doubling silently parses as
-    // two empty strings): escape backslash first, then the quote
-    def litStr(s: String): String =
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    val applied = merges.foldLeft("toks") { case (acc, (a, b)) =>
-      mergeFoldSql(acc, litStr(a), litStr(b))
+      // Spark SQL string literals are BACKSLASH-escaped (and adjacent
+      // literals concatenate, so SQL-standard '' doubling silently parses
+      // as two empty strings): escape backslash first, then the quote
+      def litStr(s: String): String =
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val applied = merges.foldLeft("toks") { case (acc, (a, b)) =>
+        mergeFoldSql(acc, litStr(a), litStr(b))
+      }
+      vocab0(spark, sfDir)
+        .select($"w", size(expr(applied)).as("n_toks"))
     }
-    val vocabTok = vocab0(spark, sfDir)
-      .select($"w", size(expr(applied)).as("n_toks"))
 
     val langWord = spark.table("documents")
       .select($"lang", explode(split($"text", " ")).as("w"))

@@ -124,7 +124,8 @@ object Unigram {
     * (score·1024 − k) array and the answer's k is recovered modulo the
     * packing base. Single characters are always in the inventory, so every
     * position has ≥ 1 match and the DP is total. */
-  private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "ug_vtok") {
     import spark.implicits._
     val inv = inventory(spark, sfDir)
     val lgc = inv.agg(sum($"cnt").as("c"))

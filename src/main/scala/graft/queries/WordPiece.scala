@@ -110,7 +110,8 @@ object WordPiece {
   /** The tokenized vocabulary under greedy longest-match inference:
     * (w, n_toks, consumed) — `consumed` is the walk's final cursor,
     * = length(w) by the totality invariant (WordPieceSpec pins it). */
-  private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "wp_vtok") {
     import spark.implicits._
     val pieces = trainMerges(spark, sfDir).select($"piece").distinct()
     val ml = Bpe.vocab0(spark, sfDir)
