@@ -41,6 +41,7 @@ object SparkEntry {
       (Bpe.queries, Bpe.oracles),
       (WordPiece.queries, WordPiece.oracles),
       (Unigram.queries, Unigram.oracles),
+      (KnLm.queries, KnLm.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -264,7 +264,8 @@ object GraphAnn {
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
           col("norm_sq").as("qn"))
       val scored = searchChain(v, undirectedAdj(base), qv,
-        seeds(spark, sfDir, qv, AnnIndex.batchPred, AnnIndex.standingPred))
+        seeds(spark, sfDir, qv, AnnIndex.batchPred, AnnIndex.standingPred),
+        boundedQueries = false)
         .last._2
       val inserted = scored
         .withColumn("rn", row_number().over(
@@ -348,17 +349,26 @@ object GraphAnn {
   /** The generic batch-synchronous beam search over `edges` for the query
     * frame `qv` from `seedFrame` — shared verbatim by the main serving
     * entries, the incremental lifecycle's insertion search, and the
-    * post-append recall search. */
+    * post-append recall search.
+    *
+    * `boundedQueries` gates the scoring join's broadcast hint: the serving
+    * paths search for the FIXED query budget (≤ maxQueries rows — the
+    * candidates×queries frame is bounded, broadcast is the shuffle-free
+    * rerank shape), but the INSERTION search's "queries" are the append
+    * batch, which grows with the corpus — its candidate frame is
+    * Θ(batch·budget) and hint-broadcasting it collects the whole thing to
+    * the driver (measured: >1 GiB task results at the 100× soak, killing
+    * the build). With the hint off both joins degrade to shuffles —
+    * distributed regardless of batch size. */
   private def searchChain(v: DataFrame, edges: DataFrame, qv: DataFrame,
-      seedFrame: DataFrame): Seq[(DataFrame, DataFrame)] = {
-    // score a (qid, vec_id) candidate frame: broadcast candidates×queries,
-    // probe the vector frame — the same shuffle-free rerank shape as
-    // Similarity.rerank
-    def score(cand: DataFrame): DataFrame =
-      v.join(broadcast(cand.join(qv, Seq("qid"))), Seq("vec_id"))
+      seedFrame: DataFrame, boundedQueries: Boolean = true): Seq[(DataFrame, DataFrame)] = {
+    def score(cand: DataFrame): DataFrame = {
+      val withQ = cand.join(qv, Seq("qid"))
+      v.join(if (boundedQueries) broadcast(withQ) else withQ, Seq("vec_id"))
         .select(col("qid"), col("vec_id"),
           (Similarity.dotExpr("embedding", "qemb") /
             (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
+    }
 
     var frontier = seedFrame.localCheckpoint()
     var visited = frontier

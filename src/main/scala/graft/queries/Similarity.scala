@@ -2254,11 +2254,13 @@ object Similarity {
   // nprobe/cells of the corpus in 16-byte reads + [[rerankBudget]] full
   // vectors — every stage an artifact scan, nothing trains.
 
-  /** IVF-admitted, Hamming-ranked, exact-reranked top-3. The candidate
-    * frame is (probes ⋈ assignments) — bounded by the probed cells — and
-    * rides a broadcast into the words scan, the family's shuffle-free
-    * rerank shape; a production layout co-partitions words with the cell
-    * assignment so the admission join is storage-local. */
+  /** IVF-admitted, Hamming-ranked, exact-reranked top-3. Broadcast hints
+    * go ONLY on the two bounded frames (the Q₀×nprobe probe list and the
+    * Q₀-row query words); the admitted-candidates ⋈ words join carries NO
+    * hint — its left side grows ~√N with the corpus (queries × cell
+    * occupancy), so at estimate scale it must degrade to a shuffle
+    * (ScalePlanSpec pins it; a production layout co-partitions words with
+    * the cell assignment so that join is storage-local). */
   def annIvfBq(spark: SparkSession, sfDir: String): DataFrame = {
     val idx = AnnIndex.served(spark, sfDir)
     val probes = probesTo(spark, sfDir, idx.centroids, ivfPqNprobe)
@@ -2268,8 +2270,9 @@ object Similarity {
     val cand = idx.assignments.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
-    val ranked = words
-      .join(broadcast(cand.join(qw, Seq("qid"))), Seq("vec_id"))
+    val ranked = cand
+      .join(words, Seq("vec_id"))
+      .join(broadcast(qw), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").as("hamming"))
       .withColumn("rank", row_number().over(

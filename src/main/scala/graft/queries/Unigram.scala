@@ -58,7 +58,7 @@ object Unigram {
   /** Fixed-point log2 in SQL: msb·2^16 + 16 mantissa bits by iterated
     * squaring. `ref` must be a strictly positive BIGINT expression;
     * `shiftl`/`msb` are the engine's shift-left and bit-length forms. */
-  private def lgFpSql(ref: String, spark: Boolean): String = {
+  private[queries] def lgFpSql(ref: String, spark: Boolean): String = {
     val msb =
       if (spark) s"(length(conv($ref, 10, 2)) - 1)"
       else s"(length(bin($ref)) - 1)"

@@ -465,4 +465,42 @@ class ScalePlanSpec extends SparkSpec {
         s"scoring must not shuffle the corpus against the model:\n$p")
     }
   }
+
+  test("wordpiece fertility: the trained pieces broadcast, the vocabulary join shuffles") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.WordPiece.fertility(spark, sfDir))
+      // the 12-piece trained inventory is the hinted bounded frame; the
+      // (lang, word) ⋈ tokenized-vocab join grows with the vocabulary and
+      // must degrade to a shuffle at estimate scale
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"the piece inventory must broadcast into the matcher:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"the vocabulary join must shuffle without auto-broadcast:\n$p")
+    }
+  }
+
+  test("unigram fertility: the inventory broadcasts, the vocabulary join shuffles") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Unigram.fertility(spark, sfDir))
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"the scored inventory must broadcast into the Viterbi matcher:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"the vocabulary join must shuffle without auto-broadcast:\n$p")
+    }
+  }
+
+  test("ivf×bq: only bounded frames broadcast; admitted-candidates ⋈ words shuffles") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Similarity.annIvfBq(spark, sfDir))
+      // hinted bounded frames: centroids (probe assignment), the Q₀×nprobe
+      // probe list, the Q₀-row query words, and the rerank shortlist. The
+      // candidates ⋈ words edge grows ~√N with the corpus and must NOT be
+      // hinted: with auto-conversion off it plans as a shuffle join.
+      assert(p.contains("SortMergeJoin"),
+        s"candidates ⋈ words must shuffle without auto-broadcast:\n$p")
+      val broadcasts = p.split("BroadcastExchange").length - 1
+      assert(broadcasts <= 4,
+        s"only the bounded hinted frames may broadcast (got $broadcasts):\n$p")
+    }
+  }
 }
