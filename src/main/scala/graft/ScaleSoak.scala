@@ -94,6 +94,7 @@ object ScaleSoak {
     "text_wordpiece_fertility", // (word × pos) ⋈ pieces + greedy fold walk
     "text_tokenizer_compare",   // all three tokenizer pipelines, shared memos
     "text_unigram_fertility",   // inventory seed + per-word Viterbi DP fold
+    "text_kn_perplexity",       // vocab²-bounded model ⋈ corpus bigrams
     "sim_ann_graph_incremental", // standing build + search-based insertion
     "sim_ann_recall_graph_incremental", // post-append beam search, 2 deltas
     "sim_ann_bq",               // 1-bit full scan: 2 popcounts/pair
