@@ -99,7 +99,8 @@ object ScaleSoak {
     "sim_ann_recall_graph_incremental", // post-append beam search, 2 deltas
     "sim_ann_bq",               // 1-bit full scan: 2 popcounts/pair
     "sim_ann_bq_rerank",        // Hamming shortlist + output-sized rerank
-    "sim_ann_ivfbq")            // cell admission + bit scan + exact rerank
+    "sim_ann_ivfbq",            // cell admission + bit scan + exact rerank
+    "sim_ann_graph_deleted")    // tombstone-masked beam search, 3 deltas
 
   // ---------------------------------------------------------------- synth
 

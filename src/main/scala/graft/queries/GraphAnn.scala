@@ -276,6 +276,12 @@ object GraphAnn {
       AnnIndex.writeDelta(r, 2, "append") { tmp =>
         inserted.write.parquet(s"$tmp/graph_edges")
       }
+      // the delete leg (same fixture ids as the IVF×PQ lifecycle): a
+      // tombstone-only delta — edge artifacts untouched, serving masks
+      AnnIndex.writeDelta(r, 3, "delete") { tmp =>
+        spark.table("embeddings").filter(expr(AnnIndex.deletedPred))
+          .select(col("vec_id")).distinct().write.parquet(s"$tmp/tombstones")
+      }
       r
     })
   }
@@ -472,6 +478,28 @@ object GraphAnn {
     spark.read.parquet(s"${AnnIndex.deltaPath(root, 2)}/graph_edges")
       .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
         col("rn").cast(LongType).as("rank"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** The delete leg: beam search over the graph with the tombstoned ids
+    * masked out — edges touching a deleted node are dropped at serving
+    * (anti-join against the tombstone delta, the [[AnnIndex.deleteIds]]
+    * mask semantics), and seeds draw only from surviving ids, so a deleted
+    * vector can neither be traversed through nor returned. Completes the
+    * graph family's lifecycle: build / append / delete, all three served
+    * from immutable deltas of one root. */
+  def graphDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = incrRoot(spark, sfDir)
+    val ts = spark.read.parquet(s"${AnnIndex.deltaPath(root, 3)}/tombstones")
+    val masked = incrEdges(spark, sfDir)
+      .join(ts.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .join(ts.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+    val chain = states.computeIfAbsent((spark, sfDir, "del"), _ => {
+      val qv = queryFrame(spark, sfDir)
+      searchChain(Similarity.vecs(spark, sfDir), undirectedAdj(masked), qv,
+        seeds(spark, sfDir, qv, Similarity.queryFilter,
+          s"NOT (${AnnIndex.deletedPred})"))
+    })
+    top3(chain.last._2)
   }
 
   /** Recall@3 of the standard query set over the POST-APPEND graph (base ∪
@@ -752,13 +780,51 @@ object GraphAnn {
   val recallGraphIncrementalOracle: String = Similarity.recallOracle(incrSearchCtes,
     s"SELECT qid, vec_id FROM qvcand$searchRounds WHERE vec_id != qid")
 
+  /** Delete-leg search: the same base+append chain with the tombstone mask
+    * applied to edges, mates, and landmarks (the oracle replays the mask
+    * as the generating arithmetic predicate; the Spark side reads the
+    * tombstone artifact — GraphAnnSpec pins that mechanism). */
+  private val deletedSearchCtes: String = insertCtes +
+    s""", dall_e AS (
+         SELECT src, dst, cosine FROM sg$rounds
+         UNION ALL SELECT src, dst, cosine FROM ins_edges),
+       dmask_e AS (
+         SELECT src, dst, cosine FROM dall_e
+         WHERE NOT (${predFor("src", AnnIndex.deletedPred)})
+           AND NOT (${predFor("dst", AnnIndex.deletedPred)}))""" +
+    undCte("dsadj", "dmask_e") +
+    s""", dqset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
+       dlmk AS MATERIALIZED (
+         SELECT vec_id FROM nrm
+         WHERE NOT (${AnnIndex.deletedPred})
+         ORDER BY vec_id LIMIT $nLandmarks)""" +
+    matesCte("dmates0", "gb0", Similarity.queryPred("q.vec_id"),
+      s"NOT (${predFor("b.vec_id", AnnIndex.deletedPred)})") +
+    matesCte("dmates1", "gb1", Similarity.queryPred("q.vec_id"),
+      s"NOT (${predFor("b.vec_id", AnnIndex.deletedPred)})") +
+    s""", df0 AS MATERIALIZED (
+         SELECT q.qid, l.vec_id FROM dqset q CROSS JOIN dlmk l
+         UNION SELECT qid, vec_id FROM dmates0
+         UNION SELECT qid, vec_id FROM dmates1),
+       dv0 AS (SELECT qid, vec_id FROM df0)""" +
+    (1 to searchRounds).map(searchRound(_, "d")).mkString
+
+  val graphDeletedOracle: String = Fixtures.oracle(deletedSearchCtes +
+    s""" SELECT qid AS query_id, vec_id AS neighbor_id,
+              CAST(rn AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
+       FROM (SELECT qid, vec_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+             FROM dvsc$searchRounds WHERE vec_id != qid)
+       WHERE rn <= 3""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_graph_build" -> (graphBuild _),
     "sim_ann_graph_search" -> (graphSearch _),
     "sim_ann_recall_graph" -> (recallGraph _),
     "sim_ann_recall_graph_curve" -> (recallGraphCurve _),
     "sim_ann_graph_incremental" -> (graphIncremental _),
-    "sim_ann_recall_graph_incremental" -> (recallGraphIncremental _))
+    "sim_ann_recall_graph_incremental" -> (recallGraphIncremental _),
+    "sim_ann_graph_deleted" -> (graphDeleted _))
 
   val oracles: Map[String, String] = Map(
     "sim_ann_graph_build" -> graphBuildOracle,
@@ -766,5 +832,6 @@ object GraphAnn {
     "sim_ann_recall_graph" -> recallGraphOracle,
     "sim_ann_recall_graph_curve" -> recallGraphCurveOracle,
     "sim_ann_graph_incremental" -> graphIncrementalOracle,
-    "sim_ann_recall_graph_incremental" -> recallGraphIncrementalOracle)
+    "sim_ann_recall_graph_incremental" -> recallGraphIncrementalOracle,
+    "sim_ann_graph_deleted" -> graphDeletedOracle)
 }

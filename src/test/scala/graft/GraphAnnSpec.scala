@@ -104,6 +104,25 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("delete leg: tombstoned ids are neither traversed nor returned, mask is artifact-read") {
+    val out = GraphAnn.graphDeleted(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) % 11 != 3),
+      "a tombstoned vector surfaced in the masked search")
+    // the mask's source of truth is the published tombstone delta (the
+    // deep search plan's toString truncates, so assert the artifact and
+    // its content instead of string-matching the plan)
+    val root = GraphAnn.incrRootOf(spark, sfDir)
+    assert(root.isDefined)
+    val ts = java.nio.file.Paths.get(s"${root.get}/delta=00003/tombstones")
+    assert(java.nio.file.Files.isDirectory(ts),
+      "the delete must publish a tombstone-only delta under the same root")
+    val ids = spark.read.parquet(ts.toString)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.forall(_ % 11 == 3),
+      s"tombstone artifact must carry exactly the deleted ids: $ids")
+  }
+
   test("post-append recall: queries retrieve through the incremental graph without a rebuild") {
     val rec = GraphAnn.recallGraphIncremental(spark, sfDir)
       .agg(avg(col("recall_at_3"))).head().getDouble(0)
