@@ -89,6 +89,30 @@ object KnLm {
         expr("(total_fp DIV n_bigrams) DIV 65536").as("bits"))
   }
 
+  /** The filter-threshold knob curve: for each bits-per-token cutoff, how
+    * many documents (and how much bigram mass) a "keep docs at ≤ b bits"
+    * perplexity filter retains — the table a curation pipeline reads
+    * before committing to a threshold, like the nprobe/rerank curves on
+    * the ANN side. Cutoffs span the fixture's entropy range; retention is
+    * monotone in the cutoff by construction (KnLmSpec pins it). */
+  def filterCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    perplexity(spark, sfDir)
+      .select(explode(expr("sequence(3, 6)")).as("cutoff_bits"),
+        $"bits", $"n_bigrams")
+      .groupBy($"cutoff_bits")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when($"bits" <= $"cutoff_bits", 1L).otherwise(0L)).as("docs_kept"),
+        sum($"n_bigrams").as("bigrams_total"),
+        sum(when($"bits" <= $"cutoff_bits", $"n_bigrams").otherwise(0L))
+          .as("bigrams_kept"))
+      .select($"cutoff_bits".cast("long").as("cutoff_bits"),
+        $"docs_kept", $"docs_total",
+        expr("docs_kept * 10000 DIV docs_total").as("doc_keep_bp"),
+        $"bigrams_kept", $"bigrams_total",
+        expr("bigrams_kept * 10000 DIV bigrams_total").as("token_keep_bp"))
+  }
+
   /** (doc_id, head, tail) bigram occurrences — the corpus pass. */
   private def bigrams(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -137,22 +161,42 @@ object KnLm {
               CAST(cont_w AS BIGINT) AS cont_w, CAST(p_fp AS BIGINT) AS p_fp
        FROM kn_model""")
 
-  val perplexityOracle: String = Fixtures.oracle(modelCtes +
+  private val pplCtes: String = modelCtes +
     s""", kn_bits AS (
          SELECT head, tail,
                 30 * 65536 - ${Unigram.lgFpSql("p_fp", spark = false)} AS bits_fp
-         FROM kn_model)
-       SELECT g.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
-              CAST(SUM(m.bits_fp) // COUNT(1) AS BIGINT) AS xent_fp,
-              CAST((SUM(m.bits_fp) // COUNT(1)) // 65536 AS BIGINT) AS bits
-       FROM kn_g g JOIN kn_bits m ON g.head = m.head AND g.tail = m.tail
-       GROUP BY g.doc_id""")
+         FROM kn_model),
+       kn_ppl AS MATERIALIZED (
+         SELECT g.doc_id, CAST(COUNT(1) AS BIGINT) AS n_bigrams,
+                CAST(SUM(m.bits_fp) // COUNT(1) AS BIGINT) AS xent_fp,
+                CAST((SUM(m.bits_fp) // COUNT(1)) // 65536 AS BIGINT) AS bits
+         FROM kn_g g JOIN kn_bits m ON g.head = m.head AND g.tail = m.tail
+         GROUP BY g.doc_id)"""
+
+  val perplexityOracle: String = Fixtures.oracle(pplCtes +
+    " SELECT doc_id, n_bigrams, xent_fp, bits FROM kn_ppl")
+
+  val filterCurveOracle: String = Fixtures.oracle(pplCtes +
+    """ SELECT CAST(c.b AS BIGINT) AS cutoff_bits,
+              CAST(SUM(CASE WHEN p.bits <= c.b THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+              CAST(COUNT(1) AS BIGINT) AS docs_total,
+              CAST((SUM(CASE WHEN p.bits <= c.b THEN 1 ELSE 0 END) * 10000)
+                   // COUNT(1) AS BIGINT) AS doc_keep_bp,
+              CAST(SUM(CASE WHEN p.bits <= c.b THEN p.n_bigrams ELSE 0 END) AS BIGINT)
+                AS bigrams_kept,
+              CAST(SUM(p.n_bigrams) AS BIGINT) AS bigrams_total,
+              CAST((SUM(CASE WHEN p.bits <= c.b THEN p.n_bigrams ELSE 0 END) * 10000)
+                   // SUM(p.n_bigrams) AS BIGINT) AS token_keep_bp
+       FROM kn_ppl p CROSS JOIN UNNEST(range(3, 7)) AS c(b)
+       GROUP BY c.b""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_kn_model" -> (model _),
-    "text_kn_perplexity" -> (perplexity _))
+    "text_kn_perplexity" -> (perplexity _),
+    "text_kn_filter_curve" -> (filterCurve _))
 
   val oracles: Map[String, String] = Map(
     "text_kn_model" -> modelOracle,
-    "text_kn_perplexity" -> perplexityOracle)
+    "text_kn_perplexity" -> perplexityOracle,
+    "text_kn_filter_curve" -> filterCurveOracle)
 }

@@ -141,6 +141,7 @@ class AdversarialCorpusSpec extends SparkSpec {
     "text_unigram_fertility" -> (n => n >= 1 && n <= 4),
     "text_kn_model" -> (_ >= 1),                // >= 1 observed bigram
     "text_kn_perplexity" -> (_ <= 12),          // only multi-word docs score
+    "text_kn_filter_curve" -> (_ == 4),         // one row per cutoff level
     "sim_ann_bq" -> (_ >= 0),                   // 8-dim corpus: w1 packs empty
     "sim_ann_bq_rerank" -> (_ >= 0),
     "sim_ann_recall_bq" -> (_ >= 0),
