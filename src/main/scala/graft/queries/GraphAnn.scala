@@ -487,19 +487,57 @@ object GraphAnn {
     * vector can neither be traversed through nor returned. Completes the
     * graph family's lifecycle: build / append / delete, all three served
     * from immutable deltas of one root. */
-  def graphDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The masked serving view: every edge whose either endpoint is
+    * tombstoned dropped via anti-joins against the persisted artifact. */
+  private def maskedIncrEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val root = incrRoot(spark, sfDir)
     val ts = spark.read.parquet(s"${AnnIndex.deltaPath(root, 3)}/tombstones")
-    val masked = incrEdges(spark, sfDir)
+    incrEdges(spark, sfDir)
       .join(ts.select(col("vec_id").as("src")), Seq("src"), "left_anti")
       .join(ts.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
-    val chain = states.computeIfAbsent((spark, sfDir, "del"), _ => {
+  }
+
+  /** Beam search for the standard queries over a given adjacency with the
+    * surviving-ids seed pool — the delete and compacted legs share it. */
+  private def survivorSearch(spark: SparkSession, sfDir: String,
+      edges: DataFrame, variant: String): DataFrame = {
+    val chain = states.computeIfAbsent((spark, sfDir, variant), _ => {
       val qv = queryFrame(spark, sfDir)
-      searchChain(Similarity.vecs(spark, sfDir), undirectedAdj(masked), qv,
+      searchChain(Similarity.vecs(spark, sfDir), undirectedAdj(edges), qv,
         seeds(spark, sfDir, qv, Similarity.queryFilter,
           s"NOT (${AnnIndex.deletedPred})"))
     })
     top3(chain.last._2)
+  }
+
+  def graphDeleted(spark: SparkSession, sfDir: String): DataFrame =
+    survivorSearch(spark, sfDir, maskedIncrEdges(spark, sfDir), "del")
+
+  private val foldRoots = new ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The compacted root (spec seam). */
+  private[queries] def foldRootOf(spark: SparkSession, sfDir: String): Option[String] =
+    Option(foldRoots.get((spark, sfDir)))
+
+  /** The compaction leg: fold the masked view into a fresh single base
+    * delta — after the fold no artifact byte of a tombstoned vector's
+    * edges exists on disk (the erasure guarantee; GraphAnnSpec reads the
+    * folded parquet raw to pin it), and serving over the folded root must
+    * not move a single ranked pair relative to the masked view — the two
+    * entries share [[graphDeletedOracle]] verbatim, the same contract the
+    * IVF×PQ vacuumed leg pins. */
+  def graphCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = foldRoots.computeIfAbsent((spark, sfDir), _ => {
+      val r = Files.createTempDirectory("graft-ann-graph-fold-").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        AnnIndex.rmTree(Paths.get(r))))
+      AnnIndex.writeDelta(r, 1, "base") { tmp =>
+        maskedIncrEdges(spark, sfDir).write.parquet(s"$tmp/graph_edges")
+      }
+      r
+    })
+    survivorSearch(spark, sfDir,
+      spark.read.parquet(s"${AnnIndex.deltaPath(root, 1)}/graph_edges"), "fold")
   }
 
   /** Recall@3 of the standard query set over the POST-APPEND graph (base ∪
@@ -824,7 +862,8 @@ object GraphAnn {
     "sim_ann_recall_graph_curve" -> (recallGraphCurve _),
     "sim_ann_graph_incremental" -> (graphIncremental _),
     "sim_ann_recall_graph_incremental" -> (recallGraphIncremental _),
-    "sim_ann_graph_deleted" -> (graphDeleted _))
+    "sim_ann_graph_deleted" -> (graphDeleted _),
+    "sim_ann_graph_compacted" -> (graphCompacted _))
 
   val oracles: Map[String, String] = Map(
     "sim_ann_graph_build" -> graphBuildOracle,
@@ -833,5 +872,7 @@ object GraphAnn {
     "sim_ann_recall_graph_curve" -> recallGraphCurveOracle,
     "sim_ann_graph_incremental" -> graphIncrementalOracle,
     "sim_ann_recall_graph_incremental" -> recallGraphIncrementalOracle,
-    "sim_ann_graph_deleted" -> graphDeletedOracle)
+    "sim_ann_graph_deleted" -> graphDeletedOracle,
+    // physical removal must not move a single ranked pair vs the mask
+    "sim_ann_graph_compacted" -> graphDeletedOracle)
 }

@@ -123,6 +123,21 @@ class GraphAnnSpec extends SparkSpec {
       s"tombstone artifact must carry exactly the deleted ids: $ids")
   }
 
+  test("compaction: physical erasure on disk, serving identical to the masked view") {
+    val masked = rows(GraphAnn.graphDeleted(spark, sfDir))
+    val folded = rows(GraphAnn.graphCompacted(spark, sfDir))
+    assert(folded == masked,
+      "the fold moved a ranked pair relative to the tombstone mask")
+    val root = GraphAnn.foldRootOf(spark, sfDir)
+    assert(root.isDefined, "no folded root after a compacted serve")
+    // the erasure guarantee: the folded base, read RAW, carries no edge
+    // touching a tombstoned id
+    val raw = spark.read.parquet(s"${root.get}/delta=00001/graph_edges").collect()
+    assert(raw.nonEmpty)
+    assert(raw.forall(r => r.getLong(0) % 11 != 3 && r.getLong(1) % 11 != 3),
+      "a tombstoned vector's edge survived the fold on disk")
+  }
+
   test("post-append recall: queries retrieve through the incremental graph without a rebuild") {
     val rec = GraphAnn.recallGraphIncremental(spark, sfDir)
       .agg(avg(col("recall_at_3"))).head().getDouble(0)
