@@ -540,6 +540,29 @@ object GraphAnn {
       spark.read.parquet(s"${AnnIndex.deltaPath(root, 1)}/graph_edges"), "fold")
   }
 
+  /** Recall@3 of the masked search against the exact top-3 over the
+    * SURVIVING corpus — deletion changes the ground truth (a deleted
+    * vector is not a valid answer), so the recall that prices the delete
+    * leg grades against survivors-only exactness, the same convention the
+    * filtered-ANN recall uses for its label predicate. */
+  def recallGraphDeleted(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    val v = Similarity.vecs(spark, sfDir)
+    val qv = queryFrame(spark, sfDir)
+    val exact = v.filter(expr(s"NOT (${AnnIndex.deletedPred})"))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dotExpr("embedding", "qemb") /
+          (sqrt(col("qn")) * sqrt(col("norm_sq")))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+    Similarity.recallAgainst(exact, graphDeleted(spark, sfDir))
+  }
+
   /** Recall@3 of the standard query set over the POST-APPEND graph (base ∪
     * inserted edges) against the exact top-3 over the FULL corpus — the
     * gate that proves appended vectors are retrievable through the ρK
@@ -855,6 +878,35 @@ object GraphAnn {
              FROM dvsc$searchRounds WHERE vec_id != qid)
        WHERE rn <= 3""")
 
+  /** Survivor-truth recall: exact side restricted to non-deleted vectors,
+    * candidate side the masked search's visited set. */
+  val recallGraphDeletedOracle: String = Fixtures.oracle(deletedSearchCtes +
+    s""", sexact_dots AS (
+         SELECT q.vec_id AS qid, d.vec_id,
+                ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
+         FROM embeddings q
+         JOIN embeddings d
+           ON d.vec_id != q.vec_id AND NOT (${predFor("d.vec_id", AnnIndex.deletedPred)})
+         WHERE ${Similarity.queryPred("q.vec_id")}),
+       sexact_ranked AS (
+         SELECT qid, vec_id,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         FROM (SELECT dots.qid, dots.vec_id,
+                      dots.dot / (SQRT(qn.norm_sq) * SQRT(vn.norm_sq)) AS cosine
+               FROM sexact_dots dots
+               JOIN nrm qn ON dots.qid = qn.vec_id
+               JOIN nrm vn ON dots.vec_id = vn.vec_id))""" +
+    Similarity.candRankedCtes("gd",
+      s"SELECT qid, vec_id FROM dvcand$searchRounds WHERE vec_id != qid") +
+    """ SELECT e.qid AS query_id,
+              CAST(COUNT(l.vec_id) AS BIGINT) AS hits,
+              ROUND(COUNT(l.vec_id) / 3.0, 6) AS recall_at_3
+       FROM sexact_ranked e
+       LEFT JOIN cand_ranked_gd l
+         ON l.qid = e.qid AND l.vec_id = e.vec_id AND l.rank <= 3
+       WHERE e.rank <= 3
+       GROUP BY e.qid""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_graph_build" -> (graphBuild _),
     "sim_ann_graph_search" -> (graphSearch _),
@@ -863,7 +915,8 @@ object GraphAnn {
     "sim_ann_graph_incremental" -> (graphIncremental _),
     "sim_ann_recall_graph_incremental" -> (recallGraphIncremental _),
     "sim_ann_graph_deleted" -> (graphDeleted _),
-    "sim_ann_graph_compacted" -> (graphCompacted _))
+    "sim_ann_graph_compacted" -> (graphCompacted _),
+    "sim_ann_recall_graph_deleted" -> (recallGraphDeleted _))
 
   val oracles: Map[String, String] = Map(
     "sim_ann_graph_build" -> graphBuildOracle,
@@ -874,5 +927,6 @@ object GraphAnn {
     "sim_ann_recall_graph_incremental" -> recallGraphIncrementalOracle,
     "sim_ann_graph_deleted" -> graphDeletedOracle,
     // physical removal must not move a single ranked pair vs the mask
-    "sim_ann_graph_compacted" -> graphDeletedOracle)
+    "sim_ann_graph_compacted" -> graphDeletedOracle,
+    "sim_ann_recall_graph_deleted" -> recallGraphDeletedOracle)
 }

@@ -150,7 +150,8 @@ class AdversarialCorpusSpec extends SparkSpec {
     "sim_ann_graph_incremental" -> (_ >= 0),    // degenerate batch rows drop
     "sim_ann_recall_graph_incremental" -> (_ >= 0),
     "sim_ann_graph_deleted" -> (_ >= 0),
-    "sim_ann_graph_compacted" -> (_ >= 0))
+    "sim_ann_graph_compacted" -> (_ >= 0),
+    "sim_ann_recall_graph_deleted" -> (_ >= 0))
 
   test("every probed operator survives the adversarial corpus") {
     graft.fixtures.Fixtures.register(spark, advDir)
