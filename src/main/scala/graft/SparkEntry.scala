@@ -42,6 +42,9 @@ object SparkEntry {
       (WordPiece.queries, WordPiece.oracles),
       (Unigram.queries, Unigram.oracles),
       (KnLm.queries, KnLm.oracles),
+      (SbLm.queries, SbLm.oracles),
+      (Dbscan.queries, Dbscan.oracles),
+      (Packing.queries, Packing.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
