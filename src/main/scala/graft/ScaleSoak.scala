@@ -100,7 +100,11 @@ object ScaleSoak {
     "sim_ann_bq",               // 1-bit full scan: 2 popcounts/pair
     "sim_ann_bq_rerank",        // Hamming shortlist + output-sized rerank
     "sim_ann_ivfbq",            // cell admission + bit scan + exact rerank
-    "sim_ann_graph_deleted")    // tombstone-masked beam search, 3 deltas
+    "sim_ann_graph_deleted",    // tombstone-masked beam search, 3 deltas
+    // round-14 session-3 additions:
+    "text_sb_perplexity",       // 3 gram-model scoring shuffles, holdout side
+    "sim_dbscan_clusters",      // cell-blocked ε-pairs + label rounds
+    "corpus_pack_pairing")      // value-decomposed rank + paired aggregation
 
   // ---------------------------------------------------------------- synth
 

@@ -62,6 +62,28 @@ object Dbscan {
       .withColumnRenamed("cluster", "cell")
   }
 
+  /** Same-cell candidate pairs scored once at the weakest curve threshold
+    * (cos ≥ 1/8): (va, vb, dot, na, nb), memoized — the verdict filters it
+    * to the working 1/4 threshold, the ε-curve to all three rungs. The
+    * tighter filter from the prefiltered frame is EXACTLY the set the
+    * unfiltered join yields: dot²·64 = 4·(dot²·16) in IEEE (power-of-two
+    * scaling is exact), so 1/4-pass implies 1/8-pass with no boundary
+    * risk — the oracle keeps its unprefiltered form. */
+  private def scoredPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Memo.cached(spark, sfDir, "dbscan_scored") {
+      val av = inputs(spark, sfDir)
+      av.select($"cell", $"vec_id".as("va"), $"embedding".as("ea"), $"norm_sq".as("na"))
+        .join(av.select($"cell", $"vec_id".as("vb"), $"embedding".as("eb"), $"norm_sq".as("nb")),
+          Seq("cell"))
+        .filter($"va" < $"vb")
+        .select($"va", $"vb",
+          Similarity.dotExpr("ea", "eb").as("dot"), $"na", $"nb")
+        .filter($"dot" > lit(0d) &&
+          ($"dot" * $"dot") * lit(64d) >= $"na" * $"nb")
+    }
+  }
+
   /** ε-edges (va < vb), degrees, cores, converged labels, border
     * assignment — all memoized as one per-vector frame:
     * (vec_id, role, cluster, n_neighbors). */
@@ -72,17 +94,9 @@ object Dbscan {
       import spark.implicits._
       val av = inputs(spark, sfDir)
 
-      val pairs = graft.util.Memo.cached(spark, sfDir, "dbscan_pairs") {
-        av.select($"cell", $"vec_id".as("va"), $"embedding".as("ea"), $"norm_sq".as("na"))
-          .join(av.select($"cell", $"vec_id".as("vb"), $"embedding".as("eb"), $"norm_sq".as("nb")),
-            Seq("cell"))
-          .filter($"va" < $"vb")
-          .select($"va", $"vb",
-            Similarity.dotExpr("ea", "eb").as("dot"), $"na", $"nb")
-          .filter($"dot" > lit(0d) &&
-            ($"dot" * $"dot") * lit(16d) >= $"na" * $"nb")
-          .select($"va", $"vb")
-      }
+      val pairs = scoredPairs(spark, sfDir)
+        .filter(($"dot" * $"dot") * lit(16d) >= $"na" * $"nb")
+        .select($"va", $"vb")
 
       val deg = pairs.select($"va".as("vec_id"))
         .unionByName(pairs.select($"vb".as("vec_id")))
@@ -163,6 +177,52 @@ object Dbscan {
         sum(when($"role" === "border", 1L).otherwise(0L)).as("n_border"))
   }
 
+  /** The ε-knob rungs: cos ≥ num/den as (theta_bp, num², den²) for the
+    * squared-comparison rule. 1/8 (loose), 1/4 (the working threshold),
+    * 3/8 (tight) — the geometric-ish ladder the coreness curve uses:
+    * adjacent finer rungs are indistinguishable on a dense fixture. */
+  private val curveRungs: Seq[(Long, Double, Double)] =
+    Seq((1250L, 1d, 64d), (2500L, 1d, 16d), (3750L, 9d, 64d))
+
+  /** The ε-knob table: per cosine threshold, the blocked ε-graph's edge
+    * count and the core/border/noise census — the table a curation pass
+    * reads before committing to an ε, like the nprobe/rerank/coreness
+    * curves. One memoized scored-pair frame feeds every rung; cluster
+    * labels are deliberately not re-derived per rung (the census, not the
+    * partition, is the knob signal — and it keeps the oracle recursion-free
+    * and cheap). Monotone by construction in edges and cores
+    * (DbscanCurveSpec pins it). */
+  def curve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sc = scoredPairs(spark, sfDir)
+    val all = inputs(spark, sfDir).select($"vec_id")
+    curveRungs.map { case (bp, num, den) =>
+      val e = sc.filter(($"dot" * $"dot") * lit(den) >= ($"na" * $"nb") * lit(num))
+        .select($"va", $"vb")
+      val deg = e.select($"va".as("vec_id"))
+        .unionByName(e.select($"vb".as("vec_id")))
+        .groupBy($"vec_id").agg(count(lit(1)).as("deg"))
+      val core = deg.filter($"deg" >= minNeighbors).select($"vec_id")
+      val coreNb = e
+        .join(core.withColumnRenamed("vec_id", "vb"), Seq("vb"))
+        .select($"va".as("vec_id"))
+        .unionByName(e
+          .join(core.withColumnRenamed("vec_id", "va"), Seq("va"))
+          .select($"vb".as("vec_id")))
+        .distinct()
+      val roles = all
+        .join(core.withColumn("is_core", lit(1L)), Seq("vec_id"), "left")
+        .join(coreNb.withColumn("has_core_nb", lit(1L)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_vectors"),
+          coalesce(sum($"is_core"), lit(0L)).as("n_core"),
+          coalesce(sum(when($"is_core".isNull && $"has_core_nb".isNotNull, 1L)),
+            lit(0L)).as("n_border"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(roles)
+        .select(lit(bp).as("theta_bp"), $"n_edges", $"n_core", $"n_border",
+          ($"n_vectors" - $"n_core" - $"n_border").as("n_noise"))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** The shared CTE chain: assignments (the IVF quantizer twin), ε-pairs,
@@ -238,11 +298,49 @@ object Dbscan {
                CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS BIGINT) AS n_border
         FROM $verdictSubquery t GROUP BY cluster""")
 
+  private def rungCtes(tag: String, num: Int, den: Int): String =
+    s""", ${tag}_e AS (
+         SELECT va, vb FROM db_scored
+         WHERE dot > 0 AND (dot * dot) * $den >= (na * nb) * $num),
+       ${tag}_deg AS (
+         SELECT v, COUNT(1) AS deg
+         FROM (SELECT va AS v FROM ${tag}_e
+               UNION ALL SELECT vb AS v FROM ${tag}_e)
+         GROUP BY 1),
+       ${tag}_core AS (SELECT v FROM ${tag}_deg WHERE deg >= $minNeighbors),
+       ${tag}_cnb AS (
+         SELECT DISTINCT v FROM (
+           SELECT e.va AS v FROM ${tag}_e e JOIN ${tag}_core c ON e.vb = c.v
+           UNION ALL
+           SELECT e.vb AS v FROM ${tag}_e e JOIN ${tag}_core c ON e.va = c.v)),
+       ${tag}_stats AS (
+         SELECT (SELECT COUNT(1) FROM ${tag}_e) AS n_edges,
+                (SELECT COUNT(1) FROM ${tag}_core) AS n_core,
+                (SELECT COUNT(1) FROM ${tag}_cnb b
+                 LEFT JOIN ${tag}_core c ON b.v = c.v
+                 WHERE c.v IS NULL) AS n_border,
+                (SELECT COUNT(1) FROM nrm) AS n_vec)"""
+
+  private def rungSelect(tag: String, bp: Long): String =
+    s"""SELECT CAST($bp AS BIGINT) AS theta_bp,
+              CAST(n_edges AS BIGINT) AS n_edges,
+              CAST(n_core AS BIGINT) AS n_core,
+              CAST(n_border AS BIGINT) AS n_border,
+              CAST(n_vec - n_core - n_border AS BIGINT) AS n_noise
+       FROM ${tag}_stats"""
+
+  val curveOracle: String = Fixtures.oracle(dbCtes +
+    rungCtes("cv1", 1, 64) + rungCtes("cv2", 1, 16) + rungCtes("cv3", 9, 64) +
+    " " + Seq(rungSelect("cv1", 1250L), rungSelect("cv2", 2500L),
+      rungSelect("cv3", 3750L)).mkString(" UNION ALL "))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_dbscan_clusters" -> (clusters _),
-    "sim_dbscan_stats" -> (stats _))
+    "sim_dbscan_stats" -> (stats _),
+    "sim_dbscan_curve" -> (curve _))
 
   val oracles: Map[String, String] = Map(
     "sim_dbscan_clusters" -> clustersOracle,
-    "sim_dbscan_stats" -> statsOracle)
+    "sim_dbscan_stats" -> statsOracle,
+    "sim_dbscan_curve" -> curveOracle)
 }

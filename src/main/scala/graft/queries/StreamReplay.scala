@@ -467,7 +467,39 @@ object StreamReplay {
        FROM ssr_n
        GROUP BY user_id, session_no""")
 
+  /** Final streaming per-stratum sample — the bottom-k-by-hash reservoir
+    * ([[graft.streaming.StreamingSample]]) driven over the standard 3-way
+    * document split; bottom-k selection is order-free, so the final state
+    * must equal the batch `sample_uniform_k` election, whose oracle this
+    * entry reuses verbatim. The latest snapshot per stratum is selected by
+    * the monotone rows-seen tag (the kmv max_by idiom, join-shaped because
+    * the snapshot is k rows, not one). */
+  def sampleReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val batched = spark.table("documents")
+      .select($"lang".as("_1"), $"doc_id".as("_2"),
+        ($"doc_id" % numBatches).cast("int").as("b"))
+    val log = replayViaFiles[(String, Long)](spark, "sample_replay",
+      batched, OutputMode.Update) { ds =>
+      graft.streaming.StreamingSample.samples(
+        ds.map { case (l, id) => graft.streaming.StreamingSample.DocIn(l, id) }, 50)
+    }
+    val last = log.groupBy($"lang").agg(max($"n_seen").as("n_seen"))
+    log.join(broadcast(last), Seq("lang", "n_seen"))
+      .select($"lang", $"doc_id", $"sample_rank")
+  }
+
+  val sampleReplayOracle: String = Fixtures.oracle(
+    s"""SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+        FROM (SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ${Sampling.bucketExprSql("doc_id")}, doc_id) AS rk
+              FROM documents)
+        WHERE rk <= 50""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_sample_replay" -> (sampleReplay _),
     "streaming_anomaly_replay" -> (anomalyReplay _),
     "streaming_sessions_replay" -> (sessionsReplay _),
     "streaming_funnel_replay" -> (funnelReplay _),
@@ -478,6 +510,7 @@ object StreamReplay {
     "streaming_kmv_replay" -> (kmvReplay _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_sample_replay" -> sampleReplayOracle,
     "streaming_anomaly_replay" -> anomalyReplayOracle,
     "streaming_sessions_replay" -> sessionsReplayOracle,
     "streaming_funnel_replay" -> graft.queries.Sessions.funnelOracle,

@@ -147,6 +147,44 @@ class DbscanSpec extends SparkSpec {
     assert(rows.filter(_._1 == "core").map(_._2).distinct.length >= 5)
   }
 
+  test("ε-curve equals a per-rung replay and is monotone in the threshold") {
+    val s = spark
+    import s.implicits._
+    val in = Dbscan.inputs(s, sfDir)
+      .select($"vec_id", $"embedding", $"norm_sq", $"cell")
+      .as[(Long, Array[Float], Double, Long)].collect().sortBy(_._1)
+    val rungs = Seq((1250L, 1d, 64d), (2500L, 1d, 16d), (3750L, 9d, 64d))
+    val want = rungs.map { case (bp, num, den) =>
+      val edges = for {
+        i <- in.indices
+        j <- (i + 1) until in.length
+        if in(i)._4 == in(j)._4
+        d = dot(in(i)._2, in(j)._2)
+        if d > 0 && (d * d) * den >= (in(i)._3 * in(j)._3) * num
+      } yield (in(i)._1, in(j)._1)
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val core = in.map(_._1).filter(v => deg.getOrElse(v, 0) >= 3).toSet
+      val border = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .collect { case (v, u) if !core(v) && core(u) => v }.toSet
+      bp -> ((edges.length.toLong, core.size.toLong, border.size.toLong,
+        in.length.toLong - core.size - border.size))
+    }.toMap
+    val got = Dbscan.curve(s, sfDir)
+      .select($"theta_bp", $"n_edges", $"n_core", $"n_border", $"n_noise")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    got.foreach { case (bp, e, c, b, n) =>
+      assert(want(bp) == ((e, c, b, n)), s"rung $bp: ${(e, c, b, n)} vs ${want(bp)}")
+    }
+    val byBp = got.sortBy(_._1)
+    byBp.zip(byBp.tail).foreach { case (lo, hi) =>
+      assert(lo._2 >= hi._2, "edges must shrink as the threshold tightens")
+      assert(lo._3 >= hi._3, "cores must shrink as the threshold tightens")
+      assert(lo._5 <= hi._5, "noise must grow as the threshold tightens")
+    }
+  }
+
   test("census equals the verdict's group-by") {
     val s = spark
     import s.implicits._

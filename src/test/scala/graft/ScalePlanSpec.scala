@@ -489,6 +489,43 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
+  test("stupid-backoff scoring: model joins shuffle; only the 1-row N broadcasts") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.SbLm.perplexity(spark, sfDir))
+      // the trigram/bigram/unigram model tables grow with the corpus and
+      // must NOT broadcast; the only hint is the 1-row token total
+      assert(p.contains("SortMergeJoin"),
+        s"gram-model joins must shuffle without auto-broadcast:\n$p")
+      assert(p.split("BroadcastExchange").length - 1 <= 1,
+        s"only the 1-row N frame may broadcast:\n$p")
+    }
+  }
+
+  test("dbscan verdict: corpus-sized role/label joins all shuffle") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Dbscan.clusters(spark, sfDir))
+      // labels / border / degree frames are all corpus-sized: no hint, so
+      // with auto-conversion off every classification join is a shuffle
+      assert(p.contains("SortMergeJoin"),
+        s"verdict joins must shuffle without auto-broadcast:\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"no corpus-sized frame may carry a broadcast hint:\n$p")
+    }
+  }
+
+  test("pack pairing: only the two value-bounded hinted frames broadcast") {
+    withNoAutoBroadcast {
+      val p = plan(graft.queries.Packing.packPairing(spark, sfDir))
+      // hinted: the (source × ≤128 tok-value) offset table and the
+      // per-source count — both value/group-bounded at any corpus size;
+      // the doc-stats ⋈ pair-stats source join must shuffle
+      assert(p.contains("SortMergeJoin"),
+        s"the per-source stats join must shuffle without auto-broadcast:\n$p")
+      assert(p.split("BroadcastExchange").length - 1 <= 2,
+        s"only the two bounded hinted frames may broadcast:\n$p")
+    }
+  }
+
   test("ivf×bq: only bounded frames broadcast; admitted-candidates ⋈ words shuffles") {
     withNoAutoBroadcast {
       val p = plan(graft.queries.Similarity.annIvfBq(spark, sfDir))
