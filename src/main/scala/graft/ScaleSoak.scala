@@ -104,7 +104,8 @@ object ScaleSoak {
     // round-14 session-3 additions:
     "text_sb_perplexity",       // 3 gram-model scoring shuffles, holdout side
     "sim_dbscan_clusters",      // cell-blocked ε-pairs + label rounds
-    "corpus_pack_pairing")      // value-decomposed rank + paired aggregation
+    "corpus_pack_pairing",      // value-decomposed rank + paired aggregation
+    "events_cc_bigstar")        // O(log n)-round star-contraction components
 
   // ---------------------------------------------------------------- synth
 

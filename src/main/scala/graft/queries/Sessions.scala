@@ -1422,6 +1422,123 @@ object Sessions {
       .select($"n".as("user_id"), $"core_degree")
   }
 
+  /** Spec hook: the shared undirected influence-edge frame. */
+  private[graft] def ccEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    influenceUndirected(spark, sfDir)
+  }
+
+  /** Connected components by large-star/small-star alternation — Kiveris
+    * et al. (MLG/KDD 2014), "Connected Components in MapReduce and
+    * Beyond". The repo's other component operator
+    * ([[Dedup.clusterComponents]]) converges in O(component diameter)
+    * min-label rounds; the star alternation contracts paths
+    * logarithmically — O(log n) rounds on ANY topology — which is the
+    * difference between 5 and 50 shuffles on a 100 TB web-ish graph with
+    * long chains. Per round: large-star hangs every larger-than-center
+    * neighbor under the neighborhood minimum, small-star re-hangs the
+    * smaller ones and the center itself; each is one symmetric groupBy +
+    * one shuffle join, the edge frame localCheckpoint-ed per round (the
+    * iterate-and-truncate discipline), monotonically toward a
+    * min-rooted star forest. Convergence is driver-checked cheaply on the
+    * (count, Σu, Σv) stamp, then CONFIRMED by an exact set-difference job
+    * in the candidate round — a stamp collision can't fake a fixpoint.
+    *
+    * Output matches the dedup component report's shape: every node of the
+    * influence graph with its component label (= component-minimum
+    * user_id, the star root at fixpoint), component size, and a
+    * canon/member role. The oracle computes true reachable minima with
+    * one recursive CTE over the SAME edge SQL — so the alternation's
+    * correctness theorem is re-proved by the gate on every run. */
+  /** The alternation itself, factored for spec-level testing on synthetic
+    * graphs: `edges` is an undirected (u, v) frame (u < v, distinct) →
+    * (user_id, component) labels for every endpoint. */
+  private[graft] def starContract(spark: SparkSession, edges0: DataFrame): DataFrame = {
+    import spark.implicits._
+    var e = edges0
+    def stamp(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum($"u"), lit(0L)), coalesce(sum($"v"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def minFrame(edges: DataFrame): DataFrame = {
+      val sym = edges.select($"u".as("x"), $"v".as("y"))
+        .unionByName(edges.select($"v".as("x"), $"u".as("y")))
+      sym.join(
+        sym.groupBy($"x").agg(min($"y").as("mn"))
+          .select($"x", least($"x", $"mn").as("m")),
+        Seq("x"))
+    }
+    var prev = stamp(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 15) {
+      val t0 = System.nanoTime()
+      val prevE = e
+      // large-star: neighbors above the center hang under the minimum
+      val large = minFrame(e).filter($"y" > $"x")
+        .select($"m".as("u"), $"y".as("v")) // m <= x < y: already ordered
+        .distinct().localCheckpoint()
+      // small-star: neighbors below the center (and the center) re-hang
+      val sm = minFrame(large)
+      val e2 = sm.filter($"y" < $"x")
+        .select(least($"y", $"m").as("u"), greatest($"y", $"m").as("v"))
+        .filter($"u" =!= $"v")
+        .unionByName(sm.select($"x", $"m").distinct()
+          .filter($"m" =!= $"x").select($"m".as("u"), $"x".as("v")))
+        .distinct().localCheckpoint()
+      e = e2
+      val cur = stamp(e)
+      // a stable stamp is the convergence CANDIDATE; the fixpoint claim
+      // is then verified exactly (one extra set-difference job, only at
+      // the final round) — stamp collisions can't fake convergence
+      converged = cur == prev &&
+        e.exceptAll(prevE).unionByName(prevE.exceptAll(e)).isEmpty
+      prev = cur
+      rounds += 1
+      System.err.println(s"[graft] bigstar round=$rounds stamp=$cur " +
+        f"ms=${(System.nanoTime() - t0) / 1e6}%.0f")
+    }
+    require(converged, s"big-star did not converge in $rounds rounds")
+
+    val nodes = edges0.select($"u".as("user_id"))
+      .unionByName(edges0.select($"v".as("user_id"))).distinct()
+    nodes
+      .join(e.select($"v".as("user_id"), $"u".as("comp")), Seq("user_id"), "left")
+      .groupBy($"user_id").agg(min($"comp").as("comp"))
+      .select($"user_id", coalesce($"comp", $"user_id").as("component"))
+  }
+
+  def ccBigstar(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val labels = graft.util.Memo.cached(spark, sfDir, "cc_bigstar_labels") {
+      starContract(spark, influenceUndirected(spark, sfDir))
+    }
+    val sizes = labels.groupBy($"component").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("component"))
+      .select($"user_id", $"component", $"component_size",
+        when($"user_id" === $"component", "canon").otherwise("member").as("role"))
+  }
+
+  val ccBigstarOracle: String = Fixtures.oracle(influenceEdgeCtes("bs_") +
+    """,
+       bs_und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM bs_edges),
+       bs_sym AS (SELECT u AS src, v AS dst FROM bs_und
+                  UNION ALL SELECT v, u FROM bs_und)
+       SELECT user_id, component, component_size, role FROM (
+         WITH RECURSIVE reach(n, lab) AS (
+             SELECT src, src FROM bs_sym
+             UNION
+             SELECT e.dst, r.lab FROM bs_sym e JOIN reach r ON e.src = r.n),
+         comp AS (SELECT n AS user_id, MIN(lab) AS component FROM reach GROUP BY n),
+         sizes AS (SELECT component, COUNT(1) AS component_size FROM comp GROUP BY 1)
+         SELECT c.user_id, c.component,
+                CAST(s.component_size AS BIGINT) AS component_size,
+                CASE WHEN c.user_id = c.component THEN 'canon' ELSE 'member' END AS role
+         FROM comp c JOIN sizes s USING (component)) t""")
+
   /** Coreness ladder over [[kcoreCurveKs]] (k = 2/16/64): per level, the
     * surviving core's node and edge counts plus its minimum in-core
     * degree — the graph's density profile in three numbers per level
@@ -1506,6 +1623,7 @@ object Sessions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_kcore" -> (kcore _),
     "events_kcore_curve" -> (kcoreCurve _),
+    "events_cc_bigstar" -> (ccBigstar _),
     "events_markov_transitions" -> (markovTransitions _),
     "events_hits_scores" -> (hitsScores _),
     "events_distinct_hll" -> (distinctHll _),
@@ -1534,6 +1652,7 @@ object Sessions {
   val oracles: Map[String, String] = Map(
     "events_kcore" -> kcoreOracle,
     "events_kcore_curve" -> kcoreCurveOracle,
+    "events_cc_bigstar" -> ccBigstarOracle,
     "events_markov_transitions" -> markovTransitionsOracle,
     "events_hits_scores" -> hitsScoresOracle,
     "events_distinct_hll" -> distinctHllOracle,
