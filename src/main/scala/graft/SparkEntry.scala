@@ -45,6 +45,7 @@ object SparkEntry {
       (SbLm.queries, SbLm.oracles),
       (Dbscan.queries, Dbscan.oracles),
       (Packing.queries, Packing.oracles),
+      (Audio.queries, Audio.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
