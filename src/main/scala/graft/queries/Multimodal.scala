@@ -89,20 +89,23 @@ object Multimodal {
     } finally iis.close()
   }
 
-  private[graft] def synthDocImage(d: Long): BufferedImage = {
-    val (w, h) = (dimW(d), dimH(d))
+  private def synthImage(seed: Long, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (chanR(d, x, y) << 16) | (chanG(d, x, y) << 8) | chanB(d, x, y))
+        img.setRGB(x, y,
+          (chanR(seed, x, y) << 16) | (chanG(seed, x, y) << 8) | chanB(seed, x, y))
         x += 1
       }
       y += 1
     }
     img
   }
+
+  private[graft] def synthDocImage(d: Long): BufferedImage =
+    synthImage(d, dimW(d), dimH(d))
 
   /** (doc_id, blob) with REAL encoded bytes — PNG, except every third doc
     * as BMP so the decode stage's format sniffing does real work. The
@@ -524,7 +527,104 @@ object Multimodal {
            ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8""")
 
+  // ------------------------------------------------------------------
+  // Video: shot-structured frame sequences → scene-cut detection.
+
+  private def vFrames(d: Long): Int = (6 + (d % 7)).toInt
+  private def vShotLen(d: Long): Int = (2 + (d % 3)).toInt
+  private def vSeed(d: Long, shot: Long): Long = d * 131 + shot * 1000003L
+
+  /** Scene-cut detection over a VIDEO column — each document carries an
+    * array of encoded PNG frames (the frames-as-blob-array shape a real
+    * pipeline gets from a frame sampler), organized into deterministic
+    * SHOTS: frames within a shot are pixel-identical, shots switch
+    * content. The analysis is the classic cut detector: decode
+    * consecutive frames, mean absolute luma difference per pixel, cut
+    * where the delta clears the threshold — within-shot pairs read
+    * exactly 0, across-shot pairs land far above it, so the detector's
+    * output equals the shot structure and the oracle replays it from the
+    * luma formula (the lossless-PNG differential trick, third modality).
+    * Output: (doc_id, n_frames, n_cuts, max_delta). */
+  def videoCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val blobs = spark.table("documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        val (w, h) = (dimW(d), dimH(d))
+        val frames = Array.tabulate(vFrames(d)) { f =>
+          encodePng(synthImage(vSeed(d, f / vShotLen(d)), w, h))
+        }
+        (d, frames)
+      }).toDF("doc_id", "frames").repartition(col("doc_id"))
+      .as[(Long, Array[Array[Byte]])]
+    blobs.mapPartitions(_.map { case (d, frames) =>
+      val imgs = frames.map(decode)
+      val (w, h) = (imgs(0).getWidth, imgs(0).getHeight)
+      var cuts = 0L
+      var maxDelta = 0L
+      var f = 1
+      while (f < imgs.length) {
+        var tot = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pa = imgs(f - 1).getRGB(x, y)
+            val pb = imgs(f).getRGB(x, y)
+            tot += math.abs(
+              luma((pa >> 16) & 0xff, (pa >> 8) & 0xff, pa & 0xff) -
+                luma((pb >> 16) & 0xff, (pb >> 8) & 0xff, pb & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val delta = tot / (w.toLong * h)
+        if (delta > maxDelta) maxDelta = delta
+        if (delta > 8) cuts += 1
+        f += 1
+      }
+      (d, imgs.length.toLong, cuts, maxDelta)
+    }).toDF("doc_id", "n_frames", "n_cuts", "max_delta")
+  }
+
+  /** Seed-parameterized luma twin (the doc-seeded [[sqlLuma]] fixes the
+    * seed to doc_id; video frames seed by shot). */
+  private def sqlLumaSeed(s: String, x: String, y: String): String =
+    s"(299*((($s)*7 + ($x)*13 + ($y)*17) % 256)" +
+      s" + 587*((($s)*11 + ($x)*3 + ($y)*5) % 256)" +
+      s" + 114*((($s)*13 + ($x)*19 + ($y)*23) % 256)) // 1000"
+
+  val videoCutsOracle: String = Fixtures.oracle(
+    s""", vc_doc AS (
+         SELECT doc_id, $sqlW AS w, $sqlH AS h,
+                6 + (doc_id % 7) AS nf, 2 + (doc_id % 3) AS sl
+         FROM documents),
+       vc_pairs AS (
+         SELECT doc_id, w, h, t.f AS f,
+                doc_id*131 + ((t.f - 1) // sl)*1000003 AS sa,
+                doc_id*131 + (t.f // sl)*1000003 AS sb
+         FROM vc_doc, UNNEST(range(1, nf)) AS t(f)),
+       vc_chg AS (
+         SELECT p.doc_id, p.f, p.w, p.h,
+                SUM(ABS(${sqlLumaSeed("p.sa", "xx.x", "yy.y")}
+                        - ${sqlLumaSeed("p.sb", "xx.x", "yy.y")}))
+                  // (p.w * p.h) AS delta
+         FROM vc_pairs p, UNNEST(range(0, p.w)) AS xx(x),
+              UNNEST(range(0, p.h)) AS yy(y)
+         WHERE p.sa <> p.sb
+         GROUP BY 1, 2, 3, 4),
+       vc_delta AS (
+         SELECT doc_id, f, delta FROM vc_chg
+         UNION ALL
+         SELECT doc_id, f, 0 FROM vc_pairs WHERE sa = sb)
+       SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+              CAST(SUM(CASE WHEN v.delta > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+              CAST(MAX(v.delta) AS BIGINT) AS max_delta
+       FROM vc_doc d JOIN vc_delta v USING (doc_id)
+       GROUP BY d.doc_id, d.nf""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_video_cuts" -> (videoCuts _),
     "multimodal_media_meta" -> (mediaMeta _),
     "multimodal_phash_dedup" -> (phashDedup _),
     "multimodal_frame_sample" -> (frameSample _),
@@ -532,6 +632,7 @@ object Multimodal {
     "multimodal_feature_extract" -> (featureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_video_cuts" -> videoCutsOracle,
     "multimodal_media_meta" -> mediaMetaOracle,
     "multimodal_phash_dedup" -> phashDedupOracle,
     "multimodal_frame_sample" -> frameSampleOracle,

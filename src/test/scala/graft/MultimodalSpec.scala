@@ -96,4 +96,24 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) == expect && r.getLong(2) == 8L, s"doc $d")
     }
   }
+
+  test("video cuts recover the shot structure exactly") {
+    val sp = spark
+    import sp.implicits._
+    val rows = graft.queries.Multimodal.videoCuts(sp, sf)
+      .select($"doc_id", $"n_frames", $"n_cuts", $"max_delta")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, nf, cuts, maxD) =>
+      val sl = 2 + d % 3
+      assert(nf == 6 + d % 7, s"doc $d frame count")
+      // shot boundaries sit at the multiples of the shot length, and every
+      // boundary's luma delta must clear the threshold while within-shot
+      // pairs read exactly zero -- so cuts == boundary count is BOTH a
+      // detector and a codec assertion (a lossy or misordered decode would
+      // break the within-shot zeros)
+      assert(cuts == (nf - 1) / sl, s"doc $d cuts $cuts vs shots")
+      assert(maxD > 8, s"doc $d max delta $maxD")
+    }
+  }
 }
