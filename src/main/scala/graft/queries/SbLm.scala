@@ -137,6 +137,29 @@ object SbLm {
         expr("total_fp DIV n_tokens").as("mean_bits_fp"))
   }
 
+  /** The held-out filter-threshold knob curve — [[KnLm.filterCurve]]'s
+    * twin on the OUT-of-sample signal: per bits cutoff 3..6, document and
+    * trigram-mass retention of a "keep ≤ b bits" filter. The two curves
+    * together price the in-sample/held-out gap a deployment must know
+    * before picking a perplexity threshold on unseen crawl data. */
+  def filterCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    perplexity(spark, sfDir)
+      .select(explode(expr("sequence(3, 6)")).as("cutoff_bits"),
+        $"bits", $"n_trigrams")
+      .groupBy($"cutoff_bits")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when($"bits" <= $"cutoff_bits", 1L).otherwise(0L)).as("docs_kept"),
+        sum($"n_trigrams").as("trigrams_total"),
+        sum(when($"bits" <= $"cutoff_bits", $"n_trigrams").otherwise(0L))
+          .as("trigrams_kept"))
+      .select($"cutoff_bits".cast("long").as("cutoff_bits"),
+        $"docs_kept", $"docs_total",
+        expr("docs_kept * 10000 DIV docs_total").as("doc_keep_bp"),
+        $"trigrams_kept", $"trigrams_total",
+        expr("trigrams_kept * 10000 DIV trigrams_total").as("token_keep_bp"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private val scoredCtes: String =
@@ -210,11 +233,31 @@ object SbLm {
               CAST(SUM(bits_fp) // COUNT(1) AS BIGINT) AS mean_bits_fp
        FROM sb_scored GROUP BY level""")
 
+  val filterCurveOracle: String = Fixtures.oracle(scoredCtes +
+    """, sb_ppl AS (
+         SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n_trigrams,
+                CAST((SUM(bits_fp) // COUNT(1)) // 65536 AS BIGINT) AS bits
+         FROM sb_scored GROUP BY doc_id)
+       SELECT CAST(c.b AS BIGINT) AS cutoff_bits,
+              CAST(SUM(CASE WHEN p.bits <= c.b THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+              CAST(COUNT(1) AS BIGINT) AS docs_total,
+              CAST((SUM(CASE WHEN p.bits <= c.b THEN 1 ELSE 0 END) * 10000)
+                   // COUNT(1) AS BIGINT) AS doc_keep_bp,
+              CAST(SUM(CASE WHEN p.bits <= c.b THEN p.n_trigrams ELSE 0 END) AS BIGINT)
+                AS trigrams_kept,
+              CAST(SUM(p.n_trigrams) AS BIGINT) AS trigrams_total,
+              CAST((SUM(CASE WHEN p.bits <= c.b THEN p.n_trigrams ELSE 0 END) * 10000)
+                   // SUM(p.n_trigrams) AS BIGINT) AS token_keep_bp
+       FROM sb_ppl p CROSS JOIN UNNEST(range(3, 7)) AS c(b)
+       GROUP BY c.b""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_sb_perplexity" -> (perplexity _),
-    "text_sb_backoff_mix" -> (backoffMix _))
+    "text_sb_backoff_mix" -> (backoffMix _),
+    "text_sb_filter_curve" -> (filterCurve _))
 
   val oracles: Map[String, String] = Map(
     "text_sb_perplexity" -> perplexityOracle,
-    "text_sb_backoff_mix" -> backoffMixOracle)
+    "text_sb_backoff_mix" -> backoffMixOracle,
+    "text_sb_filter_curve" -> filterCurveOracle)
 }

@@ -966,6 +966,65 @@ object Sessions {
        JOIN ka_l1 b ON a.event_type = b.event_type AND a.hour = b.hour
                    AND a.bin // 2 = b.coarse_bin""")
 
+  /** Distinct l-diversity release gate (Machanavajjhala et al. TKDD'07)
+    * beside [[kAnonymity]]'s size gate: k-anonymity alone leaks when a
+    * published cell is homogeneous in the sensitive attribute — every
+    * record in it shares the secret, so re-identification isn't even
+    * needed. Here the quasi-identifier is (hour, value bin), the
+    * sensitive attribute is the event type, and a cell publishes only
+    * when BOTH k = 8 distinct users AND l = 3 distinct sensitive values
+    * co-occur; `top_type_bp` (dominant type share) is the homogeneity
+    * diagnostic the entropy variant thresholds.
+    *
+    * Scale shape: corpus-sized (QI, type) / (QI, user) distinct shuffles
+    * in, bounded-cell-space (24 h × ~64 bins) aggregates out — the
+    * [[kAnonymity]] contract. */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val (k, l) = (8, 3)
+    val rec = spark.table("ek")
+      .filter($"cents".isNotNull && $"cents" >= 1L && $"event_type".isNotNull)
+      .select((($"btime" / 3600L).cast(LongType) % 24L).as("hour"),
+        expr(graft.functions.Log2Bin.binSql("cents")).as("bin"),
+        $"event_type", $"user_id")
+    val cells = rec.groupBy($"hour", $"bin")
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct($"user_id").as("n_users"),
+        countDistinct($"event_type").as("n_types"))
+    val top = rec.groupBy($"hour", $"bin", $"event_type")
+      .agg(count(lit(1)).as("tn"))
+      .groupBy($"hour", $"bin").agg(max($"tn").as("top_tn"))
+    cells.join(top, Seq("hour", "bin"))
+      .select($"hour", $"bin", $"n_records", $"n_users", $"n_types",
+        expr("top_tn * 10000 DIV n_records").as("top_type_bp"),
+        when($"n_users" >= k && $"n_types" >= l, "publish")
+          .otherwise("suppress").as("verdict"))
+  }
+
+  val lDiversityOracle: String = Fixtures.oracle(
+    s""", ld_rec AS (
+         SELECT CAST(FLOOR(btime / 3600) AS BIGINT) % 24 AS hour,
+                ${graft.functions.Log2Bin.binSql("cents")} AS bin,
+                event_type, user_id
+         FROM ek
+         WHERE cents IS NOT NULL AND cents >= 1 AND event_type IS NOT NULL),
+       ld_cells AS (
+         SELECT hour, bin, COUNT(1) AS n_records,
+                COUNT(DISTINCT user_id) AS n_users,
+                COUNT(DISTINCT event_type) AS n_types
+         FROM ld_rec GROUP BY 1, 2),
+       ld_top AS (
+         SELECT hour, bin, MAX(tn) AS top_tn FROM (
+           SELECT hour, bin, event_type, COUNT(1) AS tn
+           FROM ld_rec GROUP BY 1, 2, 3)
+         GROUP BY 1, 2)
+       SELECT c.hour, c.bin, c.n_records, c.n_users, c.n_types,
+              CAST(t.top_tn * 10000 // c.n_records AS BIGINT) AS top_type_bp,
+              CASE WHEN c.n_users >= 8 AND c.n_types >= 3
+                   THEN 'publish' ELSE 'suppress' END AS verdict
+       FROM ld_cells c JOIN ld_top t ON c.hour = t.hour AND c.bin = t.bin""")
+
   /** Triangle counting + local clustering coefficient over the purchase→
     * click influence graph (same edge set as [[userPagerank]]) via
     * degree-ordered edge orientation — the MapReduce-era standard for
@@ -1629,6 +1688,7 @@ object Sessions {
     "events_distinct_hll" -> (distinctHll _),
     "events_label_propagation" -> (labelPropagation _),
     "privacy_k_anon" -> (kAnonymity _),
+    "privacy_l_diversity" -> (lDiversity _),
     "events_triangle_count" -> (triangleCount _),
     "events_basket_rules" -> (basketRules _),
     "events_hist_quantiles" -> (histQuantiles _),
@@ -1658,6 +1718,7 @@ object Sessions {
     "events_distinct_hll" -> distinctHllOracle,
     "events_label_propagation" -> labelPropagationOracle,
     "privacy_k_anon" -> kAnonymityOracle,
+    "privacy_l_diversity" -> lDiversityOracle,
     "events_triangle_count" -> triangleCountOracle,
     "events_basket_rules" -> basketRulesOracle,
     "events_hist_quantiles" -> histQuantilesOracle,

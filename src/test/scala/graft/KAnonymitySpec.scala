@@ -31,4 +31,24 @@ class KAnonymitySpec extends SparkSpec {
     assert(levels == Set(0L, 1L, 2L),
       s"degenerate fixture: only levels $levels present")
   }
+
+  test("l-diversity: publish requires BOTH gates; homogeneity bound holds") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ld = graft.queries.Sessions.lDiversity(s, SparkSpec.fixtureSf).collect()
+    assert(ld.nonEmpty)
+    ld.foreach { r =>
+      val (nRec, nUsers, nTypes) = (r.getAs[Long]("n_records"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_types"))
+      val top = r.getAs[Long]("top_type_bp")
+      val verdict = r.getAs[String]("verdict")
+      assert(verdict == (if (nUsers >= 8 && nTypes >= 3) "publish" else "suppress"))
+      // the dominant type covers at least an equal share: top*nTypes >= 10000-ish
+      assert(top * nTypes >= 10000 - nTypes, s"cell ${r}: impossible homogeneity")
+      assert(top <= 10000 && nTypes >= 1 && nRec >= nUsers)
+    }
+    val verdicts = ld.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts == Set("publish", "suppress"),
+      s"degenerate fixture: only $verdicts present")
+  }
 }

@@ -131,4 +131,26 @@ class SbLmSpec extends SparkSpec {
       .intersect(bySide.getOrElse("holdout", Set.empty))
     assert(overlap.isEmpty, s"${overlap.size} texts on both sides")
   }
+
+  test("filter curve: retention is monotone and consistent with perplexity") {
+    val s = spark
+    import s.implicits._
+    val curve = SbLm.filterCurve(s, sfDir)
+      .orderBy($"cutoff_bits")
+      .select($"cutoff_bits", $"docs_kept", $"docs_total", $"doc_keep_bp",
+        $"trigrams_kept", $"trigrams_total")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq == Seq(3L, 4L, 5L, 6L))
+    curve.zip(curve.tail).foreach { case (lo, hi) =>
+      assert(lo._2 <= hi._2 && lo._5 <= hi._5, s"retention monotone: $lo vs $hi")
+    }
+    val ppl = SbLm.perplexity(s, sfDir)
+      .select($"bits", $"n_trigrams").as[(Long, Long)].collect()
+    curve.foreach { case (b, dk, dt, bp, gk, gt) =>
+      assert(dk == ppl.count(_._1 <= b), s"cutoff $b docs_kept")
+      assert(dt == ppl.length && gt == ppl.map(_._2).sum)
+      assert(gk == ppl.filter(_._1 <= b).map(_._2).sum, s"cutoff $b mass")
+      assert(bp == dk * 10000 / dt)
+    }
+  }
 }
