@@ -128,11 +128,10 @@ object Hybrid {
         $"dense_rank", $"sparse_rank", $"rank".cast(LongType).as("rank"))
   }
 
-  val hybridRrfOracle: String = Fixtures.oracle(
-    // dense arm: the full rerank chain (probes → ADC → exact refine)
-    Similarity.pqCtes + Similarity.assignmentCtes + Similarity.ivfPqCtes +
-      Similarity.rerankCtes +
-      s""", hy_tf AS (
+  /** The sparse arm's oracle chain (hy_tf … hy_sparse), shared by the
+    * hybrid entry and the evaluation entry. */
+  private def sparseCtes: String =
+    s""", hy_tf AS (
          SELECT doc_id, word, COUNT(1) AS tf
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
          GROUP BY 1, 2),
@@ -165,8 +164,13 @@ object Hybrid {
            SELECT qid, doc_id,
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ssum DESC, doc_id) AS rank
            FROM (SELECT qid, doc_id, SUM(scd) AS ssum FROM hy_sc GROUP BY 1, 2))
-         WHERE rank <= $sparseK),
-       hy_dense AS (
+         WHERE rank <= $sparseK)"""
+
+  val hybridRrfOracle: String = Fixtures.oracle(
+    // dense arm: the full rerank chain (probes → ADC → exact refine)
+    Similarity.pqCtes + Similarity.assignmentCtes + Similarity.ivfPqCtes +
+      Similarity.rerankCtes + sparseCtes +
+      s""", hy_dense AS (
          SELECT qid, vec_id AS doc_id, rank FROM rr_ranked WHERE rank <= 3),
        hy_fused AS (
          SELECT COALESCE(d.qid, s.qid) AS qid,
@@ -185,6 +189,98 @@ object Hybrid {
                          ORDER BY rrf_e6 DESC, doc_id) AS rk
              FROM hy_fused)
        WHERE rk <= 3""")
+
+  /** Spec hook: the three arms' (arm, qid, doc_id, rank) lists at native
+    * depth — exactly the frame [[evalMrr]] aggregates. */
+  private[graft] def armLists(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    DotProduct.register(spark)
+    import spark.implicits._
+    // ONE dense subtree shared by its own arm and the fusion (the serving
+    // plan carries an observe() metric; two independent instantiations in
+    // one union would collide on the metric name)
+    val dense = Similarity.annIvfPqRerank(spark, sfDir)
+      .select($"query_id".as("qid"), $"neighbor_id".as("doc_id"),
+        $"rank".cast(LongType).as("rank"))
+    val sparse = sparseRanked(spark)
+      .select($"qid", $"doc_id", $"rank".cast(LongType).as("rank"))
+    val fused = fuse(dense.withColumnRenamed("rank", "dense_rank"),
+      sparse.withColumnRenamed("rank", "sparse_rank"))
+      .select(lit("fused").as("arm"), $"query_id".as("qid"), $"doc_id", $"rank")
+    dense.select(lit("dense").as("arm"), $"qid", $"doc_id", $"rank")
+      .unionByName(sparse.select(lit("sparse").as("arm"), $"qid", $"doc_id", $"rank"))
+      .unionByName(fused)
+  }
+
+  /** Retrieval evaluation — the operating-score table the recall ladder is
+    * to ANN: per arm (dense two-stage / sparse MLT-BM25 / RRF fusion),
+    * success@k and MRR against the label relevance truth (same embedding
+    * label, the relevance proxy the filtered-ANN entry already grades
+    * with). Reciprocal ranks are exact integers (10⁶ DIV rank), so the
+    * whole table is engine-exact. Queries or candidates outside the
+    * shared doc_id ≡ vec_id key space drop via inner label joins — they
+    * can never be relevant, so this equals rel = 0 for them; each arm is
+    * averaged over its own retrieved-query universe.
+    *
+    * Scale shape: the arm lists are query-budget-bounded (Q₀ × k rows);
+    * everything after is two broadcast-sized label joins and a two-level
+    * map-side-combined aggregation. */
+  def evalMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val rel = spark.table("embeddings").select($"vec_id", $"label")
+    val j = armLists(spark, sfDir)
+      .join(rel.select($"vec_id".as("qid"), $"label".as("qlabel")), Seq("qid"))
+      .join(rel.select($"vec_id".as("doc_id"), $"label".as("dlabel")), Seq("doc_id"))
+      .select($"arm", $"qid", $"rank",
+        when($"qlabel" === $"dlabel", 1L).otherwise(0L).as("rel"))
+    j.groupBy($"arm", $"qid")
+      .agg(min(when($"rel" === 1L, $"rank")).as("first_rel"))
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"first_rel".isNotNull, 1L).otherwise(0L)).as("hits"),
+        sum(coalesce(expr("1000000 DIV first_rel"), lit(0L))).as("rr_sum"))
+      .select($"arm", $"n_queries", $"hits",
+        expr("hits * 10000 DIV n_queries").as("success_bp"),
+        expr("rr_sum DIV n_queries").as("mrr_e6"))
+  }
+
+  val evalMrrOracle: String = Fixtures.oracle(
+    Similarity.pqCtes + Similarity.assignmentCtes + Similarity.ivfPqCtes +
+      Similarity.rerankCtes + sparseCtes +
+      s""", ev_arms AS (
+         SELECT 'dense' AS arm, qid, vec_id AS doc_id, rank
+         FROM rr_ranked WHERE rank <= 3
+         UNION ALL
+         SELECT 'sparse', qid, doc_id, rank FROM hy_sparse
+         UNION ALL
+         SELECT 'fused', qid, doc_id, rk FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY rrf_e6 DESC, doc_id) AS rk
+           FROM (SELECT COALESCE(d.qid, s.qid) AS qid,
+                        COALESCE(d.doc_id, s.doc_id) AS doc_id,
+                        COALESCE(1000000 // (60 + d.rank), 0)
+                          + COALESCE(1000000 // (60 + s.rank), 0) AS rrf_e6
+                 FROM (SELECT qid, vec_id AS doc_id, rank FROM rr_ranked
+                       WHERE rank <= 3) d
+                 FULL OUTER JOIN hy_sparse s
+                   ON d.qid = s.qid AND d.doc_id = s.doc_id))
+         WHERE rk <= 3),
+       ev_q AS (
+         SELECT a.arm, a.qid,
+                MIN(CASE WHEN ql.label = dl.label THEN a.rank END) AS first_rel
+         FROM ev_arms a
+         JOIN embeddings ql ON a.qid = ql.vec_id
+         JOIN embeddings dl ON a.doc_id = dl.vec_id
+         GROUP BY 1, 2)
+       SELECT arm, CAST(COUNT(1) AS BIGINT) AS n_queries,
+              CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+              CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) * 10000
+                   // COUNT(1) AS BIGINT) AS success_bp,
+              CAST(SUM(COALESCE(1000000 // first_rel, 0)) // COUNT(1)
+                AS BIGINT) AS mrr_e6
+       FROM ev_q GROUP BY arm""")
 
   // =====================================================================
   // RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 relevance
@@ -443,11 +539,13 @@ object Hybrid {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_hybrid_rrf" -> (hybridRrf _),
+    "retrieval_eval_mrr" -> (evalMrr _),
     "retrieval_rm3_terms" -> (rm3Terms _),
     "retrieval_rm3_search" -> (rm3Search _))
 
   val oracles: Map[String, String] = Map(
     "retrieval_hybrid_rrf" -> hybridRrfOracle,
+    "retrieval_eval_mrr" -> evalMrrOracle,
     "retrieval_rm3_terms" -> rm3TermsOracle,
     "retrieval_rm3_search" -> rm3SearchOracle)
 }

@@ -47,4 +47,36 @@ class HybridSpec extends SparkSpec {
     assert(res.filter(col("query_id") === col("doc_id")).isEmpty,
       "a query retrieved itself")
   }
+
+  test("evalMrr equals a driver replay over the arm lists; scores in range") {
+    val sp = spark
+    import sp.implicits._
+    val sfDir = SparkSpec.fixtureSf
+    val labels = sp.table("embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val arms = graft.queries.Hybrid.armLists(sp, sfDir)
+      .select($"arm", $"qid", $"doc_id", $"rank")
+      .as[(String, Long, Long, Long)].collect()
+    val want = arms
+      .filter(r => labels.contains(r._2) && labels.contains(r._3))
+      .groupBy(_._1).map { case (arm, rows) =>
+        val perQ = rows.groupBy(_._2).map { case (q, rs) =>
+          rs.filter(r => labels(r._2) == labels(r._3)).map(_._4)
+            .sorted.headOption
+        }.toSeq
+        val n = perQ.size.toLong
+        val hits = perQ.count(_.isDefined).toLong
+        val rr = perQ.flatMap(_.map(1000000L / _)).sum
+        arm -> ((n, hits, hits * 10000 / n, rr / n))
+      }
+    val got = graft.queries.Hybrid.evalMrr(sp, sfDir)
+      .select($"arm", $"n_queries", $"hits", $"success_bp", $"mrr_e6")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set("dense", "sparse", "fused"))
+    got.foreach { case (arm, n, h, sbp, mrr) =>
+      assert(want(arm) == ((n, h, sbp, mrr)),
+        s"$arm: ${(n, h, sbp, mrr)} vs ${want(arm)}")
+      assert(h <= n && sbp <= 10000 && mrr <= 1000000)
+    }
+  }
 }
