@@ -105,7 +105,10 @@ object ScaleSoak {
     "text_sb_perplexity",       // 3 gram-model scoring shuffles, holdout side
     "sim_dbscan_clusters",      // cell-blocked ε-pairs + label rounds
     "corpus_pack_pairing",      // value-decomposed rank + paired aggregation
-    "events_cc_bigstar")        // O(log n)-round star-contraction components
+    "events_cc_bigstar",        // O(log n)-round star-contraction components
+    "multimodal_wav_energy",    // WAV decode + per-sample int loops
+    "multimodal_video_cuts",    // frame-array decode + pairwise luma deltas
+    "retrieval_eval_mrr")       // arm lists + label joins + 2-level agg
 
   // ---------------------------------------------------------------- synth
 
