@@ -146,6 +146,51 @@ object Bpe {
         expr("chars * 10000 DIV tokens").as("chars_per_token_bp"))
   }
 
+  /** The vocabulary-size knob ladder ([[bpeMerges]] is one point of it):
+    * corpus-global fertility at merge budgets 4 / 8 / 12 — the
+    * tokenizer-sizing table a release reads before committing to a
+    * vocabulary (more merges → fewer, longer tokens; fertility is
+    * monotone non-increasing in the budget because each merge can only
+    * shrink a word's token count — BpeSpec pins it). Budget-m tokenization
+    * replays the FIRST m collected merges over the memoized vocab0, so
+    * the sequential trainer runs once however many rungs read it. */
+  def vocabCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val merges = trainMerges(spark, sfDir)
+      .orderBy($"merge_rank")
+      .select($"pair_left", $"pair_right")
+      .as[(String, String)].collect()
+    def litStr(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    Seq(4, 8, 12).map { m =>
+      val applied = merges.take(m).foldLeft("toks") { case (acc, (a, b)) =>
+        mergeFoldSql(acc, litStr(a), litStr(b))
+      }
+      vocab0(spark, sfDir)
+        .select($"w", $"freq", size(expr(applied)).as("n_toks"))
+        .agg(sum($"freq").as("words"),
+          sum($"freq" * $"n_toks").as("tokens"),
+          sum($"freq" * length($"w")).as("chars"))
+        .select(lit(m.toLong).as("merges"), $"words", $"tokens",
+          expr("tokens * 10000 DIV words").as("fertility_bp"),
+          expr("chars * 10000 DIV tokens").as("chars_per_token_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  // lazy: declared above trainCtes, which a strict val would read as null
+  lazy val vocabCurveOracle: String = Fixtures.oracle(trainCtes +
+    Seq(4, 8, 12).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS merges,
+             CAST(SUM(freq) AS BIGINT) AS words,
+             CAST(SUM(freq * len(toks)) AS BIGINT) AS tokens,
+             CAST((SUM(freq * len(toks)) * 10000) // SUM(freq) AS BIGINT)
+               AS fertility_bp,
+             CAST((SUM(freq * length(w)) * 10000) // SUM(freq * len(toks))
+               AS BIGINT) AS chars_per_token_bp
+          FROM bpe_v$m""".stripMargin
+    }.mkString("\n", " UNION ALL ", ""))
+
   // -------------------------------------------------------------------
   // Oracles: the k rounds unrolled as chained MATERIALIZED CTE pairs
   // (pₜ = argmax over vₜ₋₁'s pair counts, vₜ = fold-update against pₜ).
@@ -234,9 +279,11 @@ object Bpe {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (trainMerges _),
-    "text_bpe_fertility" -> (fertility _))
+    "text_bpe_fertility" -> (fertility _),
+    "text_bpe_vocab_curve" -> (vocabCurve _))
 
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> trainMergesOracle,
-    "text_bpe_fertility" -> fertilityOracle)
+    "text_bpe_fertility" -> fertilityOracle,
+    "text_bpe_vocab_curve" -> vocabCurveOracle)
 }

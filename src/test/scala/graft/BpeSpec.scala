@@ -203,4 +203,24 @@ class BpeSpec extends SparkSpec {
       assert(toks.mkString == w, s"content broken for '$w': $toks")
     }
   }
+
+  test("vocab curve: fertility is monotone in the budget and anchored at k=12") {
+    val sp = spark
+    import sp.implicits._
+    val curve = graft.queries.Bpe.vocabCurve(sp, SparkSpec.fixtureSf)
+      .orderBy($"merges")
+      .select($"merges", $"words", $"tokens", $"fertility_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(curve.map(_._1).toSeq == Seq(4L, 8L, 12L))
+    assert(curve.map(_._2).distinct.length == 1, "word mass is budget-free")
+    curve.zip(curve.tail).foreach { case (lo, hi) =>
+      assert(hi._3 <= lo._3 && hi._4 <= lo._4,
+        s"more merges cannot grow token counts: $lo vs $hi")
+    }
+    // the k=12 rung equals the per-lang fertility entry's global mass
+    val fert = graft.queries.Bpe.fertility(sp, SparkSpec.fixtureSf)
+      .select($"words", $"tokens").as[(Long, Long)].collect()
+    val last = curve.last
+    assert(fert.map(_._1).sum == last._2 && fert.map(_._2).sum == last._3)
+  }
 }
