@@ -498,8 +498,40 @@ object StreamReplay {
               FROM documents)
         WHERE rk <= 50""")
 
+  /** Final streaming HLL state per event type — the register-MAX sketch
+    * ([[graft.streaming.StreamingHll]]) driven over the standard 3-way
+    * split; register maxima are order-free, so the final state must equal
+    * the batch `events_distinct_hll` sketch, whose oracle this entry
+    * reuses VERBATIM (the exact count and the float estimate constant are
+    * joined/computed outside the stream, over the same fixture). */
+  def hllReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val batched = spark.table("raw")
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .select($"event_type".as("_1"), $"user_id".cast("long").as("_2"),
+        ($"user_id" % numBatches).cast("int").as("b"))
+    val log = replayViaFiles[(String, Long)](spark, "hll_replay",
+      batched, OutputMode.Update) { ds =>
+      graft.streaming.StreamingHll.sketches(
+        ds.map { case (et, u) => graft.streaming.StreamingHll.EvIn(et, u) })
+    }
+    val last = log.groupBy($"event_type").agg(max($"n_seen").as("n_seen"))
+    val sketch = log.join(broadcast(last), Seq("event_type", "n_seen"))
+      .select($"event_type", $"s2", $"v_zero")
+    val exact = spark.table("raw")
+      .filter($"event_type".isNotNull && $"user_id".isNotNull)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("exact_distinct"))
+    sketch.join(exact, Seq("event_type"))
+      .withColumn("hll_raw", round(
+        expr("((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0) / CAST(s2 AS DOUBLE)"), 3))
+      .select($"event_type", $"exact_distinct", $"v_zero", $"s2", $"hll_raw",
+        round($"hll_raw" / $"exact_distinct".cast("double"), 6).as("est_over_exact"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "streaming_sample_replay" -> (sampleReplay _),
+    "streaming_hll_replay" -> (hllReplay _),
     "streaming_anomaly_replay" -> (anomalyReplay _),
     "streaming_sessions_replay" -> (sessionsReplay _),
     "streaming_funnel_replay" -> (funnelReplay _),
@@ -511,6 +543,7 @@ object StreamReplay {
 
   val oracles: Map[String, String] = Map(
     "streaming_sample_replay" -> sampleReplayOracle,
+    "streaming_hll_replay" -> graft.queries.Sessions.distinctHllOracle,
     "streaming_anomaly_replay" -> anomalyReplayOracle,
     "streaming_sessions_replay" -> sessionsReplayOracle,
     "streaming_funnel_replay" -> graft.queries.Sessions.funnelOracle,
