@@ -136,6 +136,144 @@ object Dedup {
        JOIN counts cb ON i.doc_b = cb.doc_id
        WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n_grams + cb.n_grams - i.inter AS DOUBLE) >= 0.5""")
 
+  /** Prefix-filtered EXACT set-similarity join (PPJoin-family: Chaudhuri
+    * et al. ICDE'06 / Xiao et al. WWW'08) over the same capped word-3-gram
+    * sets as [[ngramJaccard]] — the third candidate-generation scheme in
+    * the dedup ladder, and the only EXACT one: the inverted-index join
+    * enumerates every gram-sharing pair, MinHash-LSH trades recall for
+    * candidates, prefix filtering prunes WITHOUT losing a single
+    * qualifying pair. Under the global (df ASC, gram) token order, a pair
+    * with overlap ≥ α must share a token inside each side's first
+    * |x| − α + 1 tokens; with J ≥ 1/2 over full-set denominators the
+    * per-doc overlap floor is α_min = ⌈n/2⌉, so only positions
+    * ≤ ca − ⌈n/2⌉ + 1 are indexed (docs whose capped set can't reach the
+    * floor index nothing and drop entirely). Rarest-first ordering makes
+    * the indexed prefix the LOW-df tokens — the candidate mass minimizer.
+    *
+    * The oracle is [[ngramJaccardOracle]] VERBATIM: the gate itself
+    * re-proves the pruning lossless on every run (same rows out of a
+    * different algorithm). Candidate verification touches only candidate
+    * pairs (cand ⋈ grams ⋈ grams — volume bounded by candidates × set
+    * size), and the candidate join rides the shared salt gate. */
+  def ppjoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (grams, counts) = ppjoinSets(spark, sfDir)
+    val cand = ppjoinCandidates(spark, sfDir)
+    val inter = cand
+      .join(grams.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"gram"), Seq("doc_b", "gram"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select($"doc_id".as("doc_a"), $"n_grams".as("na")), Seq("doc_a"))
+      .join(counts.select($"doc_id".as("doc_b"), $"n_grams".as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"inter".cast(DoubleType) / ($"na" + $"nb" - $"inter").cast(DoubleType))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"inter", round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** (capped grams, full per-doc counts) — [[ngramJaccard]]'s inputs
+    * rebuilt without its observe() metric (two plans carrying the same
+    * metric name cannot meet in one union). */
+  private def ppjoinSets(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val allGrams = distinctGrams(spark, sfDir)
+    val counts = allGrams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
+    val hot = allGrams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .filter($"df" * 10L > $"n_docs").select($"gram")
+    (allGrams.join(hot, Seq("gram"), "left_anti"), counts)
+  }
+
+  /** Candidate pairs under the prefix filter, memoized (the result entry
+    * and the stats entry share it). */
+  private def ppjoinCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.cached(spark, sfDir, "ppjoin_cand") {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (grams, counts) = ppjoinSets(spark, sfDir)
+      val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      val ranked = grams.join(df, Seq("gram"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"gram")))
+        .withColumn("ca", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      val prefix = ranked.join(counts, Seq("doc_id"))
+        .filter($"pos" <= $"ca" - expr("(n_grams + 1) DIV 2") + 1)
+        .select($"gram", $"doc_id")
+      graft.util.Salted.pairSelfJoin(prefix, "gram", "doc_id")
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b")).distinct()
+    }
+
+  /** The pruning-efficiency report: candidates under the prefix filter vs
+    * the unpruned inverted-index join, and the verified result count —
+    * the table that justifies the index shape before anyone runs it on
+    * 100 TB. (The full-index count is the comparison baseline and is only
+    * computed HERE, in the diagnostic; the result entry never pays it.) */
+  def ppjoinStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (grams, _) = ppjoinSets(spark, sfDir)
+    val nPrefix = ppjoinCandidates(spark, sfDir)
+      .agg(count(lit(1)).as("n_cand_prefix"))
+    val nFull = graft.util.Salted.pairSelfJoin(grams, "gram", "doc_id")
+      .select($"id_a", $"id_b").distinct()
+      .agg(count(lit(1)).as("n_cand_full"))
+    val nRes = ppjoin(spark, sfDir).agg(count(lit(1)).as("n_result"))
+    nPrefix.crossJoin(nFull).crossJoin(nRes)
+      .select($"n_cand_prefix", $"n_cand_full", $"n_result",
+        expr("n_cand_prefix * 10000 DIV n_cand_full").as("cand_share_bp"))
+  }
+
+  private val ppjoinStatsCtes: String =
+    """, pp_dw AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       pp_all AS (
+         SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
+         FROM pp_dw, UNNEST(range(len(words) - 2)) AS t(i)
+         WHERE len(words) >= 3),
+       pp_cnt AS (SELECT doc_id, COUNT(1) AS n_grams FROM pp_all GROUP BY doc_id),
+       pp_g AS (
+         SELECT g.* FROM pp_all g
+         WHERE g.gram NOT IN (
+           SELECT gram FROM pp_all GROUP BY gram
+           HAVING COUNT(1) * 10 > (SELECT COUNT(1) FROM documents))),
+       pp_df AS (SELECT gram, COUNT(1) AS df FROM pp_g GROUP BY 1),
+       pp_rank AS (
+         SELECT g.doc_id, g.gram,
+                ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.gram) AS pos,
+                COUNT(1) OVER (PARTITION BY g.doc_id) AS ca
+         FROM pp_g g JOIN pp_df d ON g.gram = d.gram),
+       pp_prefix AS (
+         SELECT r.doc_id, r.gram
+         FROM pp_rank r JOIN pp_cnt c ON r.doc_id = c.doc_id
+         WHERE r.pos <= r.ca - ((c.n_grams + 1) // 2) + 1),
+       pp_candp AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pp_prefix a JOIN pp_prefix b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       pp_candf AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pp_g a JOIN pp_g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       pp_res AS (
+         SELECT p.doc_a, p.doc_b
+         FROM (SELECT c.doc_a, c.doc_b, COUNT(1) AS inter
+               FROM pp_candp c
+               JOIN pp_g ga ON c.doc_a = ga.doc_id
+               JOIN pp_g gb ON c.doc_b = gb.doc_id AND ga.gram = gb.gram
+               GROUP BY 1, 2) p
+         JOIN pp_cnt ca ON p.doc_a = ca.doc_id
+         JOIN pp_cnt cb ON p.doc_b = cb.doc_id
+         WHERE CAST(p.inter AS DOUBLE)
+               / CAST(ca.n_grams + cb.n_grams - p.inter AS DOUBLE) >= 0.5)"""
+
+  val ppjoinStatsOracle: String = Fixtures.oracle(ppjoinStatsCtes +
+    """ SELECT (SELECT COUNT(1) FROM pp_candp) AS n_cand_prefix,
+              (SELECT COUNT(1) FROM pp_candf) AS n_cand_full,
+              (SELECT COUNT(1) FROM pp_res) AS n_result,
+              CAST((SELECT COUNT(1) FROM pp_candp) * 10000
+                   // (SELECT COUNT(1) FROM pp_candf) AS BIGINT) AS cand_share_bp""")
+
   /** MinHash + LSH over word-3-gram shingles: 16 permutation hashes over the
     * shingle-hash set, banded 8×2; candidate pairs share ≥1 band signature.
     * Shingles (not single words) keep signatures selective on low-vocabulary
@@ -1056,6 +1194,8 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_winnow" -> (winnow _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_ppjoin" -> (ppjoin _),
+    "dedup_ppjoin_stats" -> (ppjoinStats _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_source_overlap" -> (sourceOverlap _),
     "dedup_incremental_minhash" -> (incrementalMinhash _),
@@ -1071,6 +1211,8 @@ object Dedup {
     "dedup_exact" -> dedupExactOracle,
     "dedup_winnow" -> winnowOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_ppjoin" -> ngramJaccardOracle,
+    "dedup_ppjoin_stats" -> ppjoinStatsOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_source_overlap" -> sourceOverlapOracle,
     "dedup_incremental_minhash" -> incrementalMinhashOracle,
