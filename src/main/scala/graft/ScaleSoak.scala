@@ -108,7 +108,8 @@ object ScaleSoak {
     "events_cc_bigstar",        // O(log n)-round star-contraction components
     "multimodal_wav_energy",    // WAV decode + per-sample int loops
     "multimodal_video_cuts",    // frame-array decode + pairwise luma deltas
-    "retrieval_eval_mrr")       // arm lists + label joins + 2-level agg
+    "retrieval_eval_mrr",       // arm lists + label joins + 2-level agg
+    "dedup_ppjoin")             // prefix-filtered exact similarity join
 
   // ---------------------------------------------------------------- synth
 
