@@ -46,6 +46,7 @@ object SparkEntry {
       (Dbscan.queries, Dbscan.oracles),
       (Packing.queries, Packing.oracles),
       (Audio.queries, Audio.oracles),
+      (Negatives.queries, Negatives.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
