@@ -47,6 +47,7 @@ object SparkEntry {
       (Packing.queries, Packing.oracles),
       (Audio.queries, Audio.oracles),
       (Negatives.queries, Negatives.oracles),
+      (IndexHealth.queries, IndexHealth.oracles),
       (Pca.queries, Pca.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
