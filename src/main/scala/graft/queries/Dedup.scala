@@ -292,6 +292,80 @@ object Dedup {
               CAST((SELECT COUNT(1) FROM pp_candp) * 10000
                    // (SELECT COUNT(1) FROM pp_candf) AS BIGINT) AS cand_share_bp""")
 
+  /** The LSH banding S-curve, measured (Leskovec-Rajaraman-Ullman ch. 3's
+    * (b, r) tuning knob as a gated table): the 16-minimum signature
+    * re-banded as 8×2 / 4×4 / 2×8, and for each config the candidate
+    * volume plus recall against the EXACT Jaccard ≥ 1/2 truth (the
+    * memoized [[ppjoin]] result — the exact join grades its approximate
+    * competitor). More rows per band sharpens the S-curve: candidates
+    * collapse and recall drops — the table shows by exactly how much on
+    * THIS corpus, which is the number a deployment tunes b×r with.
+    *
+    * All three configs read ONE native `graft_minhash_sig` scan
+    * projection (no 16× gram explode); band keys are the modular
+    * 131-fold over each r-slice (identical fold both engines). Note the
+    * production 8×2 entry packs its 2-row keys exactly
+    * (mh₀·P + mh₁) while the curve folds uniformly across configs —
+    * candidate sets can differ on fold collisions (~2⁻³⁰), which the
+    * differential gate would surface. */
+  def bandingCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    graft.plans.TextFingerprint.register(spark)
+    import spark.implicits._
+    val P = graft.functions.TextHash.P
+    val sig = spark.table("documents")
+      .select($"doc_id", expr("graft_minhash_sig(split(text, ' '))").as("sig"))
+      .filter(size($"sig") === 16)
+    val truth = ppjoin(spark, sfDir).select($"doc_a", $"doc_b")
+
+    Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+      val bands = sig.select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0, ${b - 1}), j ->
+              aggregate(slice(sig, j * $r + 1, $r), CAST(0 AS BIGINT),
+                (acc, x) -> (acc * 131 + x) % $P))""")))
+        .toDF("doc_id", "band", "band_key")
+      val cand = graft.util.Salted
+        .pairSelfJoin(bands, Seq("band", "band_key"), "doc_id")
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b")).distinct()
+      val caught = cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("caught"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
+        .crossJoin(caught)
+        .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_candidates", $"truth_pairs", $"caught",
+          expr("caught * 10000 DIV truth_pairs").as("recall_bp"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def bandingCfgCtes(tag: String, r: Int): String =
+    s""", ${tag}_bands AS (
+         SELECT doc_id, CAST(i // $r AS INT) AS band,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+                  (acc, x) -> (acc * 131 + x) % ${graft.functions.TextHash.P}) AS band_key
+         FROM minhashes GROUP BY doc_id, i // $r),
+       ${tag}_cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ${tag}_bands a
+         JOIN ${tag}_bands b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id)"""
+
+  private def bandingRowSelect(tag: String, b: Int, r: Int): String =
+    s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+              (SELECT COUNT(1) FROM ${tag}_cand) AS n_candidates,
+              (SELECT COUNT(1) FROM pp_res) AS truth_pairs,
+              (SELECT COUNT(1) FROM ${tag}_cand c
+               JOIN pp_res t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS caught,
+              CAST((SELECT COUNT(1) FROM ${tag}_cand c
+                    JOIN pp_res t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) * 10000
+                   // (SELECT COUNT(1) FROM pp_res) AS BIGINT) AS recall_bp"""
+
+  lazy val bandingCurveOracle: String = Fixtures.oracle(
+    ppjoinStatsCtes + minhashPairCtes +
+      bandingCfgCtes("bc1", 2) + bandingCfgCtes("bc2", 4) + bandingCfgCtes("bc3", 8) +
+      " " + Seq(bandingRowSelect("bc1", 8, 2), bandingRowSelect("bc2", 4, 4),
+        bandingRowSelect("bc3", 2, 8)).mkString(" UNION ALL "))
+
   /** MinHash + LSH over word-3-gram shingles: 16 permutation hashes over the
     * shingle-hash set, banded 8×2; candidate pairs share ≥1 band signature.
     * Shingles (not single words) keep signatures selective on low-vocabulary
@@ -1214,6 +1288,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_ppjoin" -> (ppjoin _),
     "dedup_ppjoin_stats" -> (ppjoinStats _),
+    "dedup_banding_curve" -> (bandingCurve _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_source_overlap" -> (sourceOverlap _),
     "dedup_incremental_minhash" -> (incrementalMinhash _),
@@ -1231,6 +1306,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_ppjoin" -> ngramJaccardOracle,
     "dedup_ppjoin_stats" -> ppjoinStatsOracle,
+    "dedup_banding_curve" -> bandingCurveOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_source_overlap" -> sourceOverlapOracle,
     "dedup_incremental_minhash" -> incrementalMinhashOracle,

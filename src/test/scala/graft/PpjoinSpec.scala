@@ -46,4 +46,25 @@ class PpjoinSpec extends SparkSpec {
     assert(np < nf, "the prefix filter must prune strictly on the fixture")
     assert(nr == Dedup.ngramJaccard(s, sfDir).count())
   }
+
+  test("banding curve: arithmetic exact, S-curve direction, truth anchored") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.bandingCurve(s, sfDir)
+      .orderBy($"rows_per_band")
+      .select($"n_bands", $"rows_per_band", $"n_candidates", $"truth_pairs",
+        $"caught", $"recall_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((8L, 2L), (4L, 4L), (2L, 8L)))
+    val truth = Dedup.ppjoin(s, sfDir).count()
+    rows.foreach { case (_, _, nc, tp, c, bp) =>
+      assert(tp == truth)
+      assert(c <= math.min(nc, tp))
+      assert(bp == c * 10000 / tp)
+    }
+    // sharper bands can only lose candidate probability at J < 1
+    assert(rows.head._6 >= rows.last._6,
+      "8x2 recall must not be below 2x8 recall")
+    assert(rows.head._6 > 0)
+  }
 }
