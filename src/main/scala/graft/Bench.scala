@@ -254,30 +254,43 @@ object Bench {
           val subset = results.sortBy { case (k, _, _, _) => -minWall(k) }
             .take(30).map(_._1)
           var sf1Failed = List.empty[String]
-          val timed = subset.map { name =>
+          // TWO passes, like the sf0.1 protocol: the sf0.1 reference is a
+          // min-of-passes (warm) number, so an alpha computed from a single
+          // COLD sf1 pass charges one-time costs — session-memoized index
+          // builds (the graph/OPQ families build once and serve many),
+          // janino compiles, parquet footers — to the data-growth exponent.
+          // r14's committed sf1 file carried sim_ann_graph_deleted at
+          // alpha 1.55 for exactly this reason: 42 s of one-time lifecycle
+          // build over a warm 1.2 s reference. alpha now compares min2 to
+          // min2 (symmetric protocol); alpha_cold keeps the build-inclusive
+          // exponent visible for entries where the build IS the workload.
+          def passOnce(): Seq[(String, Double)] = subset.map { name =>
             val t0 = System.nanoTime()
             try SparkEntry.queries(name)(s1, dir).count() catch { case e: Throwable =>
-              sf1Failed ::= name
+              if (!sf1Failed.contains(name)) sf1Failed ::= name
               System.err.println(s"[bench] sf1 $name FAILED: $e")
             }
             name -> (System.nanoTime() - t0) / 1e9
           }
-          val ok = timed.filterNot { case (k, _) => sf1Failed.contains(k) }
+          val cold = passOnce()
+          val warm = passOnce().toMap
+          val timed = cold.map { case (k, v) => (k, v, math.min(v, warm(k))) }
+          val ok = timed.filterNot { case (k, _, _) => sf1Failed.contains(k) }
           def alpha(name: String, t1: Double): Double = {
             val t0 = minWall.getOrElse(name, 0.0)
             if (t0 <= 0 || t1 <= 0) Double.NaN
             else math.rint(math.log(t1 / t0) / math.log(10.0) * 100) / 100
           }
-          val detail = timed.map { case (k, v) =>
-            s""""$k":{"wall":${r3(v)},"sf01_min2":${r3(minWall.getOrElse(k, 0.0))},"alpha":${alpha(k, v)}}""" }
+          val detail = timed.map { case (k, v, m) =>
+            s""""$k":{"wall":${r3(v)},"wall_min2":${r3(m)},"sf01_min2":${r3(minWall.getOrElse(k, 0.0))},"alpha":${alpha(k, m)},"alpha_cold":${alpha(k, v)}}""" }
             .mkString("{", ",", "}")
           val fj = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
           val fileJson = s"""{"dir":"$dir","scale":10,"n_queries":${timed.size},""" +
-            s""""total":${r3(ok.map(_._2).sum)},"failures":$fj,""" +
+            s""""total":${r3(ok.map(_._2).sum)},"total_min2":${r3(ok.map(_._3).sum)},"failures":$fj,""" +
             s""""loadavg":$loadStart,"queries":$detail}"""
           java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1_latest.json"),
             fileJson.getBytes("UTF-8"))
-          s""","sf1":{"total":${r3(ok.map(_._2).sum)},"n":${timed.size},"failed":${sf1Failed.size},"file":"BENCH_sf1_latest.json"}"""
+          s""","sf1":{"total":${r3(ok.map(_._2).sum)},"total_min2":${r3(ok.map(_._3).sum)},"n":${timed.size},"failed":${sf1Failed.size},"file":"BENCH_sf1_latest.json"}"""
         } catch { case e: Throwable =>
           System.err.println(s"[bench] sf1 leg skipped: $e")
           ""

@@ -48,7 +48,8 @@ object SparkEntry {
       (Audio.queries, Audio.oracles),
       (Negatives.queries, Negatives.oracles),
       (IndexHealth.queries, IndexHealth.oracles),
-      (Pca.queries, Pca.oracles))
+      (Pca.queries, Pca.oracles),
+      (Diagnostics.queries, Diagnostics.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -588,13 +588,104 @@ object Classifier {
                       ELSE tp * 10000 // (tp + fn) END AS BIGINT) AS recall_bp
      FROM (SELECT * FROM pr_nb UNION ALL SELECT * FROM pr_percep)""")
 
+  // =====================================================================
+  // Calibration: histogram binning (Zadrozny & Elkan, ICML'01) over both
+  // models' margins
+  // =====================================================================
+
+  /** Equal-width margin bins for the calibration table. */
+  private[queries] val calBins = 8
+
+  /** The calibration table for BOTH models — histogram binning: split the
+    * observed margin range into [[calBins]] equal-width bins, and per bin
+    * report the OBSERVED positive rate, which IS the calibrated
+    * probability a raw margin in that bin maps to (Zadrozny & Elkan's
+    * histogram method — the simplest published calibrator, and the one
+    * that needs no sequential pass, unlike isotonic/PAV). A raw margin is
+    * not a probability: the PR sweep ([[marginPr]]) picks an operating
+    * POINT, this table turns every score into an expected-quality NUMBER —
+    * what a mixture sampler needs when it weights documents by quality
+    * instead of thresholding them.
+    *
+    * Exactness: bins are integer splits of [mn, mx] (width w = mx−mn+1;
+    * bin = (margin−mn)·B DIV w, always in [0, B−1]); rates are
+    * basis-point integer divisions. Wraps only if the margin RANGE
+    * exceeds 2⁶⁰ — the same weight-ceiling class the score entries
+    * document.
+    *
+    * Scale shape per model: the margins frame (the score entry's own
+    * broadcast-join plan), a 1-row min/width broadcast, and ONE
+    * map-side-combined aggregate keyed by the ≤[[calBins]] bin ids. */
+  def calibration(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val labels = spark.table("documents")
+      .select($"doc_id", expr(nbPosPred).as("pos"))
+    def arm(tag: String, margins: DataFrame): DataFrame = {
+      val m = margins.join(labels, Seq("doc_id"))
+      val mm = m.agg(min($"margin").as("mn"),
+        (max($"margin") - min($"margin") + lit(1L)).as("w"))
+      m.crossJoin(broadcast(mm))
+        .groupBy(expr(s"(margin - mn) * $calBins DIV w").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min($"margin").as("margin_min"), max($"margin").as("margin_max"),
+          sum(when($"pos", 1L).otherwise(0L)).as("n_pos"))
+        .select(lit(tag).as("model"), $"bin", $"n_docs",
+          $"margin_min", $"margin_max", $"n_pos",
+          expr("n_pos * 10000 DIV n_docs").as("pos_rate_bp"))
+    }
+    arm("nb", nbScore(spark, sfDir)
+        .select($"doc_id", $"margin_bp".cast(LongType).as("margin")))
+      .unionByName(arm("percep",
+        pcpScore(spark, sfDir).select($"doc_id", $"margin")))
+  }
+
+  /** One calibration oracle arm over a margins CTE `(doc_id, margin)`. */
+  private def calArmCtes(tag: String, marginsCte: String): String =
+    s""", cal_m_$tag AS MATERIALIZED (
+         SELECT m.doc_id, CAST(m.margin AS BIGINT) AS margin, $nbPosPred AS pos
+         FROM ($marginsCte) m
+         JOIN documents d ON d.doc_id = m.doc_id),
+       cal_mm_$tag AS (
+         SELECT MIN(margin) AS mn, MAX(margin) - MIN(margin) + 1 AS w
+         FROM cal_m_$tag),
+       cal_$tag AS (
+         SELECT '$tag' AS model,
+                (m.margin - mm.mn) * $calBins // mm.w AS bin,
+                COUNT(1) AS n_docs,
+                MIN(m.margin) AS margin_min, MAX(m.margin) AS margin_max,
+                SUM(CASE WHEN m.pos THEN 1 ELSE 0 END) AS n_pos
+         FROM cal_m_$tag m CROSS JOIN cal_mm_$tag mm
+         GROUP BY 1, 2)"""
+
+  val calibrationOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
+    calArmCtes("nb",
+      s"""SELECT g.doc_id, SUM(w.weight_bp - 10000) // COUNT(1) AS margin
+          FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
+          GROUP BY 1""") +
+    calArmCtes("percep",
+      s"""SELECT t.doc_id,
+                 CAST(SUM(CAST(t.xf AS HUGEINT) * COALESCE(w.wgt, 0)) AS BIGINT)
+                   AS margin
+          FROM pcp_tf t LEFT JOIN pcp_wbest w ON t.bucket = w.bucket
+          GROUP BY 1""") +
+    """
+     SELECT model, CAST(bin AS BIGINT) AS bin,
+            CAST(n_docs AS BIGINT) AS n_docs,
+            CAST(margin_min AS BIGINT) AS margin_min,
+            CAST(margin_max AS BIGINT) AS margin_max,
+            CAST(n_pos AS BIGINT) AS n_pos,
+            CAST(n_pos * 10000 // n_docs AS BIGINT) AS pos_rate_bp
+     FROM (SELECT * FROM cal_nb UNION ALL SELECT * FROM cal_percep)""")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_nb_train" -> (nbTrain _),
     "classifier_nb_score" -> (nbScore _),
     "classifier_percep_train" -> (pcpTrain _),
     "classifier_percep_curve" -> (pcpCurve _),
     "classifier_percep_score" -> (pcpScore _),
-    "classifier_margin_pr" -> (marginPr _))
+    "classifier_margin_pr" -> (marginPr _),
+    "classifier_calibration" -> (calibration _))
 
   val oracles: Map[String, String] = Map(
     "classifier_nb_train" -> nbTrainOracle,
@@ -602,5 +693,6 @@ object Classifier {
     "classifier_percep_train" -> pcpTrainOracle,
     "classifier_percep_curve" -> pcpCurveOracle,
     "classifier_percep_score" -> pcpScoreOracle,
-    "classifier_margin_pr" -> marginPrOracle)
+    "classifier_margin_pr" -> marginPrOracle,
+    "classifier_calibration" -> calibrationOracle)
 }
