@@ -109,7 +109,11 @@ object ScaleSoak {
     "multimodal_wav_energy",    // WAV decode + per-sample int loops
     "multimodal_video_cuts",    // frame-array decode + pairwise luma deltas
     "retrieval_eval_mrr",       // arm lists + label joins + 2-level agg
-    "dedup_ppjoin")             // prefix-filtered exact similarity join
+    "dedup_ppjoin",             // prefix-filtered exact similarity join
+    // round-14 session-4 additions:
+    "events_key_skew",          // 4-way key explode + count-of-counts windows
+    "layout_skipping_stats",    // two per-block zone-map aggs + probe broadcast
+    "classifier_calibration")   // two margin frames + bin-keyed folds
 
   // ---------------------------------------------------------------- synth
 

@@ -49,7 +49,9 @@ object SparkEntry {
       (Negatives.queries, Negatives.oracles),
       (IndexHealth.queries, IndexHealth.oracles),
       (Pca.queries, Pca.oracles),
-      (Diagnostics.queries, Diagnostics.oracles))
+      (Diagnostics.queries, Diagnostics.oracles),
+      (Insights.queries, Insights.oracles),
+      (DataQuality.queries, DataQuality.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fixtures.Fixtures
+
+/** Conversion analytics over the event stream: multi-touch attribution and
+  * a deterministic A/B comparison — the two reports a growth/analytics team
+  * runs on the same events table the rest of the catalog rolls up.
+  *
+  * Both are generated-SQL entries in the [[Sessions.ewmaTrend]] mold: ONE
+  * SQL text parameterized only by the integer-division spelling runs on
+  * both engines, so the oracle replays the Spark computation verbatim and
+  * the gate is a true bit-equality check.
+  */
+object Insights {
+
+  /** Attribution lookback: credit the (up to) 8 same-user events preceding
+    * each conversion, cut at the previous conversion. A FIXED lag depth —
+    * like [[Sessions.ewmaTrend]]'s 16-term chain — keeps the window state
+    * bounded per task at any corpus size (no unbounded
+    * rows-between-preceding frames). */
+  private val lookback = 8
+
+  /** Multi-touch attribution (Shapley-free classics): for every `purchase`,
+    * the preceding [[lookback]] same-user events SINCE THE LAST PURCHASE
+    * are its touchpoints, and each of three standard credit models splits
+    * the conversion's 10⁴ basis points across them:
+    *
+    *  - `last_touch`:  all credit to the most recent touch
+    *  - `first_touch`: all credit to the earliest touch in the window
+    *  - `linear`:      10⁴ DIV n to each touch, remainder (10⁴ MOD n) to
+    *    the most recent — so every conversion's credit sums to EXACTLY 10⁴
+    *    (the exactness the basis-point convention demands; a float split
+    *    would leak ulps per conversion)
+    *
+    * Output per (model, channel): conversions touched, touch rows, total
+    * credit. Conversions with no touch in the window (cut at lag 1 or no
+    * history) simply assign no credit — visible as
+    * n_conversions < the purchase count, not silently padded.
+    *
+    * Scale shape: the lag chain is ONE window pass over user partitions
+    * (state = [[lookback]] strings per task); the credit arms are
+    * projections of that frame unioned and fed to a map-side-combined
+    * aggregate keyed by (model, channel) — 5 event types × 3 models of
+    * groups. No self-joins, no global windows. */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + attributionSql("DIV"))
+  }
+
+  /** One shared SQL text (CTE-chain continuation + final SELECT), integer-
+    * division spelling injected. The text starts mid-WITH so the oracle
+    * prelude's chain can absorb it; the Spark side prepends a dummy head. */
+  private def attributionSql(div: String): String = {
+    val lagCols = (1 to lookback).map(i =>
+      s"LAG(event_type, $i) OVER w AS t$i").mkString(",\n              ")
+    // first purchase among the lags bounds the window (9 = unbounded)
+    val cutExpr = (1 to lookback).map(i =>
+      s"WHEN t$i = 'purchase' THEN $i").mkString("CASE ", " ", " ELSE 9 END")
+    // lags are contiguous (lag i NULL => lag i+1 NULL), so n is the count
+    // of in-window non-null positions and position 1 is valid iff n >= 1
+    val nExpr = (1 to lookback).map(i =>
+      s"(CASE WHEN $i < cut AND t$i IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val firstPos = (1 to lookback).map(i =>
+      s"CASE WHEN $i < cut AND t$i IS NOT NULL THEN $i ELSE 0 END")
+      .mkString("GREATEST(", ", ", ")")
+    val linearArms = (1 to lookback).map(i =>
+      s"""SELECT seq, 'linear' AS model, t$i AS channel,
+              CAST(10000 AS BIGINT) $div n
+                + CASE WHEN $i = 1 THEN CAST(10000 AS BIGINT) % n ELSE 0 END AS credit_bp
+          FROM pc WHERE $i < cut AND t$i IS NOT NULL""")
+    val lastArm =
+      s"""SELECT seq, 'last_touch' AS model, t1 AS channel,
+              CAST(10000 AS BIGINT) AS credit_bp
+          FROM pc WHERE n >= 1"""
+    val firstArms = (1 to lookback).map(i =>
+      s"""SELECT seq, 'first_touch' AS model, t$i AS channel,
+              CAST(10000 AS BIGINT) AS credit_bp
+          FROM pc WHERE fpos = $i""")
+    val arms = (linearArms ++ Seq(lastArm) ++ firstArms)
+      .mkString("\n          UNION ALL ")
+    s""", lagged AS (
+         SELECT seq, event_type,
+              $lagCols
+         FROM (SELECT seq, user_id, event_type FROM raw) e
+         WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+       pc AS (
+         SELECT *, $nExpr AS n, $firstPos AS fpos
+         FROM (SELECT *, $cutExpr AS cut
+               FROM lagged WHERE event_type = 'purchase')),
+       credits AS (
+          $arms)
+       SELECT model, channel,
+              CAST(COUNT(DISTINCT seq) AS BIGINT) AS n_conversions,
+              CAST(COUNT(1) AS BIGINT) AS n_touches,
+              CAST(SUM(credit_bp) AS BIGINT) AS credit_bp_total
+       FROM credits
+       GROUP BY model, channel"""
+  }
+
+  val attributionOracle: String = Fixtures.oracle(attributionSql("//"))
+
+  /** Deterministic A/B comparison: users split by parity (variant A =
+    * even user_id, B = odd — a hash split is the production form; parity
+    * is its oracle-replayable stand-in), metric = per-user purchase rate
+    * in basis points. Reports both group means, the lift, and a Welch-style
+    * z statistic in milli-units — all EXACT integer arithmetic:
+    *
+    *  - rate_bp  = purchases · 10⁴ DIV events (per user)
+    *  - mean_bp  = Σrate DIV n (per variant)
+    *  - var      = (n·Σrate² − (Σrate)²) DIV n² (population variance, floor)
+    *  - z_milli  = sign(lift) · |lift| · 10³ DIV isqrt(varA DIV nA
+    *               + varB DIV nB + 1)  — the +1 guards the degenerate
+    *    zero-variance corpus, and the SIGN SPLIT keeps both engines on
+    *    positive-operand division (Spark's DIV truncates toward zero,
+    *    DuckDB's // floors: they disagree on negatives).
+    *
+    * Scale shape: one map-side-combined per-user aggregate, then a 2-group
+    * aggregate folded to one row — no windows, no joins. */
+  def abLift(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + abLiftSql("DIV"))
+  }
+
+  private def abLiftSql(div: String): String = {
+    val se2 = s"(var_a $div n_a + var_b $div n_b + 1)"
+    val isq = Sampling.isqrtSql(se2)
+    s""", ur AS (
+         SELECT user_id % 2 AS variant,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  * CAST(10000 AS BIGINT) $div COUNT(1) AS rate_bp
+         FROM raw GROUP BY user_id),
+       g AS (
+         SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN variant = 0 THEN rate_bp ELSE 0 END) AS BIGINT) AS s_a,
+                CAST(SUM(CASE WHEN variant = 1 THEN rate_bp ELSE 0 END) AS BIGINT) AS s_b,
+                CAST(SUM(CASE WHEN variant = 0 THEN rate_bp * rate_bp ELSE 0 END) AS BIGINT) AS q_a,
+                CAST(SUM(CASE WHEN variant = 1 THEN rate_bp * rate_bp ELSE 0 END) AS BIGINT) AS q_b
+         FROM ur),
+       m AS (
+         SELECT n_a, n_b,
+                s_a $div n_a AS mean_a_bp, s_b $div n_b AS mean_b_bp,
+                (n_a * q_a - s_a * s_a) $div (n_a * n_a) AS var_a,
+                (n_b * q_b - s_b * s_b) $div (n_b * n_b) AS var_b
+         FROM g)
+       SELECT n_a, n_b,
+              CAST(mean_a_bp AS BIGINT) AS mean_a_bp,
+              CAST(mean_b_bp AS BIGINT) AS mean_b_bp,
+              CAST(mean_b_bp - mean_a_bp AS BIGINT) AS lift_bp,
+              CAST(CASE WHEN mean_b_bp >= mean_a_bp THEN 1 ELSE -1 END
+                   * (ABS(mean_b_bp - mean_a_bp) * CAST(1000 AS BIGINT) $div $isq)
+                   AS BIGINT) AS z_milli
+       FROM m"""
+  }
+
+  val abLiftOracle: String = Fixtures.oracle(abLiftSql("//"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (attribution _),
+    "events_ab_lift" -> (abLift _))
+
+  val oracles: Map[String, String] = Map(
+    "events_attribution" -> attributionOracle,
+    "events_ab_lift" -> abLiftOracle)
+}

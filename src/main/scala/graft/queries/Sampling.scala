@@ -315,7 +315,7 @@ object Sampling {
     * [[temperatureMix]] correction chain, factored so it can be ITERATED
     * (n^(1/4) = isqrt(isqrt(n))) without copy-paste drift. Same text runs
     * on both engines (FLOOR/SQRT/CASE only). */
-  private def isqrtSql(x: String): String = {
+  private[queries] def isqrtSql(x: String): String = {
     val s0 = s"CAST(FLOOR(SQRT(CAST(($x) AS DOUBLE))) AS BIGINT)"
     val s1 = s"($s0 - CASE WHEN $s0 * $s0 > ($x) THEN 1 ELSE 0 END)"
     s"($s1 + CASE WHEN ($s1 + 1) * ($s1 + 1) <= ($x) THEN 1 ELSE 0 END)"

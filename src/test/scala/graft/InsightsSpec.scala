@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DataQuality, Insights}
+
+/** Attribution, A/B lift, and the expectation report: credit conservation
+  * laws, a driver-side replay of the lift stats, and dirty-corpus
+  * detection for the DQ checks. */
+class InsightsSpec extends SparkSpec {
+
+  private val sf = SparkSpec.fixtureSf
+
+  test("attribution: every credited conversion's credit sums to exactly 10000") {
+    import spark.implicits._
+    val rows = Insights.attribution(spark, sf).collect()
+    val models = rows.map(_.getString(0)).distinct.sorted
+    assert(models === Array("first_touch", "last_touch", "linear"))
+    // single-credit models hand out exactly 10^4 per credited conversion
+    for (m <- Seq("last_touch", "first_touch")) {
+      val r = rows.filter(_.getString(0) == m)
+      assert(r.map(_.getLong(4)).sum === r.map(_.getLong(2)).sum * 10000L, m)
+      // one touch per conversion
+      assert(r.map(_.getLong(3)).sum === r.map(_.getLong(2)).sum, m)
+    }
+    // the three models agree on the total credit pool (same conversions)
+    val pools = models.map(m =>
+      rows.filter(_.getString(0) == m).map(_.getLong(4)).sum)
+    assert(pools.distinct.length === 1,
+      "remainder-to-last-touch must conserve the linear pool")
+    // purchase can never be a credited channel (the window cuts at it)
+    assert(rows.forall(_.getString(1) != "purchase"))
+    // credited conversions cannot exceed the purchase count — for the
+    // single-credit models per-channel conversion counts partition the
+    // credited set, so the sum is exact; linear can credit one conversion
+    // on several channels, so only the per-channel bound applies there
+    graft.fixtures.Fixtures.register(spark, sf)
+    val purchases = spark.table("raw")
+      .filter($"event_type" === "purchase").count()
+    for (m <- Seq("last_touch", "first_touch")) {
+      val rs = rows.filter(_.getString(0) == m)
+      assert(rs.map(_.getLong(2)).sum <= purchases, m)
+    }
+    rows.filter(_.getString(0) == "linear").foreach { r =>
+      assert(r.getLong(2) <= purchases, s"linear/${r.getString(1)}")
+      assert(r.getLong(3) >= r.getLong(2), s"linear/${r.getString(1)}")
+    }
+  }
+
+  test("ab lift matches a driver-side replay of the exact definitions") {
+    import spark.implicits._
+    val r = Insights.abLift(spark, sf).collect().head
+    graft.fixtures.Fixtures.register(spark, sf)
+    val rates = spark.table("raw")
+      .groupBy($"user_id")
+      .agg((sum(when($"event_type" === "purchase", 1L).otherwise(0L)) * 10000L
+        / count(lit(1))).cast("long").as("rate"))
+      .withColumn("variant", pmod($"user_id", lit(2)))
+      .collect().map(x => (x.getAs[Long]("variant"), x.getAs[Long]("rate")))
+    def stats(v: Long): (Long, Long, Long) = {
+      val rs = rates.filter(_._1 == v).map(_._2)
+      val n = rs.length.toLong
+      val s = rs.sum
+      val q = rs.map(x => x * x).sum
+      (n, s / n, (n * q - s * s) / (n * n))
+    }
+    val (na, ma, va) = stats(0)
+    val (nb, mb, vb) = stats(1)
+    assert(r.getLong(0) === na)
+    assert(r.getLong(1) === nb)
+    assert(r.getLong(2) === ma)
+    assert(r.getLong(3) === mb)
+    assert(r.getLong(4) === mb - ma)
+    val se2 = va / na + vb / nb + 1
+    val isq = {
+      var x = math.sqrt(se2.toDouble).toLong
+      while (x * x > se2) x -= 1
+      while ((x + 1) * (x + 1) <= se2) x += 1
+      x
+    }
+    val z = (if (mb >= ma) 1L else -1L) * (math.abs(mb - ma) * 1000L / isq)
+    assert(r.getLong(5) === z)
+  }
+
+  test("dq expectations: pristine fixture is all-clean, full check grid") {
+    val rows = DataQuality.expectations(spark, sf).collect()
+    assert(rows.length ===
+      DataQuality.rowChecks.length + DataQuality.refChecks.length)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, s"${r.getString(1)}: empty table")
+      assert(r.getLong(3) === 0L, s"${r.getString(1)} flagged a clean corpus")
+      assert(r.getLong(4) === 0L)
+    }
+  }
+
+  test("dq expectations: a dirty batch is detected, exactly") {
+    import spark.implicits._
+    val dir = SparkSpec.fixtureDirExcept("documents", "orders")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dirtyDocs = docs
+      .limit(3).collect().zipWithIndex.map { case (r, i) =>
+        (900000L + i, if (i == 2) "" else r.getAs[String]("text"),
+          if (i == 0) "xx" else r.getAs[String]("lang"),
+          r.getAs[String]("source"),
+          if (i == 1) -5L else if (i == 2) 0L
+          else r.getAs[String]("text").length.toLong)
+      }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.select($"doc_id".cast("long").as("doc_id"), $"text", $"lang",
+        $"source", $"n_chars".cast("long").as("n_chars"))
+      .unionByName(dirtyDocs)
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.limit(1)
+      .withColumn("o_orderkey", lit(900000L))
+      .withColumn("o_custkey", lit(-12345L)) // no such customer
+      .unionByName(orders)
+      .write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+
+    val rows = DataQuality.expectations(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(rows(("documents", "lang_domain")) === 1L)
+    assert(rows(("documents", "chars_consistent")) === 1L)
+    assert(rows(("documents", "text_nonempty")) === 1L)
+    assert(rows(("orders", "custkey_ref")) === 1L)
+    // the injected orderkey 900000 has no lineitem rows, so lineitem's
+    // referential side stays clean
+    assert(rows(("lineitem", "orderkey_ref")) === 0L)
+  }
+}
