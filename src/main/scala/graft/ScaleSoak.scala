@@ -113,7 +113,11 @@ object ScaleSoak {
     // round-14 session-4 additions:
     "events_key_skew",          // 4-way key explode + count-of-counts windows
     "layout_skipping_stats",    // two per-block zone-map aggs + probe broadcast
-    "classifier_calibration")   // two margin frames + bin-keyed folds
+    "classifier_calibration",   // two margin frames + bin-keyed folds
+    // round-14 session-5 additions:
+    "events_attribution",       // 8-deep lag chain + 17-arm credit union
+    "events_ab_lift",           // per-user agg folded to one stats row
+    "dq_expectations")          // per-table check-grid scans + anti-joins
 
   // ---------------------------------------------------------------- synth
 
