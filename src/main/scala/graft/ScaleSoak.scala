@@ -117,7 +117,9 @@ object ScaleSoak {
     // round-14 session-5 additions:
     "events_attribution",       // 8-deep lag chain + 17-arm credit union
     "events_ab_lift",           // per-user agg folded to one stats row
-    "dq_expectations")          // per-table check-grid scans + anti-joins
+    "dq_expectations",          // per-table check-grid scans + anti-joins
+    "dq_profile",               // exact-distinct Expand lanes, 1 scan/table
+    "dq_drift")                 // GROUPING SETS bin pass + fixed-point PSI
 
   // ---------------------------------------------------------------- synth
 

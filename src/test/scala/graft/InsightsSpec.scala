@@ -126,4 +126,67 @@ class InsightsSpec extends SparkSpec {
     // referential side stays clean
     assert(rows(("lineitem", "orderkey_ref")) === 0L)
   }
+
+  test("dq profile matches a driver-side replay on one column of each kind") {
+    import spark.implicits._
+    val rows = DataQuality.profile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.size === DataQuality.profileCols.length)
+    graft.fixtures.Fixtures.register(spark, sf)
+
+    // num100 lane: lineitem.l_quantity
+    val q = spark.table("lineitem")
+      .select(expr("CAST(FLOOR(l_quantity * 100) AS BIGINT)").as("c"),
+        $"l_quantity")
+      .agg(count(lit(1)), min($"c"), max($"c"), sum($"c"),
+        countDistinct($"l_quantity")).collect().head
+    val pq = rows(("lineitem", "l_quantity"))
+    assert(pq.getLong(2) === q.getLong(0))   // n_rows
+    assert(pq.getLong(3) === 0L)             // n_null
+    assert(pq.getLong(4) === q.getLong(4))   // n_distinct
+    assert(pq.getLong(5) === q.getLong(1))   // lo
+    assert(pq.getLong(6) === q.getLong(2))   // hi
+    assert(pq.getLong(7) === q.getLong(3))   // total
+
+    // str lane: documents.lang — distincts count strings, measures lengths
+    val pl = rows(("documents", "lang"))
+    assert(pl.getLong(4) === 5L)
+    assert(pl.getLong(5) === 2L && pl.getLong(6) === 2L)
+    assert(pl.getLong(7) === 2L * pl.getLong(2))
+
+    // every row of one table reports the same n_rows
+    rows.values.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).toSet.size === 1)
+    }
+  }
+
+  test("dq drift: stationary halves read near-zero, an injected shift is loud") {
+    val base = DataQuality.drift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(base.size === 6)
+    base.values.foreach { r =>
+      assert(r.getLong(5) >= 0L, r.getString(1)) // psi never negative
+      assert(r.getLong(3) > 0L && r.getLong(4) > 0L)
+    }
+    // the hash-generated corpus is stationary: every feature under 0.5 bits
+    base.values.foreach { r =>
+      assert(r.getLong(5) < 500000L,
+        s"${r.getString(1)}: psi ${r.getLong(5)} on a stationary corpus")
+    }
+
+    // inject drift: the second half of documents flips entirely to 'de'
+    import spark.implicits._
+    val dir = SparkSpec.fixtureDirExcept("documents")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mx = docs.agg(max($"doc_id")).collect().head.getLong(0)
+    docs.withColumn("lang",
+        when($"doc_id" * 2 > mx, "de").otherwise($"lang"))
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val shifted = DataQuality.drift(spark, dir.toString).collect()
+      .map(r => (r.getString(1), r.getLong(5))).toMap
+    assert(shifted("lang") > 1000000L, s"lang psi ${shifted("lang")}")
+    // untouched features stay quiet
+    assert(shifted("source") < 500000L)
+    assert(shifted("event_type") < 500000L)
+  }
 }
