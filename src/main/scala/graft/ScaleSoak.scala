@@ -119,7 +119,9 @@ object ScaleSoak {
     "events_ab_lift",           // per-user agg folded to one stats row
     "dq_expectations",          // per-table check-grid scans + anti-joins
     "dq_profile",               // exact-distinct Expand lanes, 1 scan/table
-    "dq_drift")                 // GROUPING SETS bin pass + fixed-point PSI
+    "dq_drift",                 // GROUPING SETS bin pass + fixed-point PSI
+    "events_feature_matrix",    // prefix-frame window pass, purchase-sized out
+    "events_target_encode")     // (cat, fold) agg + cat-partitioned windows
 
   // ---------------------------------------------------------------- synth
 

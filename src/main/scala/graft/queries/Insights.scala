@@ -158,11 +158,108 @@ object Insights {
 
   val abLiftOracle: String = Fixtures.oracle(abLiftSql("//"))
 
+  /** Point-in-time training-example assembly (the feature-store
+    * "time-travel join" discipline): one row per `purchase` with features
+    * computed STRICTLY BEFORE the label row — prior event count, prior
+    * spend, prior purchases, last event type — and a repurchase label from
+    * the events strictly after. Leakage-free by frame construction:
+    * `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` can never see the
+    * label row, and the label arm subtracts the inclusive prefix from the
+    * user total, so no feature column reads the future and no label column
+    * reads the past.
+    *
+    * Scale shape: ONE user-partitioned window pass (running COUNT/SUM
+    * frames carry O(1) state per task — Spark never buffers the frame for
+    * distributive aggregates) plus a same-partitioning total (no second
+    * exchange). Output is the purchase subset — the training matrix a
+    * propensity model consumes. */
+  def featureMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + featureMatrixSql)
+  }
+
+  /** Dialect-common (no integer-division needed). */
+  private val featureMatrixSql: String =
+    s""", fm AS (
+         SELECT seq, user_id, event_type,
+                COUNT(1) OVER wp AS f_prior_events,
+                SUM(cents) OVER wp AS f_prior_spend_c,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER wp AS f_prior_purchases,
+                LAG(event_type) OVER wo AS f_last_type,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS user_purchases
+         FROM raw
+         WINDOW wp AS (PARTITION BY user_id ORDER BY seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                wo AS (PARTITION BY user_id ORDER BY seq))
+       SELECT seq, user_id,
+              CAST(f_prior_events AS BIGINT) AS f_prior_events,
+              CAST(COALESCE(f_prior_spend_c, 0) AS BIGINT) AS f_prior_spend_c,
+              CAST(COALESCE(f_prior_purchases, 0) AS BIGINT) AS f_prior_purchases,
+              COALESCE(f_last_type, 'none') AS f_last_type,
+              CAST(CASE WHEN user_purchases - COALESCE(f_prior_purchases, 0) - 1 > 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS label_repurchase
+       FROM fm WHERE event_type = 'purchase'"""
+
+  val featureMatrixOracle: String = Fixtures.oracle(featureMatrixSql)
+
+  /** Smoothing pseudo-count for [[targetEncode]]: the encoding shrinks
+    * toward the global prior by m virtual rows — the additive-smoothing
+    * form of Micci-Barreca (SIGKDD Expl. 2001). */
+  private val teM = 100
+
+  /** Leakage-free target encoding of a high-cardinality categorical (the
+    * dollar bucket, cents DIV 100 — ~560 levels): per (category, fold) the
+    * OUT-OF-FOLD purchase rate, smoothed toward the global prior with
+    * [[teM]] pseudo-counts:
+    *
+    *   enc_bp = (pos_oof·10⁴ + m·prior_bp) DIV (n_oof + m)
+    *
+    * A training row in fold f reads enc(cat, f), which was computed
+    * WITHOUT fold f's rows — the standard cross-fold construction that
+    * keeps the encoding from memorizing its own labels. All-integer: rates
+    * in basis points, division floors identically on both engines
+    * (positive operands throughout).
+    *
+    * Scale shape: one map-side-combined (category, fold) aggregate, then
+    * category-partitioned windows over the ~560×5-row frame — corpus size
+    * touches only the first pass. */
+  def targetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + targetEncodeSql("DIV"))
+  }
+
+  private def targetEncodeSql(div: String): String =
+    s""", te_g AS (
+         SELECT cents $div 100 AS cat, seq % 5 AS fold,
+                COUNT(1) AS n,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+         FROM raw GROUP BY cents $div 100, seq % 5),
+       te_w AS (
+         SELECT cat, fold, n, pos,
+                SUM(n) OVER (PARTITION BY cat) - n AS n_oof,
+                SUM(pos) OVER (PARTITION BY cat) - pos AS pos_oof,
+                SUM(pos) OVER () * CAST(10000 AS BIGINT) $div SUM(n) OVER () AS prior_bp
+         FROM te_g)
+       SELECT CAST(cat AS BIGINT) AS cat, CAST(fold AS BIGINT) AS fold,
+              CAST(n_oof AS BIGINT) AS n_oof,
+              CAST(prior_bp AS BIGINT) AS prior_bp,
+              CAST((pos_oof * CAST(10000 AS BIGINT) + $teM * prior_bp)
+                   $div (n_oof + $teM) AS BIGINT) AS enc_bp
+       FROM te_w"""
+
+  val targetEncodeOracle: String = Fixtures.oracle(targetEncodeSql("//"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (attribution _),
-    "events_ab_lift" -> (abLift _))
+    "events_ab_lift" -> (abLift _),
+    "events_feature_matrix" -> (featureMatrix _),
+    "events_target_encode" -> (targetEncode _))
 
   val oracles: Map[String, String] = Map(
     "events_attribution" -> attributionOracle,
-    "events_ab_lift" -> abLiftOracle)
+    "events_ab_lift" -> abLiftOracle,
+    "events_feature_matrix" -> featureMatrixOracle,
+    "events_target_encode" -> targetEncodeOracle)
 }

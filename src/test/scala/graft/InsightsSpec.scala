@@ -127,6 +127,59 @@ class InsightsSpec extends SparkSpec {
     assert(rows(("lineitem", "orderkey_ref")) === 0L)
   }
 
+  test("feature matrix is leakage-free and label-consistent by construction") {
+    import spark.implicits._
+    val fm = Insights.featureMatrix(spark, sf).collect()
+    graft.fixtures.Fixtures.register(spark, sf)
+    val purchases = spark.table("raw")
+      .filter($"event_type" === "purchase")
+      .select($"user_id").collect().map(_.getLong(0))
+    // one training row per purchase
+    assert(fm.length === purchases.length)
+    // a user with k purchases labels the first k-1 rows 1 and the last 0
+    val users = purchases.distinct.length.toLong
+    assert(fm.map(_.getLong(6)).sum === purchases.length - users)
+    fm.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(4), "prior events < prior purchases")
+      assert((r.getString(5) == "none") === (r.getLong(2) == 0L),
+        "last-type sentinel must coincide with an empty history")
+      assert(r.getLong(3) >= 0L)
+    }
+    // per user, features are monotone in seq (prefix frames only grow)
+    fm.groupBy(_.getLong(1)).values.foreach { rs =>
+      val s = rs.sortBy(_.getLong(0))
+      assert(s.map(_.getLong(2)).sameElements(s.map(_.getLong(2)).sorted))
+      assert(s.map(_.getLong(4)).sameElements(s.map(_.getLong(4)).sorted))
+    }
+  }
+
+  test("target encoding matches an independent DataFrame-side replay") {
+    import spark.implicits._
+    val te = Insights.targetEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    graft.fixtures.Fixtures.register(spark, sf)
+    val base = spark.table("raw")
+      .groupBy(($"cents" / 100).cast("long").as("cat"),
+        pmod($"seq", lit(5)).as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(te.size === base.length)
+    val nAll = base.map(_._3).sum
+    val posAll = base.map(_._4).sum
+    val prior = posAll * 10000L / nAll
+    val byCat = base.groupBy(_._1)
+    base.foreach { case (cat, fold, n, pos) =>
+      val nOof = byCat(cat).map(_._3).sum - n
+      val posOof = byCat(cat).map(_._4).sum - pos
+      val r = te((cat, fold))
+      assert(r.getLong(2) === nOof, s"cat $cat fold $fold n_oof")
+      assert(r.getLong(3) === prior)
+      assert(r.getLong(4) === (posOof * 10000L + 100L * prior) / (nOof + 100L),
+        s"cat $cat fold $fold enc")
+    }
+  }
+
   test("dq profile matches a driver-side replay on one column of each kind") {
     import spark.implicits._
     val rows = DataQuality.profile(spark, sf).collect()
