@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
 
@@ -40,19 +41,48 @@ object Insights {
     * n_conversions < the purchase count, not silently padded.
     *
     * Scale shape: the lag chain is ONE window pass over user partitions
-    * (state = [[lookback]] strings per task); the credit arms are
-    * projections of that frame unioned and fed to a map-side-combined
-    * aggregate keyed by (model, channel) — 5 event types × 3 models of
-    * groups. No self-joins, no global windows. */
+    * (state = [[lookback]] strings per task); the credit arms EXPLODE from
+    * that frame (one Generate over a 17-slot struct array — the SQL
+    * UNION-ALL spelling the oracle replays would make Spark re-run the
+    * window per arm, 17 partition sorts instead of 1; the explode form
+    * keeps the executed plan at one Window + one Generate) and feed a
+    * map-side-combined aggregate keyed by (model, channel) — 5 event
+    * types × 3 models of groups. No self-joins, no global windows. */
   def attribution(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    spark.sql("WITH _one AS (SELECT 1)" + attributionSql("DIV"))
+    import spark.implicits._
+    val pc = spark.sql("WITH _one AS (SELECT 1)" + pcSql("DIV")
+      + " SELECT * FROM pc")
+    val linearArms = (1 to lookback).map(i => expr(
+      s"""CASE WHEN $i < cut AND t$i IS NOT NULL THEN named_struct(
+            'model', 'linear', 'channel', t$i,
+            'credit_bp', CAST(10000 AS BIGINT) DIV n
+              + CASE WHEN $i = 1 THEN CAST(10000 AS BIGINT) % n
+                     ELSE CAST(0 AS BIGINT) END) END"""))
+    val lastArm = expr(
+      """CASE WHEN n >= 1 THEN named_struct(
+           'model', 'last_touch', 'channel', t1,
+           'credit_bp', CAST(10000 AS BIGINT)) END""")
+    val firstArms = (1 to lookback).map(i => expr(
+      s"""CASE WHEN fpos = $i THEN named_struct(
+            'model', 'first_touch', 'channel', t$i,
+            'credit_bp', CAST(10000 AS BIGINT)) END"""))
+    pc.select($"seq", explode(array(linearArms ++ Seq(lastArm) ++ firstArms: _*)).as("c"))
+      .where($"c".isNotNull)
+      .groupBy($"c.model".as("model"), $"c.channel".as("channel"))
+      .agg(
+        countDistinct($"seq").cast("long").as("n_conversions"),
+        count(lit(1)).cast("long").as("n_touches"),
+        sum($"c.credit_bp").cast("long").as("credit_bp_total"))
   }
 
-  /** One shared SQL text (CTE-chain continuation + final SELECT), integer-
-    * division spelling injected. The text starts mid-WITH so the oracle
-    * prelude's chain can absorb it; the Spark side prepends a dummy head. */
-  private def attributionSql(div: String): String = {
+  /** The shared lag-frame prefix (CTE-chain continuation): `pc` is one row
+    * per purchase with its [[lookback]] lags, the previous-purchase cut,
+    * the in-window touch count n and the earliest touch position fpos.
+    * Division-free, so ONE text serves both engines verbatim; it starts
+    * mid-WITH so the oracle prelude's chain can absorb it (the Spark side
+    * prepends a dummy head). */
+  private def pcSql(div: String): String = {
     val lagCols = (1 to lookback).map(i =>
       s"LAG(event_type, $i) OVER w AS t$i").mkString(",\n              ")
     // first purchase among the lags bounds the window (9 = unbounded)
@@ -66,6 +96,21 @@ object Insights {
     val firstPos = (1 to lookback).map(i =>
       s"CASE WHEN $i < cut AND t$i IS NOT NULL THEN $i ELSE 0 END")
       .mkString("GREATEST(", ", ", ")")
+    s""", lagged AS (
+         SELECT seq, event_type,
+              $lagCols
+         FROM (SELECT seq, user_id, event_type FROM raw) e
+         WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
+       pc AS (
+         SELECT *, $nExpr AS n, $firstPos AS fpos
+         FROM (SELECT *, $cutExpr AS cut
+               FROM lagged WHERE event_type = 'purchase'))"""
+  }
+
+  /** The full oracle text: [[pcSql]] + the credit arms as UNION ALL (the
+    * replayable spelling; the Spark side explodes instead — see
+    * [[attribution]]). */
+  private def attributionSql(div: String): String = {
     val linearArms = (1 to lookback).map(i =>
       s"""SELECT seq, 'linear' AS model, t$i AS channel,
               CAST(10000 AS BIGINT) $div n
@@ -81,15 +126,7 @@ object Insights {
           FROM pc WHERE fpos = $i""")
     val arms = (linearArms ++ Seq(lastArm) ++ firstArms)
       .mkString("\n          UNION ALL ")
-    s""", lagged AS (
-         SELECT seq, event_type,
-              $lagCols
-         FROM (SELECT seq, user_id, event_type FROM raw) e
-         WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
-       pc AS (
-         SELECT *, $nExpr AS n, $firstPos AS fpos
-         FROM (SELECT *, $cutExpr AS cut
-               FROM lagged WHERE event_type = 'purchase')),
+    s"""${pcSql(div)},
        credits AS (
           $arms)
        SELECT model, channel,

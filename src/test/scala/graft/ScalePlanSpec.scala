@@ -540,4 +540,37 @@ class ScalePlanSpec extends SparkSpec {
         s"only the bounded hinted frames may broadcast (got $broadcasts):\n$p")
     }
   }
+
+  test("attribution: ONE lag window pass, exploded arms — never a window per arm") {
+    // the oracle's UNION-ALL spelling would make Spark re-run the lag
+    // window once per credit arm (17 partition sorts over the corpus); the
+    // served plan must carry exactly one WindowExec, feeding a Generate
+    val p = plan(graft.queries.Insights.queries("events_attribution")(spark, sfDir))
+    // AQE may print the tree twice (current + initial) — count per print
+    val prints = math.max(1, p.split("== Initial Plan ==").length)
+    val windows = p.split("\\bWindow\\b").length - 1
+    assert(windows === prints, s"lag frame must be computed once:\n$p")
+    assert("""Window \[lag.*\], \[user_id#\d+L?\], \[seq#\d+""".r
+      .findFirstIn(p).isDefined, s"lag window must be user-partitioned:\n$p")
+    assert(p.contains("Generate explode"), "credit arms must explode, not union")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("feature matrix: user-partitioned windows only, no global exchange") {
+    val p = plan(graft.queries.Insights.queries("events_feature_matrix")(spark, sfDir))
+    // WindowExec prints `Window [fns], [partitionSpec], [orderSpec]` (the
+    // running frames) or `Window [fns], [partitionSpec]` (the user total);
+    // an empty `], []` partition spec is the whole-corpus-through-one-task
+    // regression this pins against
+    assert(!p.contains("], []"), s"every window must partition by user:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("dq drift: one Expand per table — features share the scan via grouping sets") {
+    val p = plan(graft.queries.DataQuality.queries("dq_drift")(spark, sfDir))
+    val prints = math.max(1, p.split("== Initial Plan ==").length)
+    val expands = p.split("\\bExpand\\b").length - 1
+    assert(expands === 2 * prints,
+      s"expected one GROUPING SETS Expand per drifted table:\n$p")
+  }
 }
