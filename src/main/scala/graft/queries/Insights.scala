@@ -288,15 +288,69 @@ object Insights {
 
   val targetEncodeOracle: String = Fixtures.oracle(targetEncodeSql("//"))
 
+  /** SCD2 dimension history (the slowly-changing-dimension type-2 build
+    * every warehouse runs nightly): per user, the DAILY activity tier
+    * (low/mid/high by fixed event-count thresholds) compressed into
+    * validity intervals by the gaps-and-islands construction — a change
+    * flag from LAG, a running island id from its prefix sum, one group per
+    * island. Output: (user, tier, day_from, day_to, n_days, is_current),
+    * where is_current marks the interval touching the user's last observed
+    * day. Days with no events do not close an interval (observed-day
+    * contiguity — the standard SCD2 "valid until superseded" reading).
+    *
+    * Scale shape: one map-side-combined (user, day) aggregate, then
+    * user-partitioned windows over the per-day frame (≤ days rows per
+    * user) and a final (user, island) aggregate — never a global window,
+    * never a join. */
+  def scd2Tiers(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + scd2Sql("DIV"))
+  }
+
+  private def scd2Sql(div: String): String =
+    s""", s2_ud AS (
+         SELECT user_id, (block_number - 1000) * 120 $div 86400 AS day,
+                COUNT(1) AS n
+         FROM raw
+         GROUP BY user_id, (block_number - 1000) * 120 $div 86400),
+       s2_t AS (
+         SELECT user_id, day,
+                CASE WHEN n >= 8 THEN 'high'
+                     WHEN n >= 4 THEN 'mid' ELSE 'low' END AS tier
+         FROM s2_ud),
+       s2_c AS (
+         SELECT *, CASE WHEN LAG(tier) OVER w IS NULL
+                          OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+         FROM s2_t
+         WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+       s2_i AS (
+         SELECT *,
+                SUM(chg) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS island,
+                MAX(day) OVER (PARTITION BY user_id) AS last_day
+         FROM s2_c)
+       SELECT user_id, tier,
+              CAST(MIN(day) AS BIGINT) AS day_from,
+              CAST(MAX(day) AS BIGINT) AS day_to,
+              CAST(COUNT(1) AS BIGINT) AS n_days,
+              CAST(CASE WHEN MAX(day) = MAX(last_day) THEN 1 ELSE 0 END
+                   AS BIGINT) AS is_current
+       FROM s2_i
+       GROUP BY user_id, tier, island"""
+
+  val scd2Oracle: String = Fixtures.oracle(scd2Sql("//"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_attribution" -> (attribution _),
     "events_ab_lift" -> (abLift _),
     "events_feature_matrix" -> (featureMatrix _),
-    "events_target_encode" -> (targetEncode _))
+    "events_target_encode" -> (targetEncode _),
+    "events_scd2_tiers" -> (scd2Tiers _))
 
   val oracles: Map[String, String] = Map(
     "events_attribution" -> attributionOracle,
     "events_ab_lift" -> abLiftOracle,
     "events_feature_matrix" -> featureMatrixOracle,
-    "events_target_encode" -> targetEncodeOracle)
+    "events_target_encode" -> targetEncodeOracle,
+    "events_scd2_tiers" -> scd2Oracle)
 }

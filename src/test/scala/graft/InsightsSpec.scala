@@ -180,6 +180,32 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 intervals partition each user's observed days, one current row") {
+    import spark.implicits._
+    val rows = Insights.queries("events_scd2_tiers")(spark, sf).collect()
+    graft.fixtures.Fixtures.register(spark, sf)
+    val userDays = spark.table("raw")
+      .select($"user_id", expr("(block_number - 1000) * 120 DIV 86400").as("day"))
+      .distinct().groupBy($"user_id").agg(count(lit(1)).as("d"), max($"day").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      // n_days over a user's intervals sums to their observed-day count
+      assert(rs.map(_.getLong(4)).sum === userDays(u)._1, s"user $u")
+      // intervals are ordered and non-overlapping
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) < b.getLong(2), s"user $u overlap")
+          assert(a.getString(1) != b.getString(1), s"user $u un-merged islands")
+        case _ =>
+      }
+      // exactly one current interval, and it ends on the user's last day
+      val cur = rs.filter(_.getLong(5) == 1L)
+      assert(cur.length === 1, s"user $u current count")
+      assert(cur.head.getLong(3) === userDays(u)._2, s"user $u current end")
+    }
+  }
+
   test("dq profile matches a driver-side replay on one column of each kind") {
     import spark.implicits._
     val rows = DataQuality.profile(spark, sf).collect()
