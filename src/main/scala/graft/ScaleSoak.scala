@@ -121,7 +121,8 @@ object ScaleSoak {
     "dq_profile",               // exact-distinct Expand lanes, 1 scan/table
     "dq_drift",                 // GROUPING SETS bin pass + fixed-point PSI
     "events_feature_matrix",    // prefix-frame window pass, purchase-sized out
-    "events_target_encode")     // (cat, fold) agg + cat-partitioned windows
+    "events_target_encode",     // (cat, fold) agg + cat-partitioned windows
+    "events_scd2_tiers")        // user-day agg + islands windows + island agg
 
   // ---------------------------------------------------------------- synth
 
