@@ -529,7 +529,61 @@ object StreamReplay {
         round($"hll_raw" / $"exact_distinct".cast("double"), 6).as("est_over_exact"))
   }
 
+  /** The ingest-boundary DQ gate run WHILE ingesting: the events checks
+    * from [[DataQuality.rowChecks]] (the SAME predicate texts — one source
+    * of truth with the batch gate) as running violation counters over the
+    * micro-batch stream. Each event explodes to one (check, is_violation)
+    * row per check and a built-in streaming aggregation keeps per-check
+    * running (n_rows, n_violations) — Spark's own state store, no custom
+    * operator needed (the idiomatic form: counts are order-free and
+    * mergeable). The final snapshot per check is the emission with the
+    * largest n_rows (monotone), and the oracle is the batch gate's events
+    * arm verbatim — a batch that would fail the load fails it identically
+    * mid-stream, before publish. */
+  def dqReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    val checks = DataQuality.rowChecks.filter(_._1 == "events")
+    val batched = spark.table("events")
+      .select($"event_type".as("_1"), $"value".as("_2"),
+        pmod($"event_id", lit(numBatches)).cast("int").as("b"))
+    val log = replayViaFiles[(String, Option[Double])](spark, "dq_replay",
+      batched, OutputMode.Update) { ds =>
+      ds.toDF("event_type", "value")
+        .select(explode(array(checks.map { case (_, nm, pred) =>
+          struct(lit(nm).as("check_name"),
+            when(expr(pred), 1L).otherwise(0L).as("v"))
+        }: _*)).as("c"))
+        .groupBy($"c.check_name".as("check_name"))
+        .agg(count(lit(1)).as("n_rows"), sum($"c.v").as("n_violations"))
+    }
+    log.groupBy($"check_name")
+      .agg(max_by(struct($"n_rows", $"n_violations"), $"n_rows").as("s"))
+      .select(lit("events").as("table_name"), $"check_name",
+        $"s.n_rows".cast("long").as("n_rows"),
+        $"s.n_violations".cast("long").as("n_violations"),
+        expr("s.n_violations * 10000 DIV s.n_rows").cast("long")
+          .as("violation_bp"))
+  }
+
+  val dqReplayOracle: String = {
+    val arms = DataQuality.rowChecks.filter(_._1 == "events").map {
+      case (_, nm, pred) =>
+        s"""SELECT '$nm' AS check_name,
+                CAST(COUNT(1) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM events"""
+    }
+    Fixtures.oracle(
+      s""", sdq AS (
+          ${arms.mkString("\n          UNION ALL ")})
+         SELECT 'events' AS table_name, check_name, n_rows, n_violations,
+                CAST(n_violations * 10000 // n_rows AS BIGINT) AS violation_bp
+         FROM sdq""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_dq_replay" -> (dqReplay _),
     "streaming_sample_replay" -> (sampleReplay _),
     "streaming_hll_replay" -> (hllReplay _),
     "streaming_anomaly_replay" -> (anomalyReplay _),
@@ -542,6 +596,7 @@ object StreamReplay {
     "streaming_kmv_replay" -> (kmvReplay _))
 
   val oracles: Map[String, String] = Map(
+    "streaming_dq_replay" -> dqReplayOracle,
     "streaming_sample_replay" -> sampleReplayOracle,
     "streaming_hll_replay" -> graft.queries.Sessions.distinctHllOracle,
     "streaming_anomaly_replay" -> anomalyReplayOracle,

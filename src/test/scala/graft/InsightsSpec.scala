@@ -180,6 +180,25 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("streaming dq gate flags a dirty batch mid-stream, exactly") {
+    import spark.implicits._
+    val dir = SparkSpec.fixtureDirExcept("events")
+    graft.fixtures.Fixtures.register(spark, sf)
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("value",
+        when($"event_id" < 2, lit(-5.0)).otherwise($"value"))
+      .withColumn("event_type",
+        when($"event_id" === 2, "bogus").otherwise($"event_type"))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
+    val rows = graft.queries.StreamReplay.queries("streaming_dq_replay")(
+      spark, dir.toString).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("value_nonneg")._2 === 2L)
+    assert(rows("type_domain")._2 === 1L)
+    // every check saw the whole stream
+    assert(rows.values.map(_._1).toSet.size === 1)
+  }
+
   test("scd2 intervals partition each user's observed days, one current row") {
     import spark.implicits._
     val rows = Insights.queries("events_scd2_tiers")(spark, sf).collect()
