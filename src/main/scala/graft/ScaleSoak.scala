@@ -115,14 +115,15 @@ object ScaleSoak {
     "layout_skipping_stats",    // two per-block zone-map aggs + probe broadcast
     "classifier_calibration",   // two margin frames + bin-keyed folds
     // round-14 session-5 additions:
-    "events_attribution",       // 8-deep lag chain + 17-arm credit union
+    "events_attribution",       // 8-deep lag chain + exploded credit arms
     "events_ab_lift",           // per-user agg folded to one stats row
     "dq_expectations",          // per-table check-grid scans + anti-joins
     "dq_profile",               // exact-distinct Expand lanes, 1 scan/table
     "dq_drift",                 // GROUPING SETS bin pass + fixed-point PSI
     "events_feature_matrix",    // prefix-frame window pass, purchase-sized out
     "events_target_encode",     // (cat, fold) agg + cat-partitioned windows
-    "events_scd2_tiers")        // user-day agg + islands windows + island agg
+    "events_scd2_tiers",        // user-day agg + islands windows + island agg
+    "streaming_dq_replay")      // check-grid counters through the state store
 
   // ---------------------------------------------------------------- synth
 
