@@ -225,9 +225,10 @@ object DataQuality {
     *    sign (lg_fp is monotone), so every term is non-negative and
     *    Spark's truncating DIV and DuckDB's flooring // agree
     *
-    * Scale shape: ONE scan per table feeds ALL its features (GROUPING
-    * SETS = one Expand + one map-side-combined aggregate over ≤ dozens of
-    * bins); the PSI fold runs over that bin frame with
+    * Scale shape: ONE binning scan per table feeds ALL its features
+    * (GROUPING SETS = one Expand + one map-side-combined aggregate over
+    * ≤ dozens of bins), plus one 1-row max-key scan for the midpoint
+    * (broadcast); the PSI fold runs over the bin frame with
     * feature-partitioned windows. Corpus NULLs would collide with the
     * grouping-set NULL — the profile entry's n_null row is the guard. */
   def drift(spark: SparkSession, sfDir: String): DataFrame = {

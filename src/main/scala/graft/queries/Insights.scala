@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.Fixtures
 
-/** Conversion analytics over the event stream: multi-touch attribution and
-  * a deterministic A/B comparison — the two reports a growth/analytics team
-  * runs on the same events table the rest of the catalog rolls up.
+/** Conversion analytics and training-example assembly over the event
+  * stream: multi-touch attribution, a deterministic A/B comparison,
+  * point-in-time feature assembly, out-of-fold target encoding, and the
+  * SCD2 dimension-history build — the reports a growth/ML team runs on
+  * the same events table the rest of the catalog rolls up.
   *
-  * Both are generated-SQL entries in the [[Sessions.ewmaTrend]] mold: ONE
-  * SQL text parameterized only by the integer-division spelling runs on
-  * both engines, so the oracle replays the Spark computation verbatim and
-  * the gate is a true bit-equality check.
+  * Exactness model ([[Sessions.ewmaTrend]] mold): each entry's oracle is
+  * ONE SQL text parameterized only by the integer-division spelling, so
+  * DuckDB replays the computation verbatim and the gate is a true
+  * bit-equality check. Where the literal SQL spelling would plan badly in
+  * Spark (attribution's UNION-ALL arms re-running the lag window), the
+  * served side re-expresses the SAME definition in the DataFrame API and
+  * the re-gate proves value equality.
   */
 object Insights {
 
