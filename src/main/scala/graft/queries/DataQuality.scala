@@ -18,9 +18,10 @@ import graft.fixtures.Fixtures
   * Scale shape: ONE scan per checked table computes ALL of that table's
   * row-predicate counts in a single map-side-combined aggregate (violation
   * predicates are free riders on the scan — no per-check passes); each
-  * referential check is one key-partitioned LEFT ANTI join (dimension side
-  * broadcastable when small, shuffle otherwise — Spark's planner decides
-  * from stats). Nothing here collects, windows, or self-joins.
+  * referential check is ONE key-partitioned LEFT join against the distinct
+  * dimension keys — counting rows and dangling keys in the same pass
+  * (dimension side broadcastable when small, shuffle otherwise — Spark's
+  * planner decides from stats). Nothing here collects, windows, or self-joins.
   *
   * Exactness: counts are integer aggregates; NULL predicate results count
   * as non-violations in BOTH engines (SUM(CASE WHEN p THEN 1 ELSE 0 END)
@@ -69,12 +70,15 @@ object DataQuality {
         .select($"table_name", $"c.check_name", $"n_rows", $"c.n_violations")
     }
 
+    // LEFT JOIN against the distinct dimension keys gives n_rows AND the
+    // violation count in ONE pass over the fact table (the anti-join form
+    // would need a second scan just for the denominator)
     val refReports = refChecks.map { case (table, nm, key, dim, dimKey) =>
-      val viol = spark.table(table)
-        .join(spark.table(dim), col(key) === col(dimKey), "left_anti")
-        .agg(count(lit(1)).as("n_violations"))
-      spark.table(table).agg(count(lit(1)).as("n_rows"))
-        .crossJoin(viol)
+      spark.table(table)
+        .join(spark.table(dim).select(col(dimKey)).distinct(),
+          col(key) === col(dimKey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(dimKey).isNull, 1L).otherwise(0L)).as("n_violations"))
         .select(lit(table).as("table_name"), lit(nm).as("check_name"),
           $"n_rows", $"n_violations")
     }

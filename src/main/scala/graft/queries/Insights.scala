@@ -56,7 +56,7 @@ object Insights {
   def attribution(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val pc = spark.sql("WITH _one AS (SELECT 1)" + pcSql("DIV")
+    val pc = spark.sql("WITH _one AS (SELECT 1)" + pcSql
       + " SELECT * FROM pc")
     val linearArms = (1 to lookback).map(i => expr(
       s"""CASE WHEN $i < cut AND t$i IS NOT NULL THEN named_struct(
@@ -84,10 +84,14 @@ object Insights {
   /** The shared lag-frame prefix (CTE-chain continuation): `pc` is one row
     * per purchase with its [[lookback]] lags, the previous-purchase cut,
     * the in-window touch count n and the earliest touch position fpos.
-    * Division-free, so ONE text serves both engines verbatim; it starts
+    * NULL-typed events are excluded at the source: the n/fpos arithmetic
+    * relies on lag contiguity (lag i NULL ⇒ lag i+1 NULL), which only
+    * holds when event_type itself is never NULL — untyped rows are not
+    * touchpoints and not conversions. Division-free, so ONE text serves
+    * both engines verbatim; it starts
     * mid-WITH so the oracle prelude's chain can absorb it (the Spark side
     * prepends a dummy head). */
-  private def pcSql(div: String): String = {
+  private def pcSql: String = {
     val lagCols = (1 to lookback).map(i =>
       s"LAG(event_type, $i) OVER w AS t$i").mkString(",\n              ")
     // first purchase among the lags bounds the window (9 = unbounded)
@@ -104,7 +108,8 @@ object Insights {
     s""", lagged AS (
          SELECT seq, event_type,
               $lagCols
-         FROM (SELECT seq, user_id, event_type FROM raw) e
+         FROM (SELECT seq, user_id, event_type FROM raw
+               WHERE event_type IS NOT NULL) e
          WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
        pc AS (
          SELECT *, $nExpr AS n, $firstPos AS fpos
@@ -131,7 +136,7 @@ object Insights {
           FROM pc WHERE fpos = $i""")
     val arms = (linearArms ++ Seq(lastArm) ++ firstArms)
       .mkString("\n          UNION ALL ")
-    s"""${pcSql(div)},
+    s"""$pcSql,
        credits AS (
           $arms)
        SELECT model, channel,
@@ -167,7 +172,9 @@ object Insights {
   }
 
   private def abLiftSql(div: String): String = {
-    val se2 = s"(var_a $div n_a + var_b $div n_b + 1)"
+    // GREATEST(n, 1) guards the degenerate single-parity batch (an empty
+    // variant reads mean/var 0 instead of erroring under ANSI division)
+    val se2 = s"(var_a $div GREATEST(n_a, 1) + var_b $div GREATEST(n_b, 1) + 1)"
     val isq = Sampling.isqrtSql(se2)
     s""", ur AS (
          SELECT user_id % 2 AS variant,
@@ -184,9 +191,10 @@ object Insights {
          FROM ur),
        m AS (
          SELECT n_a, n_b,
-                s_a $div n_a AS mean_a_bp, s_b $div n_b AS mean_b_bp,
-                (n_a * q_a - s_a * s_a) $div (n_a * n_a) AS var_a,
-                (n_b * q_b - s_b * s_b) $div (n_b * n_b) AS var_b
+                s_a $div GREATEST(n_a, 1) AS mean_a_bp,
+                s_b $div GREATEST(n_b, 1) AS mean_b_bp,
+                (n_a * q_a - s_a * s_a) $div GREATEST(n_a * n_a, 1) AS var_a,
+                (n_b * q_b - s_b * s_b) $div GREATEST(n_b * n_b, 1) AS var_b
          FROM g)
        SELECT n_a, n_b,
               CAST(mean_a_bp AS BIGINT) AS mean_a_bp,
