@@ -301,6 +301,60 @@ object Insights {
 
   val targetEncodeOracle: String = Fixtures.oracle(targetEncodeSql("//"))
 
+  /** The leakage gap PRICED (why [[targetEncode]] is out-of-fold): score
+    * every event's own label against two encoders of its (category, fold) —
+    * the shipped out-of-fold one, and the LEAKY in-fold one a naive
+    * implementation would use (the full-category rate, which saw the row's
+    * own label). Per fold: mean |label − enc| in basis points under both,
+    * and the optimism gap (leaky error minus honest error — negative,
+    * because memorizing your own labels always LOOKS better). A pipeline
+    * reads this row to know how much of a naive encoder's apparent lift is
+    * leakage, the same way the recall ladder prices encoding choices.
+    *
+    * Scale shape: the (category, fold) encoder frame is category-bounded
+    * (never corpus-sized) and joins back to the corpus on its grouping
+    * key — broadcastable; one scan of events on each side of the join,
+    * map-side-combined per-fold fold. All-integer (positive operands). */
+  def teLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    spark.sql("WITH _one AS (SELECT 1)" + teLeakageSql("DIV"))
+  }
+
+  private def teLeakageSql(div: String): String =
+    s""", tl_g AS (
+         SELECT cents $div 100 AS cat, seq % 5 AS fold,
+                COUNT(1) AS n,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+         FROM raw GROUP BY cents $div 100, seq % 5),
+       tl_w AS (
+         SELECT cat, fold, n, pos,
+                SUM(n) OVER (PARTITION BY cat) AS n_cat,
+                SUM(pos) OVER (PARTITION BY cat) AS pos_cat,
+                SUM(pos) OVER () * CAST(10000 AS BIGINT) $div SUM(n) OVER () AS prior_bp
+         FROM tl_g),
+       tl_enc AS (
+         SELECT cat, fold,
+                ((pos_cat - pos) * CAST(10000 AS BIGINT) + $teM * prior_bp)
+                  $div (n_cat - n + $teM) AS enc_oof,
+                (pos_cat * CAST(10000 AS BIGINT) + $teM * prior_bp)
+                  $div (n_cat + $teM) AS enc_in
+         FROM tl_w),
+       tl_ev AS (
+         SELECT cents $div 100 AS cat, seq % 5 AS fold,
+                CASE WHEN event_type = 'purchase'
+                     THEN CAST(10000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         FROM raw)
+       SELECT e.fold AS fold,
+              CAST(COUNT(1) AS BIGINT) AS n_rows,
+              CAST(SUM(ABS(e.y - c.enc_oof)) $div COUNT(1) AS BIGINT) AS mae_oof_bp,
+              CAST(SUM(ABS(e.y - c.enc_in)) $div COUNT(1) AS BIGINT) AS mae_in_bp,
+              CAST(SUM(ABS(e.y - c.enc_in)) $div COUNT(1)
+                   - SUM(ABS(e.y - c.enc_oof)) $div COUNT(1) AS BIGINT) AS optimism_bp
+       FROM tl_ev e JOIN tl_enc c ON e.cat = c.cat AND e.fold = c.fold
+       GROUP BY e.fold"""
+
+  val teLeakageOracle: String = Fixtures.oracle(teLeakageSql("//"))
+
   /** SCD2 dimension history (the slowly-changing-dimension type-2 build
     * every warehouse runs nightly): per user, the DAILY activity tier
     * (low/mid/high by fixed event-count thresholds) compressed into
@@ -358,6 +412,7 @@ object Insights {
     "events_ab_lift" -> (abLift _),
     "events_feature_matrix" -> (featureMatrix _),
     "events_target_encode" -> (targetEncode _),
+    "events_te_leakage" -> (teLeakage _),
     "events_scd2_tiers" -> (scd2Tiers _))
 
   val oracles: Map[String, String] = Map(
@@ -365,5 +420,6 @@ object Insights {
     "events_ab_lift" -> abLiftOracle,
     "events_feature_matrix" -> featureMatrixOracle,
     "events_target_encode" -> targetEncodeOracle,
+    "events_te_leakage" -> teLeakageOracle,
     "events_scd2_tiers" -> scd2Oracle)
 }

@@ -180,6 +180,22 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("te leakage: the in-fold encoder flatters itself on every fixture fold") {
+    import spark.implicits._
+    val rows = Insights.queries("events_te_leakage")(spark, sf).collect()
+    assert(rows.length === 5)
+    graft.fixtures.Fixtures.register(spark, sf)
+    val total = spark.table("raw").count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10000L)
+      assert(r.getLong(4) === r.getLong(3) - r.getLong(2))
+      // memorizing your own labels always LOOKS better on this corpus —
+      // the optimism the out-of-fold construction removes
+      assert(r.getLong(4) <= 0L, s"fold ${r.getLong(0)}")
+    }
+  }
+
   test("streaming dq gate flags a dirty batch mid-stream, exactly") {
     import spark.implicits._
     val dir = SparkSpec.fixtureDirExcept("events")
