@@ -123,7 +123,8 @@ object ScaleSoak {
     "events_feature_matrix",    // prefix-frame window pass, purchase-sized out
     "events_target_encode",     // (cat, fold) agg + cat-partitioned windows
     "events_scd2_tiers",        // user-day agg + islands windows + island agg
-    "streaming_dq_replay")      // check-grid counters through the state store
+    "streaming_dq_replay",      // check-grid counters through the state store
+    "events_te_leakage")        // 2 corpus scans + cat-bounded encoder join
 
   // ---------------------------------------------------------------- synth
 

@@ -313,8 +313,13 @@ object Insights {
     *
     * Scale shape: the (category, fold) encoder frame is category-bounded
     * (never corpus-sized) and joins back to the corpus on its grouping
-    * key — broadcastable; one scan of events on each side of the join,
-    * map-side-combined per-fold fold. All-integer (positive operands). */
+    * key — BROADCAST-hinted, since the frame is provably bounded by the
+    * category grid (~560×5 rows) while Catalyst's post-window size
+    * estimate turns pessimistic at scale (the 100× soak read a 47 MB
+    * corpus-side shuffle before the hint, zero after); one scan of events
+    * on each side of the join, map-side-combined per-fold fold. The hint
+    * is a comment to DuckDB, so the shared text stays verbatim.
+    * All-integer (positive operands). */
   def teLeakage(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     spark.sql("WITH _one AS (SELECT 1)" + teLeakageSql("DIV"))
@@ -344,7 +349,7 @@ object Insights {
                 CASE WHEN event_type = 'purchase'
                      THEN CAST(10000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
          FROM raw)
-       SELECT e.fold AS fold,
+       SELECT /*+ BROADCAST(c) */ e.fold AS fold,
               CAST(COUNT(1) AS BIGINT) AS n_rows,
               CAST(SUM(ABS(e.y - c.enc_oof)) $div COUNT(1) AS BIGINT) AS mae_oof_bp,
               CAST(SUM(ABS(e.y - c.enc_in)) $div COUNT(1) AS BIGINT) AS mae_in_bp,
