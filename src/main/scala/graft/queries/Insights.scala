@@ -30,7 +30,7 @@ object Insights {
 
   /** Multi-touch attribution (Shapley-free classics): for every `purchase`,
     * the preceding [[lookback]] same-user events SINCE THE LAST PURCHASE
-    * are its touchpoints, and each of three standard credit models splits
+    * are its touchpoints, and each of the four standard credit models splits
     * the conversion's 10⁴ basis points across them:
     *
     *  - `last_touch`:  all credit to the most recent touch
@@ -39,6 +39,9 @@ object Insights {
     *    the most recent — so every conversion's credit sums to EXACTLY 10⁴
     *    (the exactness the basis-point convention demands; a float split
     *    would leak ulps per conversion)
+    *  - `time_decay`:  weight 2^-(steps back) per touch over the valid
+    *    window's weight mass, floor-sum deficit to the most recent — the
+    *    same exact-conservation discipline as linear's remainder
     *
     * Output per (model, channel): conversions touched, touch rows, total
     * credit. Conversions with no touch in the window (cut at lag 1 or no
@@ -47,12 +50,12 @@ object Insights {
     *
     * Scale shape: the lag chain is ONE window pass over user partitions
     * (state = [[lookback]] strings per task); the credit arms EXPLODE from
-    * that frame (one Generate over a 17-slot struct array — the SQL
+    * that frame (one Generate over a 25-slot struct array — the SQL
     * UNION-ALL spelling the oracle replays would make Spark re-run the
     * window per arm, 17 partition sorts instead of 1; the explode form
     * keeps the executed plan at one Window + one Generate) and feed a
     * map-side-combined aggregate keyed by (model, channel) — 5 event
-    * types × 3 models of groups. No self-joins, no global windows. */
+    * types × 4 models of groups. No self-joins, no global windows. */
   def attribution(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
@@ -72,7 +75,14 @@ object Insights {
       s"""CASE WHEN fpos = $i THEN named_struct(
             'model', 'first_touch', 'channel', t$i,
             'credit_bp', CAST(10000 AS BIGINT)) END"""))
-    pc.select($"seq", explode(array(linearArms ++ Seq(lastArm) ++ firstArms: _*)).as("c"))
+    val decayArms = (1 to lookback).map(i => expr(
+      s"""CASE WHEN $i < cut AND t$i IS NOT NULL THEN named_struct(
+            'model', 'time_decay', 'channel', t$i,
+            'credit_bp', (CAST(10000 AS BIGINT) * ${1L << (lookback - i)}) DIV tw
+              + CASE WHEN $i = 1 THEN ${decayDeficit("DIV")}
+                     ELSE CAST(0 AS BIGINT) END) END"""))
+    pc.select($"seq", explode(array(
+        linearArms ++ Seq(lastArm) ++ firstArms ++ decayArms: _*)).as("c"))
       .where($"c".isNotNull)
       .groupBy($"c.model".as("model"), $"c.channel".as("channel"))
       .agg(
@@ -105,6 +115,11 @@ object Insights {
     val firstPos = (1 to lookback).map(i =>
       s"CASE WHEN $i < cut AND t$i IS NOT NULL THEN $i ELSE 0 END")
       .mkString("GREATEST(", ", ", ")")
+    // time-decay weight mass: w_i = 2^(lookback-i) halves per step back,
+    // tw = sum over the valid window (division-free — the arms divide)
+    val twExpr = (1 to lookback).map(i =>
+      s"(CASE WHEN $i < cut AND t$i IS NOT NULL THEN ${1L << (lookback - i)} ELSE 0 END)")
+      .mkString(" + ")
     s""", lagged AS (
          SELECT seq, event_type,
               $lagCols
@@ -112,15 +127,30 @@ object Insights {
                WHERE event_type IS NOT NULL) e
          WINDOW w AS (PARTITION BY user_id ORDER BY seq)),
        pc AS (
-         SELECT *, $nExpr AS n, $firstPos AS fpos
+         SELECT *, $nExpr AS n, $firstPos AS fpos, $twExpr AS tw
          FROM (SELECT *, $cutExpr AS cut
                FROM lagged WHERE event_type = 'purchase'))"""
   }
+
+  /** Row-local floor-sum deficit of the time-decay split: 10⁴ minus the
+    * sum of per-touch floors — added to the most-recent touch (valid
+    * whenever n ≥ 1, by lag contiguity) so the decay model conserves the
+    * conversion's 10⁴ exactly, like linear's MOD remainder. */
+  private def decayDeficit(div: String): String =
+    (1 to lookback).map(i =>
+      s"(CASE WHEN $i < cut AND t$i IS NOT NULL THEN " +
+        s"(CAST(10000 AS BIGINT) * ${1L << (lookback - i)}) $div tw ELSE 0 END)")
+      .mkString("(CAST(10000 AS BIGINT) - (", " + ", "))")
 
   /** The full oracle text: [[pcSql]] + the credit arms as UNION ALL (the
     * replayable spelling; the Spark side explodes instead — see
     * [[attribution]]). */
   private def attributionSql(div: String): String = {
+    val decayArms = (1 to lookback).map(i =>
+      s"""SELECT seq, 'time_decay' AS model, t$i AS channel,
+              (CAST(10000 AS BIGINT) * ${1L << (lookback - i)}) $div tw
+                + CASE WHEN $i = 1 THEN ${decayDeficit(div)} ELSE 0 END AS credit_bp
+          FROM pc WHERE $i < cut AND t$i IS NOT NULL""")
     val linearArms = (1 to lookback).map(i =>
       s"""SELECT seq, 'linear' AS model, t$i AS channel,
               CAST(10000 AS BIGINT) $div n
@@ -134,7 +164,7 @@ object Insights {
       s"""SELECT seq, 'first_touch' AS model, t$i AS channel,
               CAST(10000 AS BIGINT) AS credit_bp
           FROM pc WHERE fpos = $i""")
-    val arms = (linearArms ++ Seq(lastArm) ++ firstArms)
+    val arms = (linearArms ++ Seq(lastArm) ++ firstArms ++ decayArms)
       .mkString("\n          UNION ALL ")
     s"""$pcSql,
        credits AS (

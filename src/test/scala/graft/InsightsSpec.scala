@@ -15,7 +15,8 @@ class InsightsSpec extends SparkSpec {
     import spark.implicits._
     val rows = Insights.attribution(spark, sf).collect()
     val models = rows.map(_.getString(0)).distinct.sorted
-    assert(models === Array("first_touch", "last_touch", "linear"))
+    assert(models ===
+      Array("first_touch", "last_touch", "linear", "time_decay"))
     // single-credit models hand out exactly 10^4 per credited conversion
     for (m <- Seq("last_touch", "first_touch")) {
       val r = rows.filter(_.getString(0) == m)
@@ -23,11 +24,11 @@ class InsightsSpec extends SparkSpec {
       // one touch per conversion
       assert(r.map(_.getLong(3)).sum === r.map(_.getLong(2)).sum, m)
     }
-    // the three models agree on the total credit pool (same conversions)
+    // all four models agree on the total credit pool (same conversions)
     val pools = models.map(m =>
       rows.filter(_.getString(0) == m).map(_.getLong(4)).sum)
     assert(pools.distinct.length === 1,
-      "remainder-to-last-touch must conserve the linear pool")
+      "remainder/deficit-to-last-touch must conserve every model's pool")
     // purchase can never be a credited channel (the window cuts at it)
     assert(rows.forall(_.getString(1) != "purchase"))
     // credited conversions cannot exceed the purchase count — for the
