@@ -132,6 +132,76 @@ object Insights {
                FROM lagged WHERE event_type = 'purchase'))"""
   }
 
+  /** The lookback knob PRICED: at window depths 2/4/8, how many
+    * conversions get any credit (coverage), how many touchpoints the
+    * window sees, and the mean touches per credited conversion — the
+    * table that says what another doubling of [[lookback]] (and of
+    * per-task window state) actually buys. All three depths project from
+    * ONE pc frame (valid-at-depth-d is `i ≤ d AND i < cut AND tᵢ NOT
+    * NULL`, so the depth-8 lag chain subsumes the shallower windows);
+    * one window pass, one map-side aggregate, dialect-common text.
+    *
+    * Structural fact the curve makes visible: `credited` is
+    * depth-INVARIANT — a conversion has a valid touch at any depth iff
+    * its lag-1 is valid (contiguity + the cut both anchor at position 1) —
+    * so deeper windows buy touch breadth (178 → 289 → 400 centi-touches
+    * per credited conversion at sf0.01), never coverage. The knob prices
+    * state against attribution granularity, not against reach. */
+  private val curveDepths = Seq(2, 4, lookback)
+
+  private def curveNd(d: Int): String = (1 to d).map(i =>
+    s"(CASE WHEN $i < cut AND t$i IS NOT NULL THEN 1 ELSE 0 END)")
+    .mkString("(", " + ", ")")
+
+  def attributionCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    Fixtures.register(spark, sfDir)
+    import spark.implicits._
+    // ONE aggregate over one pc pass computes every depth's counters (the
+    // oracle's UNION-ALL spelling would re-run the lag window per depth);
+    // the row-per-depth shape then explodes from the 1-row frame
+    val pc = spark.sql("WITH _one AS (SELECT 1)" + pcSql
+      + " SELECT * FROM pc")
+    val aggs = count(lit(1)).as("conversions") +: curveDepths.flatMap { d =>
+      Seq(
+        sum(expr(s"CASE WHEN ${curveNd(d)} >= 1 THEN 1 ELSE 0 END")).as(s"cr_$d"),
+        sum(expr(curveNd(d))).as(s"to_$d"))
+    }
+    pc.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(curveDepths.map { d =>
+        struct(lit(d.toLong).as("depth"), col(s"cr_$d").as("credited"),
+          col(s"to_$d").as("touches"))
+      }: _*)).as("a"), $"conversions")
+      .select($"a.depth".cast("long").as("depth"),
+        $"a.credited".cast("long").as("credited"),
+        $"a.touches".cast("long").as("touches"),
+        expr("a.credited * 10000 DIV conversions").cast("long").as("coverage_bp"),
+        expr("a.touches * 100 DIV GREATEST(a.credited, 1)").cast("long")
+          .as("touches_per_credited_c"))
+  }
+
+  private def attributionCurveSql(div: String): String = {
+    val arms = curveDepths.map { d =>
+      s"""SELECT $d AS depth,
+              SUM(CASE WHEN ${curveNd(d)} >= 1 THEN 1 ELSE 0 END) AS credited,
+              SUM(${curveNd(d)}) AS touches,
+              COUNT(1) AS conversions
+          FROM pc"""
+    }
+    s"""$pcSql,
+       ac AS (
+          ${arms.mkString("\n          UNION ALL ")})
+       SELECT CAST(depth AS BIGINT) AS depth,
+              CAST(credited AS BIGINT) AS credited,
+              CAST(touches AS BIGINT) AS touches,
+              CAST(credited * 10000 $div conversions AS BIGINT) AS coverage_bp,
+              CAST(touches * 100 $div GREATEST(credited, 1) AS BIGINT)
+                AS touches_per_credited_c
+       FROM ac"""
+  }
+
+  val attributionCurveOracle: String =
+    Fixtures.oracle(attributionCurveSql("//"))
+
   /** Row-local floor-sum deficit of the time-decay split: 10⁴ minus the
     * sum of per-touch floors — added to the most-recent touch (valid
     * whenever n ≥ 1, by lag contiguity) so the decay model conserves the
@@ -448,6 +518,7 @@ object Insights {
     "events_feature_matrix" -> (featureMatrix _),
     "events_target_encode" -> (targetEncode _),
     "events_te_leakage" -> (teLeakage _),
+    "events_attribution_curve" -> (attributionCurve _),
     "events_scd2_tiers" -> (scd2Tiers _))
 
   val oracles: Map[String, String] = Map(
@@ -456,5 +527,6 @@ object Insights {
     "events_feature_matrix" -> featureMatrixOracle,
     "events_target_encode" -> targetEncodeOracle,
     "events_te_leakage" -> teLeakageOracle,
+    "events_attribution_curve" -> attributionCurveOracle,
     "events_scd2_tiers" -> scd2Oracle)
 }

@@ -48,6 +48,23 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("attribution curve: coverage is depth-invariant, touches grow strictly") {
+    val rows = Insights.queries("events_attribution_curve")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    // a conversion has a valid touch at any depth iff lag-1 is valid —
+    // deeper windows buy touch breadth, never coverage
+    assert(rows.map(_.getLong(1)).distinct.length === 1, "credited varies")
+    assert(rows.map(_.getLong(3)).distinct.length === 1, "coverage varies")
+    val touches = rows.map(_.getLong(2))
+    assert(touches.sameElements(touches.sorted) && touches.distinct.length === 3,
+      "touches must strictly grow with depth")
+    // depth-8 counters equal the full attribution's linear-model totals
+    val att = Insights.attribution(spark, sf).collect()
+      .filter(_.getString(0) == "linear")
+    assert(att.map(_.getLong(3)).sum === rows.last.getLong(2))
+  }
+
   test("ab lift matches a driver-side replay of the exact definitions") {
     import spark.implicits._
     val r = Insights.abLift(spark, sf).collect().head
