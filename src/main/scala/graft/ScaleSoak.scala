@@ -124,7 +124,8 @@ object ScaleSoak {
     "events_target_encode",     // (cat, fold) agg + cat-partitioned windows
     "events_scd2_tiers",        // user-day agg + islands windows + island agg
     "streaming_dq_replay",      // check-grid counters through the state store
-    "events_te_leakage")        // 2 corpus scans + cat-bounded encoder join
+    "events_te_leakage",        // 2 corpus scans + cat-bounded encoder join
+    "events_attribution_curve") // one lag pass, 3 depths from one aggregate
 
   // ---------------------------------------------------------------- synth
 
