@@ -264,17 +264,24 @@ object Bench {
           // build over a warm 1.2 s reference. alpha now compares min2 to
           // min2 (symmetric protocol); alpha_cold keeps the build-inclusive
           // exponent visible for entries where the build IS the workload.
-          def passOnce(): Seq[(String, Double)] = subset.map { name =>
+          // a failed pass carries NO timing (None): a fast-fail duration
+          // must never become wall_min2 or feed alpha — it would read as a
+          // phantom speedup. Failed entries appear only in `failures`.
+          def passOnce(): Seq[(String, Option[Double])] = subset.map { name =>
             val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(s1, dir).count() catch { case e: Throwable =>
-              if (!sf1Failed.contains(name)) sf1Failed ::= name
-              System.err.println(s"[bench] sf1 $name FAILED: $e")
-            }
-            name -> (System.nanoTime() - t0) / 1e9
+            val good = try { SparkEntry.queries(name)(s1, dir).count(); true }
+              catch { case e: Throwable =>
+                if (!sf1Failed.contains(name)) sf1Failed ::= name
+                System.err.println(s"[bench] sf1 $name FAILED: $e")
+                false
+              }
+            name -> (if (good) Some((System.nanoTime() - t0) / 1e9) else None)
           }
           val cold = passOnce()
           val warm = passOnce().toMap
-          val timed = cold.map { case (k, v) => (k, v, math.min(v, warm(k))) }
+          val timed = cold.flatMap { case (k, vOpt) =>
+            for (v <- vOpt; w <- warm.getOrElse(k, None))
+              yield (k, v, math.min(v, w)) }
           val ok = timed.filterNot { case (k, _, _) => sf1Failed.contains(k) }
           def alpha(name: String, t1: Double): Double = {
             val t0 = minWall.getOrElse(name, 0.0)

@@ -543,11 +543,17 @@ object AnnIndex {
   /** Build-once registry: the first call per (session, sfDir, tag) trains
     * and writes the artifacts into a fresh per-session temp root; every
     * later call — including the second half of the spec's
-    * build-once/query-twice contract — only reads. */
-  private val roots = TrieMap.empty[(SparkSession, String, String), String]
+    * build-once/query-twice contract — only reads. First touch is atomic
+    * (graft.util.KeyedOnce, VERDICT r14 #4): concurrent first consumers
+    * block on ONE training run instead of racing duplicate temp roots. */
+  private val roots = new graft.util.KeyedOnce[(SparkSession, String, String), String]
 
   /** Loaded frames per root — the deltas are immutable once [[ensure]]
-    * returns, so the directory listing + parquet reads happen once. */
+    * returns, so the directory listing + parquet reads happen once.
+    * Plain TrieMap.getOrElseUpdate is fine HERE: load() only constructs
+    * lazy frames (listing + plan, no job, no artifact written), so a
+    * first-touch race costs a duplicate listing, nothing orphaned —
+    * unlike [[ensure]]/Memo, which need [[graft.util.KeyedOnce]]. */
   private val loadedFrames = TrieMap.empty[String, Frames]
 
   /** The session's built index root for a tag, if any (spec seam). */
@@ -557,7 +563,7 @@ object AnnIndex {
 
   private def ensure(spark: SparkSession, sfDir: String, tag: String)
       (build: String => Unit): String =
-    roots.getOrElseUpdate((spark, sfDir, tag), {
+    roots((spark, sfDir, tag)) {
       val root = Files.createTempDirectory(s"graft-ann-$tag-").toString
       // the temp root stands in for a durable index path: it must outlive
       // every consumer in this session, but not the JVM — without this
@@ -566,7 +572,7 @@ object AnnIndex {
         rmTree(Paths.get(root))))
       build(root)
       root
-    })
+    }
 
   /** THE serving path of the whole similarity family (VERDICT r11 #2): the
     * first consumer per (session, sfDir, table) trains and publishes the

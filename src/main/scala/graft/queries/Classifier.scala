@@ -153,6 +153,15 @@ object Classifier {
         ($"m" > 0L).as("keep"))
   }
 
+  /** DuckDB spelling of Spark's TRUNCATING integer division for a possibly
+    * negative numerator: Spark `DIV` truncates toward zero, DuckDB `//`
+    * floors — they agree only on non-negative operands. The nb margin sum
+    * Σ(weight_bp − 10⁴) is signed by construction (0 is the class
+    * boundary), so every oracle replay of `m DIV n_tokens` must sign-split
+    * or a negative non-divisible margin shifts by 1 and flips bins. */
+  private def truncDiv(s: String, n: String): String =
+    s"(CASE WHEN ($s) >= 0 THEN ($s) // ($n) ELSE -((-($s)) // ($n)) END)"
+
   /** Shared oracle CTEs ending at `nb_w(bucket, pos_n, neg_n, weight_bp)`. */
   private def nbCtes: String =
     s""", nb_t AS (
@@ -187,9 +196,10 @@ object Classifier {
        FROM nb_w""")
 
   val nbScoreOracle: String = Fixtures.oracle(nbCtes +
-    """
+    s"""
        SELECT g.doc_id, COUNT(1) AS n_tokens,
-              CAST(SUM(w.weight_bp - 10000) // COUNT(1) AS BIGINT) AS margin_bp,
+              CAST(${truncDiv("SUM(w.weight_bp - 10000)", "COUNT(1)")}
+                AS BIGINT) AS margin_bp,
               SUM(w.weight_bp - 10000) > 0 AS keep
        FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
        GROUP BY 1""")
@@ -568,7 +578,8 @@ object Classifier {
 
   val marginPrOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
     prArmCtes("nb",
-      s"""SELECT g.doc_id, SUM(w.weight_bp - 10000) // COUNT(1) AS margin
+      s"""SELECT g.doc_id,
+                 ${truncDiv("SUM(w.weight_bp - 10000)", "COUNT(1)")} AS margin
           FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
           GROUP BY 1""") +
     prArmCtes("percep",
@@ -660,7 +671,8 @@ object Classifier {
 
   val calibrationOracle: String = Fixtures.oracle(nbCtes + pcpCtes +
     calArmCtes("nb",
-      s"""SELECT g.doc_id, SUM(w.weight_bp - 10000) // COUNT(1) AS margin
+      s"""SELECT g.doc_id,
+                 ${truncDiv("SUM(w.weight_bp - 10000)", "COUNT(1)")} AS margin
           FROM nb_t g JOIN nb_w w ON g.bucket = w.bucket
           GROUP BY 1""") +
     calArmCtes("percep",

@@ -268,12 +268,18 @@ object Insights {
     * aggregate folded to one row — no windows, no joins. */
   def abLift(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    spark.sql("WITH _one AS (SELECT 1)" + abLiftSql("DIV"))
+    spark.sql("WITH _one AS (SELECT 1)" + abLiftSql("DIV", "DECIMAL(38,0)"))
   }
 
-  private def abLiftSql(div: String): String = {
+  private def abLiftSql(div: String, wide: String): String = {
     // GREATEST(n, 1) guards the degenerate single-parity batch (an empty
-    // variant reads mean/var 0 instead of erroring under ANSI division)
+    // variant reads mean/var 0 instead of erroring under ANSI division).
+    // The s/q accumulators and the n² denominator run in `wide` lanes
+    // (DECIMAL(38,0) on Spark, HUGEINT in the oracle, the nbScore/pcp
+    // discipline): q ≤ n·10⁸ so n·q and s² pass int64 at ~3·10⁵ users per
+    // variant — inside any real corpus — and the engines diverge on wrap
+    // (Spark ANSI errors, DuckDB HUGEINT keeps going). Wide lanes stay
+    // exact to 10³⁸, i.e. ~10¹⁵ users per variant.
     val se2 = s"(var_a $div GREATEST(n_a, 1) + var_b $div GREATEST(n_b, 1) + 1)"
     val isq = Sampling.isqrtSql(se2)
     s""", ur AS (
@@ -284,17 +290,17 @@ object Insights {
        g AS (
          SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
                 CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-                CAST(SUM(CASE WHEN variant = 0 THEN rate_bp ELSE 0 END) AS BIGINT) AS s_a,
-                CAST(SUM(CASE WHEN variant = 1 THEN rate_bp ELSE 0 END) AS BIGINT) AS s_b,
-                CAST(SUM(CASE WHEN variant = 0 THEN rate_bp * rate_bp ELSE 0 END) AS BIGINT) AS q_a,
-                CAST(SUM(CASE WHEN variant = 1 THEN rate_bp * rate_bp ELSE 0 END) AS BIGINT) AS q_b
+                SUM(CAST(CASE WHEN variant = 0 THEN rate_bp ELSE 0 END AS $wide)) AS s_a,
+                SUM(CAST(CASE WHEN variant = 1 THEN rate_bp ELSE 0 END AS $wide)) AS s_b,
+                SUM(CAST(CASE WHEN variant = 0 THEN rate_bp * rate_bp ELSE 0 END AS $wide)) AS q_a,
+                SUM(CAST(CASE WHEN variant = 1 THEN rate_bp * rate_bp ELSE 0 END AS $wide)) AS q_b
          FROM ur),
        m AS (
          SELECT n_a, n_b,
                 s_a $div GREATEST(n_a, 1) AS mean_a_bp,
                 s_b $div GREATEST(n_b, 1) AS mean_b_bp,
-                (n_a * q_a - s_a * s_a) $div GREATEST(n_a * n_a, 1) AS var_a,
-                (n_b * q_b - s_b * s_b) $div GREATEST(n_b * n_b, 1) AS var_b
+                (n_a * q_a - s_a * s_a) $div GREATEST(CAST(n_a AS $wide) * n_a, 1) AS var_a,
+                (n_b * q_b - s_b * s_b) $div GREATEST(CAST(n_b AS $wide) * n_b, 1) AS var_b
          FROM g)
        SELECT n_a, n_b,
               CAST(mean_a_bp AS BIGINT) AS mean_a_bp,
@@ -306,7 +312,7 @@ object Insights {
        FROM m"""
   }
 
-  val abLiftOracle: String = Fixtures.oracle(abLiftSql("//"))
+  val abLiftOracle: String = Fixtures.oracle(abLiftSql("//", "HUGEINT"))
 
   /** Point-in-time training-example assembly (the feature-store
     * "time-travel join" discipline): one row per `purchase` with features

@@ -62,12 +62,26 @@ object StreamReplay {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Staged micro-batch inputs, ONE write per (session, sfDir, entry)
+    * (VERDICT r14 #3 on the replay bench floor): the split frames are
+    * deterministic, so re-writing them on every run — 3 parquet write
+    * jobs per entry per bench PASS, ~13 entries × 2 passes — was pure
+    * fixed overhead. The first run stages; every later run (the bench's
+    * warm pass, repeated catalog passes, the stats consumers) hard-links
+    * the committed part files into its own watch directory, a
+    * metadata-only operation. Atomic first touch via [[graft.util.KeyedOnce]];
+    * cleaned by a JVM shutdown hook (the dirs must outlive every
+    * consumer in the session). */
+  private val staged =
+    new graft.util.KeyedOnce[(SparkSession, String, String), String]
+
   /** Run `pipe` over `batched` (a frame whose `b` column holds the 0-based
     * micro-batch index; the remaining columns must match `I`'s encoder
     * schema) through a parquet file stream, one batch per trigger. The
-    * per-batch frames are written by executors; the driver only moves the
-    * committed part files into the watched directory — nothing row-sized
-    * ever crosses it. Returns the full emission log.
+    * per-batch frames are written by executors — once per session, see
+    * [[staged]] — and the driver only hard-links the committed part files
+    * into the watched directory: nothing row-sized ever crosses it.
+    * Returns the full emission log.
     *
     * The emission log is a parquet FILE sink too (via foreachBatch, which
     * unlike the built-in file sink accepts Update mode): each micro-batch's
@@ -79,15 +93,21 @@ object StreamReplay {
     * deleted before the entry's downstream aggregation runs — same tmp
     * hygiene as before, same O(1) driver state as the operators under
     * test. */
-  private def replayViaFiles[I](spark: SparkSession, tag: String,
-      batched: DataFrame, mode: OutputMode, nb: Int = numBatches)
+  private def replayViaFiles[I](spark: SparkSession, sfDir: String, tag: String,
+      batched: => DataFrame, mode: OutputMode, nb: Int = numBatches)
       (pipe: Dataset[I] => Dataset[_])
       (implicit enc: Encoder[I]): DataFrame = {
+    val src = staged((spark, sfDir, tag)) {
+      val root = Files.createTempDirectory(s"graft-replay-stage-$tag-")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root)))
+      val df = batched
+      (0 until nb).foreach { i =>
+        df.filter(col("b") === i).drop("b").write.parquet(s"$root/b$i")
+      }
+      root.toString
+    }
     val stage = Files.createTempDirectory(s"graft-replay-$tag-")
     try {
-      (0 until nb).foreach { i =>
-        batched.filter(col("b") === i).drop("b").write.parquet(s"$stage/b$i")
-      }
       val watch = s"$stage/watch"
       val sink = s"$stage/sink"
       Files.createDirectories(Paths.get(watch))
@@ -99,9 +119,9 @@ object StreamReplay {
           (batch, _) => batch.write.mode("append").parquet(sink)
         val q = piped.writeStream.outputMode(mode).foreachBatch(emit).start()
         try (0 until nb).foreach { i =>
-          moveParts(Paths.get(s"$stage/b$i"), Paths.get(watch), s"b$i")
+          linkParts(Paths.get(s"$src/b$i"), Paths.get(watch), s"b$i")
           // all newly-visible files land in ONE micro-batch (no
-          // maxFilesPerTrigger cap), so the move boundary IS the batch
+          // maxFilesPerTrigger cap), so the link boundary IS the batch
           // boundary
           q.processAllAvailable()
         } finally q.stop()
@@ -124,15 +144,20 @@ object StreamReplay {
     f.delete(); ()
   }
 
-  /** Move every committed part file of `src` into `dest` under a
-    * batch-unique prefix (metadata renames — same filesystem). */
-  private def moveParts(src: Path, dest: Path, prefix: String): Unit = {
+  /** Hard-link every committed part file of `src` into `dest` under a
+    * batch-unique prefix. The shared staged input is immutable (links,
+    * not moves, so [[staged]] survives for the next consumer); a link is
+    * metadata-only on the same filesystem, with a copy fallback for
+    * filesystems that refuse links. */
+  private def linkParts(src: Path, dest: Path, prefix: String): Unit = {
     val s = Files.list(src)
     try s.iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach { p =>
-        Files.move(p, dest.resolve(s"$prefix-${p.getFileName}"),
-          StandardCopyOption.ATOMIC_MOVE)
+        val d = dest.resolve(s"$prefix-${p.getFileName}")
+        try { Files.createLink(d, p); () }
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, d, StandardCopyOption.COPY_ATTRIBUTES); () }
       }
     finally s.close()
   }
@@ -184,7 +209,7 @@ object StreamReplay {
     * non-decreasing; equal totals ⇒ identical counters). */
   def histReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replayViaFiles[(String, Long)](spark, "hist_replay",
+    val log = replayViaFiles[(String, Long)](spark, sfDir, "hist_replay",
       eventBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingHist.hists(ds.map { case (g, v) => StreamingHist.ValueIn(g, v) })
     }
@@ -213,7 +238,7 @@ object StreamReplay {
     * only ratchet upward, so later states dominate element-wise. */
   def topkReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replayViaFiles[(String, Long)](spark, "topk_replay",
+    val log = replayViaFiles[(String, Long)](spark, sfDir, "topk_replay",
       eventBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingTopK.tops(ds.map { case (g, v) => StreamingTopK.ValueIn(g, v) }, 5)
     }
@@ -241,7 +266,7 @@ object StreamReplay {
     * across batches. */
   def cmsReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val log = replayViaFiles[(String, Long, String)](spark, "cms_replay",
+    val log = replayViaFiles[(String, Long, String)](spark, sfDir, "cms_replay",
       docBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingCms.estimates(
         ds.map { case (s, id, t) => StreamingCms.DocIn(s, id, t) },
@@ -288,7 +313,7 @@ object StreamReplay {
   def kmvReplay(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = 256
-    val log = replayViaFiles[(String, Long, String)](spark, "kmv_replay",
+    val log = replayViaFiles[(String, Long, String)](spark, sfDir, "kmv_replay",
       docBatches(spark, sfDir), OutputMode.Update) { ds =>
       StreamingKmv.estimates(
         ds.map { case (s, id, t) => StreamingKmv.DocIn(s, id, t) }, k)
@@ -331,7 +356,7 @@ object StreamReplay {
     val batched = rangeBatched(spark.table("ek")
       .select($"user_id", $"event_type", $"seq"), "seq")
     replayViaFiles[graft.streaming.StreamingFunnel.EventIn](
-      spark, "funnel_replay", batched, OutputMode.Update)(
+      spark, sfDir, "funnel_replay", batched, OutputMode.Update)(
       graft.streaming.StreamingFunnel.stages)
       .groupBy($"user_id").agg(max($"stage").as("stage"))
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
@@ -349,7 +374,7 @@ object StreamReplay {
     val batched = rangeBatched(spark.table("documents")
       .select($"doc_id", $"text"), "doc_id")
     replayViaFiles[graft.streaming.StreamingDedup.DocIn](
-      spark, "dedup_replay", batched, OutputMode.Append)(
+      spark, sfDir, "dedup_replay", batched, OutputMode.Append)(
       graft.streaming.StreamingDedup.exactDedup)
       .select($"doc_id", $"canonical_doc_id", $"is_duplicate")
   }
@@ -381,7 +406,7 @@ object StreamReplay {
       .filter($"user_id".isNotNull && $"cents".isNotNull)
       .select($"user_id", $"seq", $"cents"), "seq")
     replayViaFiles[graft.streaming.StreamingAnomaly.EventIn](
-      spark, "anomaly_replay", batched, OutputMode.Append) { ds =>
+      spark, sfDir, "anomaly_replay", batched, OutputMode.Append) { ds =>
       graft.streaming.StreamingAnomaly.detect(ds)
     }
       .select($"user_id", $"seq", $"cents", round($"z", 6).as("z"))
@@ -438,7 +463,7 @@ object StreamReplay {
     val batched = real.unionByName(sentinels)
       .select($"user_id", to_timestamp($"btime").as("ts"), $"cents", $"b")
     replayViaFiles[graft.streaming.StreamingSessions.SessionEvent](
-      spark, "sessions_replay", batched, OutputMode.Append, nb = numBatches + 2)(
+      spark, sfDir, "sessions_replay", batched, OutputMode.Append, nb = numBatches + 2)(
       graft.streaming.StreamingSessions.sessionize(_))
       .filter($"user_id" >= 0L)
       .select($"user_id",
@@ -480,7 +505,7 @@ object StreamReplay {
     val batched = spark.table("documents")
       .select($"lang".as("_1"), $"doc_id".as("_2"),
         ($"doc_id" % numBatches).cast("int").as("b"))
-    val log = replayViaFiles[(String, Long)](spark, "sample_replay",
+    val log = replayViaFiles[(String, Long)](spark, sfDir, "sample_replay",
       batched, OutputMode.Update) { ds =>
       graft.streaming.StreamingSample.samples(
         ds.map { case (l, id) => graft.streaming.StreamingSample.DocIn(l, id) }, 50)
@@ -511,7 +536,7 @@ object StreamReplay {
       .filter($"event_type".isNotNull && $"user_id".isNotNull)
       .select($"event_type".as("_1"), $"user_id".cast("long").as("_2"),
         ($"user_id" % numBatches).cast("int").as("b"))
-    val log = replayViaFiles[(String, Long)](spark, "hll_replay",
+    val log = replayViaFiles[(String, Long)](spark, sfDir, "hll_replay",
       batched, OutputMode.Update) { ds =>
       graft.streaming.StreamingHll.sketches(
         ds.map { case (et, u) => graft.streaming.StreamingHll.EvIn(et, u) })
@@ -547,7 +572,7 @@ object StreamReplay {
     val batched = spark.table("events")
       .select($"event_type".as("_1"), $"value".as("_2"),
         pmod($"event_id", lit(numBatches)).cast("int").as("b"))
-    val log = replayViaFiles[(String, Option[Double])](spark, "dq_replay",
+    val log = replayViaFiles[(String, Option[Double])](spark, sfDir, "dq_replay",
       batched, OutputMode.Update) { ds =>
       ds.toDF("event_type", "value")
         .select(explode(array(checks.map { case (_, nm, pred) =>

@@ -1,7 +1,5 @@
 package graft.util
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -29,14 +27,16 @@ object Memo {
     * storage: `unpersist` for persisted frames, but for localCheckpoint-ed
     * frames `Dataset.unpersist` is a NO-OP (checkpoint blocks belong to the
     * underlying RDD, which is not registered in the cacheManager), so those
-    * entries unpersist the checkpointed RDD directly. */
-  private val frames = TrieMap.empty[(SparkSession, String, String), (DataFrame, () => Unit)]
+    * entries unpersist the checkpointed RDD directly. First touch is atomic
+    * ([[KeyedOnce]], VERDICT r14 #4): concurrent consumers block on one
+    * build instead of double-persisting an expensive frame. */
+  private val frames = new KeyedOnce[(SparkSession, String, String), (DataFrame, () => Unit)]
 
   def cached(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, sfDir, name), {
+    frames((spark, sfDir, name)) {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       (df, () => { df.unpersist(false); () })
-    })._1
+    }._1
 
   /** Like [[cached]], but also truncates lineage with an eager local
     * checkpoint. A persisted frame still CARRIES its full logical plan, so
@@ -49,10 +49,10 @@ object Memo {
     * executor — right for derived frames that can rebuild; an iterative
     * production job would point spark.checkpoint.dir at durable storage. */
   def checkpointed(spark: SparkSession, sfDir: String, name: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, sfDir, name), {
+    frames((spark, sfDir, name)) {
       val ck = build.localCheckpoint()
       (ck, () => checkpointRdd(ck).foreach(_.unpersist(false)))
-    })._1
+    }._1
 
   /** The RDD holding a localCheckpoint-ed frame's blocks. The analyzed plan
     * is a single `LogicalRDD` leaf whose `rdd` accessor is package-private

@@ -46,12 +46,52 @@ class Http2WireSpec extends AnyFunSuite {
     assert(decoded == Seq("a" -> "b", "a" -> "b"))
   }
 
-  test("HPACK decoder rejects Huffman literals instead of mis-parsing them") {
-    val block = Array[Byte](0x00, (0x80 | 1).toByte, 0x3f) // H bit set on name
-    val e = intercept[IllegalArgumentException] {
-      new HpackDecoder().decode(block)
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("HPACK Huffman: RFC 7541 C.4 — three foreign request captures on one connection") {
+    // The RFC's OWN Huffman-coded captures (what a stock gRPC client's
+    // HPACK encoder emits), fed through ONE decoder so the dynamic-table
+    // interplay is exercised exactly as on a live connection.
+    val d = new HpackDecoder()
+    assert(d.decode(hex("8286 8441 8cf1 e3c2 e5f2 3a6b a0ab 90f4 ff")) == Seq(
+      ":method" -> "GET", ":scheme" -> "http", ":path" -> "/",
+      ":authority" -> "www.example.com"))
+    assert(d.decode(hex("8286 84be 5886 a8eb 1064 9cbf")) == Seq(
+      ":method" -> "GET", ":scheme" -> "http", ":path" -> "/",
+      ":authority" -> "www.example.com", "cache-control" -> "no-cache"))
+    assert(d.decode(hex("8287 85bf 4088 25a8 49e9 5ba9 7d7f 8925 a849 e95b b8e8 b4bf")) == Seq(
+      ":method" -> "GET", ":scheme" -> "https", ":path" -> "/index.html",
+      ":authority" -> "www.example.com", "custom-key" -> "custom-value"))
+  }
+
+  test("HPACK Huffman: RFC 7541 C.6.1 — the Huffman-coded response capture") {
+    val d = new HpackDecoder()
+    assert(d.decode(hex(
+      "4882 6402 5885 aec3 771a 4b61 96d0 7abe 9410 54d4 44a8 2005 9504 0b81" +
+        " 66e0 82a6 2d1b ff6e 919d 29ad 1718 63c7 8f0b 97c8 e9ae 82ae 43d3")) == Seq(
+      ":status" -> "302", "cache-control" -> "private",
+      "date" -> "Mon, 21 Oct 2013 20:13:21 GMT",
+      "location" -> "https://www.example.com"))
+  }
+
+  test("HPACK Huffman: RFC 7541 §5.2 error rules — EOS, long padding, 0-bit padding") {
+    def decodeStr(payload: String): Seq[(String, String)] = {
+      val v = hex(payload)
+      new HpackDecoder().decode(
+        Array[Byte](0x00, 0x01, 'a'.toByte, (0x80 | v.length).toByte) ++ v)
     }
-    assert(e.getMessage.contains("Huffman"))
+    // the 30-bit EOS symbol inside the data MUST be a decoding error
+    val eos = intercept[IllegalArgumentException](decodeStr("ffffffff"))
+    assert(eos.getMessage.contains("EOS"))
+    // 'a' (00011) + 11 one-bits: padding strictly longer than 7 bits
+    val long = intercept[IllegalArgumentException](decodeStr("1fff"))
+    assert(long.getMessage.contains("padding"))
+    // 'a' (00011) + 110: padding must be all ones (a prefix of EOS)
+    val zero = intercept[IllegalArgumentException](decodeStr("1e"))
+    assert(zero.getMessage.contains("padding"))
+    // well-formed: 'a' + 3 one-bits of padding decodes
+    assert(decodeStr("1f") == Seq("a" -> "a"))
   }
 
   test("h2c e2e: the reorg scenario drains identically over HTTP/2") {

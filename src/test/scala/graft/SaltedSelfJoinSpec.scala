@@ -116,10 +116,17 @@ class SaltedSelfJoinSpec extends SparkSpec {
   test("ngramJaccard under the salt gate matches its unsalted result") {
     val sfDir = "/root/testdata/sf0.001"
     // compare collected sets: combining both instances into one exceptAll
-    // plan would duplicate the observe() metric name (DUPLICATED_METRICS_NAME)
+    // plan would duplicate the observe() metric name (DUPLICATED_METRICS_NAME).
+    // The entry serves the memoized ppjoin path since r15, so the salted
+    // variant must RELEASE the memo scope on both edges — otherwise it
+    // would re-read the unsalted cached result and the test would be
+    // vacuous (and the unsalted memo would leak a salted build to later
+    // suites on the way out).
     val base = graft.queries.Dedup.ngramJaccard(spark, sfDir).collect().toSet
     val salted = withBuckets(4) {
-      graft.queries.Dedup.ngramJaccard(spark, sfDir).collect().toSet
+      graft.util.Memo.release(spark, sfDir)
+      try graft.queries.Dedup.ngramJaccard(spark, sfDir).collect().toSet
+      finally graft.util.Memo.release(spark, sfDir)
     }
     assert(base.nonEmpty, "fixture must produce near-dup pairs")
     assert(base == salted, "the salt gate must be invisible in the result")

@@ -61,9 +61,12 @@ class ScalePlanSpec extends SparkSpec {
     }
   }
 
-  test("ngramJaccard's stop-gram anti-join shuffles; only the 1-row total broadcasts") {
+  test("the gram front's stop-gram anti-join shuffles; only the 1-row total broadcasts") {
     withNoAutoBroadcast {
-      val p = plan(Dedup.ngramJaccard(spark, sfDir))
+      // the unfiltered builder exposes the shared gram front (ppjoinSets)
+      // without the memoized ppjoin serving plan wrapped around it — the
+      // anti-join under test is the SAME subtree the catalog entry consumes
+      val p = plan(Dedup.ngramJaccardUnfiltered(spark, sfDir))
       assert(p.contains("LeftAnti"), s"stop-gram filter must be an anti-join:\n$p")
       assert(!p.contains("BroadcastHashJoin LeftAnti"),
         s"the Zipf-growing stop-gram set must not broadcast:\n$p")
