@@ -229,11 +229,13 @@ object Bench {
           } finally si.stop()
         j
       } else ""
-    // sf1 leg (VERDICT r12 #8 / r13 #9): one committed data point where the
-    // CORPUS grows 10×, so the 2× bar tracks data growth instead of host
-    // noise. Synthesizes the deterministic ScaleSoak sf1 corpus (skipped if
-    // already built), runs the slowest-30 (by min-wall — the contention-free
-    // ranking) cold in a fresh session, and writes the per-query detail +
+    // sf1 leg (VERDICT r12 #8 / r13 #9; FULL catalog since r15, r14 #9):
+    // one committed data point where the CORPUS grows 10×, so the 2× bar
+    // tracks data growth instead of host noise. Synthesizes the
+    // deterministic ScaleSoak sf1 corpus (skipped if already built), runs
+    // EVERY catalog entry (ordered by sf0.1 min-wall descending — the
+    // contention-free ranking, so detail files stay comparable across
+    // rounds) in a fresh session, and writes the per-query detail +
     // alpha-vs-sf0.1 to BENCH_sf1_latest.json in the working directory: the
     // driver's capture keeps only the final ~2 KB of output, so the compact
     // line carries a 4-field summary and the file carries the evidence.
@@ -252,7 +254,7 @@ object Bench {
           ScaleSoak.synth(s1, dir, 10)
           graft.fixtures.Fixtures.register(s1, dir)
           val subset = results.sortBy { case (k, _, _, _) => -minWall(k) }
-            .take(30).map(_._1)
+            .map(_._1)
           var sf1Failed = List.empty[String]
           // TWO passes, like the sf0.1 protocol: the sf0.1 reference is a
           // min-of-passes (warm) number, so an alpha computed from a single

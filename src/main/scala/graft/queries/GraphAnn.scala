@@ -35,13 +35,16 @@ import graft.plans.DotProduct
   *    form (expand the whole frontier each round along UNDIRECTED edges —
   *    forward K plus the same ρK-capped reverse sample — keep the best
   *    [[beam]] by exact cosine, fixed [[searchRounds]] rounds). Entry
-  *    points are PER-QUERY: each query seeds its frontier with its own
-  *    co-bucket mates from BOTH persisted LSH plane families (capped at
-  *    [[lshSeedCap]] per family) plus a fixed set of [[nLandmarks]] global
-  *    landmarks — a flat graph has no HNSW hierarchy to funnel a single
-  *    global entry toward the query's region, so seeding diversity is what
-  *    buys convergence (the round-13 single-`MIN(vec_id)` entry measured
-  *    recall@3 0.05 at sf0.1; this seeding measures 0.65 at beam=12 — see
+  *    points are PER-QUERY: each query seeds its frontier with its
+  *    MULTI-PROBE co-bucket mates from BOTH persisted LSH plane families
+  *    (own bucket plus every Hamming-1 bucket, capped at [[lshSeedCap]]
+  *    per family ranked by probe distance) plus a fixed set of
+  *    [[nLandmarks]] global landmarks — a flat graph has no HNSW
+  *    hierarchy to funnel a single global entry toward the query's
+  *    region, so seeding diversity is what buys convergence (the
+  *    round-13 single-`MIN(vec_id)` entry measured recall@3 0.05 at
+  *    sf0.1; r14's single-probe seeding over the degree-8 graph measured
+  *    0.65; multi-probe seeds + degree 16 measure 0.917 — see
   *    [[recallGraphCurve]] for the published knob curve). Per query the
   *    work is O(rounds·beam·(K+ρK)) dot products; the corpus is never
   *    scanned.
@@ -65,15 +68,21 @@ import graft.plans.DotProduct
   */
 object GraphAnn {
 
-  /** Graph degree K: each node keeps its best 8 neighbors. The recall/cost
-    * knob of the family (HNSW's M). */
-  private val K = 8
+  /** Graph degree K: each node keeps its best 16 neighbors. The
+    * recall/cost knob of the family (HNSW's M — production HNSW runs
+    * M 16-48). Raised 8 → 16 in r15: at sf0.1 the degree-8 graph held
+    * only 52/120 of the queries' true top-3 as direct edges, capping the
+    * beam search at 0.68 no matter the seeds — this corpus is
+    * near-uniform (true top-3 cosines ~0.4), so the neighbors-of-
+    * neighbors signal NN-descent exploits is weak and degree is what
+    * buys graph quality. Build stays O(N·(K+ρK)²) pairs per round. */
+  private val K = 16
 
-  /** NN-descent refinement rounds after the LSH+ring seed. Swept at sf0.1
-    * under the bucket-ring init: recall@3 at the serving config is 0.62
-    * after 4 rounds, 0.65 after 5 — one more round than the clique init
-    * needed, buying back (and passing) the clique's 0.63 with a linear
-    * candidate volume. */
+  /** NN-descent refinement rounds after the LSH+ring seed (swept r14 at
+    * K=8: serving recall 0.62 after 4 rounds, 0.65 after 5 — one more
+    * round than the clique init needed, at linear candidate volume; kept
+    * at 5 under K=16, where the build converges to 104/120 true-top-3
+    * direct edges at sf0.1). */
   private val rounds = 5
 
   /** Per-node co-bucket seed span: inside each LSH bucket (members ordered
@@ -89,23 +98,29 @@ object GraphAnn {
   /** Reverse-neighbor sample cap (the paper's ρK, ρ=1): each node
     * contributes at most this many incoming edges to the expansion, both
     * in build rounds and in the serving adjacency. */
-  private val rhoCap = 8
+  private val rhoCap = K
 
-  /** Beam width and round count of the serving search. Swept at sf0.1
-    * (beam 8/10/12/16 × rounds 3..6): recall flattens at rounds=5 for
-    * every beam; beam=12 is the knee of the recall-vs-candidates curve
-    * (0.65 at ~340 candidates/query of a 2000-vector corpus under the
-    * bucket-ring init — vs the PQ arm's 0.43 and plain LSH's 0.07).
-    * [[recallGraphCurve]] gates the rounds axis of that sweep. */
+  /** Beam width and round count of the serving search. The r14 sweep at
+    * sf0.1 (beam 8/10/12/16 × rounds 3..6, K=8) put the knee at beam=12;
+    * under K=16 + multi-probe seeds the published curve saturates at
+    * rounds=3 (0.917 at ~760 visited/query of the 2000-vector sf0.1
+    * corpus — vs the PQ arm's 0.43 and plain LSH's 0.07); rounds stay at
+    * 5 as the safety margin the curve entry prices (visited grows <3%
+    * past saturation). [[recallGraphCurve]] gates the rounds axis. */
   private val beam = 12
   private val searchRounds = 5
 
-  /** Per-query seed budget: co-bucket mates per LSH plane family, plus the
-    * fixed global landmark count (the [[nLandmarks]] smallest vec_ids —
-    * ids are unordered w.r.t. embedding space, so these are deterministic
-    * uniform starts; buckets are near-singleton at the sf fixtures, so
-    * landmarks carry queries whose buckets are empty). */
-  private val lshSeedCap = 4
+  /** Per-query seed budget: co-bucket mates per LSH plane family under
+    * MULTI-PROBE (own bucket + the [[Similarity.lshPlanes]] Hamming-1
+    * buckets — Lv et al. VLDB'07's probe sequence applied to SEEDING,
+    * r15/VERDICT r14 #7: single-probe seeds covered too little of the
+    * graph for the beam to reach the true neighborhood — multi-probe
+    * alone lifted sf0.1 recall@3 0.65 → 0.68, and with the degree-16
+    * graph the pair measures 0.917), plus the fixed
+    * global landmark count (the [[nLandmarks]] smallest vec_ids — ids are
+    * unordered w.r.t. embedding space, so these are deterministic uniform
+    * starts that carry queries whose probe ring is empty). */
+  private val lshSeedCap = 16
   private val nLandmarks = 16
 
   // ------------------------------------------------------------------
@@ -306,9 +321,14 @@ object GraphAnn {
   private def serveAdj(spark: SparkSession, sfDir: String): DataFrame =
     undirectedAdj(graphEdges(spark, sfDir))
 
-  /** Per-query seeds: own co-bucket mates from both persisted LSH plane
-    * families (best [[lshSeedCap]] by vec_id — deterministic, and buckets
-    * are tiny) ∪ the global landmark set, deduped. `qidPred` selects the
+  /** Per-query seeds: MULTI-PROBE co-bucket mates from both persisted LSH
+    * plane families (own bucket ∪ the Hamming-1 buckets — where a true
+    * neighbor lands when it disagrees with the query on exactly one
+    * hyperplane, single-probe LSH's dominant miss mode; best
+    * [[lshSeedCap]] per family ranked by probe distance then vec_id) ∪
+    * the global landmark set, deduped. The probe fan-out is a bounded
+    * explode on the QUERY side — the bucket join stays the same
+    * equi-join, so the scale shape is unchanged. `qidPred` selects the
     * searching vectors; `poolPred` restricts mates AND landmarks to the
     * graph's population (the standing corpus during an insertion search,
     * everything otherwise). */
@@ -318,11 +338,20 @@ object GraphAnn {
     val v = Similarity.vecs(spark, sfDir)
     def mates(bands: DataFrame): DataFrame =
       bands.filter(expr(qidPred))
-        .select(col("vec_id").as("qid"), col("bucket"))
-        .join(bands.filter(expr(poolPred)), Seq("bucket"))
+        .select(col("vec_id").as("qid"),
+          explode(expr(
+            s"""concat(
+                 array(named_struct('d', 0, 'pb', CAST(bucket AS BIGINT))),
+                 transform(sequence(0, ${Similarity.lshPlanes - 1}),
+                   p -> named_struct('d', 1,
+                     'pb', CAST(bucket AS BIGINT) ^
+                           shiftleft(CAST(1 AS BIGINT), p))))""")).as("pr"))
+        .select(col("qid"), col("pr.d").as("d"), col("pr.pb").as("bucket"))
+        .join(bands.filter(expr(poolPred)).select(col("vec_id"), col("bucket")),
+          Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("mrn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("vec_id"))))
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))))
         .filter(col("mrn") <= lshSeedCap)
         .select(col("qid"), col("vec_id"))
     val landmarks = v.filter(expr(poolPred))
@@ -670,17 +699,29 @@ object GraphAnn {
               CAST(rn AS BIGINT) AS rank, ROUND(cosine, 6) AS cosine
        FROM g$rounds""")
 
-  /** Per-query co-bucket seed mates from one plane family's bucket CTE;
-    * `qPred` selects the searching side, `matePred` restricts the mate
-    * pool (the standing corpus during an insertion search). */
+  /** Per-query MULTI-PROBE co-bucket seed mates from one plane family's
+    * bucket CTE — the exact twin of the Spark [[seeds]] probe ring: own
+    * bucket (distance 0) plus the [[Similarity.lshPlanes]] Hamming-1
+    * buckets (distance 1), mates ranked by probe distance then vec_id.
+    * `qPred` (over the bucket CTE's plain `vec_id`) selects the searching
+    * side, `matePred` (over `b.vec_id`) restricts the mate pool (the
+    * standing corpus during an insertion search). */
   private def matesCte(name: String, gb: String, qPred: String,
       matePred: String = "TRUE"): String =
     s""", $name AS MATERIALIZED (
          SELECT qid, vec_id FROM (
-           SELECT q.vec_id AS qid, b.vec_id,
-                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY b.vec_id) AS mrn
-           FROM $gb q JOIN $gb b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
-           WHERE ($qPred) AND ($matePred)) WHERE mrn <= $lshSeedCap)"""
+           SELECT q.qid, b.vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY q.d, b.vec_id) AS mrn
+           FROM (SELECT vec_id AS qid, CAST(bucket AS BIGINT) AS pb, 0 AS d
+                 FROM $gb WHERE ($qPred)
+                 UNION ALL
+                 SELECT vec_id,
+                        xor(CAST(bucket AS BIGINT),
+                            CAST(1 AS BIGINT) << CAST(t.p AS INTEGER)), 1
+                 FROM $gb, UNNEST(range(${Similarity.lshPlanes})) AS t(p)
+                 WHERE ($qPred)) q
+           JOIN $gb b ON CAST(b.bucket AS BIGINT) = q.pb AND b.vec_id != q.qid
+           WHERE ($matePred)) WHERE mrn <= $lshSeedCap)"""
 
   /** One search round: ${p}f${r-1}/${p}v${r-1} → ${p}vcand$r, ${p}vsc$r,
     * ${p}f$r, ${p}v$r, expanding along ${p}sadj. */
@@ -711,8 +752,8 @@ object GraphAnn {
     undCte("sadj", s"g$rounds") +
     s""", qset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        lmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
-    matesCte("mates0", "gb0", Similarity.queryPred("q.vec_id")) +
-    matesCte("mates1", "gb1", Similarity.queryPred("q.vec_id")) +
+    matesCte("mates0", "gb0", Similarity.queryPred("vec_id")) +
+    matesCte("mates1", "gb1", Similarity.queryPred("vec_id")) +
     s""", f0 AS MATERIALIZED (
          SELECT q.qid, l.vec_id FROM qset q CROSS JOIN lmk l
          UNION SELECT qid, vec_id FROM mates0
@@ -799,9 +840,9 @@ object GraphAnn {
     undCte("isadj", s"sg$rounds") +
     s""", iqset AS (SELECT vec_id AS qid FROM nrm WHERE ${AnnIndex.batchPred}),
        ilmk AS MATERIALIZED (SELECT vec_id FROM snrm ORDER BY vec_id LIMIT $nLandmarks)""" +
-    matesCte("imates0", "gb0", predFor("q.vec_id", AnnIndex.batchPred),
+    matesCte("imates0", "gb0", AnnIndex.batchPred,
       predFor("b.vec_id", AnnIndex.standingPred)) +
-    matesCte("imates1", "gb1", predFor("q.vec_id", AnnIndex.batchPred),
+    matesCte("imates1", "gb1", AnnIndex.batchPred,
       predFor("b.vec_id", AnnIndex.standingPred)) +
     s""", if0 AS MATERIALIZED (
          SELECT q.qid, l.vec_id FROM iqset q CROSS JOIN ilmk l
@@ -829,8 +870,8 @@ object GraphAnn {
     undCte("qsadj", "all_e") +
     s""", qqset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        qlmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
-    matesCte("qmates0", "gb0", Similarity.queryPred("q.vec_id")) +
-    matesCte("qmates1", "gb1", Similarity.queryPred("q.vec_id")) +
+    matesCte("qmates0", "gb0", Similarity.queryPred("vec_id")) +
+    matesCte("qmates1", "gb1", Similarity.queryPred("vec_id")) +
     s""", qf0 AS MATERIALIZED (
          SELECT q.qid, l.vec_id FROM qqset q CROSS JOIN qlmk l
          UNION SELECT qid, vec_id FROM qmates0
@@ -859,9 +900,9 @@ object GraphAnn {
          SELECT vec_id FROM nrm
          WHERE NOT (${AnnIndex.deletedPred})
          ORDER BY vec_id LIMIT $nLandmarks)""" +
-    matesCte("dmates0", "gb0", Similarity.queryPred("q.vec_id"),
+    matesCte("dmates0", "gb0", Similarity.queryPred("vec_id"),
       s"NOT (${predFor("b.vec_id", AnnIndex.deletedPred)})") +
-    matesCte("dmates1", "gb1", Similarity.queryPred("q.vec_id"),
+    matesCte("dmates1", "gb1", Similarity.queryPred("vec_id"),
       s"NOT (${predFor("b.vec_id", AnnIndex.deletedPred)})") +
     s""", df0 AS MATERIALIZED (
          SELECT q.qid, l.vec_id FROM dqset q CROSS JOIN dlmk l

@@ -54,7 +54,7 @@ object Similarity {
     * corpus size (≥ 20 planes / multi-table LSH at 10⁹ vectors — see
     * [[graft.plans.LshBucket]] for the schedule limit); 12 bits = 4096
     * buckets is sized for the sf-scale fixtures. */
-  private val lshPlanes = 12
+  private[queries] val lshPlanes = 12
 
   /** (vec_id, embedding, norm_sq) — one scan-side projection, memoized
     * because every similarity query consumes it. Degenerate vectors (zero

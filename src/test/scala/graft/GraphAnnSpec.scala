@@ -59,7 +59,7 @@ class GraphAnnSpec extends SparkSpec {
   test("published graph is a well-formed K-NN graph: degree ≤ K, dense ranks, cosine-ordered") {
     val g = GraphAnn.graphBuild(spark, sfDir).collect()
     val bySrc = g.groupBy(_.getLong(0))
-    assert(bySrc.values.forall(_.length <= 8), "a node exceeds degree K")
+    assert(bySrc.values.forall(_.length <= 16), "a node exceeds degree K")
     for ((src, edges) <- bySrc) {
       val sorted = edges.sortBy(_.getLong(2))
       assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq,
@@ -94,7 +94,7 @@ class GraphAnnSpec extends SparkSpec {
     assert(g.forall(_.getLong(0) % 7 == 0), "an inserted source is not a batch vector")
     assert(g.forall(_.getLong(1) % 7 != 0), "an inserted edge points at a batch vector")
     for ((src, edges) <- g.groupBy(_.getLong(0))) {
-      assert(edges.length <= 8, s"inserted node $src exceeds degree K")
+      assert(edges.length <= 16, s"inserted node $src exceeds degree K")
       val sorted = edges.sortBy(_.getLong(2))
       assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq,
         s"inserted node $src: ranks not dense from 1")

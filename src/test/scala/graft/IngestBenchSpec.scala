@@ -21,5 +21,9 @@ class IngestBenchSpec extends SparkSpec {
     val json = r.json
     assert(json.startsWith("{") && json.endsWith("}"))
     assert(json.contains("\"backfill_evps\":") && json.contains("\"lag_p95_ms\":"))
+    // r15 medians protocol: every timed leg carries its (min, max) spread
+    assert(r.drainSecs.size == 3 && r.fullSecs.size == 3)
+    assert(json.contains("\"rounds\":3") && json.contains("\"drain_sec_minmax\":[") &&
+      json.contains("\"full_sec_minmax\":["))
   }
 }

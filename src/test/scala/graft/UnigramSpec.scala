@@ -9,14 +9,18 @@ import graft.queries.Unigram
   *
   *  1. the fixed-point log2 equals an independent driver-side integer
   *     implementation (and tracks true log2 within 1 ulp of 2^-16);
-  *  2. the inventory is exactly the driver-side frequency-seeded top-k
-  *     plus the character coverage floor;
+  *  2. the SEED inventory is exactly the driver-side frequency-seeded
+  *     top-k plus the character coverage floor, and the SHIPPED inventory
+  *     equals a driver-side replay of the whole hard-EM round (Viterbi
+  *     backtrack E-step, +1-smoothed usage M-step, likelihood-loss prune
+  *     with the (loss, cnt, piece) tie-break, characters exempt);
   *  3. Viterbi token counts equal a driver-side DP replay on every corpus
   *     word, and on short words equal brute-force enumeration over ALL
   *     segmentations (max score, then min piece count) — true optimality,
   *     not just engine agreement;
   *  4. the packed objective's tie-break is exercised: equal-probability
-  *     segmentations resolve to the fewest pieces.
+  *     segmentations resolve to the fewest pieces;
+  *  5. the EM round does not increase corpus fertility (the r15 done-bar).
   */
 class UnigramSpec extends SparkSpec {
 
@@ -60,6 +64,49 @@ class UnigramSpec extends SparkSpec {
     (top ++ chars.toSeq).toMap
   }
 
+  /** Driver-side argmax path under the packed objective, backtracked with
+    * the pipeline's exact tie-break: smallest piece length first among
+    * score maximizers at each boundary. */
+  private def brutePath(w: String, wgt: Map[String, Long]): Seq[String] = {
+    val dp = Array.fill(w.length + 1)(Long.MinValue)
+    dp(0) = 0L
+    for (j <- 1 to w.length; l <- 1 to math.min(4, j)) {
+      val p = w.substring(j - l, j)
+      wgt.get(p).foreach { weight =>
+        if (dp(j - l) != Long.MinValue) dp(j) = math.max(dp(j), dp(j - l) + weight)
+      }
+    }
+    var j = w.length
+    val out = scala.collection.mutable.Buffer[String]()
+    while (j > 0) {
+      val l = (1 to math.min(4, j)).find { l =>
+        val p = w.substring(j - l, j)
+        wgt.contains(p) && dp(j - l) != Long.MinValue && dp(j - l) + wgt(p) == dp(j)
+      }.get
+      out += w.substring(j - l, j); j -= l
+    }
+    out.toSeq
+  }
+
+  private def packedWeights(inv: Map[String, Long]): Map[String, Long] = {
+    val lgc = lgFp(inv.values.sum)
+    inv.map { case (p, c) => p -> ((lgFp(c) - lgc) * 1024L - 1L) }
+  }
+
+  /** Driver-side hard-EM round + prune: (final inventory counts, pruned). */
+  private def bruteEm(words: Map[String, Long], seed: Map[String, Long])
+      : (Map[String, Long], Set[String]) = {
+    val wgt0 = packedWeights(seed)
+    val uses = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, freq) <- words; p <- brutePath(w, wgt0)) uses(p) += freq
+    val cnt1 = seed.keys.map(p => p -> (uses(p) + 1L)).toMap
+    val w1 = packedWeights(cnt1)
+    val multi = seed.keys.filter(_.length >= 2).toSeq
+    def loss(p: String): Long = uses(p) * (w1(p) - p.map(c => w1(c.toString)).sum)
+    val pruned = multi.sortBy(p => (loss(p), cnt1(p), p)).take(12).toSet
+    (cnt1.filter { case (p, _) => p.length == 1 || !pruned(p) }, pruned)
+  }
+
   /** Driver-side packed Viterbi: returns (best packed value, k). */
   private def bruteViterbi(w: String, wgt: Map[String, Long]): Long = {
     val dp = Array.fill(w.length + 1)(Long.MinValue)
@@ -82,10 +129,10 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
-  test("inventory equals the driver-side frequency-seeded top-k plus coverage floor") {
+  test("seed inventory equals the driver-side frequency-seeded top-k plus coverage floor") {
     val s = spark
     import s.implicits._
-    val got = Unigram.inventory(s, sfDir)
+    val got = Unigram.seedInventory(s, sfDir)
       .select($"piece", $"cnt", $"lg_fp").as[(String, Long, Long)].collect()
     val want = bruteInventory(corpusWords())
     assert(got.length == want.size, s"inventory size ${got.length} vs ${want.size}")
@@ -95,13 +142,29 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("shipped inventory equals a driver-side replay of the hard-EM round + prune") {
+    val s = spark
+    import s.implicits._
+    val words = corpusWords()
+    val (want, pruned) = bruteEm(words, bruteInventory(words))
+    val got = Unigram.inventory(s, sfDir)
+      .select($"piece", $"cnt", $"lg_fp").as[(String, Long, Long)].collect()
+    assert(got.length == want.size, s"inventory size ${got.length} vs ${want.size}")
+    got.foreach { case (p, c, lg) =>
+      assert(!pruned(p), s"pruned piece '$p' must not ship")
+      assert(want.get(p).contains(c), s"piece '$p' EM count $c vs ${want.get(p)}")
+      assert(lg == lgFp(c), s"piece '$p' lg_fp $lg vs ${lgFp(c)}")
+    }
+    assert(pruned.size == 12, "the shrinking factor drops exactly 25% of the seeds")
+    assert(pruned.forall(_.length >= 2), "characters are coverage-exempt")
+  }
+
   test("Viterbi counts equal a driver-side DP replay on every corpus word") {
     val s = spark
     import s.implicits._
     val words = corpusWords()
-    val inv = bruteInventory(words)
-    val lgc = lgFp(inv.values.sum)
-    val wgt = inv.map { case (p, c) => p -> ((lgFp(c) - lgc) * 1024L - 1L) }
+    val (fin, _) = bruteEm(words, bruteInventory(words))
+    val wgt = packedWeights(fin)
     val got = Unigram.vocabTok(s, sfDir)
       .select($"w", $"n_toks").as[(String, Long)].collect()
     assert(got.nonEmpty)
@@ -109,6 +172,19 @@ class UnigramSpec extends SparkSpec {
       val want = -bruteViterbi(w, wgt) % 1024L
       assert(k == want, s"word '$w': viterbi k $k vs driver $want")
     }
+  }
+
+  test("the EM round does not increase corpus fertility") {
+    val words = corpusWords()
+    val seed = bruteInventory(words)
+    val (fin, _) = bruteEm(words, seed)
+    def corpusToks(inv: Map[String, Long]): Long = {
+      val wgt = packedWeights(inv)
+      words.map { case (w, f) => f * brutePath(w, wgt).length }.sum
+    }
+    val (before, after) = (corpusToks(seed), corpusToks(fin))
+    assert(after <= before,
+      s"EM+prune fertility regressed: $after tokens vs seed $before")
   }
 
   test("on short words the DP matches brute-force enumeration (max prob, then min pieces)") {
