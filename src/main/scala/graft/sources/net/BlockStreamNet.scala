@@ -160,8 +160,12 @@ object BlockStreamWire {
   */
 final class BlockStreamServer(script: Seq[String], port: Int = 0,
     paceMs: Long = 0L, binary: Boolean = false, h2c: Boolean = false,
-    h2cWindow: Int = Http2Wire.TunedWindow) {
-  private val server = new ServerSocket(port)
+    h2cWindow: Int = Http2Wire.TunedWindow,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
+  private val server = tls match {
+    case Some(ctx) => TlsWire.serverSocket(ctx, port) // h2 over TLS + ALPN
+    case None => new ServerSocket(port)
+  }
   def boundPort: Int = server.getLocalPort
 
   private val acceptor = new Thread(() => serveLoop(), "block-stream-server")
@@ -177,7 +181,9 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     } catch { case NonFatal(_) => () } // server closed
 
   private def serveOne(sock: Socket): Unit =
-    if (h2c) serveH2c(sock)
+    if (tls.isDefined) // h2: reject non-ALPN clients before any h2 byte
+      serveH2(TlsWire.requireH2(sock.asInstanceOf[javax.net.ssl.SSLSocket]))
+    else if (h2c) serveH2(sock)
     else if (binary) serveBinary(sock)
     else serveJson(sock)
 
@@ -219,22 +225,26 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
   }
 
   /** The reference's actual transport shape: the same protobuf messages
-    * carried as a gRPC server-streaming RPC over HTTP/2 cleartext —
-    * request headers + LPM subscribe in, response DATA frames out,
-    * `grpc-status: 0` trailers on completion ([[Http2Wire]]). */
-  private def serveH2c(sock: Socket): Unit = {
-    val (reqBytes, call) = Http2Wire.serverAccept(
-      sock.getInputStream, sock.getOutputStream, h2cWindow)
-    val sub = BlockProtoCodec.decodeRequest(reqBytes)
-    val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
-    script.drop(cursor).foreach { msg =>
-      if (paceMs > 0) Thread.sleep(paceMs)
-      call.send(BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
+    * carried as a gRPC server-streaming RPC over HTTP/2 (cleartext h2c,
+    * or h2 when the accept socket is TLS — the framing layer cannot tell)
+    * — request headers + LPM subscribe in, response DATA frames out,
+    * `grpc-status: 0` trailers on completion ([[Http2Wire]]). The loop
+    * form serves EVERY subscription the client opens on the connection
+    * (stream ids 1, 3, 5…), so a resubscribing drainer may reuse its
+    * connection instead of redialing. */
+  private def serveH2(sock: Socket): Unit =
+    Http2Wire.serverAcceptLoop(
+      sock.getInputStream, sock.getOutputStream, h2cWindow) { (reqBytes, call) =>
+      val sub = BlockProtoCodec.decodeRequest(reqBytes)
+      val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
+      script.drop(cursor).foreach { msg =>
+        if (paceMs > 0) Thread.sleep(paceMs)
+        call.send(BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
+      }
+      call.send(BlockProtoCodec.encodeResponse(
+        BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
+      call.finish()
     }
-    call.send(BlockProtoCodec.encodeResponse(
-      BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
-    call.finish()
-  }
 
   def close(): Unit = server.close()
 }
@@ -294,21 +304,28 @@ object BlockStreamDrainer {
   def drainOnce(host: String, port: Int, dir: String,
       maxMessages: Long = Long.MaxValue, binary: Boolean = false,
       h2c: Boolean = false,
-      h2cWindow: Int = Http2Wire.TunedWindow): (Long, Boolean) = {
+      h2cWindow: Int = Http2Wire.TunedWindow,
+      tls: Option[javax.net.ssl.SSLContext] = None): (Long, Boolean) = {
     val feed = new JsonBlockFeed(dir)
     val cursor = BlockFeedProvider.listChunks(dir).length
-    val sock = new Socket(host, port)
+    // TLS implies the h2 transport: ALPN negotiates "h2", the hostname is
+    // verified against the server certificate, and :scheme flips to https
+    val sock = tls match {
+      case Some(ctx) => TlsWire.connect(ctx, host, port)
+      case None => new Socket(host, port)
+    }
     try {
       // subscribe + message pull under the chosen framing; the dispatch
       // below sees only the grammar tree and cannot tell the framings apart
       val nextMessage: () => JsonNode =
-        if (h2c) {
+        if (h2c || tls.isDefined) {
           // the reference's production shape: gRPC server-streaming over
           // HTTP/2 — LPM frames ride DATA frames instead of the raw socket
           val body = Http2Wire.clientCall(sock.getInputStream, sock.getOutputStream,
             s"$host:$port", BlockProtoCodec.encodeRequest(
               BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))),
-            recvWindow = h2cWindow)
+            recvWindow = h2cWindow,
+            scheme = if (tls.isDefined) "https" else "http")
           () => ProtoWire.readFrame(body).map(BlockProtoCodec.decodeResponse).orNull
         } else if (binary) {
           val out = sock.getOutputStream
@@ -364,14 +381,15 @@ object BlockStreamDrainer {
   def drain(host: String, port: Int, dir: String,
       maxRetries: Int = 5, backoffMs: Long = 200L,
       binary: Boolean = false, h2c: Boolean = false,
-      h2cWindow: Int = Http2Wire.TunedWindow): Long = {
+      h2cWindow: Int = Http2Wire.TunedWindow,
+      tls: Option[javax.net.ssl.SSLContext] = None): Long = {
     var total = 0L
     var failures = 0
     var completed = false
     while (!completed && failures <= maxRetries) {
       try {
         val (n, done) = drainOnce(host, port, dir, binary = binary, h2c = h2c,
-          h2cWindow = h2cWindow)
+          h2cWindow = h2cWindow, tls = tls)
         total += n
         completed = done
         if (n > 0) failures = 0

@@ -41,13 +41,24 @@ import scala.collection.mutable
   * header list, where Huffman saves a few dozen bytes per CONNECTION, so
   * decode-only is the whole interop surface.
   *
+  * Implemented since r15 (interop hardening, all accept-side first):
+  * HPACK Huffman DECODE as above; CONTINUATION frames (header blocks
+  * fragment across frames in both directions — the emitter splits at the
+  * peer's max frame size, the receiver reassembles per RFC 7540 §6.2/§6.10
+  * including the no-interleaving rule); PADDED DATA/HEADERS and
+  * PRIORITY-flagged HEADERS (the adornments stock clients attach — both
+  * stripped per §6.1/§6.2, with padding still debited from flow-control
+  * windows per §6.9); and SEQUENTIAL stream reuse — a client connection
+  * can carry successive RPCs on ids 1, 3, 5… ([[ClientConnection]]) and
+  * the server loop serves them in order ([[serverAcceptLoop]]), enforcing
+  * §5.1.1's odd-and-increasing rule.
+  *
   * Honest boundaries (documented, enforced with clear errors rather than
   * silently mis-parsed): Huffman literals are not EMITTED (accepted on
-  * decode as above), CONTINUATION frames are not needed (header lists are
-  * far below the frame limit) and are rejected, and one request stream
-  * per connection (id 1) is served — the drainer's connection model,
-  * where reconnect-and-resubscribe IS the retry path, never stream
-  * multiplexing.
+  * decode as above), and streams are sequential, never CONCURRENT — one
+  * RPC is in flight per connection at a time, the drainer's model, where
+  * reconnect-and-resubscribe is the retry path. True multiplexing would
+  * need a demux thread per connection; nothing on this wire needs it.
   */
 object Http2Wire {
 
@@ -58,6 +69,7 @@ object Http2Wire {
   val TWindowUpdate = 0x8; val TContinuation = 0x9
 
   val FEndStream = 0x1; val FAck = 0x1; val FEndHeaders = 0x4
+  val FPadded = 0x8; val FPriority = 0x20
 
   val DefaultWindow = 65535
   val DefaultMaxFrame = 16384
@@ -102,6 +114,27 @@ object Http2Wire {
     val payload = in.readNBytes(len)
     if (payload.length < len) throw new EOFException("truncated frame payload")
     Some(Frame(tpe, flags, sid, payload))
+  }
+
+  /** DATA/HEADERS payload minus the PADDED / PRIORITY adornments
+    * (RFC 7540 §6.1/§6.2): stock clients pad DATA and attach priority to
+    * their first HEADERS — both are carriage, not content. Padding still
+    * counts against flow control (§6.9.1: the whole frame payload does),
+    * so callers grant credit for the RAW length and parse the stripped
+    * bytes. */
+  private[net] def framePayload(f: Frame): Array[Byte] = {
+    var from = 0
+    var to = f.payload.length
+    if ((f.flags & FPadded) != 0) {
+      require(to >= 1, "PADDED frame without a pad-length octet")
+      val pad = f.payload(0) & 0xff
+      from = 1
+      to -= pad
+    }
+    if (f.tpe == THeaders && (f.flags & FPriority) != 0) from += 5
+    require(to >= from, s"padding/priority fields exceed the frame payload")
+    if (from == 0 && to == f.payload.length) f.payload
+    else java.util.Arrays.copyOfRange(f.payload, from, to)
   }
 
   // ------------------------------------------------------------- HPACK
@@ -453,15 +486,55 @@ object Http2Wire {
       case TGoaway =>
         throw new EOFException("connection closed by GOAWAY")
       case TContinuation =>
+        // only reachable OUTSIDE a header block (headerBlock consumes
+        // in-block continuations) — a connection error per RFC 7540 §6.10
         throw new IllegalStateException(
-          "CONTINUATION frames are not supported (header lists fit one frame)")
+          "CONTINUATION frame outside a header block")
       case _ => () // PRIORITY, PUSH_PROMISE(never negotiated), unknown: ignore
     }
 
+    /** Reassemble one header block started by `first` (HEADERS): strip the
+      * §6.2 adornments, then consume CONTINUATION frames until END_HEADERS.
+      * RFC 7540 §6.2/§6.10: NO other frame — not even on another stream —
+      * may interleave, so anything else here is a connection error. */
+    private def headerBlock(first: Frame): Array[Byte] = {
+      var block = framePayload(first)
+      var end = (first.flags & FEndHeaders) != 0
+      while (!end) {
+        val f = readFrame(in).getOrElse(
+          throw new EOFException("peer closed mid header block"))
+        require(f.tpe == TContinuation && f.streamId == first.streamId,
+          s"header block on stream ${first.streamId} interleaved by " +
+            s"frame type ${f.tpe} stream ${f.streamId}")
+        block = block ++ f.payload // CONTINUATION carries bare fragment bytes
+        end = (f.flags & FEndHeaders) != 0
+      }
+      block
+    }
+
+    /** Emit one header block, fragmenting at the peer's max frame size —
+      * HEADERS first, CONTINUATION for the rest, END_HEADERS on the last
+      * (RFC 7540 §6.2). One frame suffices for every list this wire sends
+      * today; the split keeps the emitter correct if one ever doesn't. */
     def sendHeaders(streamId: Int, headers: Seq[(String, String)],
         endStream: Boolean): Unit = {
-      val flags = FEndHeaders | (if (endStream) FEndStream else 0)
-      writeFrame(out, Frame(THeaders, flags, streamId, encodeHeaders(headers)))
+      val block = encodeHeaders(headers)
+      val esFlag = if (endStream) FEndStream else 0
+      if (block.length <= peerMaxFrame)
+        writeFrame(out, Frame(THeaders, FEndHeaders | esFlag, streamId, block))
+      else {
+        var off = 0
+        var first = true
+        while (off < block.length) {
+          val n = math.min(peerMaxFrame, block.length - off)
+          val last = off + n >= block.length
+          val tpe = if (first) THeaders else TContinuation
+          val flags = (if (first) esFlag else 0) | (if (last) FEndHeaders else 0)
+          writeFrame(out, Frame(tpe, flags, streamId,
+            java.util.Arrays.copyOfRange(block, off, off + n)))
+          off += n; first = false
+        }
+      }
       out.flush()
     }
 
@@ -519,16 +592,28 @@ object Http2Wire {
       }
     }
 
-    /** Read one header list (HEADERS with END_HEADERS), handling control
-      * frames in between; returns (headers, endStream). */
+    /** Read one header list (a HEADERS-led block, CONTINUATIONs included),
+      * handling control frames in between; returns (headers, endStream). */
     def recvHeaders(): (Seq[(String, String)], Boolean) = {
+      val (_, h, es) = nextHeaders().getOrElse(
+        throw new EOFException("peer closed"))
+      (h, es)
+    }
+
+    /** Like [[recvHeaders]] but surfaces the stream id and turns a clean
+      * close (EOF at a frame boundary, or GOAWAY) into None — the server
+      * loop's "no more RPCs on this connection" signal. */
+    def nextHeaders(): Option[(Int, Seq[(String, String)], Boolean)] = {
       while (true) {
-        val f = readFrame(in).getOrElse(throw new EOFException("peer closed"))
+        val f = readFrame(in) match {
+          case None => return None
+          case Some(fr) => fr
+        }
         f.tpe match {
           case THeaders =>
-            require((f.flags & FEndHeaders) != 0,
-              "fragmented header blocks are not supported")
-            return (decoder.decode(f.payload), (f.flags & FEndStream) != 0)
+            return Some((f.streamId, decoder.decode(headerBlock(f)),
+              (f.flags & FEndStream) != 0))
+          case TGoaway => return None
           case TData => throw new IllegalStateException("DATA before HEADERS")
           case _ => handleControl(f)
         }
@@ -554,13 +639,13 @@ object Http2Wire {
               "peer closed mid-stream"))
             f.tpe match {
               case TData if f.streamId == streamId =>
+                // credit the RAW payload (padding included, §6.9.1);
+                // deliver the stripped bytes
                 grant(streamId, f.payload.length)
-                buf = f.payload; pos = 0
+                buf = framePayload(f); pos = 0
                 if ((f.flags & FEndStream) != 0) eos = true
               case THeaders => // trailers end the stream
-                require((f.flags & FEndHeaders) != 0,
-                  "fragmented trailer blocks are not supported")
-                onTrailers(decoder.decode(f.payload))
+                onTrailers(decoder.decode(headerBlock(f)))
                 eos = true
               case _ => handleControl(f)
             }
@@ -589,72 +674,127 @@ object Http2Wire {
     * see [[ProtoWire]]'s header on why parity is not claimed). */
   val GrpcPath = "/graft.v1.BlockStream/StreamData"
 
-  /** Client half: connection preface + SETTINGS, open stream 1 with the
-    * gRPC request headers, send one LPM-framed request, return the
-    * response DATA bytes as an InputStream (trailers checked for
-    * `grpc-status: 0`). */
-  def clientCall(in: InputStream, out: OutputStream, authority: String,
-      request: Array[Byte], recvWindow: Int = TunedWindow): InputStream = {
+  /** Client half of a connection that can carry SUCCESSIVE RPCs: the
+    * preface + SETTINGS once, then one stream per [[call]] on ids 1, 3,
+    * 5… (RFC 7540 §5.1.1). Sequential, not concurrent — finish reading a
+    * call's response stream before opening the next; the endpoint is
+    * single-threaded like everything on this wire. `scheme` is "http" for
+    * h2c and "https" when the socket is TLS ([[TlsWire]]). */
+  final class ClientConnection(in: InputStream, out: OutputStream,
+      recvWindow: Int = TunedWindow, scheme: String = "http") {
     // buffer both directions: writeFrame emits the 9-byte header a byte at
     // a time, and unbuffered that is 9 syscalls per frame on a raw socket
-    val bin = new java.io.BufferedInputStream(in, 64 << 10)
-    val bout = new java.io.BufferedOutputStream(out, 64 << 10)
+    private val bin = new java.io.BufferedInputStream(in, 64 << 10)
+    private val bout = new java.io.BufferedOutputStream(out, 64 << 10)
     bout.write(ClientPreface)
-    val ep = new Endpoint(bin, bout, recvWindow)
+    private val ep = new Endpoint(bin, bout, recvWindow)
     ep.sendSettings()
-    ep.sendHeaders(1, Seq(
-      ":method" -> "POST", ":scheme" -> "http", ":path" -> GrpcPath,
-      ":authority" -> authority, "content-type" -> "application/grpc+proto",
-      "te" -> "trailers"), endStream = false)
-    val lpm = new ByteArrayOutputStream()
-    ProtoWire.writeFrame(lpm, request)
-    ep.sendData(1, lpm.toByteArray, endStream = true)
-    val (respHeaders, endAtHeaders) = ep.recvHeaders()
-    require(respHeaders.exists(h => h._1 == ":status" && h._2 == "200"),
-      s"non-200 gRPC response: $respHeaders")
-    require(!endAtHeaders, "gRPC response ended before any DATA (trailers-only)")
-    ep.dataStream(1, trailers => {
-      val st = trailers.collectFirst { case ("grpc-status", v) => v }
-      require(st.contains("0"), s"gRPC stream failed: $trailers")
-    })
+    private var nextSid = 1
+
+    def call(authority: String, request: Array[Byte]): InputStream = {
+      val sid = nextSid
+      nextSid += 2
+      ep.sendHeaders(sid, Seq(
+        ":method" -> "POST", ":scheme" -> scheme, ":path" -> GrpcPath,
+        ":authority" -> authority, "content-type" -> "application/grpc+proto",
+        "te" -> "trailers"), endStream = false)
+      val lpm = new ByteArrayOutputStream()
+      ProtoWire.writeFrame(lpm, request)
+      ep.sendData(sid, lpm.toByteArray, endStream = true)
+      val (respHeaders, endAtHeaders) = ep.recvHeaders()
+      require(respHeaders.exists(h => h._1 == ":status" && h._2 == "200"),
+        s"non-200 gRPC response: $respHeaders")
+      require(!endAtHeaders, "gRPC response ended before any DATA (trailers-only)")
+      ep.dataStream(sid, trailers => {
+        val st = trailers.collectFirst { case ("grpc-status", v) => v }
+        require(st.contains("0"), s"gRPC stream failed: $trailers")
+      })
+    }
   }
 
-  /** Server half: validate the preface, exchange SETTINGS, accept stream
-    * 1's request headers + LPM request body, and hand back a writer for
-    * the response (headers now; DATA per message via `send`; trailers +
-    * END_STREAM via `finish`). */
-  final class ServerCall private[Http2Wire] (ep: Endpoint) {
+  /** One-shot client: open a connection, run one RPC, return its response
+    * DATA bytes as an InputStream (trailers checked for `grpc-status: 0`)
+    * — the drainer's connection-per-subscription model. */
+  def clientCall(in: InputStream, out: OutputStream, authority: String,
+      request: Array[Byte], recvWindow: Int = TunedWindow,
+      scheme: String = "http"): InputStream =
+    new ClientConnection(in, out, recvWindow, scheme).call(authority, request)
+
+  /** Server-side handle for one accepted RPC: response headers are already
+    * out; DATA per message via `send`; trailers + END_STREAM via
+    * `finish`. */
+  final class ServerCall private[Http2Wire] (ep: Endpoint, sid: Int) {
     def send(msg: Array[Byte]): Unit = {
       val lpm = new ByteArrayOutputStream()
       ProtoWire.writeFrame(lpm, msg)
-      ep.sendData(1, lpm.toByteArray, endStream = false)
+      ep.sendData(sid, lpm.toByteArray, endStream = false)
     }
     def finish(): Unit =
-      ep.sendHeaders(1, Seq("grpc-status" -> "0"), endStream = true)
+      ep.sendHeaders(sid, Seq("grpc-status" -> "0"), endStream = true)
   }
 
+  /** Server half, single-RPC form: validate the preface, exchange
+    * SETTINGS, accept the first stream's request headers + LPM request
+    * body, and hand back the [[ServerCall]] writer. */
   def serverAccept(in: InputStream, out: OutputStream,
       recvWindow: Int = TunedWindow): (Array[Byte], ServerCall) = {
+    val ep = serverHandshake(in, out, recvWindow)
+    acceptOne(ep, 0).getOrElse(
+      throw new EOFException("client closed before opening a stream"))._2
+  }
+
+  /** Server half, connection-reuse form: serve EVERY RPC the client opens
+    * on this connection, in stream-id order, until it closes cleanly (EOF
+    * or GOAWAY). Returns the number of RPCs served. */
+  def serverAcceptLoop(in: InputStream, out: OutputStream,
+      recvWindow: Int = TunedWindow)(
+      handle: (Array[Byte], ServerCall) => Unit): Int = {
+    val ep = serverHandshake(in, out, recvWindow)
+    var lastSid = 0
+    var served = 0
+    var more = true
+    while (more) acceptOne(ep, lastSid) match {
+      case Some((sid, (request, call))) =>
+        handle(request, call)
+        lastSid = sid
+        served += 1
+      case None => more = false
+    }
+    served
+  }
+
+  private def serverHandshake(in: InputStream, out: OutputStream,
+      recvWindow: Int): Endpoint = {
     val bin = new java.io.BufferedInputStream(in, 64 << 10)
     val bout = new java.io.BufferedOutputStream(out, 64 << 10)
     val ep = new Endpoint(bin, bout, recvWindow)
     ep.sendSettings() // the server preface IS a SETTINGS frame
     val preface = bin.readNBytes(ClientPreface.length)
     require(java.util.Arrays.equals(preface, ClientPreface),
-      "client did not send the h2c connection preface")
-    val (reqHeaders, endAtHeaders) = ep.recvHeaders()
-    require(reqHeaders.exists(h => h._1 == ":path" && h._2 == GrpcPath),
-      s"unexpected RPC path in $reqHeaders")
-    require(!endAtHeaders, "request stream carried no body")
-    val body = ep.dataStream(1)
-    val request = ProtoWire.readFrame(body).getOrElse(
-      throw new EOFException("request stream ended before the LPM frame"))
-    // drain the remainder of the request stream to its END_STREAM so the
-    // half-close is consumed before the response starts
-    while (body.read() != -1) ()
-    ep.sendHeaders(1, Seq(
-      ":status" -> "200", "content-type" -> "application/grpc+proto"),
-      endStream = false)
-    (request, new ServerCall(ep))
+      "client did not send the h2 connection preface")
+    ep
   }
+
+  /** Accept one RPC on the next client-opened stream (or None on a clean
+    * close): request headers + the LPM request body consumed to the
+    * half-close, response headers sent. */
+  private def acceptOne(ep: Endpoint, lastSid: Int)
+      : Option[(Int, (Array[Byte], ServerCall))] =
+    ep.nextHeaders().map { case (sid, reqHeaders, endAtHeaders) =>
+      require(sid % 2 == 1 && sid > lastSid,
+        s"client stream ids must be odd and increasing: $sid after $lastSid")
+      require(reqHeaders.exists(h => h._1 == ":path" && h._2 == GrpcPath),
+        s"unexpected RPC path in $reqHeaders")
+      require(!endAtHeaders, "request stream carried no body")
+      val body = ep.dataStream(sid)
+      val request = ProtoWire.readFrame(body).getOrElse(
+        throw new EOFException("request stream ended before the LPM frame"))
+      // drain the remainder of the request stream to its END_STREAM so the
+      // half-close is consumed before the response starts
+      while (body.read() != -1) ()
+      ep.sendHeaders(sid, Seq(
+        ":status" -> "200", "content-type" -> "application/grpc+proto"),
+        endStream = false)
+      (sid, (request, new ServerCall(ep, sid)))
+    }
 }

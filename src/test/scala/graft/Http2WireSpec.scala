@@ -94,6 +94,101 @@ class Http2WireSpec extends AnyFunSuite {
     assert(decodeStr("1f") == Seq("a" -> "a"))
   }
 
+  test("accept side: fragmented, padded, priority-laden request parses (RFC 7540 §6.1/§6.2/§6.10)") {
+    // what a stock client may legally send: HEADERS with PRIORITY and
+    // PADDED set and NO END_HEADERS, the block completed by CONTINUATION,
+    // then the LPM body in a PADDED DATA frame — crafted byte-for-byte
+    // and fed to serverAccept
+    val reqHeaders = Seq(
+      ":method" -> "POST", ":scheme" -> "http", ":path" -> GrpcPath,
+      ":authority" -> "127.0.0.1:1", "content-type" -> "application/grpc+proto",
+      "te" -> "trailers")
+    val block = encodeHeaders(reqHeaders)
+    val (h1, h2) = block.splitAt(block.length / 2)
+    val lpm = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeFrame(lpm, Array[Byte](7, 8, 9))
+
+    val wire = new java.io.ByteArrayOutputStream()
+    wire.write(ClientPreface)
+    // HEADERS: PADDED(3) + PRIORITY(5 bytes: stream dep + weight), no END_HEADERS
+    writeFrame(wire, Frame(THeaders, FPadded | FPriority, 1,
+      Array[Byte](3) ++ Array[Byte](0, 0, 0, 0, 16) ++ h1 ++ Array[Byte](0, 0, 0)))
+    writeFrame(wire, Frame(TContinuation, FEndHeaders, 1, h2))
+    writeFrame(wire, Frame(TData, FPadded | FEndStream, 1,
+      Array[Byte](2) ++ lpm.toByteArray ++ Array[Byte](0, 0)))
+
+    val (request, _) = serverAccept(
+      new ByteArrayInputStream(wire.toByteArray), new java.io.ByteArrayOutputStream())
+    assert(request.toSeq == Seq[Byte](7, 8, 9))
+  }
+
+  test("accept side: a frame interleaving an open header block is a connection error") {
+    val block = encodeHeaders(Seq(
+      ":method" -> "POST", ":scheme" -> "http", ":path" -> GrpcPath))
+    val wire = new java.io.ByteArrayOutputStream()
+    wire.write(ClientPreface)
+    writeFrame(wire, Frame(THeaders, 0, 1, block)) // no END_HEADERS: block open
+    writeFrame(wire, Frame(TPing, 0, 0, new Array[Byte](8))) // illegal interleave
+    writeFrame(wire, Frame(TContinuation, FEndHeaders, 1, Array.emptyByteArray))
+    val e = intercept[IllegalArgumentException] {
+      serverAccept(new ByteArrayInputStream(wire.toByteArray),
+        new java.io.ByteArrayOutputStream())
+    }
+    assert(e.getMessage.contains("interleaved"))
+  }
+
+  test("emit side: a header block larger than the peer's max frame fragments and reassembles") {
+    val in = new java.io.ByteArrayOutputStream() // peer SETTINGS: max frame 24
+    writeFrame(in, Frame(TSettings, 0, 0, Array[Byte](0, 5, 0, 0, 0, 24)))
+    val sent = new java.io.ByteArrayOutputStream()
+    val ep = new Endpoint(new ByteArrayInputStream(in.toByteArray), sent)
+    ep.handleControl(readFrame(new ByteArrayInputStream(in.toByteArray)).get)
+    val headers = Seq("grpc-status" -> "0", "grpc-message" -> ("x" * 100))
+    ep.sendHeaders(1, headers, endStream = true)
+
+    val rd = new ByteArrayInputStream(sent.toByteArray)
+    readFrame(rd).get // our SETTINGS ACK
+    val first = readFrame(rd).get
+    assert(first.tpe == THeaders && (first.flags & FEndHeaders) == 0)
+    assert((first.flags & FEndStream) != 0, "END_STREAM rides the FIRST frame")
+    var block = first.payload
+    var done = false
+    while (!done) {
+      val f = readFrame(rd).get
+      assert(f.tpe == TContinuation && f.payload.length <= 24)
+      block = block ++ f.payload
+      done = (f.flags & FEndHeaders) != 0
+    }
+    assert(new HpackDecoder().decode(block) == headers)
+  }
+
+  test("sequential streams: one connection carries successive RPCs on ids 1, 3, 5") {
+    // the server loop serves each subscription the client opens; the
+    // client resubscribes from a moved cursor WITHOUT redialing
+    val script = BlockStreamScenario.chainWithReorg(blocks = 20L, reorgAt = 10L)
+    val srv = new BlockStreamServer(script, binary = true, h2c = true)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      try {
+        val conn = new ClientConnection(sock.getInputStream, sock.getOutputStream)
+        def messages(cursor: Int): Seq[String] = {
+          val body = conn.call("127.0.0.1", BlockProtoCodec.encodeRequest(
+            BlockStreamWire.mapper.readTree(BlockStreamWire.subscribe(cursor))))
+          Iterator.continually(ProtoWire.readFrame(body))
+            .takeWhile(_.isDefined)
+            .map(f => BlockProtoCodec.decodeResponse(f.get).toString)
+            .toSeq
+        }
+        val all = messages(0)     // stream 1: the full script + terminator
+        assert(all.length == script.length + 1)
+        val tail = messages(3)    // stream 3: same connection, cursor 3
+        assert(tail.length == script.length - 3 + 1)
+        val none = messages(script.length) // stream 5: terminator only
+        assert(none.length == 1)
+      } finally sock.close()
+    } finally srv.close()
+  }
+
   test("h2c e2e: the reorg scenario drains identically over HTTP/2") {
     val root = SparkSpec.tempDir("graft-h2c-e2e").toString
     val script = BlockStreamScenario.chainWithReorg(blocks = 80L, reorgAt = 50L)
