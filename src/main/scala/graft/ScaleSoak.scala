@@ -110,6 +110,7 @@ object ScaleSoak {
     "multimodal_video_cuts",    // frame-array decode + pairwise luma deltas
     "retrieval_eval_mrr",       // arm lists + label joins + 2-level agg
     "dedup_ppjoin",             // prefix-filtered exact similarity join
+    "dedup_ngram_jaccard",      // exact rung, served through the ppjoin filter (r15)
     // round-14 session-4 additions:
     "events_key_skew",          // 4-way key explode + count-of-counts windows
     "layout_skipping_stats",    // two per-block zone-map aggs + probe broadcast

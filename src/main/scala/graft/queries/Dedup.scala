@@ -102,12 +102,12 @@ object Dedup {
   val ngramJaccardOracle: String = Fixtures.oracle(
     """, doc_words AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       all_grams AS (
+       all_grams AS MATERIALIZED (
          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
          FROM doc_words, UNNEST(range(len(words) - 2)) AS t(i)
          WHERE len(words) >= 3),
-       counts AS (SELECT doc_id, COUNT(1) AS n_grams FROM all_grams GROUP BY doc_id),
-       grams AS (
+       counts AS MATERIALIZED (SELECT doc_id, COUNT(1) AS n_grams FROM all_grams GROUP BY doc_id),
+       grams AS MATERIALIZED (
          SELECT g.* FROM all_grams g
          WHERE g.gram NOT IN (
            SELECT gram FROM all_grams GROUP BY gram
@@ -252,12 +252,12 @@ object Dedup {
   private val ppjoinStatsCtes: String =
     """, pp_dw AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       pp_all AS (
+       pp_all AS MATERIALIZED (
          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS gram
          FROM pp_dw, UNNEST(range(len(words) - 2)) AS t(i)
          WHERE len(words) >= 3),
-       pp_cnt AS (SELECT doc_id, COUNT(1) AS n_grams FROM pp_all GROUP BY doc_id),
-       pp_g AS (
+       pp_cnt AS MATERIALIZED (SELECT doc_id, COUNT(1) AS n_grams FROM pp_all GROUP BY doc_id),
+       pp_g AS MATERIALIZED (
          SELECT g.* FROM pp_all g
          WHERE g.gram NOT IN (
            SELECT gram FROM pp_all GROUP BY gram
@@ -268,19 +268,19 @@ object Dedup {
                 ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.gram) AS pos,
                 COUNT(1) OVER (PARTITION BY g.doc_id) AS ca
          FROM pp_g g JOIN pp_df d ON g.gram = d.gram),
-       pp_prefix AS (
+       pp_prefix AS MATERIALIZED (
          SELECT r.doc_id, r.gram, c.n_grams
          FROM pp_rank r JOIN pp_cnt c ON r.doc_id = c.doc_id
          WHERE r.pos <= r.ca - ((c.n_grams + 1) // 2) + 1),
-       pp_candp AS (
+       pp_candp AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pp_prefix a JOIN pp_prefix b
            ON a.gram = b.gram AND a.doc_id < b.doc_id
           AND a.n_grams <= 2 * b.n_grams AND b.n_grams <= 2 * a.n_grams),
-       pp_candf AS (
+       pp_candf AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM pp_g a JOIN pp_g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-       pp_res AS (
+       pp_res AS MATERIALIZED (
          SELECT p.doc_a, p.doc_b
          FROM (SELECT c.doc_a, c.doc_b, COUNT(1) AS inter
                FROM pp_candp c
@@ -351,7 +351,7 @@ object Dedup {
                 list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
                   (acc, x) -> (acc * 131 + x) % ${graft.functions.TextHash.P}) AS band_key
          FROM minhashes GROUP BY doc_id, i // $r),
-       ${tag}_cand AS (
+       ${tag}_cand AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM ${tag}_bands a
          JOIN ${tag}_bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -411,17 +411,17 @@ object Dedup {
          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
               UNNEST(range(len(d.words) - 2)) AS t(i)
          WHERE len(d.words) >= 3),
-       minhashes AS (
+       minhashes AS MATERIALIZED (
          SELECT doc_id, CAST(t.i AS INT) AS i,
                 MIN((wh * (97 + t.i * 31) + (13 + t.i * 17)) % $P) AS mh
          FROM word_hashes, UNNEST(range(16)) AS t(i)
          GROUP BY 1, 2),
-       bands AS (
+       bands AS MATERIALIZED (
          SELECT doc_id, CAST(i // 2 AS INT) AS band,
                 MAX(CASE WHEN i % 2 = 0 THEN mh END) * $P
                   + MAX(CASE WHEN i % 2 = 1 THEN mh END) AS band_key
          FROM minhashes GROUP BY 1, 2),
-       lsh_pairs AS (
+       lsh_pairs AS MATERIALIZED (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS shared_bands
          FROM bands a
          JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
