@@ -286,17 +286,36 @@ final class JdbcMultiTableSink(
     }
 
   /** Missing tables are fine for deletes: first batch, nothing created yet
-    * (the distributed append creates fact tables on first write). */
-  private def executeIgnoringMissing(conn: Connection, sql: String): Unit =
+    * (the distributed append creates fact tables on first write). Inside an
+    * explicit transaction the statement runs under a SAVEPOINT: Postgres —
+    * unlike Derby — aborts the WHOLE transaction on any statement error
+    * (25P02 `in_failed_sql_transaction` for everything after), so ignoring
+    * a missing table mid-transaction requires rolling back to just before
+    * the failed statement. Found by the live-PG run of this sink
+    * (PgWireSpec); Derby's lenient per-statement recovery masked it. */
+  private def executeIgnoringMissing(conn: Connection, sql: String): Unit = {
+    // per-call unique name: ROLLBACK TO keeps the savepoint established on
+    // both databases, and Derby refuses a second SAVEPOINT of the same name
+    val sp = if (!conn.getAutoCommit)
+      Some(conn.setSavepoint(s"graft_sp_${JdbcMultiTableSink.spSeq.incrementAndGet()}"))
+    else None
     try {
       val st = conn.createStatement()
       try st.executeUpdate(sql)
       finally st.close()
+      sp.foreach(conn.releaseSavepoint)
     } catch {
-      case e: java.sql.SQLException if tableMissing(e) => ()
+      case e: java.sql.SQLException if tableMissing(e) =>
+        sp.foreach { s => conn.rollback(s); conn.releaseSavepoint(s) }
     }
+  }
 
   /** 42X05 = Derby missing table; 42P01 = Postgres undefined_table. */
   private def tableMissing(e: java.sql.SQLException): Boolean =
     e.getSQLState == "42X05" || e.getSQLState == "42P01"
+}
+
+object JdbcMultiTableSink {
+  /** Savepoint name sequence (names must be transaction-unique on Derby). */
+  private[streaming] val spSeq = new java.util.concurrent.atomic.AtomicLong(0)
 }
