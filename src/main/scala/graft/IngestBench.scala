@@ -98,6 +98,7 @@ object IngestBench {
       drainSecs: Seq[Double], drainProtoSecs: Seq[Double], drainH2cSecs: Seq[Double],
       backfillSecs: Seq[Double], fullSecs: Seq[Double],
       jdbcSecs: Seq[Double], jdbcRows: Long, jdbcBatchSize: Int,
+      jdbcPgSecs: Seq[Double],
       liveBlocks: Int, livePaceMs: Long,
       lagP50Ms: Long, lagP95Ms: Long, lagMaxMs: Long) {
     private def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
@@ -121,6 +122,11 @@ object IngestBench {
         s""""jdbc_rows":$jdbcRows,"jdbc_sec":${r1(jdbcSec)},""" +
         s""""jdbc_rps":${if (jdbcSec > 0) r1(jdbcRows / jdbcSec) else 0.0},""" +
         s""""jdbc_batchsize":$jdbcBatchSize,"jdbc_sec_minmax":${mm(jdbcSecs)},""" +
+        (if (jdbcPgSecs.nonEmpty)
+          s""""jdbc_pg_sec":${r1(med(jdbcPgSecs))},""" +
+            s""""jdbc_pg_rps":${if (med(jdbcPgSecs) > 0) r1(jdbcRows / med(jdbcPgSecs)) else 0.0},""" +
+            s""""jdbc_pg_sec_minmax":${mm(jdbcPgSecs)},"""
+        else "") +
         s""""live_blocks":$liveBlocks,"live_pace_ms":$livePaceMs,""" +
         s""""lag_p50_ms":$lagP50Ms,"lag_p95_ms":$lagP95Ms,"lag_max_ms":$lagMaxMs,""" +
         s""""ref_block_interval_s":30}"""
@@ -200,12 +206,43 @@ object IngestBench {
         "ing_odd" -> b.filter(col("block_number") % 2 === 1))
       (sink, route)
     }
+    // jdbc_pg: the SAME sink leg against a live local PostgreSQL (the
+    // reference's production target) through the hand-rolled wire client —
+    // one disposable cluster for the whole run, fresh tables per round.
+    // Skipped (empty seq) when the server binaries are absent.
+    val pg: Option[graft.streaming.pg.PgServer.Instance] =
+      if (graft.streaming.pg.PgServer.available)
+        try {
+          graft.streaming.pg.PgDriver.ensureRegistered()
+          // own temp root (not under `root`, whose 0700 owner-only perms
+          // would block the nobody-uid server from traversing into it)
+          Some(graft.streaming.pg.PgServer.start(
+            Files.createTempDirectory("graft-ingest-pg")))
+        } catch { case e: Throwable =>
+          System.err.println(s"[ingest-bench] pg leg skipped: $e"); None
+        }
+      else None
+    def mkPgSink(r: Int): (JdbcMultiTableSink, DataFrame => Map[String, DataFrame]) = {
+      val inst = pg.get
+      val props = new java.util.Properties
+      props.setProperty("batchsize", jdbcBatchSize.toString)
+      props.setProperty("user", inst.user)
+      props.setProperty("driver", "graft.streaming.pg.PgDriver")
+      val (even, odd) = (s"ing_even_pg_$r", s"ing_odd_pg_$r")
+      val sink = new JdbcMultiTableSink(inst.url(), Seq(even, odd),
+        cursorTable = s"graft_cursor_pg_$r", connectionProperties = props)
+      val route = (b: DataFrame) => Map(
+        even -> b.filter(col("block_number") % 2 === 0),
+        odd -> b.filter(col("block_number") % 2 === 1))
+      (sink, route)
+    }
     val drainSecs = Seq.newBuilder[Double]
     val drainProtoSecs = Seq.newBuilder[Double]
     val drainH2cSecs = Seq.newBuilder[Double]
     val backfillSecs = Seq.newBuilder[Double]
     val fullSecs = Seq.newBuilder[Double]
     val jdbcSecs = Seq.newBuilder[Double]
+    val jdbcPgSecs = Seq.newBuilder[Double]
     var jdbcRows = 0L
     for (r <- 1 to rounds) {
       // drain: wire → chunk directory (JSON lines — the relational legs
@@ -257,6 +294,12 @@ object IngestBench {
       jdbcRows = batch.count()
       val (_, jdbcSec) = timed(sinkOnly.write(routeOnly(batch), 0L, blocks.toLong))
       jdbcSecs += jdbcSec
+      // jdbc_pg: the identical batch against live Postgres over the wire
+      pg.foreach { _ =>
+        val (pgSink, pgRoute) = mkPgSink(r)
+        val (_, pgSec) = timed(pgSink.write(pgRoute(batch), 0L, blocks.toLong))
+        jdbcPgSecs += pgSec
+      }
       batch.unpersist()
     }
 
@@ -294,11 +337,16 @@ object IngestBench {
       }.sorted
     } finally liveSrv.close()
 
+    pg.foreach { inst =>
+      inst.stop()
+      rmTree(inst.dataDir.getParent.toFile) // own temp root, own cleanup
+    }
+
     def pct(p: Int): Long = lags((lags.size * p / 100).min(lags.size - 1))
     Result(blocks, events,
       drainSecs.result(), drainProtoSecs.result(), drainH2cSecs.result(),
       backfillSecs.result(), fullSecs.result(),
-      jdbcSecs.result(), jdbcRows, jdbcBatchSize,
+      jdbcSecs.result(), jdbcRows, jdbcBatchSize, jdbcPgSecs.result(),
       liveBlocks, livePaceMs, pct(50), pct(95), lags.last)
   }
 

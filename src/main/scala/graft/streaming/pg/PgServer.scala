@@ -95,6 +95,8 @@ object PgServer {
       "start"))
 
     val inst = Instance(dataDir, port, user)
+    // backstop for abnormal exits (a leaked postmaster outlives the JVM)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => inst.stop()))
     if (scramUsers.nonEmpty) {
       val c = inst.connect()
       try scramUsers.foreach { case (u, pw) =>

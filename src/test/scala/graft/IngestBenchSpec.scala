@@ -25,5 +25,11 @@ class IngestBenchSpec extends SparkSpec {
     assert(r.drainSecs.size == 3 && r.fullSecs.size == 3)
     assert(json.contains("\"rounds\":3") && json.contains("\"drain_sec_minmax\":[") &&
       json.contains("\"full_sec_minmax\":["))
+    // r15 live-Postgres leg: on hosts with the server binaries (this
+    // sandbox), the same batch is sunk to a real PostgreSQL per round
+    if (graft.streaming.pg.PgServer.available) {
+      assert(r.jdbcPgSecs.size == 3 && r.jdbcPgSecs.forall(_ > 0))
+      assert(json.contains("\"jdbc_pg_rps\":"))
+    }
   }
 }
