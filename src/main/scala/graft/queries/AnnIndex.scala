@@ -713,23 +713,23 @@ object AnnIndex {
     val k = Similarity.pqK
     val nprobe = Similarity.ivfPqNprobe
     Fixtures.oracle(
-      s""", pq_nrm AS (
+      s""", pq_nrm AS MATERIALIZED (
          SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
          FROM (SELECT vec_id, embedding,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM embeddings)
          WHERE norm_sq > 0 AND isfinite(norm_sq)),
-       pq_subs AS (
+       pq_subs AS MATERIALIZED (
          SELECT e.vec_id, CAST(t.m AS INT) AS m,
                 list_transform(
                   e.embedding[(t.m * $sub + 1):(t.m * $sub + $sub)],
                   x -> CAST(x AS DOUBLE) / e.nrm) AS sv
          FROM pq_nrm e, UNNEST(range($m)) AS t(m)),
-       pq_cb0 AS (
+       pq_cb0 AS MATERIALIZED (
          SELECT m, vec_id AS cid, sv AS cvec FROM pq_subs
          WHERE vec_id % $stride = 5 AND vec_id < ${stride * k}
            AND ${standingPred}),
-       pq_enc0 AS (
+       pq_enc0 AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
@@ -737,51 +737,51 @@ object AnnIndex {
            FROM pq_subs s JOIN pq_cb0 b ON s.m = b.m
            WHERE s.${standingPred})
          WHERE rn = 1),
-       pq_el AS (
+       pq_el AS MATERIALIZED (
          SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
          FROM pq_subs, UNNEST(range($sub)) AS t(i)),
-       pq_sums AS (
+       pq_sums AS MATERIALIZED (
          SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
                 SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM pq_el el
          JOIN pq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
          GROUP BY 1, 2, 3),
-       pq_cb AS (
+       pq_cb AS MATERIALIZED (
          SELECT m, cid,
                 list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
          FROM pq_sums GROUP BY 1, 2),
-       pq_enc AS (
+       pq_enc AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM pq_subs s JOIN pq_cb b ON s.m = b.m)
          WHERE rn = 1),
-       pq_qd AS (
+       pq_qd AS MATERIALIZED (
          SELECT s.vec_id AS qid, s.m, b.cid,
                 CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
          FROM pq_subs s JOIN pq_cb b ON s.m = b.m
          WHERE ${Similarity.queryPred("s.vec_id")}),
-       nrm AS (
+       nrm AS MATERIALIZED (
          SELECT vec_id, norm_sq
          FROM (SELECT vec_id,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM embeddings) n
          WHERE norm_sq > 0 AND isfinite(norm_sq)),
        ${Similarity.centStrideCte(standingPred)},
-       cents AS (
+       cents AS MATERIALIZED (
          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
          WHERE vec_id % (SELECT stride FROM cstride)
              = 3 % (SELECT stride FROM cstride) AND ${standingPred}),
-       cn AS (
+       cn AS MATERIALIZED (
          SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
          WHERE vec_id % (SELECT stride FROM cstride)
              = 3 % (SELECT stride FROM cstride) AND ${standingPred}),
-       cdots AS (
+       cdots AS MATERIALIZED (
          SELECT e.vec_id, c.cid,
                 ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM embeddings e CROSS JOIN cents c),
-       assignments AS (
+       assignments AS MATERIALIZED (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
                       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -791,7 +791,7 @@ object AnnIndex {
                JOIN nrm n ON d.vec_id = n.vec_id
                JOIN cn c ON d.cid = c.cid) t
          WHERE rn = 1),
-       probes AS (
+       probes AS MATERIALIZED (
          SELECT vec_id AS qid, cid AS cluster FROM (
            SELECT d.vec_id, d.cid,
                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -802,7 +802,7 @@ object AnnIndex {
            JOIN cn c ON d.cid = c.cid
            WHERE ${Similarity.queryPred("d.vec_id")}) t
          WHERE rn <= $nprobe),
-       cand AS (
+       cand AS MATERIALIZED (
          SELECT q.qid, a.vec_id
          FROM probes q JOIN assignments a
            ON q.cluster = a.cluster AND a.vec_id != q.qid

@@ -243,19 +243,19 @@ object Dbscan {
        db_pairs AS MATERIALIZED (
          SELECT va, vb FROM db_scored
          WHERE dot > 0 AND (dot * dot) * 16 >= na * nb),
-       db_deg AS (
+       db_deg AS MATERIALIZED (
          SELECT v, COUNT(1) AS deg
          FROM (SELECT va AS v FROM db_pairs
                UNION ALL SELECT vb AS v FROM db_pairs)
          GROUP BY 1),
-       db_core AS (SELECT v FROM db_deg WHERE deg >= $minNeighbors),
-       db_ce AS (
+       db_core AS MATERIALIZED (SELECT v FROM db_deg WHERE deg >= $minNeighbors),
+       db_ce AS MATERIALIZED (
          SELECT p.va AS src, p.vb AS dst
          FROM db_pairs p JOIN db_core a ON p.va = a.v JOIN db_core b ON p.vb = b.v
          UNION ALL
          SELECT p.vb, p.va
          FROM db_pairs p JOIN db_core a ON p.va = a.v JOIN db_core b ON p.vb = b.v),
-       db_badj AS (
+       db_badj AS MATERIALIZED (
          SELECT p.va AS v, p.vb AS u
          FROM db_pairs p JOIN db_core b ON p.vb = b.v
          LEFT JOIN db_core a ON p.va = a.v WHERE a.v IS NULL
@@ -299,16 +299,16 @@ object Dbscan {
         FROM $verdictSubquery t GROUP BY cluster""")
 
   private def rungCtes(tag: String, num: Int, den: Int): String =
-    s""", ${tag}_e AS (
+    s""", ${tag}_e AS MATERIALIZED (
          SELECT va, vb FROM db_scored
          WHERE dot > 0 AND (dot * dot) * $den >= (na * nb) * $num),
-       ${tag}_deg AS (
+       ${tag}_deg AS MATERIALIZED (
          SELECT v, COUNT(1) AS deg
          FROM (SELECT va AS v FROM ${tag}_e
                UNION ALL SELECT vb AS v FROM ${tag}_e)
          GROUP BY 1),
-       ${tag}_core AS (SELECT v FROM ${tag}_deg WHERE deg >= $minNeighbors),
-       ${tag}_cnb AS (
+       ${tag}_core AS MATERIALIZED (SELECT v FROM ${tag}_deg WHERE deg >= $minNeighbors),
+       ${tag}_cnb AS MATERIALIZED (
          SELECT DISTINCT v FROM (
            SELECT e.va AS v FROM ${tag}_e e JOIN ${tag}_core c ON e.vb = c.v
            UNION ALL

@@ -750,7 +750,7 @@ object GraphAnn {
 
   private val searchCtes: String = buildCtes +
     undCte("sadj", s"g$rounds") +
-    s""", qset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
+    s""", qset AS MATERIALIZED (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        lmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
     matesCte("mates0", "gb0", Similarity.queryPred("vec_id")) +
     matesCte("mates1", "gb1", Similarity.queryPred("vec_id")) +
@@ -815,9 +815,9 @@ object GraphAnn {
       Similarity.bucketCteFor("gb0", mult(0)) +
       Similarity.bucketCteFor("gb1", mult(1)) +
       Similarity.normCte("embeddings") +
-      s""", sgb0 AS (SELECT * FROM gb0 WHERE ${AnnIndex.standingPred}),
-         sgb1 AS (SELECT * FROM gb1 WHERE ${AnnIndex.standingPred}),
-         snrm AS (SELECT * FROM nrm WHERE ${AnnIndex.standingPred}),
+      s""", sgb0 AS MATERIALIZED (SELECT * FROM gb0 WHERE ${AnnIndex.standingPred}),
+         sgb1 AS MATERIALIZED (SELECT * FROM gb1 WHERE ${AnnIndex.standingPred}),
+         snrm AS MATERIALIZED (SELECT * FROM nrm WHERE ${AnnIndex.standingPred}),
          sring AS MATERIALIZED (
            SELECT a.vec_id AS src, b.vec_id AS dst
            FROM snrm a JOIN snrm b
@@ -838,7 +838,7 @@ object GraphAnn {
     * ending in ins_edges (each batch node's K nearest standing vectors). */
   private val insertCtes: String = incrBuildCtes +
     undCte("isadj", s"sg$rounds") +
-    s""", iqset AS (SELECT vec_id AS qid FROM nrm WHERE ${AnnIndex.batchPred}),
+    s""", iqset AS MATERIALIZED (SELECT vec_id AS qid FROM nrm WHERE ${AnnIndex.batchPred}),
        ilmk AS MATERIALIZED (SELECT vec_id FROM snrm ORDER BY vec_id LIMIT $nLandmarks)""" +
     matesCte("imates0", "gb0", AnnIndex.batchPred,
       predFor("b.vec_id", AnnIndex.standingPred)) +
@@ -864,11 +864,11 @@ object GraphAnn {
 
   /** Post-append query search over base ∪ inserted edges. */
   private val incrSearchCtes: String = insertCtes +
-    s""", all_e AS (
+    s""", all_e AS MATERIALIZED (
          SELECT src, dst, cosine FROM sg$rounds
          UNION ALL SELECT src, dst, cosine FROM ins_edges)""" +
     undCte("qsadj", "all_e") +
-    s""", qqset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
+    s""", qqset AS MATERIALIZED (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        qlmk AS MATERIALIZED (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $nLandmarks)""" +
     matesCte("qmates0", "gb0", Similarity.queryPred("vec_id")) +
     matesCte("qmates1", "gb1", Similarity.queryPred("vec_id")) +
@@ -887,15 +887,15 @@ object GraphAnn {
     * as the generating arithmetic predicate; the Spark side reads the
     * tombstone artifact — GraphAnnSpec pins that mechanism). */
   private val deletedSearchCtes: String = insertCtes +
-    s""", dall_e AS (
+    s""", dall_e AS MATERIALIZED (
          SELECT src, dst, cosine FROM sg$rounds
          UNION ALL SELECT src, dst, cosine FROM ins_edges),
-       dmask_e AS (
+       dmask_e AS MATERIALIZED (
          SELECT src, dst, cosine FROM dall_e
          WHERE NOT (${predFor("src", AnnIndex.deletedPred)})
            AND NOT (${predFor("dst", AnnIndex.deletedPred)}))""" +
     undCte("dsadj", "dmask_e") +
-    s""", dqset AS (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
+    s""", dqset AS MATERIALIZED (SELECT vec_id AS qid FROM nrm WHERE ${Similarity.queryPred("vec_id")}),
        dlmk AS MATERIALIZED (
          SELECT vec_id FROM nrm
          WHERE NOT (${AnnIndex.deletedPred})
@@ -922,14 +922,14 @@ object GraphAnn {
   /** Survivor-truth recall: exact side restricted to non-deleted vectors,
     * candidate side the masked search's visited set. */
   val recallGraphDeletedOracle: String = Fixtures.oracle(deletedSearchCtes +
-    s""", sexact_dots AS (
+    s""", sexact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d
            ON d.vec_id != q.vec_id AND NOT (${predFor("d.vec_id", AnnIndex.deletedPred)})
          WHERE ${Similarity.queryPred("q.vec_id")}),
-       sexact_ranked AS (
+       sexact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,

@@ -144,14 +144,14 @@ object Similarity {
     * still consumes per-element rows — pair scoring folds arrays directly
     * via [[DotProduct.duckDot]]. */
   private[queries] def elementCtes(table: String): String =
-    s""", el AS (
+    s""", el AS MATERIALIZED (
          SELECT e.vec_id, CAST(t.i AS INT) AS idx,
                 CAST(e.embedding[t.i + 1] AS DOUBLE) AS v
          FROM $table e, UNNEST(range(len(e.embedding))) AS t(i))"""
 
   /** Squared norms via the same left fold as the Spark side. */
   private[queries] def normCte(table: String): String =
-    s""", nrm AS (
+    s""", nrm AS MATERIALIZED (
          SELECT vec_id, norm_sq
          FROM (SELECT vec_id,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
@@ -172,7 +172,7 @@ object Similarity {
     * `mult` is the table's j-multiplier ([[graft.plans.LshBucket.multipliers]]);
     * `name` lets multi-table oracles emit one CTE per plane family. */
   private[queries] def bucketCteFor(name: String, mult: Int): String =
-    s""", $name AS (
+    s""", $name AS MATERIALIZED (
          SELECT vec_id,
                 SUM(CASE WHEN proj >= 0 THEN CAST(POWER(2.0, CAST(p AS DOUBLE)) AS BIGINT) ELSE 0 END) AS bucket
          FROM (
@@ -205,7 +205,7 @@ object Similarity {
 
   val cosineTopKOracle: String = Fixtures.oracle(
     normCte("embeddings") +
-      s""", dots AS (
+      s""", dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
@@ -240,7 +240,7 @@ object Similarity {
          SELECT q.vec_id AS qid, b.vec_id
          FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       dots AS (
+       dots AS MATERIALIZED (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
@@ -296,7 +296,7 @@ object Similarity {
            SELECT q.vec_id AS qid, b.vec_id
            FROM buckets_t1 q JOIN buckets_t1 b ON q.bucket = b.bucket AND b.vec_id != q.vec_id
            WHERE ${queryPred("q.vec_id")})),
-       dots AS (
+       dots AS MATERIALIZED (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
@@ -361,7 +361,7 @@ object Similarity {
       s""", pairs AS (
          SELECT a.vec_id AS va, b.vec_id AS vb
          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       dots AS (
+       dots AS MATERIALIZED (
          SELECT p.va, p.vb, ${DotProduct.duckDot("x.embedding", "y.embedding")} AS dot
          FROM pairs p
          JOIN embeddings_aug x ON x.vec_id = p.va
@@ -411,7 +411,7 @@ object Similarity {
     * population (optionally narrowed by `pred`, AnnIndex's standing
     * split). Same integer shift arithmetic, same result. */
   private[queries] def centStrideCte(pred: String = "TRUE"): String =
-    s"""cstride AS (
+    s"""cstride AS MATERIALIZED (
          SELECT MAX(1::BIGINT << t.i) AS stride
          FROM range(0, 31) t(i)
          WHERE ((1::BIGINT << t.i) * (1::BIGINT << t.i)) <=
@@ -514,16 +514,16 @@ object Similarity {
   private[queries] def assignmentCtesFor(table: String): String =
     normCte(table) +
       s""", ${centStrideCte()},
-       cents AS (
+       cents AS MATERIALIZED (
          SELECT vec_id AS cid, embedding AS cemb FROM $table
          WHERE vec_id % (SELECT stride FROM cstride) = 3 % (SELECT stride FROM cstride)),
-       cn AS (
+       cn AS MATERIALIZED (
          SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
          WHERE vec_id % (SELECT stride FROM cstride) = 3 % (SELECT stride FROM cstride)),
-       cdots AS (
+       cdots AS MATERIALIZED (
          SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM $table e CROSS JOIN cents c),
-       assignments AS (
+       assignments AS MATERIALIZED (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
                       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -593,7 +593,7 @@ object Similarity {
          FROM assignments q JOIN assignments a
            ON q.cluster = a.cluster AND a.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       dots AS (
+       dots AS MATERIALIZED (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
@@ -604,7 +604,7 @@ object Similarity {
   /** Oracle twin of [[ivfQueryProbes]]: reuses assignmentCtes' cdots
     * (every vector×centroid dot), ranks per query, cuts at `p`. */
   private def qprobesCteFor(name: String, p: Int): String =
-    s""", $name AS (
+    s""", $name AS MATERIALIZED (
          SELECT vec_id AS qid, cid AS cluster FROM (
            SELECT d.vec_id, d.cid,
                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -624,7 +624,7 @@ object Similarity {
          SELECT q.qid, a.vec_id
          FROM qprobes q JOIN assignments a
            ON q.cluster = a.cluster AND a.vec_id != q.qid),
-       dots AS (
+       dots AS MATERIALIZED (
          SELECT c.qid, c.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM candidates c
@@ -704,13 +704,13 @@ object Similarity {
     * drift between index families. (`lazy`: oracle vals earlier in the
     * object's init order consume this via [[recallOracle]].) */
   private[queries] lazy val exactSideCtes: String =
-    s""", exact_dots AS (
+    s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -953,7 +953,7 @@ object Similarity {
 
   val annFilteredOracle: String = Fixtures.oracle(
     assignmentCtes + qprobesCteFor("fprobes", filteredNprobe) +
-      s""", dots AS (
+      s""", dots AS MATERIALIZED (
          SELECT q.qid, a.vec_id,
                 ${DotProduct.duckDot("d.embedding", "qe.embedding")} AS dot
          FROM fprobes q
@@ -1074,13 +1074,13 @@ object Similarity {
 
   val annRecallIvfCellsOracle: String = Fixtures.oracle(
     assignmentCtes +
-      s""", lc_cents AS (
+      s""", lc_cents AS MATERIALIZED (
          SELECT vec_id AS cid, embedding AS cemb FROM embeddings
          WHERE vec_id % $legacyStride = 3),
-       lc_cn AS (
+       lc_cn AS MATERIALIZED (
          SELECT vec_id AS cid, norm_sq AS cnorm FROM nrm
          WHERE vec_id % $legacyStride = 3),
-       lc_assign AS (
+       lc_assign AS MATERIALIZED (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
                       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -1415,49 +1415,49 @@ object Similarity {
     def d2(sv: String, cv: String): String =
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
-    s""", pq_nrm AS (
+    s""", pq_nrm AS MATERIALIZED (
          SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
          FROM (SELECT vec_id, embedding,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM embeddings)
          WHERE norm_sq > 0 AND isfinite(norm_sq)),
-       pq_subs AS (
+       pq_subs AS MATERIALIZED (
          SELECT e.vec_id, CAST(t.m AS INT) AS m,
                 list_transform(
                   e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
                   x -> CAST(x AS DOUBLE) / e.nrm) AS sv
          FROM pq_nrm e, UNNEST(range($pqM)) AS t(m)),
-       pq_cb0 AS (
+       pq_cb0 AS MATERIALIZED (
          SELECT m, vec_id AS cid, sv AS cvec FROM pq_subs
          WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
-       pq_enc0 AS (
+       pq_enc0 AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM pq_subs s JOIN pq_cb0 b ON s.m = b.m)
          WHERE rn = 1),
-       pq_el AS (
+       pq_el AS MATERIALIZED (
          SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
          FROM pq_subs, UNNEST(range($pqSub)) AS t(i)),
-       pq_sums AS (
+       pq_sums AS MATERIALIZED (
          SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
                 SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM pq_el el
          JOIN pq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
          GROUP BY 1, 2, 3),
-       pq_cb AS (
+       pq_cb AS MATERIALIZED (
          SELECT m, cid,
                 list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
          FROM pq_sums GROUP BY 1, 2),
-       pq_enc AS (
+       pq_enc AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM pq_subs s JOIN pq_cb b ON s.m = b.m)
          WHERE rn = 1),
-       pq_qd AS (
+       pq_qd AS MATERIALIZED (
          SELECT s.vec_id AS qid, s.m, b.cid,
                 CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
          FROM pq_subs s JOIN pq_cb b ON s.m = b.m
@@ -1553,13 +1553,13 @@ object Similarity {
 
   val annRecallIvfPqOracle: String = Fixtures.oracle(
     pqCtes + assignmentCtes + ivfPqCtes +
-      s""", exact_dots AS (
+      s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -1651,13 +1651,13 @@ object Similarity {
 
   val annRecallIvfPqRerankOracle: String = Fixtures.oracle(
     pqCtes + assignmentCtes + ivfPqCtes + rerankCtes +
-      s""", exact_dots AS (
+      s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -2015,13 +2015,13 @@ object Similarity {
   /** The range/code CTEs alone (caller supplies `el` + `nrm`) — the
     * composed IVF×BQ oracle shares one prelude with the assignment chain. */
   private val sq8CodeBodyCtes: String = {
-    s""", sq_ranges AS (
+    s""", sq_ranges AS MATERIALIZED (
          SELECT el.idx,
                 MIN(el.v / SQRT(n.norm_sq)) AS mn,
                 MAX(el.v / SQRT(n.norm_sq)) AS mx
          FROM el JOIN nrm n ON el.vec_id = n.vec_id
          GROUP BY el.idx),
-       sq_codes AS (
+       sq_codes AS MATERIALIZED (
          SELECT el.vec_id, el.idx,
                 CASE WHEN r.mx = r.mn THEN 0
                      ELSE CAST(FLOOR(((el.v / SQRT(n.norm_sq) - r.mn) * 255.0)
@@ -2083,13 +2083,13 @@ object Similarity {
 
   val annRecallSq8Oracle: String = Fixtures.oracle(
     sq8Ctes +
-      s""", exact_dots AS (
+      s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -2191,10 +2191,10 @@ object Similarity {
 
   /** bq_words from sq_codes (caller supplies the code chain). */
   private val bqWordsCtes: String =
-    s""", bq_codes AS (
+    s""", bq_codes AS MATERIALIZED (
          SELECT vec_id, list(code ORDER BY idx) AS codes
          FROM sq_codes GROUP BY vec_id),
-       bq_words AS (
+       bq_words AS MATERIALIZED (
          SELECT vec_id, ${duckBqPack(1)} AS w0, ${duckBqPack(33)} AS w1
          FROM bq_codes)"""
 
@@ -2331,13 +2331,13 @@ object Similarity {
     s"SELECT qid, vec_id FROM ivfbq_ranked WHERE rank <= $rerankBudget")
 
   val annRecallPqOracle: String = Fixtures.oracle(pqCtes + normCte("embeddings") +
-    s""", exact_dots AS (
+    s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -2414,23 +2414,23 @@ object Similarity {
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
     elementCtes("embeddings") + assignmentCtes +
-      s""", r2sum AS (
+      s""", r2sum AS MATERIALIZED (
          SELECT a.cluster, el.idx,
                 SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM el JOIN assignments a ON el.vec_id = a.vec_id
          GROUP BY 1, 2),
-       r2cent AS (
+       r2cent AS MATERIALIZED (
          SELECT cluster AS cid, list(CAST(sx AS DOUBLE) ORDER BY idx) AS cemb
          FROM r2sum GROUP BY cluster),
-       r2cn AS (
+       r2cn AS MATERIALIZED (
          SELECT cid, cnorm
          FROM (SELECT cid, ${DotProduct.duckDot("cemb", "cemb")} AS cnorm
                FROM r2cent)
          WHERE cnorm > 0 AND isfinite(cnorm)),
-       r2dots AS (
+       r2dots AS MATERIALIZED (
          SELECT e.vec_id, c.cid, ${DotProduct.duckDot("e.embedding", "c.cemb")} AS dot
          FROM embeddings e CROSS JOIN r2cent c),
-       r2assign AS (
+       r2assign AS MATERIALIZED (
          SELECT vec_id, cid AS cluster
          FROM (SELECT d.vec_id, d.cid,
                       ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -2440,7 +2440,7 @@ object Similarity {
                JOIN nrm n ON d.vec_id = n.vec_id
                JOIN r2cn c ON d.cid = c.cid) t
          WHERE rn = 1),
-       rpq_probes AS (
+       rpq_probes AS MATERIALIZED (
          SELECT vec_id AS qid, cid AS cluster FROM (
            SELECT d.vec_id, d.cid,
                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
@@ -2451,7 +2451,7 @@ object Similarity {
            JOIN r2cn c ON d.cid = c.cid
            WHERE ${queryPred("d.vec_id")}) t
          WHERE rn <= $ivfPqNprobe),
-       r_subs AS (
+       r_subs AS MATERIALIZED (
          SELECT e.vec_id, a.cluster, CAST(t.m AS INT) AS m,
                 list_transform(
                   e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
@@ -2463,37 +2463,37 @@ object Similarity {
          JOIN r2cent c ON a.cluster = c.cid
          JOIN r2cn cn2 ON a.cluster = cn2.cid,
          UNNEST(range($pqM)) AS t(m)),
-       r_cb0 AS (
+       r_cb0 AS MATERIALIZED (
          SELECT m, vec_id AS cid, sv AS cvec FROM r_subs
          WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
-       r_enc0 AS (
+       r_enc0 AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM r_subs s JOIN r_cb0 b ON s.m = b.m)
          WHERE rn = 1),
-       r_el AS (
+       r_el AS MATERIALIZED (
          SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
          FROM r_subs, UNNEST(range($pqSub)) AS t(i)),
-       r_sums AS (
+       r_sums AS MATERIALIZED (
          SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
                 SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM r_el el
          JOIN r_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
          GROUP BY 1, 2, 3),
-       r_cb AS (
+       r_cb AS MATERIALIZED (
          SELECT m, cid,
                 list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
          FROM r_sums GROUP BY 1, 2),
-       r_enc AS (
+       r_enc AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM r_subs s JOIN r_cb b ON s.m = b.m)
          WHERE rn = 1),
-       r_qsubs AS (
+       r_qsubs AS MATERIALIZED (
          SELECT p.qid, p.cluster, CAST(t.m AS INT) AS m,
                 list_transform(
                   e.embedding[(t.m * $pqSub + 1):(t.m * $pqSub + $pqSub)],
@@ -2505,7 +2505,7 @@ object Similarity {
          JOIN r2cent c ON p.cluster = c.cid
          JOIN r2cn cn2 ON p.cluster = cn2.cid,
          UNNEST(range($pqM)) AS t(m)),
-       r_qd AS (
+       r_qd AS MATERIALIZED (
          SELECT s.qid, s.cluster, s.m, b.cid,
                 CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
          FROM r_qsubs s JOIN r_cb b ON s.m = b.m),
@@ -2553,13 +2553,13 @@ object Similarity {
 
   val annRecallIvfPqResidualOracle: String = Fixtures.oracle(
     residCtes +
-      s""", exact_dots AS (
+      s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -2690,57 +2690,57 @@ object Similarity {
       s"((${DotProduct.duckDot(sv, sv)} + ${DotProduct.duckDot(cv, cv)}) - " +
         s"(2.0 * ${DotProduct.duckDot(sv, cv)}))"
     Pca.pcaGramCtes +
-      s""", opq_rank AS (
+      s""", opq_rank AS MATERIALIZED (
          SELECT i AS dim, ROW_NUMBER() OVER (ORDER BY g DESC, i) - 1 AS p
          FROM pca_gram, pca_d
          WHERE i = j AND pca_d.d = ${pqM * pqSub}),
-       opq_slot AS (
+       opq_slot AS MATERIALIZED (
          SELECT dim,
                 CAST(CASE WHEN (p // $pqM) % 2 = 0 THEN p % $pqM
                           ELSE ${pqM - 1} - (p % $pqM) END AS INT) AS m,
                 CAST(p // $pqM AS INT) AS r
          FROM opq_rank),
-       opq_nrm AS (
+       opq_nrm AS MATERIALIZED (
          SELECT vec_id, embedding, SQRT(norm_sq) AS nrm
          FROM (SELECT vec_id, embedding,
                       ${DotProduct.duckDot("embedding", "embedding")} AS norm_sq
                FROM embeddings)
          WHERE norm_sq > 0 AND isfinite(norm_sq)),
-       opq_subs AS (
+       opq_subs AS MATERIALIZED (
          SELECT e.vec_id, s.m,
                 list(CAST(e.embedding[s.dim + 1] AS DOUBLE) / e.nrm ORDER BY s.r) AS sv
          FROM opq_nrm e, opq_slot s GROUP BY 1, 2),
-       opq_cb0 AS (
+       opq_cb0 AS MATERIALIZED (
          SELECT m, vec_id AS cid, sv AS cvec FROM opq_subs
          WHERE vec_id % $pqSeedStride = 5 AND vec_id < ${pqSeedStride * pqK}),
-       opq_enc0 AS (
+       opq_enc0 AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM opq_subs s JOIN opq_cb0 b ON s.m = b.m)
          WHERE rn = 1),
-       opq_el AS (
+       opq_el AS MATERIALIZED (
          SELECT vec_id, m, CAST(t.i AS INT) AS idx, sv[t.i + 1] AS x
          FROM opq_subs, UNNEST(range($pqSub)) AS t(i)),
-       opq_sums AS (
+       opq_sums AS MATERIALIZED (
          SELECT el.m, e0.cid, el.idx, COUNT(1) AS n,
                 SUM(CAST(CAST(el.x AS VARCHAR) AS DECIMAL(18,12))) AS sx
          FROM opq_el el
          JOIN opq_enc0 e0 ON el.vec_id = e0.vec_id AND el.m = e0.m
          GROUP BY 1, 2, 3),
-       opq_cb AS (
+       opq_cb AS MATERIALIZED (
          SELECT m, cid,
                 list(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY idx) AS cvec
          FROM opq_sums GROUP BY 1, 2),
-       opq_enc AS (
+       opq_enc AS MATERIALIZED (
          SELECT vec_id, m, cid FROM (
            SELECT s.vec_id, s.m, b.cid,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                     ORDER BY ${d2("s.sv", "b.cvec")}, b.cid) AS rn
            FROM opq_subs s JOIN opq_cb b ON s.m = b.m)
          WHERE rn = 1),
-       opq_qd AS (
+       opq_qd AS MATERIALIZED (
          SELECT s.vec_id AS qid, s.m, b.cid,
                 CAST(CAST(${d2("s.sv", "b.cvec")} AS VARCHAR) AS DECIMAL(25,12)) AS qd2
          FROM opq_subs s JOIN opq_cb b ON s.m = b.m
@@ -2764,13 +2764,13 @@ object Similarity {
        FROM opq_ranked WHERE rank <= 3""")
 
   val annRecallOpqOracle: String = Fixtures.oracle(opqCtes + normCte("embeddings") +
-    s""", exact_dots AS (
+    s""", exact_dots AS MATERIALIZED (
          SELECT q.vec_id AS qid, d.vec_id,
                 ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
          FROM embeddings q
          JOIN embeddings d ON d.vec_id != q.vec_id
          WHERE ${queryPred("q.vec_id")}),
-       exact_ranked AS (
+       exact_ranked AS MATERIALIZED (
          SELECT qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          FROM (SELECT dots.qid, dots.vec_id,
@@ -2865,13 +2865,13 @@ object Similarity {
     }.mkString(" UNION ALL ")
     Fixtures.oracle(
       normCte("embeddings") +
-        s""", exact_dots AS (
+        s""", exact_dots AS MATERIALIZED (
            SELECT q.vec_id AS qid, d.vec_id,
                   ${DotProduct.duckDot("d.embedding", "q.embedding")} AS dot
            FROM embeddings q
            JOIN embeddings d ON d.vec_id != q.vec_id
            WHERE ${queryPred("q.vec_id")}),
-         exact_ranked AS (
+         exact_ranked AS MATERIALIZED (
            SELECT qid, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
            FROM (SELECT dots.qid, dots.vec_id,
