@@ -161,7 +161,8 @@ object BlockStreamWire {
 final class BlockStreamServer(script: Seq[String], port: Int = 0,
     paceMs: Long = 0L, binary: Boolean = false, h2c: Boolean = false,
     h2cWindow: Int = Http2Wire.TunedWindow,
-    tls: Option[javax.net.ssl.SSLContext] = None) {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    mux: Boolean = false) {
   private val server = tls match {
     case Some(ctx) => TlsWire.serverSocket(ctx, port) // h2 over TLS + ALPN
     case None => new ServerSocket(port)
@@ -233,18 +234,33 @@ final class BlockStreamServer(script: Seq[String], port: Int = 0,
     * (stream ids 1, 3, 5…), so a resubscribing drainer may reuse its
     * connection instead of redialing. */
   private def serveH2(sock: Socket): Unit =
-    Http2Wire.serverAcceptLoop(
-      sock.getInputStream, sock.getOutputStream, h2cWindow) { (reqBytes, call) =>
-      val sub = BlockProtoCodec.decodeRequest(reqBytes)
-      val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
-      script.drop(cursor).foreach { msg =>
-        if (paceMs > 0) Thread.sleep(paceMs)
-        call.send(BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
+    if (mux)
+      // concurrent form ([[Http2Mux]]): every subscription the client holds
+      // open on this connection streams SIMULTANEOUSLY — the multi-tenant
+      // shape, one handler thread per stream, shared flow-control windows
+      Http2Mux.serverLoop(
+        sock.getInputStream, sock.getOutputStream, h2cWindow) { (reqBytes, call) =>
+        serveScript(reqBytes, call.send, () => call.finish())
       }
-      call.send(BlockProtoCodec.encodeResponse(
-        BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
-      call.finish()
+    else
+      Http2Wire.serverAcceptLoop(
+        sock.getInputStream, sock.getOutputStream, h2cWindow) { (reqBytes, call) =>
+        serveScript(reqBytes, call.send, () => call.finish())
+      }
+
+  /** One subscription against the script, transport-call agnostic. */
+  private def serveScript(reqBytes: Array[Byte],
+      send: Array[Byte] => Unit, finish: () => Unit): Unit = {
+    val sub = BlockProtoCodec.decodeRequest(reqBytes)
+    val cursor = sub.path("startingCursor").path("orderKey").asInt(0)
+    script.drop(cursor).foreach { msg =>
+      if (paceMs > 0) Thread.sleep(paceMs)
+      send(BlockProtoCodec.encodeResponse(BlockStreamWire.mapper.readTree(msg)))
     }
+    send(BlockProtoCodec.encodeResponse(
+      BlockStreamWire.mapper.readTree(BlockStreamWire.endOfScript)))
+    finish()
+  }
 
   def close(): Unit = server.close()
 }

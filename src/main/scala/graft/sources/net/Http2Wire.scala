@@ -55,10 +55,12 @@ import scala.collection.mutable
   *
   * Honest boundaries (documented, enforced with clear errors rather than
   * silently mis-parsed): Huffman literals are not EMITTED (accepted on
-  * decode as above), and streams are sequential, never CONCURRENT — one
-  * RPC is in flight per connection at a time, the drainer's model, where
-  * reconnect-and-resubscribe is the retry path. True multiplexing would
-  * need a demux thread per connection; nothing on this wire needs it.
+  * decode as above), and THIS endpoint is sequential — one RPC in flight
+  * per connection at a time, the drainer's model, where
+  * reconnect-and-resubscribe is the retry path. CONCURRENT streams live
+  * in the sibling [[Http2Mux]] layer (demux thread + per-stream queues +
+  * shared flow-control monitor, same frame/HPACK primitives), for peers
+  * that genuinely hold several RPCs open on one connection.
   */
 object Http2Wire {
 

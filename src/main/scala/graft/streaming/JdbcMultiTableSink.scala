@@ -181,7 +181,13 @@ final class JdbcMultiTableSink(
     val (sql, bindOrder) = dialect.insertIgnore(table, cols, keyCols)
     val bindIdx = bindOrder.map(cols.indexOf)
     val (u, p, bs) = (url, connectionProperties, batchSize)
-    frame.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    // consistent lock order: each batch transaction touches keys in
+    // ascending order, so two concurrent partitions inserting overlapping
+    // keys cannot deadlock (40P01 — observed on live Postgres, whose
+    // pipelined batches hold row locks until the transaction's Sync;
+    // sorting is the canonical fix and costs one in-partition sort)
+    frame.sortWithinPartitions(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(u, p)
         try {
