@@ -46,8 +46,9 @@ object Explain {
 
       case "--stages" =>
         val acc = new java.util.concurrent.atomic.AtomicLongArray(3) // run, cpu, tasks
-        // written on the listener-bus thread, read on main: AtomicReference
-        val worst = new java.util.concurrent.atomic.AtomicReference[(Long, Int, String)]((0L, 0, ""))
+        // every completed stage (run ms, tasks, name) — listener-bus thread
+        // writes, main reads after the drain below
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -55,18 +56,13 @@ object Explain {
             acc.addAndGet(0, m.executorRunTime)
             acc.addAndGet(1, m.executorCpuTime / 1000000L)
             acc.addAndGet(2, sc.stageInfo.numTasks.toLong)
-            worst.updateAndGet { w =>
-              if (m.executorRunTime > w._1)
-                (m.executorRunTime, sc.stageInfo.numTasks,
-                  sc.stageInfo.details.linesIterator.take(1).mkString)
-              else w
-            }
+            stages.add((m.executorRunTime, sc.stageInfo.numTasks, sc.stageInfo.name))
           }
         }
         spark.sparkContext.addSparkListener(listener)
-        println(f"${"query"}%-34s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"tasks"}%6s  worst-stage run_s/tasks")
+        println(f"${"query"}%-34s ${"wall_s"}%7s ${"run_s"}%7s ${"cpu_s"}%7s ${"tasks"}%6s  top stages run_s/tasks@site")
         names.foreach { name =>
-          (0 to 2).foreach(acc.set(_, 0L)); worst.set((0L, 0, ""))
+          (0 to 2).foreach(acc.set(_, 0L)); stages.clear()
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir).count()
           val wall = (System.nanoTime() - t0) / 1e9
@@ -79,8 +75,11 @@ object Explain {
             val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
             bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
           } catch { case scala.util.control.NonFatal(_) => Thread.sleep(300) }
-          val w = worst.get()
-          println(f"$name%-34s $wall%7.2f ${acc.get(0) / 1e3}%7.2f ${acc.get(1) / 1e3}%7.2f ${acc.get(2)}%6d  ${w._1 / 1e3}%.2f/${w._2}")
+          import scala.jdk.CollectionConverters._
+          val top = stages.asScala.toSeq.sortBy(-_._1).take(3)
+            .map { case (r, n, nm) => f"${r / 1e3}%.2f/$n@${nm.take(46)}" }
+            .mkString("  ")
+          println(f"$name%-34s $wall%7.2f ${acc.get(0) / 1e3}%7.2f ${acc.get(1) / 1e3}%7.2f ${acc.get(2)}%6d  $top")
         }
 
       case _ =>

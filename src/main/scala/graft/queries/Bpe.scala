@@ -76,7 +76,7 @@ object Bpe {
     * fertility query replays the merges rather than re-training. */
   def trainMerges(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    graft.util.Memo.cached(spark, sfDir, "bpe_train_merges") {
+    graft.util.Memo.checkpointed(spark, sfDir, "bpe_train_merges") {
       import spark.implicits._
       var v = vocab0(spark, sfDir).localCheckpoint()
       var merges = Vector.empty[DataFrame]
@@ -113,7 +113,7 @@ object Bpe {
 
     // memoized: the 12 chained folds are the entry's whole cost, and the
     // cross-tokenizer comparison replays this exact frame
-    val vocabTok = graft.util.Memo.cached(spark, sfDir, "bpe_vtok") {
+    val vocabTok = graft.util.Memo.checkpointed(spark, sfDir, "bpe_vtok") {
       val merges = trainMerges(spark, sfDir)
         .orderBy($"merge_rank")
         .select($"pair_left", $"pair_right")
@@ -131,12 +131,7 @@ object Bpe {
         .select($"w", size(expr(applied)).as("n_toks"))
     }
 
-    val langWord = spark.table("documents")
-      .select($"lang", explode(split($"text", " ")).as("w"))
-      .filter($"w" =!= "")
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
-
-    langWord.join(vocabTok, Seq("w"))
+    langWord(spark, sfDir).join(vocabTok, Seq("w"))
       .groupBy($"lang")
       .agg(sum($"freq").as("words"),
         sum($"freq" * $"n_toks").as("tokens"),
@@ -145,6 +140,19 @@ object Bpe {
         expr("tokens * 10000 DIV words").as("fertility_bp"),
         expr("chars * 10000 DIV tokens").as("chars_per_token_bp"))
   }
+
+  /** Per-(lang, word) corpus frequency table — the `bpe_lw` CTE of every
+    * fertility oracle. Memoized (checkpointed) once per (session, corpus):
+    * all three tokenizer fertility entries plus the 3-way comparison
+    * consume this identical corpus explode+aggregate. */
+  private[queries] def langWord(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.Memo.checkpointed(spark, sfDir, "tok_lang_word") {
+      import spark.implicits._
+      spark.table("documents")
+        .select($"lang", explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "")
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+    }
 
   /** The vocabulary-size knob ladder ([[bpeMerges]] is one point of it):
     * corpus-global fertility at merge budgets 4 / 8 / 12 — the

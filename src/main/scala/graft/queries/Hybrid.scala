@@ -57,19 +57,25 @@ object Hybrid {
   private[queries] val sparseK = 8
 
   /** The sparse arm alone: (qid, doc_id, rank ≤ sparseK). */
-  private def sparseRanked(spark: SparkSession): DataFrame = {
+  private def sparseRanked(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (tf, df, dls, stats) = invertedIndex(spark)
+    val (tf, df, dls, stats) = invertedIndex(spark, sfDir)
 
     // term selection: the query docs' vocabularies (Q₀-bounded) ranked
-    // rarest-first; df rides along so the scorer needs no vocab-sized join
-    val qterms = tf.filter(expr(Similarity.queryPred("doc_id")))
-      .select($"doc_id".as("qid"), $"word")
-      .join(df, Seq("word"))
-      .withColumn("trank", row_number().over(
-        Window.partitionBy($"qid").orderBy($"df", $"word")))
-      .filter($"trank" <= mltTerms)
-      .select($"qid", $"word", $"df")
+    // rarest-first; df rides along so the scorer needs no vocab-sized join.
+    // Memoized like [[rm3Expansion]] (a query-set model over the corpus
+    // snapshot, Q₀ × mltTerms rows): unmemoized this tf⋈df + window ran
+    // inside the broadcast build of BOTH retrieval entries on every pass —
+    // the measured ~5 s/32-task worst stage of each.
+    val qterms = graft.util.Memo.checkpointed(spark, sfDir, "hybrid_qterms") {
+      tf.filter(expr(Similarity.queryPred("doc_id")))
+        .select($"doc_id".as("qid"), $"word")
+        .join(df, Seq("word"))
+        .withColumn("trank", row_number().over(
+          Window.partitionBy($"qid").orderBy($"df", $"word")))
+        .filter($"trank" <= mltTerms)
+        .select($"qid", $"word", $"df")
+    }
 
     // candidate scoring: [[TextOps.bm25Scored]]'s expression tree verbatim
     // (the oracle mirrors it token for token), summed in decimal lanes
@@ -105,7 +111,7 @@ object Hybrid {
     val dense = Similarity.annIvfPqRerank(spark, sfDir)
       .select($"query_id".as("qid"), $"neighbor_id".as("doc_id"),
         $"rank".as("dense_rank"))
-    val sparse = sparseRanked(spark)
+    val sparse = sparseRanked(spark, sfDir)
       .select($"qid", $"doc_id", $"rank".cast(LongType).as("sparse_rank"))
     fuse(dense, sparse)
   }
@@ -198,12 +204,20 @@ object Hybrid {
     import spark.implicits._
     // ONE dense subtree shared by its own arm and the fusion (the serving
     // plan carries an observe() metric; two independent instantiations in
-    // one union would collide on the metric name)
+    // one union would collide on the metric name). Each arm's rank list is
+    // eagerly localCheckpoint'd (opt guide §3.3/§5: materialize a reused
+    // intermediate instead of re-executing it): both lists are
+    // query-budget-bounded (Q₀ × k rows), and without the checkpoint each
+    // serving pipeline executes TWICE in the 3-arm union — once for its own
+    // arm, once inside the fusion arm (measured 3.81 s vs the 2.66 s
+    // single-execution hybrid entry at sf0.1).
     val dense = Similarity.annIvfPqRerank(spark, sfDir)
       .select($"query_id".as("qid"), $"neighbor_id".as("doc_id"),
         $"rank".cast(LongType).as("rank"))
-    val sparse = sparseRanked(spark)
+      .localCheckpoint(true)
+    val sparse = sparseRanked(spark, sfDir)
       .select($"qid", $"doc_id", $"rank".cast(LongType).as("rank"))
+      .localCheckpoint(true)
     val fused = fuse(dense.withColumnRenamed("rank", "dense_rank"),
       sparse.withColumnRenamed("rank", "sparse_rank"))
       .select(lit("fused").as("arm"), $"query_id".as("qid"), $"doc_id", $"rank")
@@ -331,7 +345,7 @@ object Hybrid {
     // ≤ |Q|+E = 8 rows: materialize once so the expansion pipeline (first
     // pass + relevance model) runs once, not once per consumer below
     val w8 = rm3Weights(spark, sfDir).localCheckpoint()
-    rm3Score(spark, w8)
+    rm3Score(spark, sfDir, w8)
       .orderBy($"ssum".desc, $"doc_id")
       .limit(10)
       // BOUNDED global window: post-limit frame (≤ 10 rows)
@@ -342,9 +356,10 @@ object Hybrid {
 
   /** The weighted-BM25 second pass, factored for spec-level pinning on an
     * arbitrary (word, w) table: (doc_id, ssum DECIMAL). */
-  private[queries] def rm3Score(spark: SparkSession, weights: DataFrame): DataFrame = {
+  private[graft] def rm3Score(spark: SparkSession, sfDir: String,
+      weights: DataFrame): DataFrame = {
     import spark.implicits._
-    val (tf, dfAll, dls, stats) = invertedIndex(spark)
+    val (tf, dfAll, dls, stats) = invertedIndex(spark, sfDir)
     tf.join(broadcast(weights), Seq("word"))
       .join(broadcast(dfAll.join(weights.select($"word"), Seq("word"))), Seq("word"))
       .join(dls, Seq("doc_id"))
@@ -375,17 +390,29 @@ object Hybrid {
 
   /** The corpus inverted index: (doc,word) tf, per-word df, doc lengths,
     * 1-row corpus stats — the once-per-snapshot frames every sparse arm
-    * shares. */
-  private def invertedIndex(spark: SparkSession)
+    * shares. Memoized per (session, corpus) like [[TextOps.dfIndex]]'s
+    * design note says a deployment does ("at 100 TB the index IS the
+    * product"): three entries (hybrid, eval, rm3) consume these frames, and
+    * each consumer probes tf TWICE (query-term selection + posting scan) —
+    * unmemoized, the corpus explode+aggregate was the measured worst stage
+    * of both retrieval entries (7-8 s of 32-task run time per execution at
+    * sf0.1, opt guide §1.2: fix the algorithm's repeated pass first). */
+  private def invertedIndex(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val docs = spark.table("documents")
-    val tf = docs
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
-    val dls = docs.select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
+    val tf = graft.util.Memo.checkpointed(spark, sfDir, "hybrid_inv_tf") {
+      spark.table("documents")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"word")
+        .agg(count(lit(1)).as("tf"))
+    }
+    val df = graft.util.Memo.checkpointed(spark, sfDir, "hybrid_inv_df") {
+      tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    }
+    val dls = graft.util.Memo.checkpointed(spark, sfDir, "hybrid_inv_dls") {
+      spark.table("documents")
+        .select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
+    }
     val stats = dls.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))
     (tf, df, dls, stats)
   }
@@ -396,12 +423,12 @@ object Hybrid {
     * first pass + relevance model run once per (session, corpus). */
   private def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.checkpointed(spark, sfDir, "rm3_expansion") {
-      rm3ExpansionBuild(spark)
+      rm3ExpansionBuild(spark, sfDir)
     }
 
-  private def rm3ExpansionBuild(spark: SparkSession): DataFrame = {
+  private def rm3ExpansionBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val (tf, _, dls, _) = invertedIndex(spark)
+    val (tf, _, dls, _) = invertedIndex(spark, sfDir)
     // first pass: the gated bm25 chain — fixed-order 3-term combine, so
     // the feedback scores are bit-identical to text_bm25_search's
     val scored = TextOps.bm25Scored(spark.table("documents"), TextOps.bm25Terms)

@@ -548,14 +548,31 @@ object Multimodal {
   def videoCuts(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val blobs = spark.table("documents").select($"doc_id").as[Long]
+    // Shuffle the 8-byte doc ids, not the frames (opt guide §2.3/§8: when a
+    // shuffle only decides placement, move a lightweight proxy and let the
+    // heavy bytes stay put): the previous shape generated blobs at scan
+    // parallelism and then hash-repartitioned EVERY encoded PNG to the
+    // detector stage — the exchange carried the whole video corpus. Now the
+    // id exchange is pinned to slot count (explicit n, so AQE cannot
+    // coalesce the tiny-bytes shuffle down to one task) and generation,
+    // decode and the pixel loop pipeline in ONE post-shuffle stage.
+    val blobs = spark.table("documents").select($"doc_id")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { d =>
         val (w, h) = (dimW(d), dimH(d))
-        val frames = Array.tabulate(vFrames(d)) { f =>
-          encodePng(synthImage(vSeed(d, f / vShotLen(d)), w, h))
+        // frames within a shot are pixel-identical by construction: encode
+        // each shot once and share the bytes across its frames (common-
+        // subexpression elimination; the frames column is byte-identical to
+        // per-frame encoding, and the detector still decodes every frame)
+        val nf = vFrames(d)
+        val sl = vShotLen(d)
+        val shotPng = Array.tabulate((nf + sl - 1) / sl) { s =>
+          encodePng(synthImage(vSeed(d, s.toLong), w, h))
         }
+        val frames = Array.tabulate(nf)(f => shotPng(f / sl))
         (d, frames)
-      }).toDF("doc_id", "frames").repartition(col("doc_id"))
+      }).toDF("doc_id", "frames")
       .as[(Long, Array[Array[Byte]])]
     blobs.mapPartitions(_.map { case (d, frames) =>
       val imgs = frames.map(decode)

@@ -102,7 +102,13 @@ object StreamReplay {
       Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root)))
       val df = batched
       (0 until nb).foreach { i =>
-        df.filter(col("b") === i).drop("b").write.parquet(s"$root/b$i")
+        // coalesce to the stream's own partition count (4, see
+        // withReplayPartitions): the batched frame carries the session's 32
+        // shuffle partitions, so an uncoalesced write leaves ~32 tiny part
+        // files per batch dir and every micro-batch scan pays ~32 file-open
+        // tasks for a handful of rows each (opt guide §6: small files hurt
+        // twice) — measured as 32-task scan stages inside each replay
+        df.filter(col("b") === i).drop("b").coalesce(4).write.parquet(s"$root/b$i")
       }
       root.toString
     }
@@ -353,10 +359,13 @@ object StreamReplay {
   def funnelReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val batched = rangeBatched(spark.table("ek")
-      .select($"user_id", $"event_type", $"seq"), "seq")
+    // batched is passed BY NAME: rangeBatched's eager min/max job runs only
+    // on first staging (once per session), not on every replay run
     replayViaFiles[graft.streaming.StreamingFunnel.EventIn](
-      spark, sfDir, "funnel_replay", batched, OutputMode.Update)(
+      spark, sfDir, "funnel_replay",
+      rangeBatched(spark.table("ek")
+        .select($"user_id", $"event_type", $"seq"), "seq"),
+      OutputMode.Update)(
       graft.streaming.StreamingFunnel.stages)
       .groupBy($"user_id").agg(max($"stage").as("stage"))
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
@@ -371,10 +380,12 @@ object StreamReplay {
   def dedupReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val batched = rangeBatched(spark.table("documents")
-      .select($"doc_id", $"text"), "doc_id")
+    // by-name batched: the bounds job runs once per session (see funnelReplay)
     replayViaFiles[graft.streaming.StreamingDedup.DocIn](
-      spark, sfDir, "dedup_replay", batched, OutputMode.Append)(
+      spark, sfDir, "dedup_replay",
+      rangeBatched(spark.table("documents")
+        .select($"doc_id", $"text"), "doc_id"),
+      OutputMode.Append)(
       graft.streaming.StreamingDedup.exactDedup)
       .select($"doc_id", $"canonical_doc_id", $"is_duplicate")
   }
@@ -402,11 +413,13 @@ object StreamReplay {
   def anomalyReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val batched = rangeBatched(spark.table("raw")
-      .filter($"user_id".isNotNull && $"cents".isNotNull)
-      .select($"user_id", $"seq", $"cents"), "seq")
+    // by-name batched: the bounds job runs once per session (see funnelReplay)
     replayViaFiles[graft.streaming.StreamingAnomaly.EventIn](
-      spark, sfDir, "anomaly_replay", batched, OutputMode.Append) { ds =>
+      spark, sfDir, "anomaly_replay",
+      rangeBatched(spark.table("raw")
+        .filter($"user_id".isNotNull && $"cents".isNotNull)
+        .select($"user_id", $"seq", $"cents"), "seq"),
+      OutputMode.Append) { ds =>
       graft.streaming.StreamingAnomaly.detect(ds)
     }
       .select($"user_id", $"seq", $"cents", round($"z", 6).as("z"))
@@ -447,23 +460,27 @@ object StreamReplay {
   def sessionsReplay(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
-    val ev = spark.table("ek")
-      .filter($"user_id".isNotNull && $"btime".isNotNull && $"cents".isNotNull)
-      .select($"user_id", $"btime", $"cents")
-    // empty input: any sentinel base works (sentinels are filtered out of
-    // the result; they exist only to close the watermark)
-    val maxT = Option(ev.agg(max($"btime")).head())
-      .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
-    val real = rangeBatched(ev, "btime")
-    val sentinels = spark.range(2).select(
-      lit(-1L).as("user_id"),
-      (lit(maxT + 10000L) + $"id" * 10000L).as("btime"),
-      lit(0L).as("cents"),
-      ($"id" + numBatches).cast("int").as("b"))
-    val batched = real.unionByName(sentinels)
-      .select($"user_id", to_timestamp($"btime").as("ts"), $"cents", $"b")
+    // the whole batched construction (max btime job + rangeBatched bounds
+    // job) sits inside the BY-NAME argument: both eager aggregates run only
+    // on first staging (once per session), not on every replay run
     replayViaFiles[graft.streaming.StreamingSessions.SessionEvent](
-      spark, sfDir, "sessions_replay", batched, OutputMode.Append, nb = numBatches + 2)(
+      spark, sfDir, "sessions_replay", {
+        val ev = spark.table("ek")
+          .filter($"user_id".isNotNull && $"btime".isNotNull && $"cents".isNotNull)
+          .select($"user_id", $"btime", $"cents")
+        // empty input: any sentinel base works (sentinels are filtered out
+        // of the result; they exist only to close the watermark)
+        val maxT = Option(ev.agg(max($"btime")).head())
+          .filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+        val real = rangeBatched(ev, "btime")
+        val sentinels = spark.range(2).select(
+          lit(-1L).as("user_id"),
+          (lit(maxT + 10000L) + $"id" * 10000L).as("btime"),
+          lit(0L).as("cents"),
+          ($"id" + numBatches).cast("int").as("b"))
+        real.unionByName(sentinels)
+          .select($"user_id", to_timestamp($"btime").as("ts"), $"cents", $"b")
+      }, OutputMode.Append, nb = numBatches + 2)(
       graft.streaming.StreamingSessions.sessionize(_))
       .filter($"user_id" >= 0L)
       .select($"user_id",

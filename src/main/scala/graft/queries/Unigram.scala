@@ -115,7 +115,7 @@ object Unigram {
     * model; [[inventory]] is what ships. Memoized. */
   private[graft] def seedInventory(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    graft.util.Memo.cached(spark, sfDir, "ug_seed_inv") {
+    graft.util.Memo.checkpointed(spark, sfDir, "ug_seed_inv") {
       import spark.implicits._
       val words = Bpe.vocab0(spark, sfDir).select($"w", $"freq")
       val subs = words
@@ -179,7 +179,7 @@ object Unigram {
     * DP all consume it. */
   def inventory(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    graft.util.Memo.cached(spark, sfDir, "ug_inventory") {
+    graft.util.Memo.checkpointed(spark, sfDir, "ug_inventory") {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val seed = seedInventory(spark, sfDir)
@@ -247,7 +247,7 @@ object Unigram {
     * packing base. Single characters are always in the inventory, so every
     * position has ≥ 1 match and the DP is total. */
   private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "ug_vtok") {
+    graft.util.Memo.checkpointed(spark, sfDir, "ug_vtok") {
       import spark.implicits._
       val matches =
         matchFrame(spark, sfDir, scoredPieces(spark, inventory(spark, sfDir)))
@@ -262,11 +262,7 @@ object Unigram {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val vt = vocabTok(spark, sfDir)
-    val langWord = spark.table("documents")
-      .select($"lang", explode(split($"text", " ")).as("w"))
-      .filter($"w" =!= "")
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
-    langWord.join(vt, Seq("w"))
+    Bpe.langWord(spark, sfDir).join(vt, Seq("w"))
       .groupBy($"lang")
       .agg(sum($"freq").as("words"),
         sum($"freq" * $"n_toks").as("tokens"),

@@ -60,7 +60,7 @@ object WordPiece {
     * trained pieces rather than re-training. */
   def trainMerges(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
-    graft.util.Memo.cached(spark, sfDir, "wp_train_merges") {
+    graft.util.Memo.checkpointed(spark, sfDir, "wp_train_merges") {
       import spark.implicits._
       var v = Bpe.vocab0(spark, sfDir).localCheckpoint()
       var merges = Vector.empty[DataFrame]
@@ -111,7 +111,7 @@ object WordPiece {
     * (w, n_toks, consumed) — `consumed` is the walk's final cursor,
     * = length(w) by the totality invariant (WordPieceSpec pins it). */
   private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
-    graft.util.Memo.cached(spark, sfDir, "wp_vtok") {
+    graft.util.Memo.checkpointed(spark, sfDir, "wp_vtok") {
     import spark.implicits._
     val pieces = trainMerges(spark, sfDir).select($"piece").distinct()
     val ml = Bpe.vocab0(spark, sfDir)
@@ -134,11 +134,7 @@ object WordPiece {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
     val vt = vocabTok(spark, sfDir).select($"w", $"n_toks")
-    val langWord = spark.table("documents")
-      .select($"lang", explode(split($"text", " ")).as("w"))
-      .filter($"w" =!= "")
-      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
-    langWord.join(vt, Seq("w"))
+    Bpe.langWord(spark, sfDir).join(vt, Seq("w"))
       .groupBy($"lang")
       .agg(sum($"freq").as("words"),
         sum($"freq" * $"n_toks").as("tokens"),

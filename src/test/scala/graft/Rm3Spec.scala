@@ -42,7 +42,7 @@ class Rm3Spec extends SparkSpec {
     import spark.implicits._
     val origOnly = TextOps.bm25Terms.toDF("word")
       .withColumn("w", lit(0.5) / lit(3.0))
-    val rescored = Hybrid.rm3Score(spark, origOnly)
+    val rescored = Hybrid.rm3Score(spark, sfDir, origOnly)
       .orderBy($"ssum".desc, $"doc_id")
       .limit(10).select($"doc_id").as[Long].collect().toSeq
     val firstPass = TextOps.bm25(spark.table("documents"), TextOps.bm25Terms)
