@@ -248,13 +248,20 @@ object Unigram {
     * position has ≥ 1 match and the DP is total. */
   private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.checkpointed(spark, sfDir, "ug_vtok") {
-      import spark.implicits._
-      val matches =
-        matchFrame(spark, sfDir, scoredPieces(spark, inventory(spark, sfDir)))
-      dpFrame(matches).select($"w",
-        expr(s"pmod(-element_at(dp, size(mls) + 1), $kPack)")
-          .cast("long").as("n_toks"))
+      vocabTokBuild(spark, sfDir)
     }
+
+  /** The un-memoized build plan (ScalePlanSpec pins its matcher broadcast —
+    * the memoized wrapper hands consumers a leaf RDD, so the shape is only
+    * visible here). */
+  private[graft] def vocabTokBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val matches =
+      matchFrame(spark, sfDir, scoredPieces(spark, inventory(spark, sfDir)))
+    dpFrame(matches).select($"w",
+      expr(s"pmod(-element_at(dp, size(mls) + 1), $kPack)")
+        .cast("long").as("n_toks"))
+  }
 
   /** Per-lang fertility under exact Viterbi — the same published table as
     * the BPE and WordPiece entries, third row of the bake-off. */

@@ -112,6 +112,13 @@ object WordPiece {
     * = length(w) by the totality invariant (WordPieceSpec pins it). */
   private[graft] def vocabTok(spark: SparkSession, sfDir: String): DataFrame =
     graft.util.Memo.checkpointed(spark, sfDir, "wp_vtok") {
+      vocabTokBuild(spark, sfDir)
+    }
+
+  /** The un-memoized build plan (ScalePlanSpec pins its matcher broadcast —
+    * the memoized wrapper hands consumers a leaf RDD, so the shape is only
+    * visible here). */
+  private[graft] def vocabTokBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pieces = trainMerges(spark, sfDir).select($"piece").distinct()
     val ml = Bpe.vocab0(spark, sfDir)

@@ -471,12 +471,16 @@ class ScalePlanSpec extends SparkSpec {
 
   test("wordpiece fertility: the trained pieces broadcast, the vocabulary join shuffles") {
     withNoAutoBroadcast {
-      val p = plan(graft.queries.WordPiece.fertility(spark, sfDir))
+      // the tokenized vocabulary is memo-checkpointed (consumers see a leaf
+      // RDD), so the matcher's broadcast shape is pinned on the BUILD plan
+      // and the vocabulary-join shape on the consuming entry
+      val b = plan(graft.queries.WordPiece.vocabTokBuild(spark, sfDir))
       // the 12-piece trained inventory is the hinted bounded frame; the
       // (lang, word) ⋈ tokenized-vocab join grows with the vocabulary and
       // must degrade to a shuffle at estimate scale
-      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-        s"the piece inventory must broadcast into the matcher:\n$p")
+      assert(b.contains("BroadcastNestedLoopJoin") || b.contains("BroadcastHashJoin"),
+        s"the piece inventory must broadcast into the matcher:\n$b")
+      val p = plan(graft.queries.WordPiece.fertility(spark, sfDir))
       assert(p.contains("SortMergeJoin"),
         s"the vocabulary join must shuffle without auto-broadcast:\n$p")
     }
@@ -484,9 +488,10 @@ class ScalePlanSpec extends SparkSpec {
 
   test("unigram fertility: the inventory broadcasts, the vocabulary join shuffles") {
     withNoAutoBroadcast {
+      val b = plan(graft.queries.Unigram.vocabTokBuild(spark, sfDir))
+      assert(b.contains("BroadcastNestedLoopJoin") || b.contains("BroadcastHashJoin"),
+        s"the scored inventory must broadcast into the Viterbi matcher:\n$b")
       val p = plan(graft.queries.Unigram.fertility(spark, sfDir))
-      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-        s"the scored inventory must broadcast into the Viterbi matcher:\n$p")
       assert(p.contains("SortMergeJoin"),
         s"the vocabulary join must shuffle without auto-broadcast:\n$p")
     }
