@@ -71,10 +71,7 @@ object Governance {
         ($"time" + $"voting_start_delay").as("vote_start"),
         $"voting_start_delay".as("window_secs"))
 
-    // eagerly materialized: the facts union feeds THREE consumers below
-    // (window events, bootstrap sums, the delegate dimension) and each
-    // re-executed the two-table union + broadcast block join per run
-    val facts = stakeFacts(spark, "delegate").localCheckpoint(true)
+    val facts = stakeFacts(spark, "delegate")
     val delegates = facts.select($"party").distinct()
 
     // decorrelated LATERAL: every component keyed by proposal_id
@@ -190,9 +187,7 @@ object Governance {
       (max($"time") - endOff).as("w_end"))
       .withColumn("total_duration", $"w_end" - $"w_start"))
 
-    // eagerly materialized: consumed by the time grid, the in-window frame
-    // and the bootstrap sums (each previously re-ran the union + join)
-    val facts = stakeFacts(spark, "from_address").localCheckpoint(true)
+    val facts = stakeFacts(spark, "from_address")
 
     // time grid: stake-change times in window + both endpoints (Step 1-2)
     val timePoints = facts.crossJoin(win)
