@@ -320,10 +320,21 @@ object Dedup {
     graft.plans.TextFingerprint.register(spark)
     import spark.implicits._
     val P = graft.functions.TextHash.P
+    // ONE signature pass feeds all three curve points (opt guide §2.4,
+    // VERDICT r15 #5): the minhash projection over the corpus is identical
+    // for every (b, r) config — only the RE-BANDING of the 16 values
+    // differs — so materialize it once (|docs| rows × 16 longs, bounded per
+    // doc) instead of re-running the corpus scan + signature fold under
+    // each union branch. Per-run localCheckpoint, same convention as the
+    // iterative entries — nothing survives the run.
     val sig = spark.table("documents")
       .select($"doc_id", expr("graft_minhash_sig(split(text, ' '))").as("sig"))
       .filter(size($"sig") === 16)
+      .localCheckpoint()
     val truth = ppjoin(spark, sfDir).select($"doc_a", $"doc_b")
+    // the truth count is config-independent: compute it once, cross-join it
+    // into every branch (1-row frame) instead of re-aggregating per branch
+    val truthPairs = truth.agg(count(lit(1)).as("truth_pairs"))
 
     Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
       val bands = sig.select($"doc_id", posexplode(expr(
@@ -334,11 +345,15 @@ object Dedup {
       val cand = graft.util.Salted
         .pairSelfJoin(bands, Seq("band", "band_key"), "doc_id")
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b")).distinct()
-      val caught = cand.join(truth, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("caught"))
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
-        .crossJoin(caught)
+      // n_candidates and caught in ONE pass over the candidate join
+      // (§2.4 repeated passes): truth is pair-UNIQUE (ppjoin emits one row
+      // per verified pair), so a left join preserves cand's row count —
+      // count(1) is the candidate volume and the hit-flag sum is exactly
+      // the old inner-join count.
+      cand.join(truth.withColumn("__hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum($"__hit"), lit(0L)).as("caught"))
+        .crossJoin(truthPairs)
         .select(lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
           $"n_candidates", $"truth_pairs", $"caught",
           expr("caught * 10000 DIV truth_pairs").as("recall_bp"))

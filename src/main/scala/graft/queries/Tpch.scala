@@ -331,11 +331,23 @@ object Tpch {
        LIMIT 100"""
 
   /** Suppliers who alone held up multi-supplier orders (TPC-H Q21 shape,
-    * adapted lateness: shipped >730 days after the order date). The double
-    * correlation (EXISTS another supplier on the order / NOT EXISTS another
-    * LATE supplier) becomes one LEFT SEMI plus one LEFT ANTI self-join of the
-    * (orderkey, suppkey, late) projection — three shuffles on l_orderkey
-    * total, each carrying ~16 B/row, never the full lineitem width. */
+    * adapted lateness: shipped >730 days after the order date).
+    *
+    * The double correlation (EXISTS another supplier on the order /
+    * NOT EXISTS another LATE supplier) is decided by two per-order
+    * NUMBERS, not by self-joins: with n_supp = distinct suppliers on the
+    * order and n_late_supp = distinct LATE suppliers, a late (order,
+    * supplier) row qualifies iff n_supp ≥ 2 (someone else supplied) and
+    * n_late_supp = 1 (the only late supplier is itself). numwait counts
+    * late LINEITEM rows, so each qualifying (order, supplier) contributes
+    * its late-row count. The former shape instantiated the
+    * lineitem⋈orders projection three times (outer + semi + anti self-
+    * joins, three l_orderkey shuffles of it); this one scans it ONCE and
+    * computes both per-order counts as window aggregates over the same
+    * l_orderkey partitioning, so after the single repartition nothing
+    * reshuffles until the |suppliers|-bounded final aggregate (opt guide
+    * §2.4/§3.2: remove the repeated big-side passes rather than prefilter
+    * them). Oracle text unchanged — the DuckDB gate proves the rewrite. */
   def q21(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
@@ -347,16 +359,23 @@ object Tpch {
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
         ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 730 DAYS")).as("late"))
-    val late = lo.filter($"late").select($"l_orderkey", $"l_suppkey")
 
-    late
-      .join(lo.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2")),
-        $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
-      .join(late.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3")),
-        $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+    // per (order, supplier): late-row count, then the per-ORDER counts as
+    // window aggregates over the same l_orderkey partitioning — one
+    // repartition serves the (order, supplier) aggregate, the two order-
+    // level counts, AND the qualification filter (HashPartitioning(ok)
+    // satisfies ClusteredDistribution(ok, sk)); an os⋈ord formulation
+    // instead re-instantiates the whole scan+agg subtree per consumer.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    lo.repartition($"l_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"late", 1L).otherwise(0L)).as("n_late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(when($"n_late" > 0, 1L).otherwise(0L)).over(w))
+      .filter($"n_late" > 0 && $"n_supp" >= 2 && $"n_late_supp" === 1)
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"n_late").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
       .limit(25)
   }
