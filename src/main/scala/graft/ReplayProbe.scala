@@ -21,6 +21,8 @@ object ReplayProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("PROBE_NODATA", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,18 +48,42 @@ object StreamReplay {
 
   private val numBatches = 3
 
-  /** Pin shuffle partitions to 4 for the streaming query: a streaming query
-    * snapshots spark.sql.shuffle.partitions at START as its state-store
-    * dimensionality, and the replay twins keep state for a handful of
-    * groups — 32 state partitions is pure per-batch task overhead in the
-    * correctness gate (~2 s per entry, measured). Production sizes this
-    * knob for throughput; the gate sizes it for its state cardinality.
-    * Restored in finally; the catalog runs queries sequentially. */
+  /** The stream's state-store dimensionality AND the staged batch dirs'
+    * part-file count (one shared constant — ADVICE r15: the two must move
+    * together or the small-files overhead silently returns). */
+  private val replayPartitions = 4
+
+  /** Pin shuffle partitions to [[replayPartitions]] for the streaming
+    * query: a streaming query snapshots spark.sql.shuffle.partitions at
+    * START as its state-store dimensionality, and the replay twins keep
+    * state for a handful of groups — 32 state partitions is pure per-batch
+    * task overhead in the correctness gate (~2 s per entry, measured).
+    * Production sizes this knob for throughput; the gate sizes it for its
+    * state cardinality.
+    *
+    * Also disables no-data micro-batches for the stream (VERDICT r15 #2):
+    * with them on, every data batch of the watermarked sessions replay was
+    * followed by a watermark-flush EMPTY batch — 10 triggers for 5 links,
+    * each paying full addBatch/walCommit/commitOffsets machinery (~0.45 s
+    * warm, measured via ReplayProbe). Emission semantics are unchanged for
+    * ANY replay entry: a no-data batch only emits what the next DATA batch
+    * would emit anyway (the watermark is recomputed from the same inputs),
+    * and every replay closes with inputs — sessions' two far-future
+    * sentinel batches — that push the watermark past all real state, so
+    * the final emission set is identical (the differential gate proves it
+    * per entry). Both confs restored in finally; the catalog runs queries
+    * sequentially. */
   private def withReplayPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try body finally spark.conf.set(key, prev)
+    val prevNd = spark.conf.get(ndKey)
+    spark.conf.set(key, replayPartitions.toString)
+    spark.conf.set(ndKey, "false")
+    try body finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, prevNd)
+    }
   }
 
   /** Staged micro-batch inputs, ONE write per (session, sfDir, entry)
@@ -108,21 +132,38 @@ object StreamReplay {
         // files per batch dir and every micro-batch scan pays ~32 file-open
         // tasks for a handful of rows each (opt guide §6: small files hurt
         // twice) — measured as 32-task scan stages inside each replay
-        df.filter(col("b") === i).drop("b").coalesce(4).write.parquet(s"$root/b$i")
+        df.filter(col("b") === i).drop("b").coalesce(replayPartitions)
+          .write.parquet(s"$root/b$i")
       }
       root.toString
     }
     val stage = Files.createTempDirectory(s"graft-replay-$tag-")
     try {
       val watch = s"$stage/watch"
-      val sink = s"$stage/sink"
       Files.createDirectories(Paths.get(watch))
-      Files.createDirectories(Paths.get(sink))
+      // Per-batch emissions are captured as eagerly localCheckpoint'd
+      // frames (executor block-manager storage, memory-and-disk, O(1)
+      // driver state) instead of the former per-batch parquet append +
+      // post-stream read-back: each append paid the full Hadoop commit
+      // protocol (task commits + job commit + _SUCCESS fsyncs, one job per
+      // micro-batch) and the read-back paid listing + footer decode +
+      // ANOTHER materialization — all harness transport, none of it the
+      // operator under test (~0.1-0.25 s per batch, measured via
+      // ReplayProbe's addBatch breakdown). The log content is identical:
+      // the union of the same batch frames in batch order.
+      val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val outSchema = withReplayPartitions(spark) {
         val in = spark.readStream.schema(enc.schema).parquet(watch).as[I](enc)
         val piped = pipe(in).toDF()
+        // The foreachBatch frame is bound to the stream's CLONED session
+        // (where the replay confs are snapshotted); the checkpointed blocks
+        // must be re-adopted into the CALLER's session or the returned
+        // frame would register temp views and resolve confs against the
+        // clone (CatalogSpec caught exactly that).
         val emit: (DataFrame, Long) => Unit =
-          (batch, _) => batch.write.mode("append").parquet(sink)
+          (batch, _) => batches.synchronized {
+            batches += adopt(spark, batch.localCheckpoint(true)); ()
+          }
         val q = piped.writeStream.outputMode(mode).foreachBatch(emit).start()
         try (0 until nb).foreach { i =>
           linkParts(Paths.get(s"$src/b$i"), Paths.get(watch), s"b$i")
@@ -133,16 +174,39 @@ object StreamReplay {
         } finally q.stop()
         piped.schema
       }
-      // explicit schema: a replay with zero emissions must read back as an
-      // EMPTY frame of the right shape, not an inference error
-      spark.read.schema(outSchema).parquet(sink).localCheckpoint(true)
+      // explicit schema on the empty path: a replay with zero emissions
+      // must come back as an EMPTY frame of the right shape
+      batches.synchronized {
+        if (batches.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        else batches.reduce(_ unionByName _)
+      }
     } finally {
-      // the staged corpus copy AND the emission log are dead weight once
-      // the checkpoint is materialized; leaking one per entry per run
-      // fills tmp under the bench/soak loops
+      // the staged corpus copy is dead weight once the stream is done;
+      // leaking one per entry per run fills tmp under the bench/soak loops
       rmTree(stage)
     }
   }
+
+  /** Re-bind a (checkpointed, leaf) frame from the stream's cloned session
+    * onto `spark`. The zero-copy path wraps the frame's internal-row RDD via
+    * `SparkSession.internalCreateDataFrame` — private[sql] in Scala, public
+    * in bytecode (the repo's established reflection idiom: Memo's
+    * LogicalRDD.rdd, the bench's listenerBus). Fallback on any reflective
+    * surprise: the public `createDataFrame(RDD[Row], schema)`, which pays
+    * one external-row conversion over the (output-sized) emission log but
+    * is always correct. */
+  private def adopt(spark: SparkSession, ck: DataFrame): DataFrame =
+    try {
+      val m = spark.getClass.getMethods
+        .find(m => m.getName == "internalCreateDataFrame" && m.getParameterCount == 3)
+        .getOrElse(throw new NoSuchMethodException("internalCreateDataFrame"))
+      m.invoke(spark, ck.queryExecution.toRdd, ck.schema, java.lang.Boolean.FALSE)
+        .asInstanceOf[DataFrame]
+    } catch { case scala.util.control.NonFatal(_) =>
+      spark.createDataFrame(ck.toDF().rdd, ck.schema)
+    }
 
   private def rmTree(p: Path): Unit = {
     val f = p.toFile
