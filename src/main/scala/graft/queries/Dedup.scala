@@ -1228,9 +1228,7 @@ object Dedup {
     // memoized: the frame feeds both the boilerplate-cap build and the
     // kept join below — without it the char-level word hashing runs twice
     val wins = graft.util.Memo.cached(spark, sfDir, "dedup_sr_windows") {
-      // widened BEFORE the per-doc hash+explode: the fixture scan is one
-      // split, so the expensive window fold otherwise runs in 1 task
-      graft.util.Memo.widen(spark.table("documents"))
+      spark.table("documents")
         .withColumn("words", split($"text", " "))
         .filter(size($"words") >= 8)
         .withColumn("wh", expr(

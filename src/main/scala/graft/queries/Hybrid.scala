@@ -410,9 +410,7 @@ object Hybrid {
       tf.groupBy($"word").agg(count(lit(1)).as("df"))
     }
     val dls = graft.util.Memo.checkpointed(spark, sfDir, "hybrid_inv_dls") {
-      // widened: a 1-split scan projection would serialize every BM25
-      // consumer's dls-side stage on one task (Memo.widen scaladoc)
-      graft.util.Memo.widen(spark.table("documents"))
+      spark.table("documents")
         .select($"doc_id", size(split($"text", " ")).cast(LongType).as("dl"))
     }
     val stats = dls.agg(count(lit(1)).as("n"), sum($"dl").as("total_dl"))

@@ -65,11 +65,8 @@ object Similarity {
     * same predicate. */
   private[queries] def vecs(spark: SparkSession, sfDir: String, table: String = "embeddings"): DataFrame =
     graft.util.Memo.cached(spark, sfDir, s"sim_vecs_$table") {
-      // widened (Memo.widen): the fixture scan is 1 split, so the cached
-      // frame otherwise pins every consumer's vecs-side stage to 1 task
-      graft.util.Memo.widen(spark.table(table))
-        .select(col("vec_id"), col("embedding"),
-          normSqExpr("embedding").as("norm_sq"))
+      spark.table(table).select(col("vec_id"), col("embedding"),
+        normSqExpr("embedding").as("norm_sq"))
         // the isnan leg is NOT redundant: Spark's comparison semantics rank
         // NaN larger than every number, so `NaN > 0` alone passes. The
         // upper bound drops +Infinity norms (an Inf element squares to Inf):

@@ -23,22 +23,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Memo {
 
-  /** Widen a narrow frame to the session's parallelism BEFORE an expensive
-    * per-row projection or a fan-out of consumers (opt guide §2.6 idle
-    * capacity): the sf-scale fixtures read as 1-2 input splits, so a
-    * memoized scan-side frame otherwise serializes every consumer stage on
-    * 1 task regardless of core count — measured as the 1-task wall-dominant
-    * stages of the sim and retrieval families and their ≈1 scaling ratio at
-    * 8 vs 32 cores. No-op when the plan already carries ≥ defaultParallelism
-    * partitions (a real corpus scan at 100 TB). The keyless repartition is
-    * deterministic (sort-before-repartition is on by default) and every
-    * downstream consumer in this repo is partitioning-order-free (decimal
-    * lanes / per-row projections / order-free aggregates). */
-  private[graft] def widen(df: DataFrame): DataFrame = {
-    val np = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
-  }
-
   /** Each entry carries the frame plus the action that actually frees its
     * storage: `unpersist` for persisted frames, but for localCheckpoint-ed
     * frames `Dataset.unpersist` is a NO-OP (checkpoint blocks belong to the
