@@ -72,20 +72,29 @@ object Governance {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    val blocks = spark.table("blocks").select($"number", $"time")
-
-    // proposal windows [proposal_time, vote_start] (dao.ts:1233-1245)
-    val props = spark.table("governor_proposed").as("gp")
-      .withColumn("block_number", graft.ingest.Ingest.blockOf($"gp.event_id"))
-      .join(broadcast(blocks), $"block_number" === $"number")
-      .join(broadcast(spark.table("governor_reconfigured").as("gr")),
-        $"gp.config_version" === $"gr.version")
-      .select($"gp.id".as("proposal_id"), $"time".as("proposal_time"),
-        ($"time" + $"voting_start_delay").as("vote_start"),
-        $"voting_start_delay".as("window_secs"))
+    // proposal windows [proposal_time, vote_start] (dao.ts:1233-1245).
+    // Memoized like stakeFacts: the frame is proposal-count-sized (bounded —
+    // a governance dimension, not a fact stream) and was instantiated 4×
+    // per run (window events / bootstrap / sentinels / final join), each
+    // instance replaying the governor_proposed scan + two broadcast joins.
+    val props = graft.util.Memo.checkpointed(spark, sfDir, "gov_props") {
+      val blocks = spark.table("blocks").select($"number", $"time")
+      spark.table("governor_proposed").as("gp")
+        .withColumn("block_number", graft.ingest.Ingest.blockOf($"gp.event_id"))
+        .join(broadcast(blocks), $"block_number" === $"number")
+        .join(broadcast(spark.table("governor_reconfigured").as("gr")),
+          $"gp.config_version" === $"gr.version")
+        .select($"gp.id".as("proposal_id"), $"time".as("proposal_time"),
+          ($"time" + $"voting_start_delay").as("vote_start"),
+          $"voting_start_delay".as("window_secs"))
+    }
 
     val facts = stakeFacts(spark, sfDir, "delegate")
-    val delegates = facts.select($"party").distinct()
+    // party-count-bounded; memoized so the sentinel arm reads a leaf
+    // instead of re-running the distinct shuffle over the stake stream
+    val delegates = graft.util.Memo.checkpointed(spark, sfDir, "gov_delegates") {
+      facts.select($"party").distinct()
+    }
 
     // decorrelated LATERAL: every component keyed by proposal_id
     val winEvents = facts.as("f")
@@ -194,34 +203,41 @@ object Governance {
     Fixtures.register(spark, sfDir)
     import spark.implicits._
 
-    // deterministic window derived from the dataset clock
-    val win = broadcast(spark.table("blocks").agg(
-      (min($"time") + startOff).as("w_start"),
-      (max($"time") - endOff).as("w_end"))
-      .withColumn("total_duration", $"w_end" - $"w_start"))
+    // Deterministic window derived from the dataset clock, read ONCE as two
+    // scalars (a bounded control read — 1 row at any corpus size, the same
+    // class as the HITS L∞ lookup). The former 1-row `win` frame was
+    // crossJoin'd into six consumers, and every consumer replayed the
+    // blocks aggregate + a fresh BroadcastNestedLoopJoin per run (12 BNLJ /
+    // 54 Exchanges in the r16 formatted plan); as literals the window
+    // becomes plain pushdown-able filters.
+    val winRow = spark.table("blocks")
+      .agg((min($"time") + startOff).as("w_start"), (max($"time") - endOff).as("w_end"))
+      .head()
+    val wStart = winRow.getLong(0)
+    val wEnd = winRow.getLong(1)
+    val totalDuration = wEnd - wStart
 
     val facts = stakeFacts(spark, sfDir, "from_address")
 
     // time grid: stake-change times in window + both endpoints (Step 1-2)
-    val timePoints = facts.crossJoin(win)
-      .filter($"time".between($"w_start", $"w_end"))
+    val timePoints = facts
+      .filter($"time".between(wStart, wEnd))
       .select($"time")
-      .unionByName(win.select($"w_start".as("time")))
-      .unionByName(win.select($"w_end".as("time")))
+      .unionByName(Seq(wStart, wEnd).toDF("time"))
       .distinct()
 
     // Stake deltas summed across ALL stakers per grid point: the per-interval
     // total stake is the grid-global running sum of these (each staker's
     // as-of stake at i_start is their delta-sum ≤ i_start; summing over
     // stakers commutes with the prefix sum).
-    val inWin = facts.crossJoin(win)
-      .filter($"time" <= $"w_end" && $"time" >= $"w_start")
+    val inWin = facts
+      .filter($"time" <= wEnd && $"time" >= wStart)
       .select($"party", $"time", $"delta")
-    val boot = facts.crossJoin(win)
-      .filter($"time" < $"w_start")
-      .groupBy($"party", $"w_start")
+    val boot = facts
+      .filter($"time" < wStart)
+      .groupBy($"party")
       .agg(sum($"delta").as("delta"))
-      .select($"party", $"w_start".as("time"), $"delta")
+      .select($"party", lit(wStart).as("time"), $"delta")
     val gDeltas = inWin.select($"time", $"delta")
       .unionByName(boot.select($"time", $"delta"))
       .groupBy($"time").agg(sum($"delta").as("gdelta"))
@@ -302,9 +318,8 @@ object Governance {
     // grid point, so both H lookups are broadcast equi-joins (the as-of
     // range join J8 collapses into the segment decomposition)
     val segs = stakeEvents
-      .crossJoin(win.select($"w_end", $"total_duration"))
       .filter($"stake" > 0)
-      .withColumn("seg_end", coalesce($"next_time", $"w_end"))
+      .withColumn("seg_end", coalesce($"next_time", lit(wEnd)))
       .filter($"time" < $"seg_end")
 
     val stakerShareFrac = stakingShare / (stakingShare + delegateShare)
@@ -320,7 +335,7 @@ object Governance {
         (lit(totalRewards) * lit(stakerShareFrac)
           * $"stake".cast(DoubleType)
           * $"dh".cast(DoubleType)
-          / $"total_duration".cast(DoubleType))
+          / lit(totalDuration).cast(DoubleType))
           .cast(dec3810))
       .groupBy($"party".as("claimee"))
       .agg(sum($"reward").as("staker_reward"))
@@ -330,8 +345,7 @@ object Governance {
     val proposalsInPeriod = spark.table("governor_proposed").as("gp")
       .withColumn("block_number", graft.ingest.Ingest.blockOf($"gp.event_id"))
       .join(broadcast(blocks), $"block_number" === $"number")
-      .crossJoin(win)
-      .filter($"time".between($"w_start", $"w_end"))
+      .filter($"time".between(wStart, wEnd))
       .select($"gp.id".as("pid"))
     val delegateWeights = spark.table("governor_voted").as("gv")
       .join(broadcast(proposalsInPeriod), $"gv.id" === $"pid", "left_semi")
