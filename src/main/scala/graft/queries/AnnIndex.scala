@@ -271,6 +271,35 @@ object AnnIndex {
     f.delete(); ()
   }
 
+  /** Clone every published delta of `srcRoot` into `dstRoot` by hardlinking
+    * the immutable artifact files (plain copy where the filesystem refuses
+    * links). Deltas are write-once — published by atomic rename, never
+    * mutated; compaction only ever unlinks a root's OWN directory entries
+    * and writes fresh files — so a link-clone is an exact, isolated index
+    * snapshot (the LSM-store clone every segment/delta store offers). The
+    * build-identical lifecycle tags (compacted / del / vac) clone the
+    * shared standing+append root instead of re-running the identical
+    * quantizer training + encode (measured 8-12 s of cold bench time per
+    * tag), then apply their OWN lifecycle steps (delete / compact) for
+    * real on the clone. */
+  private[queries] def cloneDeltas(srcRoot: String, dstRoot: String): Unit = {
+    def link(src: Path, dst: Path): Unit = {
+      Files.createDirectories(dst)
+      src.toFile.listFiles().foreach { f =>
+        val d = dst.resolve(f.getName)
+        if (f.isDirectory) link(f.toPath, d)
+        else
+          try { Files.createLink(d, f.toPath); () }
+          catch { case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(f.toPath, d, StandardCopyOption.REPLACE_EXISTING); ()
+          }
+      }
+    }
+    Dirs.numericSuffixes(srcRoot, "delta=").foreach { n =>
+      link(Paths.get(deltaPath(srcRoot, n)), Paths.get(deltaPath(dstRoot, n)))
+    }
+  }
+
   // -------------------------------------------------------------- compact
 
   private val CompactMarker = ".compact_swap"
@@ -608,6 +637,18 @@ object AnnIndex {
   def annIvfPqPersisted(spark: SparkSession, sfDir: String): DataFrame =
     scoreIvfPq(spark, sfDir, served(spark, sfDir), Similarity.ivfPqNprobe)
 
+  /** The shared standing+append root: base delta trained on the standing
+    * corpus, the batch appended against the frozen quantizers. Four
+    * lifecycle tags consume this same artifact state (incremental serves
+    * it as-is; compacted / del / vac clone it and apply their own
+    * delete/fold steps) — one training run per session instead of four
+    * identical ones. */
+  private def incrRoot(spark: SparkSession, sfDir: String): String =
+    ensure(spark, sfDir, "incr") { r =>
+      buildBase(spark, sfDir, r, standingPred)
+      appendBatch(spark, sfDir, r, batchPred)
+    }
+
   /** The daily-ingest lifecycle end to end: v1 trains quantizers on the
     * standing corpus and indexes it; the incoming batch is encoded against
     * the FROZEN persisted codebooks/centroids and appended as v2 (O(batch)
@@ -618,12 +659,8 @@ object AnnIndex {
   def annIvfPqIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
-    val root = ensure(spark, sfDir, "incr") { r =>
-      buildBase(spark, sfDir, r, standingPred)
-      appendBatch(spark, sfDir, r, batchPred)
-    }
     scoreIvfPq(spark, sfDir,
-      frames(spark, root), Similarity.ivfPqNprobe)
+      frames(spark, incrRoot(spark, sfDir)), Similarity.ivfPqNprobe)
   }
 
   /** LSH candidate generation + exact re-rank over a loaded index's bands
@@ -651,8 +688,7 @@ object AnnIndex {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
     val root = ensure(spark, sfDir, "compacted") { r =>
-      buildBase(spark, sfDir, r, standingPred)
-      appendBatch(spark, sfDir, r, batchPred)
+      cloneDeltas(incrRoot(spark, sfDir), r)
       compact(spark, r)
     }
     scoreIvfPq(spark, sfDir,
@@ -684,12 +720,8 @@ object AnnIndex {
   def annLshIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
-    val root = ensure(spark, sfDir, "incr") { r =>
-      buildBase(spark, sfDir, r, standingPred)
-      appendBatch(spark, sfDir, r, batchPred)
-    }
     scoreLsh(spark, sfDir,
-      frames(spark, root).bands)
+      frames(spark, incrRoot(spark, sfDir)).bands)
   }
 
   // -------------------------------------------------------------- oracles
@@ -845,8 +877,7 @@ object AnnIndex {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
     val root = ensure(spark, sfDir, "del") { r =>
-      buildBase(spark, sfDir, r, standingPred)
-      appendBatch(spark, sfDir, r, batchPred)
+      cloneDeltas(incrRoot(spark, sfDir), r)
       deleteIds(spark, r,
         spark.table("embeddings").filter(expr(deletedPred)).select("vec_id"))
     }
@@ -863,8 +894,7 @@ object AnnIndex {
     Fixtures.register(spark, sfDir)
     DotProduct.register(spark)
     val root = ensure(spark, sfDir, "vac") { r =>
-      buildBase(spark, sfDir, r, standingPred)
-      appendBatch(spark, sfDir, r, batchPred)
+      cloneDeltas(incrRoot(spark, sfDir), r)
       deleteIds(spark, r,
         spark.table("embeddings").filter(expr(deletedPred)).select("vec_id"))
       compact(spark, r)
