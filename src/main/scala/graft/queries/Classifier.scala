@@ -633,7 +633,11 @@ object Classifier {
     val labels = spark.table("documents")
       .select($"doc_id", expr(nbPosPred).as("pos"))
     def arm(tag: String, margins: DataFrame): DataFrame = {
-      val m = margins.join(labels, Seq("doc_id"))
+      // eagerly materialized (the evalMrr arm-list discipline): the bin
+      // range needs a min/max pass BEFORE the binning aggregate, so the
+      // score-join subtree otherwise executes twice per arm per run; the
+      // frame is one narrow row per doc (the score entry's own output size)
+      val m = margins.join(labels, Seq("doc_id")).localCheckpoint(true)
       val mm = m.agg(min($"margin").as("mn"),
         (max($"margin") - min($"margin") + lit(1L)).as("w"))
       m.crossJoin(broadcast(mm))

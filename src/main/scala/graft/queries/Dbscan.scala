@@ -98,9 +98,16 @@ object Dbscan {
         .filter(($"dot" * $"dot") * lit(16d) >= $"na" * $"nb")
         .select($"va", $"vb")
 
+      // Round-invariant frames are materialized ONCE before the label loop
+      // (opt guide §2.4, the pagerank/HITS hoist): un-checkpointed, every
+      // propagation round re-executed the degree aggregate + core filter +
+      // both core joins from the pair cache — measured 263 s of task
+      // runtime across ~2300 tasks for the cold entry, almost all of it
+      // this re-derivation × rounds.
       val deg = pairs.select($"va".as("vec_id"))
         .unionByName(pairs.select($"vb".as("vec_id")))
         .groupBy($"vec_id").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       val core = deg.filter($"deg" >= minNeighbors).select($"vec_id")
 
       // core-core edges, both directions
@@ -109,6 +116,7 @@ object Dbscan {
         .join(core.withColumnRenamed("vec_id", "vb"), Seq("vb"))
       val sym = ce.select($"va".as("src"), $"vb".as("dst"))
         .unionByName(ce.select($"vb".as("src"), $"va".as("dst")))
+        .localCheckpoint()
 
       // min-label propagation to a driver-checked fixpoint (the
       // clusterComponents loop: label sums are strictly decreasing until

