@@ -94,14 +94,19 @@ object AnnIndex {
       withSq8: Boolean = false): Unit = {
     val v = Similarity.vecs(spark, sfDir, table).filter(expr(trainPred))
     val cents = Similarity.centroidsOf(v)
-    val assigned = Similarity.assignTo(v, cents)
+    // Build intermediates are eagerly materialized (build-only code, once
+    // per session root): un-checkpointed, the assignment cross-join ran
+    // twice (codes join + write), the subvector explode three times
+    // (codebook seed encode, Lloyd step, final encode) and the trained
+    // codebook aggregate twice (encode + write) — each a full corpus pass.
+    val assigned = Similarity.assignTo(v, cents).localCheckpoint()
     // inner join with the assignment drops degenerate vectors (no norm, no
     // cell) from the code table — same population the fused path scores
     val codes = if (withPq) Some {
-      val cb = Similarity.pqCodebooksTrained(spark, sfDir, trainPred)
-      (cb, Similarity
-        .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(trainPred)), cb)
-        .join(assigned, Seq("vec_id")))
+      val subs = Similarity.pqSubvectors(spark, sfDir)
+        .filter(expr(trainPred)).localCheckpoint()
+      val cb = Similarity.trainCodebooks(spark, subs).localCheckpoint()
+      (cb, Similarity.pqEncode(subs, cb).join(assigned, Seq("vec_id")))
     } else None
     val bands = Similarity.computeLshBuckets(spark, table).filter(expr(trainPred))
     val bandsT1 =
@@ -136,7 +141,8 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$base/centroids")
     val cb = spark.read.parquet(s"$base/pq_codebooks")
     val v = Similarity.vecs(spark, sfDir).filter(expr(batchPred))
-    val assigned = Similarity.assignTo(v, cents)
+    // materialized: consumed by the code join AND the assignments write
+    val assigned = Similarity.assignTo(v, cents).localCheckpoint()
     val codes = Similarity
       .pqEncode(Similarity.pqSubvectors(spark, sfDir).filter(expr(batchPred)), cb)
       .join(assigned, Seq("vec_id"))
@@ -231,9 +237,14 @@ object AnnIndex {
       // Drop it — its members re-assign to the surviving centroids — with
       // the same guard the oracle's r2cn CTE carries.
       .filter($"cnorm" > 0d && !isnan($"cnorm") && $"cnorm" < Double.PositiveInfinity)
-    val assigned = Similarity.assignTo(v, cents)
-    val rsubs = Similarity.residualSubvectors(v, assigned, cents)
-    val cb = Similarity.trainCodebooks(spark, rsubs)
+      // materialized (build-only, see buildBase): the refined-centroid
+      // aggregate feeds two broadcasts + the write; the assignment
+      // cross-join and the residual-subvector explode each feed three
+      // consumers — un-checkpointed, every one re-ran the whole chain
+      .localCheckpoint()
+    val assigned = Similarity.assignTo(v, cents).localCheckpoint()
+    val rsubs = Similarity.residualSubvectors(v, assigned, cents).localCheckpoint()
+    val cb = Similarity.trainCodebooks(spark, rsubs).localCheckpoint()
     val codes = Similarity.pqEncode(rsubs, cb).join(assigned, Seq("vec_id"))
     val bands = Similarity.computeLshBuckets(spark, "embeddings")
     writeDelta(root, 1, "base") { tmp =>

@@ -412,15 +412,22 @@ object GraphAnn {
           col("f.vec_id") === col("e.src"))
         .select(col("f.qid").as("qid"), col("e.dst").as("vec_id"))
       val cand = visited.union(expand).distinct()
-      val scored = score(cand)
-      frontier = scored
+      // ONE materialization of the candidate set per round: the next
+      // frontier is ranked over the checkpointed leaf, so the
+      // expand+distinct subtree no longer executes twice per round (once
+      // under the frontier checkpoint, once under the visited one). The
+      // RETURNED scored frame stays derived from the LIVE `cand` — its
+      // plan keeps the persisted-graph scan (the purity property
+      // GraphAnnSpec pins); values are identical either way.
+      val candCk = cand.localCheckpoint()
+      frontier = score(candCk)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vec_id"))
         .localCheckpoint()
-      visited = cand.localCheckpoint()
-      (visited, scored)
+      visited = candCk
+      (visited, score(cand))
     }
   }
 
@@ -433,6 +440,12 @@ object GraphAnn {
   private def searchStates(spark: SparkSession, sfDir: String)
       : Seq[(DataFrame, DataFrame)] =
     states.computeIfAbsent((spark, sfDir, "main"), _ => {
+      // register BEFORE the query frame: queryFrame touches the fixture
+      // tables ahead of serveAdj's own registration, so an isolated
+      // first-touch of this entry (subset Verify/Explain) would otherwise
+      // fail on the unregistered `embeddings` view
+      Fixtures.register(spark, sfDir)
+      DotProduct.register(spark)
       val qv = queryFrame(spark, sfDir)
       searchChain(Similarity.vecs(spark, sfDir), serveAdj(spark, sfDir), qv,
         seeds(spark, sfDir, qv, Similarity.queryFilter, "TRUE"))
