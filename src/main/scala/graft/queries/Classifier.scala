@@ -531,7 +531,10 @@ object Classifier {
     val labels = spark.table("documents")
       .select($"doc_id", expr(nbPosPred).as("pos"))
     def sweep(tag: String, margins: DataFrame): DataFrame = {
-      val m = margins.join(labels, Seq("doc_id"))
+      // eagerly materialized, same reason as the calibration arm: the
+      // threshold grid needs a min/max pass BEFORE the sweep aggregate, so
+      // the score-join subtree otherwise executes twice per arm per run
+      val m = margins.join(labels, Seq("doc_id")).localCheckpoint(true)
       val mm = m.agg(min($"margin").as("mn"), max($"margin").as("mx"))
       val thr = mm.select(explode(sequence(lit(0), lit(prThresholds - 1))).as("i"),
         $"mn", $"mx")
